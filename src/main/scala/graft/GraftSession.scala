@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Designed for a real cluster (1000-executor scale) but testable on
+  * `local[N]`: every knob here is either scale-neutral (AQE, UTC, parquet
+  * nanos handling) or derived from the environment rather than hardcoded to
+  * the laptop case.
+  */
+object GraftSession {
+
+  /** Apply engine-required runtime confs to an externally created session
+    * (the driver hands us its own SparkSession — see SparkEntry). All of
+    * these are dynamic SQL confs, safe to set post-creation.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    // testdata events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has
+    // no TimestampType for; read as LongType (nanos) and convert explicitly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE re-plans shuffles at runtime (skew joins, partition coalescing) —
+    // essential at 100 TB, harmless at test scale.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  /** Build a local session for tests/benchmarks. Shuffle partitions follow
+    * the core count, not the 200 default (right-sizing partitions is the
+    * single biggest local-mode win; on a cluster this would be set to
+    * ~2-3x total cores instead).
+    */
+  def local(appName: String = "graft",
+            cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

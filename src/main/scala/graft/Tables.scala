@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Every loader goes through `spark.read.parquet` so Catalyst's parquet
+  * scan handles column pruning and predicate pushdown — downstream
+  * operators should `.select`/`.filter` early and let the scan prune.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The `events` table with event time normalized to epoch milliseconds
+    * (`ts_ms: Long`). The parquet column is INT64 TIMESTAMP(NANOS), read as
+    * raw nanos via `nanosAsLong` and floor-divided — matching the DuckDB
+    * oracle's `epoch_us(ts)//1000` exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+  }
+}
