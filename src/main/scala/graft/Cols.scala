@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-expression helpers.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so the expressions stay inside whole-stage codegen and remain
+  * usable at 100 TB scale. Each helper has an exact DuckDB equivalent used
+  * by the correctness oracles (SparkEntry.oracleSql) — the pair is noted in
+  * the doc comment and pinned by HashesSpec.
+  */
+object Cols {
+
+  /** Exact floor division for integral columns (Spark's `div` truncates
+    * toward zero; this floors like DuckDB's `//`). The dividend is first
+    * reduced by a non-negative `pmod`, making it an exact multiple of `d`,
+    * so the integer `div` is exact floor — no double-precision round trip
+    * (a naive `floor(a / d)` loses bits for nanosecond-scale longs > 2^53).
+    */
+  def floorDiv(c: Column, d: Long): Column =
+    // `div` (IntegralDivide) keeps the math in 64-bit integers; a
+    // double-precision `/` would be lossy for nanosecond-scale epochs
+    // (1.7e18 > 2^53). The pmod pre-subtraction makes it exact floor.
+    call_function("div", c - pmod(c, lit(d)), lit(d))
+
+  /** Floor a millisecond epoch to its tumbling-window start.
+    * DuckDB: `t - t % W` is identical for non-negative t; we use pmod so
+    * negative epochs also floor. Oracle uses `t - ((t % W) + W) % W`.
+    */
+  def tumbleStart(tsMs: Column, widthMs: Long): Column =
+    tsMs - pmod(tsMs, lit(widthMs))
+
+  /** Deterministic 60-bit hash of a string, identical across engines:
+    * Spark  `conv(substr(md5(s), 1, 15), 16, 10)::long`
+    * DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`
+    * 15 hex chars = 60 bits, always fits a signed 64-bit long.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash permutations / hyperplane families. */
+  def hash60(seed: Int, c: Column): Column =
+    hash60(concat_ws(":", lit(seed.toString), c))
+
+  /** Canonical text normalization shared by all text operators:
+    * lowercase, collapse whitespace runs to single spaces, trim.
+    * DuckDB: `trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of normalized text. DuckDB: `string_split(n, ' ')`. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Distinct word n-gram shingles of the normalized text, as an array.
+    * DuckDB mirrors with generate_series + list indexing.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    // sequence(1, size-n+1) is empty when size < n (sequence errors on
+    // descending ranges unless given a step, so guard with when()).
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

@@ -11,11 +11,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  private val tuned =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Apply engine-required runtime confs to an externally created session
     * (the driver hands us its own SparkSession — see SparkEntry). All of
     * these are dynamic SQL confs, safe to set post-creation.
     */
-  def tune(spark: SparkSession): SparkSession = {
+  def tune(spark: SparkSession): SparkSession = synchronized {
+    // Idempotence guard: table loaders call tune() defensively (the driver
+    // hands us an externally created session), but mutating runtime confs on
+    // every load would surprise callers composing with a configured session
+    // mid-job (ADVICE.md r1). Tune each session exactly once.
+    if (tuned.contains(spark)) return spark
+    tuned.add(spark)
     // testdata events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has
     // no TimestampType for; read as LongType (nanos) and convert explicitly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.Clickstream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — query registry + DuckDB oracle SQL (see SURVEY.md §2,
+  * the builder prompt, and Verify.scala).
+  *
+  * Every query here returns hash-stable output: integer columns are 64-bit
+  * in both engines, floating aggregates are rounded, arrays are canonicalized
+  * to sorted comma-joined strings, and all hashing is md5-derived so Spark
+  * and DuckDB agree bit-for-bit (Cols.hash60).
+  */
 object SparkEntry {
+
+  import Clickstream.{DefaultGapMs => GAP, DefaultKpiWindowMs => WIN}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Clickstream.sessionize(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    clickstreamQueries
+
+  private def clickstreamQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cs_sessionize" -> ((s, dir) =>
+      Clickstream.sessionize(Tables.events(s, dir))),
+    "cs_buy_sessions" -> ((s, dir) =>
+      Clickstream.buySessions(Clickstream.sessionize(Tables.events(s, dir)))),
+    "cs_user_kpis" -> ((s, dir) =>
+      Clickstream.userKpis(Clickstream.sessionize(Tables.events(s, dir)))),
+    "cs_departments" -> ((s, dir) =>
+      Clickstream.departments(Clickstream.sessionize(Tables.events(s, dir)))),
+    "ev_type_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB sessionization CTE — mirrors Clickstream.sessionize
+    * exactly (gap islands → checkout snapshot → session aggregate).
+    */
+  private def sessionsCte: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+       |                   OR ts_ms - lag(ts_ms) OVER w >= $GAP THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |), ids AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS session_seq
+       |  FROM flagged
+       |), ck AS (
+       |  SELECT *, max(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+       |              OVER (PARTITION BY user_id, session_seq) AS checkout_ts_ms
+       |  FROM ids
+       |), sessions AS (
+       |  SELECT user_id, session_seq,
+       |    count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS event_count,
+       |    count(CASE WHEN event_type <> 'purchase' AND ts_ms <= checkout_ts_ms THEN 1 END) AS checkout_event_count,
+       |    coalesce(array_to_string(list_sort(list(DISTINCT event_type) FILTER (WHERE event_type <> 'purchase')), ','), '') AS dept_list,
+       |    min(ts_ms) AS win_begin_ms,
+       |    max(ts_ms) + $GAP AS win_end_ms,
+       |    CAST(1 AS BIGINT) AS event_key
+       |  FROM ck GROUP BY user_id, session_seq
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cs_sessionize" -> s"$sessionsCte SELECT * FROM sessions",
+    "cs_buy_sessions" -> s"$sessionsCte SELECT * FROM sessions WHERE checkout_event_count <> 0",
+    "cs_user_kpis" ->
+      s"""$sessionsCte, kpi AS (
+         |  SELECT (win_end_ms - 1) - ((win_end_ms - 1) % $WIN) AS win_start_ms,
+         |         count(*) AS session_count,
+         |         count(CASE WHEN checkout_event_count <> 0 THEN 1 END) AS buy_session_count
+         |  FROM sessions GROUP BY 1
+         |)
+         |SELECT win_start_ms, session_count, buy_session_count,
+         |       ((buy_session_count * 100) // session_count)::DOUBLE AS percent_buy,
+         |       win_start_ms + $WIN AS win_end_ms
+         |FROM kpi""".stripMargin,
+    "cs_departments" ->
+      s"""$sessionsCte
+         |SELECT department, win_start_ms, count(*) AS department_count,
+         |       win_start_ms + $WIN AS win_end_ms
+         |FROM (
+         |  SELECT unnest(string_split(dept_list, ',')) AS department,
+         |         (win_end_ms - 1) - ((win_end_ms - 1) % $WIN) AS win_start_ms
+         |  FROM sessions) t
+         |WHERE department <> ''
+         |GROUP BY 1, 2""".stripMargin,
+    "ev_type_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Cols
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,11 +29,12 @@ object Tables {
 
   /** The `events` table with event time normalized to epoch milliseconds
     * (`ts_ms: Long`). The parquet column is INT64 TIMESTAMP(NANOS), read as
-    * raw nanos via `nanosAsLong` and floor-divided — matching the DuckDB
-    * oracle's `epoch_us(ts)//1000` exactly.
+    * raw nanos via `nanosAsLong` and floor-divided (exact integer floor,
+    * valid for pre-1970 epochs too) — matching the DuckDB oracle's
+    * `epoch_ms(ts::TIMESTAMP)` exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_ms", Cols.floorDiv(col("ts"), 1000000L))
   }
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch clickstream operators — the reference's three pipelines re-expressed
+  * as declarative DataFrame transforms (SURVEY.md §2, §3).
+  *
+  * Pipeline A (sessionize + buy filter), B (global session KPIs), C
+  * (departments). The reference computes these over a Kafka stream
+  * (ClickstreamProcessor.java:57-272); the batch flavor here computes the
+  * identical session semantics over the `events` table so the DuckDB oracle
+  * can replay them (FIXTURES.md §3). The streaming flavor lives in
+  * [[graft.streaming.ClickstreamStreams]].
+  *
+  * Scale notes (the 100 TB plan):
+  *  - Sessionization is gap-islands over a per-user sort: one shuffle on
+  *    `user_id` (Window partitionBy), then the session aggregation groups on
+  *    (`user_id`, `session_seq`) — a prefix of the same key, which AQE
+  *    coalesces; partial aggregation (map-side combine) applies to every agg
+  *    here since they're all algebraic (count / min / max / collect_set of
+  *    ≤5 distinct values).
+  *  - No driver-side collection anywhere; everything stays distributed.
+  *  - The reference's constant `eventKey = 1` routing key (a single-task
+  *    hotspot in Flink, SURVEY.md §7.3) is replaced by a keyless global
+  *    aggregation that Spark splits into partial+final automatically.
+  *
+  * Time-scale mapping: the reference uses a 1 s session gap against a
+  * generator emitting every 50-550 ms (ClickstreamProcessor.java:123-129) —
+  * i.e. gap ≈ 2-20× the in-session cadence. The testdata `events` table has
+  * hour-scale per-user cadence (median gap ≈ 7 h), so the batch defaults
+  * scale the same ratio: 12 h gap, 24 h KPI tumbling window (vs 10 s in the
+  * reference, ClickstreamProcessor.java:143,152). Both are parameters.
+  */
+object Clickstream {
+
+  /** Default session gap, ms (analog of the reference's 1 s gap). */
+  val DefaultGapMs: Long = 12L * 3600 * 1000
+  /** Default KPI tumbling-window width, ms (analog of the 10 s window). */
+  val DefaultKpiWindowMs: Long = 24L * 3600 * 1000
+
+  /** `events.event_type` value standing in for the reference's
+    * `order_checkout` (UserAggregate.java:30); everything else maps to a
+    * qualifying "department" visit (product_type analog, FIXTURES.md §3).
+    */
+  val CheckoutEventType = "purchase"
+
+  /** Qualifying event (UserAggregate.java:19): the reference excludes
+    * product_type ""/"N/A"/null; here the checkout event itself is the
+    * non-qualifying analog.
+    */
+  def qualifying: Column = col("event_type") =!= CheckoutEventType
+
+  /** Assign a per-user session sequence number with gap-based islands:
+    * a new session starts when the gap to the previous event is >= gapMs
+    * (session_window merge semantics: windows [t, t+gap) merge only on
+    * strict overlap). Adds `session_seq` (1-based per user).
+    *
+    * Requires columns `user_id`, `ts_ms`, `event_id` (sort tie-break).
+    * One hash shuffle on user_id + per-partition sort — the scalable
+    * sessionization shape (equivalent to the reference's keyBy(userid) +
+    * merging session windows, ClickstreamProcessor.java:128-129).
+    */
+  def withSessionIds(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .withColumn("prev_ts_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn(
+        "is_new_session",
+        when(col("prev_ts_ms").isNull || col("ts_ms") - col("prev_ts_ms") >= gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new_session")).over(byUser))
+      .drop("prev_ts_ms", "is_new_session")
+  }
+
+  /** Pipeline A core — one row per (user, session), with the reference's
+    * session aggregate semantics (SURVEY.md §2.2, order-independent form):
+    *
+    *  - event_count            = count(qualifying events)
+    *  - checkout_event_count   = count(qualifying events at-or-before the
+    *                             LAST checkout) — the reference's snapshot
+    *                             semantics, last checkout wins
+    *                             (UserAggregate.java:30-33)
+    *  - dept_list              = sorted distinct qualifying event types,
+    *                             comma-joined (HashSet → canonical string)
+    *  - event_key              = 1 (constant routing key, UserAggregate.java:35)
+    *  - win_begin_ms / win_end_ms = session window [first event, last + gap)
+    */
+  def sessionize(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+    withSessionIds(events, gapMs)
+      // per-event view of the session's last checkout timestamp; a window
+      // max avoids a self-join and reuses the user_id clustering
+      .withColumn(
+        "checkout_ts_ms",
+        max(when(col("event_type") === CheckoutEventType, col("ts_ms"))).over(bySession))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(when(qualifying, lit(1))).as("event_count"),
+        count(when(qualifying && col("ts_ms") <= col("checkout_ts_ms"), lit(1)))
+          .as("checkout_event_count"),
+        array_join(array_sort(collect_set(when(qualifying, col("event_type")))), ",")
+          .as("dept_list"),
+        min(col("ts_ms")).as("win_begin_ms"),
+        (max(col("ts_ms")) + lit(gapMs)).as("win_end_ms"))
+      .withColumn("event_key", lit(1L))
+  }
+
+  /** Pipeline A tail — sessions containing a buy
+    * (ClickstreamProcessor.java:133-134).
+    */
+  def buySessions(sessions: DataFrame): DataFrame =
+    sessions.filter(col("checkout_event_count") =!= 0)
+
+  /** The tumbling-window assignment timestamp for pipelines B and C:
+    * session records carry event time `window end − 1 ms`
+    * (Flink TimeWindow.maxTimestamp(), SURVEY.md §2.4).
+    */
+  private def sessionEventTime: Column = col("win_end_ms") - lit(1L)
+
+  /** Pipeline B — global session KPIs per tumbling window
+    * (UserSessionAggregates.java:16-29). `percent_buy` keeps the
+    * reference's integer-division-then-widen-to-double semantics
+    * (UserSessionAggregates.java:28): compute (buy*100) div total in
+    * 64-bit integers, then cast.
+    */
+  def userKpis(sessions: DataFrame, windowMs: Long = DefaultKpiWindowMs): DataFrame =
+    sessions
+      .withColumn("win_start_ms", Cols.tumbleStart(sessionEventTime, windowMs))
+      .groupBy(col("win_start_ms"))
+      .agg(
+        count(lit(1)).as("session_count"),
+        count(when(col("checkout_event_count") =!= 0, lit(1))).as("buy_session_count"))
+      .withColumn(
+        "percent_buy",
+        call_function("div", col("buy_session_count") * lit(100L), col("session_count"))
+          .cast("double"))
+      .withColumn("win_end_ms", col("win_start_ms") + lit(windowMs))
+
+  /** Pipeline C — per-department session counts per tumbling window
+    * (DepartmentsFlatMap.java:9-11 explode + reduce). Departments come from
+    * the session's distinct dept_list, so the count is "sessions that
+    * visited the department in this window".
+    */
+  def departments(sessions: DataFrame, windowMs: Long = DefaultKpiWindowMs): DataFrame =
+    sessions
+      .withColumn("win_start_ms", Cols.tumbleStart(sessionEventTime, windowMs))
+      .withColumn("department", explode(split(col("dept_list"), ",")))
+      .filter(length(col("department")) > 0) // empty dept_list ⇒ no rows (empty set explode)
+      .groupBy(col("department"), col("win_start_ms"))
+      .agg(count(lit(1)).as("department_count"))
+      .withColumn("win_end_ms", col("win_start_ms") + lit(windowMs))
+
+  /** JSON encodings with the reference's exact output field names and order
+    * (Gson serializes declaration order; SURVEY.md §1.3). Used by the
+    * streaming sinks and JSON-parity tests; the driver oracle compares the
+    * columnar results above instead.
+    */
+  def sessionsJson(sessions: DataFrame): DataFrame =
+    sessions.select(
+      to_json(
+        struct(
+          col("user_id").cast("long").as("userId"),
+          col("event_count").cast("int").as("eventCount"),
+          col("checkout_event_count").cast("int").as("orderCheckoutEventCount"),
+          split(col("dept_list"), ",").as("deptList"),
+          col("event_key").cast("int").as("eventKey"),
+          col("win_begin_ms").as("windowBeginTime"),
+          col("win_end_ms").as("windowEndTime"))).as("value"))
+
+  def userKpisJson(kpis: DataFrame): DataFrame =
+    kpis.select(
+      to_json(
+        struct(
+          col("session_count").cast("int").as("userSessionCount"),
+          col("buy_session_count").cast("int").as("userSessionCountWithOrderCheckout"),
+          col("percent_buy").as("percentSessionswithBuy"),
+          col("win_start_ms").as("windowBeginTime"),
+          col("win_end_ms").as("windowEndTime"))).as("value"))
+
+  def departmentsJson(depts: DataFrame): DataFrame =
+    depts.select(
+      // keyed sink: the reference's Kafka key is the Gson-encoded (quoted)
+      // department name (ClickstreamProcessor.java:212)
+      to_json(struct(col("department"))).as("key"),
+      to_json(
+        struct(
+          col("department").as("departmentName"),
+          col("department_count").cast("int").as("departmentCount"),
+          col("win_start_ms").as("windowBeginTime"),
+          col("win_end_ms").as("windowEndTime"))).as("value"))
+}
