@@ -23,7 +23,12 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    clickstreamQueries
+    clickstreamQueries ++
+      graft.relational.RelationalQueries.queries ++
+      graft.text.TextAnalysis.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.sim.Similarity.queries ++
+      graft.multimodal.Multimodal.queries
 
   private def clickstreamQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cs_sessionize" -> ((s, dir) =>
@@ -77,7 +82,15 @@ object SparkEntry {
        |  FROM ck GROUP BY user_id, session_seq
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.relational.RelationalQueries.oracleSql ++
+      graft.text.TextAnalysis.oracleSql ++
+      graft.dedup.Dedup.oracleSql ++
+      graft.sim.Similarity.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql ++
+      clickstreamOracleSql
+
+  private def clickstreamOracleSql: Map[String, String] = Map(
     "cs_sessionize" -> s"$sessionsCte SELECT * FROM sessions",
     "cs_buy_sessions" -> s"$sessionsCte SELECT * FROM sessions WHERE checkout_event_count <> 0",
     "cs_user_kpis" ->

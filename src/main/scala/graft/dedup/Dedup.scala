@@ -1,0 +1,303 @@
+package graft.dedup
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * All hashing is md5-derived ([[Cols.hash60]]) so results are deterministic
+  * and bit-identical to the DuckDB oracle — no engine-private hash functions
+  * in any result the driver compares.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregate on the content hash (partial agg
+  *    collapses duplicates map-side before the shuffle).
+  *  - MinHash/LSH follows the shingle→minhash→band→bucket-join shape: the
+  *    only join is on band buckets, whose size LSH keeps tiny; candidate
+  *    verification touches candidate pairs only, never all pairs.
+  *  - n-gram Jaccard joins on shared shingles — quadratic only within a
+  *    shingle's posting list, the classic candidate-pair bound. A hot
+  *    shingle (stop-phrase) would skew this join at 100 TB: AQE skew-join
+  *    handles moderate skew, and a df-cap filter (drop shingles appearing
+  *    in > X% of docs) is the standard mitigation, applied here via
+  *    `maxShingleDf`.
+  *  - SimHash is a narrow scan + one aggregate (60 algebraic sums).
+  *  - Embedding near-dup quantizes to 64-bit ints so dot products are
+  *    exact; the brute-force pair scan is the correctness baseline, the
+  *    LSH bucketing in [[graft.sim.Similarity]] is the scale path.
+  */
+object Dedup {
+
+  val NumPerms = 16
+  val BandRows = 4 // 4 bands × 4 rows
+  val JaccardThreshold = 0.5
+  val EstThreshold = 0.5
+  val CosineThreshold = 0.4
+  val SimhashBits = 60 // 15 hex chars of md5 — fits a signed 64-bit long
+
+  /** Exact dedup on normalized content: groups of byte-identical documents
+    * keep the lowest doc_id (the canonical survivor).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(Cols.normalizeText(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-3-gram shingles, one row per (doc_id, shingle). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Cols.shingles(col("text"), 3)).as("shingle"))
+
+  /** n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+    * (posting-list join), similarity = |∩| / |∪| over distinct shingle
+    * sets, thresholded.
+    *
+    * @param maxShingleDf drop shingles appearing in more than this many
+    *   documents before the join — bounds posting-list skew; near-dup
+    *   pairs share many rare shingles, so recall is unaffected at sane
+    *   values. Pass Int.MaxValue to disable (the oracle-checked default
+    *   keeps it disabled so Spark and DuckDB see identical inputs).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double = JaccardThreshold,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = shingleRows(docs)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) sh0
+      else {
+        val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select(col("shingle"))
+        sh0.join(rare, "shingle")
+      }
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .select(
+        col("doc_id_1"),
+        col("doc_id_2"),
+        round(
+          col("n_common").cast("double") /
+            (col("ca.n_shingles") + col("cb.n_shingles") - col("n_common")).cast("double"),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: for each of the 16 permutations, the min of the
+    * seeded 60-bit hash over the document's shingle set. Returned as a
+    * 16-element array column `sig` ordered by permutation index.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleRows(docs)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms - 1))).as("perm"), col("shingle"))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(Cols.hash60(concat_ws(":", col("perm"), col("shingle")))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("perm"), col("v")))), x => x("v"))
+          .as("sig"))
+
+  /** MinHash + LSH near-dup candidates: band the signature (4 bands × 4
+    * rows), bucket-join on (band, md5(band values)), then estimate Jaccard
+    * as the fraction of matching signature positions. Only bucket
+    * collisions are ever paired — the whole point of LSH at scale.
+    */
+  def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val nBands = NumPerms / BandRows
+    val bands = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        col("band"),
+        md5(concat_ws(
+          ",",
+          slice(col("sig"), col("band") * BandRows + 1, lit(BandRows)).cast("array<string>")))
+          .as("bucket"))
+    val cand = bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        col("a.sig").as("sig1"),
+        col("b.sig").as("sig2"))
+      .distinct()
+    cand
+      .select(
+        col("doc_id_1"),
+        col("doc_id_2"),
+        round(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+            .cast("double") / lit(NumPerms.toDouble),
+          4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash: 60-bit signature where bit j is the majority vote of bit j
+    * across the hashes of the document's distinct tokens. Hamming-close
+    * signatures ⇒ similar token sets. Computed as 60 algebraic sums (one
+    * hash aggregate, no explode of bits).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(array_distinct(Cols.tokens(col("text")))).as("tok"))
+      .withColumn("h", Cols.hash60(col("tok")))
+    val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
+      // +1 for a set bit, -1 for clear: majority ⇔ positive sum
+      sum(pmod(shiftright(col("h"), j), lit(2)) * lit(2) - lit(1)).as(s"b$j")
+    }
+    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Embedding near-dup pairs by quantized cosine: embeddings quantized to
+    * integer milli-units so dot products and norms are exact 64-bit sums —
+    * deterministic across engines and summation orders; only the final
+    * divide is floating point.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = CosineThreshold): DataFrame = {
+    val q = quantized(embeddings)
+    q.as("a")
+      .join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        cosineQ(col("a.qv"), col("a.norm2"), col("b.qv"), col("b.norm2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embeddings with quantized integer vector `qv` and its exact squared
+    * norm `norm2`.
+    */
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      col("label"),
+      transform(col("embedding"), x => round(x.cast("double") * lit(1000)).cast("long")).as("qv"))
+      .withColumn("norm2", aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
+
+  /** Rounded cosine between two quantized vectors with precomputed norms. */
+  private[graft] def cosineQ(qa: Column, na2: Column, qb: Column, nb2: Column): Column =
+    round(
+      aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v).cast("double") /
+        (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))),
+      6)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
+  )
+
+  private val tokCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          for i in generate_series(1, len(toks) - 2)])) AS shingle
+      |  FROM t
+      |)""".stripMargin
+
+  private def h60(expr: String): String = s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$tokCte, cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id_1, doc_id_2,
+         |       round(n_common::DOUBLE / (ca.n_shingles + cb.n_shingles - n_common), 4) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_id_1
+         |JOIN cnt cb ON cb.doc_id = doc_id_2
+         |WHERE round(n_common::DOUBLE / (ca.n_shingles + cb.n_shingles - n_common), 4) >= $JaccardThreshold""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$tokCte, h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_id_1, doc_id_2,
+         |       round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                             x -> x))::DOUBLE / $NumPerms, 4) AS est_jaccard
+         |FROM cand
+         |WHERE round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                            x -> x))::DOUBLE / $NumPerms, 4) >= $EstThreshold""".stripMargin,
+    "dedup_simhash" -> {
+      val bitSums = (0 until SimhashBits)
+        .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n         ")
+      val sig = (0 until SimhashBits)
+        .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, ${h60("tk")} AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t) u
+         |), sums AS (
+         |  SELECT doc_id,
+         |         $bitSums
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT doc_id, ($sig)::BIGINT AS simhash FROM sums""".stripMargin
+    },
+    "dedup_embedding" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |)
+         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         |  round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
+         |        / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
+         |            / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) >= $CosineThreshold""".stripMargin,
+  )
+}

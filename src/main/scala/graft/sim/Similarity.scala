@@ -1,0 +1,133 @@
+package graft.sim
+
+import graft.{Cols, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k by quantized cosine — the correctness
+  *    baseline, and still the right plan when the query set is small (the
+  *    query side is broadcast; the corpus is scanned once, no shuffle of
+  *    the corpus).
+  *  - [[lshTopK]]: hyperplane-LSH bucketed search — the 100 TB path. Each
+  *    vector is hashed to a bucket by the sign pattern of dot products
+  *    with deterministic pseudo-random hyperplanes; candidates are pairs
+  *    sharing a bucket, so the pair space shrinks from |Q|×|C| to
+  *    per-bucket products. Recall is tunable via bits/tables.
+  *
+  * Quantization (milli-unit longs, Dedup.quantized) keeps all dot products
+  * exact integer sums — deterministic across engines and orders.
+  */
+object Similarity {
+
+  val TopK = 5
+  /** Every 50th vector is a query — scales with the corpus. */
+  val QueryStride = 50
+  val LshBits = 8
+
+  /** Exact top-k neighbors (quantized cosine) for the query subset.
+    * Query side is broadcast: the corpus never shuffles.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val queries = broadcast(
+      q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(
+          col("vec_id").as("query_id"),
+          col("qv").as("q_qv"),
+          col("norm2").as("q_norm2")))
+    val scored = q.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplane component for (plane p, dimension i):
+    * pseudo-random in [-1000, 1000] derived from md5 — reproducible in any
+    * engine, no RNG state.
+    */
+  private def planeComponent(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$i".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    // use 60 bits worth of the digest, same construction as Cols.hash60
+    val v = java.lang.Long.parseLong(hex.take(15), 16)
+    v % 2001 - 1000
+  }
+
+  /** Hyperplane-LSH bucketed ANN: bucket = sign-bit pattern of `LshBits`
+    * hyperplane projections; exact cosine is computed only within buckets.
+    * An approximate method by construction — results are a recall-bounded
+    * subset of the brute-force top-k, so its oracle is rows-only.
+    */
+  def lshTopK(spark: SparkSession, embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    // planes as literal arrays: LshBits × dim, built once on the driver —
+    // tiny (8×64 longs) and folded into the plan as constants
+    val dim = 64
+    val planes: Seq[Seq[Long]] =
+      (0 until LshBits).map(p => (0 until dim).map(i => planeComponent(p, i)))
+    val bucketCol = (0 until LshBits).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      val dot = aggregate(zip_with(col("qv"), plane, (x, y) => x * y), lit(0L), (a, v) => a + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = q.withColumn("bucket", bucketCol)
+    val queries = broadcast(
+      bucketed.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(
+          col("vec_id").as("query_id"),
+          col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"),
+          col("bucket").as("q_bucket")))
+    val scored = bucketed
+      .join(queries, col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, len(qq.qv))])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // ann_topk_lsh intentionally has no oracle: approximate recall-bounded
+    // output (driver records rows-only check).
+  )
+}

@@ -1,0 +1,178 @@
+package graft.text
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting). All pure column expressions (codegen'd, no UDFs), so the
+  * operators run at full scan speed and the filters/projections push into
+  * the parquet reader.
+  *
+  * Scale: every query here is a single narrow scan + (at most) one hash
+  * aggregate — no shuffles wider than the output. At 100 TB the cost is the
+  * scan itself; expressions stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Small English stopword list used by the language-ID heuristic and the
+    * quality score. Deterministic and engine-portable (plain IN list).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on", "for", "with")
+
+  private def stopwordArray: Column = array(Stopwords.map(lit): _*)
+
+  /** Per-document stats: exact lengths, token counts, type-token ratio,
+    * stopword ratio, and average token length.
+    *
+    * avg token length is computed arithmetically from the normalized length
+    * (total chars minus separators over token count) — identical in SQL and
+    * cheaper than a second pass over the token array.
+    */
+  def docStats(docs: DataFrame): DataFrame = {
+    val norm = Cols.normalizeText(col("text"))
+    val toks = Cols.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      round(
+        (length(norm) - (size(toks) - lit(1))).cast("double") / size(toks).cast("double"),
+        4).as("avg_token_len"),
+      round(
+        size(filter(toks, t => array_contains(stopwordArray, t))).cast("double") /
+          size(toks).cast("double"),
+        4).as("stopword_ratio"),
+      round(
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"),
+        4).as("type_token_ratio"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, stopword presence, and
+    * lexical diversity — the shape of a pretraining quality filter, with
+    * deterministic arithmetic so the oracle can replay it.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docStats(docs).select(
+      col("doc_id"),
+      round(
+        (when(col("n_tokens").between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+          when(col("stopword_ratio") > 0.02, lit(0.3)).otherwise(lit(0.0)) +
+          when(col("type_token_ratio") > 0.3, lit(0.3)).otherwise(lit(0.0))),
+        2).as("quality"))
+
+  /** Language-ID heuristic: stopword hit-rate thresholding. On synthetic
+    * corpora this is a self-consistent deterministic labeler (the point is
+    * the operator shape, not linguistic accuracy).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = Cols.tokens(col("text"))
+    val ratio = size(filter(toks, t => array_contains(stopwordArray, t))).cast("double") /
+      size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_declared"),
+      when(ratio >= 0.05, lit("en")).otherwise(lit("other")).as("lang_pred"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (alpha runs, digit runs, and non-alphanumeric singles — the classic
+    * pre-tokenizer split), plus a 4-chars-per-subword ceiling estimate.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val norm = Cols.normalizeText(col("text"))
+    val toks = Cols.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      regexp_count(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_ish_tokens"),
+      aggregate(
+        toks,
+        lit(0L),
+        (acc, t) => acc + ceil(length(t).cast("double") / lit(4.0)).cast("long"))
+        .as("subword_est"))
+  }
+
+  /** Document fingerprint: min-hash over word 3-gram shingles (a 1-permutation
+    * MinHash — the rolling-hash-flavored fingerprint). Equal fingerprints ⇒
+    * near-identical shingle sets with high probability; used as a cheap
+    * near-dup blocking key at scale.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_min(transform(Cols.shingles(col("text"), 3), s => Cols.hash60(s)))
+        .as("fingerprint"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
+    "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
+    "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
+    "txt_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "txt_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+  )
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared DuckDB normalization/token CTE (mirrors Cols.normalizeText/tokens). */
+  private val tokCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+      |    text
+      |  FROM documents
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "txt_doc_stats" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+         |  round((length(norm) - (len(toks) - 1))::DOUBLE / len(toks), 4) AS avg_token_len,
+         |  round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |FROM t""".stripMargin,
+    "txt_quality" ->
+      s"""$tokCte, st AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  round((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END +
+         |         CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END +
+         |         CASE WHEN type_token_ratio > 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 2) AS quality
+         |FROM st""".stripMargin,
+    "txt_langid" ->
+      s"""$tokCte
+         |SELECT doc_id, lang AS lang_declared,
+         |  CASE WHEN len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks) >= 0.05
+         |       THEN 'en' ELSE 'other' END AS lang_pred
+         |FROM t""".stripMargin,
+    "txt_token_counts" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_ish_tokens,
+         |  coalesce(list_sum(list_transform(toks, x -> ceil(length(x)::DOUBLE / 4.0)::BIGINT)), 0)::BIGINT AS subword_est
+         |FROM t""".stripMargin,
+    "txt_fingerprint" ->
+      s"""$tokCte, sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                   for i in generate_series(1, len(toks) - 2)]) AS shingles
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in shingles]) AS fingerprint
+         |FROM sh""".stripMargin,
+  )
+}
