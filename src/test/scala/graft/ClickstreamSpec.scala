@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Clickstream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden-sequence tests for the batch clickstream operators — the
+  * FIXTURES.md §1 hand-built sequences, mapped onto the events-table
+  * analog (purchase = order_checkout; event_type = department).
+  * Gap = 1000 ms like the reference (ClickstreamProcessor.java:129).
+  */
+class ClickstreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Gap = 1000L
+
+  private def ev(rows: (Long, Long, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((user, ts, tpe), i) => (i.toLong, user, tpe, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+
+  private def sess(df: DataFrame) =
+    Clickstream.sessionize(df, Gap)
+      .select("user_id", "session_seq", "event_count", "checkout_event_count",
+        "dept_list", "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, Long, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toList
+
+  test("buy session: counts, snapshot, sorted dept set") {
+    // browse Kitchen/Garden/Kitchen then checkout (FIXTURES buy session)
+    val got = sess(ev(
+      (1L, 1000L, "kitchen"), (1L, 1100L, "garden"), (1L, 1200L, "kitchen"),
+      (1L, 1300L, "purchase")))
+    assert(got === List((1L, 1L, 3L, 3L, "garden,kitchen", 1000L, 2300L)))
+  }
+
+  test("no-buy session: checkout_event_count = 0, survives KPI denominators") {
+    val got = sess(ev((2L, 1000L, "books"), (2L, 1100L, "books")))
+    assert(got === List((2L, 1L, 2L, 0L, "books", 1000L, 2100L)))
+  }
+
+  test("gap split: silence >= gap starts a new session") {
+    val got = sess(ev((1L, 1000L, "a"), (1L, 1999L, "a"), (1L, 2999L, "a")))
+    // 1999 merges (gap 999 < 1000), 2999 starts fresh (gap 1000 >= 1000)
+    assert(got === List(
+      (1L, 1L, 2L, 0L, "a", 1000L, 2999L),
+      (1L, 2L, 1L, 0L, "a", 2999L, 3999L)))
+  }
+
+  test("post-checkout browse: snapshot excludes later events") {
+    val got = sess(ev((1L, 1000L, "a"), (1L, 1100L, "purchase"), (1L, 1200L, "b")))
+    assert(got === List((1L, 1L, 2L, 1L, "a,b", 1000L, 2200L)))
+  }
+
+  test("multi-checkout: last checkout wins") {
+    val got = sess(ev(
+      (1L, 1000L, "a"), (1L, 1100L, "purchase"), (1L, 1200L, "b"),
+      (1L, 1300L, "purchase"), (1L, 1400L, "c")))
+    // snapshot at second checkout: qualifying events at ts <= 1300 → a, b
+    assert(got === List((1L, 1L, 3L, 2L, "a,b,c", 1000L, 2400L)))
+  }
+
+  test("user KPIs: integer-division percent widened to double") {
+    val sessions = Clickstream.sessionize(ev(
+      (1L, 1000L, "a"), (1L, 1100L, "purchase"),
+      (2L, 1000L, "a"), (2L, 1050L, "purchase"),
+      (3L, 1000L, "a")), Gap)
+    val kpi = Clickstream.userKpis(sessions, 10000L)
+      .select("win_start_ms", "session_count", "buy_session_count", "percent_buy", "win_end_ms")
+      .as[(Long, Long, Long, Double, Long)].collect().toList
+    // 3 sessions, 2 buys → 2*100 div 3 = 66 → 66.0 (not 66.67)
+    assert(kpi === List((0L, 3L, 2L, 66.0, 10000L)))
+  }
+
+  test("departments: per-window session counts from exploded dept sets") {
+    val sessions = Clickstream.sessionize(ev(
+      (1L, 1000L, "kitchen"), (1L, 1100L, "garden"),
+      (2L, 1000L, "kitchen"),
+      (3L, 1000L, "purchase")), Gap) // dept_list empty → no rows
+    val got = Clickstream.departments(sessions, 10000L)
+      .select("department", "department_count", "win_start_ms", "win_end_ms")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("garden", 1L, 0L, 10000L), ("kitchen", 2L, 0L, 10000L)))
+  }
+
+  test("window-boundary bucketing uses session end - 1 ms (SURVEY §2.4)") {
+    // session of one event at 8999: end = 9999 → bucket (9999-1)=9998 → window [0,10000)
+    // session of one event at 9000: end = 10000 → (10000-1)=9999 → window [0,10000)
+    // session of one event at 9001: end = 10001 → 10000 → window [10000,20000)
+    val sessions = Clickstream.sessionize(ev(
+      (1L, 8999L, "a"), (2L, 9000L, "a"), (3L, 9001L, "a")), Gap)
+    val got = Clickstream.userKpis(sessions, 10000L)
+      .select("win_start_ms", "session_count").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got === List((0L, 2L), (10000L, 1L)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the cross-engine determinism contracts: every constant here was
+  * computed independently with DuckDB (see Cols doc comments) — if these
+  * break, the oracle hash-match breaks.
+  */
+class ColsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 matches DuckDB ('0x' || substr(md5(s),1,15))::BIGINT") {
+    // DuckDB: SELECT ('0x' || substr(md5('abc'),1,15))::BIGINT → 648541476951500027
+    val got = Seq("abc").toDF("s").select(Cols.hash60(col("s"))).as[Long].head()
+    assert(got === 648541476951500027L)
+  }
+
+  test("floorDiv floors exactly for positive and negative ns epochs") {
+    val vals = Seq(1704067207179575000L, -1L, -1000001L, 999999L, 0L)
+    val got = vals.toDF("v").select(Cols.floorDiv(col("v"), 1000000L)).as[Long].collect().toSeq
+    assert(got === vals.map(v => Math.floorDiv(v, 1000000L)))
+  }
+
+  test("tumbleStart floors to window start (pmod semantics)") {
+    val got = Seq(86400000L * 3 + 5, 86400000L * 3, -1L)
+      .toDF("t").select(Cols.tumbleStart(col("t"), 86400000L)).as[Long].collect().toSeq
+    assert(got === Seq(86400000L * 3, 86400000L * 3, -86400000L))
+  }
+
+  test("normalizeText collapses whitespace and lowercases") {
+    val got = Seq("  A  b\t C \n").toDF("s")
+      .select(Cols.normalizeText(col("s"))).as[String].head()
+    assert(got === "a b c")
+  }
+
+  test("shingles produce distinct word n-grams; short docs yield empty") {
+    val got = Seq("a b c d a b c").toDF("s")
+      .select(Cols.shingles(col("s"), 3)).as[Seq[String]].head()
+    assert(got.toSet === Set("a b c", "b c d", "c d a", "d a b"))
+    val short = Seq("a b").toDF("s").select(Cols.shingles(col("s"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps lowest doc_id") {
+    val got = Dedup.exact(docs(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")))
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs → 1.0; disjoint docs absent") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.ngramJaccard(docs((1L, a), (2L, a), (3L, b)), threshold = 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)].collect().toList
+    assert(got === List((1L, 2L, 1.0)))
+  }
+
+  test("minhash signatures: 16 entries, identical docs share signatures") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val sigs = Dedup.minhashSignatures(docs((1L, a), (2L, a)))
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L) === sigs(2L))
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base + " omicron" // one extra shingle
+    val other = "red orange yellow green blue indigo violet pink brown black white gray"
+    val got = Dedup.minhashLsh(docs((1L, base), (2L, nearDup), (3L, other)))
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toList
+    assert(got === List((1L, 2L)))
+  }
+
+  test("simhash: deterministic, identical for identical docs, 60-bit range") {
+    val a = "spark flink kafka parquet arrow orc avro json csv text binary data"
+    val got = Dedup.simhash(docs((1L, a), (2L, a), (3L, "tiny doc words")))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(got(1L) === got(2L))
+    assert(got(1L) >= 0L && got(1L) < (1L << 60))
+    assert(got(1L) !== got(3L))
+  }
+
+  test("embedding near-dups: parallel vectors → cosine 1.0") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.5f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDups(e, threshold = 0.9)
+      .select("vec_id_1", "vec_id_2", "cosine").as[(Long, Long, Double)].collect().toList
+    assert(got === List((1L, 2L, 1.0)))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // vec_id 0 and 50 are queries (QueryStride = 50)
+  private val embs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (50L, Seq(0.0f, 1.0f, 0.0f), 0),
+    (2L, Seq(0.9f, 0.1f, 0.0f), 0), // closest to 0
+    (3L, Seq(0.0f, 0.9f, 0.1f), 1), // closest to 50
+    (4L, Seq(0.5f, 0.5f, 0.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val got = Similarity.bruteForceTopK(embs, k = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (0L, 1L, 2L), (0L, 2L, 4L),
+      (50L, 1L, 3L), (50L, 2L, 4L)))
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with same scoring") {
+    val brute = Similarity.bruteForceTopK(embs, k = 4)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, embs, k = 4)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // identical (query, neighbor) pairs score identically in both paths
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (q, n, c) => assert(bruteMap((q, n)) === c) }
+  }
+}

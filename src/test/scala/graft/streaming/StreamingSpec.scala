@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming end-to-end golden tests (SURVEY.md §5.2): MemoryStream →
+  * session window pipeline → memory sink, replaying the FIXTURES.md §1
+  * deterministic sequences. Watermark is advanced by feeding a far-future
+  * event and running extra batches (Spark finalizes session windows on the
+  * micro-batch after the watermark passes).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ClickEvent fixture row (FIXTURES.md §1). */
+  private case class CE(
+      ip: String, eventtimestamp: Long, devicetype: String,
+      event_type: String, product_type: String, userid: Int,
+      globalseq: Long, prevglobalseq: Long)
+
+  private def ce(user: Int, ts: Long, eventType: String, productType: String): CE =
+    CE("10.0.0.1", ts, "mobile", eventType, productType, user, 0L, 0L)
+
+  /** Runs a streaming transform over the given batches, advancing the
+    * stream batch-by-batch, and returns the final memory-sink table.
+    */
+  private def runStream(
+      batches: Seq[Seq[CE]],
+      name: String)(f: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CE]
+    val q: StreamingQuery = f(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+      // extra empty-ish cycles let multi-stateful pipelines propagate
+      // watermark through chained operators
+      input.addData(ce(999, 10_000_000L, "browse", "N/A"))
+      q.processAllAvailable()
+      input.addData(ce(999, 20_000_000L, "browse", "N/A"))
+      q.processAllAvailable()
+      input.addData(ce(999, 30_000_000L, "browse", "N/A"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("buy session: reference semantics through the streaming path") {
+    val out = runStream(
+      Seq(Seq(
+        ce(1, 1000L, "browse", "Kitchen"),
+        ce(1, 1100L, "browse", "Garden"),
+        ce(1, 1200L, "browse", "Kitchen"),
+        ce(1, 1300L, "order_checkout", "N/A"))),
+      "s_buy")(df => ClickstreamStreams.clickEventSessions(df).drop("session_window"))
+    val rows = out.filter(col("user_id") === 1)
+      .select("user_id", "event_count", "checkout_event_count", "dept_list",
+        "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toList
+    assert(rows === List((1L, 3L, 3L, "Garden,Kitchen", 1000L, 2300L)))
+  }
+
+  test("gap split + non-qualifying noise (\"\"/N/A/null product types)") {
+    val out = runStream(
+      Seq(Seq(
+        ce(2, 1000L, "browse", "Books"),
+        ce(2, 1100L, "browse", ""),
+        ce(2, 1150L, "browse", "N/A"),
+        ce(2, 1200L, "browse", null),
+        // >1s silence → new session
+        ce(2, 3000L, "browse", "Garden"))),
+      "s_gap")(df => ClickstreamStreams.clickEventSessions(df).drop("session_window"))
+    val rows = out.filter(col("user_id") === 2)
+      .select("event_count", "checkout_event_count", "dept_list", "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._4).toList
+    assert(rows === List(
+      (1L, 0L, "Books", 1000L, 2200L), // noise events extend the window but don't count
+      (1L, 0L, "Garden", 3000L, 4000L)))
+  }
+
+  test("post-checkout browse and multi-checkout last-wins snapshot") {
+    val out = runStream(
+      Seq(Seq(
+        ce(3, 1000L, "browse", "A"),
+        ce(3, 1100L, "order_checkout", "N/A"),
+        ce(3, 1200L, "browse", "B"),
+        ce(4, 1000L, "browse", "A"),
+        ce(4, 1100L, "order_checkout", "N/A"),
+        ce(4, 1200L, "browse", "B"),
+        ce(4, 1300L, "order_checkout", "N/A"),
+        ce(4, 1400L, "browse", "C"))),
+      "s_snap")(df => ClickstreamStreams.clickEventSessions(df).drop("session_window"))
+    val rows = out.filter(col("user_id").isin(3, 4))
+      .select("user_id", "event_count", "checkout_event_count")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(rows === List((3L, 2L, 1L), (4L, 3L, 2L)))
+  }
+
+  test("chained stateful aggregation: session KPIs over 10 s tumbling windows") {
+    val out = runStream(
+      Seq(Seq(
+        ce(1, 1000L, "browse", "A"), ce(1, 1100L, "order_checkout", "N/A"),
+        ce(2, 1000L, "browse", "B"),
+        ce(3, 2000L, "browse", "C"))),
+      "s_kpi") { df =>
+      ClickstreamStreams.userKpis(
+        ClickstreamStreams.clickEventSessions(df), "10 seconds")
+    }
+    val rows = out
+      .filter(col("win_start_ms") === 0) // the fixture bucket, not the watermark-advancer's
+      .select("win_start_ms", "win_end_ms", "session_count", "buy_session_count", "percent_buy")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    // 3 sessions (ends 2100/2000/3000 → all bucket [0,10000)), 1 buy → 33.0
+    assert(rows === List((0L, 10000L, 3L, 1L, 33.0)))
+  }
+
+  test("chained departments counts per window") {
+    val out = runStream(
+      Seq(Seq(
+        ce(1, 1000L, "browse", "Kitchen"), ce(1, 1100L, "browse", "Garden"),
+        ce(2, 1000L, "browse", "Kitchen"))),
+      "s_dept") { df =>
+      ClickstreamStreams.departments(
+        ClickstreamStreams.clickEventSessions(df), "10 seconds")
+    }
+    val rows = out.filter(col("win_start_ms") === 0)
+      .select("department", "department_count")
+      .as[(String, Long)].collect().sortBy(_._1).toList
+    assert(rows === List(("Garden", 1L), ("Kitchen", 2L)))
+  }
+
+  test("JSON sink encoding matches the reference's Gson field order") {
+    val out = runStream(
+      Seq(Seq(
+        ce(7, 1000L, "browse", "Kitchen"),
+        ce(7, 1100L, "order_checkout", "N/A"))),
+      "s_json")(df =>
+      ClickstreamStreams.sessionsJson(
+        ClickstreamStreams.buySessions(ClickstreamStreams.clickEventSessions(df))))
+    val js = out.as[String].collect().filter(_.contains("\"userId\":7"))
+    assert(js.length === 1)
+    assert(js.head ===
+      """{"userId":7,"eventCount":1,"orderCheckoutEventCount":1,""" +
+        """"deptList":["Kitchen"],"eventKey":1,"windowBeginTime":1000,"windowEndTime":2100}""")
+  }
+}
