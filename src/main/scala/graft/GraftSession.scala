@@ -26,6 +26,8 @@ object GraftSession {
     // mid-job (ADVICE.md r1). Tune each session exactly once.
     if (tuned.contains(spark)) return spark
     tuned.add(spark)
+    // engine-native codegen'd functions (graft_long_dot etc.)
+    graft.functions.GraftFunctions.register(spark)
     // testdata events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has
     // no TimestampType for; read as LongType (nanos) and convert explicitly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

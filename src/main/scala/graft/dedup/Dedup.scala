@@ -181,20 +181,27 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact integer dot product — the codegen'd native expression
+    * (graft.functions.LongDotProduct, registered by GraftSession.tune).
+    */
+  private[graft] def longDot(a: Column, b: Column): Column =
+    call_function("graft_long_dot", a, b)
+
   /** Embeddings with quantized integer vector `qv` and its exact squared
     * norm `norm2`.
     */
-  private[graft] def quantized(embeddings: DataFrame): DataFrame =
-    embeddings.select(
+  private[graft] def quantized(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(
       col("vec_id"),
       col("label"),
       transform(col("embedding"), x => round(x.cast("double") * lit(1000)).cast("long")).as("qv"))
-      .withColumn("norm2", aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
+    q.withColumn("norm2", longDot(col("qv"), col("qv")))
+  }
 
   /** Rounded cosine between two quantized vectors with precomputed norms. */
   private[graft] def cosineQ(qa: Column, na2: Column, qb: Column, nb2: Column): Column =
     round(
-      aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v).cast("double") /
+      longDot(qa, qb).cast("double") /
         (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))),
       6)
 

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine-native function registrations (the SparkSessionExtensions-style
+  * surface, applied directly to the session's function registry so it also
+  * works on an externally created session — the driver hands us one).
+  *
+  * After [[register]], `call_function("graft_long_dot", a, b)` and SQL
+  * `graft_long_dot(a, b)` resolve to the codegen'd [[LongDotProduct]].
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_long_dot" -> {
+      case Seq(a, b) => LongDotProduct(a, b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_long_dot expects 2 arguments, got ${other.length}")
+    }
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+  }
+}

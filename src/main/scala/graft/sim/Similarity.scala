@@ -78,7 +78,7 @@ object Similarity {
       (0 until LshBits).map(p => (0 until dim).map(i => planeComponent(p, i)))
     val bucketCol = (0 until LshBits).map { p =>
       val plane = array(planes(p).map(lit): _*)
-      val dot = aggregate(zip_with(col("qv"), plane, (x, y) => x * y), lit(0L), (a, v) => a + v)
+      val dot = Dedup.longDot(col("qv"), plane)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bucketed = q.withColumn("bucket", bucketCol)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Clickstream
+import graft.relational.RelationalQueries
+
+/** Physical-plan guardrails: the properties that make these queries hold
+  * up at 100 TB — filter pushdown into the parquet scan, column pruning,
+  * broadcast joins for dimensions, and partial aggregation — asserted on
+  * the optimized plans so regressions show up as test failures, not as
+  * cluster bills.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q1: shipdate filter pushed to parquet scan; columns pruned") {
+    val plan = planOf(RelationalQueries.q1Pricing(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    // projection needs 8 of 11 lineitem columns — orderkey/partkey/suppkey
+    // must not be read
+    assert(!plan.contains("l_orderkey"), "column pruning failed: l_orderkey read")
+  }
+
+  test("q3: customer dimension broadcast, no shuffle of the fact side for it") {
+    val plan = planOf(RelationalQueries.q3Shipping(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("q5: all dimension joins broadcast") {
+    val plan = planOf(RelationalQueries.q5LocalSupplier(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts in:\n$plan")
+  }
+
+  test("sessionize: exactly one exchange on user_id feeds the window sort") {
+    val plan = planOf(Clickstream.sessionize(Tables.events(spark, dir)))
+    // gap-island sessionization = shuffle by user, sort, window, then the
+    // session aggregate; the agg's exchange on (user_id, session_seq) is
+    // partial-aggregated map-side
+    assert(plan.contains("hashpartitioning(user_id"), s"missing user_id exchange in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected partial aggregation in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregate pipeline (no UDF breaks)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = RelationalQueries.q1Pricing(spark, dir)
+    df.collect() // AQE only materializes codegen spans in the final plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes hide their stage plans from TreeNode.collect;
+    // the "*(n)" markers in the final plan string are the codegen spans
+    val s = finalPlan.toString
+    assert(s.contains("*(1)"), s"no codegen spans in:\n$s")
+    val _ = classOf[WholeStageCodegenExec] // marker type referenced for clarity
+  }
+
+  test("txt/dedup expressions stay codegen'd (no SerializeFromObject except multimodal)") {
+    val plan = planOf(graft.text.TextAnalysis.docStats(Tables.documents(spark, dir)))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke"),
+      s"non-codegen expression in text path:\n$plan")
+  }
+}
