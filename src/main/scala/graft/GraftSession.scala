@@ -54,6 +54,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // getOrCreate() ignores builder configs when a session already exists
+    // (ADVICE.md r1) — re-assert the dynamic ones so callers always get the
+    // documented shuffle sizing regardless of session reuse; master/UI are
+    // creation-only and intentionally left as the existing session had them.
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("WARN")
     tune(spark)
   }

@@ -49,6 +49,14 @@ object SparkEntry {
           round(avg(col("value")), 4).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+    // the Spark-native session_window operator (the streaming path) run in
+    // batch mode — same oracle semantics as the gap-island formulation,
+    // proving the two sessionizers agree
+    "cs_sessionize_native" -> ((s, dir) =>
+      graft.streaming.ClickstreamStreams.sessions(
+        Tables.events(s, dir).withColumn("ts", timestamp_millis(col("ts_ms"))),
+        gap = "12 hours")
+        .drop("session_window")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -121,5 +129,10 @@ object SparkEntry {
         |       round(avg(value), 4) AS avg_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "cs_sessionize_native" ->
+      s"""$sessionsCte
+         |SELECT user_id, event_count, checkout_event_count, dept_list,
+         |       event_key, win_begin_ms, win_end_ms
+         |FROM sessions""".stripMargin,
   )
 }

@@ -93,16 +93,27 @@ object Dedup {
   /** MinHash signatures: for each of the 16 permutations, the min of the
     * seeded 60-bit hash over the document's shingle set. Returned as a
     * 16-element array column `sig` ordered by permutation index.
+    *
+    * One pass, no row explosion: each (doc, shingle) row carries its
+    * 16-hash array and the signature is 16 positional `min` aggregates —
+    * partial aggregation collapses everything map-side, so the only
+    * shuffle is |docs| rows of 16 longs (vs shuffling |shingles|×16 rows
+    * with an explode + re-collect formulation).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleRows(docs)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms - 1))).as("perm"), col("shingle"))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(Cols.hash60(concat_ws(":", col("perm"), col("shingle")))).as("v"))
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleRows(docs).withColumn(
+      "h",
+      transform(
+        sequence(lit(0), lit(NumPerms - 1)),
+        i => Cols.hash60(concat_ws(":", i.cast("string"), col("shingle")))))
+    val mins = (0 until NumPerms).map(i => min(element_at(col("h"), i + 1)).as(s"m$i"))
+    hashed
       .groupBy(col("doc_id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("perm"), col("v")))), x => x("v"))
-          .as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH near-dup candidates: band the signature (4 bands × 4
     * rows), bucket-join on (band, md5(band values)), then estimate Jaccard
@@ -110,7 +121,11 @@ object Dedup {
     * collisions are ever paired — the whole point of LSH at scale.
     */
   def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // The signature table is the MinHash index: tiny (16 longs per doc) and
+    // referenced four times below (bands ×2 via the self-join, est ×2) —
+    // cache it instead of recomputing the shingle explosion each time.
+    // At scale this is exactly the index you'd persist.
+    val sigs = minhashSignatures(docs).cache()
     val nBands = NumPerms / BandRows
     val bands = sigs.select(
       col("doc_id"),

@@ -118,7 +118,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** ROLLUP grouping-sets aggregation (subtotals + grand total). */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
+
+  /** Set operation: suppliers with no shipments in 2001 (EXCEPT distinct).
+    * The anti-join shape Catalyst plans for EXCEPT keeps the big side
+    * un-broadcast and hashes the distinct supplier keys.
+    */
+  def idleSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val active = Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_suppkey").as("s_suppkey"))
+    all.except(active)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_pricing" -> ((s, d) => rollupPricing(s, d)),
+    "except_idle_suppliers" -> ((s, d) => idleSuppliers(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => q5LocalSupplier(s, d)),
@@ -127,6 +148,16 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "except_idle_suppliers" ->
+      """SELECT s_suppkey FROM supplier
+        |EXCEPT
+        |SELECT l_suppkey AS s_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
