@@ -16,12 +16,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n =
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+    // dev filter: SPARK_GRAFT_ONLY=comma,separated,names runs a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // min-of-N timing: the first run pays planning + codegen and either run
+    // can be hit by external host load; the min is the query's capability
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n =
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (sec, n) = times.minBy(_._1)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows)")
       name -> sec
     }

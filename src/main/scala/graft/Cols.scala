@@ -56,9 +56,17 @@ object Cols {
 
   /** Distinct word n-gram shingles of the normalized text, as an array.
     * DuckDB mirrors with generate_series + list indexing.
+    *
+    * Prefer [[shinglesOfTokens]] over a materialized tokens column when the
+    * expression lands in an aggregate stage: referencing the full
+    * `tokens(text)` subtree inside the transform lambda re-evaluates the
+    * regex/split per index if the stage falls out of whole-stage codegen
+    * (interpreted eval has no subexpression elimination).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
+
+  /** Shingles from an (ideally already-projected) tokens array column. */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     // sequence(1, size-n+1) is empty when size < n (sequence errors on
     // descending ranges unless given a step, so guard with when()).
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))

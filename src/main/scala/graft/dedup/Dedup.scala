@@ -46,9 +46,23 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-3-gram shingles, one row per (doc_id, shingle). */
+  /** Distinct word-3-gram shingles, one row per (doc_id, shingle).
+    *
+    * Two deliberate plan shapes:
+    *  - `repartition` first: a small documents table often arrives as one
+    *    parquet file = one partition, which would serialize the expensive
+    *    shingle+hash map work on a single core (at 100 TB inputs span many
+    *    files and this is a near-no-op).
+    *  - tokens are materialized behind a projection boundary so the shingle
+    *    lambda references an attribute — keeping the regex normalization
+    *    evaluated once per row even when the downstream aggregate stage
+    *    falls back to interpreted (non-codegen) eval.
+    */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Cols.shingles(col("text"), 3)).as("shingle"))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Cols.shinglesOfTokens(col("toks"), 3)).as("shingle"))
 
   /** n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
     * (posting-list join), similarity = |∩| / |∪| over distinct shingle
