@@ -37,4 +37,23 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts_ms", Cols.floorDiv(col("ts"), 1000000L))
   }
+
+  val AllNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view (events with its `ts_ms`
+    * event-time column) plus the engine's SQL functions — the `spark.sql`
+    * entry surface: after this, every query in the engine is expressible
+    * as plain SQL against these views.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    AllNames.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    spark.udf.register(
+      "graft_user_agg",
+      org.apache.spark.sql.functions.udaf(graft.ops.UserAggregateTyped))
+  }
 }

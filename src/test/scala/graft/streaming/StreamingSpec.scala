@@ -135,6 +135,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows === List(("Garden", 1L), ("Kitchen", 2L)))
   }
 
+  test("late event behind the watermark is dropped (0 s allowance)") {
+    val out = runStream(
+      Seq(
+        Seq(ce(8, 1000L, "browse", "A")),
+        // watermark advances far past user 8's session...
+        Seq(ce(9, 5_000_000L, "browse", "B")),
+        // ...then a late event for user 8 arrives and must be dropped
+        Seq(ce(8, 1100L, "browse", "C"))),
+      "s_late")(df => ClickstreamStreams.clickEventSessions(df).drop("session_window"))
+    val rows = out.filter(col("user_id") === 8)
+      .select("event_count", "dept_list")
+      .as[(Long, String)].collect().toList
+    assert(rows === List((1L, "A"))) // the late "C" event contributed nothing
+  }
+
   test("JSON sink encoding matches the reference's Gson field order") {
     val out = runStream(
       Seq(Seq(
