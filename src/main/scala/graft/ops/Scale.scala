@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping techniques a 100 TB deployment
+  * leans on beyond what AQE does automatically.
+  *
+  * - [[saltedAggregate]]: two-phase aggregation for hot grouping keys.
+  *   AQE's skew handling splits skewed *join* partitions, but a skewed
+  *   *aggregation* key still funnels one reducer; salting fans the hot key
+  *   across `saltFactor` partial groups and re-combines. Works for any
+  *   algebraic aggregate (sum/count/min/max).
+  * - [[saltedJoin]]: replicate the small side per salt so a skewed big-side
+  *   join key spreads over `saltFactor` tasks (classic hot-row fix when
+  *   broadcast isn't possible).
+  * - Bucketing (demonstrated in ScaleSpec): co-located storage for
+  *   repeated equi-joins on the same key — both sides bucketed by the join
+  *   key read shuffle-free (`write.bucketBy(n, key).sortBy(key)`).
+  */
+object Scale {
+
+  /** Deterministic salt in [0, saltFactor): hash of the row's full key
+    * list, so reruns salt identically (no rand() — results must replay).
+    */
+  def salt(saltFactor: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(saltFactor))
+
+  /** Two-phase (salted) count + sum over a possibly-skewed grouping key.
+    *
+    * Phase 1 groups by (key, salt) — a hot key's rows split across
+    * saltFactor partial groups on different reducers; phase 2 combines
+    * partials by key. Result is identical to a plain
+    * `groupBy(key).agg(count, sum(valueCol))` (both are distributive);
+    * only the shuffle shape changes.
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      saltFactor: Int): DataFrame =
+    df
+      .withColumn("__salt", salt(saltFactor, df.columns.map(col).toSeq: _*))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
+
+  /** Skew-resistant equi-join: the big side gets a deterministic salt from
+    * its whole row; the small side is exploded `saltFactor`× so every
+    * (key, salt) pair finds its match. Join key spreads over saltFactor
+    * tasks instead of one.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int): DataFrame = {
+    val bigSalted = big.withColumn("__salt", salt(saltFactor, big.columns.map(col).toSeq: _*))
+    val smallExploded = small.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigSalted
+      .join(smallExploded, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

@@ -132,6 +132,19 @@ object ClickstreamStreams {
         unix_millis(col("window.start")).as("win_start_ms"),
         unix_millis(col("window.end")).as("win_end_ms"))
 
+  /** Streaming exact deduplication: drop events whose id was already seen
+    * within the watermark horizon (state is GC'd past it — the streaming
+    * flavor of the training-pipeline exact dedup; unbounded-state dedup is
+    * a deliberate non-feature at 100 TB).
+    */
+  def dedupEvents(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ------------------------------------------------------------------ sinks
 
   /** JSON-encoded session records (reference field names/order — Gson

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Scale
+import org.apache.spark.sql.functions._
+
+/** Salting and bucketing: results must equal the unsalted/unbucketed
+  * plans; the point is shuffle shape, which the plan assertions pin.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count+sum equals plain groupBy on skewed data") {
+    // hot key: 10k rows of key=1, plus a long tail
+    val rows = (1 to 10000).map(i => (1L, i.toDouble)) ++
+      (1 to 500).map(i => ((i % 50 + 2).toLong, i.toDouble))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_value"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, math.round(s * 100))) }.toMap
+    val salted = Scale.saltedCountSum(df, "k", "v", saltFactor = 8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, math.round(s * 100))) }.toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val big = ((1 to 5000).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val plain = big.join(dim, "k").groupBy($"name").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedJoin(big, dim, "k", saltFactor = 8)
+      .groupBy($"name").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-spec").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "vb")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/ta").saveAsTable("graft_bucket_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/tb").saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(joined.count() === 1000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be exchange-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+}

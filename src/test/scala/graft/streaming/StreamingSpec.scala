@@ -150,6 +150,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows === List((1L, "A"))) // the late "C" event contributed nothing
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val out = runStream(
+      Seq(
+        Seq(ce(21, 1000L, "browse", "A"), ce(21, 1000L, "browse", "A")), // dup in-batch
+        Seq(ce(21, 1000L, "browse", "A"))),                              // redelivery
+      "s_dedup") { df =>
+      ClickstreamStreams.dedupEvents(
+        ClickstreamStreams.fromClickEvents(df),
+        idCols = Seq("user_id", "eventtimestamp", "event_type"))
+        .select(col("user_id"), col("eventtimestamp"))
+    }
+    assert(out.filter(col("user_id") === 21).count() === 1L)
+  }
+
   test("JSON sink encoding matches the reference's Gson field order") {
     val out = runStream(
       Seq(Seq(
