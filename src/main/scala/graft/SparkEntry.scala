@@ -49,6 +49,13 @@ object SparkEntry {
           round(avg(col("value")), 4).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+    // skew-resistant two-phase aggregation — identical results to a plain
+    // GROUP BY (the oracle), different shuffle shape (ScaleSpec pins it)
+    "ev_salted_value_sum" -> ((s, dir) =>
+      graft.ops.Scale.saltedCountSum(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", saltFactor = 8)
+        .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))),
     // the Spark-native session_window operator (the streaming path) run in
     // batch mode — same oracle semantics as the gap-island formulation,
     // proving the two sessionizers agree
@@ -134,5 +141,8 @@ object SparkEntry {
          |SELECT user_id, event_count, checkout_event_count, dept_list,
          |       event_key, win_begin_ms, win_end_ms
          |FROM sessions""".stripMargin,
+    "ev_salted_value_sum" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -101,9 +101,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN with the `label` column as the coarse
+    * quantizer: per-cell integer centroids (exact: element-wise sum DIV
+    * count), queries probe the `nprobe` nearest cells by centroid cosine,
+    * exact search within probed cells only. Fully deterministic (integer
+    * centroid math + quantized cosine), so unlike most ANN indexes this
+    * one is oracle-checkable.
+    *
+    * Scale: the corpus is scanned once to build cells/centroids; each
+    * query touches |corpus| × nprobe / #cells candidates instead of the
+    * whole corpus — the standard IVF recall/latency dial.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = TopK, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    // exact integer centroids per cell: dim positional sums + count, DIV
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val centroids = q.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(
+        col("label"),
+        // exact FLOOR division (DuckDB `//` semantics): sums can be
+        // negative, where Spark's `div` would truncate toward zero instead
+        array((0 until dim).map(i =>
+          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n")), col("n"))): _*)
+          .as("cv"))
+      .withColumn("cnorm2", Dedup.longDot(col("cv"), col("cv")))
+    val queries = q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+    // rank cells per query by centroid cosine; deterministic tie-break on label
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("cv"), col("cnorm2")).desc, col("label"))
+    val probed = broadcast(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cell_rank", row_number().over(probeW))
+        .filter(col("cell_rank") <= nprobe)
+        .select(col("query_id"), col("q_qv"), col("q_norm2"), col("label")))
+    // exact search within probed cells only
+    val scored = q.join(probed, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
+    "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,5 +178,45 @@ object Similarity {
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
     // ann_topk_lsh intentionally has no oracle: approximate recall-bounded
     // output (driver records rows-only check).
+    "ann_topk_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), cell_sums AS (
+         |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+         |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY label, ii.i
+         |), cent AS (
+         |  SELECT label, list(((s // cnt))::BIGINT ORDER BY i) AS cv
+         |  FROM cell_sums GROUP BY label
+         |), cent2 AS (
+         |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent
+         |), queries AS (
+         |  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2
+         |  FROM n WHERE vec_id % $QueryStride = 0
+         |), probed AS (
+         |  SELECT query_id, q_qv, q_norm2, label FROM (
+         |    SELECT query_id, q_qv, q_norm2, c.label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        round(list_sum([q_qv[i] * c.cv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(q_norm2::DOUBLE) * sqrt(c.cnorm2::DOUBLE)), 6) DESC,
+         |        c.label) AS cell_rank
+         |    FROM queries CROSS JOIN cent2 c) t
+         |  WHERE cell_rank <= 2
+         |), scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q_qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(q_norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM probed p JOIN n c ON c.label = p.label AND c.vec_id <> p.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
   )
 }

@@ -24,6 +24,17 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1L, 3L), (50L, 2L, 4L)))
   }
 
+  test("IVF with all cells probed equals brute force exactly") {
+    val brute = Similarity.bruteForceTopK(embs, k = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // 2 labels in the fixture; nprobe=2 probes every cell → exact search
+    val ivf = Similarity.ivfTopK(embs, k = 3, nprobe = 2, dim = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(ivf === brute)
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
     val brute = Similarity.bruteForceTopK(embs, k = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet
