@@ -107,7 +107,51 @@ object TextAnalysis {
       array_min(transform(Cols.shingles(col("text"), 3), s => Cols.hash60(s)))
         .as("fingerprint"))
 
+  /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
+    * ln(N/df) over the corpus, top-k by rounded score with alphabetical
+    * tie-break (rounding first keeps the ranking identical across
+    * engines' last-ulp log differences).
+    *
+    * Shape at scale: one explode + two hash aggregates + a broadcast of
+    * the (tiny) per-term df table + one window over doc_id.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val n = docs.count() // corpus size: one tiny job, the classic IDF constant
+    val terms = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("term_rank"))
+  }
+
+  /** Deterministic train/valid/test assignment: a content-free hash of the
+    * doc id buckets 0-99 → 80/10/10. Replays identically on any engine and
+    * any run — the property a training pipeline needs from its splitter.
+    */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pmod(Cols.hash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        .as("bucket"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("valid"))
+          .otherwise(lit("test")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
+    "txt_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -128,6 +172,30 @@ object TextAnalysis {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "txt_tfidf_top_terms" ->
+      s"""$tokCte, terms AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM t
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT doc_id, tf.term AS term, tf, df,
+         |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4) AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term
+         |), ranked AS (
+         |  SELECT doc_id, term, tf, df, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE term_rank <= 5""".stripMargin,
+    "txt_split_assign" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "txt_doc_stats" ->
       s"""$tokCte
          |SELECT doc_id,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+
+  test("doc stats: exact token arithmetic") {
+    val r = TextAnalysis.docStats(docs((1L, "The cat  and the Dog")))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    // norm: "the cat and the dog" → 5 tokens, 4 distinct
+    assert(r._2 === 20L) // n_chars of raw text
+    assert(r._3 === 5L)
+    assert(r._4 === 4L)
+    assert(r._5 === 3.0) // (19 - 4) / 5
+    assert(r._6 === 0.6) // the, and, the
+    assert(r._7 === 0.8)
+  }
+
+  test("token counts: whitespace vs bpe-ish vs subword estimate") {
+    val r = TextAnalysis.tokenCounts(docs((1L, "abc 12cd ef")))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._2 === 3L) // ws tokens
+    assert(r._3 === 4L) // abc | 12 | cd | ef
+    assert(r._4 === 3L) // ceil(3/4)+ceil(4/4)+ceil(2/4)
+  }
+
+  test("tf-idf: corpus-wide terms score 0, rare terms rank first") {
+    val r = TextAnalysis.tfidfTopTerms(docs(
+      (1L, "shared shared rare1"),
+      (2L, "shared rare2 rare2")), k = 2)
+      .select("doc_id", "term", "term_rank")
+      .as[(Long, String, Long)].collect().toSet
+    // ln(2/2)=0 for "shared"; rare terms get ln(2/1)
+    assert(r === Set((1L, "rare1", 1L), (1L, "shared", 2L), (2L, "rare2", 1L), (2L, "shared", 2L)))
+  }
+
+  test("split assignment: deterministic, complete, roughly 80/10/10") {
+    val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
+    val splits = TextAnalysis.splitAssign(docs(ids: _*))
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum === 1000L)
+    assert(splits("train") > 700 && splits("train") < 900)
+    assert(splits("valid") > 50 && splits("valid") < 160)
+    assert(splits("test") > 50 && splits("test") < 160)
+    // replays identically
+    val again = TextAnalysis.splitAssign(docs(ids: _*))
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(again === splits)
+  }
+}
