@@ -137,7 +137,27 @@ object RelationalQueries {
     all.except(active)
   }
 
+  /** Analytic window frames: per-user running spend and a 3-event moving
+    * average over the event stream (ROWS frames with deterministic
+    * ordering). One shuffle on user_id; frames evaluate in the sorted
+    * partition stream.
+    */
+  def runningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ms"),
+        round(sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_spend"),
+        round(avg(col("value")).over(byUser.rowsBetween(-2, 0)), 4).as("moving_avg3"),
+        row_number().over(byUser).cast("long").as("purchase_seq"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "running_spend" -> ((s, d) => runningSpend(s, d)),
     "rollup_pricing" -> ((s, d) => rollupPricing(s, d)),
     "except_idle_suppliers" -> ((s, d) => idleSuppliers(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
@@ -148,6 +168,19 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "running_spend" ->
+      """SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |  round(sum(value) OVER w_cum, 2) AS running_spend,
+        |  round(avg(value) OVER w_mov, 4) AS moving_avg3,
+        |  row_number() OVER w_ord AS purchase_seq
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW
+        |  w_cum AS (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  w_ord AS (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id)""".stripMargin,
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
