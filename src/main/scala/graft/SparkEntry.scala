@@ -49,6 +49,14 @@ object SparkEntry {
           round(avg(col("value")), 4).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+    // HLL sketch distinct counting — the approximate path for distincts at
+    // 100 TB (exact count_distinct shuffles every key; the sketch merges).
+    // Engine sketches differ, so no cross-engine oracle: driver records a
+    // rows-only check; ApproxSpec bounds the error against exact locally.
+    "ev_approx_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
     // skew-resistant two-phase aggregation — identical results to a plain
     // GROUP BY (the oracle), different shuffle shape (ScaleSpec pins it)
     "ev_salted_value_sum" -> ((s, dir) =>

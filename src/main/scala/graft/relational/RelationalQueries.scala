@@ -118,6 +118,39 @@ object RelationalQueries {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q7 analog: shipping volume between two nations by year.
+    * Nation dims broadcast twice (supplier side / customer side).
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("supp_nk"))
+      .join(n2, col("c_nationkey") === col("cust_nk"))
+      .filter(
+        (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q10 analog: top-20 customers by returned-item revenue. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** ROLLUP grouping-sets aggregation (subtotals + grand total). */
   def rollupPricing(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -157,6 +190,8 @@ object RelationalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> ((s, d) => q7VolumeShipping(s, d)),
+    "q10_returned_items" -> ((s, d) => q10ReturnedItems(s, d)),
     "running_spend" -> ((s, d) => runningSpend(s, d)),
     "rollup_pricing" -> ((s, d) => rollupPricing(s, d)),
     "except_idle_suppliers" -> ((s, d) => idleSuppliers(s, d)),
@@ -168,6 +203,30 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "running_spend" ->
       """SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
         |  round(sum(value) OVER w_cum, 2) AS running_spend,

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The flatMapGroupsWithState sessionizer must agree with the built-in
+  * session_window pipeline on the golden sequences.
+  */
+class CustomStateSessionizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class CE(
+      ip: String, eventtimestamp: Long, devicetype: String,
+      event_type: String, product_type: String, userid: Int,
+      globalseq: Long, prevglobalseq: Long)
+
+  private def ce(user: Int, ts: Long, eventType: String, productType: String): CE =
+    CE("ip", ts, "web", eventType, productType, user, 0L, 0L)
+
+  test("custom-state sessions match the declarative sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CE]
+    val q = CustomStateSessionizer
+      .sessions(spark, ClickstreamStreams.fromClickEvents(input.toDF()))
+      .writeStream.format("memory").queryName("cs_state").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ce(1, 1000L, "browse", "Kitchen"),
+        ce(1, 1100L, "browse", "Garden"),
+        ce(1, 1300L, "order_checkout", "N/A"),
+        ce(1, 3000L, "browse", "Books"), // gap >= 1s → second session
+        ce(2, 1000L, "browse", "")))
+      q.processAllAvailable()
+      input.addData(ce(99, 10_000_000L, "browse", "N/A")) // advance watermark
+      q.processAllAvailable()
+      input.addData(ce(99, 20_000_000L, "browse", "N/A"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cs_state")
+      .filter(col("user_id").isin(1, 2))
+      .select("user_id", "event_count", "checkout_event_count", "dept_list",
+        "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 2L, "Garden,Kitchen", 1000L, 2300L),
+      (1L, 1L, 0L, "Books", 3000L, 4000L),
+      (2L, 0L, 0L, "", 1000L, 2000L)))
+  }
+
+  test("split: strict gap rule (delta >= gap starts a new session)") {
+    import CustomStateSessionizer.{split, Ev}
+    def ev(t: Long) = Ev(1, new java.sql.Timestamp(t), "a", "A")
+    val evs = List(ev(1000), ev(1500), ev(2499), ev(5000))
+    // 2499-1500=999 < 1000 merges; session_window semantics: [t, t+gap)
+    assert(split(evs, 1000L).map(_.map(_.ts_ms)) ===
+      List(List(1000L, 1500L, 2499L), List(5000L)))
+    // exactly-at-gap splits (matches Clickstream.withSessionIds and
+    // session_window's half-open windows)
+    assert(split(List(ev(1000), ev(2000)), 1000L).map(_.map(_.ts_ms)) ===
+      List(List(1000L), List(2000L)))
+  }
+}
