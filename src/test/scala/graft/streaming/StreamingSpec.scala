@@ -164,6 +164,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 21).count() === 1L)
   }
 
+  test("stream-static join enriches sessions with a broadcast dimension") {
+    val userDim = Seq((31L, "gold"), (32L, "basic")).toDF("user_id", "tier")
+    val out = runStream(
+      Seq(Seq(
+        ce(31, 1000L, "browse", "Kitchen"),
+        ce(32, 1000L, "browse", "Garden"))),
+      "s_enrich") { df =>
+      ClickstreamStreams.clickEventSessions(df).drop("session_window")
+        .join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+    }
+    val rows = out.filter(col("user_id").isin(31, 32))
+      .select("user_id", "tier", "dept_list")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((31L, "gold", "Kitchen"), (32L, "basic", "Garden")))
+  }
+
   test("JSON sink encoding matches the reference's Gson field order") {
     val out = runStream(
       Seq(Seq(
