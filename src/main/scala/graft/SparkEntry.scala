@@ -49,6 +49,20 @@ object SparkEntry {
           round(avg(col("value")), 4).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+    // as-of (point-in-time) join: each purchase picks up the user's most
+    // recent prior status event — single-sort union+window implementation
+    "ev_asof_status" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      val statuses = ev.filter(col("event_type").isin("signup", "error"))
+        .select(
+          col("user_id"), col("ts_ms"),
+          col("event_type").as("status"), col("ts_ms").as("status_ts_ms"))
+      graft.ops.AsOfJoin.asOfLeft(
+        purchases, statuses, key = "user_id", tsCol = "ts_ms",
+        payload = Seq("status", "status_ts_ms"))
+    }),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -152,5 +166,16 @@ object SparkEntry {
     "ev_salted_value_sum" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "ev_asof_status" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS sts_ms, event_type AS status
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_ms, l.value,
+        |       r.status, r.sts_ms AS status_ts_ms
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.sts_ms""".stripMargin,
   )
 }
