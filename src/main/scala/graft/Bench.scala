@@ -25,20 +25,32 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        // a query may .cache() an internal index; clearing between runs
+        // keeps run N from silently reusing run N-1's CacheManager entry
+        // (cached plans match by logical-plan equality across runs)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n =
-          try fn(spark, sfDir).count()
+          // count() lets Catalyst prune every projection — a map-only query
+          // would be benched as a parquet row-count. toRdd.count() forces
+          // the full output row to materialize through the whole plan.
+          try fn(spark, sfDir).queryExecution.toRdd.count()
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (sec, n) = times.minBy(_._1)
+      val ok = times.filter(_._2 >= 0)
+      val (sec, n) = if (ok.nonEmpty) ok.minBy(_._1) else times.minBy(_._1)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows)")
-      name -> sec
+      (name, sec, n >= 0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // failed queries report -1 (numeric, to keep the driver's JSON shape)
+    // and are listed by name under "failed"
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

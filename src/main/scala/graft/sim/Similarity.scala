@@ -53,9 +53,12 @@ object Similarity {
 
   /** Deterministic hyperplane component for (plane p, dimension i):
     * pseudo-random in [-1000, 1000] derived from md5 — reproducible in any
-    * engine, no RNG state.
+    * engine, no RNG state. DuckDB mirror:
+    * `(('0x'||substr(md5('plane:'||p||':'||i),1,15))::BIGINT % 2001) - 1000`
+    * (the parsed 60-bit value is non-negative, so Java `%` and DuckDB `%`
+    * agree). Shared by [[lshTopK]] and [[graft.dedup.Dedup.embeddingNearDupsLsh]].
     */
-  private def planeComponent(p: Int, i: Int): Long = {
+  private[graft] def planeComponent(p: Int, i: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane:$p:$i".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
@@ -69,11 +72,13 @@ object Similarity {
     * An approximate method by construction — results are a recall-bounded
     * subset of the brute-force top-k, so its oracle is rows-only.
     */
-  def lshTopK(spark: SparkSession, embeddings: DataFrame, k: Int = TopK): DataFrame = {
+  def lshTopK(spark: SparkSession, embeddings: DataFrame, k: Int = TopK,
+              dim: Int = 64): DataFrame = {
     val q = Dedup.quantized(embeddings)
     // planes as literal arrays: LshBits × dim, built once on the driver —
-    // tiny (8×64 longs) and folded into the plan as constants
-    val dim = 64
+    // tiny (8×64 longs) and folded into the plan as constants. `dim` must
+    // match the embedding width: LongDotProduct stops at the shorter input,
+    // so an undersized dim would silently project onto a prefix (ADVICE r2).
     val planes: Seq[Seq[Long]] =
       (0 until LshBits).map(p => (0 until dim).map(i => planeComponent(p, i)))
     val bucketCol = (0 until LshBits).map { p =>

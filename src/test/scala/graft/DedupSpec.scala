@@ -49,6 +49,33 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) !== got(3L))
   }
 
+  test("LSH embedding near-dups: finds parallel vectors, verifies with exact cosine") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.0f, 0.3f), 0),
+      (2L, Seq(0.5f, 0.1f, 0.0f, 0.15f), 0), // parallel to 1 → cosine 1.0
+      (3L, Seq(-1.0f, 0.0f, 0.9f, -0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDupsLsh(e, threshold = 0.9, dim = 4)
+      .select("vec_id_1", "vec_id_2", "cosine").as[(Long, Long, Double)].collect().toList
+    assert(got === List((1L, 2L, 1.0)))
+  }
+
+  test("LSH embedding near-dups ⊆ all-pairs near-dups with identical cosines") {
+    // 64-dim deterministic vectors around two directions so some pairs
+    // qualify and some don't
+    val vecs = (0L until 12L).map { id =>
+      val base = if (id % 2 == 0) 1.0f else -1.0f
+      (id, (0 until 64).map(i => base * (1.0f + ((id + i) % 5) * 0.1f)), (id % 2).toInt)
+    }
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val exact = Dedup.embeddingNearDups(e, threshold = 0.9)
+      .select("vec_id_1", "vec_id_2", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.9)
+      .select("vec_id_1", "vec_id_2", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty) // same-direction pairs collide in at least one table
+  }
+
   test("embedding near-dups: parallel vectors → cosine 1.0") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
