@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Quantitative gates for the two approximate paths whose output cannot be
+  * cross-engine oracled (the driver records rows-only checks for them):
+  *
+  *  - `ev_approx_users` (HyperLogLog++ approx_count_distinct): engine
+  *    sketches differ, so the correctness claim is the published error
+  *    bound, asserted here against the exact distinct count.
+  *  - `ann_topk_lsh` (hyperplane-LSH ANN): approximate by construction,
+  *    so the correctness claim is recall against the exact brute-force
+  *    top-k, asserted here at the documented threshold.
+  *  - `dedup_embedding_lsh` IS fully oracled (deterministic construction),
+  *    but its usefulness claim is recall vs the all-pairs baseline — also
+  *    pinned here.
+  *
+  * All three run on the real sf0.01 testdata: approximation quality on
+  * synthetic toy rows says nothing about the registered queries.
+  */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("HLL approx_count_distinct within 2x rsd of exact per event_type") {
+    val rsd = 0.01 // the rsd the registered ev_approx_users query passes
+    val approx = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (et, n) =>
+      val err = math.abs(approx(et) - n).toDouble / n
+      assert(err <= 2 * rsd, s"$et: approx=${approx(et)} exact=$n err=$err")
+    }
+  }
+
+  test("LSH ANN recall@5 >= 0.6 vs brute-force on sf0.01 embeddings") {
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val lsh = pairs(Similarity.lshTopK(spark, emb))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    // single 8-bit table at the testdata's weak similarity level (top
+    // cosines ~0.4-0.5): the documented floor is 0.6 — raising bits or
+    // adding tables moves this dial (Similarity doc comment)
+    assert(recall >= 0.6, s"recall@${Similarity.TopK} = $recall < 0.6")
+  }
+
+  test("LSH embedding near-dup recall >= 0.75 vs all-pairs on sf0.01") {
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_id_1"), col("vec_id_2")).as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.embeddingNearDups(emb))
+    val lsh = pairs(Dedup.embeddingNearDupsLsh(emb))
+    assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified near-dups")
+    val recall = lsh.size.toDouble / exact.size
+    // measured 48/59 = 0.81 with 8 tables x 4 bits (deterministic planes);
+    // gate at 0.75 to absorb testdata regeneration
+    assert(recall >= 0.75, s"recall = $recall < 0.75")
+  }
+}
