@@ -33,6 +33,10 @@ object SparkEntry {
   private def clickstreamQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cs_sessionize" -> ((s, dir) =>
       Clickstream.sessionize(Tables.events(s, dir))),
+    // the typed-Aggregator (accumulator) formulation of the same pipeline —
+    // same oracle as cs_sessionize, proving the UDAF twin on real data
+    "cs_sessionize_typed" -> ((s, dir) =>
+      Clickstream.sessionizeTyped(Tables.events(s, dir))),
     "cs_buy_sessions" -> ((s, dir) =>
       Clickstream.buySessions(Clickstream.sessionize(Tables.events(s, dir)))),
     "cs_user_kpis" -> ((s, dir) =>
@@ -129,6 +133,7 @@ object SparkEntry {
 
   private def clickstreamOracleSql: Map[String, String] = Map(
     "cs_sessionize" -> s"$sessionsCte SELECT * FROM sessions",
+    "cs_sessionize_typed" -> s"$sessionsCte SELECT * FROM sessions",
     "cs_buy_sessions" -> s"$sessionsCte SELECT * FROM sessions WHERE checkout_event_count <> 0",
     "cs_user_kpis" ->
       s"""$sessionsCte, kpi AS (

@@ -108,6 +108,47 @@ object Clickstream {
       .withColumn("event_key", lit(1L))
   }
 
+  /** Pipeline A via the typed accumulator twin: the same gap-island session
+    * assignment, but the per-session aggregate is [[UserAggregateTyped]]
+    * (the Aggregator replaying UserAggregate.java:17-38 semantics) run as
+    * an untyped UDAF alongside the window bounds. Output schema matches
+    * [[sessionize]] exactly, so both formulations share one oracle — the
+    * registered `cs_sessionize_typed` query proves the accumulator equals
+    * the declarative form on real data, not just on spec fixtures.
+    *
+    * Events map onto the reference's ClickEvent model the same way the
+    * declarative form maps them: `purchase` plays `order_checkout` (its
+    * product_type "N/A" = non-qualifying), every other event_type is a
+    * qualifying department visit.
+    */
+  def sessionizeTyped(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val agg = udaf(UserAggregateTyped)
+    val isCheckout = col("event_type") === CheckoutEventType
+    withSessionIds(events, gapMs)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        agg(
+          lit(""), // ip — carried, never read (ClickEvent.avsc)
+          col("ts_ms"),
+          lit(""), // devicetype
+          when(isCheckout, lit("order_checkout")).otherwise(col("event_type")),
+          when(isCheckout, lit("N/A")).otherwise(col("event_type")),
+          col("user_id").cast("int"),
+          col("event_id").cast("long"),
+          lit(0L)).as("s"),
+        min(col("ts_ms")).as("win_begin_ms"),
+        (max(col("ts_ms")) + lit(gapMs)).as("win_end_ms"))
+      .select(
+        col("user_id"),
+        col("session_seq"),
+        col("s.eventCount").cast("long").as("event_count"),
+        col("s.orderCheckoutEventCount").cast("long").as("checkout_event_count"),
+        array_join(col("s.deptList"), ",").as("dept_list"),
+        col("win_begin_ms"),
+        col("win_end_ms"),
+        col("s.eventKey").cast("long").as("event_key"))
+  }
+
   /** Pipeline A tail — sessions containing a buy
     * (ClickstreamProcessor.java:133-134).
     */

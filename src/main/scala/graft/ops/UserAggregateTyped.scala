@@ -9,11 +9,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * [[graft.streaming.ClickstreamStreams.sessions]].
   *
   * Replays the reference's `UserAggregate.add` semantics
-  * (UserAggregate.java:17-38) event-by-event in event-time order:
-  * qualifying events (product_type not in {"", "N/A", null},
-  * UserAggregate.java:19) bump the count and the department set; an
-  * `order_checkout` event snapshots the *running* count
-  * (UserAggregate.java:30-33, last checkout wins). The reference's
+  * (UserAggregate.java:17-38): qualifying events (product_type not in
+  * {"", "N/A", null}, UserAggregate.java:19) bump the count and the
+  * department set; the checkout snapshot counts qualifying events at or
+  * before the LAST checkout's timestamp (UserAggregate.java:30-33, last
+  * checkout wins; inclusive tie rule shared with the declarative twin —
+  * see finish()). The result is fully order-independent. The reference's
   * pane-merge `merge()` bug (summing snapshots, UserAggregate.java:46-53)
   * is intentionally NOT replicated: merge concatenates buffers and
   * `finish` replays in timestamp order, which equals the reference's
@@ -47,15 +48,23 @@ object UserAggregateTyped extends Aggregator[ClickEvent, List[ClickEvent], Sessi
     var count = 0
     var snapshot = 0
     val depts = scala.collection.mutable.SortedSet.empty[String]
-    // replay in event-time order (stable on ts, then globalseq) — the
-    // watermark guarantees the reference saw sessions in this order
-    buf.sortBy(e => (e.eventtimestamp, e.globalseq)).foreach { e =>
+    // Tie rule (ADVICE r2): the snapshot counts qualifying events with
+    // ts <= the LAST checkout's ts — inclusive at equal timestamps —
+    // matching the declarative twin (Clickstream.sessionize's
+    // `ts_ms <= checkout_ts_ms` filter) and the DuckDB oracle exactly.
+    // A replay that snapshots the running count at the checkout's sort
+    // position would exclude a qualifying event sharing the checkout's
+    // timestamp but sorting after it.
+    var lastCheckoutTs = Long.MinValue
+    buf.foreach { e =>
+      if (e.event_type == "order_checkout" && e.eventtimestamp > lastCheckoutTs)
+        lastCheckoutTs = e.eventtimestamp
+    }
+    buf.foreach { e =>
       if (qualifying(e)) {
         count += 1
         depts += e.product_type
-      }
-      if (e.event_type == "order_checkout") {
-        snapshot = count // running-count snapshot; last checkout wins
+        if (e.eventtimestamp <= lastCheckoutTs) snapshot += 1
       }
     }
     SessionOut(count, snapshot, depts.toSeq, eventKey = 1)

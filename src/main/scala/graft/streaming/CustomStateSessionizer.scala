@@ -54,9 +54,17 @@ object CustomStateSessionizer {
     var count = 0L
     var snapshot = 0L
     val depts = scala.collection.mutable.SortedSet.empty[String]
+    // inclusive tie rule shared with UserAggregateTyped.finish and the
+    // declarative sessionizers: the snapshot counts qualifying events with
+    // ts <= the LAST checkout's ts, regardless of sort position at ties
+    val lastCheckoutTs = events.iterator
+      .filter(_.event_type == "order_checkout").map(_.ts_ms)
+      .foldLeft(Long.MinValue)(math.max)
     events.foreach { e =>
-      if (qualifying(e)) { count += 1; depts += e.product_type }
-      if (e.event_type == "order_checkout") snapshot = count
+      if (qualifying(e)) {
+        count += 1; depts += e.product_type
+        if (e.ts_ms <= lastCheckoutTs) snapshot += 1
+      }
     }
     Session(
       events.head.user_id, count, snapshot, depts.mkString(","),

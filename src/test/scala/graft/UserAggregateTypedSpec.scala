@@ -43,6 +43,20 @@ class UserAggregateTypedSpec extends SparkSpec {
     assert(out.orderCheckoutEventCount === 2) // snapshot at ts=1300: A, B counted
   }
 
+  test("tie rule: qualifying event sharing the last checkout's ts is counted") {
+    // same-timestamp pin (ADVICE r2): the snapshot is "qualifying events
+    // with ts <= last checkout ts", shared with the declarative sessionize
+    // and CustomStateSessionizer — NOT a running count at the checkout's
+    // sort position
+    val out = run(Seq(
+      ce(4, 1000, "browse", "A"),
+      ce(4, 1300, "order_checkout", "N/A"),
+      ce(4, 1300, "browse", "B"),
+      ce(4, 1400, "browse", "C")))(4)
+    assert(out.eventCount === 3)
+    assert(out.orderCheckoutEventCount === 2) // A and the tied B; not C
+  }
+
   test("non-qualifying noise ignored; arrival order irrelevant (replay sorts)") {
     val events = Seq(
       ce(3, 1400, "browse", null),

@@ -48,6 +48,21 @@ class CustomStateSessionizerSpec extends SparkSpec {
       (2L, 0L, 0L, "", 1000L, 2000L)))
   }
 
+  test("tie rule: qualifying event sharing the last checkout's ts is counted") {
+    import CustomStateSessionizer.{finish, Ev}
+    def ev(t: Long, et: String, pt: String) = Ev(1, new java.sql.Timestamp(t), et, pt)
+    // the browse at ts=1300 shares the checkout's timestamp: it must be in
+    // the snapshot regardless of buffer order (ADVICE r2 pin, shared with
+    // UserAggregateTyped)
+    val s = finish(List(
+      ev(1000, "browse", "A"),
+      ev(1300, "order_checkout", "N/A"),
+      ev(1300, "browse", "B"),
+      ev(1400, "browse", "C")), gapMs = 1000L)
+    assert(s.event_count === 3L)
+    assert(s.checkout_event_count === 2L) // A and the tied B; not C
+  }
+
   test("split: strict gap rule (delta >= gap starts a new session)") {
     import CustomStateSessionizer.{split, Ev}
     def ev(t: Long) = Ev(1, new java.sql.Timestamp(t), "a", "A")
