@@ -29,6 +29,62 @@ class AvroClickEventsSpec extends SparkSpec {
     assert(got === fixture.toSet)
   }
 
+  test("registry framing auto-detected: plain Glue, zlib Glue, Confluent, bare") {
+    val wire =
+      fixture.map(e => AvroClickEvents.gsrFrame(AvroClickEvents.encode(e))) ++
+        fixture.map(e => AvroClickEvents.gsrFrame(AvroClickEvents.encode(e), compress = true)) ++
+        fixture.map(e => Array[Byte](0, 0, 0, 0, 1) ++ AvroClickEvents.encode(e)) ++
+        fixture.map(AvroClickEvents.encode)
+    val got = AvroClickEvents.decode(spark, wire.toDF("value")).collect()
+    assert(got.length === fixture.length * 4)
+    assert(got.toSet === fixture.toSet)
+  }
+
+  test("app wiring: Glue-framed Avro bytes drive all three pipelines") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = ClickstreamApp.Config(bootstrapServers = "unused")
+    val input = MemoryStream[Array[Byte]]
+    val events = ClickstreamApp.decodeEvents(spark, input.toDF(), cfg)
+    val queries = ClickstreamApp.pipelines(events, cfg).toSeq.map { case (name, df) =>
+      df.writeStream.format("memory").queryName(s"app_$name").outputMode("append").start()
+    }
+    // mix compressed and uncompressed envelopes on one topic
+    def feed(evs: ClickEvent*): Unit = {
+      input.addData(evs.map(e =>
+        AvroClickEvents.gsrFrame(AvroClickEvents.encode(e), compress = e.userid % 2 == 0)))
+      queries.foreach(_.processAllAvailable())
+    }
+    try {
+      feed(
+        ClickEvent("ip", 1000L, "w", "browse", "Kitchen", 1, 1L, 0L),
+        ClickEvent("ip", 1100L, "w", "browse", "Garden", 1, 2L, 1L),
+        ClickEvent("ip", 1300L, "w", "order_checkout", "N/A", 1, 3L, 2L),
+        ClickEvent("ip", 1500L, "w", "browse", "Books", 2, 4L, 3L))
+      // watermark advancers: close the sessions, then the KPI windows
+      feed(ClickEvent("ip", 10_000_000L, "w", "browse", "N/A", 99, 5L, 0L))
+      feed(ClickEvent("ip", 20_000_000L, "w", "browse", "N/A", 99, 6L, 0L))
+      feed(ClickEvent("ip", 30_000_000L, "w", "browse", "N/A", 99, 7L, 0L))
+    } finally queries.foreach(_.stop())
+    val buys = spark.table("app_buy_sessions").as[String].collect().toList
+    assert(buys === List(
+      """{"userId":1,"eventCount":2,"orderCheckoutEventCount":2,""" +
+        """"deptList":["Garden","Kitchen"],"eventKey":1,"windowBeginTime":1000,"windowEndTime":2300}"""))
+    val kpis = spark.table("app_user_kpis").as[String].collect()
+      .filter(_.contains("\"windowBeginTime\":0,")).toList
+    assert(kpis === List(
+      """{"userSessionCount":2,"userSessionCountWithOrderCheckout":1,""" +
+        """"percentSessionswithBuy":50.0,"windowBeginTime":0,"windowEndTime":10000}"""))
+    val depts = spark.table("app_departments")
+      .as[(String, String)].collect().toSet
+    assert(depts === Set(
+      ("""{"department":"Books"}""",
+        """{"departmentName":"Books","departmentCount":1,"windowBeginTime":0,"windowEndTime":10000}"""),
+      ("""{"department":"Garden"}""",
+        """{"departmentName":"Garden","departmentCount":1,"windowBeginTime":0,"windowEndTime":10000}"""),
+      ("""{"department":"Kitchen"}""",
+        """{"departmentName":"Kitchen","departmentCount":1,"windowBeginTime":0,"windowEndTime":10000}""")))
+  }
+
   test("streaming decode feeds the sessionizer end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Array[Byte]]
