@@ -180,6 +180,89 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((31L, "gold", "Kitchen"), (32L, "basic", "Garden")))
   }
 
+  test("stream-stream interval join: statuses within the bound, state GC'd") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    val statuses = MemoryStream[(Long, Long, String)] // (user_id, ts_ms, status)
+    val p = purchases.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val s = statuses.toDF().toDF("user_id", "status_ts_ms", "status")
+      .withColumn("ts", timestamp_millis(col("status_ts_ms")))
+    val joined = ClickstreamStreams.intervalJoin(p, s, bound = "5 seconds")
+      .select(col("l.user_id"), col("ts_ms"), col("status"), col("status_ts_ms"))
+    val q = joined.writeStream.format("memory").queryName("s_ssjoin")
+      .outputMode("append").start()
+    try {
+      statuses.addData(
+        (1L, 8_000L, "signup"), // within 5 s of u1's purchase
+        (1L, 2_000L, "error"),  // outside the bound → no pair
+        (2L, 9_000L, "signup")) // same instant as u2's purchase → inclusive
+      purchases.addData((1L, 10_000L), (2L, 9_000L))
+      q.processAllAvailable()
+      // advance both watermarks so join state is evictable
+      purchases.addData((99L, 10_000_000L))
+      statuses.addData((98L, 10_000_000L, "noise"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("s_ssjoin")
+      .filter(col("user_id").isin(1, 2))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(rows === Set(
+      (1L, 10_000L, "signup", 8_000L),
+      (2L, 9_000L, "signup", 9_000L)))
+  }
+
+  test("checkpoint recovery: restart loses no state, duplicates no output") {
+    val root = java.nio.file.Files.createTempDirectory("ckpt_recovery")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "ip STRING, eventtimestamp BIGINT, devicetype STRING, " +
+      "event_type STRING, product_type STRING, userid INT, globalseq BIGINT, prevglobalseq BIGINT"
+    def jline(e: CE): String = {
+      def q(s: String) = if (s == null) "null" else s""""$s""""
+      s"""{"ip":${q(e.ip)},"eventtimestamp":${e.eventtimestamp},"devicetype":${q(e.devicetype)},""" +
+        s""""event_type":${q(e.event_type)},"product_type":${q(e.product_type)},""" +
+        s""""userid":${e.userid},"globalseq":${e.globalseq},"prevglobalseq":${e.prevglobalseq}}"""
+    }
+    def writeBatch(name: String, evs: Seq[CE]): Unit =
+      java.nio.file.Files.writeString(inDir.resolve(name), evs.map(jline).mkString("\n"))
+    // each call is a brand-new query instance — offsets, watermark, and
+    // session state all come from the checkpoint (the Spark analog of the
+    // reference's enableCheckpointing guarantee, ClickstreamProcessor.java:70-72)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).json(inDir.toString)
+      val q = ClickstreamStreams.fileSink(
+        ClickstreamStreams.clickEventSessions(src).drop("session_window"),
+        outDir, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // u5's session is still OPEN at the first shutdown (its window end
+    // 10_000_800 is past the 10_000_000 watermark); u1's is closed+emitted
+    writeBatch("b1.json", Seq(
+      ce(1, 1000L, "browse", "Kitchen"),
+      ce(1, 1300L, "order_checkout", "N/A"),
+      ce(5, 9_999_800L, "browse", "Gadgets"),
+      ce(99, 10_000_000L, "browse", "N/A")))
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir)
+      .select("user_id").as[Long].collect().toList
+    assert(afterFirst === List(1L), "only u1's closed session before restart")
+    // after restart: u5's new event merges into the RECOVERED open session
+    writeBatch("b2.json", Seq(
+      ce(5, 10_000_500L, "browse", "Gizmos"),
+      ce(99, 20_000_000L, "browse", "N/A")))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_count", "checkout_event_count", "dept_list",
+        "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1L, "Kitchen", 1000L, 2300L), // not re-emitted (no duplicates)
+      (5L, 2L, 0L, "Gadgets,Gizmos", 9_999_800L, 10_001_500L), // merged across restart
+      (99L, 0L, 0L, "", 10_000_000L, 10_001_000L)))
+  }
+
   test("JSON sink encoding matches the reference's Gson field order") {
     val out = runStream(
       Seq(Seq(
