@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   * Tie rule: a right row at exactly left.ts IS visible (inclusive match,
   * right sorts before left at equal timestamps) — the same convention as
   * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`, which the oracle uses.
+  * Two RIGHT rows at the same (key, ts) resolve to ONE of them atomically
+  * (which one is input-order dependent — the same unspecified-among-ties
+  * behavior as native ASOF implementations).
   */
 object AsOfJoin {
 
   /** @param left      left side; must carry `key`, `tsCol`
     * @param right     right side; must carry `key`, `tsCol`, and `payload`
     * @param payload   right columns carried into the result (latest as-of
-    *                  values; null when no right row precedes the left row)
+    *                  values; all null when no right row precedes the left
+    *                  row)
     */
   def asOfLeft(
       left: DataFrame,
@@ -34,25 +38,28 @@ object AsOfJoin {
       tsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // align schemas: left rows carry null payload slots, right rows carry
-    // null left-only slots
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))) { (df, p) =>
-      df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType))
-    }
-    val r0 = right.select((Seq(key, tsCol) ++ payload).map(col): _*)
+    // All payload columns ride in ONE struct carried by a single
+    // last(ignoreNulls) — values stay row-atomic (no mixing columns from
+    // different right rows at tied timestamps), and a NULL inside the
+    // struct is a real NULL payload value: it is carried forward as NULL
+    // rather than skipped for an older non-null value (ADVICE r2). Only a
+    // wholly-null struct (= a left row's slot) is skipped by ignoreNulls.
+    val pType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pType))
+    val r0 = right.select(
+      Seq(key, tsCol).map(col) :+ struct(payload.map(col): _*).as("__p"): _*)
     val r = leftCols.filterNot(Seq(key, tsCol).contains)
       .foldLeft(r0.withColumn("__side", lit(0))) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-      .withColumnsRenamed(payload.map(p => p -> s"__p_$p").toMap)
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

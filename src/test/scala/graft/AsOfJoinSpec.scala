@@ -19,4 +19,31 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 200L, "p2", "y"), // latest prior wins
       (2L, 50L, "p3", null))) // no right row for key 2
   }
+
+  test("NULL payload value on the latest right row is carried as NULL") {
+    // the most recent status has a null note: the result must show the
+    // null, NOT fall back to the older row's non-null note (ADVICE r2)
+    val left = Seq((1L, 300L, "p")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 100L, Some("old-note"), "a"),
+      (1L, 200L, None: Option[String], "b"))
+      .toDF("k", "ts", "note", "tag")
+    val got = AsOfJoin.asOfLeft(left, right, "k", "ts", Seq("note", "tag"))
+      .as[(Long, Long, String, Option[String], String)].collect().toList
+    assert(got === List((1L, 300L, "p", None, "b")))
+  }
+
+  test("payload columns are row-atomic (never mixed across right rows)") {
+    val left = Seq((1L, 500L, "p")).toDF("k", "ts", "lv")
+    // two right rows; the carried (status, status_ts) pair must come from
+    // ONE row — a per-column carry could mix ("new", 100) if the newer
+    // row had a null status
+    val right = Seq(
+      (1L, 100L, Some("old"), 100L),
+      (1L, 400L, None: Option[String], 400L))
+      .toDF("k", "ts", "status", "src_ts")
+    val got = AsOfJoin.asOfLeft(left, right, "k", "ts", Seq("status", "src_ts"))
+      .as[(Long, Long, String, Option[String], Long)].collect().toList
+    assert(got === List((1L, 500L, "p", None, 400L)))
+  }
 }
