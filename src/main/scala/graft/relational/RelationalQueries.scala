@@ -189,7 +189,128 @@ object RelationalQueries {
         row_number().over(byUser).cast("long").as("purchase_seq"))
   }
 
+  /** TPC-H Q6 analog: forecasting revenue change — the canonical
+    * scan-filter-aggregate. Every predicate sits on scan columns
+    * (PushedFilters), output is one row.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14 analog: promo revenue share for one shipping month. The
+    * ratio is computed from the two ROUNDED sums so it is bit-stable
+    * across engines and summation orders.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val promoRev = round(
+      sum(when(col("p_type") === "PROMO",
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 2)
+    val totalRev = round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(promoRev.as("promo_revenue"), totalRev.as("total_revenue"))
+      .select(
+        col("promo_revenue"),
+        col("total_revenue"),
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4).as("promo_pct"))
+  }
+
+  /** TPC-H Q16 analog: supplier counts per part (brand, type, size),
+    * using lineitem as the part↔supplier relation (no partsupp table in
+    * this schema) and excluding flagged suppliers (negative balance) with
+    * an anti-join — Q16's NOT IN subquery shape.
+    */
+  def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    pairs
+      .join(
+        broadcast(Tables.part(spark, dir).filter(col("p_type") =!= "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 analog: small-quantity-order revenue. The per-part average
+    * is exact in both engines (quantities are integer-valued doubles, so
+    * the sum is exact and the divide is a single operation), making the
+    * threshold comparison engine-stable. The per-part aggregate is
+    * broadcast back against the fact table — O(|part|) rows.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(perPart), col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18 analog: large-volume orders (sum of quantities over a
+    * threshold), customer broadcast; the HAVING runs on the already
+    * aggregated per-order rows before any join.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 230)
+    bigOrders
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** TPC-H Q22 analog: well-funded customers gone quiet (no orders since
+    * 2001). The account-balance threshold is computed on exact integer
+    * cents (round(bal*100)) so the average and the comparison are
+    * bit-identical across engines; "gone quiet" is a left-anti join
+    * (Q22's NOT EXISTS) against the recent-order window.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+    val avgCents = cust.filter(col("bal_cents") > 0)
+      .agg(avg(col("bal_cents")).as("avg_cents"))
+    cust
+      .join(broadcast(avgCents))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> ((s, d) => q6Forecast(s, d)),
+    "q14_promo_revenue" -> ((s, d) => q14PromoRevenue(s, d)),
+    "q16_parts_suppliers" -> ((s, d) => q16PartsSuppliers(s, d)),
+    "q17_small_quantity" -> ((s, d) => q17SmallQuantity(s, d)),
+    "q18_large_orders" -> ((s, d) => q18LargeOrders(s, d)),
+    "q22_idle_rich" -> ((s, d) => q22IdleRich(s, d)),
     "q7_volume_shipping" -> ((s, d) => q7VolumeShipping(s, d)),
     "q10_returned_items" -> ((s, d) => q10ReturnedItems(s, d)),
     "running_spend" -> ((s, d) => runningSpend(s, d)),
@@ -203,6 +324,67 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH s AS (
+        |  SELECT
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00'
+        |)
+        |SELECT promo_revenue, total_revenue,
+        |       round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
+        |FROM s""".stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS avg_partkey,
+        |             sum(l_quantity) / count(*) AS avg_qty
+        |      FROM lineitem GROUP BY 1) pp
+        |  ON l_partkey = avg_partkey
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |       o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 230) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT *, round(c_acctbal * 100)::BIGINT AS bal_cents FROM customer
+        |), t AS (
+        |  SELECT avg(bal_cents) AS avg_cents FROM c WHERE bal_cents > 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM c, t
+        |WHERE bal_cents > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate)::BIGINT AS l_year,

@@ -36,6 +36,32 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts in:\n$plan")
   }
 
+  test("q6: predicates pushed to the parquet scan, 4-column read schema") {
+    val plan = planOf(RelationalQueries.q6Forecast(spark, dir))
+    // the PushedFilters list is truncated in toString; the leading entries
+    // plus the pruned ReadSchema pin the scan shape
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"missing filter pushdown in:\n$plan")
+    assert(
+      plan.contains(
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"column pruning failed in:\n$plan")
+  }
+
+  test("q16: anti-join for flagged suppliers, part dimension broadcast") {
+    val plan = planOf(RelationalQueries.q16PartsSuppliers(spark, dir))
+    assert(plan.contains("LeftAnti"), s"expected anti-join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast part join in:\n$plan")
+  }
+
+  test("q18: HAVING filters aggregated orders before any join") {
+    val plan = planOf(RelationalQueries.q18LargeOrders(spark, dir))
+    // the threshold filter must sit above the per-order aggregate, not
+    // above the join output (pre-join reduction is the point of the shape)
+    val aggIdx = plan.indexOf("Filter (total_qty")
+    assert(aggIdx >= 0 || plan.contains("(total_qty#"), s"missing total_qty filter in:\n$plan")
+  }
+
   test("sessionize: exactly one exchange on user_id feeds the window sort") {
     val plan = planOf(Clickstream.sessionize(Tables.events(spark, dir)))
     // gap-island sessionization = shuffle by user, sort, window, then the
