@@ -115,8 +115,10 @@ object TextAnalysis {
     * Shape at scale: one explode + two hash aggregates + a broadcast of
     * the (tiny) per-term df table + one window over doc_id.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
-    val n = docs.count() // corpus size: one tiny job, the classic IDF constant
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, corpusSize: Option[Long] = None): DataFrame = {
+    // corpus size: one tiny job, the classic IDF constant (callers that
+    // already know N pass it in so the count job runs once)
+    val n = corpusSize.getOrElse(docs.count())
     val terms = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
@@ -134,6 +136,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("term_rank"))
   }
 
+  /** Pairwise document similarity: cosine over the top-k TF-IDF term
+    * vectors — the document-level near-dup/clustering signal a training
+    * pipeline derives from [[tfidfTopTerms]].
+    *
+    * Shape at scale: a posting-list join on shared top-terms (the sparse
+    * dot product — only pairs sharing ≥1 top term are ever scored), with
+    * terms that are top-terms in more than `maxTermDfFraction` of the
+    * corpus dropped from the join: they are the low-IDF mass whose
+    * posting lists go quadratic, and they contribute least to high-cosine
+    * pairs. Norms are computed on the UNCAPPED vectors so the cosine
+    * stays honest; the cap only limits which pairs become candidates.
+    *
+    * Scores are quantized to integer ten-thousandths (tfidf is already
+    * rounded to 4dp) so dots and norms are exact integer sums —
+    * bit-identical across engines and summation orders.
+    */
+  def tfidfDocSimilarity(
+      docs: DataFrame,
+      k: Int = 5,
+      threshold: Double = 0.8,
+      maxTermDfFraction: Double = 0.05): DataFrame = {
+    val n = docs.count()
+    val cap = math.ceil(maxTermDfFraction * n).toLong
+    val top = tfidfTopTerms(docs, k, corpusSize = Some(n))
+      .select(col("doc_id"), col("term"), round(col("tfidf") * 10000).cast("long").as("q"))
+    val norms = top.groupBy(col("doc_id")).agg(sum(col("q") * col("q")).as("norm2"))
+    val rare = top.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+      .filter(col("term_df") <= cap).select(col("term"))
+    val topf = top.join(rare, "term")
+    val dots = topf.as("a")
+      .join(topf.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(
+        sum(col("a.q") * col("b.q")).as("dot"),
+        count(lit(1)).as("n_common_terms"))
+    dots
+      .join(norms.as("na"), col("doc_id_1") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_id_2") === col("nb.doc_id"))
+      .select(
+        col("doc_id_1"),
+        col("doc_id_2"),
+        col("n_common_terms"),
+        round(
+          col("dot").cast("double") /
+            (sqrt(col("na.norm2").cast("double")) * sqrt(col("nb.norm2").cast("double"))),
+          6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Deterministic train/valid/test assignment: a content-free hash of the
     * doc id buckets 0-99 → 80/10/10. Replays identically on any engine and
     * any run — the property a training pipeline needs from its splitter.
@@ -149,8 +201,31 @@ object TextAnalysis {
           .when(col("bucket") < 90, lit("valid"))
           .otherwise(lit("test")))
 
+  /** Deterministic stratified sampling: per-stratum (language) keep
+    * fractions applied through a content-free salted hash of the doc id —
+    * the downsample-the-dominant / upweight-the-rare rebalancing step of
+    * a training-data pipeline. No RNG state: replays identically on any
+    * engine, any partitioning, any run, and composes with [[splitAssign]]
+    * (different hash salts → independent draws).
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      fractions: Map[String, Double] = Map("en" -> 0.1),
+      defaultFraction: Double = 0.5): DataFrame = {
+    val bucket = pmod(
+      Cols.hash60(concat(lit("sample:"), col("doc_id").cast("string"))), lit(1000L))
+    val keepBelow = fractions.foldLeft(lit((defaultFraction * 1000).toLong)) {
+      case (acc, (lang, f)) => when(col("lang") === lang, lit((f * 1000).toLong)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < keepBelow)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
+    "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
     "txt_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
@@ -189,6 +264,48 @@ object TextAnalysis {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE term_rank <= 5""".stripMargin,
+    "txt_tfidf_doc_sim" ->
+      s"""$tokCte, terms AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM t
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT doc_id, tf.term AS term,
+         |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4) AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term
+         |), ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+         |  FROM scored
+         |), top AS (
+         |  SELECT doc_id, term, round(tfidf * 10000)::BIGINT AS q FROM ranked WHERE rk <= 5
+         |), n2 AS (
+         |  SELECT doc_id, sum(q * q)::BIGINT AS norm2 FROM top GROUP BY doc_id
+         |), rare AS (
+         |  SELECT term FROM top GROUP BY term
+         |  HAVING count(*) <= ceil(0.05 * (SELECT count(*) FROM documents))
+         |), topf AS (
+         |  SELECT top.doc_id, top.term, top.q FROM top JOIN rare USING (term)
+         |), dots AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    sum(a.q * b.q)::BIGINT AS dot, count(*) AS n_common_terms
+         |  FROM topf a JOIN topf b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id_1, doc_id_2, n_common_terms,
+         |  round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) AS cosine
+         |FROM dots
+         |JOIN n2 na ON na.doc_id = doc_id_1
+         |JOIN n2 nb ON nb.doc_id = doc_id_2
+         |WHERE round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.8""".stripMargin,
+    "txt_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000
+        |      < CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
     "txt_split_assign" ->
       """SELECT doc_id,
         |  ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS bucket,

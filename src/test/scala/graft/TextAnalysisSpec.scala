@@ -39,6 +39,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r === Set((1L, "rare1", 1L), (1L, "shared", 2L), (2L, "rare2", 1L), (2L, "shared", 2L)))
   }
 
+  test("tf-idf doc similarity: identical docs → cosine 1.0, disjoint absent") {
+    val a = "zebra quagga okapi tapir bongo dikdik"
+    val b = "entirely different words about database query engines"
+    val got = TextAnalysis.tfidfDocSimilarity(
+      docs((1L, a), (2L, a), (3L, b)), threshold = 0.9,
+      maxTermDfFraction = 1.0) // tiny fixture: df-cap off (cap < 1 doc otherwise)
+      .select("doc_id_1", "doc_id_2", "cosine")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got === List((1L, 2L, 1.0)))
+  }
+
+  test("tf-idf doc similarity: corpus-dominant terms are capped out of the join") {
+    // "common" is a top term of every doc (df = 4 > ceil(0.05*4)=1), so it
+    // alone cannot make a candidate pair; docs sharing only it produce no row
+    val got = TextAnalysis.tfidfDocSimilarity(
+      docs(
+        (1L, "common alpha beta"),
+        (2L, "common gamma delta"),
+        (3L, "common epsilon zeta"),
+        (4L, "common eta theta")),
+      threshold = 0.0)
+    assert(got.count() === 0L)
+  }
+
+  test("stratified sample: per-stratum fractions, deterministic replay") {
+    val rows = (1L to 500L).map(i => (i, s"text $i", if (i % 2 == 0) "en" else "xx"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val sampled = TextAnalysis.stratifiedSample(df)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // en keeps ~10% of 250, xx keeps ~50% of 250 — loose bands, exact replay
+    assert(sampled("en") > 10 && sampled("en") < 50)
+    assert(sampled("xx") > 90 && sampled("xx") < 160)
+    val again = TextAnalysis.stratifiedSample(df)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(again === sampled)
+  }
+
   test("split assignment: deterministic, complete, roughly 80/10/10") {
     val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
     val splits = TextAnalysis.splitAssign(docs(ids: _*))

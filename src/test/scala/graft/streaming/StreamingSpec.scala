@@ -263,6 +263,31 @@ class StreamingSpec extends SparkSpec {
       (99L, 0L, 0L, "", 10_000_000L, 10_001_000L)))
   }
 
+  test("RocksDB state store runs the session pipeline (the large-state path)") {
+    // on a real cluster session state lives off-heap in RocksDB, not on
+    // the executor heap — same results, different state backend
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(
+        Seq(Seq(
+          ce(41, 1000L, "browse", "Kitchen"),
+          ce(41, 1300L, "order_checkout", "N/A"))),
+        "s_rocksdb")(df => ClickstreamStreams.clickEventSessions(df).drop("session_window"))
+      val rows = out.filter(col("user_id") === 41)
+        .select("event_count", "checkout_event_count", "dept_list")
+        .as[(Long, Long, String)].collect().toList
+      assert(rows === List((1L, 1L, "Kitchen")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("JSON sink encoding matches the reference's Gson field order") {
     val out = runStream(
       Seq(Seq(
