@@ -15,6 +15,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === 6) // ö is 2 bytes in UTF-8 — byte length, not char length
   }
 
+  test("real PPM codec: exact dimensions and mean pixel from genuine bytes") {
+    // 2x1 P6 image, maxval 255, pixels (10,20,30) and (40,50,60)
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60)
+    val media = Seq((7L, "image", header ++ pixels))
+      .toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeMedia(spark, media).collect().head
+    assert(d.format === "ppm")
+    assert(d.width === 2L && d.height === 1L && d.channels === 3L)
+    assert(d.n_frames === 1L)
+    assert(d.mean_value === (10 + 20 + 30 + 40 + 50 + 60) / 6.0)
+  }
+
+  test("real WAV codec: fmt-chunk fields and 16-bit sample mean") {
+    // minimal PCM WAV: mono, 8000 Hz, 16-bit, 4 samples {100, -100, 300, 500}
+    val samples = Seq[Short](100, -100, 300, 500)
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // channels
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val media = Seq((8L, "audio", bb.array())).toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeMedia(spark, media).collect().head
+    assert(d.format === "wav")
+    assert(d.channels === 1L && d.sample_rate === 8000L)
+    assert(d.n_frames === 4L)
+    assert(d.mean_value === (100 - 100 + 300 + 500) / 4.0)
+  }
+
+  test("unknown payloads fall back to the stub tier in the same schema") {
+    val media = Seq((9L, "image", "not media bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeMedia(spark, media).collect().head
+    assert(d.format === "stub")
+    assert(d.mean_value === 15.0) // stub feature: payload byte count
+  }
+
   test("decode stub: deterministic features from payload bytes") {
     val docs = Seq((3L, "x" * 100)).toDF("doc_id", "text")
     val f = Multimodal.decodeFeatures(spark, Multimodal.asMediaRecords(docs)).collect().head
