@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.{AsOfJoin, Clickstream}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty inputs, single rows, and
+  * all-filtered-out cases must produce empty/correct results, not throw —
+  * at 100 TB some partition or day WILL be empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvents: DataFrame =
+    Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("sessionize on an empty frame returns an empty frame") {
+    assert(Clickstream.sessionize(emptyEvents).count() === 0L)
+    assert(Clickstream.sessionizeTyped(emptyEvents).count() === 0L)
+  }
+
+  test("single-event session: window is [ts, ts+gap), zero checkout count") {
+    val one = Seq((1L, 10L, "browse", 1000L, 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val s = Clickstream.sessionize(one)
+      .select("event_count", "checkout_event_count", "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s === ((1L, 0L, 1000L, 1000L + Clickstream.DefaultGapMs)))
+  }
+
+  test("dedup operators on empty docs return empty, not errors") {
+    assert(Dedup.exact(emptyDocs).count() === 0L)
+    assert(Dedup.ngramJaccard(emptyDocs).count() === 0L)
+    assert(Dedup.minhashLsh(emptyDocs).count() === 0L)
+    assert(Dedup.simhash(emptyDocs).count() === 0L)
+  }
+
+  test("doc shorter than the shingle width yields no shingles but valid stats") {
+    val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(tiny).count() === 0L) // no 3-gram shingles
+    val st = TextAnalysis.docStats(tiny).select("n_tokens").as[Long].collect().head
+    assert(st === 2L)
+  }
+
+  test("as-of join with an empty right side keeps every left row, null payload") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "ts", "lv")
+    val right = Seq.empty[(Long, Long, String)].toDF("k", "ts", "rv")
+    val got = AsOfJoin.asOfLeft(left, right, "k", "ts", Seq("rv"))
+      .as[(Long, Long, String, Option[String])].collect().toList
+    assert(got === List((1L, 100L, "p", None)))
+  }
+
+  test("stratified sample and split of empty docs are empty") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.stratifiedSample(docs).count() === 0L)
+    assert(TextAnalysis.splitAssign(docs).count() === 0L)
+  }
+}

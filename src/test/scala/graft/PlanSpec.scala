@@ -62,6 +62,26 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0 || plan.contains("(total_qty#"), s"missing total_qty filter in:\n$plan")
   }
 
+  test("LSH scale paths contain no nested-loop join; the all-pairs baseline does") {
+    val emb = Tables.embeddings(spark, dir)
+    val lshDedup = planOf(graft.dedup.Dedup.embeddingNearDupsLsh(emb))
+    assert(!lshDedup.contains("BroadcastNestedLoopJoin") && !lshDedup.contains("CartesianProduct"),
+      s"LSH dedup degenerated to all-pairs:\n$lshDedup")
+    val lshAnn = planOf(graft.sim.Similarity.lshTopK(spark, emb))
+    assert(!lshAnn.contains("BroadcastNestedLoopJoin") && !lshAnn.contains("CartesianProduct"),
+      s"LSH ANN degenerated to all-pairs:\n$lshAnn")
+    // sanity that the assertion bites: the declared baseline IS all-pairs
+    val brute = planOf(graft.dedup.Dedup.embeddingNearDups(emb))
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("CartesianProduct"),
+      s"expected the baseline to be a pair scan:\n$brute")
+  }
+
+  test("tf-idf doc similarity joins on term posting lists (hash join, no loops)") {
+    val plan = planOf(graft.text.TextAnalysis.tfidfDocSimilarity(Tables.documents(spark, dir)))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"doc-sim join degenerated:\n$plan")
+  }
+
   test("sessionize: exactly one exchange on user_id feeds the window sort") {
     val plan = planOf(Clickstream.sessionize(Tables.events(spark, dir)))
     // gap-island sessionization = shuffle by user, sort, window, then the
