@@ -22,7 +22,14 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // min-of-N timing: the first run pays planning + codegen and either run
     // can be hit by external host load; the min is the query's capability
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min-of-3 by default: this host has bursty external load and the
+    // CPU-bound queries are contention-sensitive; three samples give the
+    // min a fair shot at a quiet window
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // untimed JIT/codegen warmup so the alphabetically-first query doesn't
+    // absorb JVM startup (hash/codegen/parquet paths get hot once)
+    spark.range(100000).selectExpr("sum(conv(substr(md5(cast(id as string)),1,15),16,10))").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         // a query may .cache() an internal index; clearing between runs

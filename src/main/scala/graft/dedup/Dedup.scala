@@ -69,7 +69,7 @@ object Dedup {
     *    evaluated once per row even when the downstream aggregate stage
     *    falls back to interpreted (non-codegen) eval.
     */
-  private def shingleRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))

@@ -101,11 +101,18 @@ object TextAnalysis {
     * near-identical shingle sets with high probability; used as a cheap
     * near-dup blocking key at scale.
     */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      array_min(transform(Cols.shingles(col("text"), 3), s => Cols.hash60(s)))
-        .as("fingerprint"))
+  def fingerprint(docs: DataFrame): DataFrame = {
+    // explode + group-min instead of array_min(transform(...)): the
+    // per-element lambda evaluates md5 interpreted (no codegen inside
+    // array HOFs), while the exploded scalar hash is codegen'd — ~3x
+    // faster at sf0.1 for the identical result. The left join keeps
+    // sub-shingle-width docs as null-fingerprint rows (oracle parity
+    // with list_min of an empty list).
+    val mins = graft.dedup.Dedup.shingleRows(docs)
+      .groupBy(col("doc_id"))
+      .agg(min(Cols.hash60(col("shingle"))).as("fingerprint"))
+    docs.select(col("doc_id")).join(mins, Seq("doc_id"), "left")
+  }
 
   /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
     * ln(N/df) over the corpus, top-k by rounded score with alphabetical
