@@ -82,6 +82,30 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value", saltFactor = 8)
         .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))),
+    // exact percentiles (sort-based interpolation — same formula as
+    // DuckDB's quantile_cont, so it oracles exactly unlike the
+    // approx_percentile sketch)
+    "ev_value_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+    // pivot: event-type counts as columns, one row per user bucket
+    // (explicit value list keeps the schema static — the scalable pivot;
+    // value discovery would need an extra pass and a dynamic schema)
+    "ev_type_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      Tables.events(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(
+          col("user_bucket") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
     // the Spark-native session_window operator (the streaming path) run in
     // batch mode — same oracle semantics as the gap-island formulation,
     // proving the two sessionizers agree
@@ -171,6 +195,20 @@ object SparkEntry {
     "ev_salted_value_sum" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "ev_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "ev_type_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
     "ev_asof_status" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value

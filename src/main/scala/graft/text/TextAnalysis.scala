@@ -166,6 +166,10 @@ object TextAnalysis {
       maxTermDfFraction: Double = 0.05): DataFrame = {
     val n = docs.count()
     val cap = math.ceil(maxTermDfFraction * n).toLong
+    // the top-terms index (k small rows per doc) feeds norms, the df-cap,
+    // and both join sides; recompute beats cache() at bench scale (cache
+    // materialization serializes the branches), and at 100 TB you'd
+    // persist this index to storage rather than executor memory anyway
     val top = tfidfTopTerms(docs, k, corpusSize = Some(n))
       .select(col("doc_id"), col("term"), round(col("tfidf") * 10000).cast("long").as("q"))
     val norms = top.groupBy(col("doc_id")).agg(sum(col("q") * col("q")).as("norm2"))
