@@ -68,6 +68,20 @@ class ClickstreamPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: declarative and typed-Aggregator sessionizers agree on random streams") {
+    // random ts in a small range forces same-timestamp ties, exercising
+    // the shared inclusive checkout tie rule (ADVICE r2)
+    def canon(d: DataFrame) = d
+      .select("user_id", "session_seq", "event_count", "checkout_event_count",
+        "dept_list", "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, Long, String, Long, Long)].collect().toSet
+    samples(12).foreach { rows =>
+      assert(
+        canon(Clickstream.sessionize(df(rows), Gap)) ===
+          canon(Clickstream.sessionizeTyped(df(rows), Gap)))
+    }
+  }
+
   test("invariant: input arrival order never changes session results") {
     samples(8).foreach { rows =>
       def run(rs: List[(Long, Long, String)]) =
