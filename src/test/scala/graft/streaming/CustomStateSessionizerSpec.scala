@@ -48,6 +48,42 @@ class CustomStateSessionizerSpec extends SparkSpec {
       (2L, 0L, 0L, "", 1000L, 2000L)))
   }
 
+  test("custom-state sessionizer replays real sf0.001 events identically to batch") {
+    import graft.ops.Clickstream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._1)).toList
+    // map onto the ClickEvent semantics the same way sessionizeTyped does:
+    // purchase plays order_checkout (non-qualifying), others are departments
+    val input = MemoryStream[(Long, Long, String, String)]
+    val stream = input.toDF().toDF("user_id", "ts_ms", "event_type", "product_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = CustomStateSessionizer
+      .sessions(spark, stream, gapMs = Clickstream.DefaultGapMs)
+      .writeStream.format("memory").queryName("cs_state_real").outputMode("append").start()
+    try {
+      input.addData(ev.map { case (u, t, et) =>
+        if (et == "purchase") (u, t, "order_checkout", "N/A") else (u, t, et, et)
+      })
+      q.processAllAvailable()
+      // flush: advance the watermark far past every real session
+      input.addData((999999L, ev.map(_._2).max + 100L * Clickstream.DefaultGapMs, "browse", "N/A"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cs_state_real")
+      .filter(col("user_id") =!= 999999L)
+      .select("user_id", "event_count", "checkout_event_count", "dept_list",
+        "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSet
+    val batch = Clickstream.sessionize(graft.Tables.events(spark, dir))
+      .select("user_id", "event_count", "checkout_event_count", "dept_list",
+        "win_begin_ms", "win_end_ms")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("tie rule: qualifying event sharing the last checkout's ts is counted") {
     import CustomStateSessionizer.{finish, Ev}
     def ev(t: Long, et: String, pt: String) = Ev(1, new java.sql.Timestamp(t), et, pt)
