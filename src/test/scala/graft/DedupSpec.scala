@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty) // same-direction pairs collide in at least one table
   }
 
+  test("simhash pairs: pigeonhole bucketing equals all-pairs Hamming filter") {
+    // identical token sets → Hamming 0 (with few tokens per doc, even one
+    // extra token flips many majority bits, so "near" needs identical sets)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = docs(
+      (1L, base),
+      (2L, base + " alpha beta"), // same DISTINCT token set → same signature
+      (3L, "utterly disjoint vocabulary everywhere around here tonight folks"))
+    val bucketed = Dedup.simhashNearDups(rows, maxHamming = 3)
+      .select("doc_id_1", "doc_id_2", "hamming").as[(Long, Long, Long)].collect().toSet
+    // the ground truth, computed the quadratic way
+    val sigs = Dedup.simhash(rows).as[(Long, Long)].collect().toMap
+    val allPairs = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(bucketed === allPairs)
+    assert(bucketed.exists { case (a, b, _) => a == 1L && b == 2L }) // the planted pair found
+  }
+
   test("embedding near-dups: parallel vectors → cosine 1.0") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
