@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Engine-native function registrations (the SparkSessionExtensions-style
   * surface, applied directly to the session's function registry so it also
@@ -19,6 +20,19 @@ object GraftFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"graft_long_dot expects 2 arguments, got ${other.length}")
+    },
+    // the engine's deterministic 60-bit hash (Cols.hash60) as a SQL
+    // function — built from codegen'd built-ins, no UDF
+    "graft_hash60" -> {
+      case Seq(s) =>
+        Cast(
+          Conv(
+            Substring(Md5(Cast(s, BinaryType)), Literal(1), Literal(15)),
+            Literal(16), Literal(10)),
+          LongType)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_hash60 expects 1 argument, got ${other.length}")
     }
   )
 

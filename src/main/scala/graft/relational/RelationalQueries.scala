@@ -170,6 +170,18 @@ object RelationalQueries {
     all.except(active)
   }
 
+  /** Set operation: suppliers who shipped in both 2000 and 2001
+    * (INTERSECT distinct) — the companion to [[idleSuppliers]]' EXCEPT.
+    */
+  def retainedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(year: Int) = Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("l_suppkey").as("s_suppkey"))
+    activeIn(2000).intersect(activeIn(2001))
+  }
+
   /** Analytic window frames: per-user running spend and a 3-event moving
     * average over the event stream (ROWS frames with deterministic
     * ordering). One shuffle on user_id; frames evaluate in the sorted
@@ -316,6 +328,7 @@ object RelationalQueries {
     "running_spend" -> ((s, d) => runningSpend(s, d)),
     "rollup_pricing" -> ((s, d) => rollupPricing(s, d)),
     "except_idle_suppliers" -> ((s, d) => idleSuppliers(s, d)),
+    "intersect_retained_suppliers" -> ((s, d) => retainedSuppliers(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => q5LocalSupplier(s, d)),
@@ -427,6 +440,14 @@ object RelationalQueries {
         |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "intersect_retained_suppliers" ->
+      """SELECT l_suppkey AS s_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |INTERSECT
+        |SELECT l_suppkey AS s_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'""".stripMargin,
     "except_idle_suppliers" ->
       """SELECT s_suppkey FROM supplier
         |EXCEPT

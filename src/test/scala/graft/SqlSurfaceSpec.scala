@@ -36,4 +36,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(out.getInt(1) === 1)
     assert(out.getSeq[String](2) === Seq("Kitchen"))
   }
+
+  test("graft_hash60 SQL function matches the pinned cross-engine value") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val v = spark.sql("SELECT graft_hash60('abc') AS h").collect().head.getLong(0)
+    assert(v === 648541476951500027L) // ColsSpec's pinned hash60('abc')
+  }
 }
