@@ -120,8 +120,12 @@ object RelationalQueries {
 
   /** TPC-H Q7 analog: shipping volume between two nations by year.
     * Nation dims broadcast twice (supplier side / customer side).
+    * (Nation names follow the synthetic testdata's NATION_n domain so the
+    * query exercises real rows — the TPC-H FRANCE/GERMANY pair would match
+    * nothing here and pass trivially.)
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (nationA, nationB) = ("NATION_1", "NATION_2")
     val n1 = broadcast(Tables.nation(spark, dir)
       .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
     val n2 = broadcast(Tables.nation(spark, dir)
@@ -133,8 +137,8 @@ object RelationalQueries {
       .join(n1, col("s_nationkey") === col("supp_nk"))
       .join(n2, col("c_nationkey") === col("cust_nk"))
       .filter(
-        (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+          (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
@@ -157,15 +161,18 @@ object RelationalQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
 
-  /** Set operation: suppliers with no shipments in 2001 (EXCEPT distinct).
-    * The anti-join shape Catalyst plans for EXCEPT keeps the big side
-    * un-broadcast and hashes the distinct supplier keys.
+  /** Set operation: suppliers with no shipments in the final month of the
+    * data (EXCEPT distinct). The anti-join shape Catalyst plans for EXCEPT
+    * keeps the big side un-broadcast and hashes the distinct supplier keys.
+    * (Cutoff 2001-11-01 — late enough that a non-trivial subset of
+    * suppliers is genuinely idle in the synthetic data; a full-year window
+    * matches every supplier and the query passes with 0 rows.)
     */
   def idleSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.supplier(spark, dir).select(col("s_suppkey"))
     val active = Tables.lineitem(spark, dir)
       .filter(
-        col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        col("l_shipdate") >= lit("2001-11-01").cast("timestamp"))
       .select(col("l_suppkey").as("s_suppkey"))
     all.except(active)
   }
@@ -316,7 +323,187 @@ object RelationalQueries {
         round(sum(col("c_acctbal")), 2).as("total_bal"))
   }
 
+  /** TPC-H Q8 analog: one nation's market share of ECONOMY-part volume
+    * sold into ASIA, by order year. All seven dimension joins broadcast;
+    * lineitem shuffles once on the final year key. Numerator and
+    * denominator are rounded BEFORE the ratio so the share is bit-stable
+    * across engines and summation orders (same pattern as q14).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+    val custSide = broadcast(
+      Tables.customer(spark, dir)
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .join(
+          Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey")))
+    val suppNation = broadcast(
+      Tables.supplier(spark, dir)
+        .join(
+          nations.select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_nk"))
+        .select(col("s_suppkey"), col("supp_nation")))
+    val ord = Tables.orders(spark, dir)
+      .filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custSide, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", volume).otherwise(lit(0.0))), 2)
+          .as("nation_volume"),
+        round(sum(volume), 2).as("total_volume"))
+      .select(
+        col("o_year"), col("nation_volume"), col("total_volume"),
+        round(col("nation_volume") * 100.0 / col("total_volume"), 4).as("mkt_share_pct"))
+  }
+
+  /** TPC-H Q9 analog: profit by supplier nation and ship year. The
+    * partsupp table doesn't exist in this schema, so supply cost is
+    * proxied as 10% of the part's retail price per unit — the join
+    * topology (fact ⋈ part ⋈ supplier ⋈ nation, LIKE filter on p_name)
+    * is Q9's.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name").as("supp_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * 0.1), 2).as("profit"))
+
+  /** TPC-H Q12 analog: order-priority mix by shipping delay. The schema
+    * has no l_shipmode/l_receiptdate, so the Q12 "mode" dimension becomes
+    * a late/ontime bucket on shipdate − orderdate; the conditional
+    * priority counts are Q12's verbatim.
+    */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "late")
+          .otherwise("ontime").as("delay_bucket"))
+      .agg(
+        count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 analog: distribution of customers by order count. The
+    * LEFT join keeps zero-order customers (the filter lives in the join
+    * condition, not a WHERE — Q13's defining subtlety), then a second
+    * aggregation histograms the counts.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15 analog: top supplier(s) by revenue in a quarter. The
+    * scalar-max subquery is a broadcast join of a 1-row aggregate against
+    * the per-supplier revenue — no second scan of lineitem. Revenue is
+    * rounded before the max comparison so ties and the threshold are
+    * engine-stable.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q19 analog: revenue from three disjunctive brand/size/quantity
+    * predicate branches. The OR-of-ANDs sits on scan columns of both
+    * sides; part is broadcast and Catalyst pushes the common l_quantity
+    * bounds into the parquet scan.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    def branch(brand: String, maxSize: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, maxSize) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        branch("Brand#1", 10, 1, 15) ||
+          branch("Brand#2", 20, 10, 25) ||
+          branch("Brand#3", 30, 20, 35))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 analog: suppliers who were the sole late shipper on a
+    * multi-supplier finished order. Q21's triple EXISTS self-join is
+    * re-expressed as ONE aggregation per order (distinct suppliers,
+    * distinct late suppliers, the single late supplier key) — lineitem is
+    * scanned once and shuffled once on orderkey, versus three scans +
+    * three shuffles for the literal EXISTS formulation.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = Tables.lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** CUBE grouping-sets aggregation — all four grouping sets (both keys,
+    * each key alone, grand total); the companion to [[rollupPricing]].
+    */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> ((s, d) => q8MarketShare(s, d)),
+    "q9_profit" -> ((s, d) => q9Profit(s, d)),
+    "q12_ship_delay" -> ((s, d) => q12ShipDelay(s, d)),
+    "q13_order_distribution" -> ((s, d) => q13OrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => q15TopSupplier(s, d)),
+    "q19_disjunctive" -> ((s, d) => q19Disjunctive(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => q21WaitingSupplier(s, d)),
+    "cube_pricing" -> ((s, d) => cubePricing(s, d)),
     "q6_forecast" -> ((s, d) => q6Forecast(s, d)),
     "q14_promo_revenue" -> ((s, d) => q14PromoRevenue(s, d)),
     "q16_parts_suppliers" -> ((s, d) => q16PartsSuppliers(s, d)),
@@ -337,6 +524,103 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate)::BIGINT AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |), s AS (
+        |  SELECT o_year,
+        |    round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+        |      AS nation_volume,
+        |    round(sum(volume), 2) AS total_volume
+        |  FROM v GROUP BY o_year
+        |)
+        |SELECT o_year, nation_volume, total_volume,
+        |       round(nation_volume * 100.0 / total_volume, 4) AS mkt_share_pct
+        |FROM s""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS supp_nation, year(l_shipdate)::BIGINT AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - p_retailprice * l_quantity * 0.1), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+        |            THEN 'late' ELSE 'ontime' END AS delay_bucket,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 1 AND l_quantity <= 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity >= 10 AND l_quantity <= 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity >= 20 AND l_quantity <= 35)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+        |         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM l GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1, 2""".stripMargin,
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       count(*) AS n_items
@@ -408,8 +692,8 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
@@ -452,7 +736,7 @@ object RelationalQueries {
       """SELECT s_suppkey FROM supplier
         |EXCEPT
         |SELECT l_suppkey AS s_suppkey FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+        |WHERE l_shipdate >= TIMESTAMP '2001-11-01 00:00:00'""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -62,6 +62,39 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0 || plan.contains("(total_qty#"), s"missing total_qty filter in:\n$plan")
   }
 
+  test("q8: every dimension join broadcast — lineitem only shuffles on the year key") {
+    val plan = planOf(RelationalQueries.q8MarketShare(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+    // one exchange for the final groupBy(o_year) + the AQE-planned broadcast
+    // exchanges; no SortMergeJoin of the fact table against a dimension
+    assert(!plan.contains("SortMergeJoin"), s"dimension join fell back to sort-merge:\n$plan")
+  }
+
+  test("q19: disjunctive predicate keeps part broadcast and quantity bounds pushed") {
+    val plan = planOf(RelationalQueries.q19Disjunctive(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast part join in:\n$plan")
+    // Catalyst pushes the whole OR-of-ANDs quantity disjunction into the
+    // lineitem parquet scan
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"disjunction not pushed to scan:\n$plan")
+  }
+
+  test("q21: one-pass aggregate formulation — lineitem shuffled once, on orderkey") {
+    val plan = planOf(RelationalQueries.q21WaitingSupplier(spark, dir))
+    // the triple-EXISTS rewrite would scan lineitem 3 times; the aggregate
+    // formulation reads it once
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 3, s"expected <=3 scans (lineitem+orders+supplier), got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier join not broadcast:\n$plan")
+  }
+
+  test("q13: left join keeps zero-order customers (no inner-join rewrite)") {
+    val plan = planOf(RelationalQueries.q13OrderDistribution(spark, dir))
+    assert(plan.contains("LeftOuter") || plan.contains("BuildRight, false"),
+      s"left join lost in:\n$plan")
+  }
+
   test("LSH scale paths contain no nested-loop join; the all-pairs baseline does") {
     val emb = Tables.embeddings(spark, dir)
     val lshDedup = planOf(graft.dedup.Dedup.embeddingNearDupsLsh(emb))
