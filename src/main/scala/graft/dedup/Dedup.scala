@@ -327,6 +327,83 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-duplicate cluster assignment: connected components over a
+    * near-dup pair graph, with canonical-survivor election (lowest doc_id
+    * in the component) — the step a real dedup pipeline runs after pair
+    * generation, since near-dup is not transitive but the keep/drop
+    * decision must be.
+    *
+    * Algorithm: min-merge with GRAPH CONTRACTION (the MapReduce CC
+    * pattern of Kiveris et al.'s "Connected Components in MapReduce and
+    * Beyond", simplified to min-star merges). Each round, every current
+    * representative adopts its smallest neighbor if smaller (a star
+    * merge), the representative map is path-halved, the full label table
+    * re-points through it, and — the scale-critical step — the EDGE SET
+    * IS CONTRACTED to the quotient graph (endpoints relabeled, self-loops
+    * and duplicates dropped). Near-dup graphs are unions of near-cliques,
+    * so the first contraction collapses almost everything: the edge list
+    * shrinks geometrically and later rounds run on a vanishing remainder,
+    * vs O(rounds × |E|) for plain label propagation over the full edge
+    * list every round. Terminates when no edges remain (every component
+    * is a single representative = its minimum); rounds = O(log n).
+    * Everything is joins + aggregates — the driver loop only checks a
+    * scalar emptiness count per round (the Pregel pattern, not a data
+    * collect). `localCheckpoint` truncates the growing lineage each
+    * round; on a multi-executor cluster with dynamic allocation, swap
+    * for reliable `checkpoint` to survive executor loss.
+    *
+    * @param pairs near-dup pairs with columns `doc_id_1`, `doc_id_2`
+    *   (e.g. [[simhashNearDups]], [[minhashLsh]], [[ngramJaccard]])
+    */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var remaining = edges.count()
+    var it = 0
+    while (remaining > 0 && it < maxIters) {
+      // star merge on the contracted graph: representative → min neighbor
+      // (strictly smaller only, so the component min never re-points)
+      val merge = edges
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("m"))
+        .filter(col("m") < col("src"))
+        .select(col("src").as("o"), col("m").as("n"))
+      // path-halve the map itself (o→n, n→n2 ⇒ o→n2) so merge chains
+      // shorten within the round; the map is tiny (≤ #merged reps)
+      val halved = merge.as("x")
+        .join(merge.select(col("o").as("o2"), col("n").as("n2")), col("x.n") === col("o2"), "left")
+        .select(col("x.o").as("o"), coalesce(col("n2"), col("x.n")).as("n"))
+      // re-point every doc whose representative merged
+      labels = labels
+        .join(halved, col("cluster_id") === col("o"), "left")
+        .select(col("doc_id"), coalesce(col("n"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      // contract: relabel both endpoints into the quotient graph, drop
+      // self-loops and duplicate edges — the edge set shrinks geometrically
+      edges = edges
+        .join(halved.withColumnsRenamed(Map("o" -> "so", "n" -> "sn")), col("src") === col("so"), "left")
+        .join(halved.withColumnsRenamed(Map("o" -> "do", "n" -> "dn")), col("dst") === col("do"), "left")
+        .select(
+          coalesce(col("sn"), col("src")).as("src"),
+          coalesce(col("dn"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      remaining = edges.count()
+      it += 1
+    }
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(
+      col("doc_id"),
+      col("cluster_id"),
+      when(col("doc_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)).as("is_canonical"),
+      count(lit(1)).over(byCluster).as("cluster_size"))
+  }
+
   /** Exact integer dot product — the codegen'd native expression
     * (graft.functions.LongDotProduct, registered by GraftSession.tune).
     */
@@ -359,6 +436,10 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
+    "dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      nearDupClusters(docs, simhashNearDups(docs))
+    }),
   )
 
   private val tokCte =
@@ -448,6 +529,27 @@ object Dedup {
          |WHERE round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
          |                            x -> x))::DOUBLE / $NumPerms, 4) >= $EstThreshold""".stripMargin,
     "dedup_simhash" -> s"$simhashCte\nSELECT doc_id, simhash FROM sigs",
+    // connected components as a transitive-closure recursive CTE — exact
+    // but O(Σ|component|²) rows, fine as a small-scale oracle for the
+    // iterative min-propagation the Spark side runs
+    "dedup_clusters" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |)
+         |SELECT doc_id, cluster_id,
+         |  (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS is_canonical,
+         |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+         |FROM cl""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhashCte
          |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,

@@ -107,4 +107,37 @@ class DedupSpec extends SparkSpec {
       .select("vec_id_1", "vec_id_2", "cosine").as[(Long, Long, Double)].collect().toList
     assert(got === List((1L, 2L, 1.0)))
   }
+
+  test("near-dup clusters: chain needs multi-round propagation; singletons keep themselves") {
+    // chain 10–11–12–13 (diameter 3 forces >1 propagation round), pair
+    // 20–21, and singleton 30; pairs deliberately NOT transitive-closed
+    val d = (10L to 13L).map((_, "x")) ++ Seq((20L, "x"), (21L, "x"), (30L, "x"))
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_id_1", "doc_id_2")
+    val got = Dedup.nearDupClusters(d.toDF("doc_id", "text"), pairs)
+      .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (10L, 10L, 1L, 4L), (11L, 10L, 0L, 4L), (12L, 10L, 0L, 4L), (13L, 10L, 0L, 4L),
+      (20L, 20L, 1L, 2L), (21L, 20L, 0L, 2L), (30L, 30L, 1L, 1L)))
+  }
+
+  test("near-dup clusters agree with the brute-force components on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // driver-side union-find gives the expected component minima
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val members = (0 until n).groupBy(find)
+    val expected = (0 until n).map(i => i.toLong -> members(find(i)).min.toLong).toMap
+    val got = Dedup.nearDupClusters(
+      (0L until n.toLong).map((_, "x")).toDF("doc_id", "text"),
+      edges.toDF("doc_id_1", "doc_id_2"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
 }
