@@ -106,6 +106,31 @@ object SparkEntry {
           col("user_bucket") +:
             types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
+    // semi-structured extraction: the props column is a JSON string;
+    // get_json_object is codegen'd path extraction — no UDF, no
+    // intermediate struct materialization for a single-field pull
+    "ev_props_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+    // sliding (hopping) event-time windows — the Flink
+    // SlidingEventTimeWindows analog; every event lands in size/slide = 2
+    // windows, epoch-aligned like Spark's window() default
+    "ev_sliding_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          window(timestamp_millis(col("ts_ms")), "10 days", "5 days").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          unix_millis(col("w.start")).as("win_start_ms"),
+          col("event_type"), col("n_events"), col("sum_value"))),
     // the Spark-native session_window operator (the streaming path) run in
     // batch mode — same oracle semantics as the gap-island formulation,
     // proving the two sessionizers agree
@@ -209,6 +234,29 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY 1""".stripMargin,
+    "ev_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |  round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    // each event belongs to exactly two 10-day windows stepped 5 days; the
+    // k ∈ {0,1} cross join materializes both starts (epoch-aligned, so
+    // win_start = floor(ts/slide)*slide − k*slide)
+    "ev_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) AS ts_ms, event_type, value FROM events
+        |), w AS (
+        |  SELECT event_type, value, ts_ms,
+        |         (ts_ms // 432000000) * 432000000 - k.k * 432000000 AS win_start_ms
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+        |)
+        |SELECT win_start_ms, event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w
+        |WHERE ts_ms >= win_start_ms AND ts_ms < win_start_ms + 864000000
+        |GROUP BY 1, 2""".stripMargin,
     "ev_asof_status" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value

@@ -149,12 +149,17 @@ object ClickstreamStreams {
       right: DataFrame,
       key: String = "user_id",
       bound: String = "5 seconds",
-      watermark: String = "0 seconds"): DataFrame = {
+      watermark: String = "0 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
+    // leftOuter: an unmatched left row is held in state until the watermark
+    // passes its join bound, then emitted null-padded exactly once — the
+    // streaming twin of a batch left join, same state GC bound as inner
     l.join(
       r,
-      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - interval $bound AND l.ts"))
+      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - interval $bound AND l.ts"),
+      joinType)
   }
 
   /** Streaming exact deduplication: drop events whose id was already seen

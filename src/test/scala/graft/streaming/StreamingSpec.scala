@@ -212,6 +212,41 @@ class StreamingSpec extends SparkSpec {
       (2L, 9_000L, "signup", 9_000L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows null-pad after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long)]
+    val statuses = MemoryStream[(Long, Long, String)]
+    val p = purchases.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val s = statuses.toDF().toDF("user_id", "status_ts_ms", "status")
+      .withColumn("ts", timestamp_millis(col("status_ts_ms")))
+    val joined = ClickstreamStreams
+      .intervalJoin(p, s, bound = "5 seconds", joinType = "leftOuter")
+      .select(col("l.user_id"), col("ts_ms"), col("status"), col("status_ts_ms"))
+    val q = joined.writeStream.format("memory").queryName("s_ssjoin_lo")
+      .outputMode("append").start()
+    try {
+      statuses.addData((1L, 8_000L, "signup"))
+      purchases.addData(
+        (1L, 10_000L), // matched within bound
+        (3L, 11_000L)) // no status at all → must still emit, null-padded
+      q.processAllAvailable()
+      // the unmatched row emits only once the watermark passes its bound
+      purchases.addData((99L, 10_000_000L))
+      statuses.addData((98L, 10_000_000L, "noise"))
+      q.processAllAvailable()
+      purchases.addData((99L, 20_000_000L))
+      statuses.addData((98L, 20_000_000L, "noise"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("s_ssjoin_lo")
+      .filter(col("user_id").isin(1, 3))
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    assert(rows === Set(
+      (1L, 10_000L, Some("signup"), Some(8_000L)),
+      (3L, 11_000L, None, None))) // the left-outer null-padded emission
+  }
+
   test("checkpoint recovery: restart loses no state, duplicates no output") {
     val root = java.nio.file.Files.createTempDirectory("ckpt_recovery")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
