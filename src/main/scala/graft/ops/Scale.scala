@@ -46,6 +46,31 @@ object Scale {
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
 
+  /** Hive-style partitioned corpus write with small-file control — the
+    * output half of a 100 TB pipeline (a cleaned corpus is written back
+    * partitioned by e.g. language/source so downstream readers
+    * partition-prune instead of scanning everything).
+    *
+    * The repartition BEFORE the write is the small-files fix: without it,
+    * every write task emits one file into every partition directory it
+    * happens to hold rows for (tasks × partitions files — the classic
+    * metadata killer); hashing on the partition columns first routes each
+    * directory's rows to one task → exactly one file per directory.
+    * `filesPerDir > 1` adds a deterministic row-hash salt to the
+    * distribution key for directories too large for a single file/task.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      filesPerDir: Int = 1): Unit = {
+    val keys = partitionCols.map(col)
+    val distributed =
+      if (filesPerDir <= 1) df.repartition(keys: _*)
+      else df.repartition(keys :+ salt(filesPerDir, df.columns.map(col).toSeq: _*): _*)
+    distributed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Skew-resistant equi-join: the big side gets a deterministic salt from
     * its whole row; the small side is exploded `saltFactor`× so every
     * (key, salt) pair finds its match. Join key spreads over saltFactor

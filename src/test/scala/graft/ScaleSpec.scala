@@ -36,6 +36,32 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("partitioned write: one file per directory; read-back partition-prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      Scale.writePartitioned(docs, dir, Seq("lang"))
+      // small-file control: each lang directory holds exactly ONE parquet
+      // file (without the pre-write repartition it would be one per task)
+      val langDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("lang="))
+      assert(langDirs.nonEmpty)
+      langDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"expected 1 file in ${d.getName}, got ${files.length}")
+      }
+      // read-back with a partition filter must prune at the partition
+      // level (PartitionFilters in the scan), not post-filter a full scan
+      val back = spark.read.parquet(dir).filter(col("lang") === "en")
+      val plan = back.queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+        s"partition pruning missing in:\n$plan")
+      val expected = docs.filter(col("lang") === "en").count()
+      assert(back.count() === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket-spec").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
