@@ -356,6 +356,16 @@ object Dedup {
     *   (e.g. [[simhashNearDups]], [[minhashLsh]], [[ngramJaccard]])
     */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // localCheckpoint blocks are NOT tracked by the CacheManager, so each
+    // round's intermediates would pin storage memory until a GC triggers
+    // the ContextCleaner — in a long-lived session that squeezes execution
+    // memory for every later job. Track them and free explicitly; only the
+    // final label table stays persisted (the returned plan reads it).
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def free(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     var edges = pairs
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
       .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
@@ -378,12 +388,15 @@ object Dedup {
         .join(merge.select(col("o").as("o2"), col("n").as("n2")), col("x.n") === col("o2"), "left")
         .select(col("x.o").as("o"), coalesce(col("n2"), col("x.n")).as("n"))
       // re-point every doc whose representative merged
+      val prevLabels = labels
       labels = labels
         .join(halved, col("cluster_id") === col("o"), "left")
         .select(col("doc_id"), coalesce(col("n"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
+      retired += prevLabels
       // contract: relabel both endpoints into the quotient graph, drop
       // self-loops and duplicate edges — the edge set shrinks geometrically
+      val prevEdges = edges
       edges = edges
         .join(halved.withColumnsRenamed(Map("o" -> "so", "n" -> "sn")), col("src") === col("so"), "left")
         .join(halved.withColumnsRenamed(Map("o" -> "do", "n" -> "dn")), col("dst") === col("do"), "left")
@@ -393,9 +406,12 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint()
+      retired += prevEdges
       remaining = edges.count()
       it += 1
     }
+    retired += edges // the terminal (possibly empty) edge set
+    retired.foreach(free)
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(
       col("doc_id"),
