@@ -495,6 +495,52 @@ object RelationalQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
 
+  /** Explicit GROUPING SETS with a grouping_id disambiguator — the
+    * general form rollup/cube are shorthands of; the bitmask convention
+    * (leftmost key = most significant bit) matches DuckDB's
+    * GROUPING(a, b) so the id oracles directly.
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** The analytic window-function family over per-user purchase streams:
+    * lead/lag (neighbor access), dense_rank + percent_rank + cume_dist
+    * (ranking on spend), ntile (quartiles), and a full-partition frame
+    * for the final value — one shuffle on user_id, every function
+    * evaluated in the same sorted partition stream.
+    */
+  def windowFunctionFamily(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val bySpend = Window.partitionBy(col("user_id"))
+      .orderBy(round(col("value"), 2).desc, col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ms"),
+        round(lead(col("value"), 1).over(byTime), 2).as("next_value"),
+        round(lag(col("value"), 1).over(byTime), 2).as("prev_value"),
+        dense_rank().over(bySpend).cast("long").as("spend_rank"),
+        round(percent_rank().over(bySpend), 6).as("spend_pct_rank"),
+        round(cume_dist().over(bySpend), 6).as("spend_cume_dist"),
+        ntile(4).over(byTime).cast("long").as("time_quartile"),
+        round(
+          last(col("value")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+          2).as("final_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_market_share" -> ((s, d) => q8MarketShare(s, d)),
     "q9_profit" -> ((s, d) => q9Profit(s, d)),
@@ -504,6 +550,8 @@ object RelationalQueries {
     "q19_disjunctive" -> ((s, d) => q19Disjunctive(s, d)),
     "q21_waiting_supplier" -> ((s, d) => q21WaitingSupplier(s, d)),
     "cube_pricing" -> ((s, d) => cubePricing(s, d)),
+    "grouping_sets_pricing" -> ((s, d) => groupingSetsPricing(s, d)),
+    "window_family" -> ((s, d) => windowFunctionFamily(s, d)),
     "q6_forecast" -> ((s, d) => q6Forecast(s, d)),
     "q14_promo_revenue" -> ((s, d) => q14PromoRevenue(s, d)),
     "q16_parts_suppliers" -> ((s, d) => q16PartsSuppliers(s, d)),
@@ -621,6 +669,28 @@ object RelationalQueries {
         |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_sets_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "window_family" ->
+      """SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |  round(lead(value, 1) OVER w_t, 2) AS next_value,
+        |  round(lag(value, 1) OVER w_t, 2) AS prev_value,
+        |  dense_rank() OVER w_s AS spend_rank,
+        |  round(percent_rank() OVER w_s, 6) AS spend_pct_rank,
+        |  round(cume_dist() OVER w_s, 6) AS spend_cume_dist,
+        |  ntile(4) OVER w_t AS time_quartile,
+        |  round(last_value(value) OVER
+        |    (w_t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |    AS final_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW
+        |  w_t AS (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id),
+        |  w_s AS (PARTITION BY user_id ORDER BY round(value, 2) DESC, event_id)""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       count(*) AS n_items
