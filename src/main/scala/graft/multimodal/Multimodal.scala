@@ -90,10 +90,8 @@ object Multimodal {
         new String(payload, 8, 4, "US-ASCII") == "WAVE") "wav"
       else "unknown"
 
-    /** Binary PPM (P6): "P6" <w> <h> <maxval> then w*h RGB triples.
-      * Feature = mean over all RGB samples.
-      */
-    def decodePpm(doc_id: Long, bytes: Array[Byte]): DecodedMedia = {
+    /** Parsed P6 header: (width, height, maxval, pixel-data offset). */
+    private[multimodal] def ppmHeader(bytes: Array[Byte]): (Long, Long, Long, Int) = {
       var i = 2
       def skipSpace(): Unit = {
         while (i < bytes.length &&
@@ -110,14 +108,84 @@ object Multimodal {
         }
         v
       }
-      val w = int(); val h = int(); val _maxval = int()
+      val w = int(); val h = int(); val maxval = int()
       i += 1 // the single whitespace byte after maxval
+      (w, h, maxval, i)
+    }
+
+    /** Binary PPM (P6): "P6" <w> <h> <maxval> then w*h RGB triples.
+      * Feature = mean over all RGB samples.
+      */
+    def decodePpm(doc_id: Long, bytes: Array[Byte]): DecodedMedia = {
+      val (w, h, _, off) = ppmHeader(bytes)
       var sum = 0L
       val n = (w * h * 3).toInt
       var j = 0
-      while (j < n && i + j < bytes.length) { sum += bytes(i + j) & 0xff; j += 1 }
+      while (j < n && off + j < bytes.length) { sum += bytes(off + j) & 0xff; j += 1 }
       DecodedMedia(doc_id, "ppm", w, h, channels = 3, sample_rate = 0,
         n_frames = 1, mean_value = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** REAL nearest-neighbor image resize for binary PPM — emits a valid
+      * P6 whose pixel (x, y) is the source pixel (x·w/newW, y·h/newH).
+      * Pure byte gather; the resize stage of an image pipeline with no
+      * native libraries.
+      */
+    def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, maxval, off) = ppmHeader(bytes)
+      val header = s"P6\n$newW $newH\n$maxval\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + newW * newH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0; var o = header.length
+      while (y < newH) {
+        val sy = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val so = off + (sy * w.toInt + sx) * 3
+          out(o) = bytes(so); out(o + 1) = bytes(so + 1); out(o + 2) = bytes(so + 2)
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** REAL frame sampling for 16-bit PCM WAV — keeps every `everyK`-th
+      * frame (all channels) and re-emits a valid minimal RIFF/WAVE
+      * container with patched sizes. The frame-sample stage of an
+      * audio/video pipeline (video frame-sampling is byte-for-byte the
+      * same shape: stride over fixed-size frames, rewrite the container).
+      */
+    def sampleWavFrames(bytes: Array[Byte], everyK: Int): Array[Byte] = {
+      val d = decodeWav(0L, bytes)
+      val channels = d.channels.toInt
+      val rate = d.sample_rate.toInt
+      // locate the source data chunk again (same walk as decodeWav)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var dataOff = -1; var o = 12
+      while (o + 8 <= bytes.length && dataOff < 0) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (id == "data") dataOff = o + 8 else o += 8 + len.toInt + (len.toInt & 1)
+      }
+      val frameBytes = channels * 2
+      val kept = (0L until d.n_frames by everyK).toArray
+      val dataLen = kept.length * frameBytes
+      val outBuf = java.nio.ByteBuffer
+        .allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      outBuf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * frameBytes).putShort(frameBytes.toShort).putShort(16.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      kept.foreach { f =>
+        outBuf.put(bytes, dataOff + f.toInt * frameBytes, frameBytes)
+      }
+      outBuf.array()
     }
 
     /** PCM WAV: RIFF/WAVE container; reads the fmt chunk (channels, rate,
@@ -174,6 +242,53 @@ object Multimodal {
           val f = DecodeStub.decode(r)
           DecodedMedia(r.doc_id, "stub", f.width, f.height, channels = 0,
             sample_rate = 0, n_frames = f.frames, mean_value = f.n_bytes.toDouble)
+        }
+      }
+    }
+  }
+
+  /** A binary-in/binary-out transform stage result: media payloads after
+    * resize / frame-sample, with a flag for formats the stage passed
+    * through untouched.
+    */
+  final case class TransformedMedia(
+      doc_id: Long, format: String, payload: Array[Byte], transformed: Boolean)
+
+  /** The image-resize stage: PPM payloads are REALLY resized
+    * (nearest-neighbor, [[Codecs.resizePpm]]); other formats pass through
+    * unchanged. Binary column in, binary column out — payloads never
+    * shuffle (the stage is a map), and the output re-decodes with
+    * [[decodeMedia]] like any other media column.
+    */
+  def resizeImages(
+      spark: SparkSession, media: DataFrame, newW: Int, newH: Int): Dataset[TransformedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        Codecs.sniff(r.payload) match {
+          case "ppm" =>
+            TransformedMedia(r.doc_id, "ppm", Codecs.resizePpm(r.payload, newW, newH), true)
+          case f => TransformedMedia(r.doc_id, f, r.payload, false)
+        }
+      }
+    }
+  }
+
+  /** The frame-sample stage: 16-bit PCM WAV payloads keep every
+    * `everyK`-th frame ([[Codecs.sampleWavFrames]]); other formats pass
+    * through. Same map-only, binary-in/binary-out shape as
+    * [[resizeImages]] — which is exactly the video frame-sampling shape
+    * too (stride over fixed-size frames, rewrite the container).
+    */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame, everyK: Int): Dataset[TransformedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        Codecs.sniff(r.payload) match {
+          case "wav" =>
+            TransformedMedia(r.doc_id, "wav", Codecs.sampleWavFrames(r.payload, everyK), true)
+          case f => TransformedMedia(r.doc_id, f, r.payload, false)
         }
       }
     }

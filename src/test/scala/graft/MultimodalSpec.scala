@@ -53,6 +53,50 @@ class MultimodalSpec extends SparkSpec {
     assert(d.mean_value === (100 - 100 + 300 + 500) / 4.0)
   }
 
+  test("resize stage: PPM really resized nearest-neighbor; re-decodes; others pass through") {
+    // 4x2 image whose pixels encode their (x, y) position
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = (0 until 2).flatMap(y => (0 until 4).flatMap(x =>
+      Seq((10 * x + y).toByte, (100 + 10 * x + y).toByte, (200 + x).toByte))).toArray
+    val media = Seq(
+      (1L, "image", header ++ pixels),
+      (2L, "other", "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(spark, media, newW = 2, newH = 1)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(out(1L).transformed && out(1L).format === "ppm")
+    assert(!out(2L).transformed) // pass-through untouched
+    assert(out(2L).payload === "plain text".getBytes("UTF-8"))
+    // nearest-neighbor: target (0,0)→source (0,0); target (1,0)→source (2,0)
+    val d = Multimodal.Codecs.decodePpm(1L, out(1L).payload)
+    assert(d.width === 2L && d.height === 1L)
+    val kept = Seq(0, 100, 200, 20, 120, 202) // pixels (0,0) and (2,0)
+    assert(d.mean_value === kept.sum / 6.0)
+  }
+
+  test("frame-sample stage: WAV keeps every k-th frame in a valid container") {
+    // stereo, 8 frames: frame i = (L=i*10, R=-i*10)
+    val frames = (0 until 8).map(i => ((i * 10).toShort, (-i * 10).toShort))
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + frames.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames.length * 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(16000).putInt(16000 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(frames.length * 4)
+    frames.foreach { case (l, r) => bb.putShort(l); bb.putShort(r) }
+    val media = Seq((5L, "audio", bb.array())).toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.sampleFrames(spark, media, everyK = 4).collect().head
+    assert(out.transformed && out.format === "wav")
+    // the sampled container re-decodes: frames 0 and 4 survive
+    val d = Multimodal.Codecs.decodeWav(5L, out.payload)
+    assert(d.channels === 2L && d.sample_rate === 16000L)
+    assert(d.n_frames === 2L)
+    assert(d.mean_value === (0 + 0 + 40 - 40) / 4.0)
+  }
+
   test("unknown payloads fall back to the stub tier in the same schema") {
     val media = Seq((9L, "image", "not media bytes".getBytes("UTF-8")))
       .toDF("doc_id", "media_type", "payload")
