@@ -33,12 +33,13 @@ object Cols {
     tsMs - pmod(tsMs, lit(widthMs))
 
   /** Deterministic 60-bit hash of a string, identical across engines:
-    * Spark  `conv(substr(md5(s), 1, 15), 16, 10)::long`
+    * Spark  native [[graft.functions.Hash60]] (≡ `conv(substr(md5(s), 1,
+    *        15), 16, 10)::long`, minus three string allocations per call)
     * DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`
     * 15 hex chars = 60 bits, always fits a signed 64-bit long.
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_hash60", c.cast("string"))
 
   /** Seeded variant for MinHash permutations / hyperplane families. */
   def hash60(seed: Int, c: Column): Column =

@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Engine-native function registrations (the SparkSessionExtensions-style
   * surface, applied directly to the session's function registry so it also
@@ -21,15 +20,11 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_long_dot expects 2 arguments, got ${other.length}")
     },
-    // the engine's deterministic 60-bit hash (Cols.hash60) as a SQL
-    // function — built from codegen'd built-ins, no UDF
+    // the engine's deterministic 60-bit hash (Cols.hash60) as a native
+    // codegen'd expression — digest bytes straight to long, no hex/decimal
+    // string detour (bit-identical to the composed built-in form)
     "graft_hash60" -> {
-      case Seq(s) =>
-        Cast(
-          Conv(
-            Substring(Md5(Cast(s, BinaryType)), Literal(1), Literal(15)),
-            Literal(16), Literal(10)),
-          LongType)
+      case Seq(s) => Hash60(s)
       case other =>
         throw new IllegalArgumentException(
           s"graft_hash60 expects 1 argument, got ${other.length}")
