@@ -487,6 +487,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q11 analog: parts whose stock value exceeds a fraction of the
+    * GLOBAL average — the HAVING-against-a-scalar-subquery shape. The
+    * per-part aggregate is computed once and reused for both the rows and
+    * the threshold (a self-agg broadcast, not a second scan); values are
+    * rounded before aggregating so the threshold is engine-stable, and
+    * the threshold is a MULTIPLE OF THE AVERAGE part value, not a
+    * fraction of the total — a fraction-of-total cut returns fewer rows
+    * as the part universe grows (0 rows at sf0.1), while the top tail
+    * above k x avg exists at every scale.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity") * col("p_retailprice")), 2).as("stock_value"))
+    val threshold = pv.agg((avg(col("stock_value")) * 1.5).as("threshold"))
+    pv
+      .join(broadcast(threshold))
+      .filter(col("stock_value") > col("threshold"))
+      .select(col("l_partkey"), col("stock_value"))
+  }
+
   /** CUBE grouping-sets aggregation — all four grouping sets (both keys,
     * each key alone, grand total); the companion to [[rollupPricing]].
     */
@@ -552,6 +574,7 @@ object RelationalQueries {
     "cube_pricing" -> ((s, d) => cubePricing(s, d)),
     "grouping_sets_pricing" -> ((s, d) => groupingSetsPricing(s, d)),
     "window_family" -> ((s, d) => windowFunctionFamily(s, d)),
+    "q11_important_stock" -> ((s, d) => q11ImportantStock(s, d)),
     "q6_forecast" -> ((s, d) => q6Forecast(s, d)),
     "q14_promo_revenue" -> ((s, d) => q14PromoRevenue(s, d)),
     "q16_parts_suppliers" -> ((s, d) => q16PartsSuppliers(s, d)),
@@ -669,6 +692,14 @@ object RelationalQueries {
         |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, round(sum(l_quantity * p_retailprice), 2) AS stock_value
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT l_partkey, stock_value FROM pv
+        |WHERE stock_value > (SELECT avg(stock_value) * 1.5 FROM pv)""".stripMargin,
     "grouping_sets_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
