@@ -61,4 +61,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.stratifiedSample(docs).count() === 0L)
     assert(TextAnalysis.splitAssign(docs).count() === 0L)
   }
+
+  test("malformed JSON props: broken JSON extracts null; try_cast tolerates bad types") {
+    val rows = Seq(
+      (1L, """{"k": 42}"""), // valid
+      (2L, """{"k": "notanum"}"""), // wrong type — extraction succeeds, cast decides
+      (3L, "{broken"), // malformed JSON → extraction itself is null
+      (4L, ""), // empty → null
+      (5L, null.asInstanceOf[String])) // null → null
+      .toDF("id", "props")
+    // under ANSI (Spark 4 default) a plain cast of 'notanum' THROWS —
+    // matching DuckDB's ::BIGINT, which is why ev_props_json can use it on
+    // numeric-k data; the tolerant form for dirty corpora is try_cast
+    val got = rows
+      .select(
+        col("id"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> Some(42L), 2L -> None, 3L -> None, 4L -> None, 5L -> None))
+  }
+
+  test("near-dup clustering with no pairs: every doc is its own canonical singleton") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val got = Dedup.nearDupClusters(docs, noPairs)
+      .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 1L, 1L), (2L, 2L, 1L, 1L)))
+  }
+
+  test("native hash60 matches the composed built-in form, including empty string") {
+    val df = Seq("", "a", "hello world", "ünïcödé ✓").toDF("s")
+    val got = df.select(
+      graft.Cols.hash60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, c) => assert(n === c) }
+  }
 }
