@@ -509,6 +509,67 @@ object RelationalQueries {
       .select(col("l_partkey"), col("stock_value"))
   }
 
+  /** TPC-H Q2 analog: the cheapest regional supplier per qualifying part.
+    * No partsupp table, so unit cost is derived from shipment history
+    * (sum price / sum qty per part-supplier, both sums rounded BEFORE
+    * the divide; the quotient itself is NOT re-rounded — IEEE division of
+    * identical operands is bit-identical in both engines, while a 4dp
+    * re-round can straddle a half-up boundary and flip the last digit). The correlated-min subquery becomes a
+    * per-part min joined back on equality; region/supplier dims broadcast.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euroSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal")))
+    val cost = Tables.lineitem(spark, dir)
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((round(sum(col("l_extendedprice")), 2) / round(sum(col("l_quantity")), 2))
+        .as("unit_cost"))
+    val best = cost.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    cost
+      .join(best, col("l_partkey") === col("b_partkey") && col("unit_cost") === col("min_cost"))
+      .join(
+        broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size") > 40)),
+        col("l_partkey") === col("p_partkey"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("s_acctbal"), col("unit_cost"))
+  }
+
+  /** TPC-H Q20 analog: suppliers who dominate a part's shipped volume.
+    * The partsupp availability check becomes a share-of-total check on
+    * shipment history: a supplier qualifies for a part when they shipped
+    * more than 25% of that ('red'-named) part's year-2000 volume. Q20's
+    * nested IN/scalar-subquery chain becomes two aggregates (per
+    * part-supplier, then per part) and a broadcast semi-filter on part
+    * names — lineitem is scanned once.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(
+      Tables.part(spark, dir).filter(col("p_name").contains("red")).select(col("p_partkey")))
+    val ps = Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("supp_qty"))
+    val tot = ps.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    ps
+      .join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("supp_qty") > col("part_qty") * 0.25)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+  }
+
   /** CUBE grouping-sets aggregation — all four grouping sets (both keys,
     * each key alone, grand total); the companion to [[rollupPricing]].
     */
@@ -575,6 +636,8 @@ object RelationalQueries {
     "grouping_sets_pricing" -> ((s, d) => groupingSetsPricing(s, d)),
     "window_family" -> ((s, d) => windowFunctionFamily(s, d)),
     "q11_important_stock" -> ((s, d) => q11ImportantStock(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => q2MinCostSupplier(s, d)),
+    "q20_dominant_supplier" -> ((s, d) => q20DominantSupplier(s, d)),
     "q6_forecast" -> ((s, d) => q6Forecast(s, d)),
     "q14_promo_revenue" -> ((s, d) => q14PromoRevenue(s, d)),
     "q16_parts_suppliers" -> ((s, d) => q16PartsSuppliers(s, d)),
@@ -692,6 +755,43 @@ object RelationalQueries {
         |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         round(sum(l_extendedprice), 2) / round(sum(l_quantity), 2) AS unit_cost
+        |  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1
+        |)
+        |SELECT p_partkey, s_name, s_acctbal, unit_cost
+        |FROM cost
+        |JOIN best ON cost.l_partkey = best.l_partkey AND unit_cost = min_cost
+        |JOIN part ON cost.l_partkey = p_partkey
+        |JOIN euro ON cost.l_suppkey = euro.s_suppkey
+        |WHERE p_type = 'STANDARD' AND p_size > 40""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS supp_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty > part_qty * 0.25
+        |GROUP BY 1, 2""".stripMargin,
     "q11_important_stock" ->
       """WITH pv AS (
         |  SELECT l_partkey, round(sum(l_quantity * p_retailprice), 2) AS stock_value
