@@ -75,6 +75,16 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
+    // KLL-style sketch percentiles (approx_percentile) — the streaming/
+    // mergeable companion to the exact sort-based ev_value_quantiles.
+    // Like the HLL query: engine sketches differ → rows-only check from
+    // the driver; ApproxSpec bounds the rank error against exact locally.
+    "ev_approx_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_approx"))),
     // skew-resistant two-phase aggregation — identical results to a plain
     // GROUP BY (the oracle), different shuffle shape (ScaleSpec pins it)
     "ev_salted_value_sum" -> ((s, dir) =>

@@ -42,6 +42,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within tight rank error of exact quantiles") {
+    // accuracy=10000 bounds rank error to n/10000; at sf0.01 (~12k rows per
+    // event_type) that's a handful of ranks — assert the approx value sits
+    // within the exact [p-0.01, p+0.01] quantile band (the registered
+    // ev_approx_quantiles accuracy)
+    val bands = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("percentile(value, 0.49)").as("lo50"),
+        expr("percentile(value, 0.51)").as("hi50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("a95"),
+        expr("percentile(value, 0.94)").as("lo95"),
+        expr("percentile(value, 0.96)").as("hi95"))
+      .as[(String, Double, Double, Double, Double, Double, Double)].collect()
+    assert(bands.nonEmpty)
+    bands.foreach { case (et, a50, lo50, hi50, a95, lo95, hi95) =>
+      assert(a50 >= lo50 && a50 <= hi50, s"$et p50: $a50 outside [$lo50, $hi50]")
+      assert(a95 >= lo95 && a95 <= hi95, s"$et p95: $a95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("LSH ANN recall@5 >= 0.6 vs brute-force on sf0.01 embeddings") {
     val emb = Tables.embeddings(spark, dir)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
