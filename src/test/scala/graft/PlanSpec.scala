@@ -89,6 +89,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"supplier join not broadcast:\n$plan")
   }
 
+  test("q20: one lineitem scan feeds both aggregation levels; part filter broadcast") {
+    val plan = planOf(RelationalQueries.q20DominantSupplier(spark, dir))
+    // the nested-subquery chain must not re-scan lineitem per level
+    val liScans = "lineitem.parquet".r.findAllIn(plan).length
+    assert(liScans <= 2, s"expected lineitem scanned once (+reuse), got $liScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("LeftSemi"),
+      s"expected broadcast semi-filter on part names:\n$plan")
+  }
+
+  test("q2: shipdate-free scan prunes to 4 lineitem columns; dims broadcast") {
+    val plan = planOf(RelationalQueries.q2MinCostSupplier(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$plan")
+    // cost derivation needs partkey/suppkey/extendedprice/quantity only
+    assert(!plan.contains("l_shipdate"), s"column pruning failed (l_shipdate read):\n$plan")
+  }
+
   test("q13: left join keeps zero-order customers (no inner-join rewrite)") {
     val plan = planOf(RelationalQueries.q13OrderDistribution(spark, dir))
     assert(plan.contains("LeftOuter") || plan.contains("BuildRight, false"),
