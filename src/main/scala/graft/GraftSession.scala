@@ -28,6 +28,12 @@ object GraftSession {
     tuned.add(spark)
     // engine-native codegen'd functions (graft_long_dot etc.)
     graft.functions.GraftFunctions.register(spark)
+    // idiom-recognition optimizer rules (post-hoc injection point for an
+    // externally created session; injectOptimizerRule at build time would
+    // be the SparkSessionExtensions equivalent)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteComposedHash60))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteComposedHash60
     // testdata events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has
     // no TimestampType for; read as LongType (nanos) and convert explicitly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
