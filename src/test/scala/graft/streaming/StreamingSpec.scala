@@ -150,6 +150,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows === List((1L, "A"))) // the late "C" event contributed nothing
   }
 
+  test("sliding (hopping) windows: every event lands in size/slide = 2 windows") {
+    val out = runStream(
+      Seq(Seq(
+        ce(1, 1000L, "browse", "A"), // windows [-5000,5000) and [0,10000)
+        ce(2, 6000L, "browse", "B"))), // windows [0,10000) and [5000,15000)
+      "s_sliding") { df =>
+      ClickstreamStreams.fromClickEvents(df)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 seconds", "5 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_millis(col("window.start")).as("win_start_ms"),
+          col("n"))
+    }
+    val rows = out
+      .filter(col("win_start_ms") < 100000) // drop the watermark-advancer's buckets
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(-5000L -> 1L, 0L -> 2L, 5000L -> 1L))
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     val out = runStream(
       Seq(
