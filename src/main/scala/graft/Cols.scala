@@ -37,9 +37,18 @@ object Cols {
     *        15), 16, 10)::long`, minus three string allocations per call)
     * DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`
     * 15 hex chars = 60 bits, always fits a signed 64-bit long.
+    *
+    * Built directly from the Catalyst expression, NOT via
+    * `call_function("graft_hash60", …)` — the registry route would make
+    * every operator built on this helper fail analysis on a session that
+    * wasn't created/tuned by [[GraftSession]] (the SQL-name registration
+    * is for the `spark.sql` surface; library code must be self-contained).
     */
-  def hash60(c: Column): Column =
-    call_function("graft_hash60", c.cast("string"))
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.Hash60(GraftColumnBridge.expression(c.cast("string"))))
+  }
 
   /** Seeded variant for MinHash permutations / hyperplane families. */
   def hash60(seed: Int, c: Column): Column =

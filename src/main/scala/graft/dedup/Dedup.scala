@@ -362,10 +362,6 @@ object Dedup {
     // memory for every later job. Track them and free explicitly; only the
     // final label table stays persisted (the returned plan reads it).
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def free(df: DataFrame): Unit = df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
     var edges = pairs
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
       .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
@@ -411,7 +407,12 @@ object Dedup {
       it += 1
     }
     retired += edges // the terminal (possibly empty) edge set
-    retired.foreach(free)
+    retired.foreach(graft.LocalCheckpoints.free)
+    // partially merged labels are WRONG labels (non-minimal cluster ids,
+    // broken canonical election) — refuse to return them silently
+    require(remaining == 0,
+      s"nearDupClusters did not converge within $maxIters rounds " +
+        s"($remaining quotient edges remain); raise maxIters")
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(
       col("doc_id"),

@@ -138,12 +138,20 @@ object Multimodal {
       System.arraycopy(header, 0, out, 0, header.length)
       var y = 0; var o = header.length
       while (y < newH) {
-        val sy = (y.toLong * h / newH).toInt
+        val sy = (y.toLong * h / newH)
         var x = 0
         while (x < newW) {
-          val sx = (x.toLong * w / newW).toInt
-          val so = off + (sy * w.toInt + sx) * 3
-          out(o) = bytes(so); out(o + 1) = bytes(so + 1); out(o + 2) = bytes(so + 2)
+          val sx = (x.toLong * w / newW)
+          // Long index + bounds guard: a truncated payload (header claims
+          // more pixels than the bytes carry) or a >715M-pixel image
+          // (Int overflow in the offset math) must yield black pixels for
+          // the missing range, not crash the executor — one corrupt
+          // record must never fail the job (decodePpm guards the same way)
+          val so = off.toLong + (sy * w + sx) * 3
+          if (so >= 0 && so + 2 < bytes.length) {
+            out(o) = bytes(so.toInt); out(o + 1) = bytes(so.toInt + 1)
+            out(o + 2) = bytes(so.toInt + 2)
+          }
           o += 3; x += 1
         }
         y += 1
@@ -161,18 +169,28 @@ object Multimodal {
       val d = decodeWav(0L, bytes)
       val channels = d.channels.toInt
       val rate = d.sample_rate.toInt
-      // locate the source data chunk again (same walk as decodeWav)
+      // re-locate the data chunk with decodeWav's EXACT walk — i.e. keep
+      // the LAST data chunk, since that is the one n_frames was sized
+      // from (stopping at the first would copy from the wrong offset when
+      // a stray/empty data chunk precedes the real one)
       def le32(o: Int): Long =
         (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
           ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       var dataOff = -1; var o = 12
-      while (o + 8 <= bytes.length && dataOff < 0) {
+      while (o + 8 <= bytes.length) {
         val id = new String(bytes, o, 4, "US-ASCII")
         val len = le32(o + 4)
-        if (id == "data") dataOff = o + 8 else o += 8 + len.toInt + (len.toInt & 1)
+        if (id == "data") dataOff = o + 8
+        o += 8 + len.toInt + (len.toInt & 1)
       }
       val frameBytes = channels * 2
-      val kept = (0L until d.n_frames by everyK).toArray
+      // keep only frames whose bytes actually exist: a missing data chunk
+      // (dataOff = -1) or a header that over-claims yields an empty/short
+      // sample, never an out-of-bounds read
+      val kept =
+        if (dataOff < 0 || frameBytes == 0) Array.empty[Long]
+        else (0L until d.n_frames by everyK)
+          .filter(f => dataOff + (f + 1) * frameBytes <= bytes.length).toArray
       val dataLen = kept.length * frameBytes
       val outBuf = java.nio.ByteBuffer
         .allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -183,7 +201,7 @@ object Multimodal {
         .putInt(rate * frameBytes).putShort(frameBytes.toShort).putShort(16.toShort)
         .put("data".getBytes("US-ASCII")).putInt(dataLen)
       kept.foreach { f =>
-        outBuf.put(bytes, dataOff + f.toInt * frameBytes, frameBytes)
+        outBuf.put(bytes, (dataOff + f * frameBytes).toInt, frameBytes)
       }
       outBuf.array()
     }

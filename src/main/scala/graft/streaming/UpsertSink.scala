@@ -39,14 +39,23 @@ object UpsertSink {
       orderCol: String,
       nBuckets: Int): Unit = {
     val spark = batch.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+    // highest orderCol wins; exact orderCol ties fall back to a
+    // deterministic content hash so reruns of the same input persist the
+    // same row (partition-internal arrival order would not)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(orderCol).desc, hash(batch.columns.map(col).toSeq: _*))
     val latest = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
       .withColumn("__bucket", pmod(hash(col(key)), lit(nBuckets)))
+    // existence via the path's FileSystem (java.io.File would mis-answer
+    // for hdfs://, s3a://, or file: URIs — and a wrong "no table" answer
+    // here would silently drop previously upserted keys)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!new java.io.File(path).exists()) latest
+      if (!fs.exists(hPath)) latest
       else {
         val current = spark.read.parquet(path)
         val touched = latest.select(col("__bucket")).distinct()
@@ -62,10 +71,7 @@ object UpsertSink {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path)
-    } finally materialized.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    } finally graft.LocalCheckpoints.free(materialized)
   }
 
   /** Attach the upsert as a foreachBatch sink of a streaming DataFrame. */

@@ -90,6 +90,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 1L, 1L), (2L, 2L, 1L, 1L)))
   }
 
+  test("hash60 analyzes on a bare session with no graft registry (library portability)") {
+    // newSession(): fresh SessionState → fresh function registry, no
+    // GraftSession.tune — the helper must not depend on the SQL-name
+    // registration (a user's plain getOrCreate() session)
+    val bare = spark.newSession()
+    val got = bare.range(3)
+      .select(
+        graft.Cols.hash60(col("id")).as("native"),
+        expr("cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10) as bigint)")
+          .as("composed"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native hash60 matches the composed built-in form, including empty string") {
     val df = Seq("", "a", "hello world", "ünïcödé ✓").toDF("s")
     val got = df.select(

@@ -97,6 +97,47 @@ class MultimodalSpec extends SparkSpec {
     assert(d.mean_value === (0 + 0 + 40 - 40) / 4.0)
   }
 
+  test("resize of a truncated PPM yields black for missing pixels, not a crash") {
+    // header claims 4x2 but only one pixel of data follows
+    val truncated = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val media = Seq((1L, "image", truncated)).toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(spark, media, newW = 2, newH = 2).collect().head
+    val d = Multimodal.Codecs.decodePpm(1L, out.payload)
+    assert(d.width === 2L && d.height === 2L)
+    // only target (0,0) maps to the one existing source pixel; rest black
+    assert(d.mean_value === (10 + 20 + 30) / 12.0)
+  }
+
+  test("frame-sample handles a stray empty data chunk and a missing one") {
+    def wav(extraEmptyData: Boolean, withData: Boolean): Array[Byte] = {
+      val frames = (0 until 4).map(i => (i * 100).toShort)
+      val dataBytes = if (withData) frames.length * 2 else 0
+      val extra = if (extraEmptyData) 8 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+        .putShort(2.toShort).putShort(16.toShort)
+      if (extraEmptyData) bb.put("data".getBytes("US-ASCII")).putInt(0)
+      if (withData) {
+        bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        frames.foreach(bb.putShort)
+      }
+      bb.array()
+    }
+    // stray zero-length data chunk precedes the real one: decodeWav sizes
+    // from the LAST chunk, and the sampler must copy from the same one
+    val sampled = Multimodal.Codecs.sampleWavFrames(wav(extraEmptyData = true, withData = true), 2)
+    val d = Multimodal.Codecs.decodeWav(0L, sampled)
+    assert(d.n_frames === 2L)
+    assert(d.mean_value === (0 + 200) / 2.0) // frames 0 and 2 survive
+    // no data chunk at all: valid empty container, not a crash
+    val empty = Multimodal.Codecs.sampleWavFrames(wav(extraEmptyData = false, withData = false), 2)
+    assert(Multimodal.Codecs.decodeWav(0L, empty).n_frames === 0L)
+  }
+
   test("unknown payloads fall back to the stub tier in the same schema") {
     val media = Seq((9L, "image", "not media bytes".getBytes("UTF-8")))
       .toDF("doc_id", "media_type", "payload")
