@@ -26,16 +26,33 @@ object Bench {
     // CPU-bound queries are contention-sensitive; three samples give the
     // min a fair shot at a quiet window
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Fixed CPU-bound calibration probe, timed before every run: external
+    // host load that would poison a measurement inflates the probe the
+    // same way, so each reported time carries a noise factor
+    // (probe-at-best-run / quietest-probe-seen) and a loaded-host artifact
+    // is self-identifying instead of masquerading as a 30× regression
+    // (VERDICT r3 #3: BENCH_r03 reported 70 s for a 1.4 s query).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(150000)
+        .selectExpr("sum(conv(substr(md5(cast(id as string)),1,15),16,10))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // untimed JIT/codegen warmup so the alphabetically-first query doesn't
-    // absorb JVM startup (hash/codegen/parquet paths get hot once)
+    // absorb JVM startup (hash/codegen/parquet paths get hot once), then
+    // calibrate: the baseline is the quietest probe ever observed
     spark.range(100000).selectExpr("sum(conv(substr(md5(cast(id as string)),1,15),16,10))").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    var probeBase = (1 to 5).map(_ => probe()).min
+    val maxExtraRuns = 2
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def oneRun(): (Double, Long, Double) = {
         // a query may .cache() an internal index; clearing between runs
         // keeps run N from silently reusing run N-1's CacheManager entry
         // (cached plans match by logical-plan equality across runs)
         spark.catalog.clearCache()
+        val p = probe()
+        probeBase = math.min(probeBase, p)
         val t0 = System.nanoTime()
         val n =
           // count() lets Catalyst prune every projection — a map-only query
@@ -43,21 +60,34 @@ object Bench {
           // the full output row to materialize through the whole plan.
           try fn(spark, sfDir).queryExecution.toRdd.count()
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+        ((System.nanoTime() - t0) / 1e9, n, p)
       }
+      var times = (1 to runs).map(_ => oneRun())
+      // if even the best run was taken under a loaded host (probe >2×
+      // quiet), grant extra runs — a later quiet window fixes the artifact
+      var extras = 0
+      def bestNoise = {
+        val ok = times.filter(_._2 >= 0)
+        if (ok.isEmpty) Double.MaxValue else ok.minBy(_._1)._3 / probeBase
+      }
+      while (bestNoise > 2.0 && extras < maxExtraRuns) { times :+= oneRun(); extras += 1 }
       val ok = times.filter(_._2 >= 0)
-      val (sec, n) = if (ok.nonEmpty) ok.minBy(_._1) else times.minBy(_._1)
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows)")
-      (name, sec, n >= 0)
+      val (sec, n, p) = if (ok.nonEmpty) ok.minBy(_._1) else times.minBy(_._1)
+      val noise = p / probeBase
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
+      (name, sec, n >= 0, noise)
     }
     // failed queries report -1 (numeric, to keep the driver's JSON shape)
     // and are listed by name under "failed"
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + f"$nz%.2f" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,""" +
+      s""""noise":$noiseJson,"probe_base_sec":${f"$probeBase%.4f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

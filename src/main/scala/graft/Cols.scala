@@ -19,11 +19,14 @@ object Cols {
     * so the integer `div` is exact floor — no double-precision round trip
     * (a naive `floor(a / d)` loses bits for nanosecond-scale longs > 2^53).
     */
-  def floorDiv(c: Column, d: Long): Column =
+  def floorDiv(c: Column, d: Long): Column = floorDiv(c, lit(d))
+
+  /** Column-divisor variant (e.g. dividing by a per-group count). */
+  def floorDiv(c: Column, d: Column): Column =
     // `div` (IntegralDivide) keeps the math in 64-bit integers; a
     // double-precision `/` would be lossy for nanosecond-scale epochs
     // (1.7e18 > 2^53). The pmod pre-subtraction makes it exact floor.
-    call_function("div", c - pmod(c, lit(d)), lit(d))
+    call_function("div", c - pmod(c, d), d)
 
   /** Floor a millisecond epoch to its tumbling-window start.
     * DuckDB: `t - t % W` is identical for non-negative t; we use pmod so

@@ -118,7 +118,11 @@ object SparkEntry {
     }),
     // semi-structured extraction: the props column is a JSON string;
     // get_json_object is codegen'd path extraction — no UDF, no
-    // intermediate struct materialization for a single-field pull
+    // intermediate struct materialization for a single-field pull.
+    // The average is exact integer ten-thousandths (sum*10000 floor-div
+    // count) — round(avg(..)) depended on cross-engine double
+    // bit-equality and was the one red row in CORRECTNESS_r03 (the
+    // driver's DuckDB build rounds the last ulp differently).
     "ev_props_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -126,9 +130,36 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 4).as("avg_k"),
           min(col("k")).as("min_k"),
-          max(col("k")).as("max_k"))),
+          max(col("k")).as("max_k"))
+        .withColumn("avg_k_e4", graft.Cols.floorDiv(col("sum_k") * 10000, col("n_events")))),
+    // skew-resistant salted equi-join — identical results to the plain
+    // join (the oracle); the big side fans each hot key over saltFactor
+    // tasks, the small dimension replicates (ScaleSpec pins the fan-out).
+    // event_type has 5 values — exactly the hot-key shape where an
+    // unsalted shuffle join funnels 20% of a 100 TB table into one task.
+    "ev_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"), round(sum(col("value")), 2).as("type_sum"))
+      graft.ops.Scale.saltedJoin(ev, dim, "event_type", saltFactor = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"), col("type_sum"))
+    }),
+    // exact heavy hitters: users contributing ≥0.5% of all events. The
+    // support threshold is computed IN-PLAN (cross join with a broadcast
+    // 1-row count) — no driver-side count, so the operator composes
+    // lazily like everything else. At 100 TB the same shape works: one
+    // hash agg + a scalar broadcast.
+    "ev_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("__total"))))
+        .filter(col("n_events") * 200 >= col("__total"))
+        .select(col("user_id"), col("n_events"))
+    }),
     // sliding (hopping) event-time windows — the Flink
     // SlidingEventTimeWindows analog; every event lands in size/slide = 2
     // windows, epoch-aligned like Spark's window() default
@@ -244,13 +275,25 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY 1""".stripMargin,
+    // avg as exact integer e4 (DuckDB `//` is floor division, matching
+    // Cols.floorDiv) — no cross-engine double rounding in the compare
     "ev_props_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
-        |  round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+        |  (sum(json_extract(props, '$.k')::BIGINT) * 10000) // count(*) AS avg_k_e4,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "ev_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_n, round(sum(value), 2) AS type_sum
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, d.type_n, d.type_sum
+        |FROM events e JOIN dim d USING (event_type)""".stripMargin,
+    "ev_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        |HAVING count(*) * 200 >= (SELECT count(*) FROM events)""".stripMargin,
     // each event belongs to exactly two 10-day windows stepped 5 days; the
     // k ∈ {0,1} cross join materializes both starts (epoch-aligned, so
     // win_start = floor(ts/slide)*slide − k*slide)

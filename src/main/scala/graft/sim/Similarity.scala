@@ -178,13 +178,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * index-compression step (float32 → int8) an ANN deployment runs
+    * before serving. All math is exact integer arithmetic on the
+    * milli-quantized vectors: per-vector scale = max |component| (so the
+    * largest maps to ±127), each component is `floor(x·127 / scale)`,
+    * and the reported `max_err` is the worst per-component floor
+    * remainder (in scale·milli units) — a deterministic reconstruction-
+    * error bound, bit-identical across engines (no float division
+    * anywhere).
+    *
+    * Map-only: one narrow scan, no shuffle; the int8 codes are emitted
+    * as a canonical comma-joined string (the cross-engine array form).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val scale = greatest(array_max(transform(col("qv"), x => abs(x))), lit(1L))
+    q.select(col("vec_id"), col("qv"), scale.as("scale_milli"))
+      .select(
+        col("vec_id"),
+        col("scale_milli"),
+        concat_ws(",",
+          transform(col("qv"),
+            x => graft.Cols.floorDiv(x * 127, col("scale_milli")).cast("string")))
+          .as("q8"),
+        array_max(transform(col("qv"), x => pmod(x * 127, col("scale_milli"))))
+          .as("max_err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB integer `//` truncates toward zero (like Spark's `div`), so
+    // the floor mirror subtracts the non-negative remainder first —
+    // exactly the Cols.floorDiv construction. The double-% is pmod for
+    // negative dividends.
+    "emb_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, qv,
+        |    greatest(list_max(list_transform(qv, x -> abs(x))), 1)::BIGINT AS scale_milli
+        |  FROM q
+        |)
+        |SELECT vec_id, scale_milli,
+        |  array_to_string(list_transform(qv,
+        |    x -> (((x * 127) - ((((x * 127) % scale_milli) + scale_milli) % scale_milli))
+        |          // scale_milli)::VARCHAR), ',') AS q8,
+        |  list_max(list_transform(qv,
+        |    x -> (((x * 127) % scale_milli) + scale_milli) % scale_milli))::BIGINT AS max_err
+        |FROM s""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id,
@@ -220,7 +270,11 @@ object Similarity {
          |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
          |  GROUP BY label, ii.i
          |), cent AS (
-         |  SELECT label, list(((s // cnt))::BIGINT ORDER BY i) AS cv
+         |  -- exact floor division (DuckDB integer // truncates toward zero,
+         |  -- so subtract the non-negative remainder first, as Cols.floorDiv
+         |  -- does — a negative non-multiple sum would otherwise be off by 1)
+         |  SELECT label,
+         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
          |  FROM cell_sums GROUP BY label
          |), cent2 AS (
          |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent

@@ -123,18 +123,26 @@ object TextAnalysis {
     * the (tiny) per-term df table + one window over doc_id.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5, corpusSize: Option[Long] = None): DataFrame = {
-    // corpus size: one tiny job, the classic IDF constant (callers that
-    // already know N pass it in so the count job runs once)
-    val n = corpusSize.getOrElse(docs.count())
+    // corpus size (the classic IDF constant) stays IN-PLAN: a broadcast
+    // 1-row count cross-joined into the scored table — no eager
+    // driver-side docs.count() job (VERDICT r3 #4), so the operator
+    // composes lazily. Callers that already know N pass it in and the
+    // count subtree disappears from the plan entirely.
+    val nCol = corpusSize
+      .map(n => lit(n.toDouble))
+      .getOrElse(col("__corpus_n").cast("double"))
     val terms = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
-      .withColumn(
-        "tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val withN = corpusSize match {
+      case Some(_) => tf.join(broadcast(df), "term")
+      case None => tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("__corpus_n"))))
+    }
+    val scored = withN
+      .withColumn("tfidf", round(col("tf") * log(nCol / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     scored
@@ -164,17 +172,19 @@ object TextAnalysis {
       k: Int = 5,
       threshold: Double = 0.8,
       maxTermDfFraction: Double = 0.05): DataFrame = {
-    val n = docs.count()
-    val cap = math.ceil(maxTermDfFraction * n).toLong
     // the top-terms index (k small rows per doc) feeds norms, the df-cap,
     // and both join sides; recompute beats cache() at bench scale (cache
     // materialization serializes the branches), and at 100 TB you'd
-    // persist this index to storage rather than executor memory anyway
-    val top = tfidfTopTerms(docs, k, corpusSize = Some(n))
+    // persist this index to storage rather than executor memory anyway.
+    // Like the IDF constant, the df-cap threshold is computed in-plan
+    // (broadcast 1-row corpus count) — no driver-side count() job.
+    val top = tfidfTopTerms(docs, k)
       .select(col("doc_id"), col("term"), round(col("tfidf") * 10000).cast("long").as("q"))
     val norms = top.groupBy(col("doc_id")).agg(sum(col("q") * col("q")).as("norm2"))
     val rare = top.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
-      .filter(col("term_df") <= cap).select(col("term"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__cap_n"))))
+      .filter(col("term_df") <= ceil(lit(maxTermDfFraction) * col("__cap_n")))
+      .select(col("term"))
     val topf = top.join(rare, "term")
     val dots = topf.as("a")
       .join(topf.as("b"),
@@ -233,7 +243,58 @@ object TextAnalysis {
       .filter(col("bucket") < keepBelow)
   }
 
+  /** Train/test contamination check — the decontamination step every
+    * benchmark-respecting training pipeline runs: for each held-out
+    * (valid/test) document, how many of its word-3-gram shingles also
+    * appear in ANY train-split document. Composes [[splitAssign]] with
+    * the dedup shingle machinery; the join key is the 60-bit shingle
+    * hash, so the train side is a distinct long column (compact to
+    * shuffle or even broadcast at moderate corpus sizes).
+    *
+    * Scale: the join is a posting-list membership probe, not a pair
+    * join — cost is |heldout shingles| × lookup. At 100 TB the train
+    * shingle set would be df-capped like [[graft.dedup.Dedup.ngramJaccard]]
+    * (ubiquitous shingles flag everything and carry no signal) and
+    * bloom-filtered before the exact join.
+    *
+    * Documents shorter than one shingle (< 3 tokens) have no
+    * contamination surface and are absent from the output by
+    * construction.
+    */
+  def contamination(docs: DataFrame): DataFrame = {
+    val split = splitAssign(docs).select(col("doc_id"), col("split"))
+    val sh = graft.dedup.Dedup.shingleRows(docs)
+      .select(col("doc_id"), Cols.hash60(col("shingle")).as("h"))
+      .join(split, "doc_id")
+    val trainShingles = sh.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("__hit", lit(1L))
+    sh.filter(col("split") =!= "train")
+      .join(trainShingles, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn(
+        "contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
+  /** Repeated-passage detection (the C4/RefinedWeb "remove oft-repeated
+    * n-gram spans" signal): word-3-gram shingles by document frequency,
+    * thresholded. Shingles are distinct per document ([[graft.dedup.Dedup.shingleRows]]),
+    * so df = number of documents containing the passage. One explode +
+    * one hash aggregate — partial aggregation collapses counts map-side,
+    * and the output is only the hot tail.
+    */
+  def hotPassages(docs: DataFrame, minDf: Long = 3L): DataFrame =
+    graft.dedup.Dedup.shingleRows(docs)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
+    "txt_hot_passages" -> ((s, d) => hotPassages(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -257,7 +318,43 @@ object TextAnalysis {
       |  FROM documents
       |)""".stripMargin
 
+  /** Shared DuckDB word-3-gram shingle CTE tail (mirrors
+    * Dedup.shingleRows: distinct shingles, docs under 3 tokens vanish).
+    */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          for i in generate_series(1, len(toks) - 2)])) AS shingle
+      |  FROM t
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "txt_contamination" ->
+      s"""$tokCte, $shingleCte, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), shs AS (
+         |  SELECT sh.doc_id, sp.split, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+         |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id
+         |), train AS (
+         |  SELECT DISTINCT h FROM shs WHERE split = 'train'
+         |), held AS (
+         |  SELECT * FROM shs WHERE split <> 'train'
+         |)
+         |SELECT held.doc_id, held.split, count(*) AS n_shingles,
+         |  coalesce(sum(CASE WHEN train.h IS NOT NULL THEN 1 END), 0)::BIGINT AS n_contaminated,
+         |  round(coalesce(sum(CASE WHEN train.h IS NOT NULL THEN 1 END), 0)::DOUBLE / count(*), 4)
+         |    AS contamination_ratio
+         |FROM held LEFT JOIN train ON held.h = train.h
+         |GROUP BY 1, 2""".stripMargin,
+    "txt_hot_passages" ->
+      s"""$tokCte, $shingleCte
+         |SELECT shingle, count(*) AS df FROM sh
+         |GROUP BY shingle HAVING count(*) >= 3""".stripMargin,
     "txt_tfidf_top_terms" ->
       s"""$tokCte, terms AS (
          |  SELECT doc_id, unnest(toks) AS term FROM t

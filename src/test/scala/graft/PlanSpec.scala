@@ -127,8 +127,36 @@ class PlanSpec extends SparkSpec {
 
   test("tf-idf doc similarity joins on term posting lists (hash join, no loops)") {
     val plan = planOf(graft.text.TextAnalysis.tfidfDocSimilarity(Tables.documents(spark, dir)))
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"doc-sim join degenerated:\n$plan")
+    // the only permitted nested-loop joins are the in-plan scalar-count
+    // cross joins (1-row broadcast build = the IDF constant / df-cap
+    // threshold); every nested-loop must be a Cross with a broadcast build
+    val loops = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(loops.forall(_.contains("Cross")),
+      s"doc-sim pair join degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"doc-sim join degenerated:\n$plan")
+  }
+
+  test("tf-idf operators build lazily: constructing the plan runs no jobs") {
+    // the IDF corpus count and the df-cap threshold are in-plan scalar
+    // subtrees (VERDICT r3 #4) — an eager docs.count() here would show up
+    // as a Spark job during DataFrame construction
+    // resolve the parquet source first: file listing / footer reads run
+    // their own small jobs, which are not what this test pins
+    val documents = Tables.documents(spark, dir)
+    documents.schema
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      graft.text.TextAnalysis.tfidfTopTerms(documents)
+      graft.text.TextAnalysis.tfidfDocSimilarity(documents)
+      Thread.sleep(500) // listener events post asynchronously
+      assert(counter.jobs.get() == 0,
+        s"plan construction ran ${counter.jobs.get()} eager job(s)")
+    } finally spark.sparkContext.removeSparkListener(counter)
   }
 
   test("sessionize: exactly one exchange on user_id feeds the window sort") {

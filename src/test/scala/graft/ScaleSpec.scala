@@ -36,6 +36,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join plan: salt in the shuffle keys, small side exploded") {
+    // the plan shape behind the ev_salted_join oracle row: the join keys
+    // must include the salt (that's the fan-out — a hot key hashes to
+    // saltFactor distinct (key, salt) partitions instead of one), and the
+    // small side must carry the explode that replicates each dim row
+    val big = ((1 to 5000).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val plan = Scale.saltedJoin(big, dim, "k", saltFactor = 8)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode("),
+      s"small-side salt replication missing:\n$plan")
+    // the equi-join condition includes the salt key (either join flavor)
+    assert(
+      plan.linesIterator.exists(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("__salt")),
+      s"join keys lost the salt:\n$plan")
+  }
+
   test("partitioned write: one file per directory; read-back partition-prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     try {

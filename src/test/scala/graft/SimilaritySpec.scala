@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("int8 quantization: exact integer codes, bounded reconstruction error") {
+    val got = Similarity.quantizeInt8(embs)
+      .select("vec_id", "scale_milli", "q8", "max_err")
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // vec 0 = (1,0,0): scale = 1000 milli, codes floor(x·127/scale)
+    assert(got(0L)._2 === 1000L)
+    assert(got(0L)._3 === "127,0,0")
+    assert(got(0L)._4 === 0L)
+    // vec 2 = (0.9,0.1,0): scale=900, codes (127, floor(100·127/900)=14, 0),
+    // worst floor remainder = 12700 mod 900 = 100
+    assert(got(2L)._2 === 900L)
+    assert(got(2L)._3 === "127,14,0")
+    assert(got(2L)._4 === 100L)
+    // invariants for every vector: the max-magnitude component maps to
+    // ±127 and the error never reaches one quantization step
+    got.values.foreach { case (_, scale, q8, err) =>
+      assert(q8.split(",").map(_.toLong.abs).max === 127L)
+      assert(err >= 0L && err < scale)
+    }
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
     val brute = Similarity.bruteForceTopK(embs, k = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet

@@ -76,6 +76,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === sampled)
   }
 
+  test("contamination: shared passages flag held-out docs; unique docs clean") {
+    // every doc shares the same text → every held-out doc's shingles all
+    // appear in train (assuming ≥1 train doc, guaranteed at n=200)
+    val shared = (1L to 200L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val heldOut = TextAnalysis.splitAssign(docs(shared: _*))
+      .filter($"split" =!= "train").count()
+    val got = TextAnalysis.contamination(docs(shared: _*))
+    assert(got.count() === heldOut)
+    assert(got.filter($"contamination_ratio" =!= 1.0).count() === 0)
+    assert(got.filter($"n_shingles" =!= 3L).count() === 0) // 5 tokens → 3 shingles
+    // fully unique texts → zero overlap everywhere
+    val uniq = (1L to 100L).map(i => (i, s"u$i v$i w$i x$i"))
+    val clean = TextAnalysis.contamination(docs(uniq: _*))
+    assert(clean.count() > 0)
+    assert(clean.filter($"n_contaminated" =!= 0L).count() === 0)
+  }
+
+  test("hot passages: df counts documents, not in-doc repetitions") {
+    val d = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "a b c y"))
+    val got = TextAnalysis.hotPassages(d, minDf = 3)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("a b c", 3L)))
+    // shingles are distinct per doc: repeating a passage inside one doc
+    // doesn't lift its corpus df
+    val rep = docs((1L, "a b c a b c a b c"), (2L, "a b c z"))
+    val got2 = TextAnalysis.hotPassages(rep, minDf = 2)
+      .as[(String, Long)].collect().toList
+    assert(got2 === List(("a b c", 2L)))
+  }
+
   test("split assignment: deterministic, complete, roughly 80/10/10") {
     val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
     val splits = TextAnalysis.splitAssign(docs(ids: _*))
