@@ -8,8 +8,10 @@ Assumes Verify has already been run:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
 
 For each query: load Spark parquet result + run oracle SQL in DuckDB with
-views over the sfDir parquet tables; sort columns by name, sort rows, and
-compare values exactly (doubles via repr). NOT part of the shipped library.
+views over the sfDir parquet tables; compare columns IN DECLARED ORDER
+(the driver's hash is column-order sensitive — sorting columns here masked
+the ev_props_json red row through rounds 3-4), sort rows, and compare
+values exactly (doubles via repr). NOT part of the shipped library.
 """
 import json
 import math
@@ -22,12 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
+    # columns stay in DECLARED order — the driver's hash respects it
+    out = [tuple(norm(v) for v in r) for r in rows]
     out.sort(key=repr)
-    return [cols[i] for i in order], out
+    return list(cols), out
 
 
 def norm(v):

@@ -72,8 +72,12 @@ object Bench {
       }
       while (bestNoise > 2.0 && extras < maxExtraRuns) { times :+= oneRun(); extras += 1 }
       val ok = times.filter(_._2 >= 0)
-      val (sec, n, p) = if (ok.nonEmpty) ok.minBy(_._1) else times.minBy(_._1)
-      val noise = p / probeBase
+      val (sec, n, _) = if (ok.nonEmpty) ok.minBy(_._1) else times.minBy(_._1)
+      // noise = quietest probe seen ACROSS this query's runs / global base:
+      // a single probe spike between queries can't stamp a 100× factor on a
+      // clean min-of-N measurement (VERDICT r4 #5: emb_quantize_int8 got
+      // noise 103.54 on a 0.28 s query from one contaminated probe)
+      val noise = times.map(_._3).min / probeBase
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
       (name, sec, n >= 0, noise)
     }
@@ -81,13 +85,17 @@ object Bench {
     // and are listed by name under "failed"
     val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + f"$nz%.2f" }
+    // Locale.ROOT: the default-locale f"" interpolator emits comma decimals
+    // under e.g. de_DE, which breaks the JSON contract
+    def num2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + num2(nz) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = results.collect { case (_, v, true, _) => v }.sum
+    val probeBaseStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(probeBase))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,""" +
-      s""""noise":$noiseJson,"probe_base_sec":${f"$probeBase%.4f"},"sf":"$sfDir"}""")
+      s""""noise":$noiseJson,"probe_base_sec":$probeBaseStr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,7 +132,12 @@ object SparkEntry {
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
-        .withColumn("avg_k_e4", graft.Cols.floorDiv(col("sum_k") * 10000, col("n_events")))),
+        .withColumn("avg_k_e4", graft.Cols.floorDiv(col("sum_k") * 10000, col("n_events")))
+        // declared column order must match the oracle's: the driver's hash
+        // is column-order sensitive (rows/schema checks are not) — this was
+        // the one red row in CORRECTNESS_r04
+        .select(col("event_type"), col("n_events"), col("sum_k"),
+          col("avg_k_e4"), col("min_k"), col("max_k"))),
     // skew-resistant salted equi-join — identical results to the plain
     // join (the oracle); the big side fans each hot key over saltFactor
     // tasks, the small dimension replicates (ScaleSpec pins the fan-out).
@@ -275,15 +280,23 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY 1""".stripMargin,
-    // avg as exact integer e4 (DuckDB `//` is floor division, matching
-    // Cols.floorDiv) — no cross-engine double rounding in the compare
+    // avg as exact integer e4 — no cross-engine double rounding in the
+    // compare. NOTE: DuckDB `//` TRUNCATES toward zero (-7 // 2 = -3), it
+    // does NOT floor; the remainder-corrected form below is a true floor
+    // matching Cols.floorDiv even for negative sums (same technique as the
+    // emb_quantize_int8 / ann_topk_ivf oracles).
     "ev_props_json" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
-        |  (sum(json_extract(props, '$.k')::BIGINT) * 10000) // count(*) AS avg_k_e4,
-        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |    min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |    max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n_events, sum_k,
+        |  (sum_k * 10000 - ((sum_k * 10000 % n_events) + n_events) % n_events) // n_events AS avg_k_e4,
+        |  min_k, max_k
+        |FROM a""".stripMargin,
     "ev_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, count(*) AS type_n, round(sum(value), 2) AS type_sum

@@ -252,22 +252,30 @@ object TextAnalysis {
     * shuffle or even broadcast at moderate corpus sizes).
     *
     * Scale: the join is a posting-list membership probe, not a pair
-    * join — cost is |heldout shingles| × lookup. At 100 TB the train
-    * shingle set would be df-capped like [[graft.dedup.Dedup.ngramJaccard]]
-    * (ubiquitous shingles flag everything and carry no signal) and
-    * bloom-filtered before the exact join.
+    * join — cost is |heldout shingles| × lookup. At 100 TB pass
+    * `maxTrainDf` to df-cap the train shingle set like
+    * [[graft.dedup.Dedup.ngramJaccard]]'s `MaxShingleDf` (ubiquitous
+    * stop-phrase shingles flag everything and carry no signal), and
+    * bloom-filter before the exact join. The cap is a train-side
+    * DOCUMENT frequency: shingles contained in more than `maxTrainDf`
+    * train documents are excluded from the contamination vocabulary,
+    * so they neither count as hits nor inflate the probe set.
     *
     * Documents shorter than one shingle (< 3 tokens) have no
     * contamination surface and are absent from the output by
     * construction.
     */
-  def contamination(docs: DataFrame): DataFrame = {
+  def contamination(docs: DataFrame, maxTrainDf: Option[Long] = None): DataFrame = {
     val split = splitAssign(docs).select(col("doc_id"), col("split"))
     val sh = graft.dedup.Dedup.shingleRows(docs)
       .select(col("doc_id"), Cols.hash60(col("shingle")).as("h"))
       .join(split, "doc_id")
-    val trainShingles = sh.filter(col("split") === "train")
-      .select(col("h")).distinct().withColumn("__hit", lit(1L))
+    // shingleRows is distinct-per-doc, so count(*) per hash IS the train
+    // document frequency; the cap prunes the hot tail before the probe join
+    val trainDf = sh.filter(col("split") === "train")
+      .groupBy(col("h")).agg(count(lit(1)).as("__train_df"))
+    val trainShingles = maxTrainDf.fold(trainDf)(cap => trainDf.filter(col("__train_df") <= cap))
+      .select(col("h")).withColumn("__hit", lit(1L))
     sh.filter(col("split") =!= "train")
       .join(trainShingles, Seq("h"), "left")
       .groupBy(col("doc_id"), col("split"))
@@ -294,6 +302,10 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
+    // the 100 TB posture: stop-phrase shingles (train-df > 5 — binds on the
+    // fixtures, 14 shingles dropped at sf0.01) leave the vocabulary
+    "txt_contamination_capped" -> ((s, d) =>
+      contamination(Tables.documents(s, d), maxTrainDf = Some(5L))),
     "txt_hot_passages" -> ((s, d) => hotPassages(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -342,6 +354,27 @@ object TextAnalysis {
          |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id
          |), train AS (
          |  SELECT DISTINCT h FROM shs WHERE split = 'train'
+         |), held AS (
+         |  SELECT * FROM shs WHERE split <> 'train'
+         |)
+         |SELECT held.doc_id, held.split, count(*) AS n_shingles,
+         |  coalesce(sum(CASE WHEN train.h IS NOT NULL THEN 1 END), 0)::BIGINT AS n_contaminated,
+         |  round(coalesce(sum(CASE WHEN train.h IS NOT NULL THEN 1 END), 0)::DOUBLE / count(*), 4)
+         |    AS contamination_ratio
+         |FROM held LEFT JOIN train ON held.h = train.h
+         |GROUP BY 1, 2""".stripMargin,
+    "txt_contamination_capped" ->
+      s"""$tokCte, $shingleCte, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), shs AS (
+         |  SELECT sh.doc_id, sp.split, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+         |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id
+         |), train AS (
+         |  SELECT h FROM shs WHERE split = 'train' GROUP BY h HAVING count(*) <= 5
          |), held AS (
          |  SELECT * FROM shs WHERE split <> 'train'
          |)

@@ -21,6 +21,18 @@ class ColsSpec extends SparkSpec {
     assert(got === vals.map(v => Math.floorDiv(v, 1000000L)))
   }
 
+  test("DuckDB remainder-corrected floor oracle form ≡ floorDiv on negatives") {
+    // DuckDB `//` and `%` TRUNCATE toward zero (verified: -7 // 2 = -3,
+    // -7 % 2 = -1) — exactly like Scala Long `/` and `%`. The oracle form
+    // (x - ((x % n + n) % n)) // n is therefore a true floor: the
+    // subtraction makes the dividend an exact multiple of n, so the
+    // truncating division is exact. Oracles that floor-divide
+    // (ev_props_json, emb_quantize_int8, ann_topk_ivf) rely on this.
+    def oracleFloor(x: Long, n: Long): Long = (x - ((x % n + n) % n)) / n
+    for (x <- Seq(-70001L, -7L, -1L, 0L, 1L, 7L, 70001L); n <- Seq(2L, 3L, 10000L))
+      assert(oracleFloor(x, n) === Math.floorDiv(x, n), s"x=$x n=$n")
+  }
+
   test("tumbleStart floors to window start (pmod semantics)") {
     val got = Seq(86400000L * 3 + 5, 86400000L * 3, -1L)
       .toDF("t").select(Cols.tumbleStart(col("t"), 86400000L)).as[Long].collect().toSeq
