@@ -79,11 +79,19 @@ object Cols {
   def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
   /** Shingles from an (ideally already-projected) tokens array column. */
-  def shinglesOfTokens(toks: Column, n: Int): Column = {
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    array_distinct(ngramsOfTokens(toks, n))
+
+  /** ALL word n-grams in order, duplicates preserved — the repetition-
+    * analysis flavor ([[shinglesOfTokens]] is the distinct set-semantics
+    * one). DuckDB: `[toks[i] || ' ' || ... for i in generate_series(1,
+    * len(toks) - n + 1)]`.
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     // sequence(1, size-n+1) is empty when size < n (sequence errors on
     // descending ranges unless given a step, so guard with when()).
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
       .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 }

@@ -57,6 +57,35 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical-document selection over near-identical content groups:
+    * documents sharing a 60-bit SimHash signature (Hamming-0 blocking —
+    * [[simhash]]) form a group, and the survivor is the member with the
+    * HIGHEST caller-supplied score (doc_id ascending tie-break) — the
+    * "keep the best copy" policy a curation pipeline wants when
+    * near-duplicates differ in quality. `scores` must carry (doc_id,
+    * quality). Byte-identical duplicates always share a signature, so
+    * [[exact]]'s groups are a refinement of these (but there the score
+    * can't differ; here near-dup members genuinely rank).
+    *
+    * Scale: the signature is one narrow scan + algebraic agg; the score
+    * join is doc_id-keyed; then one window over the signature. Group
+    * sizes are near-dup multiplicities (small), so the per-group sort is
+    * trivial and skew-free by construction.
+    */
+  def canonical(docs: DataFrame, scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("simhash"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+    simhash(docs)
+      .join(scores.select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(grp).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("simhash"), col("doc_id").as("keep_doc_id"),
+        col("quality"), col("n_copies"))
+  }
+
   /** Distinct word-3-gram shingles, one row per (doc_id, shingle).
     *
     * Two deliberate plan shapes:
@@ -465,6 +494,10 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      canonical(docs, graft.text.TextAnalysis.qualityScore(docs))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
@@ -522,6 +555,32 @@ object Dedup {
         |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // mirrors canonical(docs, TextAnalysis.qualityScore(docs)): simhash
+    // signature groups (simhashCte) + the txt_quality oracle's CTEs + a
+    // best-per-group window
+    "dedup_canonical" -> {
+      val stopList = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""$simhashCte, st AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    round((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END +
+         |           CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END +
+         |           CASE WHEN type_token_ratio > 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 2) AS quality
+         |  FROM st
+         |), ranked AS (
+         |  SELECT sigs.simhash, sigs.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY sigs.simhash ORDER BY q.quality DESC, sigs.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY sigs.simhash) AS n_copies
+         |  FROM sigs JOIN q USING (doc_id)
+         |)
+         |SELECT simhash, doc_id AS keep_doc_id, quality, n_copies::BIGINT AS n_copies
+         |FROM ranked WHERE rn = 1""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""$tokCte, rare AS (
          |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf

@@ -206,7 +206,40 @@ object Similarity {
           .as("max_err"))
   }
 
+  /** Per-label embedding centroids — the coarse-quantizer training step
+    * [[ivfTopK]] performs inline, exposed as its own operator (cluster
+    * statistics / IVF index build). Exact integer math end to end: each
+    * component is the FLOOR of the milli-quantized sum over the cell
+    * (same construction as the IVF cells), so the output is bit-identical
+    * across engines, partitionings, and summation orders — unlike a
+    * float mean. The centroid is emitted in the canonical comma-joined
+    * string form (like [[quantizeInt8]]'s codes) with its exact squared
+    * norm.
+    *
+    * Scale: one hash aggregate over the corpus with dim positional sums —
+    * all algebraic, map-side combined; output is |labels| rows. The
+    * posexplode alternative (rows × dim shuffle) is deliberately avoided.
+    */
+  def centroids(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    q.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n_vecs")): _*)
+      .select(
+        col("label"),
+        col("n_vecs"),
+        array((0 until dim).map(i =>
+          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n_vecs")), col("n_vecs"))): _*)
+          .as("cv"))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        concat_ws(",", transform(col("cv"), x => x.cast("string"))).as("centroid_milli"),
+        Dedup.longDot(col("cv"), col("cv")).as("cnorm2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -214,6 +247,26 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same cell_sums/cent construction as the ann_topk_ivf oracle
+    // (remainder-corrected floor division on possibly-negative sums)
+    "emb_centroids" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cell_sums AS (
+        |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY label, ii.i
+        |), cent AS (
+        |  SELECT label, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cell_sums GROUP BY label
+        |)
+        |SELECT label, n_vecs,
+        |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli,
+        |  list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2
+        |FROM cent""".stripMargin,
     // DuckDB integer `//` truncates toward zero (like Spark's `div`), so
     // the floor mirror subtracts the non-negative remainder first —
     // exactly the Cols.floorDiv construction. The double-% is pmod for

@@ -287,6 +287,116 @@ object TextAnalysis {
         round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
   }
 
+  /** Gopher/MassiveText-style repetition signals per document (Rae et al.
+    * 2021 §A1.1: "fraction of characters in the most common n-gram" /
+    * "fraction of characters in duplicated n-grams"): the
+    * within-document repetition axis the stopword/length quality score
+    * can't see. Character coverage is counted as len(gram)·occurrences
+    * (the deterministic arithmetic proxy; overlapping occurrences are not
+    * de-overlapped).
+    *
+    * Scale: two explode + hash-agg pyramids over the token stream, both
+    * partially aggregated map-side; the per-doc window for the argmax
+    * 2-gram rides the same doc_id clustering. No pair joins, no driver
+    * actions — a pure scan-shaped quality signal like [[docStats]].
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val withToks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        length(Cols.normalizeText(col("text"))).cast("long").as("n_chars_norm"),
+        Cols.tokens(col("text")).as("toks"))
+    def gramCounts(n: Int) = withToks
+      .select(col("doc_id"), explode(Cols.ngramsOfTokens(col("toks"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // most common 2-gram (count desc, gram asc tie-break) and its coverage
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (length(col("gram")) * col("cnt")).cast("long").as("top2gram_chars"))
+    // characters inside 3-grams occurring more than once in the doc
+    val dup3 = gramCounts(3)
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("gram")) * col("cnt")).cast("long").as("dup3gram_chars"))
+    def frac(chars: Column) =
+      when(col("n_chars_norm") > 0,
+        round(chars.cast("double") / col("n_chars_norm").cast("double"), 4))
+        .otherwise(lit(0.0))
+    withToks.select(col("doc_id"), col("n_chars_norm"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chars_norm"),
+        coalesce(col("top2gram_chars"), lit(0L)).as("top2gram_chars"),
+        frac(coalesce(col("top2gram_chars"), lit(0L))).as("top2gram_char_frac"),
+        coalesce(col("dup3gram_chars"), lit(0L)).as("dup3gram_chars"),
+        frac(coalesce(col("dup3gram_chars"), lit(0L))).as("dup3gram_char_frac"))
+  }
+
+  /** Per-document unigram surprisal under the corpus's own unigram LM —
+    * the cheap perplexity-flavored quality signal (a KenLM stand-in):
+    * token surprisal = ln(total_tokens / corpus_freq(token)), quantized
+    * to integer e4 so per-doc sums are exact integer math (summation-
+    * order- and engine-independent); the per-doc average is an exact
+    * floor division. High average surprisal = rare-token-heavy documents.
+    *
+    * Scale: one explode feeding a corpus-frequency hash agg (map-side
+    * combined) + a scalar broadcast total (in-plan, no driver count) + a
+    * term-keyed join back — the same posting-list shape as TF-IDF; at
+    * 100 TB the vocabulary side stays orders smaller than the token
+    * stream and AQE picks broadcast when it fits.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = terms.agg(count(lit(1)).as("__total"))
+    val scored = terms
+      .join(freq, "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        round(log(col("__total").cast("double") / col("freq").cast("double")) * 10000)
+          .cast("long").as("q"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sum_surprisal_e4"))
+      .withColumn(
+        "avg_surprisal_e4",
+        Cols.floorDiv(col("sum_surprisal_e4"), col("n_tokens")))
+  }
+
+  /** Deterministic context-window packing: within each train/valid/test
+    * split, documents (in doc_id order) are assigned to fixed-budget
+    * packs by cumulative token count — pack_id = floor(tokens_before /
+    * budget), the order-stable approximation of greedy sequence packing
+    * (documents may straddle a boundary; trainers that can't split a doc
+    * treat pack_id as the shard to re-pack locally).
+    *
+    * Scale: one window (shuffle on split + sort by doc_id). A global
+    * per-split ordering is a deliberate choice at this tier; at 100 TB
+    * you'd partition by (split, shard = hash(doc_id) % K) so each shard
+    * packs independently — same expression, wider key.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    val toks = tokenCounts(docs).select(col("doc_id"), col("ws_tokens"))
+    val sp = splitAssign(docs).select(col("doc_id"), col("split"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks.join(sp, "doc_id")
+      .withColumn("cum_before", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", Cols.floorDiv(col("cum_before"), budgetTokens))
+      .select(col("doc_id"), col("split"), col("ws_tokens"), col("cum_before"), col("pack_id"))
+  }
+
   /** Repeated-passage detection (the C4/RefinedWeb "remove oft-repeated
     * n-gram spans" signal): word-3-gram shingles by document frequency,
     * thresholded. Shingles are distinct per document ([[graft.dedup.Dedup.shingleRows]]),
@@ -307,6 +417,9 @@ object TextAnalysis {
     "txt_contamination_capped" -> ((s, d) =>
       contamination(Tables.documents(s, d), maxTrainDf = Some(5L))),
     "txt_hot_passages" -> ((s, d) => hotPassages(Tables.documents(s, d))),
+    "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
+    "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -441,6 +554,78 @@ object TextAnalysis {
          |JOIN n2 na ON na.doc_id = doc_id_1
          |JOIN n2 nb ON nb.doc_id = doc_id_2
          |WHERE round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.8""".stripMargin,
+    "txt_repetition" ->
+      s"""$tokCte, g2 AS (
+         |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+         |                         for i in generate_series(1, len(toks) - 1)]) AS gram
+         |  FROM t
+         |), c2 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+         |), top2 AS (
+         |  SELECT doc_id, (length(gram) * cnt)::BIGINT AS chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+         |    FROM c2) WHERE rn = 1
+         |), g3 AS (
+         |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                         for i in generate_series(1, len(toks) - 2)]) AS gram
+         |  FROM t
+         |), c3 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+         |), dup3 AS (
+         |  SELECT doc_id, sum(length(gram) * cnt)::BIGINT AS chars
+         |  FROM c3 WHERE cnt >= 2 GROUP BY 1
+         |), base AS (
+         |  SELECT doc_id, length(norm)::BIGINT AS n_chars_norm FROM t
+         |)
+         |SELECT base.doc_id, n_chars_norm,
+         |  coalesce(top2.chars, 0)::BIGINT AS top2gram_chars,
+         |  CASE WHEN n_chars_norm > 0
+         |       THEN round(coalesce(top2.chars, 0)::DOUBLE / n_chars_norm, 4)
+         |       ELSE 0.0::DOUBLE END AS top2gram_char_frac,
+         |  coalesce(dup3.chars, 0)::BIGINT AS dup3gram_chars,
+         |  CASE WHEN n_chars_norm > 0
+         |       THEN round(coalesce(dup3.chars, 0)::DOUBLE / n_chars_norm, 4)
+         |       ELSE 0.0::DOUBLE END AS dup3gram_char_frac
+         |FROM base
+         |LEFT JOIN top2 ON base.doc_id = top2.doc_id
+         |LEFT JOIN dup3 ON base.doc_id = dup3.doc_id""".stripMargin,
+    "txt_unigram_logprob" ->
+      s"""$tokCte, terms AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM t
+         |), freq AS (
+         |  SELECT term, count(*) AS freq FROM terms GROUP BY 1
+         |), scored AS (
+         |  SELECT doc_id,
+         |    round(ln((SELECT count(*) FROM terms)::DOUBLE / freq) * 10000)::BIGINT AS q
+         |  FROM terms JOIN freq USING (term)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens, sum(q)::BIGINT AS sum_surprisal_e4
+         |  FROM scored GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, sum_surprisal_e4,
+         |  (sum_surprisal_e4
+         |   - (((sum_surprisal_e4 % n_tokens) + n_tokens) % n_tokens)) // n_tokens
+         |    AS avg_surprisal_e4
+         |FROM agg""".stripMargin,
+    "txt_pack_sequences" ->
+      s"""$tokCte, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), tc AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS ws_tokens FROM t
+         |), cum AS (
+         |  SELECT tc.doc_id, sp.split, tc.ws_tokens,
+         |    coalesce(sum(tc.ws_tokens) OVER (
+         |      PARTITION BY sp.split ORDER BY tc.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM tc JOIN sp ON tc.doc_id = sp.doc_id
+         |)
+         |SELECT doc_id, split, ws_tokens, cum_before,
+         |  cum_before // 2048 AS pack_id
+         |FROM cum""".stripMargin,
     "txt_stratified_sample" ->
       """SELECT doc_id, lang,
         |  ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket

@@ -173,6 +173,26 @@ class DedupSpec extends SparkSpec {
     assert(jobs <= 13, s"cluster round ran $jobs jobs — per-round job budget regressed")
   }
 
+  test("canonical selection keeps the highest-scored member per signature group") {
+    // identical token SETS → identical SimHash signatures (signature is
+    // over distinct tokens), but different scores: the high-quality copy
+    // must win even though its doc_id is larger
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"), // same distinct tokens → same signature
+      (9L, "totally unrelated words here")).toDF("doc_id", "text")
+    val scores = Seq((1L, 0.2), (2L, 0.7), (9L, 0.5)).toDF("doc_id", "quality")
+    val got = Dedup.canonical(d, scores)
+      .select("keep_doc_id", "quality", "n_copies")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got === Set((2L, 0.7, 2L), (9L, 0.5, 1L)))
+    // equal scores fall back to the lowest doc_id
+    val tied = Seq((1L, 0.5), (2L, 0.5), (9L, 0.5)).toDF("doc_id", "quality")
+    val gotTied = Dedup.canonical(d, tied)
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(gotTied === Set((1L, 2L), (9L, 1L)))
+  }
+
   test("near-dup clusters agree with the brute-force components on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40

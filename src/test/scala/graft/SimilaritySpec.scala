@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroids: exact integer floor means per label, incl. negative components") {
+    val e = Seq(
+      (1L, Seq(1.0f, -0.5f), 0),
+      (2L, Seq(0.0f, -0.2f), 0), // label 0 sums: (1000, -700) over n=2
+      (3L, Seq(-1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroids(e, dim = 2)
+      .select("label", "n_vecs", "centroid_milli", "cnorm2")
+      .as[(Int, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // floor(-700 / 2) = -350 (floor, NOT the -349 a truncating div gives)
+    assert(got(0) === ((0, 2L, "500,-350", 500L * 500 + 350L * 350)))
+    assert(got(1) === ((1, 1L, "-1000,1000", 2000000L)))
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
     val brute = Similarity.bruteForceTopK(embs, k = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet

@@ -106,6 +106,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got2 === List(("a b c", 2L)))
   }
 
+  test("repetition: most-common 2-gram coverage and duplicated 3-gram chars") {
+    // "a b a b a b": 2-grams "a b"×3, "b a"×2 → top covers 3·3=9 of 11
+    // norm chars; 3-grams "a b a"×2 + "b a b"×2 → 20 duplicated chars
+    // (the overlapping-occurrence proxy can exceed 1.0 by design)
+    val r = TextAnalysis.repetition(docs((1L, "a b a b a b")))
+      .as[(Long, Long, Long, Double, Long, Double)].collect().head
+    assert(r === ((1L, 11L, 9L, 0.8182, 20L, 1.8182)))
+    // no repetition: every 2-gram unique (cnt-1 tie-break picks "p q"),
+    // zero duplicated 3-grams
+    val c = TextAnalysis.repetition(docs((2L, "p q r s")))
+      .as[(Long, Long, Long, Double, Long, Double)].collect().head
+    assert(c === ((2L, 7L, 3L, 0.4286, 0L, 0.0)))
+    // sub-2-gram doc: both signals zero, no rows lost
+    val s = TextAnalysis.repetition(docs((3L, "solo")))
+      .as[(Long, Long, Long, Double, Long, Double)].collect().head
+    assert(s === ((3L, 4L, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("unigram logprob: exact quantized surprisal sums and floor-div average") {
+    // corpus: a×3, z×1 (total 4) → q(a)=round(ln(4/3)·1e4)=2877,
+    // q(z)=round(ln 4·1e4)=13863
+    val got = TextAnalysis.unigramLogprob(docs((1L, "a a a"), (2L, "z")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 3L, 3 * 2877L, 2877L), (2L, 1L, 13863L, 13863L)))
+  }
+
+  test("pack sequences: fixed budget packs in doc_id order within each split") {
+    // uniform 4-token docs, budget 8 → exactly two docs per pack, per split
+    val d = docs((1L to 40L).map(i => (i, "w x y z")): _*)
+    val got = TextAnalysis.packSequences(d, budgetTokens = 8L)
+      .select("split", "doc_id", "cum_before", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 40)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, cum, pack), i) =>
+        assert(cum === 4L * i)
+        assert(pack === (i / 2).toLong)
+      }
+    }
+  }
+
   test("split assignment: deterministic, complete, roughly 80/10/10") {
     val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
     val splits = TextAnalysis.splitAssign(docs(ids: _*))
