@@ -185,6 +185,73 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("ts", timestamp_millis(col("ts_ms"))),
         gap = "12 hours")
         .drop("session_window")),
+    // per-event session features (position, dwell, inter-event gap) — the
+    // feature-engineering companion to sessionization, one user_id shuffle
+    "cs_session_features" -> ((s, dir) =>
+      Clickstream.sessionFeatures(Tables.events(s, dir))),
+    // bucketed interval join: events counted into each error incident's
+    // 1-hour window. No shared equi-key — the naive range join is a
+    // nested-loop O(|events|·|incidents|); time-bucketing recovers a plain
+    // shuffle equi-join (RangeJoinSpec pins the no-BNLJ plan shape).
+    "ev_range_join_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_ms"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(
+          col("event_id").as("incident_id"),
+          col("ts_ms").as("win_start_ms"),
+          (col("ts_ms") + lit(3600000L)).as("win_end_ms"))
+      val points = ev.select(col("user_id"), col("value"), col("ts_ms"))
+      graft.ops.RangeJoin.pointsInIntervals(
+        points, incidents, tsCol = "ts_ms",
+        startCol = "win_start_ms", endCol = "win_end_ms", bucketMs = 3600000L)
+        .groupBy(col("incident_id"), col("win_start_ms"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+    // dense daily per-type grid: zero-filled counts + forward-filled daily
+    // average — gap filling with the date bounds computed IN-PLAN (broadcast
+    // 1-row min/max, no driver-side collect to learn the range)
+    "ev_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapFillDaily(
+        Tables.events(s, dir), keyCol = "event_type", tsMsCol = "ts_ms", valueCol = "value")),
+    // unpivot/melt — the inverse relational verb of ev_type_pivot, via the
+    // native Dataset.unpivot (Expand: each row fans to |metrics| rows
+    // map-side, no shuffle beyond the pivot's own aggregation)
+    "ev_unpivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val pivoted = Tables.events(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(
+          col("user_bucket") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      pivoted.unpivot(
+        Array(col("user_bucket")),
+        types.map(t => col(s"n_$t")).toArray,
+        "metric", "n")
+    }),
+    // winsorization: clip values at per-type p01/p99 computed in-plan and
+    // broadcast back (5 rows). Unclipped rows pass the raw parquet double
+    // through untouched — no per-row rounding, so the only cross-engine
+    // surface is the (rounded) bounds themselves, same as ev_value_quantiles.
+    "ev_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.01)"), 4).as("lo"),
+          round(expr("percentile(value, 0.99)"), 4).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(
+          col("event_id"),
+          col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("value_w"),
+          (col("value") < col("lo") || col("value") > col("hi")).cast("long").as("clipped"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -323,6 +390,74 @@ object SparkEntry {
         |FROM w
         |WHERE ts_ms >= win_start_ms AND ts_ms < win_start_ms + 864000000
         |GROUP BY 1, 2""".stripMargin,
+    "cs_session_features" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+         |                   OR ts_ms - lag(ts_ms) OVER w >= $GAP THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |), ids AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT event_id, user_id, session_seq,
+         |  (row_number() OVER s)::BIGINT AS event_idx,
+         |  ts_ms - min(ts_ms) OVER (PARTITION BY user_id, session_seq) AS ms_since_start,
+         |  ts_ms - lag(ts_ms) OVER s AS gap_ms
+         |FROM ids WINDOW s AS (PARTITION BY user_id, session_seq ORDER BY ts_ms, event_id)""".stripMargin,
+    "ev_range_join_bucketed" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events
+        |), i AS (
+        |  SELECT event_id AS incident_id, ts_ms AS win_start_ms, ts_ms + 3600000 AS win_end_ms
+        |  FROM e WHERE event_type = 'error'
+        |)
+        |SELECT incident_id, win_start_ms, count(*) AS n_events,
+        |  count(DISTINCT p.user_id) AS n_users, round(sum(p.value), 2) AS sum_value
+        |FROM i JOIN e p ON p.ts_ms >= i.win_start_ms AND p.ts_ms < i.win_end_ms
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, value FROM events
+        |), d AS (
+        |  SELECT event_type, ts_ms // 86400000 AS day, count(*) AS n_events,
+        |         round(sum(value), 2) AS sum_value, round(avg(value), 4) AS day_avg
+        |  FROM e GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(ts_ms // 86400000) AS d0, max(ts_ms // 86400000) AS d1 FROM e
+        |), g AS (
+        |  SELECT t.event_type, unnest(generate_series(b.d0, b.d1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN b
+        |)
+        |SELECT g.event_type, g.day, coalesce(d.n_events, 0)::BIGINT AS n_events,
+        |  coalesce(d.sum_value, 0.0) AS sum_value,
+        |  last_value(d.day_avg IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_avg_value
+        |FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin,
+    "ev_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id % 10 AS user_bucket,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_bucket, metric, n
+        |FROM p UNPIVOT (n FOR metric IN (n_view, n_click, n_purchase, n_signup, n_error))""".stripMargin,
+    "ev_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.01), 4) AS lo,
+        |         round(quantile_cont(value, 0.99), 4) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id, e.event_type, least(greatest(value, lo), hi) AS value_w,
+        |  (value < lo OR value > hi)::BIGINT AS clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
     "ev_asof_status" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value

@@ -194,6 +194,31 @@ object Clickstream {
       .agg(count(lit(1)).as("department_count"))
       .withColumn("win_end_ms", col("win_start_ms") + lit(windowMs))
 
+  /** Per-event session features — the feature-engineering view a
+    * training pipeline derives from sessionization (event position in
+    * session, dwell time since session start, gap to the previous event):
+    * the event-level companion to the session-level [[sessionize]].
+    *
+    * Scale: rides the SAME single user_id shuffle as [[withSessionIds]] —
+    * the (user_id, session_seq) windows are sub-clustered under the
+    * user_id hash partitioning (a prefix of the key), so Spark adds only
+    * sorts, never a second exchange. `gap_ms` is null for each session's
+    * first event (no predecessor), matching SQL lag semantics.
+    */
+  def sessionFeatures(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val bySessionOrdered = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+    withSessionIds(events, gapMs)
+      .withColumn("event_idx", row_number().over(bySessionOrdered).cast("long"))
+      .withColumn("ms_since_start", col("ts_ms") - min(col("ts_ms")).over(bySession))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(bySessionOrdered))
+      .select(
+        col("event_id"), col("user_id"), col("session_seq"),
+        col("event_idx"), col("ms_since_start"), col("gap_ms"))
+  }
+
   /** JSON encodings with the reference's exact output field names and order
     * (Gson serializes declaration order; SURVEY.md §1.3). Used by the
     * streaming sinks and JSON-parity tests; the driver oracle compares the

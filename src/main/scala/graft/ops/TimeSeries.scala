@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.Cols
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turning an irregular event stream into the
+  * dense per-key/per-period grid a downstream model or dashboard consumes
+  * (gap filling + zero-fill + forward-fill — the batch analog of a
+  * continuously-emitting windowed stream).
+  *
+  * Scale shape: the grid is built IN-PLAN from a broadcast 1-row min/max
+  * bound (no driver-side collect to learn the date range) crossed with the
+  * distinct key set, then exploded — |keys| × |days| rows, tiny next to the
+  * event table. The event table itself is touched by exactly one hash
+  * aggregate (map-side combined); the forward-fill window shuffles only the
+  * grid, never the raw events.
+  */
+object TimeSeries {
+
+  val DayMs: Long = 86400000L
+
+  /** Dense per-(key, day) daily aggregate over `[min day, max day]` of the
+    * whole input: `n_events`/`sum_value` zero-filled, and the daily average
+    * forward-filled from the key's most recent active day (null until a
+    * key's first active day — leading gaps have no history to carry).
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsMsCol: String, valueCol: String): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"),
+        round(avg(col(valueCol)), 4).as("day_avg"))
+    val bounds = events.agg(min(day).as("__d0"), max(day).as("__d1"))
+    val grid = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val ffill = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq(keyCol, "day"), "left")
+      .select(
+        col(keyCol),
+        col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        last(col("day_avg"), ignoreNulls = true).over(ffill).as("ffill_avg_value"))
+  }
+}

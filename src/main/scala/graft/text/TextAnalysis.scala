@@ -397,6 +397,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("ws_tokens"), col("cum_before"), col("pack_id"))
   }
 
+  /** Deterministic domain-mixture downsampling: cap every source at
+    * ~`budgetTokens` whitespace tokens — the "rebalance the web-heavy crawl
+    * against the small curated sets" step of assembling a training mixture.
+    * The per-source keep fraction is exact integer parts-per-million
+    * (`min(1e6, ⌊budget·1e6 / src_tokens⌋)`), applied through a
+    * content-free salted hash of the doc id — no RNG state, replays
+    * identically on any engine/partitioning, and independent of the
+    * [[splitAssign]]/[[stratifiedSample]] draws (different salts).
+    *
+    * Scale: one token-count scan + a per-source hash agg (tiny: |sources|
+    * rows) broadcast back onto the corpus as a filter — the corpus itself
+    * is touched map-only. Expected kept tokens per over-budget source ≈
+    * budget (hash sampling is exact only in expectation; a trainer that
+    * needs hard caps re-packs with [[packSequences]] downstream).
+    */
+  def mixtureSample(docs: DataFrame, budgetTokens: Long = 1000L): DataFrame = {
+    val withTokens = docs
+      .select(col("doc_id"), col("source"))
+      .join(tokenCounts(docs).select(col("doc_id"), col("ws_tokens")), "doc_id")
+    val fractions = withTokens
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("src_tokens"))
+      .withColumn(
+        "keep_ppm",
+        least(lit(1000000L), Cols.floorDiv(lit(budgetTokens * 1000000L), col("src_tokens"))))
+    withTokens
+      .join(broadcast(fractions), "source")
+      .withColumn(
+        "bucket",
+        pmod(Cols.hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .filter(col("bucket") < col("keep_ppm"))
+      .select(
+        col("doc_id"), col("source"), col("ws_tokens"),
+        col("src_tokens"), col("keep_ppm"), col("bucket"))
+  }
+
   /** Repeated-passage detection (the C4/RefinedWeb "remove oft-repeated
     * n-gram spans" signal): word-3-gram shingles by document frequency,
     * thresholded. Shingles are distinct per document ([[graft.dedup.Dedup.shingleRows]]),
@@ -420,6 +456,7 @@ object TextAnalysis {
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -626,6 +663,21 @@ object TextAnalysis {
          |SELECT doc_id, split, ws_tokens, cum_before,
          |  cum_before // 2048 AS pack_id
          |FROM cum""".stripMargin,
+    "txt_mixture_sample" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT
+        |      AS ws_tokens
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, sum(ws_tokens)::BIGINT AS src_tokens,
+        |    least(1000000, (1000 * 1000000) // sum(ws_tokens))::BIGINT AS keep_ppm
+        |  FROM tc GROUP BY source
+        |)
+        |SELECT tc.doc_id, tc.source, tc.ws_tokens, f.src_tokens, f.keep_ppm,
+        |  ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 AS bucket
+        |FROM tc JOIN f USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 < f.keep_ppm""".stripMargin,
     "txt_stratified_sample" ->
       """SELECT doc_id, lang,
         |  ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket

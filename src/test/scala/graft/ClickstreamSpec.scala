@@ -83,6 +83,32 @@ class ClickstreamSpec extends SparkSpec {
     assert(got === List(("garden", 1L, 0L, 10000L), ("kitchen", 2L, 0L, 10000L)))
   }
 
+  test("session features: position, dwell, gap; null gap on session firsts") {
+    // user 1: session 1 = events at 1000/1100/1400, session 2 = event at 5000
+    val got = Clickstream.sessionFeatures(ev(
+      (1L, 1000L, "a"), (1L, 1100L, "b"), (1L, 1400L, "a"), (1L, 5000L, "c")), Gap)
+      .select("event_id", "session_seq", "event_idx", "ms_since_start", "gap_ms")
+      .as[(Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 1L, 0L, None),
+      (1L, 1L, 2L, 100L, Some(100L)),
+      (2L, 1L, 3L, 400L, Some(300L)),
+      (3L, 2L, 1L, 0L, None)))
+  }
+
+  test("session features plan: one shuffle for all three windows") {
+    // session assignment partitions by user_id; the per-session windows are
+    // sub-clustered under the same hash partitioning (prefix key), so Spark
+    // must add sorts only — a second exchange would double the shuffle cost
+    // of the hottest stage at 100 TB
+    val plan = Clickstream.sessionFeatures(ev(
+      (1L, 1000L, "a"), (1L, 1100L, "b"), (2L, 1000L, "a")), Gap)
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$plan")
+  }
+
   test("window-boundary bucketing uses session end - 1 ms (SURVEY §2.4)") {
     // session of one event at 8999: end = 9999 → bucket (9999-1)=9998 → window [0,10000)
     // session of one event at 9000: end = 10000 → (10000-1)=9999 → window [0,10000)

@@ -148,6 +148,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixture sample: over-budget sources downsampled, small sources kept whole") {
+    // source "big": 100 docs × 50 tokens = 5000 tokens (5× the 1000 budget
+    // → keep_ppm = 200000); source "small": 4 docs × 50 = 200 tokens (under
+    // budget → keep_ppm = 1000000, every doc kept)
+    val text = Seq.fill(50)("w").mkString(" ")
+    val rows = (1L to 100L).map(i => (i, text, "en", "big")) ++
+      (101L to 104L).map(i => (i, text, "en", "small"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextAnalysis.mixtureSample(df, budgetTokens = 1000L)
+      .select($"doc_id", $"source", $"keep_ppm", $"bucket")
+      .as[(Long, String, Long, Long)].collect()
+    val (big, small) = got.partition(_._2 == "big")
+    assert(small.map(_._1).toSet === Set(101L, 102L, 103L, 104L))
+    assert(small.forall(_._3 === 1000000L))
+    assert(big.forall(_._3 === 200000L))
+    // hash sampling: every kept row satisfies its fraction, and the kept
+    // count is a plausible draw of p=0.2 over 100 docs
+    assert(big.forall(r => r._4 < r._3))
+    assert(big.length > 5 && big.length < 50, s"kept ${big.length} of 100 at p=0.2")
+    // replays identically
+    val again = graft.text.TextAnalysis.mixtureSample(df, budgetTokens = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === got.map(_._1).toSet)
+  }
+
   test("split assignment: deterministic, complete, roughly 80/10/10") {
     val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
     val splits = TextAnalysis.splitAssign(docs(ids: _*))

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.TimeSeries
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Day = TimeSeries.DayMs
+
+  test("gap fill: dense grid, zero-fill, forward-fill, leading nulls") {
+    // key a: active days 0 and 3; key b: active day 1 only.
+    // global range = [0, 3] → 4 grid days per key.
+    val ev = Seq(
+      ("a", 0L * Day + 10, 10.0), ("a", 0L * Day + 20, 20.0),
+      ("a", 3L * Day + 10, 40.0),
+      ("b", 1L * Day + 10, 7.0))
+      .toDF("k", "ts_ms", "value")
+    val got = TimeSeries.gapFillDaily(ev, "k", "ts_ms", "value")
+      .select($"k", $"day", $"n_events", $"sum_value", $"ffill_avg_value")
+      .as[(String, Long, Long, Double, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      ("a", 0L, 2L, 30.0, Some(15.0)),
+      ("a", 1L, 0L, 0.0, Some(15.0)), // gap: zero-filled, avg carried forward
+      ("a", 2L, 0L, 0.0, Some(15.0)),
+      ("a", 3L, 1L, 40.0, Some(40.0)),
+      ("b", 0L, 0L, 0.0, None), // leading gap: no history to carry
+      ("b", 1L, 1L, 7.0, Some(7.0)),
+      ("b", 2L, 0L, 0.0, Some(7.0)),
+      ("b", 3L, 0L, 0.0, Some(7.0))))
+  }
+
+  test("gap fill: grid bounds come from the data, in-plan (no driver job)") {
+    // building the DataFrame must launch zero jobs — the min/max bound is a
+    // broadcast subtree, not a collect (same discipline as TF-IDF's corpus
+    // count: VERDICT r3 #4)
+    val ev = Seq(("a", 0L, 1.0)).toDF("k", "ts_ms", "value")
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val df = TimeSeries.gapFillDaily(ev, "k", "ts_ms", "value")
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(df.columns.toSeq ===
+      Seq("k", "day", "n_events", "sum_value", "ffill_avg_value"))
+    assert(after === before, "plan construction ran Spark jobs")
+  }
+}
