@@ -165,6 +165,23 @@ object SparkEntry {
         .filter(col("n_events") * 200 >= col("__total"))
         .select(col("user_id"), col("n_events"))
     }),
+    // bloom-prefiltered semi join: events of heavy-hitter users. The hot
+    // user set folds into an in-plan bloom filter probed BEFORE the exact
+    // semi join — at 100 TB the big side drops most rows pre-shuffle
+    // instead of shuffling everything to be discarded (ScaleSpec pins the
+    // filter-below-join plan shape). Results identical to the plain semi
+    // join, which is the oracle.
+    "ev_bloom_semi_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hot = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("__total"))))
+        .filter(col("n_events") * 200 >= col("__total"))
+        .select(col("user_id"))
+      graft.ops.Scale.bloomSemiJoin(
+        ev.select(col("event_id"), col("user_id"), col("event_type")),
+        hot, "user_id", expectedItems = 10000L)
+    }),
     // sliding (hopping) event-time windows — the Flink
     // SlidingEventTimeWindows analog; every event lands in size/slide = 2
     // windows, epoch-aligned like Spark's window() default
@@ -374,6 +391,11 @@ object SparkEntry {
     "ev_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         |HAVING count(*) * 200 >= (SELECT count(*) FROM events)""".stripMargin,
+    "ev_bloom_semi_join" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING count(*) * 200 >= (SELECT count(*) FROM events))""".stripMargin,
     // each event belongs to exactly two 10-day windows stepped 5 days; the
     // k ∈ {0,1} cross join materializes both starts (epoch-aligned, so
     // win_start = floor(ts/slide)*slide − k*slide)

@@ -71,6 +71,51 @@ object Scale {
     distributed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Bloom-filter pre-filtered left-semi join: the hand-rolled runtime
+    * filter for "keep only the big-side rows whose key appears in a
+    * (much smaller, but not broadcast-join-small) key set" — the
+    * decontamination / allowlist shape of a 100 TB pipeline.
+    *
+    * Why not a plain semi join: a shuffle semi-join moves EVERY big-side
+    * row to a reducer just to discard most of them. Here the key set is
+    * first folded into a bloom filter (one compact binary, built by a
+    * partial+final aggregate), attached to the big-side scan as a
+    * `might_contain` FILTER via a scalar subquery — the same
+    * ScalarSubquery + BloomFilterMightContain shape Catalyst's
+    * InjectRuntimeFilter emits for selective joins, constructed
+    * explicitly so the pre-filter is guaranteed, not heuristic. The
+    * exact semi join then runs on the survivors only; bloom false
+    * positives (rate set by `expectedItems` vs the default 8M bits) are
+    * removed there, so results are IDENTICAL to the plain semi join —
+    * only the shuffle volume changes.
+    *
+    * Everything stays in-plan: no driver-side `stat.bloomFilter`
+    * collect, no `.collect()` of the key set. Keys hash through
+    * `xxhash64` on both sides (Catalyst's own runtime-filter hashing).
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      keys: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomDf = keys.agg(
+      column(
+        new BloomFilterAggregate(
+          expression(xxhash64(col(key))),
+          expression(lit(expectedItems))).toAggregateExpression()).as("__bloom"))
+    val mightContain = BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      expression(xxhash64(col(key))))
+    big.filter(column(mightContain))
+      .join(keys, Seq(key), "left_semi")
+      // a semi join returns the left schema; keep the left's column ORDER
+      // too (Spark's USING-style join moves the key first)
+      .select(big.columns.map(col).toSeq: _*)
+  }
+
   /** Skew-resistant equi-join: the big side gets a deterministic salt from
     * its whole row; the small side is exploded `saltFactor`× so every
     * (key, salt) pair finds its match. Join key spreads over saltFactor

@@ -433,6 +433,44 @@ object TextAnalysis {
         col("src_tokens"), col("keep_ppm"), col("bucket"))
   }
 
+  /** Collocation mining: corpus-wide bigram PMI (pointwise mutual
+    * information), the classic phrase-detection signal (word2vec's phrase
+    * pass, MWE extraction): PMI = ln(P(xy) / (P(x)·P(y))), reported as
+    * integer e4 with counts so downstream thresholds are exact.
+    * Bigrams below `minCount` are dropped (PMI is noise at tiny counts —
+    * a hapax pair maxes the score).
+    *
+    * Scale: two explode + hash-agg pyramids (bigram and unigram counts,
+    * both map-side combined); the scored join runs on the DISTINCT-bigram
+    * table (vocabulary-sized, orders below the token stream) against the
+    * unigram vocabulary twice, with both corpus totals as in-plan
+    * broadcast scalars. The multiplication order in the PMI argument is
+    * pinned left-associative to mirror the oracle bit-for-bit.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val toksDf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(Cols.tokens(col("text")).as("toks"))
+    val grams = toksDf.select(explode(Cols.ngramsOfTokens(col("toks"), 2)).as("gram"))
+    val unis = toksDf.select(explode(col("toks")).as("term"))
+    val cxy = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val cx = unis.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    cxy
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(cx.select(col("term").as("w1"), col("c").as("c_x")), "w1")
+      .join(cx.select(col("term").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(unis.agg(count(lit(1)).as("__n1"))))
+      .crossJoin(broadcast(grams.agg(count(lit(1)).as("__n2"))))
+      .select(
+        col("gram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(
+          log(col("c_xy").cast("double") * col("__n1") * col("__n1") /
+            (col("c_x").cast("double") * col("c_y") * col("__n2"))) * 10000)
+          .cast("long").as("pmi_e4"))
+  }
+
   /** Repeated-passage detection (the C4/RefinedWeb "remove oft-repeated
     * n-gram spans" signal): word-3-gram shingles by document frequency,
     * thresholded. Shingles are distinct per document ([[graft.dedup.Dedup.shingleRows]]),
@@ -456,6 +494,7 @@ object TextAnalysis {
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -663,6 +702,25 @@ object TextAnalysis {
          |SELECT doc_id, split, ws_tokens, cum_before,
          |  cum_before // 2048 AS pack_id
          |FROM cum""".stripMargin,
+    "txt_collocations" ->
+      s"""$tokCte, g2 AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |                 for i in generate_series(1, len(toks) - 1)]) AS gram
+         |  FROM t
+         |), cxy AS (
+         |  SELECT gram, count(*) AS c_xy FROM g2 GROUP BY 1 HAVING count(*) >= 5
+         |), u AS (
+         |  SELECT unnest(toks) AS term FROM t
+         |), cx AS (
+         |  SELECT term, count(*) AS c FROM u GROUP BY 1
+         |), n1 AS (SELECT count(*) AS n1 FROM u), n2 AS (SELECT count(*) AS n2 FROM g2)
+         |SELECT g.gram, g.c_xy, a.c AS c_x, b.c AS c_y,
+         |  round(ln(g.c_xy::DOUBLE * n1.n1 * n1.n1 / (a.c::DOUBLE * b.c * n2.n2)) * 10000)::BIGINT
+         |    AS pmi_e4
+         |FROM cxy g
+         |JOIN cx a ON string_split(g.gram, ' ')[1] = a.term
+         |JOIN cx b ON string_split(g.gram, ' ')[2] = b.term
+         |CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
     "txt_mixture_sample" ->
       """WITH tc AS (
         |  SELECT doc_id, source,

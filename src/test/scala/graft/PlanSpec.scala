@@ -16,6 +16,23 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  test("registry sweep: no unexpected nested-loop or cartesian join anywhere") {
+    // every registered query's physical plan, checked against the two
+    // declared exception tiers (PlanAudit): all-pairs baselines and 1-row
+    // broadcast scalar joins. A new operator that accidentally plans a
+    // nested loop (e.g. a range join without bucketing, a lost equi-key)
+    // fails here before it ever reaches a cluster.
+    val allowed = PlanAudit.AllPairsBaselines ++ PlanAudit.ScalarBroadcast
+    SparkEntry.queries.foreach { case (name, q) =>
+      val plan = planOf(q(spark, dir))
+      if (!allowed(name)) {
+        PlanAudit.RedFlags.foreach { f =>
+          assert(!plan.contains(f), s"$name plans a $f:\n$plan")
+        }
+      }
+    }
+  }
+
   test("q1: shipdate filter pushed to parquet scan; columns pruned") {
     val plan = planOf(RelationalQueries.q1Pricing(spark, dir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

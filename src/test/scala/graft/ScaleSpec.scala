@@ -82,6 +82,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi join equals plain semi join; filter runs before the join") {
+    val big = (1 to 20000).map(i => (i.toLong % 997, i)).toDF("k", "v")
+    val keys = Seq(1L, 5L, 900L, 12345L).toDF("k") // 12345 matches nothing
+    val expected = big.join(keys, Seq("k"), "left_semi")
+      .as[(Long, Int)].collect().toSet
+    val got = Scale.bloomSemiJoin(big, keys, "k", expectedItems = 1000L)
+    assert(got.as[(Long, Int)].collect().toSet === expected)
+    // the might_contain pre-filter must sit on the big side BELOW the join
+    // (that's the point: rows drop before they shuffle), fed by a scalar
+    // subquery building the bloom aggregate — no driver-side collect
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), s"bloom pre-filter missing:\n$plan")
+    val filterLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("LeftSemi"))
+    assert(joinLine >= 0 && filterLine > joinLine,
+      s"pre-filter should be under the semi join in the plan tree:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket-spec").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -148,6 +148,15 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("collocations: exact bigram PMI, min-count threshold") {
+    // corpus: "a b a b" + "a b c" → bigrams: (a b)×3, (b a)×1, (b c)×1;
+    // unigrams a:3 b:3 c:1 → n1=7, n2=5. minCount=2 keeps only "a b":
+    // PMI = ln(3·7·7 / (3·3·5)) = ln(49/15) ≈ 1.18380 → e4 = 11838
+    val got = TextAnalysis.collocations(docs((1L, "a b a b"), (2L, "a b c")), minCount = 2L)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(("a b", 3L, 3L, 3L, 11838L)))
+  }
+
   test("mixture sample: over-budget sources downsampled, small sources kept whole") {
     // source "big": 100 docs × 50 tokens = 5000 tokens (5× the 1000 budget
     // → keep_ppm = 200000); source "small": 4 docs × 50 = 200 tokens (under
