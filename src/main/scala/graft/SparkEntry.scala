@@ -165,6 +165,19 @@ object SparkEntry {
         .filter(col("n_events") * 200 >= col("__total"))
         .select(col("user_id"), col("n_events"))
     }),
+    // ordered funnel with a 24 h conversion window: view → click →
+    // purchase, each stage strictly after the previous and within 24 h of
+    // funnel entry — a chain of shrinking per-stage aggregates, counts
+    // unioned as 1-row aggregates (no driver actions)
+    "cs_funnel" -> ((s, dir) =>
+      graft.ops.Analytics.funnel(
+        Tables.events(s, dir),
+        stages = Seq("view", "click", "purchase"),
+        withinMs = Some(86400000L))),
+    // cohort retention triangle: users by first-seen day, distinct-counted
+    // on each later active day
+    "cs_retention" -> ((s, dir) =>
+      graft.ops.Analytics.retention(Tables.events(s, dir))),
     // bloom-prefiltered semi join: events of heavy-hitter users. The hot
     // user set folds into an in-plan bloom filter probed BEFORE the exact
     // semi join — at 100 TB the big side drops most rows pre-shuffle
@@ -391,6 +404,31 @@ object SparkEntry {
     "ev_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         |HAVING count(*) * 200 >= (SELECT count(*) FROM events)""".stripMargin,
+    "cs_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_ms) AS t, min(s1.t) AS t0 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_ms > s1.t AND ts_ms <= s1.t + 86400000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_ms) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_ms > s2.t AND ts_ms <= s2.t0 + 86400000 GROUP BY 1
+        |)
+        |SELECT 1::BIGINT AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |UNION ALL SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT""".stripMargin,
+    "cs_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "ev_bloom_semi_join" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IN (

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.DataFrame
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((user, ts, tpe), i) => (i.toLong, user, tpe, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+
+  test("funnel: strict stage ordering, earliest-entry semantics") {
+    val events = ev(
+      // user 1 completes in order
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2 clicks BEFORE viewing — click doesn't count, purchase
+      // can't qualify either (no valid click to follow)
+      (2L, 100L, "click"), (2L, 200L, "view"), (2L, 300L, "purchase"),
+      // user 3 views then purchases with no click — stops at stage 1
+      (3L, 100L, "view"), (3L, 300L, "purchase"),
+      // user 4 never views
+      (4L, 100L, "click"), (4L, 200L, "purchase"))
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: ordering anchors on the EARLIEST previous-stage event") {
+    // view@100, click@50 (too early), click@150 (counts, > min view time)
+    val events = ev(
+      (1L, 100L, "view"), (1L, 50L, "click"), (1L, 150L, "click"))
+    val got = Analytics.funnel(events, Seq("view", "click"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, "view", 1L), (2L, "click", 1L)))
+  }
+
+  test("funnel: conversion window anchors on funnel entry, not the prior stage") {
+    val events = ev(
+      // user 1: click at entry+80, purchase at entry+120 — purchase misses
+      // the 100ms window even though it's within 100ms of the click
+      (1L, 0L, "view"), (1L, 80L, "click"), (1L, 120L, "purchase"),
+      // user 2: everything inside the window
+      (2L, 0L, "view"), (2L, 40L, "click"), (2L, 90L, "purchase"))
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"),
+      withinMs = Some(100L))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, "view", 2L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("retention: cohort by first-seen day, distinct users per offset") {
+    val Day = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      // cohort day 0: users 1 and 2; user 1 returns day 1 and 2 (twice —
+      // distinct-counted once), user 2 only day 2
+      (1L, 10L, "view"), (1L, Day + 10, "click"),
+      (1L, 2 * Day + 10, "view"), (1L, 2 * Day + 20, "click"),
+      (2L, 20L, "view"), (2L, 2 * Day + 5, "view"),
+      // cohort day 1: user 3, active day 1 only
+      (3L, Day + 1, "view"))
+    val got = Analytics.retention(events)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L)))
+  }
+}
