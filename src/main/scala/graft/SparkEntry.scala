@@ -67,6 +67,30 @@ object SparkEntry {
         purchases, statuses, key = "user_id", tsCol = "ts_ms",
         payload = Seq("status", "status_ts_ms"))
     }),
+    // forward as-of join: each purchase picks up the user's NEXT status
+    // event (the event-to-outcome join) — same single-sort union machinery
+    // as ev_asof_status, descending order
+    "ev_asof_next" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      val statuses = ev.filter(col("event_type").isin("signup", "error"))
+        .select(
+          col("user_id"), col("ts_ms"),
+          col("event_type").as("status"), col("ts_ms").as("status_ts_ms"))
+      graft.ops.AsOfJoin.asOfLeft(
+        purchases, statuses, key = "user_id", tsCol = "ts_ms",
+        payload = Seq("status", "status_ts_ms"), forward = true)
+    }),
+    // per-column data-quality profile in ONE pass: a single aggregate
+    // computes every column's null/distinct counts, exploded to the report
+    "ev_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        Tables.events(s, dir).drop("ts"),
+        Seq("event_id", "user_id", "event_type", "value", "props", "ts_ms"))),
+    // the should-I-salt diagnostic: hottest-key share and p99 per-key count
+    "ev_key_skew" -> ((s, dir) =>
+      graft.ops.Scale.keySkew(Tables.events(s, dir), "user_id")),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -529,5 +553,32 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts_ms, l.value,
         |       r.status, r.sts_ms AS status_ts_ms
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.sts_ms""".stripMargin,
+    "ev_asof_next" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS sts_ms, event_type AS status
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_ms, l.value,
+        |       r.status, r.sts_ms AS status_ts_ms
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.sts_ms""".stripMargin,
+    "ev_profile" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+      "WITH e AS (SELECT *, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events)\n" +
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+             |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct FROM e""".stripMargin
+        }.mkString("\nUNION ALL ")
+    },
+    "ev_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(c)::BIGINT AS max_key_rows,
+        |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
+        |FROM c""".stripMargin,
   )
 }

@@ -30,13 +30,21 @@ object AsOfJoin {
     * @param payload   right columns carried into the result (latest as-of
     *                  values; all null when no right row precedes the left
     *                  row)
+    * @param forward   false (default): nearest right row AT OR BEFORE the
+    *                  left row (backward as-of). true: nearest right row AT
+    *                  OR AFTER it (forward as-of — "the next reading", the
+    *                  event-to-outcome join). Same machinery, the per-key
+    *                  sort just runs descending; the inclusive tie rule is
+    *                  symmetric. DuckDB mirrors with `l.ts <= r.ts` in the
+    *                  ASOF condition.
     */
   def asOfLeft(
       left: DataFrame,
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // All payload columns ride in ONE struct carried by a single
     // last(ignoreNulls) — values stay row-atomic (no mixing columns from
@@ -54,8 +62,9 @@ object AsOfJoin {
       .foldLeft(r0.withColumn("__side", lit(0))) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))

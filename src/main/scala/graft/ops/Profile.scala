@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling: the per-column quality report (row count, null count,
+  * exact distinct count) a pipeline runs before trusting a new source.
+  *
+  * Scale shape: ONE pass — a single aggregate computes every column's
+  * stats (the distinct counts expand the scan internally, Spark's standard
+  * multi-distinct planning), producing one row that is then exploded into
+  * the per-column report. No per-column jobs, no driver loop over columns;
+  * at 100 TB swap `count_distinct` for `approx_count_distinct` per column
+  * where exactness isn't needed (same plan shape, no expand).
+  */
+object Profile {
+
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"), // count(col) skips nulls
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row
+      .select(explode(array(columns.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"))
+      }: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_rows"), col("p.n_null"), col("p.n_distinct"))
+  }
+}

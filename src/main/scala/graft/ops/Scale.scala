@@ -71,6 +71,26 @@ object Scale {
     distributed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Key-skew diagnostic: the one-row report that answers "should this key
+    * be salted / is this join AQE-skew territory" BEFORE a job ships —
+    * total rows, distinct keys, the hottest key's row count, its share in
+    * exact ppm, and the p99 per-key count. Two hash aggregates (the second
+    * over |keys| rows); at 100 TB this is the cheap probe you run on a
+    * sample or on the full table overnight, not a per-query cost.
+    */
+  def keySkew(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_key_rows"),
+        round(expr("percentile(__c, 0.99)"), 4).as("p99_key_rows"))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        graft.Cols.floorDiv(col("max_key_rows") * 1000000L, col("n_rows")).as("top_share_ppm"),
+        col("p99_key_rows"))
+
   /** Bloom-filter pre-filtered left-semi join: the hand-rolled runtime
     * filter for "keep only the big-side rows whose key appears in a
     * (much smaller, but not broadcast-join-small) key set" — the

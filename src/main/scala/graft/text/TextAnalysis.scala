@@ -433,6 +433,31 @@ object TextAnalysis {
         col("src_tokens"), col("keep_ppm"), col("bucket"))
   }
 
+  /** Decile bucketing of the unigram-surprisal quality signal — the
+    * "prune the worst decile / oversample the best" knob of a quality-
+    * curriculum pipeline. Deliberately NOT `ntile()`: a global ntile is a
+    * single-partition sort at 100 TB. Instead the nine decile thresholds
+    * are computed as exact percentiles in-plan and broadcast; each doc's
+    * decile = 1 + #(thresholds strictly below its score) — a map-only
+    * bucketing after one aggregate, with ties resolving deterministically
+    * (equal scores share a decile; boundary mass sits in the lower
+    * bucket, so decile populations are only approximately equal — the
+    * scale-correct tradeoff vs ntile's exact-but-serial split).
+    */
+  def surprisalDeciles(docs: DataFrame): DataFrame = {
+    val scores = unigramLogprob(docs).select(col("doc_id"), col("avg_surprisal_e4"))
+    val thresholds = scores.agg(
+      expr("percentile(avg_surprisal_e4, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("__th"))
+    scores
+      .crossJoin(broadcast(thresholds))
+      .select(
+        col("doc_id"),
+        col("avg_surprisal_e4"),
+        (lit(1L) + size(filter(col("__th"), t => col("avg_surprisal_e4") > t)).cast("long"))
+          .as("decile"))
+  }
+
   /** Collocation mining: corpus-wide bigram PMI (pointwise mutual
     * information), the classic phrase-detection signal (word2vec's phrase
     * pass, MWE extraction): PMI = ln(P(xy) / (P(x)·P(y))), reported as
@@ -495,6 +520,7 @@ object TextAnalysis {
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+    "txt_surprisal_deciles" -> ((s, d) => surprisalDeciles(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -702,6 +728,28 @@ object TextAnalysis {
          |SELECT doc_id, split, ws_tokens, cum_before,
          |  cum_before // 2048 AS pack_id
          |FROM cum""".stripMargin,
+    "txt_surprisal_deciles" ->
+      s"""$tokCte, terms AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM t
+         |), freq AS (
+         |  SELECT term, count(*) AS freq FROM terms GROUP BY 1
+         |), scored AS (
+         |  SELECT doc_id,
+         |    round(ln((SELECT count(*) FROM terms)::DOUBLE / freq) * 10000)::BIGINT AS q
+         |  FROM terms JOIN freq USING (term)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens, sum(q)::BIGINT AS s FROM scored GROUP BY 1
+         |), sc AS (
+         |  SELECT doc_id,
+         |    (s - (((s % n_tokens) + n_tokens) % n_tokens)) // n_tokens AS avg_surprisal_e4
+         |  FROM agg
+         |), th AS (
+         |  SELECT quantile_cont(avg_surprisal_e4,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS th FROM sc
+         |)
+         |SELECT doc_id, avg_surprisal_e4,
+         |  1 + len(list_filter(th.th, t -> avg_surprisal_e4 > t))::BIGINT AS decile
+         |FROM sc CROSS JOIN th""".stripMargin,
     "txt_collocations" ->
       s"""$tokCte, g2 AS (
          |  SELECT unnest([toks[i] || ' ' || toks[i+1]

@@ -20,6 +20,22 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 50L, "p3", null))) // no right row for key 2
   }
 
+  test("forward as-of: earliest following right row, inclusive ties") {
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 100L, "x"), (1L, 150L, "y"), (2L, 10L, "z"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin
+      .asOfLeft(left, right, key = "k", tsCol = "ts", payload = Seq("rv"), forward = true)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got === Set(
+      (1L, 100L, "p1", "x"), // inclusive: right at exactly left.ts matches
+      (1L, 200L, "p2", null), // nothing after 200
+      (2L, 50L, "p3", null))) // right at 10 is BEFORE — not visible forward
+  }
+
   test("NULL payload value on the latest right row is carried as NULL") {
     // the most recent status has a null note: the result must show the
     // null, NOT fall back to the older row's non-null note (ADVICE r2)

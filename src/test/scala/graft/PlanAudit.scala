@@ -18,7 +18,8 @@ object PlanAudit {
   val ScalarBroadcast = Set(
     "ann_topk_ivf", "ev_bloom_semi_join", "ev_gapfill", "ev_heavy_hitters",
     "q11_important_stock", "q22_idle_rich", "txt_collocations",
-    "txt_tfidf_top_terms", "txt_tfidf_doc_sim", "txt_unigram_logprob")
+    "txt_surprisal_deciles", "txt_tfidf_top_terms", "txt_tfidf_doc_sim",
+    "txt_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

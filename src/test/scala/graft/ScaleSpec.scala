@@ -82,6 +82,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("key skew diagnostic: exact counts and hottest-key share") {
+    // key 1: 60 rows of 100 total → top_share = 600000 ppm
+    val rows = (1 to 60).map(i => (1L, i)) ++ (1 to 40).map(i => ((i % 8 + 2).toLong, i))
+    val got = Scale.keySkew(rows.toDF("k", "v"), "k")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    val (nRows, nKeys, maxRows, ppm, p99) = got.head
+    assert(nRows === 100L && nKeys === 9L && maxRows === 60L && ppm === 600000L)
+    assert(p99 > 5.0 && p99 <= 60.0)
+  }
+
   test("bloom semi join equals plain semi join; filter runs before the join") {
     val big = (1 to 20000).map(i => (i.toLong % 997, i)).toDF("k", "v")
     val keys = Seq(1L, 5L, 900L, 12345L).toDF("k") // 12345 matches nothing

@@ -148,6 +148,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("surprisal deciles: complete cover, 1..10, monotone in score") {
+    val rows = (1L to 200L).map(i => (i, (1L to (i % 20 + 3)).map(k => s"w${i * 31 % (k + 11)}").mkString(" ")))
+    val got = TextAnalysis.surprisalDeciles(docs(rows: _*))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 200)
+    assert(got.forall(r => r._3 >= 1L && r._3 <= 10L))
+    // deciles are monotone in the score: sorting by score never decreases
+    // the decile, and equal scores share a decile
+    val byScore = got.sortBy(_._2)
+    byScore.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3, s"decile not monotone: $a then $b")
+        if (a._2 == b._2) assert(a._3 === b._3, s"tied scores split deciles: $a vs $b")
+      case _ =>
+    }
+    // every decile is populated on a 200-doc spread
+    assert(got.map(_._3).distinct.length === 10)
+  }
+
   test("collocations: exact bigram PMI, min-count threshold") {
     // corpus: "a b a b" + "a b c" → bigrams: (a b)×3, (b a)×1, (b c)×1;
     // unigrams a:3 b:3 c:1 → n1=7, n2=5. minCount=2 keeps only "a b":
