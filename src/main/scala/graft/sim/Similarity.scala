@@ -238,7 +238,47 @@ object Similarity {
         Dedup.longDot(col("cv"), col("cv")).as("cnorm2"))
   }
 
+  /** Per-dimension embedding statistics — the drift/health monitor an
+    * embedding pipeline runs on every new batch (a collapsed dimension,
+    * a mean shift, or an exploding scale shows up here before it poisons
+    * retrieval). All in exact milli-quantized integer math: sums, mins,
+    * maxes, sum-of-squares per dimension, and a floor-division mean —
+    * bit-identical across engines and summation orders.
+    *
+    * Scale: ONE keyless aggregate with 4·dim positional algebraic
+    * columns (map-side combined), reshaped to dim rows by exploding a
+    * struct array — the same no-posexplode choice as [[centroids]]: the
+    * alternative rows×dim explode would shuffle a 64× blowup of the
+    * corpus just to compute 64 tiny rows.
+    */
+  def dimStats(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val aggs = (0 until dim).flatMap { i =>
+      val v = element_at(col("qv"), i + 1)
+      Seq(
+        sum(v).as(s"__s$i"),
+        min(v).as(s"__mn$i"),
+        max(v).as(s"__mx$i"),
+        sum(v * v).as(s"__q$i"))
+    }
+    q.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array((0 until dim).map { i =>
+        struct(
+          lit((i + 1).toLong).as("dim"),
+          col("__n").as("n_vecs"),
+          col(s"__s$i").as("sum_milli"),
+          col(s"__mn$i").as("min_milli"),
+          col(s"__mx$i").as("max_milli"),
+          col(s"__q$i").as("sumsq_milli"))
+      }: _*)).as("d"))
+      .select(
+        col("d.dim"), col("d.n_vecs"), col("d.sum_milli"), col("d.min_milli"),
+        col("d.max_milli"), col("d.sumsq_milli"),
+        graft.Cols.floorDiv(col("d.sum_milli"), col("d.n_vecs")).as("avg_milli"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> ((s, d) => dimStats(Tables.embeddings(s, d))),
     "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
@@ -247,6 +287,19 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "emb_dim_stats" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), d AS (
+        |  SELECT ii.i AS dim, qv[ii.i] AS v
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |)
+        |SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n_vecs, sum(v)::BIGINT AS sum_milli,
+        |  min(v)::BIGINT AS min_milli, max(v)::BIGINT AS max_milli,
+        |  sum(v * v)::BIGINT AS sumsq_milli,
+        |  (sum(v) - (((sum(v) % count(*)) + count(*)) % count(*))) // count(*) AS avg_milli
+        |FROM d GROUP BY 1""".stripMargin,
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
     "emb_centroids" ->

@@ -90,6 +90,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 1L, 1L), (2L, 2L, 1L, 1L)))
   }
 
+  test("gap fill on an empty frame returns an empty grid (null bounds don't throw)") {
+    // min/max over zero rows are NULL; the sequence() grid must collapse
+    // to nothing, not error
+    assert(graft.ops.TimeSeries.gapFillDaily(
+      emptyEvents, "event_type", "ts_ms", "value").count() === 0L)
+  }
+
+  test("range join handles negative timestamps (floor bucketing, not truncation)") {
+    // a point at t=-50 lives in bucket -1 ([-100, 0)); truncating division
+    // would put it in bucket 0 and lose the match
+    val points = Seq((1L, -50L)).toDF("pid", "t")
+    val intervals = Seq((1L, -100L, 0L)).toDF("iid", "start_ms", "end_ms")
+    val got = graft.ops.RangeJoin
+      .pointsInIntervals(points, intervals, "t", "start_ms", "end_ms", bucketMs = 100L)
+    assert(got.count() === 1L)
+  }
+
+  test("funnel emits zero-count rows for unreached stages, empty input included") {
+    val got = graft.ops.Analytics
+      .funnel(emptyEvents, Seq("view", "click"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, "view", 0L), (2L, "click", 0L)))
+  }
+
+  test("retention and profile on empty frames: empty triangle, zeroed report") {
+    assert(graft.ops.Analytics.retention(emptyEvents).count() === 0L)
+    val prof = graft.ops.Profile.profile(emptyEvents, Seq("event_id", "value"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(prof === List(("event_id", 0L, 0L, 0L), ("value", 0L, 0L, 0L)))
+  }
+
   test("hash60 analyzes on a bare session with no graft registry (library portability)") {
     // newSession(): fresh SessionState → fresh function registry, no
     // GraftSession.tune — the helper must not depend on the SQL-name
