@@ -202,6 +202,23 @@ object SparkEntry {
     // on each later active day
     "cs_retention" -> ((s, dir) =>
       graft.ops.Analytics.retention(Tables.events(s, dir))),
+    // first-order Markov transition matrix over per-user event sequences,
+    // with the per-from-type share in exact integer e4
+    "ev_transitions" -> ((s, dir) =>
+      graft.ops.Analytics.transitions(Tables.events(s, dir))),
+    // pairwise audience overlap (distinct-user Jaccard) between event types
+    "ev_segment_overlap" -> ((s, dir) =>
+      graft.ops.Analytics.segmentOverlap(Tables.events(s, dir))),
+    // hour-of-day seasonality profile per type (UTC, pure integer math)
+    "ev_hour_profile" -> ((s, dir) =>
+      graft.ops.Analytics.hourProfile(Tables.events(s, dir))),
+    // equi-width histogram over the global value range, bounds in-plan
+    "ev_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(Tables.events(s, dir), "event_type", "value")),
+    // calendar rolling 7-day activity per type (RANGE frame — gap days
+    // age out), all-integer outputs
+    "ev_rolling_daily" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingDaily(Tables.events(s, dir), "event_type", "ts_ms")),
     // bloom-prefiltered semi join: events of heavy-hitter users. The hot
     // user set folds into an in-plan bloom filter probed BEFORE the exact
     // semi join — at 100 TB the big side drops most rows pre-shuffle
@@ -580,5 +597,62 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    // counts are non-negative, so DuckDB's truncating `//` IS floor here
+    "ev_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  ((n_transitions * 10000) // (sum(n_transitions) OVER (PARTITION BY from_type)))::BIGINT AS share_e4
+        |FROM c""".stripMargin,
+    "ev_segment_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS seg, user_id AS id FROM events),
+        |s AS (SELECT seg, count(*) AS n FROM tu GROUP BY 1),
+        |p AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.id = b.id AND a.seg < b.seg
+        |  GROUP BY 1, 2
+        |)
+        |SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  (n_common * 10000) // (sa.n + sb.n - n_common) AS jaccard_e4
+        |FROM p JOIN s sa ON p.seg_a = sa.seg JOIN s sb ON p.seg_b = sb.seg""".stripMargin,
+    "ev_hour_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour FROM events
+        |), c AS (
+        |  SELECT event_type, hour, count(*) AS n_events FROM e GROUP BY 1, 2
+        |)
+        |SELECT event_type, hour, n_events,
+        |  ((n_events * 10000) // (sum(n_events) OVER (PARTITION BY event_type)))::BIGINT AS share_e4
+        |FROM c""".stripMargin,
+    // bin arithmetic mirrors Profile.histogram operation-for-operation so
+    // the doubles are bit-identical; the max value closes into bin 9
+    "ev_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT event_type,
+        |  least(floor((value - lo) * 10.0 / (hi - lo))::BIGINT, 9) AS bin,
+        |  count(*) AS n_events
+        |FROM events CROSS JOIN b
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_rolling_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), d AS (
+        |  SELECT event_type, day, count(*) AS n_events FROM e GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_events,
+        |  (sum(n_events) OVER w)::BIGINT AS rolling_n,
+        |  (count(*) OVER w)::BIGINT AS rolling_days,
+        |  (((sum(n_events) OVER w) * 10000) // (count(*) OVER w))::BIGINT AS rolling_avg_e4
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

@@ -33,4 +33,28 @@ object Profile {
       }: _*)).as("p"))
       .select(col("p.column_name"), col("p.n_rows"), col("p.n_null"), col("p.n_distinct"))
   }
+
+  /** Equi-width histogram of `valueCol` per `groupCol`: `bins` buckets
+    * over the GLOBAL [min, max] (shared bin edges make the per-group
+    * histograms comparable), top edge closed — the max value lands in the
+    * last bin. Assumes max > min.
+    *
+    * Scale: the bounds are a broadcast 1-row aggregate folded into the
+    * plan (no driver-side action to learn the range), then one map-side
+    * bin computation + one hash aggregate onto |groups| × bins rows. The
+    * bin expression is evaluated identically (same operation order) by
+    * the DuckDB oracle, so the double arithmetic is bit-reproducible.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String, bins: Int = 10): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.select(col(groupCol), col(valueCol))
+      .crossJoin(broadcast(bounds))
+      .select(
+        col(groupCol),
+        least(
+          floor((col(valueCol) - col("__lo")) * lit(bins.toDouble) / (col("__hi") - col("__lo"))),
+          lit((bins - 1).toLong)).as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_events"))
+  }
 }

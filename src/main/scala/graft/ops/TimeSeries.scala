@@ -49,4 +49,34 @@ object TimeSeries {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
         last(col("day_avg"), ignoreNulls = true).over(ffill).as("ffill_avg_value"))
   }
+
+  /** Calendar rolling window per key: for each active (key, day), the
+    * event count plus the trailing-`windowDays` total, the number of
+    * ACTIVE days inside that calendar window, and their exact integer-e4
+    * average. The frame is a RANGE over the day VALUE (not ROWS), so gap
+    * days genuinely age out of the window instead of stretching it — the
+    * rolling-week semantics a dashboard means, computed without
+    * densifying the grid (see [[gapFillDaily]] when a dense grid is the
+    * goal).
+    *
+    * Scale: the events collapse to |keys| × |active days| rows in one
+    * map-side-combined hash aggregate; the rolling window runs over that
+    * daily table only. All outputs are integers — no cross-engine double
+    * surface.
+    */
+  def rollingDaily(
+      events: DataFrame, keyCol: String, tsMsCol: String, windowDays: Int = 7): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .select(
+        col(keyCol), col("day"), col("n_events"),
+        sum(col("n_events")).over(w).as("rolling_n"),
+        count(lit(1)).over(w).as("rolling_days"))
+      .withColumn("rolling_avg_e4", Cols.floorDiv(col("rolling_n") * 10000, col("rolling_days")))
+  }
 }

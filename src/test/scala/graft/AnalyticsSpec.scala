@@ -65,4 +65,46 @@ class AnalyticsSpec extends SparkSpec {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
       (1L, 0L, 1L)))
   }
+
+  test("transitions: per-user consecutive pairs, e4 share within from-type") {
+    val events = ev(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "view"), (1L, 400L, "click"),
+      (2L, 100L, "view"), (2L, 200L, "view"))
+    val got = Analytics.transitions(events)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    // from view: view→click ×2, view→view ×1 (of 3); from click: click→view ×1
+    assert(got === List(
+      ("click", "view", 1L, 10000L),
+      ("view", "click", 2L, 6666L),
+      ("view", "view", 1L, 3333L)))
+  }
+
+  test("transitions: no cross-user pairs (last event of user A ≠ first of B)") {
+    val events = ev((1L, 100L, "view"), (2L, 200L, "click"))
+    assert(Analytics.transitions(events).count() === 0L)
+  }
+
+  test("segment overlap: distinct-user Jaccard, empty intersections absent") {
+    val events = ev(
+      // segment a: users {1,2,3} (user 1 twice — distinct-counted once)
+      (1L, 1L, "a"), (1L, 2L, "a"), (2L, 3L, "a"), (3L, 4L, "a"),
+      // segment b: users {2,3,4} → |a∩b|=2, |a∪b|=4 → 5000
+      (2L, 5L, "b"), (3L, 6L, "b"), (4L, 7L, "b"),
+      // segment c: user {9} — overlaps nothing, no output rows
+      (9L, 8L, "c"))
+    val got = Analytics.segmentOverlap(events)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(("a", "b", 3L, 3L, 2L, 5000L)))
+  }
+
+  test("hour profile: UTC hour buckets with e4 within-type shares") {
+    val H = 3600000L
+    val events = ev(
+      (1L, 0L, "x"), (2L, 1000L, "x"), (3L, H + 5, "x"),
+      // second day, hour 0 — folds onto hour 0
+      (4L, graft.ops.TimeSeries.DayMs + 7, "x"))
+    val got = Analytics.hourProfile(events)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toList
+    assert(got === List(("x", 0L, 3L, 7500L), ("x", 1L, 1L, 2500L)))
+  }
 }

@@ -28,4 +28,25 @@ class ProfileSpec extends SparkSpec {
     // one-job-per-column (the driver-loop profiler anti-pattern)
     assert(jobs <= 3, s"expected a single-pass profile, got $jobs jobs")
   }
+
+  test("histogram: global equi-width bins, max value closes into last bin") {
+    val df = Seq(
+      ("g1", 0.0), ("g1", 4.9), ("g1", 5.0), ("g2", 10.0), ("g2", 9.99))
+      .toDF("grp", "v")
+    val got = Profile.histogram(df, "grp", "v", bins = 10)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    // range [0,10]: 0→bin0, 4.9→bin4, 5.0→bin5, 9.99→bin9, 10.0→bin9 (closed top)
+    assert(got === List(
+      ("g1", 0L, 1L), ("g1", 4L, 1L), ("g1", 5L, 1L), ("g2", 9L, 2L)))
+  }
+
+  test("histogram: bounds are in-plan, no driver job at construction") {
+    val df = Seq(("g", 1.0)).toDF("grp", "v")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val h = Profile.histogram(df, "grp", "v")
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(h.columns.toSeq === Seq("grp", "bin", "n_events"))
+    assert(after === before, "plan construction ran Spark jobs")
+  }
 }

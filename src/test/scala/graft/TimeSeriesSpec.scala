@@ -44,4 +44,23 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("k", "day", "n_events", "sum_value", "ffill_avg_value"))
     assert(after === before, "plan construction ran Spark jobs")
   }
+
+  test("rolling daily: RANGE frame ages gap days out of the window") {
+    val D = TimeSeries.DayMs
+    val ev = Seq(
+      // day 0: two events; day 1: one; day 8: three (days 2-7 silent)
+      ("a", 10L, 0.0), ("a", 20L, 0.0),
+      ("a", D + 10, 0.0),
+      ("a", 8 * D + 1, 0.0), ("a", 8 * D + 2, 0.0), ("a", 8 * D + 3, 0.0))
+      .toDF("k", "ts_ms", "value")
+    val got = TimeSeries.rollingDaily(ev, "k", "ts_ms", windowDays = 7)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._2).toList
+    assert(got === List(
+      // day 0: window {0} → 2 events / 1 active day
+      ("a", 0L, 2L, 2L, 1L, 20000L),
+      // day 1: window {0,1} → 3 events / 2 active days → floor(15000)
+      ("a", 1L, 1L, 3L, 2L, 15000L),
+      // day 8: window covers days 2..8 — day 0/1 aged out, only day 8 active
+      ("a", 8L, 3L, 3L, 1L, 30000L)))
+  }
 }
