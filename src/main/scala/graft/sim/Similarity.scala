@@ -206,6 +206,56 @@ object Similarity {
           .as("max_err"))
   }
 
+  /** L2 normalization of the (milli-quantized) embedding, emitted per
+    * dimension as exact integer e4 units of the unit vector:
+    * `comp_e4 = round(v · 10000 / √norm2)` — one multiply, one
+    * correctly-rounded sqrt, one divide, in the SAME order as the DuckDB
+    * oracle, so the doubles are bit-identical. Zero vectors (norm2 = 0)
+    * have no unit direction and are dropped.
+    *
+    * Map-only: a narrow scan + posexplode, no shuffle — the normalize-
+    * before-indexing step of an embedding pipeline, made oracle-exact.
+    */
+  def l2Normalize(embeddings: DataFrame): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    q.filter(col("norm2") > 0)
+      .select(col("vec_id"), col("norm2"), posexplode(col("qv")))
+      .select(
+        col("vec_id"),
+        col("norm2").as("norm2_milli"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("col").cast("double") * 10000 / sqrt(col("norm2").cast("double")))
+          .cast("long").as("comp_e4"))
+  }
+
+  /** kNN majority-vote classification for the query subset: each query
+    * vector's predicted label is the most common label among its k exact
+    * nearest neighbors ([[bruteForceTopK]] — swap in [[lshTopK]]'s
+    * candidates for the approximate 100 TB path, identical voting).
+    * Ties: most votes first, then the smaller label. Output:
+    * (query_id, pred_label, n_votes, true_label).
+    *
+    * Scale: the vote aggregate and arg-max window run over |queries| × k
+    * rows — negligible next to the scoring join, which keeps the
+    * broadcast-queries/scan-corpus-once shape of the underlying search.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = bruteForceTopK(embeddings, k)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val argmax = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("__rk", row_number().over(argmax))
+      .filter(col("__rk") === 1)
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")), "query_id")
+      .select(
+        col("query_id"), col("label").as("pred_label"),
+        col("n_votes"), col("true_label"))
+  }
+
   /** Per-label embedding centroids — the coarse-quantizer training step
     * [[ivfTopK]] performs inline, exposed as its own operator (cluster
     * statistics / IVF index build). Exact integer math end to end: each
@@ -284,6 +334,8 @@ object Similarity {
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
+    "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +413,55 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // same multiply-then-divide order as Similarity.l2Normalize, so the
+    // double arithmetic (and the correctly-rounded sqrt) is bit-identical
+    "emb_l2_normalize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), d AS (
+        |  SELECT vec_id, norm2, ii.i AS dim, qv[ii.i] AS v
+        |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  WHERE norm2 > 0
+        |)
+        |SELECT vec_id, norm2 AS norm2_milli, dim::BIGINT AS dim,
+        |  round(v::DOUBLE * 10000 / sqrt(norm2::DOUBLE))::BIGINT AS comp_e4
+        |FROM d""".stripMargin,
+    // the ann_topk_brute scoring with a majority vote on top: most votes,
+    // then the smaller label — deterministic arg-max on both engines
+    "emb_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, len(qq.qv))])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, nl, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |), votes AS (
+         |  SELECT query_id, nl::BIGINT AS label, count(*) AS n_votes
+         |  FROM ranked WHERE rank <= $TopK GROUP BY 1, 2
+         |), best AS (
+         |  SELECT query_id, label, n_votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS rk
+         |  FROM votes
+         |)
+         |SELECT b.query_id, b.label AS pred_label, b.n_votes, t.label::BIGINT AS true_label
+         |FROM best b JOIN n t ON t.vec_id = b.query_id
+         |WHERE b.rk = 1""".stripMargin,
     // ann_topk_lsh intentionally has no oracle: approximate recall-bounded
     // output (driver records rows-only check).
     "ann_topk_ivf" ->

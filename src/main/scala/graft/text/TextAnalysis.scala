@@ -509,6 +509,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Corpus-wide top-k word n-grams by OCCURRENCE count (every repeat
+    * counts, unlike the distinct-per-doc shingles of [[hotPassages]]),
+    * ties broken by the n-gram string so the selected set is
+    * deterministic on both engines.
+    *
+    * Scale: one explode + one map-side-combined hash aggregate onto the
+    * n-gram vocabulary; the top-k is a TakeOrderedAndProject (per-partition
+    * heaps merged on the driver), never a global sort materialization.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
+    docs
+      .select(explode(Cols.ngramsOfTokens(Cols.tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+
+  /** Data-driven stopword candidates: tokens whose document frequency
+    * exceeds half the corpus, with the df share in exact integer
+    * ten-thousandths. The corpus size stays IN-PLAN (broadcast 1-row
+    * count) — same discipline as the TF-IDF corpus constant.
+    *
+    * Scale: per-doc distinct tokens explode into one hash aggregate over
+    * the vocabulary; the candidate list is the tiny high-df tail.
+    */
+  def stopwordCandidates(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array_distinct(Cols.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+      .filter(col("df") * 2 > col("__n"))
+      .select(col("token"), col("df"), Cols.floorDiv(col("df") * 10000, col("__n")).as("df_e4"))
+
+  /** Pretraining filter chain (the C4-style cleanup): ordered rules,
+    * FIRST failing rule names the drop reason, `keep = 1` iff every rule
+    * passes. Rule thresholds compare the e4-ROUNDED ratios (the same
+    * rounding [[docStats]] emits), so the comparisons are cross-engine
+    * exact. Output: (doc_id, keep, reason).
+    *
+    * Scale: a single narrow codegen'd scan — the rules are one CASE
+    * expression over per-row stats, no joins, no shuffle.
+    */
+  def filterPipeline(docs: DataFrame): DataFrame =
+    docStats(docs)
+      .select(
+        col("doc_id"),
+        when(col("n_tokens") < 20, lit("too_short"))
+          .when(col("n_tokens") > 90, lit("too_long"))
+          .when(col("stopword_ratio") < 0.02, lit("low_stopword"))
+          .when(col("type_token_ratio") < 0.35, lit("low_diversity"))
+          .otherwise(lit("pass")).as("reason"))
+      .select(
+        col("doc_id"),
+        (col("reason") === "pass").cast("long").as("keep"),
+        col("reason"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     // the 100 TB posture: stop-phrase shingles (train-df > 5 — binds on the
@@ -531,6 +588,9 @@ object TextAnalysis {
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "txt_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "txt_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "txt_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
+    "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
+    "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
   )
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -843,5 +903,45 @@ object TextAnalysis {
          |SELECT doc_id,
          |  list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in shingles]) AS fingerprint
          |FROM sh""".stripMargin,
+    // ALL bigrams (duplicates preserved — occurrence counts, not df);
+    // both engines order by (count desc, ngram) so the limit-50 set is
+    // deterministic including at the boundary
+    "txt_top_ngrams" ->
+      s"""$tokCte, g AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |                 for i in generate_series(1, len(toks) - 1)]) AS ngram
+         |  FROM t WHERE len(toks) >= 2
+         |), c AS (
+         |  SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
+         |)
+         |SELECT ngram, n_occurrences FROM c
+         |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    // df and the threshold are non-negative → truncating `//` is floor
+    "txt_stopword_candidates" ->
+      s"""$tokCte, d AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t
+         |), f AS (
+         |  SELECT token, count(*) AS df FROM d GROUP BY 1
+         |)
+         |SELECT token, df,
+         |  (df * 10000) // (SELECT count(*) FROM documents) AS df_e4
+         |FROM f WHERE df * 2 > (SELECT count(*) FROM documents)""".stripMargin,
+    "txt_filter_pipeline" ->
+      s"""$tokCte, st AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 20 THEN 'too_short'
+         |         WHEN n_tokens > 90 THEN 'too_long'
+         |         WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+         |         WHEN type_token_ratio < 0.35 THEN 'low_diversity'
+         |         ELSE 'pass' END AS reason
+         |  FROM st
+         |)
+         |SELECT doc_id, (reason = 'pass')::BIGINT AS keep, reason FROM r""".stripMargin,
   )
 }

@@ -80,4 +80,33 @@ class SimilaritySpec extends SparkSpec {
     val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
     lsh.foreach { case (q, n, c) => assert(bruteMap((q, n)) === c) }
   }
+
+  test("l2 normalize: exact e4 unit components, zero vectors dropped") {
+    val d = Seq(
+      (1L, Seq(3.0f, 4.0f), 0), // norm 5 → components 0.6, 0.8
+      (2L, Seq(0.0f, 0.0f), 0)) // zero vector — no unit direction
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.l2Normalize(d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toList
+    // qv = [3000, 4000], norm2 = 25,000,000
+    assert(got === List(
+      (1L, 25000000L, 1L, 6000L),
+      (1L, 25000000L, 2L, 8000L)))
+  }
+
+  test("knn classify: majority vote over the exact top-k neighbor labels") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 9), // the query (vec_id % 50 == 0)
+      (1L, Seq(1.0f, 0.1f), 1),
+      (2L, Seq(1.0f, 0.2f), 1),
+      (3L, Seq(1.0f, 0.3f), 1),
+      (4L, Seq(0.1f, 1.0f), 2),
+      (5L, Seq(0.2f, 1.0f), 2),
+      (6L, Seq(-1.0f, 0.0f), 2)) // rank 6 — outside k=5, can't vote
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(d, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // top-5 labels: {1, 1, 1, 2, 2} → predicted 1 with 3 votes; true label 9
+    assert(got === List((0L, 1L, 3L, 9L)))
+  }
 }

@@ -214,4 +214,43 @@ class TextAnalysisSpec extends SparkSpec {
       .groupBy($"split").count().as[(String, Long)].collect().toMap
     assert(again === splits)
   }
+
+  test("top ngrams: occurrence counts (repeats count), deterministic ties") {
+    val d = docs(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "a b c"), //   bigrams: "a b", "b c"
+      (3L, "x")) //        too short — no bigrams
+    val got = TextAnalysis.topNgrams(d, n = 2, k = 2)
+      .as[(String, Long)].collect().toList
+    // "a b" ×3; then "b a" and "b c" tie at 1 → lexicographic "b a" wins
+    assert(got === List(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("stopword candidates: df > half the corpus, in-plan threshold") {
+    val d = docs(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "pure noise here"))
+    val got = TextAnalysis.stopwordCandidates(d)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    // only "the" is in 2 of 3 docs (2*2 > 3); df_e4 = floor(20000/3)
+    assert(got === List(("the", 2L, 6666L)))
+  }
+
+  test("filter pipeline: first failing rule names the reason") {
+    val passText = "the quick brown fox jumps over a lazy dog while " +
+      "many other animals watch from their warm burrows nearby today"
+    val d = docs(
+      (1L, "way too short"), // < 20 tokens → too_short
+      (2L, Seq.fill(91)("the").mkString(" ")), // 91 tokens → too_long
+      (3L, (1 to 25).map(i => s"tok$i").mkString(" ")), // no stopwords → low_stopword
+      (4L, passText)) // passes every rule
+    val got = TextAnalysis.filterPipeline(d)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 0L, "too_short"),
+      (2L, 0L, "too_long"),
+      (3L, 0L, "low_stopword"),
+      (4L, 1L, "pass")))
+  }
 }
