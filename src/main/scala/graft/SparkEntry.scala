@@ -219,6 +219,22 @@ object SparkEntry {
     // age out), all-integer outputs
     "ev_rolling_daily" -> ((s, dir) =>
       graft.ops.TimeSeries.rollingDaily(Tables.events(s, dir), "event_type", "ts_ms")),
+    // market-basket co-occurrence over order line items: pair counts and
+    // exact-integer lift, group total and item counts broadcast
+    "li_basket_pairs" -> ((s, dir) =>
+      graft.ops.Analytics.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
+    // RFM quintile segmentation via broadcast percentile cuts (no global
+    // ntile window — the cuts comparison is map-only)
+    "cust_rfm" -> ((s, dir) =>
+      graft.ops.Analytics.rfmSegments(Tables.orders(s, dir))),
+    // per-user lifetime summary (the user-dimension build)
+    "ev_user_ltv" -> ((s, dir) =>
+      graft.ops.Analytics.userLtv(Tables.events(s, dir))),
+    // last-touch attribution: purchases credited to the most recent
+    // preceding non-purchase event within 24 h, else 'direct'
+    "cs_attribution" -> ((s, dir) =>
+      graft.ops.Analytics.lastTouchAttribution(Tables.events(s, dir))),
     // bloom-prefiltered semi join: events of heavy-hitter users. The hot
     // user set folds into an in-plan bloom filter probed BEFORE the exact
     // semi join — at 100 TB the big side drops most rows pre-shuffle
@@ -597,6 +613,81 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    "li_basket_pairs" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |  (n_ab * tot.ng * 10000) // (ia.n * ib.n) AS lift_e4
+        |FROM p
+        |JOIN ic ia ON p.item_a = ia.item
+        |JOIN ic ib ON p.item_b = ib.item
+        |CROSS JOIN tot""".stripMargin,
+    // quantile_cont ≡ Spark's percentile (exact interpolation, pinned by
+    // ev_value_quantiles); ties land in the lower bucket on both engines
+    "cust_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    max(epoch_ms(o_orderdate) // 86400000) AS r_day,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1
+        |), cuts AS (
+        |  SELECT [round(x, 4) for x in quantile_cont(r_day, [0.2, 0.4, 0.6, 0.8])] AS rc,
+        |         [round(x, 4) for x in quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8])] AS fc,
+        |         [round(x, 4) for x in quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8])] AS mc
+        |  FROM pc
+        |)
+        |SELECT o_custkey, r_day, frequency, monetary,
+        |  (1 + (r_day > rc[1])::BIGINT + (r_day > rc[2])::BIGINT
+        |     + (r_day > rc[3])::BIGINT + (r_day > rc[4])::BIGINT) AS r_bucket,
+        |  (1 + (frequency > fc[1])::BIGINT + (frequency > fc[2])::BIGINT
+        |     + (frequency > fc[3])::BIGINT + (frequency > fc[4])::BIGINT) AS f_bucket,
+        |  (1 + (monetary > mc[1])::BIGINT + (monetary > mc[2])::BIGINT
+        |     + (monetary > mc[3])::BIGINT + (monetary > mc[4])::BIGINT) AS m_bucket,
+        |  (1 + (r_day > rc[1])::BIGINT + (r_day > rc[2])::BIGINT
+        |     + (r_day > rc[3])::BIGINT + (r_day > rc[4])::BIGINT) * 100
+        |  + (1 + (frequency > fc[1])::BIGINT + (frequency > fc[2])::BIGINT
+        |     + (frequency > fc[3])::BIGINT + (frequency > fc[4])::BIGINT) * 10
+        |  + (1 + (monetary > mc[1])::BIGINT + (monetary > mc[2])::BIGINT
+        |     + (monetary > mc[3])::BIGINT + (monetary > mc[4])::BIGINT) AS rfm
+        |FROM pc CROSS JOIN cuts""".stripMargin,
+    "ev_user_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |)
+        |SELECT user_id, min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
+        |  count(DISTINCT ts_ms // 86400000) AS active_days,
+        |  count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS ltv
+        |FROM e GROUP BY 1""".stripMargin,
+    // NULL last_touch_ts (no preceding touch) falls through to 'direct',
+    // matching Spark's when().otherwise() null semantics
+    "cs_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id
+        |  FROM events
+        |), t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS last_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_ms END IGNORE NULLS)
+        |      OVER w AS last_touch_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CASE WHEN last_touch_ts >= ts_ms - 86400000 THEN last_touch
+        |            ELSE 'direct' END AS channel,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS sum_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     // counts are non-negative, so DuckDB's truncating `//` IS floor here
     "ev_transitions" ->
       """WITH e AS (

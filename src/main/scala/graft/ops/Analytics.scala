@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,122 @@ object Analytics {
         col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_common"),
         Cols.floorDiv(col("n_common") * 10000, col("n_a") + col("n_b") - col("n_common"))
           .as("jaccard_e4"))
+  }
+
+  /** Generic co-occurrence mining (market-basket pairs): for every pair
+    * of distinct items sharing a group (an order, a session, a document),
+    * the pair count, each item's group count, and the exact integer-e4
+    * lift `P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`. Pairs below
+    * `minPairCount` are dropped — the long random-co-occurrence tail is
+    * noise and would dominate the output.
+    *
+    * Scale: the distinct (group, item) table shuffles once on group; the
+    * per-group fan-out is C(basket, 2), so a df-cap on pathological
+    * baskets (cap or sample groups above ~10³ items, the same guard as
+    * the shingle posting lists) is the 100 TB hardening. Item counts and
+    * the group total are broadcast — the pair table never reshuffles.
+    */
+  def coOccurrence(
+      df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L): DataFrame = {
+    val gi = df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
+    val itemCounts = gi.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val total = gi.agg(count_distinct(col("grp")).as("__n_groups"))
+    gi.select(col("grp"), col("item").as("item_a"))
+      .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .join(broadcast(itemCounts.select(col("item").as("item_a"), col("n").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("item").as("item_b"), col("n").as("n_b"))), "item_b")
+      .crossJoin(broadcast(total))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        Cols.floorDiv(col("n_ab") * col("__n_groups") * 10000, col("n_a") * col("n_b"))
+          .as("lift_e4"))
+  }
+
+  /** RFM segmentation over an order history: per customer, recency (last
+    * order day), frequency (order count), monetary (rounded spend), each
+    * bucketed into quintiles 1..5 by comparison against the four 20/40/
+    * 60/80 percentile cuts, plus the composite `rfm = r·100 + f·10 + m`.
+    *
+    * Scale: the cuts are ONE broadcast 1-row aggregate compared against
+    * in a map-only pass — NOT a global `ntile()` window, which would
+    * funnel every customer through a single partition at 100 TB. The
+    * bucket is `1 + Σ (metric > cutᵢ)`, so ties land deterministically in
+    * the lower bucket on both engines.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        // parquet timestamps read as TIMESTAMP_NTZ — cast to instant first
+        max(Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), TimeSeries.DayMs))
+          .as("r_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val cuts = perCust.agg(
+      expr("transform(percentile(r_day, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("rc"),
+      expr("transform(percentile(frequency, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("fc"),
+      expr("transform(percentile(monetary, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("mc"))
+    def bucket(m: Column, c: Column): Column =
+      (0 to 3).map(i => (m > element_at(c, i + 1)).cast("long")).reduce(_ + _) + 1
+    perCust
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("o_custkey"), col("r_day"), col("frequency"), col("monetary"),
+        bucket(col("r_day").cast("double"), col("rc")).as("r_bucket"),
+        bucket(col("frequency").cast("double"), col("fc")).as("f_bucket"),
+        bucket(col("monetary"), col("mc")).as("m_bucket"))
+      .withColumn(
+        "rfm", col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
+  }
+
+  /** Per-user lifetime summary — the user-dimension build: first/last
+    * activity, distinct active days, event and purchase counts, and
+    * lifetime purchase value. One map-side-combined hash aggregate on
+    * user_id (the multi-distinct day count expands the scan internally,
+    * standard Spark planning).
+    */
+  def userLtv(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts_ms")).as("first_ts_ms"),
+        max(col("ts_ms")).as("last_ts_ms"),
+        count_distinct(Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs)).as("active_days"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2)
+          .as("ltv"))
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRECEDING non-purchase event type, but only if it happened
+    * within `windowMs`; otherwise the purchase is 'direct'. Output: per
+    * channel, purchase count and credited value.
+    *
+    * Scale: one window over (user_id) — the sessionization shuffle key —
+    * carrying the last non-purchase (type, ts) forward via an
+    * ignore-nulls `last()` over the strictly-preceding frame; then a hash
+    * aggregate onto |channels| rows. No joins.
+    */
+  def lastTouchAttribution(events: DataFrame, windowMs: Long = 86400000L): DataFrame = {
+    val prev = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts_ms"))
+    events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_ms"), col("event_id"))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(prev))
+      .withColumn("last_touch_ts", last(touchTs, ignoreNulls = true).over(prev))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_touch_ts") >= col("ts_ms") - lit(windowMs), col("last_touch"))
+          .otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("sum_value"))
   }
 
   /** Hour-of-day seasonality profile per event type: counts and the

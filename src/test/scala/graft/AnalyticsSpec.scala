@@ -97,6 +97,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("a", "b", 3L, 3L, 2L, 5000L)))
   }
 
+  private def evv(rows: (Long, Long, String, Double)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((user, ts, tpe, v), i) => (i.toLong, user, tpe, ts, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+
+  test("co-occurrence: pair counts, broadcast totals, exact-integer lift") {
+    val items = Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"), ("g2", "b"), // dup (g2,b) — distinct-collapsed
+      ("g3", "a"))
+      .toDF("grp", "item")
+    val got = Analytics.coOccurrence(items, "grp", "item", minPairCount = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // only (a,b) co-occurs twice; lift = 2·3/(3·2) = 1.0 → 10000
+    assert(got === List(("a", "b", 2L, 3L, 2L, 10000L)))
+  }
+
+  test("rfm: quintile buckets from broadcast percentile cuts") {
+    val D = graft.ops.TimeSeries.DayMs
+    // customer i: i orders, each 100·i, last on day i → strictly
+    // increasing R, F, M → buckets must come out 1..5 on every axis
+    val rows = for {
+      i <- 1 to 5
+      j <- 1 to i
+    } yield (i.toLong, new java.sql.Timestamp(i * D + j), 100.0 * i)
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfmSegments(orders)
+      .select($"o_custkey", $"r_bucket", $"f_bucket", $"m_bucket", $"rfm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === (1 to 5).map(i => (i.toLong, i.toLong, i.toLong, i.toLong, i * 111L)).toList)
+  }
+
+  test("user ltv: lifetime aggregate with purchase-only value") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = evv(
+      (1L, 10L, "view", 5.0),
+      (1L, 20L, "purchase", 10.5),
+      (1L, 2 * D + 7, "purchase", 2.0))
+    val got = Analytics.userLtv(events)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(got === List((1L, 10L, 2 * D + 7, 2L, 3L, 2L, 12.5)))
+  }
+
+  test("attribution: last preceding touch within the window, else direct") {
+    val events = evv(
+      // user 1: view then purchase 20ms later (inside the 50ms window) —
+      // attributed to view
+      (1L, 180L, "view", 0.0), (1L, 200L, "purchase", 30.0),
+      // user 2: purchase with no preceding touch — direct
+      (2L, 100L, "purchase", 10.0),
+      // user 3: click too long before the purchase — direct
+      (3L, 0L, "click", 0.0), (3L, 100L, "purchase", 20.0))
+    val got = Analytics.lastTouchAttribution(events, windowMs = 50L)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toList
+    assert(got === List(("direct", 2L, 30.0), ("view", 1L, 30.0)))
+  }
+
   test("hour profile: UTC hour buckets with e4 within-type shares") {
     val H = 3600000L
     val events = ev(

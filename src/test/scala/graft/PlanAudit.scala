@@ -11,15 +11,16 @@ object PlanAudit {
   val RedFlags = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
   // declared all-pairs baselines: the nested loop IS the (intentionally
   // quadratic) algorithm; the registered scale paths are the LSH variants
-  val AllPairsBaselines = Set("ann_topk_brute", "dedup_embedding")
+  val AllPairsBaselines = Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)
   val ScalarBroadcast = Set(
     "ann_topk_ivf", "ev_bloom_semi_join", "ev_gapfill", "ev_heavy_hitters",
+    "ev_histogram", "li_basket_pairs", "cust_rfm",
     "q11_important_stock", "q22_idle_rich", "txt_collocations",
-    "txt_surprisal_deciles", "txt_tfidf_top_terms", "txt_tfidf_doc_sim",
-    "txt_unigram_logprob")
+    "txt_stopword_candidates", "txt_surprisal_deciles", "txt_tfidf_top_terms",
+    "txt_tfidf_doc_sim", "txt_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
