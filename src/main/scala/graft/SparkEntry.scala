@@ -219,6 +219,9 @@ object SparkEntry {
     // age out), all-integer outputs
     "ev_rolling_daily" -> ((s, dir) =>
       graft.ops.TimeSeries.rollingDaily(Tables.events(s, dir), "event_type", "ts_ms")),
+    // top user journeys: most common length-3 event-type paths
+    "ev_top_paths" -> ((s, dir) =>
+      graft.ops.Analytics.topPaths(Tables.events(s, dir))),
     // market-basket co-occurrence over order line items: pair counts and
     // exact-integer lift, group total and item counts broadcast
     "li_basket_pairs" -> ((s, dir) =>
@@ -613,6 +616,16 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    "ev_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+        |), p AS (
+        |  SELECT event_type || '>' || lead(event_type) OVER w || '>' || lead(event_type, 2) OVER w AS path,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |)
+        |SELECT path, count(*) AS n_paths FROM p WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "li_basket_pairs" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
         |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),

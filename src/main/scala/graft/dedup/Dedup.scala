@@ -144,6 +144,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| in
+    * exact integer ten-thousandths — the SUB-document duplication signal
+    * (a short doc wholly embedded in a longer one scores containment
+    * ≈ 1.0 while symmetric Jaccard dilutes toward |A|/|B|). Pairs are
+    * emitted when EITHER direction clears `thresholdE4`.
+    *
+    * Same df-capped posting-list join as [[ngramJaccard]] — shared
+    * shingle rows, shared skew bound — so the pair space stays
+    * posting-list-bounded at 100 TB; only the scoring arithmetic differs
+    * (all-integer here, no doubles at all).
+    */
+  def containment(
+      docs: DataFrame,
+      thresholdE4: Long = 5000L,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val sh0 = shingleRows(docs)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) sh0
+      else {
+        val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select(col("shingle"))
+        sh0.join(rare, "shingle")
+      }
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .select(
+        col("doc_id_1"),
+        col("doc_id_2"),
+        graft.Cols.floorDiv(col("n_common") * 10000, col("ca.n_shingles"))
+          .as("containment_1_e4"),
+        graft.Cols.floorDiv(col("n_common") * 10000, col("cb.n_shingles"))
+          .as("containment_2_e4"))
+      .filter(greatest(col("containment_1_e4"), col("containment_2_e4")) >= thresholdE4)
+  }
+
   /** MinHash signatures: for each of the 16 permutations, the min of the
     * seeded 60-bit hash over the document's shingle set. Returned as a
     * 16-element array column `sig` ordered by permutation index.
@@ -499,6 +540,7 @@ object Dedup {
       canonical(docs, graft.text.TextAnalysis.qualityScore(docs))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
@@ -599,6 +641,28 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
          |WHERE round(n_common::DOUBLE / (ca.n_shingles + cb.n_shingles - n_common), 4) >= $JaccardThreshold""".stripMargin,
+    // same df-capped posting-list CTEs as the jaccard oracle; all-integer
+    // scoring (counts non-negative → truncating `//` is floor)
+    "dedup_containment" ->
+      s"""$tokCte, rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id_1, doc_id_2,
+         |       (n_common * 10000) // ca.n_shingles AS containment_1_e4,
+         |       (n_common * 10000) // cb.n_shingles AS containment_2_e4
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_id_1
+         |JOIN cnt cb ON cb.doc_id = doc_id_2
+         |WHERE greatest((n_common * 10000) // ca.n_shingles,
+         |               (n_common * 10000) // cb.n_shingles) >= 5000""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$tokCte, h AS (
          |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v

@@ -258,6 +258,28 @@ object Analytics {
       .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Top user journeys: the `k` most common length-3 event-type paths
+    * over per-user time-ordered sequences, ties broken by the path string
+    * so the selected set is deterministic at the limit boundary.
+    *
+    * Scale: one window over (user_id) — the sessionization shuffle key —
+    * two `lead`s wide, then a hash aggregate onto the (≤ |types|³) path
+    * vocabulary and a TakeOrderedAndProject top-k. No joins.
+    */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(seq))
+      .withColumn("t3", lead(col("event_type"), 2).over(seq))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   /** Hour-of-day seasonality profile per event type: counts and the
     * within-type share in integer ten-thousandths. Hour is derived from
     * the epoch-millisecond remainder (UTC) — pure integer math, no

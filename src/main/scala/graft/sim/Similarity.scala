@@ -228,6 +228,41 @@ object Similarity {
           .cast("long").as("comp_e4"))
   }
 
+  /** Pairwise Pearson correlation between the first `dims` embedding
+    * dimensions — the feature-redundancy diagnostic before PCA /
+    * whitening. All sums are exact integers over the milli-quantized
+    * components, folded into ONE aggregate row (no per-pair passes);
+    * the final correlation is one double formula evaluated in the same
+    * operation order as the oracle, rounded to 6 decimals.
+    *
+    * Scale: a single map-side-combined aggregate over a narrow scan —
+    * dims·(dims+3)/2 running sums — then a constant-size explode. At
+    * 100 TB this is the cheapest possible shape: one pass, one 1-row
+    * shuffle.
+    */
+  def dimCorrelations(embeddings: DataFrame, dims: Int = 8): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val base = q.select((1 to dims).map(i => element_at(col("qv"), i).as(s"v$i")): _*)
+    val aggs =
+      (1 to dims).map(i => sum(col(s"v$i")).as(s"s$i")) ++
+        (1 to dims).map(i => sum(col(s"v$i") * col(s"v$i")).as(s"ss$i")) ++
+        (for { i <- 1 to dims; j <- (i + 1) to dims }
+          yield sum(col(s"v$i") * col(s"v$j")).as(s"p${i}_$j"))
+    val row = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairs = for { i <- 1 to dims; j <- (i + 1) to dims } yield
+      struct(
+        lit(i.toLong).as("dim_a"),
+        lit(j.toLong).as("dim_b"),
+        round(
+          (col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j")).cast("double") /
+            (sqrt((col("n") * col(s"ss$i") - col(s"s$i") * col(s"s$i")).cast("double")) *
+              sqrt((col("n") * col(s"ss$j") - col(s"s$j") * col(s"s$j")).cast("double"))),
+          6).as("corr"))
+    row
+      .select(explode(array(pairs: _*)).as("c"))
+      .select(col("c.dim_a"), col("c.dim_b"), col("c.corr"))
+  }
+
   /** kNN majority-vote classification for the query subset: each query
     * vector's predicted label is the most common label among its k exact
     * nearest neighbors ([[bruteForceTopK]] — swap in [[lshTopK]]'s
@@ -336,7 +371,32 @@ object Similarity {
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
+    "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
   )
+
+  /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
+    * integer sums, then one UNION ALL arm per dimension pair with the
+    * identical double formula.
+    */
+  private def dimCorrOracle(dims: Int = 8): String = {
+    val sums =
+      (1 to dims).map(i => s"sum(qv[$i])::BIGINT AS s$i") ++
+        (1 to dims).map(i => s"sum(qv[$i] * qv[$i])::BIGINT AS ss$i") ++
+        (for { i <- 1 to dims; j <- (i + 1) to dims }
+          yield s"sum(qv[$i] * qv[$j])::BIGINT AS p${i}_$j")
+    val arms = for { i <- 1 to dims; j <- (i + 1) to dims } yield
+      s"""SELECT ${i}::BIGINT AS dim_a, ${j}::BIGINT AS dim_b,
+         |  round((n * p${i}_$j - s$i * s$j)::DOUBLE /
+         |        (sqrt((n * ss$i - s$i * s$i)::DOUBLE) * sqrt((n * ss$j - s$j * s$j)::DOUBLE)),
+         |        6) AS corr FROM a""".stripMargin
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+       |  FROM embeddings
+       |), a AS (
+       |  SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM q
+       |)
+       |${arms.mkString("\nUNION ALL ")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "emb_dim_stats" ->
@@ -413,6 +473,7 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "emb_dim_corr" -> dimCorrOracle(),
     // same multiply-then-divide order as Similarity.l2Normalize, so the
     // double arithmetic (and the correctly-rounded sqrt) is bit-identical
     "emb_l2_normalize" ->

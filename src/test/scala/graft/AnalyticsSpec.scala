@@ -154,6 +154,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("direct", 2L, 30.0), ("view", 1L, 30.0)))
   }
 
+  test("top paths: length-3 journeys counted per user, deterministic order") {
+    val events = ev(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"), (1L, 400L, "view"),
+      (2L, 100L, "view"), (2L, 200L, "click"), (2L, 300L, "purchase"))
+    val got = Analytics.topPaths(events, k = 2)
+      .as[(String, Long)].collect().toList
+    // user 1 contributes view>click>purchase and click>purchase>view;
+    // user 2 adds another view>click>purchase
+    assert(got === List(("view>click>purchase", 2L), ("click>purchase>view", 1L)))
+  }
+
   test("hour profile: UTC hour buckets with e4 within-type shares") {
     val H = 3600000L
     val events = ev(

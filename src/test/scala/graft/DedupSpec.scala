@@ -23,6 +23,16 @@ class DedupSpec extends SparkSpec {
     assert(got === List((1L, 2L, 1.0)))
   }
 
+  test("containment: sub-document duplication scores ≈1 in the short direction") {
+    // B's 2 shingles are both inside A (3 shingles): containment_2 = 1.0,
+    // containment_1 = floor(20000/3); C is unrelated — absent
+    val got = Dedup.containment(docs(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd"),
+      (3L, "xx yy zz ww vv uu")))
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 6666L, 10000L)))
+  }
+
   test("minhash signatures: 16 entries, identical docs share signatures") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val sigs = Dedup.minhashSignatures(docs((1L, a), (2L, a)))

@@ -94,6 +94,18 @@ class SimilaritySpec extends SparkSpec {
       (1L, 25000000L, 2L, 8000L)))
   }
 
+  test("dim correlations: exact ±1 on perfectly (anti-)correlated dims") {
+    val d = Seq(
+      (1L, Seq(0.001f, 0.001f, 0.003f), 0),
+      (2L, Seq(0.002f, 0.002f, 0.002f), 0),
+      (3L, Seq(0.003f, 0.003f, 0.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimCorrelations(d, dims = 3)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toList
+    // dim2 tracks dim1 exactly (+1); dim3 mirrors it (−1)
+    assert(got === List((1L, 2L, 1.0), (1L, 3L, -1.0), (2L, 3L, -1.0)))
+  }
+
   test("knn classify: majority vote over the exact top-k neighbor labels") {
     val d = Seq(
       (0L, Seq(1.0f, 0.0f), 9), // the query (vec_id % 50 == 0)
