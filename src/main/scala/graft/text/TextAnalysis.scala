@@ -520,7 +520,12 @@ object TextAnalysis {
     */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
     docs
-      .select(explode(Cols.ngramsOfTokens(Cols.tokens(col("text")), n)).as("ngram"))
+      // materialize toks BEFORE the n-gram lambda: referencing the full
+      // tokenize subtree inside transform() re-evaluates the regex/split
+      // per index when the stage falls out of whole-stage codegen (the
+      // Cols.shinglesOfTokens discipline)
+      .select(Cols.tokens(col("text")).as("toks"))
+      .select(explode(Cols.ngramsOfTokens(col("toks"), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
