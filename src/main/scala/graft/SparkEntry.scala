@@ -222,6 +222,18 @@ object SparkEntry {
     // top user journeys: most common length-3 event-type paths
     "ev_top_paths" -> ((s, dir) =>
       graft.ops.Analytics.topPaths(Tables.events(s, dir))),
+    // inter-arrival gap statistics per type of the later event
+    "ev_interarrival" -> ((s, dir) =>
+      graft.ops.Analytics.interArrival(Tables.events(s, dir))),
+    // burst detection: hourly buckets > mean + 3σ, exact integer z²-test
+    "ev_burst_hours" -> ((s, dir) =>
+      graft.ops.TimeSeries.burstHours(Tables.events(s, dir), "event_type", "ts_ms")),
+    // per-user behavioral entropy, quantize-then-sum exact integer e4
+    "cs_user_entropy" -> ((s, dir) =>
+      graft.ops.Analytics.userEntropy(Tables.events(s, dir))),
+    // daily active users split new vs returning (growth accounting)
+    "ev_dau" -> ((s, dir) =>
+      graft.ops.TimeSeries.dauNewReturning(Tables.events(s, dir))),
     // market-basket co-occurrence over order line items: pair counts and
     // exact-integer lift, group total and item counts broadcast
     "li_basket_pairs" -> ((s, dir) =>
@@ -616,6 +628,63 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    "ev_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |         ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap_ms
+        |  FROM e
+        |)
+        |SELECT event_type, count(*) AS n_gaps, min(gap_ms) AS min_gap_ms,
+        |  round(quantile_cont(gap_ms, 0.5), 4) AS p50_gap_ms,
+        |  round(quantile_cont(gap_ms, 0.95), 4) AS p95_gap_ms,
+        |  max(gap_ms) AS max_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL GROUP BY 1""".stripMargin,
+    // the z-test multiplied through by n²: pure integer comparison, no
+    // sqrt, no doubles — bit-identical regardless of engine or order
+    "ev_burst_hours" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), b AS (
+        |  SELECT event_type, ts_ms - ts_ms % 3600000 AS hour_start_ms, count(*) AS n_events
+        |  FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, count(*) AS n, sum(n_events)::BIGINT AS s,
+        |         sum(n_events * n_events)::BIGINT AS q
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT b.event_type, hour_start_ms, n_events
+        |FROM b JOIN m USING (event_type)
+        |WHERE n * n_events - s > 0
+        |  AND (n * n_events - s) * (n * n_events - s) > 9 * (n * q - s * s)""".stripMargin,
+    // per-(user, type) terms are e4-quantized BEFORE the sum, so the
+    // entropy is independent of aggregation order (the unigram-surprisal
+    // discipline); −p·ln(p) ≥ 0, so round() agrees across engines
+    "cs_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS total FROM c
+        |), q AS (
+        |  SELECT user_id, total,
+        |    round((0 - (c::DOUBLE / total::DOUBLE) * ln(c::DOUBLE / total::DOUBLE)) * 10000)::BIGINT AS term_e4
+        |  FROM t
+        |)
+        |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
+        |       sum(term_e4)::BIGINT AS entropy_e4
+        |FROM q GROUP BY 1""".stripMargin,
+    "ev_dau" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS first_day FROM e GROUP BY 1
+        |)
+        |SELECT day, count(*) AS dau,
+        |  count(CASE WHEN day = first_day THEN 1 END) AS new_users,
+        |  count(*) - count(CASE WHEN day = first_day THEN 1 END) AS returning_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1""".stripMargin,
     "ev_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events

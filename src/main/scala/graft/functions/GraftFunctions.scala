@@ -31,13 +31,19 @@ object GraftFunctions {
     }
   )
 
+  /** The registrations as SparkSessionExtensions.injectFunction triples —
+    * shared by [[register]] (post-hoc, externally created session) and
+    * [[graft.GraftExtensions]] (declarative `spark.sql.extensions` path).
+    */
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    fns.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, builder) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name),
-        builder)
+    injections.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
     }
   }
 }

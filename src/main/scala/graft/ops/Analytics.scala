@@ -258,6 +258,59 @@ object Analytics {
       .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Inter-arrival statistics: the gap between each event and the user's
+    * previous event, aggregated per type of the LATER event — the
+    * operational "how long since the user last did anything before X"
+    * metric. Gaps are exact integer milliseconds; percentiles use the
+    * same exact-interpolation formula on both engines.
+    *
+    * Scale: one window over (user_id) — the sessionization shuffle key —
+    * then a hash aggregate onto |types| rows.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(seq))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_ms")).as("min_gap_ms"),
+        round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_gap_ms"),
+        round(expr("percentile(gap_ms, 0.95)"), 4).as("p95_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+  }
+
+  /** Per-user behavioral entropy over the event-type distribution, in
+    * exact integer e4: each (user, type) contributes
+    * `round(−p·ln(p) · 10⁴)` (p = type share), and the integer terms sum
+    * — quantize-then-sum makes the result independent of aggregation
+    * order, the same trick as the unigram-surprisal operator. Specialists
+    * score 0, uniform explorers ln(|types|)·10⁴.
+    *
+    * Scale: one hash aggregate onto (user, type), a window over the
+    * user-keyed result for the totals, one more aggregate — all on the
+    * same user shuffle key.
+    */
+  def userEntropy(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val counts = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("total", sum(col("c")).over(byUser))
+    val p = col("c").cast("double") / col("total").cast("double")
+    counts
+      .select(
+        col("user_id"), col("c"), col("total"),
+        round((lit(0.0) - p * log(p)) * 10000).cast("long").as("term_e4"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("total")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("term_e4")).as("entropy_e4"))
+  }
+
   /** Top user journeys: the `k` most common length-3 event-type paths
     * over per-user time-ordered sequences, ties broken by the path string
     * so the selected set is deterministic at the limit boundary.

@@ -79,4 +79,57 @@ object TimeSeries {
         count(lit(1)).over(w).as("rolling_days"))
       .withColumn("rolling_avg_e4", Cols.floorDiv(col("rolling_n") * 10000, col("rolling_days")))
   }
+
+  /** Burst detection on the event-rate series: hourly buckets whose count
+    * exceeds the key's mean by more than `sigmas` standard deviations —
+    * decided by the EXACT INTEGER inequality
+    * `(n·c − S)² > sigmas²·(n·Q − S²)  ∧  n·c > S`
+    * (c = bucket count, S = Σc, Q = Σc², n = #active buckets), i.e. the
+    * z-test with both sides multiplied through by n² — no doubles, no
+    * sqrt, bit-identical everywhere.
+    *
+    * Scale: events collapse to |keys| × |hours| buckets in one map-side-
+    * combined aggregate; the per-key moments are a second tiny aggregate
+    * broadcast back onto the buckets. Only flagged buckets are emitted.
+    */
+  def burstHours(
+      events: DataFrame, keyCol: String, tsMsCol: String, sigmas: Int = 3): DataFrame = {
+    val hour = Cols.tumbleStart(col(tsMsCol), 3600000L)
+    val buckets = events
+      .groupBy(col(keyCol), hour.as("hour_start_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = buckets
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__q"))
+    val dev = col("__n") * col("n_events") - col("__s")
+    buckets
+      .join(broadcast(moments), Seq(keyCol))
+      .filter(dev > 0 &&
+        dev * dev > lit(sigmas.toLong * sigmas) * (col("__n") * col("__q") - col("__s") * col("__s")))
+      .select(col(keyCol), col("hour_start_ms"), col("n_events"))
+  }
+
+  /** Daily active users split into new (first-ever-seen that day) and
+    * returning. One cohort aggregate (user → first day) joined back on
+    * the shared user key, then a day-level rollup — the growth-accounting
+    * report.
+    */
+  def dauNewReturning(events: DataFrame, tsMsCol: String = "ts_ms"): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(day).as("first_day"))
+    events
+      .select(col("user_id"), day.as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("dau"),
+        count(when(col("day") === col("first_day"), 1)).as("new_users"))
+      .withColumn("returning_users", col("dau") - col("new_users"))
+  }
 }

@@ -165,6 +165,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("view>click>purchase", 2L), ("click>purchase>view", 1L)))
   }
 
+  test("inter-arrival: gaps to the user's previous event, stats per later type") {
+    val events = ev(
+      (1L, 0L, "view"), (1L, 100L, "click"), (1L, 300L, "click"),
+      (2L, 50L, "view")) // first events have no gap
+    val got = Analytics.interArrival(events)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toList
+    // clicks arrive 100 and 200 ms after the previous event
+    assert(got === List(("click", 2L, 100L, 150.0, 195.0, 200.0)))
+  }
+
+  test("user entropy: quantize-then-sum e4, specialists score zero") {
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"), (1L, 4L, "click"),
+      (2L, 1L, "view"), (2L, 2L, "view"), (2L, 3L, "view"))
+    val got = Analytics.userEntropy(events)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // user 1: two even types → 2·round(0.5·ln2·1e4) = 6932; user 2: pure → 0
+    assert(got === List((1L, 4L, 2L, 6932L), (2L, 3L, 1L, 0L)))
+  }
+
   test("hour profile: UTC hour buckets with e4 within-type shares") {
     val H = 3600000L
     val events = ev(

@@ -63,4 +63,27 @@ class TimeSeriesSpec extends SparkSpec {
       // day 8: window covers days 2..8 — day 0/1 aged out, only day 8 active
       ("a", 8L, 3L, 3L, 1L, 30000L)))
   }
+
+  test("burst hours: integer z²-test flags only the spike bucket") {
+    val H = 3600000L
+    // 10 quiet hours (1 event each) + one 20-event spike
+    val rows =
+      (0 until 10).map(h => ("x", h * H + 5L, 0.0)) ++
+        (0 until 20).map(i => ("x", 10 * H + i.toLong, 0.0))
+    val ev = rows.toDF("event_type", "ts_ms", "value")
+    val got = TimeSeries.burstHours(ev, "event_type", "ts_ms")
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("x", 10 * H, 20L)))
+  }
+
+  test("dau split: first-ever day is new, later days returning") {
+    val D = TimeSeries.DayMs
+    val ev = Seq(
+      (1L, 10L), (1L, D + 10), // user 1: new on day 0, returns day 1
+      (2L, D + 20), (2L, D + 30)) // user 2: new on day 1 (two events, one DAU)
+      .toDF("user_id", "ts_ms")
+    val got = TimeSeries.dauNewReturning(ev)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
+  }
 }
