@@ -225,6 +225,17 @@ object SparkEntry {
     // inter-arrival gap statistics per type of the later event
     "ev_interarrival" -> ((s, dir) =>
       graft.ops.Analytics.interArrival(Tables.events(s, dir))),
+    // daily bounce rate: share of sessions with ≤1 qualifying event —
+    // composes directly on the sessionizer (one extra tiny aggregate)
+    "cs_bounce_rate" -> ((s, dir) =>
+      Clickstream.sessionize(Tables.events(s, dir))
+        .groupBy(graft.Cols.floorDiv(col("win_begin_ms"), 86400000L).as("day"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count(when(col("event_count") <= 1, 1)).as("n_bounces"))
+        .withColumn(
+          "bounce_e4",
+          graft.Cols.floorDiv(col("n_bounces") * 10000, col("n_sessions")))),
     // burst detection: hourly buckets > mean + 3σ, exact integer z²-test
     "ev_burst_hours" -> ((s, dir) =>
       graft.ops.TimeSeries.burstHours(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -628,6 +639,13 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    "cs_bounce_rate" ->
+      s"""$sessionsCte
+         |SELECT win_begin_ms // 86400000 AS day,
+         |  count(*) AS n_sessions,
+         |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
+         |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
+         |FROM sessions GROUP BY 1""".stripMargin,
     "ev_interarrival" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events

@@ -154,4 +154,24 @@ object Scale {
       .join(smallExploded, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Range-clustered parquet write: rows are range-partitioned on
+    * `clusterCols` and sorted within each task, so every output file
+    * covers a NARROW, essentially disjoint key range. Parquet row-group
+    * min/max statistics then prune point/range scans to a handful of
+    * files — the data-layout lever (a Z-order lite for a single sort
+    * axis) that turns a 100 TB full scan into a bounded read without any
+    * index infrastructure. Deterministic apart from range-sampling's
+    * partition boundaries, which affect layout only, never content.
+    */
+  def clusteredWrite(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      partitions: Int): Unit = {
+    val keys = clusterCols.map(col)
+    df.repartitionByRange(partitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -594,6 +594,15 @@ object TextAnalysis {
     "txt_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "txt_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "txt_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
+    // corpus composition profile: doc counts and size by (source, lang) —
+    // the mixture dashboard behind mixtureSample's budgets
+    "txt_source_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
   )
@@ -908,6 +917,10 @@ object TextAnalysis {
          |SELECT doc_id,
          |  list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in shingles]) AS fingerprint
          |FROM sh""".stripMargin,
+    "txt_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  ((sum(n_chars) * 10000) // count(*))::BIGINT AS avg_chars_e4
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // ALL bigrams (duplicates preserved — occurrence counts, not df);
     // both engines order by (count desc, ngram) so the limit-50 set is
     // deterministic including at the boundary

@@ -185,6 +185,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 4L, 2L, 6932L), (2L, 3L, 1L, 0L)))
   }
 
+  test("invariants on sf0.001: transitions conserve events, entropy bounded") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // every user with n events contributes exactly n−1 transitions
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    val total = Analytics.transitions(events)
+      .agg(sum(col("n_transitions"))).as[Long].head()
+    assert(total === nEvents - nUsers)
+    // entropy over k=5 types lies in [0, ln(5)·10⁴] (+k quantization slack)
+    val cap = Math.round(Math.log(5.0) * 10000) + 5
+    val outOfRange = Analytics.userEntropy(events)
+      .filter(col("entropy_e4") < 0 || col("entropy_e4") > cap).count()
+    assert(outOfRange === 0L)
+  }
+
   test("hour profile: UTC hour buckets with e4 within-type shares") {
     val H = 3600000L
     val events = ev(

@@ -132,4 +132,29 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("clustered write: files cover disjoint key ranges, content intact") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    Scale.clusteredWrite(events, dir, Seq("ts_ms"), partitions = 8)
+    val back = spark.read.parquet(dir)
+    // content round-trips exactly
+    assert(back.count() === events.count())
+    assert(back.agg(sum(col("event_id"))).as[Long].head() ===
+      events.agg(sum(col("event_id"))).as[Long].head())
+    // each file holds a narrow range; ranges must not overlap — this is
+    // what lets parquet min/max stats prune a ts filter to ~one file
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length >= 2, "expected multiple range files")
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiA), (_, loB, _)) =>
+        assert(hiA <= loB, s"file ranges overlap: $hiA > $loB")
+      case _ =>
+    }
+  }
 }
