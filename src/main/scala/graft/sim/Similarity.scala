@@ -323,6 +323,40 @@ object Similarity {
         Dedup.longDot(col("cv"), col("cv")).as("cnorm2"))
   }
 
+  /** Centroid drift between two halves of the corpus (vec_id parity — the
+    * deterministic stand-in for batch-over-batch comparison): per label,
+    * the exact integer floor centroid of each half and the squared L2
+    * distance between them in milli² units. A retrieval index whose class
+    * centroids move is re-trained before it degrades; this is that
+    * monitor, bit-identical across engines (same construction as
+    * [[centroids]], no float means anywhere).
+    *
+    * Scale: one hash aggregate onto (label, half) — 2·|labels| rows of
+    * dim positional sums — then a self-join of that tiny table.
+    */
+  def centroidShift(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings).withColumn("half", pmod(col("vec_id"), lit(2L)))
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val cents = q.groupBy(col("label"), col("half"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n_vecs")): _*)
+      .select(
+        col("label"), col("half"), col("n_vecs"),
+        array((0 until dim).map(i =>
+          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n_vecs")), col("n_vecs"))): _*)
+          .as("cv"))
+    cents.filter(col("half") === 0)
+      .select(col("label"), col("n_vecs").as("n_a"), col("cv").as("cv_a"))
+      .join(
+        cents.filter(col("half") === 1)
+          .select(col("label"), col("n_vecs").as("n_b"), col("cv").as("cv_b")),
+        "label")
+      .select(
+        col("label"), col("n_a"), col("n_b"),
+        aggregate(
+          zip_with(col("cv_a"), col("cv_b"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("shift2_milli"))
+  }
+
   /** Per-dimension embedding statistics — the drift/health monitor an
     * embedding pipeline runs on every new batch (a collapsed dimension,
     * a mean shift, or an exploding scale shows up here before it poisons
@@ -372,6 +406,7 @@ object Similarity {
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
+    "emb_centroid_shift" -> ((s, d) => centroidShift(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -474,6 +509,26 @@ object Similarity {
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
     "emb_dim_corr" -> dimCorrOracle(),
+    // same cell_sums/cent construction as emb_centroids, keyed by parity
+    // half; the shift is an exact integer sum of squared differences
+    "emb_centroid_shift" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, vec_id % 2 AS half,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cell AS (
+        |  SELECT label, half, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY 1, 2, 3
+        |), cent AS (
+        |  SELECT label, half, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cell GROUP BY 1, 2
+        |)
+        |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |  list_sum([(a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])
+        |            for i in generate_series(1, 64)])::BIGINT AS shift2_milli
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1""".stripMargin,
     // same multiply-then-divide order as Similarity.l2Normalize, so the
     // double arithmetic (and the correctly-rounded sqrt) is bit-identical
     "emb_l2_normalize" ->

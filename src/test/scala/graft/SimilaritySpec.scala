@@ -106,6 +106,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got === List((1L, 2L, 1.0), (1L, 3L, -1.0), (2L, 3L, -1.0)))
   }
 
+  test("centroid shift: exact integer squared distance between parity halves") {
+    val d = Seq(
+      // label 7: even half centroid [1,2], odd half centroid [3,6]
+      (0L, Seq(0.001f, 0.002f), 7),
+      (1L, Seq(0.003f, 0.006f), 7),
+      // label 8 has only an even-half vector — no pair, no output row
+      (2L, Seq(0.001f, 0.001f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidShift(d, dim = 2)
+      .as[(Int, Long, Long, Long)].collect().toList
+    // shift² = (1−3)² + (2−6)² = 20
+    assert(got === List((7, 1L, 1L, 20L)))
+  }
+
   test("knn classify: majority vote over the exact top-k neighbor labels") {
     val d = Seq(
       (0L, Seq(1.0f, 0.0f), 9), // the query (vec_id % 50 == 0)
