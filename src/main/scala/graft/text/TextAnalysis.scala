@@ -571,6 +571,34 @@ object TextAnalysis {
         (col("reason") === "pass").cast("long").as("keep"),
         col("reason"))
 
+  /** The composed training-data prep pipeline — exact dedup → quality
+    * filter chain → deterministic split — as ONE lazy plan, per document:
+    * `(doc_id, canonical, reason, split)`. Non-canonical duplicates carry
+    * reason 'duplicate'; canonical docs carry their [[filterPipeline]]
+    * verdict; every doc gets its [[splitAssign]] split (content-free, so
+    * it is stable under dedup decisions).
+    *
+    * The point is composability: each stage is the registered operator,
+    * chained with no materialization barriers — Catalyst sees the whole
+    * pipeline and the dedup aggregate, filter scan, and split hash share
+    * one pass over the documents table wherever possible. At 100 TB this
+    * chain is exactly the nightly corpus build.
+    */
+  def prepPipeline(docs: DataFrame): DataFrame = {
+    val canonical = graft.dedup.Dedup.exact(docs)
+      .select(col("keep_doc_id").as("doc_id"), lit(1L).as("canonical"))
+    val verdicts = filterPipeline(docs).select(col("doc_id"), col("reason"))
+    docs.select(col("doc_id"))
+      .join(canonical, Seq("doc_id"), "left")
+      .join(verdicts, "doc_id")
+      .join(splitAssign(docs).select(col("doc_id"), col("split")), "doc_id")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), lit(0L)).as("canonical"),
+        when(col("canonical").isNull, lit("duplicate")).otherwise(col("reason")).as("reason"),
+        col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     // the 100 TB posture: stop-phrase shingles (train-df > 5 — binds on the
@@ -605,6 +633,7 @@ object TextAnalysis {
           Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
+    "txt_prep_pipeline" -> ((s, d) => prepPipeline(Tables.documents(s, d))),
   )
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -961,5 +990,33 @@ object TextAnalysis {
          |  FROM st
          |)
          |SELECT doc_id, (reason = 'pass')::BIGINT AS keep, reason FROM r""".stripMargin,
+    // dedup (min doc_id per normalized text) + the filter CTEs + the
+    // split hash, composed exactly like prepPipeline
+    "txt_prep_pipeline" ->
+      s"""$tokCte, st AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 20 THEN 'too_short'
+         |         WHEN n_tokens > 90 THEN 'too_long'
+         |         WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+         |         WHEN type_token_ratio < 0.35 THEN 'low_diversity'
+         |         ELSE 'pass' END AS reason
+         |  FROM st
+         |), k AS (
+         |  SELECT min(doc_id) AS doc_id FROM t GROUP BY norm
+         |)
+         |SELECT t.doc_id,
+         |  (t.doc_id IN (SELECT doc_id FROM k))::BIGINT AS canonical,
+         |  CASE WHEN t.doc_id IN (SELECT doc_id FROM k) THEN r.reason
+         |       ELSE 'duplicate' END AS reason,
+         |  CASE WHEN ('0x' || substr(md5('split:' || t.doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5('split:' || t.doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM t JOIN r USING (doc_id)""".stripMargin,
   )
 }

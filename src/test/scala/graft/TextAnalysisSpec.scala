@@ -237,6 +237,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === List(("the", 2L, 6666L)))
   }
 
+  test("prep pipeline: duplicates flagged, canonicals carry filter verdicts") {
+    val passText = "the quick brown fox jumps over a lazy dog while " +
+      "many other animals watch from their warm burrows nearby today"
+    val d = docs(
+      (1L, "Hello  World"), // canonical of the pair, too_short
+      (2L, "hello world"), // normalized duplicate of 1
+      (3L, passText)) // canonical, passes
+    val got = TextAnalysis.prepPipeline(d)
+      .select($"doc_id", $"canonical", $"reason")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 1L, "too_short"),
+      (2L, 0L, "duplicate"),
+      (3L, 1L, "pass")))
+    // the split column is exactly splitAssign's (content-free, dedup-stable)
+    val splits = TextAnalysis.prepPipeline(d)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val expected = TextAnalysis.splitAssign(d)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(splits === expected)
+  }
+
   test("filter pipeline: first failing rule names the reason") {
     val passText = "the quick brown fox jumps over a lazy dog while " +
       "many other animals watch from their warm burrows nearby today"
