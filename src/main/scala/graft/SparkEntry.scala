@@ -723,7 +723,7 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2
         |)
         |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
-        |  (n_ab * tot.ng * 10000) // (ia.n * ib.n) AS lift_e4
+        |  ((n_ab::HUGEINT * tot.ng * 10000) // (ia.n::HUGEINT * ib.n))::BIGINT AS lift_e4
         |FROM p
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
@@ -828,7 +828,9 @@ object SparkEntry {
     "ev_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
         |SELECT event_type,
-        |  least(floor((value - lo) * 10.0 / (hi - lo))::BIGINT, 9) AS bin,
+        |  CASE WHEN hi > lo
+        |       THEN least(floor((value - lo) * 10.0 / (hi - lo))::BIGINT, 9)
+        |       ELSE 0 END AS bin,
         |  count(*) AS n_events
         |FROM events CROSS JOIN b
         |GROUP BY 1, 2""".stripMargin,

@@ -152,27 +152,35 @@ object Analytics {
     * Scale: the distinct (group, item) table shuffles once on group; the
     * per-group fan-out is C(basket, 2), so a df-cap on pathological
     * baskets (cap or sample groups above ~10³ items, the same guard as
-    * the shingle posting lists) is the 100 TB hardening. Item counts and
-    * the group total are broadcast — the pair table never reshuffles.
+    * the shingle posting lists) is the 100 TB hardening. The item-count
+    * table is vocabulary-sized, so it joins PLAIN (AQE broadcasts it
+    * exactly when it fits — a hard hint here would OOM on a 10⁷-item
+    * vocabulary); only the 1-row group total carries a broadcast hint.
+    * Lift arithmetic runs in 38-digit decimals: `n_ab · N · 10⁴` exceeds
+    * 2⁶³ once groups reach ~10¹⁰, where a silent Long wrap would emit
+    * garbage AND diverge from the oracle's HUGEINT.
     */
   def coOccurrence(
       df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L): DataFrame = {
     val gi = df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
     val itemCounts = gi.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val total = gi.agg(count_distinct(col("grp")).as("__n_groups"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     gi.select(col("grp"), col("item").as("item_a"))
       .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
-      .join(broadcast(itemCounts.select(col("item").as("item_a"), col("n").as("n_a"))), "item_a")
-      .join(broadcast(itemCounts.select(col("item").as("item_b"), col("n").as("n_b"))), "item_b")
+      .join(itemCounts.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
       .crossJoin(broadcast(total))
       .select(
         col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
-        Cols.floorDiv(col("n_ab") * col("__n_groups") * 10000, col("n_a") * col("n_b"))
-          .as("lift_e4"))
+        Cols.floorDiv(
+          col("n_ab").cast(dec) * col("__n_groups") * 10000,
+          col("n_a").cast(dec) * col("n_b"))
+          .cast("long").as("lift_e4"))
   }
 
   /** RFM segmentation over an order history: per customer, recency (last

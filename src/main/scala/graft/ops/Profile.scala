@@ -37,7 +37,10 @@ object Profile {
   /** Equi-width histogram of `valueCol` per `groupCol`: `bins` buckets
     * over the GLOBAL [min, max] (shared bin edges make the per-group
     * histograms comparable), top edge closed — the max value lands in the
-    * last bin. Assumes max > min.
+    * last bin. A degenerate range (max == min, e.g. a constant column)
+    * puts every row in bin 0 rather than producing NaN bins — defined
+    * behavior on both engines instead of a silent NaN→0 cast on one and
+    * a cast error on the other.
     *
     * Scale: the bounds are a broadcast 1-row aggregate folded into the
     * plan (no driver-side action to learn the range), then one map-side
@@ -51,9 +54,12 @@ object Profile {
       .crossJoin(broadcast(bounds))
       .select(
         col(groupCol),
-        least(
-          floor((col(valueCol) - col("__lo")) * lit(bins.toDouble) / (col("__hi") - col("__lo"))),
-          lit((bins - 1).toLong)).as("bin"))
+        when(
+          col("__hi") > col("__lo"),
+          least(
+            floor((col(valueCol) - col("__lo")) * lit(bins.toDouble) / (col("__hi") - col("__lo"))),
+            lit((bins - 1).toLong)))
+          .otherwise(lit(0L)).as("bin"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n_events"))
   }

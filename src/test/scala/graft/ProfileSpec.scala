@@ -40,6 +40,13 @@ class ProfileSpec extends SparkSpec {
       ("g1", 0L, 1L), ("g1", 4L, 1L), ("g1", 5L, 1L), ("g2", 9L, 2L)))
   }
 
+  test("histogram: degenerate range (constant column) lands in bin 0, no NaN") {
+    val df = Seq(("g", 7.0), ("g", 7.0), ("h", 7.0)).toDF("grp", "v")
+    val got = Profile.histogram(df, "grp", "v", bins = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("g", 0L, 2L), ("h", 0L, 1L)))
+  }
+
   test("histogram: bounds are in-plan, no driver job at construction") {
     val df = Seq(("g", 1.0)).toDF("grp", "v")
     val tracker = spark.sparkContext.statusTracker
