@@ -143,4 +143,48 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     got.foreach { case (n, c) => assert(n === c) }
   }
+
+  test("round-5 analytics operators on empty inputs return empty, not errors") {
+    import graft.ops.{Analytics, Profile, TimeSeries}
+    assert(Analytics.transitions(emptyEvents).count() === 0L)
+    assert(Analytics.segmentOverlap(emptyEvents).count() === 0L)
+    assert(Analytics.hourProfile(emptyEvents).count() === 0L)
+    assert(Analytics.topPaths(emptyEvents).count() === 0L)
+    assert(Analytics.interArrival(emptyEvents).count() === 0L)
+    assert(Analytics.userEntropy(emptyEvents).count() === 0L)
+    assert(Analytics.userLtv(emptyEvents).count() === 0L)
+    assert(Analytics.lastTouchAttribution(emptyEvents).count() === 0L)
+    assert(Analytics.coOccurrence(emptyEvents, "event_id", "event_type").count() === 0L)
+    assert(Profile.histogram(emptyEvents, "event_type", "value").count() === 0L)
+    assert(TimeSeries.rollingDaily(emptyEvents, "event_type", "ts_ms").count() === 0L)
+    assert(TimeSeries.burstHours(emptyEvents, "event_type", "ts_ms").count() === 0L)
+    assert(TimeSeries.dauNewReturning(emptyEvents).count() === 0L)
+  }
+
+  test("round-5 text/embedding operators on empty inputs return empty, not errors") {
+    import graft.sim.Similarity
+    assert(TextAnalysis.topNgrams(emptyDocs).count() === 0L)
+    assert(TextAnalysis.stopwordCandidates(emptyDocs).count() === 0L)
+    assert(TextAnalysis.filterPipeline(emptyDocs).count() === 0L)
+    assert(TextAnalysis.prepPipeline(emptyDocs).count() === 0L)
+    assert(Dedup.containment(emptyDocs).count() === 0L)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.l2Normalize(emptyEmb).count() === 0L)
+    assert(Similarity.knnClassify(emptyEmb).count() === 0L)
+    assert(Similarity.centroidShift(emptyEmb, dim = 2).count() === 0L)
+    assert(Similarity.dimCorrelations(emptyEmb, dims = 2).count() === 3L - 2L,
+      "one aggregate row explodes to one pair row even on empty input (NaN corr)")
+  }
+
+  test("histogram + rolling invariants on real data: counts conserved, bins bounded") {
+    import graft.ops.{Profile, TimeSeries}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val h = Profile.histogram(events, "event_type", "value")
+    assert(h.agg(sum(col("n_events"))).as[Long].head() === events.count())
+    assert(h.filter(col("bin") < 0 || col("bin") > 9).count() === 0L)
+    val r = TimeSeries.rollingDaily(events, "event_type", "ts_ms")
+    assert(r.filter(col("rolling_n") < col("n_events")).count() === 0L)
+    assert(r.filter(col("rolling_days") > 7 || col("rolling_days") < 1).count() === 0L)
+  }
 }
