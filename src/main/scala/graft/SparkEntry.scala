@@ -250,6 +250,16 @@ object SparkEntry {
     "li_basket_pairs" -> ((s, dir) =>
       graft.ops.Analytics.coOccurrence(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
+    // co-occurrence recommender on the basket pairs: per customer, top-3
+    // unowned parts by strongest lift against anything they bought
+    "li_recommend" -> ((s, dir) => {
+      val userItems = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("usr"), col("l_partkey").as("item"))
+      val pairs = graft.ops.Analytics.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.ops.Analytics.recommendFromCoOccurrence(userItems, pairs)
+    }),
     // RFM quintile segmentation via broadcast percentile cuts (no global
     // ntile window — the cuts comparison is map-only)
     "cust_rfm" -> ((s, dir) =>
@@ -728,6 +738,39 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // the basket-pairs CTEs + symmetric expansion + owned anti-join +
+    // per-user top-3 window, mirroring recommendFromCoOccurrence
+    "li_recommend" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), pairs AS (
+        |  SELECT item_a, item_b,
+        |    ((n_ab::HUGEINT * tot.ng * 10000) // (ia.n::HUGEINT * ib.n))::BIGINT AS lift_e4
+        |  FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item
+        |  CROSS JOIN tot
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS cand, lift_e4 FROM pairs
+        |  UNION ALL SELECT item_b, item_a, lift_e4 FROM pairs
+        |), owned AS (
+        |  SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), scored AS (
+        |  SELECT ow.usr, s.cand, max(s.lift_e4) AS score_e4, count(*) AS n_paths
+        |  FROM owned ow JOIN sym s USING (item)
+        |  LEFT JOIN owned ob ON ob.usr = ow.usr AND ob.item = s.cand
+        |  WHERE ob.usr IS NULL
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT usr, cand, score_e4, n_paths,
+        |    (row_number() OVER (PARTITION BY usr ORDER BY score_e4 DESC, cand))::BIGINT AS rank
+        |  FROM scored
+        |)
+        |SELECT usr, cand, score_e4, n_paths, rank FROM ranked WHERE rank <= 3""".stripMargin,
     // quantile_cont ≡ Spark's percentile (exact interpolation, pinned by
     // ev_value_quantiles); ties land in the lower bucket on both engines
     "cust_rfm" ->

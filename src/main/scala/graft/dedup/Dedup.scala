@@ -185,6 +185,50 @@ object Dedup {
       .filter(greatest(col("containment_1_e4"), col("containment_2_e4")) >= thresholdE4)
   }
 
+  /** Fuzzy name matching (the entity-resolution primitive): char-3-gram
+    * Jaccard over the DISTINCT normalized name vocabulary, emitted as
+    * scored pairs. Word shingles are useless on short strings ("small
+    * ring" vs "small ping"); overlapping character trigrams are the
+    * classic q-gram blocking for typo/variant matching.
+    *
+    * Scale: names repeat — the vocabulary is orders below the row count,
+    * so the pair space is |distinct names|², not |rows|², and the df-cap
+    * on grams (`maxGramDf`) bounds posting-list skew from stop-grams
+    * exactly like the word-shingle operators. Match the vocabulary once,
+    * then join match groups back to rows by name.
+    */
+  def charGramNamePairs(
+      df: DataFrame,
+      nameCol: String,
+      thresholdE4: Long = 4000L,
+      maxGramDf: Int = 1000): DataFrame = {
+    val names = df.select(graft.Cols.normalizeText(col(nameCol)).as("norm")).distinct()
+    val n = col("norm")
+    val gramArr = when(
+      length(n) >= 3,
+      array_distinct(transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val grams0 = names.select(n, explode(gramArr).as("gram"))
+    val grams = {
+      val rare = grams0.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxGramDf).select(col("gram"))
+      grams0.join(rare, "gram")
+    }
+    val counts = grams.groupBy(col("norm")).agg(count(lit(1)).as("n_grams"))
+    grams.select(col("norm").as("name_a"), col("gram"))
+      .join(grams.select(col("norm").as("name_b"), col("gram")), "gram")
+      .filter(col("name_a") < col("name_b"))
+      .groupBy(col("name_a"), col("name_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("norm").as("name_a"), col("n_grams").as("n_a")), "name_a")
+      .join(counts.select(col("norm").as("name_b"), col("n_grams").as("n_b")), "name_b")
+      .select(
+        col("name_a"), col("name_b"),
+        graft.Cols.floorDiv(col("n_common") * 10000, col("n_a") + col("n_b") - col("n_common"))
+          .as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= thresholdE4)
+  }
+
   /** MinHash signatures: for each of the 16 permutations, the min of the
     * seeded 60-bit hash over the document's shingle set. Returned as a
     * 16-element array column `sig` ordered by permutation index.
@@ -541,6 +585,7 @@ object Dedup {
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
+    "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
@@ -641,6 +686,33 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
          |WHERE round(n_common::DOUBLE / (ca.n_shingles + cb.n_shingles - n_common), 4) >= $JaccardThreshold""".stripMargin,
+    // char-trigram vocabulary matching; the df-cap (1000) mirrors
+    // charGramNamePairs' default and never binds on the fixture
+    "part_fuzzy_names" ->
+      """WITH n AS (
+        |  SELECT DISTINCT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS norm FROM part
+        |), g0 AS (
+        |  SELECT norm,
+        |    unnest(list_distinct([substr(norm, i, 3)
+        |                          for i in generate_series(1, len(norm) - 2)])) AS gram
+        |  FROM n
+        |), rare AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 1000
+        |), g AS (
+        |  SELECT g0.norm, g0.gram FROM g0 JOIN rare USING (gram)
+        |), cnt AS (
+        |  SELECT norm, count(*) AS c FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.norm AS name_a, b.norm AS name_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.norm < b.norm
+        |  GROUP BY 1, 2
+        |)
+        |SELECT name_a, name_b,
+        |  (n_common * 10000) // (ca.c + cb.c - n_common) AS jaccard_e4
+        |FROM inter
+        |JOIN cnt ca ON ca.norm = name_a
+        |JOIN cnt cb ON cb.norm = name_b
+        |WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000""".stripMargin,
     // same df-capped posting-list CTEs as the jaccard oracle; all-integer
     // scoring (counts non-negative → truncating `//` is floor)
     "dedup_containment" ->

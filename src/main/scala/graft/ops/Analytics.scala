@@ -183,6 +183,39 @@ object Analytics {
           .cast("long").as("lift_e4"))
   }
 
+  /** Co-occurrence recommender ("users who bought X also bought"): for
+    * each user, the top-k items they DON'T own, scored by the strongest
+    * lift between any owned item and the candidate (max-lift semantics —
+    * one strong association beats many weak ones), ties broken by item.
+    * Built directly on [[coOccurrence]]'s pair table.
+    *
+    * Scale: the pair table is vocabulary², already thresholded by
+    * `minPairCount`; expanding it symmetrically and joining on the owned
+    * (user, item) set shuffles on item — candidates per user are bounded
+    * by owned × pairs-per-item. The anti-join against owned items and the
+    * per-user top-k window run on that candidate set only.
+    */
+  def recommendFromCoOccurrence(
+      userItems: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("cand"), col("lift_e4"))
+      .union(pairs.select(col("item_b").as("item"), col("item_a").as("cand"), col("lift_e4")))
+    val owned = userItems.select(col("usr"), col("item")).distinct()
+    val scored = owned
+      .join(sym, "item")
+      .join(
+        owned.select(col("usr"), col("item").as("cand"), lit(1L).as("__owned")),
+        Seq("usr", "cand"), "left")
+      .filter(col("__owned").isNull)
+      .groupBy(col("usr"), col("cand"))
+      .agg(max(col("lift_e4")).as("score_e4"), count(lit(1)).as("n_paths"))
+    val topk = Window.partitionBy(col("usr")).orderBy(col("score_e4").desc, col("cand"))
+    scored
+      .withColumn("rank", row_number().over(topk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("usr"), col("cand"), col("score_e4"), col("n_paths"), col("rank"))
+  }
+
   /** RFM segmentation over an order history: per customer, recency (last
     * order day), frequency (order count), monetary (rounded spend), each
     * bucketed into quintiles 1..5 by comparison against the four 20/40/

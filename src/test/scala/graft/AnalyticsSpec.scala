@@ -114,6 +114,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("a", "b", 2L, 3L, 2L, 10000L)))
   }
 
+  test("recommender: max-lift over owned items, owned candidates excluded") {
+    val userItems = Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("usr", "item")
+    val pairs = Seq(
+      ("a", "b", 12000L), ("b", "c", 15000L), ("a", "c", 8000L))
+      .toDF("item_a", "item_b", "lift_e4")
+    val got = Analytics.recommendFromCoOccurrence(userItems, pairs, k = 3)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._5)).toList
+    assert(got === List(
+      // user 1 owns {a}: candidates b (12000) then c (8000)
+      (1L, "b", 12000L, 1L, 1L),
+      (1L, "c", 8000L, 1L, 2L),
+      // user 2 owns {a,b}: only c remains, reachable two ways, max lift 15000
+      (2L, "c", 15000L, 2L, 1L)))
+  }
+
   test("rfm: quintile buckets from broadcast percentile cuts") {
     val D = graft.ops.TimeSeries.DayMs
     // customer i: i orders, each 100·i, last on day i → strictly

@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(got === List((1L, 2L, 6666L, 10000L)))
   }
 
+  test("char-gram fuzzy names: typo variants pair up, unrelated and short names don't") {
+    val parts = Seq(
+      (1L, "small ring"), (2L, "small ping"), // one-char typo — high overlap
+      (3L, "Small  Ring"), // normalizes to a dup of 1 — same vocab entry, no self-pair
+      (4L, "zzzz qqqq"), // unrelated
+      (5L, "ab")) // under 3 chars — no grams at all
+      .toDF("p_partkey", "p_name")
+    val got = Dedup.charGramNamePairs(parts, "p_name")
+      .as[(String, String, Long)].collect().toList
+    // "small ring" grams: 8, "small ping": 8, common: {sma,mal,all,ll ,ing} = 5
+    // jaccard = 5/11 → floor(50000/11) = 4545
+    assert(got === List(("small ping", "small ring", 4545L)))
+  }
+
   test("minhash signatures: 16 entries, identical docs share signatures") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val sigs = Dedup.minhashSignatures(docs((1L, a), (2L, a)))
