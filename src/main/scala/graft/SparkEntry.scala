@@ -245,6 +245,23 @@ object SparkEntry {
     // daily active users split new vs returning (growth accounting)
     "ev_dau" -> ((s, dir) =>
       graft.ops.TimeSeries.dauNewReturning(Tables.events(s, dir))),
+    // referential-integrity audit across the star schema's four FKs
+    "tbl_fk_integrity" -> ((s, dir) =>
+      graft.ops.Profile.fkIntegrity(Seq(
+        ("lineitem.orderkey->orders",
+          Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem.partkey->part",
+          Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey"),
+        ("lineitem.suppkey->supplier",
+          Tables.lineitem(s, dir), "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        ("orders.custkey->customer",
+          Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")))),
+    // SCD2 validity intervals from the status-event stream (signup/error),
+    // consecutive repeats merged, open interval for the current status
+    "ev_scd2" -> ((s, dir) =>
+      graft.ops.TimeSeries.scd2(
+        Tables.events(s, dir).filter(col("event_type").isin("signup", "error")),
+        "user_id", "event_type", "ts_ms", "event_id")),
     // market-basket co-occurrence over order line items: pair counts and
     // exact-integer lift, group total and item counts broadcast
     "li_basket_pairs" -> ((s, dir) =>
@@ -702,6 +719,43 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    "tbl_fk_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_child_rows,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_orphans
+        |UNION ALL SELECT 'lineitem.partkey->part',
+        |  (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+        |UNION ALL SELECT 'lineitem.suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+        |UNION ALL SELECT 'orders.custkey->customer',
+        |  (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT""".stripMargin,
+    // gap-islands runs over the status stream — the sessionsCte
+    // construction keyed on status change instead of time gap
+    "ev_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), r AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS run
+        |  FROM f
+        |), iv AS (
+        |  SELECT user_id, run, min(ts_ms) AS valid_from_ms, min(event_type) AS event_type
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, valid_from_ms,
+        |  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_ms
+        |FROM iv""".stripMargin,
     "ev_dau" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events

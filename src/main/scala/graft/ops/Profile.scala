@@ -48,6 +48,27 @@ object Profile {
     * bin expression is evaluated identically (same operation order) by
     * the DuckDB oracle, so the double arithmetic is bit-reproducible.
     */
+  /** Referential-integrity audit: for each declared (child, parent)
+    * relationship, the child row count and the number of orphans (child
+    * keys with no parent) — the cross-table data-quality gate a pipeline
+    * runs before joining new data in anger.
+    *
+    * Scale: each relationship is one left-anti-join count — Spark picks
+    * broadcast for dimension-sized parents, shuffle otherwise — and the
+    * per-relationship 1-row results union into one lazy plan (no driver
+    * loop materializes anything).
+    */
+  def fkIntegrity(relationships: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relationships.nonEmpty, "fkIntegrity needs at least one relationship")
+    relationships.map { case (label, child, childKey, parent, parentKey) =>
+      val orphans = child.select(col(childKey).as("__k"))
+        .join(parent.select(col(parentKey).as("__k")).distinct(), Seq("__k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(label).as("relationship"), col("n_child_rows"), col("n_orphans"))
+    }.reduce(_.union(_))
+  }
+
   def histogram(df: DataFrame, groupCol: String, valueCol: String, bins: Int = 10): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     df.select(col(groupCol), col(valueCol))

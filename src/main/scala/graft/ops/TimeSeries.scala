@@ -112,6 +112,41 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** Slowly-changing-dimension (type 2) builder: collapse a keyed event
+    * stream of status observations into validity intervals — one row per
+    * (key, status run) with `[valid_from_ms, valid_to_ms)`, open (null
+    * `valid_to_ms`) for the current status. Consecutive repeats of the
+    * same status merge into one interval (the observation stream is
+    * usually denser than the change stream).
+    *
+    * Scale: one window over the key — the sessionization shuffle shape —
+    * with a gap-islands run-id (same construction as the sessionizer),
+    * then one hash aggregate per run.
+    */
+  def scd2(
+      events: DataFrame, keyCol: String, statusCol: String, tsMsCol: String,
+      orderTieCol: String): DataFrame = {
+    val seq = Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol), col(orderTieCol))
+    val runs = events
+      .select(col(keyCol), col(statusCol), col(tsMsCol), col(orderTieCol))
+      .withColumn(
+        "__new_run",
+        when(
+          lag(col(statusCol), 1).over(seq).isNull ||
+            lag(col(statusCol), 1).over(seq) =!= col(statusCol),
+          1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new_run")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol), col(orderTieCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs
+      .groupBy(col(keyCol), col("__run"))
+      .agg(min(col(tsMsCol)).as("valid_from_ms"), first(col(statusCol)).as(statusCol))
+    val nextRun = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
+    intervals
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(nextRun))
+      .select(col(keyCol), col(statusCol), col("valid_from_ms"), col("valid_to_ms"))
+  }
+
   /** Daily active users split into new (first-ever-seen that day) and
     * returning. One cohort aggregate (user → first day) joined back on
     * the shared user key, then a day-level rollup — the growth-accounting

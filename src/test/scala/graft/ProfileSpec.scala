@@ -40,6 +40,18 @@ class ProfileSpec extends SparkSpec {
       ("g1", 0L, 1L), ("g1", 4L, 1L), ("g1", 5L, 1L), ("g2", 9L, 2L)))
   }
 
+  test("fk integrity: planted orphans counted, clean relationships report zero") {
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk") // 99 is orphaned
+    val parent = Seq((10L, "a"), (20L, "b")).toDF("pk", "name")
+    val got = Profile.fkIntegrity(Seq(
+      ("child->parent", child, "fk", parent, "pk"),
+      ("parent->parent", parent, "pk", parent, "pk")))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("child->parent", 3L, 1L),
+      ("parent->parent", 2L, 0L)))
+  }
+
   test("histogram: degenerate range (constant column) lands in bin 0, no NaN") {
     val df = Seq(("g", 7.0), ("g", 7.0), ("h", 7.0)).toDF("grp", "v")
     val got = Profile.histogram(df, "grp", "v", bins = 10)

@@ -76,6 +76,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List(("x", 10 * H, 20L)))
   }
 
+  test("scd2: status runs collapse to intervals, current status stays open") {
+    val ev = Seq(
+      // user 1: active@10, active@20 (repeat merges), churned@30, active@50
+      (1L, 10L, "active", 1L), (1L, 20L, "active", 2L),
+      (1L, 30L, "churned", 3L), (1L, 50L, "active", 4L),
+      // user 2: one observation — single open interval
+      (2L, 5L, "active", 5L))
+      .toDF("user_id", "ts_ms", "status", "event_id")
+    val got = TimeSeries.scd2(ev, "user_id", "status", "ts_ms", "event_id")
+      .as[(Long, String, Long, Option[Long])].collect().sortBy(r => (r._1, r._3)).toList
+    assert(got === List(
+      (1L, "active", 10L, Some(30L)),
+      (1L, "churned", 30L, Some(50L)),
+      (1L, "active", 50L, None),
+      (2L, "active", 5L, None)))
+  }
+
   test("dau split: first-ever day is new, later days returning") {
     val D = TimeSeries.DayMs
     val ev = Seq(
