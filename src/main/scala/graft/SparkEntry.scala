@@ -245,6 +245,9 @@ object SparkEntry {
     // daily active users split new vs returning (growth accounting)
     "ev_dau" -> ((s, dir) =>
       graft.ops.TimeSeries.dauNewReturning(Tables.events(s, dir))),
+    // Benford leading-digit audit of the positive order amounts
+    "ord_benford" -> ((s, dir) =>
+      graft.ops.Profile.benford(Tables.orders(s, dir), "o_totalprice")),
     // referential-integrity audit across the star schema's four FKs
     "tbl_fk_integrity" -> ((s, dir) =>
       graft.ops.Profile.fkIntegrity(Seq(
@@ -719,6 +722,24 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // leading digit via the integer cent amount's decimal string — no
+    // float log10 anywhere; benford_e4 literals = round(log10(1+1/d)·1e4)
+    "ord_benford" ->
+      """WITH c AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+        |  WHERE o_totalprice > 0
+        |), cc AS (
+        |  SELECT cents FROM c WHERE cents > 0
+        |), d AS (
+        |  SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit, count(*) AS n
+        |  FROM cc GROUP BY 1
+        |)
+        |SELECT digit, n,
+        |  (n * 10000) // (SELECT count(*) FROM cc) AS share_e4,
+        |  ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458][digit])::BIGINT AS benford_e4,
+        |  abs((n * 10000) // (SELECT count(*) FROM cc)
+        |      - [3010, 1761, 1249, 969, 792, 669, 580, 512, 458][digit])::BIGINT AS dev_e4
+        |FROM d""".stripMargin,
     "tbl_fk_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS relationship,
         |  (SELECT count(*) FROM lineitem)::BIGINT AS n_child_rows,

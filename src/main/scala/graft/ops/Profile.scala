@@ -69,6 +69,39 @@ object Profile {
     }.reduce(_.union(_))
   }
 
+  /** Benford leading-digit audit: the distribution of first significant
+    * digits of a positive amount column against Benford's law — the
+    * classic fabricated-data / unit-mix-up screen. The leading digit
+    * comes from the decimal STRING of the integer cent amount (identical
+    * across engines — no float log10 near power-of-ten boundaries), and
+    * the expected shares are fixed e4 literals of log10(1 + 1/d), so
+    * every output column is an exact integer.
+    *
+    * Scale: one narrow map + a 9-row hash aggregate; the total for the
+    * shares is the usual in-plan broadcast 1-row count.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // round(log10(1 + 1/d) * 10000) for d = 1..9, fixed at compile time
+    val expectedE4 = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val cents = df
+      .filter(col(valueCol) > 0)
+      .select(round(col(valueCol) * 100).cast("long").as("__cents"))
+      .filter(col("__cents") > 0)
+    val digits = cents
+      .select(substring(col("__cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = element_at(array(expectedE4.map(lit): _*), col("digit").cast("int"))
+    digits
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("__total"))))
+      .select(
+        col("digit"),
+        col("n"),
+        graft.Cols.floorDiv(col("n") * 10000, col("__total")).as("share_e4"),
+        expected.as("benford_e4"))
+      .withColumn("dev_e4", abs(col("share_e4") - col("benford_e4")))
+  }
+
   def histogram(df: DataFrame, groupCol: String, valueCol: String, bins: Int = 10): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     df.select(col(groupCol), col(valueCol))

@@ -40,6 +40,19 @@ class ProfileSpec extends SparkSpec {
       ("g1", 0L, 1L), ("g1", 4L, 1L), ("g1", 5L, 1L), ("g2", 9L, 2L)))
   }
 
+  test("benford: string leading digit of cents, fixed e4 expectations") {
+    val df = Seq(1.23, 19.99, 0.92, 3.5, -4.0, 0.0).toDF("v") // -4 and 0 excluded
+    val got = Profile.benford(df, "v")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      // 1.23→"123", 19.99→"1999": digit 1 ×2 of 4 → 5000; |5000−3010| = 1990
+      (1L, 2L, 5000L, 3010L, 1990L),
+      // 3.5→"350"
+      (3L, 1L, 2500L, 1249L, 1251L),
+      // 0.92→"92"
+      (9L, 1L, 2500L, 458L, 2042L)))
+  }
+
   test("fk integrity: planted orphans counted, clean relationships report zero") {
     val child = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk") // 99 is orphaned
     val parent = Seq((10L, "a"), (20L, "b")).toDF("pk", "name")
