@@ -245,6 +245,25 @@ object SparkEntry {
     // daily active users split new vs returning (growth accounting)
     "ev_dau" -> ((s, dir) =>
       graft.ops.TimeSeries.dauNewReturning(Tables.events(s, dir))),
+    // per-type least-squares trend of the daily event rate, exact
+    // integer e4 slope (decimal internals — see TimeSeries.trendSlope)
+    "ev_trend" -> ((s, dir) =>
+      graft.ops.TimeSeries.trendSlope(Tables.events(s, dir), "event_type", "ts_ms")),
+    // CUSUM change-point: the day each type's cumulative rate deviation
+    // peaks, integer statistic (multiplied through by the day count)
+    "ev_cusum" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumChangePoint(Tables.events(s, dir), "event_type", "ts_ms")),
+    // robust per-type outlier screen: median/MAD with a 3×MAD flag count
+    "ev_mad_outliers" -> ((s, dir) =>
+      graft.ops.Profile.madOutliers(Tables.events(s, dir), "event_type", "value")),
+    // chi-squared independence audit: is the event-type mix independent
+    // of hour of day? (quantize-then-sum cell terms, one-row report)
+    "ev_chi2_hour" -> ((s, dir) =>
+      graft.ops.Profile.chi2Independence(
+        Tables.events(s, dir).withColumn(
+          "hour",
+          graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
+        "event_type", "hour")),
     // Benford leading-digit audit of the positive order amounts
     "ord_benford" -> ((s, dir) =>
       graft.ops.Profile.benford(Tables.orders(s, dir), "o_totalprice")),
@@ -722,6 +741,92 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // slope floor-divided with the remainder-corrected form (den > 0 by
+    // Cauchy–Schwarz, so the correction is the plain pmod floor); HUGEINT
+    // mirrors the Spark side's DECIMAL(38,0) internals
+    "ev_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), d AS (
+        |  SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2
+        |), b AS (SELECT min(day) AS d0 FROM e
+        |), s AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days, sum(y)::BIGINT AS sum_y,
+        |    sum(day - d0)::HUGEINT AS sx,
+        |    sum((day - d0) * y)::HUGEINT AS sxy,
+        |    sum((day - d0) * (day - d0))::HUGEINT AS sxx
+        |  FROM d CROSS JOIN b GROUP BY 1
+        |)
+        |SELECT event_type, n_days, sum_y,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    (((n_days * sxy - sx * sum_y) * 10000
+        |      - (((n_days * sxy - sx * sum_y) * 10000 % (n_days * sxx - sx * sx))
+        |         + (n_days * sxx - sx * sx)) % (n_days * sxx - sx * sx))
+        |     // (n_days * sxx - sx * sx))::BIGINT
+        |  END AS slope_e4
+        |FROM s""".stripMargin,
+    "ev_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), d AS (
+        |  SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT d.event_type, t.n_days, day,
+        |    (sum(t.n_days * c - t.s) OVER (PARTITION BY d.event_type ORDER BY day))::BIGINT AS cusum
+        |  FROM d JOIN t USING (event_type)
+        |), k AS (
+        |  SELECT event_type, n_days, day AS change_day, abs(cusum)::BIGINT AS cusum_scaled,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rk
+        |  FROM r
+        |)
+        |SELECT event_type, n_days, change_day, cusum_scaled FROM k WHERE rk = 1""".stripMargin,
+    // median/MAD rounded to 4 decimals BEFORE the flag predicate so both
+    // engines compare identical doubles (quantile_cont ≡ Spark percentile)
+    "ev_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median
+        |  FROM events GROUP BY 1
+        |), wm AS (
+        |  SELECT e.event_type, e.value, m.median FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, round(quantile_cont(abs(value - median), 0.5), 4) AS mad
+        |  FROM wm GROUP BY 1
+        |)
+        |SELECT wm.event_type, count(*) AS n_rows, min(wm.median) AS median,
+        |  min(md.mad) AS mad,
+        |  count(CASE WHEN abs(value - median) > 3 * mad THEN 1 END) AS n_outliers
+        |FROM wm JOIN md USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // cell terms mirror Profile.chi2Independence operation-for-operation
+    // ((O·N − R·C)² · 1e4 / (R·C·N), rounded per cell, then summed) over
+    // the FULL rt×ct grid — empty cells contribute (0 − E)²/E = E
+    "ev_chi2_hour" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, hour, count(*) AS o FROM e GROUP BY 1, 2
+        |), rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1
+        |), ct AS (SELECT hour, sum(o)::BIGINT AS c FROM cells GROUP BY 1
+        |), nt AS (SELECT sum(o)::BIGINT AS n FROM cells
+        |), grid AS (
+        |  SELECT rt.event_type, ct.hour, rt.r, ct.c, coalesce(cells.o, 0)::BIGINT AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.event_type = rt.event_type AND cells.hour = ct.hour
+        |), t AS (
+        |  SELECT grid.event_type, grid.hour, nt.n,
+        |    round((grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE)
+        |        * (grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE) * 10000.0
+        |        / (grid.r::DOUBLE * grid.c::DOUBLE * nt.n::DOUBLE))::BIGINT AS term_e4
+        |  FROM grid CROSS JOIN nt
+        |)
+        |SELECT sum(term_e4)::BIGINT AS chi2_e4,
+        |  ((count(DISTINCT event_type) - 1) * (count(DISTINCT hour) - 1))::BIGINT AS dof,
+        |  min(n)::BIGINT AS n_rows
+        |FROM t""".stripMargin,
     // leading digit via the integer cent amount's decimal string — no
     // float log10 anywhere; benford_e4 literals = round(log10(1+1/d)·1e4)
     "ord_benford" ->

@@ -102,6 +102,76 @@ object Profile {
       .withColumn("dev_e4", abs(col("share_e4") - col("benford_e4")))
   }
 
+  /** Robust outlier screen per group: median/MAD (median absolute
+    * deviation) of `valueCol`, and the count of rows beyond
+    * `k × MAD` of the median — the heavy-tail-safe alternative to a
+    * mean/σ z-test (one wild value moves a mean; it barely moves a
+    * median). Median and MAD are rounded to 4 decimals BEFORE the
+    * comparison so the flag predicate evaluates on identical doubles in
+    * both engines (`percentile` ≡ DuckDB `quantile_cont`, pinned by
+    * ev_value_quantiles).
+    *
+    * Scale: two sort-based percentile aggregates over the group key (the
+    * exact tier; swap `percentile` for `approx_percentile` at 100 TB for
+    * the one-pass sketch) and a broadcast join of the 1-row-per-group
+    * stats back onto the raw rows for the outlier count.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Int = 3): DataFrame = {
+    val medians = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("median"))
+    val withMed = df.select(col(groupCol), col(valueCol))
+      .join(broadcast(medians), Seq(groupCol))
+    val mads = withMed
+      .groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(abs($valueCol - median), 0.5)"), 4).as("mad"))
+    withMed
+      .join(broadcast(mads), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        count(when(abs(col(valueCol) - col("median")) > lit(k.toDouble) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /** Chi-squared independence audit between two categorical columns —
+    * "is event mix actually independent of hour of day?". Each cell's
+    * contribution `(O − E)² / E` is computed with `E = R·C/N` in the
+    * multiplied-through form `(O·N − R·C)² / (R·C·N)`, quantized to
+    * integer e4 PER CELL and then summed (the quantize-then-sum
+    * discipline: the total is order-independent and engine-exact).
+    * Output is one row: the statistic, the degrees of freedom, and N —
+    * compare chi2_e4/1e4 against the χ² critical value for the dof.
+    *
+    * Scale: one hash aggregate to cell counts (map-side combined), two
+    * tiny marginal re-aggregates of the CELL table (not the raw rows)
+    * broadcast back, then a 1-row final aggregate.
+    */
+  def chi2Independence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA), col(colB)).agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col(colA)).agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy(col(colB)).agg(sum(col("__o")).as("__c"))
+    val total = cells.agg(sum(col("__o")).as("__n"))
+    val d = (col("__o").cast("double") * col("__n").cast("double")
+      - col("__r").cast("double") * col("__c").cast("double"))
+    val termE4 = round(d * d * 10000.0
+      / (col("__r").cast("double") * col("__c").cast("double") * col("__n").cast("double")))
+      .cast("long")
+    // the FULL grid, not just observed cells: an empty cell contributes
+    // (0 − E)²/E = E, and dropping it understates the statistic exactly
+    // where dependence is strongest (a diagonal table's off-cells)
+    rowT
+      .crossJoin(colT)
+      .join(cells, Seq(colA, colB), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .agg(
+        sum(termE4).as("chi2_e4"),
+        ((count_distinct(col(colA)) - 1) * (count_distinct(col(colB)) - 1)).as("dof"),
+        first(col("__n")).as("n_rows"))
+  }
+
   def histogram(df: DataFrame, groupCol: String, valueCol: String, bins: Int = 10): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     df.select(col(groupCol), col(valueCol))

@@ -147,6 +147,81 @@ object TimeSeries {
       .select(col(keyCol), col(statusCol), col("valid_from_ms"), col("valid_to_ms"))
   }
 
+  /** Per-key linear trend over the daily count series: the least-squares
+    * slope of `n_events` against the day index, in exact integer
+    * ten-thousandths per day. Day indexes are rebased to the GLOBAL min
+    * day (a broadcast 1-row bound folded into the plan) so the sums stay
+    * small, and the slope is the textbook
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` computed in DECIMAL(38,0) —
+    * at 100 TB a per-day count can reach 1e12, putting the numerator×1e4
+    * past an int64; decimal keeps the floor division exact rather than
+    * silently wrapping.
+    *
+    * Scale: events collapse to |keys| × |days| in one map-side-combined
+    * aggregate; everything after runs on that tiny daily table.
+    */
+  def trendSlope(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .groupBy(col(keyCol), day.as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val base = events.agg(min(day).as("__d0"))
+    val dec = "decimal(38,0)"
+    val sums = daily
+      .crossJoin(broadcast(base))
+      .select(col(keyCol), (col("__day") - col("__d0")).as("__x"), col("__y"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val num = (col("n_days").cast(dec) * col("__sxy").cast(dec)
+      - col("__sx").cast(dec) * col("sum_y").cast(dec)) * lit(10000).cast(dec)
+    val den = (col("n_days").cast(dec) * col("__sxx").cast(dec)
+      - col("__sx").cast(dec) * col("__sx").cast(dec))
+    sums.select(
+      col(keyCol), col("n_days"), col("sum_y"),
+      // a single-day key has zero x-variance — no trend is defined
+      when(den =!= 0, Cols.floorDiv(num, den).cast("long")).as("slope_e4"))
+  }
+
+  /** CUSUM change-point detection on the daily count series: per key, the
+    * day where the cumulative deviation from the key's mean rate peaks —
+    * the classic "when did the level shift" detector. The statistic is
+    * kept integral by multiplying through by the day count:
+    * `cusum_k = Σ_{i≤k} (n·c_i − S)` (c = daily count, S = Σc, n = #days),
+    * so engines agree bit-for-bit with no running double sum.
+    *
+    * Scale: one hash aggregate collapses events to |keys| × |days|; the
+    * per-key totals broadcast back; the running sum and argmax windows
+    * run over the daily table only. Ties break to the earliest day.
+    */
+  def cusumChangePoint(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = daily
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("__s"))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("__cusum", sum(col("n_days") * col("__c") - col("__s")).over(run))
+    val best = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__cusum")).desc, col("day"))
+    cusum
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(
+        col(keyCol), col("n_days"),
+        col("day").as("change_day"),
+        abs(col("__cusum")).as("cusum_scaled"))
+  }
+
   /** Daily active users split into new (first-ever-seen that day) and
     * returning. One cohort aggregate (user → first day) joined back on
     * the shared user key, then a day-level rollup — the growth-accounting

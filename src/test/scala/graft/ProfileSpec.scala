@@ -81,4 +81,40 @@ class ProfileSpec extends SparkSpec {
     assert(h.columns.toSeq === Seq("grp", "bin", "n_events"))
     assert(after === before, "plan construction ran Spark jobs")
   }
+
+  test("MAD outliers: median/MAD robust to the outlier it flags") {
+    // group g: 1,2,3,4,5 plus a wild 100 → median 3.5, MAD 1.5; only
+    // the 100 is beyond 3×MAD (|100−3.5| = 96.5 > 4.5). A mean/σ test
+    // over the same data would have σ≈36 and flag nothing.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("g", _)))
+      .toDF("grp", "value")
+    val got = Profile.madOutliers(df, "grp", "value")
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    assert(got === List(("g", 6L, 3.5, 1.5, 1L)))
+  }
+
+  test("MAD outliers: constant group has MAD 0 and flags any deviation") {
+    val df = (Seq.fill(5)(7.0) :+ 7.1).map(("c", _)).toDF("grp", "value")
+    val got = Profile.madOutliers(df, "grp", "value")
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    // median 7, MAD 0 → the single 7.1 is an outlier (0.1 > 3×0)
+    assert(got === List(("c", 6L, 7.0, 0.0, 1L)))
+  }
+
+  test("chi2: independent contingency table scores zero") {
+    // perfectly proportional 2×2: O = E in every cell → chi2 = 0
+    val rows = Seq.fill(20)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(40)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val got = Profile.chi2Independence(rows.toDF("u", "v"), "u", "v")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((0L, 1L, 90L)))
+  }
+
+  test("chi2: a fully dependent table scores n (phi = 1)") {
+    // diagonal 2×2: a↔x, b↔y only → chi2 = N exactly (50·1e4 in e4)
+    val rows = Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("b", "y"))
+    val got = Profile.chi2Independence(rows.toDF("u", "v"), "u", "v")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((500000L, 1L, 50L)))
+  }
 }

@@ -93,6 +93,56 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "active", 5L, None)))
   }
 
+  test("trend slope: exact e4 slope of a linear daily series, floor on negatives") {
+    // key up: counts 1,3,5,7,9 on days 0..4 → slope exactly +2/day
+    // key dn: counts 9,7,5,3,1 → slope exactly −2/day
+    // key flat: 4,4,4 → slope 0; key one: single day → null (no variance)
+    val rows =
+      (0 until 5).flatMap(d => Seq.fill(1 + 2 * d)(("up", d * Day + 1L))) ++
+        (0 until 5).flatMap(d => Seq.fill(9 - 2 * d)(("dn", d * Day + 1L))) ++
+        (0 until 3).flatMap(d => Seq.fill(4)(("flat", d * Day + 1L))) ++
+        Seq.fill(3)(("one", 2L * Day))
+    val got = TimeSeries.trendSlope(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("dn", 5L, 25L, Some(-20000L)),
+      ("flat", 3L, 12L, Some(0L)),
+      ("one", 1L, 3L, None),
+      ("up", 5L, 25L, Some(20000L))))
+  }
+
+  test("trend slope: non-multiple slopes floor like the DuckDB oracle form") {
+    // counts 1,1,2 on days 0..2: slope = 1/2 → 5000 e4 exactly;
+    // counts 2,1,1: slope = −1/2 → floor(−5000) — negative halves floor down
+    val rows =
+      Seq(("a", 0L), ("a", Day + 1), ("a", 2 * Day), ("a", 2 * Day + 1)) ++
+        Seq(("b", 0L), ("b", 1L), ("b", Day + 1), ("b", 2 * Day))
+    val got = TimeSeries.trendSlope(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", 3L, 4L, Some(5000L)),
+      ("b", 3L, 4L, Some(-5000L))))
+  }
+
+  test("cusum: the level-shift day carries the peak deviation") {
+    // key a: 10 days at 1 event, then 10 days at 21 — the shift is at day
+    // 10, and |cusum| peaks on day 9 (the last pre-shift day) with
+    // n=20, S=220: cusum_9 = Σ(20·1 − 220) over 10 days = −2000
+    val rows = (0 until 10).map(d => ("a", d * Day + 1L)) ++
+      (10 until 20).flatMap(d => Seq.fill(21)(("a", d * Day + 1L)))
+    val got = TimeSeries.cusumChangePoint(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got === List(("a", 20L, 9L, 2000L)))
+  }
+
+  test("cusum: ties break to the earliest day") {
+    // constant series: every prefix sums to 0 — earliest day wins
+    val rows = (0 until 4).map(d => ("c", d * Day + 1L))
+    val got = TimeSeries.cusumChangePoint(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got === List(("c", 4L, 0L, 0L)))
+  }
+
   test("dau split: first-ever day is new, later days returning") {
     val D = TimeSeries.DayMs
     val ev = Seq(
