@@ -264,6 +264,12 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // deterministic per-key sample: 50 events per type by hash rank —
+    // replayable bit-identically on any engine (no rand())
+    "ev_sample_per_key" -> ((s, dir) =>
+      graft.ops.Scale.samplePerKey(
+        Tables.events(s, dir).select(col("event_id"), col("event_type")),
+        "event_type", "event_id", k = 50)),
     // Benford leading-digit audit of the positive order amounts
     "ord_benford" -> ((s, dir) =>
       graft.ops.Profile.benford(Tables.orders(s, dir), "o_totalprice")),
@@ -741,6 +747,15 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // hash-rank sampling on the shared 60-bit md5 hash (Cols.hash60)
+    "ev_sample_per_key" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT, event_id) AS rk
+        |  FROM events
+        |)
+        |SELECT event_id, event_type, rk::BIGINT AS sample_rank FROM r WHERE rk <= 50""".stripMargin,
     // slope floor-divided with the remainder-corrected form (den > 0 by
     // Cauchy–Schwarz, so the correction is the plain pmod floor); HUGEINT
     // mirrors the Spark side's DECIMAL(38,0) internals

@@ -229,6 +229,63 @@ object Dedup {
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Sorted-neighborhood near-dup pairs (the classic SNM pass): documents
+    * sort by a normalized-prefix key inside 2-char prefix blocks, each
+    * document pairs with the next `windowSize − 1` in sort order, and the
+    * candidates are scored with exact shingle-Jaccard (integer e4) and
+    * thresholded. Complements the posting-list family: SNM finds
+    * duplicates that share a PREFIX even when a stop-phrase df-cap would
+    * drop their common shingles, and its candidate count is strictly
+    * |docs| × (windowSize − 1) — no quadratic tail at all.
+    *
+    * Scale: the sort runs per block (prefix blocking is what makes SNM
+    * distributable — no global total order, one shuffle on the block
+    * key), candidate generation is `windowSize − 1` lead() columns over
+    * that sort, and only candidate pairs reach the shingle join.
+    */
+  def sortedNeighborPairs(
+      docs: DataFrame,
+      windowSize: Int = 4,
+      thresholdE4: Long = 3000L,
+      keyLen: Int = 24,
+      blockLen: Int = 2): DataFrame = {
+    require(windowSize >= 2, "windowSize must pair each doc with at least one neighbor")
+    val keyed = docs.select(
+      col("doc_id"),
+      substring(Cols.normalizeText(col("text")), 1, keyLen).as("__key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("__key"), 1, blockLen))
+      .orderBy(col("__key"), col("doc_id"))
+    val withLeads = keyed.select(
+      col("doc_id") +:
+        (1 until windowSize).map(k => lead(col("doc_id"), k).over(w).as(s"__lead$k")): _*)
+    val pairs = withLeads
+      .select(
+        col("doc_id"),
+        explode(array((1 until windowSize).map(k => col(s"__lead$k")): _*)).as("__cand"))
+      .filter(col("__cand").isNotNull)
+      .select(
+        least(col("doc_id"), col("__cand")).as("doc_id_1"),
+        greatest(col("doc_id"), col("__cand")).as("doc_id_2"))
+    val sh = shingleRows(docs)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = pairs
+      .join(sh.as("a"), col("doc_id_1") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_id_2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .select(
+        col("doc_id_1"), col("doc_id_2"),
+        graft.Cols.floorDiv(
+          col("n_common") * 10000,
+          col("ca.n_shingles") + col("cb.n_shingles") - col("n_common")).as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= thresholdE4)
+  }
+
   /** MinHash signatures: for each of the 16 permutations, the min of the
     * seeded 60-bit hash over the document's shingle set. Returned as a
     * 16-element array column `sig` ordered by permutation index.
@@ -584,6 +641,7 @@ object Dedup {
       canonical(docs, graft.text.TextAnalysis.qualityScore(docs))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_sorted_neighbor" -> ((s, d) => sortedNeighborPairs(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -713,6 +771,36 @@ object Dedup {
         |JOIN cnt ca ON ca.norm = name_a
         |JOIN cnt cb ON cb.norm = name_b
         |WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000""".stripMargin,
+    // the SNM pass: prefix-block row_number ranks, rank-window self-join
+    // for candidates, then the same (uncapped) shingle CTEs score exact
+    // integer-e4 Jaccard; counts non-negative → `//` is floor
+    "dedup_sorted_neighbor" ->
+      s"""$tokCte, k AS (
+         |  SELECT doc_id, substr(norm, 1, 24) AS key FROM t
+         |), r AS (
+         |  SELECT doc_id, key,
+         |    row_number() OVER (PARTITION BY substr(key, 1, 2) ORDER BY key, doc_id) AS rk,
+         |    substr(key, 1, 2) AS block
+         |  FROM k
+         |), pr AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS doc_id_1,
+         |         greatest(a.doc_id, b.doc_id) AS doc_id_2
+         |  FROM r a JOIN r b ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 3
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT doc_id_1, doc_id_2, count(*) AS n_common
+         |  FROM pr
+         |  JOIN sh sa ON sa.doc_id = doc_id_1
+         |  JOIN sh sb ON sb.doc_id = doc_id_2 AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id_1, doc_id_2,
+         |       (n_common * 10000) // (ca.n_shingles + cb.n_shingles - n_common) AS jaccard_e4
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_id_1
+         |JOIN cnt cb ON cb.doc_id = doc_id_2
+         |WHERE (n_common * 10000) // (ca.n_shingles + cb.n_shingles - n_common) >= 3000""".stripMargin,
     // same df-capped posting-list CTEs as the jaccard oracle; all-integer
     // scoring (counts non-negative → truncating `//` is floor)
     "dedup_containment" ->

@@ -155,6 +155,28 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Deterministic per-key sample: each key's `k` rows with the smallest
+    * engine-portable 60-bit hash of `idCol` (doc-id ascending tie-break) —
+    * the reproducible sample a pipeline can re-derive bit-identically on
+    * any engine, any run, any cluster size. Hash-rank sampling, not
+    * `rand()`: at 100 TB a sample that can't be replayed can't be
+    * debugged, diffed across runs, or used as a frozen eval set.
+    *
+    * Scale: one shuffle on the key + a per-key top-k window. The per-key
+    * sort is bounded by the hottest key's row count; when a single key
+    * dominates the table, pre-filter with `hash60(id) < threshold` sized
+    * so ≥ k rows survive with high probability, then rank the survivors —
+    * same result, the full sort never happens (documented tier; the exact
+    * window is the registered semantics).
+    */
+  def samplePerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(graft.Cols.hash60(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Range-clustered parquet write: rows are range-partitioned on
     * `clusterCols` and sorted within each task, so every output file
     * covers a NARROW, essentially disjoint key range. Parquet row-group

@@ -47,6 +47,31 @@ class DedupSpec extends SparkSpec {
     assert(got === List(("small ping", "small ring", 4545L)))
   }
 
+  test("sorted neighborhood: prefix-sorted neighbors pair, dissimilar neighbors drop") {
+    // docs 1 and 2 share the sort prefix AND 7 of 8 shingles; doc 4
+    // shares the prefix block (candidate!) but zero shingles — generated
+    // as a candidate, eliminated by the Jaccard score; doc 3 is in
+    // another block entirely and is never even a candidate
+    val got = Dedup.sortedNeighborPairs(docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "zebra completely different text with nothing shared here at all"),
+      (4L, "the rapid silver cat sleeps under a warm blanket nightly")))
+      .as[(Long, Long, Long)].collect().toList
+    // jaccard = 7 / (8 + 8 − 7) = 0.7777… → floor e4 = 7777
+    assert(got === List((1L, 2L, 7777L)))
+  }
+
+  test("sorted neighborhood: window bounds candidates to the next w−1 docs") {
+    // five docs in one block, pairwise-identical text except doc_ids;
+    // windowSize=2 pairs only adjacent ranks — 4 pairs, not C(5,2)=10
+    val ds = docs((1 to 5).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta")): _*)
+    val got = Dedup.sortedNeighborPairs(ds, windowSize = 2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (1L, 2L, 10000L), (2L, 3L, 10000L), (3L, 4L, 10000L), (4L, 5L, 10000L)))
+  }
+
   test("minhash signatures: 16 entries, identical docs share signatures") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val sigs = Dedup.minhashSignatures(docs((1L, a), (2L, a)))

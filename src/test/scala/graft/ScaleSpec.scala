@@ -111,6 +111,41 @@ class ScaleSpec extends SparkSpec {
       s"pre-filter should be under the semi join in the plan tree:\n$plan")
   }
 
+  test("per-key sample: exactly k hash-smallest rows per key, replayable") {
+    val df = (1 to 100).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "id")
+    val got = Scale.samplePerKey(df, "key", "id", k = 5)
+      .as[(String, Long, Long)].collect().toList
+    // exactly 5 per key, ranks 1..5
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == List(1L, 2L, 3L, 4L, 5L)
+    })
+    assert(got.size === 15)
+    // the selected ids are the 5 hash-smallest of each key — recomputed
+    // here independently with the same md5-derived 60-bit hash
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val expected = (1 to 100).map(i => (s"k${i % 3}", i.toLong))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        rows.map(_._2).sortBy(id => (h60(id.toString), id)).take(5).map((k, _))
+      }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet === expected)
+    // replay: a second run returns the identical sample
+    val again = Scale.samplePerKey(df, "key", "id", k = 5)
+      .as[(String, Long, Long)].collect().toList
+    assert(again.toSet === got.toSet)
+  }
+
+  test("per-key sample: a key with fewer than k rows returns them all") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("key", "id")
+    val got = Scale.samplePerKey(df, "key", "id", k = 5)
+      .as[(String, Long, Long)].collect().toList
+    assert(got.size === 3)
+    assert(got.filter(_._1 == "b").map(_._3) === List(1L))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket-spec").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
