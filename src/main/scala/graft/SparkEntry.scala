@@ -264,6 +264,35 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // time-in-status shares composed on the SCD2 intervals: dwell-
+    // weighted status distribution, open intervals capped at max ts
+    "ev_status_time_share" -> ((s, dir) =>
+      graft.ops.TimeSeries.statusTimeShare(
+        Tables.events(s, dir).filter(col("event_type").isin("signup", "error")),
+        "user_id", "event_type", "ts_ms", "event_id")),
+    // weighted PageRank over the event-type transition graph — exact
+    // integer e9, 3 fixed iterations, one lazy plan
+    "ev_pagerank" -> ((s, dir) =>
+      graft.ops.Analytics.pageRank(
+        graft.ops.Analytics.transitions(Tables.events(s, dir))
+          .select(
+            col("from_type").as("src"), col("to_type").as("dst"),
+            col("n_transitions").as("weight")))),
+    // equi-depth value deciles: ~equal-count buckets (the skew-readable
+    // histogram), cuts broadcast in-plan
+    "ev_value_deciles" -> ((s, dir) =>
+      graft.ops.Profile.equiDepthHistogram(Tables.events(s, dir), "value")),
+    // OHLC daily bars per type: open/high/low/close via struct-ordered
+    // min/max — one hash aggregate, no window pass
+    "ev_ohlc_daily" -> ((s, dir) =>
+      graft.ops.TimeSeries.ohlcDaily(Tables.events(s, dir), "event_type", "ts_ms", "value")),
+    // Pareto revenue concentration: share of order value held by the
+    // top 1/5/10/20/50% of customers (quantile-cut, not a global sort)
+    "ord_pareto" -> ((s, dir) =>
+      graft.ops.Analytics.paretoShares(Tables.orders(s, dir), "o_custkey", "o_totalprice")),
+    // conversion by session entry type (landing-page effectiveness)
+    "cs_entry_conversion" -> ((s, dir) =>
+      Clickstream.entryConversion(Tables.events(s, dir))),
     // deterministic per-key sample: 50 events per type by hash rank —
     // replayable bit-identically on any engine (no rand())
     "ev_sample_per_key" -> ((s, dir) =>
@@ -747,6 +776,146 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // the ev_scd2 oracle's interval CTEs + the max-ts cap + dwell sums
+    "ev_status_time_share" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), r AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS run
+        |  FROM f
+        |), iv AS (
+        |  SELECT user_id, run, min(ts_ms) AS valid_from_ms, min(event_type) AS event_type
+        |  FROM r GROUP BY 1, 2
+        |), iv2 AS (
+        |  SELECT user_id, event_type, valid_from_ms,
+        |    lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_ms
+        |  FROM iv
+        |), b AS (SELECT max(ts_ms) AS cap FROM e
+        |), d AS (
+        |  SELECT event_type, coalesce(valid_to_ms, cap) - valid_from_ms AS dur
+        |  FROM iv2 CROSS JOIN b
+        |), t AS (SELECT sum(dur)::BIGINT AS total FROM d)
+        |SELECT event_type, count(*) AS n_intervals, sum(dur)::BIGINT AS total_ms,
+        |  ((sum(dur)::HUGEINT * 10000) // total)::BIGINT AS share_e4
+        |FROM d CROSS JOIN t
+        |GROUP BY event_type, total""".stripMargin,
+    // the transition-edge CTE + three unrolled integer PageRank rounds —
+    // every operand non-negative, so DuckDB's truncating // is floor
+    "ev_pagerank" -> {
+      val head =
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+          |), p AS (
+          |  SELECT event_type AS src,
+          |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS dst
+          |  FROM e
+          |), ed AS (
+          |  SELECT src, dst, count(*) AS w FROM p WHERE dst IS NOT NULL GROUP BY 1, 2
+          |), nodes AS (
+          |  SELECT src AS node FROM ed UNION SELECT dst FROM ed
+          |), nn AS (SELECT count(*)::BIGINT AS n FROM nodes
+          |), ow AS (SELECT src, sum(w)::BIGINT AS outw FROM ed GROUP BY 1
+          |), r0 AS (SELECT node, 1000000000 // nn.n AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s""", c$i AS (
+           |  SELECT ed.dst AS node, sum((r.rank * ed.w) // o.outw)::BIGINT AS s
+           |  FROM ed JOIN $prev r ON r.node = ed.src JOIN ow o ON o.src = ed.src GROUP BY 1
+           |), d$i AS (
+           |  SELECT coalesce(sum(rank), 0)::BIGINT AS dm
+           |  FROM $prev WHERE node NOT IN (SELECT src FROM ed)
+           |), r$i AS (
+           |  SELECT n.node,
+           |    (1500000000000 // (10000 * nn.n)
+           |     + (8500 * (coalesce(c.s, 0) + d.dm // nn.n)) // 10000)::BIGINT AS rank
+           |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node CROSS JOIN nn CROSS JOIN d$i d
+           |)""".stripMargin
+      }.mkString
+      head + iters + "\nSELECT node, rank AS rank_e9 FROM r3"
+    },
+    // cut comparison order mirrors equiDepthHistogram exactly (ties to
+    // the lower bucket); min/max pass raw parquet doubles straight through
+    "ev_value_deciles" -> {
+      val cutList = (1 to 9).map(i => s"0.${i}").mkString(", ")
+      val bucket = (1 to 9).map(i => s"(value > c[$i])::BIGINT").mkString(" + ")
+      s"""WITH cuts AS (
+         |  SELECT [round(x, 4) for x in quantile_cont(value, [$cutList])] AS c FROM events
+         |)
+         |SELECT 1 + $bucket AS bucket, count(*) AS n_rows,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events CROSS JOIN cuts
+         |GROUP BY 1""".stripMargin
+    },
+    // open/close picked by row_number windows ordered (ts, event_id) —
+    // the same unique order key the Spark struct-min/max compares
+    "ev_ohlc_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id, value FROM events
+        |), r AS (
+        |  SELECT event_type, ts_ms // 86400000 AS day, value,
+        |    row_number() OVER (PARTITION BY event_type, ts_ms // 86400000
+        |                       ORDER BY ts_ms, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, ts_ms // 86400000
+        |                       ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // quantile-threshold Pareto — one UNION ALL branch per pct, each the
+    // exact mirror of one posexplode bucket (ties at the cut included)
+    "ord_pareto" -> {
+      val branches = Seq(1, 5, 10, 20, 50).map { p =>
+        val q = (100 - p) / 100.0
+        s"""SELECT $p::BIGINT AS top_pct, n_keys, count(*)::BIGINT AS n_top_keys,
+           |  sum(cents)::BIGINT AS top_cents,
+           |  ((sum(cents)::HUGEINT * 10000) // total)::BIGINT AS value_share_e4
+           |FROM c CROSS JOIN cuts WHERE cents::DOUBLE >= round(q$p, 4)
+           |GROUP BY n_keys, total""".stripMargin
+      }
+      """WITH c AS (
+        |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), cuts AS (
+        |  SELECT """.stripMargin +
+        Seq(1, 5, 10, 20, 50).map(p => s"quantile_cont(cents, ${(100 - p) / 100.0}) AS q$p")
+          .mkString(",\n  ") +
+        """,
+          |    sum(cents)::BIGINT AS total, count(*)::BIGINT AS n_keys
+          |  FROM c
+          |)
+          |""".stripMargin + branches.mkString("\nUNION ALL ")
+    },
+    "cs_entry_conversion" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+         |                   OR ts_ms - lag(ts_ms) OVER w >= $GAP THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |), ids AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS session_seq
+         |  FROM flagged
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts_ms, event_id) AS rn,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id, session_seq) AS has_buy
+         |  FROM ids
+         |)
+         |SELECT event_type AS entry_type, count(*) AS n_sessions,
+         |  sum(has_buy)::BIGINT AS n_converted,
+         |  (sum(has_buy) * 10000) // count(*) AS conv_e4
+         |FROM r WHERE rn = 1
+         |GROUP BY 1""".stripMargin,
     // hash-rank sampling on the shared 60-bit md5 hash (Cols.hash60)
     "ev_sample_per_key" ->
       """WITH r AS (

@@ -229,6 +229,27 @@ object Dedup {
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Edit-distance-verified fuzzy name pairs: [[charGramNamePairs]]'s
+    * q-gram blocking as the cheap candidate tier, then an exact
+    * Levenshtein bound as the verifier — the classic block-then-verify
+    * entity-resolution pipeline in one lazy plan. Gram Jaccard admits
+    * anagram-ish false positives ("stale pale" vs "pale stale"); a ≤
+    * `maxEdits` edit distance kills them while keeping typo variants.
+    *
+    * Scale: Levenshtein is O(len²) per pair — running it on all C(n,2)
+    * name pairs is the trap; here it prices only the gram-blocked
+    * candidates (codegen'd built-in, no UDF).
+    */
+  def charGramNamePairsVerified(
+      df: DataFrame,
+      nameCol: String,
+      thresholdE4: Long = 4000L,
+      maxGramDf: Int = 1000,
+      maxEdits: Int = 3): DataFrame =
+    charGramNamePairs(df, nameCol, thresholdE4, maxGramDf)
+      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_distance") <= maxEdits)
+
   /** Sorted-neighborhood near-dup pairs (the classic SNM pass): documents
     * sort by a normalized-prefix key inside 2-char prefix blocks, each
     * document pairs with the next `windowSize − 1` in sort order, and the
@@ -642,6 +663,8 @@ object Dedup {
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_sorted_neighbor" -> ((s, d) => sortedNeighborPairs(Tables.documents(s, d))),
+    "part_fuzzy_verified" -> ((s, d) =>
+      charGramNamePairsVerified(Tables.part(s, d), "p_name")),
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -771,6 +794,35 @@ object Dedup {
         |JOIN cnt ca ON ca.norm = name_a
         |JOIN cnt cb ON cb.norm = name_b
         |WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000""".stripMargin,
+    // the fuzzy-names oracle + DuckDB's levenshtein (same classic DP
+    // distance as Spark's built-in) as the verify tier
+    "part_fuzzy_verified" ->
+      """WITH n AS (
+        |  SELECT DISTINCT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS norm FROM part
+        |), g0 AS (
+        |  SELECT norm,
+        |    unnest(list_distinct([substr(norm, i, 3)
+        |                          for i in generate_series(1, len(norm) - 2)])) AS gram
+        |  FROM n
+        |), rare AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 1000
+        |), g AS (
+        |  SELECT g0.norm, g0.gram FROM g0 JOIN rare USING (gram)
+        |), cnt AS (
+        |  SELECT norm, count(*) AS c FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.norm AS name_a, b.norm AS name_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.norm < b.norm
+        |  GROUP BY 1, 2
+        |)
+        |SELECT name_a, name_b,
+        |  (n_common * 10000) // (ca.c + cb.c - n_common) AS jaccard_e4,
+        |  levenshtein(name_a, name_b)::BIGINT AS edit_distance
+        |FROM inter
+        |JOIN cnt ca ON ca.norm = name_a
+        |JOIN cnt cb ON cb.norm = name_b
+        |WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000
+        |  AND levenshtein(name_a, name_b) <= 3""".stripMargin,
     // the SNM pass: prefix-block row_number ranks, rank-window self-join
     // for candidates, then the same (uncapped) shingle CTEs score exact
     // integer-e4 Jaccard; counts non-negative → `//` is floor

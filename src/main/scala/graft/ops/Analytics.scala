@@ -253,6 +253,106 @@ object Analytics {
         "rfm", col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
   }
 
+  /** Revenue-concentration (Pareto) report: for each requested top-p%,
+    * the share of total value held by keys whose per-key value clears the
+    * (1 − p/100) quantile cut — "do 1% of customers carry 30% of
+    * revenue?". Values are summed as exact integer cents; only the
+    * quantile cuts are doubles (rounded to 4, `percentile` ≡ DuckDB
+    * `quantile_cont`), so the shares are exact integer e4.
+    *
+    * Scale: deliberately NOT a global running-sum window (a total order
+    * over every key funnels one partition at 100 TB). The quantile cuts
+    * are one broadcast 1-row aggregate over the per-key table; each key
+    * row then fans out |pcts| ways map-side and re-aggregates to
+    * |pcts| rows. Quantile-threshold semantics: keys tied AT the cut all
+    * count as "top", so n_top_keys can exceed p% of keys on heavy ties.
+    */
+  def paretoShares(
+      df: DataFrame, keyCol: String, valueCol: String,
+      topPcts: Seq[Int] = Seq(1, 5, 10, 20, 50)): DataFrame = {
+    require(topPcts.nonEmpty && topPcts.forall(p => p >= 1 && p <= 100), "pcts in 1..100")
+    val cents = df
+      .groupBy(col(keyCol))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__cents"))
+    val qs = topPcts.map(p => (100 - p) / 100.0).mkString(", ")
+    val cuts = cents.agg(
+      expr(s"transform(percentile(__cents, array($qs)), x -> round(x, 4))").as("__cuts"),
+      sum(col("__cents")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    cents
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("__cents"), col("__total"), col("__n_keys"),
+        posexplode(col("__cuts")).as(Seq("__i", "__cut")))
+      .filter(col("__cents").cast("double") >= col("__cut"))
+      .groupBy(col("__i"))
+      .agg(
+        first(col("__n_keys")).as("n_keys"),
+        count(lit(1)).as("n_top_keys"),
+        sum(col("__cents")).as("top_cents"),
+        first(col("__total")).as("__total"))
+      .select(
+        element_at(array(topPcts.map(p => lit(p.toLong)): _*), col("__i").cast("int") + 1)
+          .as("top_pct"),
+        col("n_keys"), col("n_top_keys"), col("top_cents"),
+        graft.Cols.floorDiv(col("top_cents") * 10000, col("__total")).as("value_share_e4"))
+  }
+
+  /** Fixed-iteration weighted PageRank in EXACT INTEGER e9 arithmetic —
+    * graph centrality as a deterministic dataflow: every step is a
+    * floor-divided integer, so any engine (and any aggregation order)
+    * reproduces identical ranks, and a fixed iteration count keeps the
+    * whole computation one lazy plan (no convergence-test driver loop).
+    *
+    * Per iteration: `r' = (1−d)/n + d · (Σ_in r·w/outw + dangling/n)`,
+    * with `d = dampingE4/1e4`, every division floored. Rank mass leaks a
+    * few ulps per round to the floors — acceptable for ranking use; the
+    * INVARIANT total ≤ 1e9 holds.
+    *
+    * Scale: each iteration is one (src-keyed) join of the rank table to
+    * the edge list + one dst-keyed aggregate — the standard distributed
+    * PageRank shuffle pair; the dangling mass and node count are
+    * broadcast 1-row aggregates. Edge weights must be non-negative;
+    * `rank·weight ≤ 1e9·w` must fit int64 (w ≤ ~9e9 — cap or rescale
+    * heavier graphs).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, dampingE4: Long = 8500L): DataFrame = {
+    require(iterations >= 1 && dampingE4 >= 0 && dampingE4 <= 10000)
+    val E = 1000000000L
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val outW = edges.groupBy(col("src")).agg(sum(col("weight")).as("__outw"))
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), graft.Cols.floorDiv(lit(E), col("__n")).as("rank_e9"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outW, "src")
+        .select(
+          col("dst").as("node"),
+          graft.Cols.floorDiv(col("rank_e9") * col("weight"), col("__outw")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__s"))
+      val dangling = broadcast(
+        ranks
+          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("__dm")))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(nRow)
+        .crossJoin(dangling)
+        .select(
+          col("node"),
+          (graft.Cols.floorDiv(lit((10000L - dampingE4) * E), lit(10000L) * col("__n")) +
+            graft.Cols.floorDiv(
+              lit(dampingE4) *
+                (coalesce(col("__s"), lit(0L)) + graft.Cols.floorDiv(col("__dm"), col("__n"))),
+              10000L)).as("rank_e9"))
+    }
+    ranks
+  }
+
   /** Per-user lifetime summary — the user-dimension build: first/last
     * activity, distinct active days, event and purchase counts, and
     * lifetime purchase value. One map-side-combined hash aggregate on

@@ -219,6 +219,35 @@ object Clickstream {
         col("event_idx"), col("ms_since_start"), col("gap_ms"))
   }
 
+  /** Conversion rate by session ENTRY type: sessions grouped by their
+    * first event's type, with the share (exact integer e4) that go on to
+    * contain a checkout — the landing-page-effectiveness report,
+    * composed on the same gap-island sessionizer as everything else.
+    *
+    * Scale: rides the single user_id shuffle (the session windows are
+    * sub-clustered under it, as in [[sessionFeatures]]); the final
+    * aggregate runs on |sessions| rows collapsed to |entry types|.
+    */
+  def entryConversion(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val bySessionOrdered = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+    withSessionIds(events, gapMs)
+      .withColumn("__rn", row_number().over(bySessionOrdered))
+      .withColumn(
+        "__has_buy",
+        max(when(col("event_type") === CheckoutEventType, 1L).otherwise(0L)).over(bySession))
+      .filter(col("__rn") === 1)
+      .select(col("event_type").as("entry_type"), col("__has_buy"))
+      .groupBy(col("entry_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("__has_buy")).as("n_converted"))
+      .withColumn(
+        "conv_e4", graft.Cols.floorDiv(col("n_converted") * 10000, col("n_sessions")))
+  }
+
   /** JSON encodings with the reference's exact output field names and order
     * (Gson serializes declaration order; SURVEY.md §1.3). Used by the
     * streaming sinks and JSON-parity tests; the driver oracle compares the

@@ -172,6 +172,37 @@ object Profile {
         first(col("__n")).as("n_rows"))
   }
 
+  /** Equi-DEPTH histogram: `buckets` quantile buckets holding ~equal row
+    * counts (vs [[histogram]]'s equal-width bins) — the value-distribution
+    * report that stays readable on skewed data, where equi-width piles
+    * everything into one bin. Bucket = `1 + Σ (v > cutᵢ)` against the
+    * broadcast interior quantile cuts (ties at a cut land in the lower
+    * bucket, deterministically, on both engines — same discipline as
+    * RFM's quintiles). min/max per bucket pass raw values through with
+    * no arithmetic, so there is no double surface beyond the rounded
+    * cuts themselves.
+    *
+    * Scale: one percentile aggregate (sort-based exact tier; swap in
+    * `approx_percentile` at 100 TB) broadcast into a map-only bucket
+    * expression + one |buckets|-row hash aggregate.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    val cuts = df.agg(
+      expr(s"transform(percentile($valueCol, array($qs)), x -> round(x, 4))").as("__cuts"))
+    val bucket = (0 until buckets - 1)
+      .map(i => (col(valueCol) > element_at(col("__cuts"), i + 1)).cast("long"))
+      .reduce(_ + _) + 1
+    df.select(col(valueCol))
+      .crossJoin(broadcast(cuts))
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+
   def histogram(df: DataFrame, groupCol: String, valueCol: String, bins: Int = 10): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     df.select(col(groupCol), col(valueCol))

@@ -112,6 +112,30 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** OHLC downsampling: per (key, day) the first/highest/lowest/last
+    * value plus count and sum — the classic bar-chart / candle reduction
+    * that turns an event stream into a bounded daily series. Open/close
+    * are picked by a struct-ordered min/max on (ts, event_id, value):
+    * (ts, event_id) is unique per event, so the pick is deterministic
+    * with no self-join and no window pass — ONE map-side-combined hash
+    * aggregate is the whole operator.
+    */
+  def ohlcDaily(
+      events: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
+      idCol: String = "event_id"): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val orderKey = struct(col(tsMsCol), col(idCol), col(valueCol))
+    events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(
+        min(orderKey).getField(valueCol).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(orderKey).getField(valueCol).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+  }
+
   /** Slowly-changing-dimension (type 2) builder: collapse a keyed event
     * stream of status observations into validity intervals — one row per
     * (key, status run) with `[valid_from_ms, valid_to_ms)`, open (null
@@ -220,6 +244,38 @@ object TimeSeries {
         col(keyCol), col("n_days"),
         col("day").as("change_day"),
         abs(col("__cusum")).as("cusum_scaled"))
+  }
+
+  /** Time-in-status report composed on [[scd2]]: per status value, the
+    * interval count, total dwell milliseconds, and exact-e4 share of all
+    * observed dwell time — "how long do users sit in each state", the
+    * duration-weighted complement of simple status counts. Open
+    * intervals (current status) are capped at the global max timestamp
+    * (a broadcast 1-row bound), so every interval is finite and the
+    * shares sum to ≤ 1e4.
+    *
+    * Scale: [[scd2]]'s one keyed window + per-run aggregate, then two
+    * tiny aggregates over the |intervals| table; the cap and the share
+    * denominator are in-plan 1-row broadcasts (no driver actions).
+    */
+  def statusTimeShare(
+      events: DataFrame, keyCol: String, statusCol: String, tsMsCol: String,
+      orderTieCol: String): DataFrame = {
+    val intervals = scd2(events, keyCol, statusCol, tsMsCol, orderTieCol)
+    val bound = broadcast(events.agg(max(col(tsMsCol)).as("__end")))
+    val durations = intervals
+      .crossJoin(bound)
+      .select(
+        col(statusCol),
+        (coalesce(col("valid_to_ms"), col("__end")) - col("valid_from_ms")).as("__dur"))
+    val total = broadcast(durations.agg(sum(col("__dur")).as("__total")))
+    durations
+      .groupBy(col(statusCol))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("__dur")).as("total_ms"))
+      .crossJoin(total)
+      .select(
+        col(statusCol), col("n_intervals"), col("total_ms"),
+        Cols.floorDiv(col("total_ms") * 10000, col("__total")).as("share_e4"))
   }
 
   /** Daily active users split into new (first-ever-seen that day) and

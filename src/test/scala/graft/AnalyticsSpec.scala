@@ -169,6 +169,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("direct", 2L, 30.0), ("view", 1L, 30.0)))
   }
 
+  test("pareto: top-p% value shares with ties at the cut included") {
+    // 10 keys: one whale worth 910, nine worth 10 each → total 1000.
+    // top 10% cut = p90 of {910, 10×9} → between 10 and 910; only the
+    // whale clears it → share 9100 e4. top 50% cut = p50 = 10 → ALL nine
+    // 10s tie at the cut → 10 keys, share 10000 e4 (tie semantics).
+    val df = ((1 to 9).map(i => (i.toLong, 0.10)) :+ (10L, 9.10))
+      .flatMap { case (k, v) => Seq.fill(100)((k, v)) } // 100 orders each
+      .toDF("cust", "price")
+    val got = Analytics.paretoShares(df, "cust", "price", topPcts = Seq(10, 50))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (10L, 10L, 1L, 910L * 100, 9100L),
+      (50L, 10L, 10L, 1000L * 100, 10000L)))
+  }
+
+  test("pagerank: one hand-checked integer iteration with a dangling node") {
+    // a→b, b→a, a→c; c dangles. r0 = ⌊1e9/3⌋ = 333333333 each.
+    // contrib: a gets 333333333 (all of b); b,c get ⌊333333333/2⌋ each.
+    // dangling mass = r(c); base = ⌊1.5e12/30000⌋ = 50000000.
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val got = Analytics.pageRank(edges, iterations = 1)
+      .as[(String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", 50000000L + 8500L * (333333333L + 111111111L) / 10000L),
+      ("b", 50000000L + 8500L * (166666666L + 111111111L) / 10000L),
+      ("c", 50000000L + 8500L * (166666666L + 111111111L) / 10000L)))
+  }
+
+  test("pagerank: mass bounded and the hub outranks its spokes") {
+    // star: 4 spokes all point at the hub; hub points back at one spoke
+    val edges = (1 to 4).map(i => (s"s$i", "hub", 1L)) :+ ("hub", "s1", 1L)
+    val got = Analytics.pageRank(edges.toDF("src", "dst", "weight"), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got.values.sum <= 1000000000L, "rank mass must never exceed 1e9")
+    assert(got.values.forall(_ > 0))
+    assert(got("hub") > got("s1") && got("s1") > got("s2"),
+      s"expected hub > s1 (re-fed) > leaf spokes, got $got")
+    assert(got("s2") === got("s3") && got("s3") === got("s4"), "symmetric spokes must tie")
+  }
+
   test("top paths: length-3 journeys counted per user, deterministic order") {
     val events = ev(
       (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"), (1L, 400L, "view"),

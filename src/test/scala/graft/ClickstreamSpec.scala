@@ -109,6 +109,20 @@ class ClickstreamSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$plan")
   }
 
+  test("entry conversion: sessions keyed by first event type, buy share e4") {
+    val got = Clickstream.entryConversion(ev(
+      // user 1 session 1: enters on "view", buys → converted
+      (1L, 1000L, "view"), (1L, 1100L, "purchase"),
+      // user 1 session 2: enters on "click", no buy
+      (1L, 9000L, "click"),
+      // user 2: enters on "view", no buy
+      (2L, 1000L, "view"), (2L, 1200L, "click")), Gap)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("click", 1L, 0L, 0L),
+      ("view", 2L, 1L, 5000L)))
+  }
+
   test("window-boundary bucketing uses session end - 1 ms (SURVEY §2.4)") {
     // session of one event at 8999: end = 9999 → bucket (9999-1)=9998 → window [0,10000)
     // session of one event at 9000: end = 10000 → (10000-1)=9999 → window [0,10000)

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(got === List(("small ping", "small ring", 4545L)))
   }
 
+  test("verified fuzzy names: typo kept, anagram phrase killed by the edit bound") {
+    val df = Seq("small ring", "small ping", "stale pale", "pale stale", "unrelated thing")
+      .toDF("name")
+    // gram blocking admits BOTH the typo pair and the anagram phrase pair
+    val cands = Dedup.charGramNamePairs(df, "name")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(cands.contains(("pale stale", "stale pale")), s"anagram should block: $cands")
+    assert(cands.contains(("small ping", "small ring")))
+    // …but only the 1-edit typo survives verification
+    val got = Dedup.charGramNamePairsVerified(df, "name")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got.map(r => (r._1, r._2)) === List(("small ping", "small ring")))
+    assert(got.head._4 === 1L)
+  }
+
   test("sorted neighborhood: prefix-sorted neighbors pair, dissimilar neighbors drop") {
     // docs 1 and 2 share the sort prefix AND 7 of 8 shingles; doc 4
     // shares the prefix block (candidate!) but zero shingles — generated

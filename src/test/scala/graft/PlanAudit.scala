@@ -21,7 +21,11 @@ object PlanAudit {
     "tbl_fk_integrity", "ord_benford",
     "q11_important_stock", "q22_idle_rich", "txt_collocations",
     "txt_stopword_candidates", "txt_surprisal_deciles", "txt_tfidf_top_terms",
-    "txt_tfidf_doc_sim", "txt_unigram_logprob")
+    "txt_tfidf_doc_sim", "txt_unigram_logprob",
+    // r5: trend's day rebase, chi2's N, pareto/decile quantile cuts, and
+    // pagerank's node count + dangling mass are all 1-row aggregates
+    "ev_trend", "ev_chi2_hour", "ord_pareto", "ev_value_deciles", "ev_pagerank",
+    "ev_status_time_share")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -82,6 +82,26 @@ class ProfileSpec extends SparkSpec {
     assert(after === before, "plan construction ran Spark jobs")
   }
 
+  test("equi-depth deciles: uniform data lands 10 rows per bucket") {
+    val df = (1 to 100).map(_.toDouble).toDF("value")
+    val got = Profile.equiDepthHistogram(df, "value")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === (1L to 10L).toList)
+    assert(got.forall(_._2 == 10L), s"expected 10 rows per bucket: $got")
+    assert(got.head === (1L, 10L, 1.0, 10.0))
+    assert(got.last === (10L, 10L, 91.0, 100.0))
+  }
+
+  test("equi-depth deciles: skewed data still splits evenly (vs equi-width)") {
+    // 99 values at ~0 and one at 1e9 — equi-width puts 99 in bin 0;
+    // equi-depth still cuts by count
+    val df = ((1 to 99).map(_ * 0.001) :+ 1e9).toDF("value")
+    val got = Profile.equiDepthHistogram(df, "value")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(got.map(_._2).sum === 100L)
+    assert(got.size === 10, s"all ten buckets populated: $got")
+  }
+
   test("MAD outliers: median/MAD robust to the outlier it flags") {
     // group g: 1,2,3,4,5 plus a wild 100 → median 3.5, MAD 1.5; only
     // the 100 is beyond 3×MAD (|100−3.5| = 96.5 > 4.5). A mean/σ test

@@ -143,6 +143,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List(("c", 4L, 0L, 0L)))
   }
 
+  test("status time share: dwell-weighted, open intervals capped at max ts") {
+    val ev = Seq(
+      // user 1: status a for [0,100), then b open at 100 → 0 dwell at cap
+      (1L, 0L, "a", 1L), (1L, 100L, "b", 2L),
+      // user 2: a open from 50, capped at the global max ts (100) → 50
+      (2L, 50L, "a", 3L))
+      .toDF("user_id", "ts_ms", "status", "event_id")
+    val got = TimeSeries.statusTimeShare(ev, "user_id", "status", "ts_ms", "event_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", 2L, 150L, 10000L), // all observed dwell is in status a
+      ("b", 1L, 0L, 0L)))
+  }
+
+  test("ohlc: open/close by event order, high/low by value, per key-day") {
+    val ev = Seq(
+      // key a day 0: values 5, 9, 2, 7 in ts order → o=5 h=9 l=2 c=7
+      ("a", 10L, 1L, 5.0), ("a", 20L, 2L, 9.0), ("a", 30L, 3L, 2.0), ("a", 40L, 4L, 7.0),
+      // key a day 1: single event → all four equal
+      ("a", Day + 5, 5L, 3.0),
+      // same-ts tie on day 0 of key b: event_id breaks it (id 6 first, id 7 last)
+      ("b", 100L, 6L, 1.0), ("b", 100L, 7L, 4.0))
+      .toDF("k", "ts_ms", "event_id", "value")
+    val got = TimeSeries.ohlcDaily(ev, "k", "ts_ms", "value")
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      ("a", 0L, 5.0, 9.0, 2.0, 7.0, 4L, 23.0),
+      ("a", 1L, 3.0, 3.0, 3.0, 3.0, 1L, 3.0),
+      ("b", 0L, 1.0, 4.0, 1.0, 4.0, 2L, 5.0)))
+  }
+
   test("dau split: first-ever day is new, later days returning") {
     val D = TimeSeries.DayMs
     val ev = Seq(
