@@ -264,6 +264,16 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // CDC compaction: latest observation per user (one hash aggregate,
+    // struct-ordered max — the batch twin of the streaming upsert sink)
+    "ev_cdc_compact" -> ((s, dir) =>
+      graft.ops.TimeSeries.latestState(
+        Tables.events(s, dir), "user_id", "ts_ms", "event_id",
+        payloadCols = Seq("event_type", "value"))),
+    // lag-1..3 calendar autocorrelation of daily volume per type —
+    // exact integer e4 over the dense zero-filled grid
+    "ev_autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.autocorrDaily(Tables.events(s, dir), "event_type", "ts_ms")),
     // time-in-status shares composed on the SCD2 intervals: dwell-
     // weighted status distribution, open intervals capped at max ts
     "ev_status_time_share" -> ((s, dir) =>
@@ -776,6 +786,67 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // latest row per key via the descending (ts, event_id) row_number —
+    // same unique order the Spark struct-max compares
+    "ev_cdc_compact" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, ts_ms, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, n_changes::BIGINT AS n_changes, ts_ms AS last_ts_ms,
+        |       event_type AS last_event_type, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
+    // the gapfill grid + integer deviations (n·c − S) + lead windows;
+    // remainder-corrected floor since numerators go negative
+    "ev_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), d AS (
+        |  SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e
+        |), g AS (
+        |  SELECT t.event_type, unnest(generate_series(b.d0, b.d1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN b
+        |), dn AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0)::BIGINT AS c
+        |  FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
+        |), st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s FROM dn GROUP BY 1
+        |), dv AS (
+        |  SELECT dn.event_type, day, st.n, st.n * c - st.s AS dev
+        |  FROM dn JOIN st USING (event_type)
+        |), ld AS (
+        |  SELECT event_type, n, dev,
+        |    lead(dev, 1) OVER w AS dev1, lead(dev, 2) OVER w AS dev2,
+        |    lead(dev, 3) OVER w AS dev3
+        |  FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), ag AS (
+        |  SELECT event_type, min(n) AS n_days,
+        |    sum(dev::HUGEINT * dev) AS den,
+        |    sum(dev::HUGEINT * dev1) AS num1,
+        |    sum(dev::HUGEINT * dev2) AS num2,
+        |    sum(dev::HUGEINT * dev3) AS num3
+        |  FROM ld GROUP BY 1
+        |)
+        |SELECT event_type, 1::BIGINT AS lag, n_days,
+        |  CASE WHEN den <> 0 THEN
+        |    ((num1 * 10000 - ((num1 * 10000 % den) + den) % den) // den)::BIGINT END AS r_e4
+        |FROM ag
+        |UNION ALL
+        |SELECT event_type, 2::BIGINT, n_days,
+        |  CASE WHEN den <> 0 THEN
+        |    ((num2 * 10000 - ((num2 * 10000 % den) + den) % den) // den)::BIGINT END
+        |FROM ag
+        |UNION ALL
+        |SELECT event_type, 3::BIGINT, n_days,
+        |  CASE WHEN den <> 0 THEN
+        |    ((num3 * 10000 - ((num3 * 10000 % den) + den) % den) // den)::BIGINT END
+        |FROM ag""".stripMargin,
     // the ev_scd2 oracle's interval CTEs + the max-ts cap + dwell sums
     "ev_status_time_share" ->
       """WITH e AS (

@@ -307,6 +307,29 @@ object Dedup {
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Cross-source near-duplicate contamination matrix: SimHash near-dup
+    * pairs ([[simhashNearDups]]) rolled up by the (unordered) source
+    * pair — "how much of source A is recycled in source B", the report
+    * that decides which crawl snapshots actually add new content to a
+    * training mix. Same-source rows (source_a = source_b) measure
+    * internal redundancy.
+    *
+    * Scale: inherits the pigeonhole-bucketed pair join's bounds; the
+    * source lookups are doc_id-keyed joins and the final aggregate is
+    * |sources|² rows.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    simhashNearDups(docs, maxHamming)
+      .join(src.select(col("doc_id").as("doc_id_1"), col("source").as("__sa")), "doc_id_1")
+      .join(src.select(col("doc_id").as("doc_id_2"), col("source").as("__sb")), "doc_id_2")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** MinHash signatures: for each of the 16 permutations, the min of the
     * seeded 60-bit hash over the document's shingle set. Returned as a
     * 16-element array column `sig` ordered by permutation index.
@@ -670,6 +693,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
+    "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => {
@@ -926,6 +950,20 @@ object Dedup {
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the simhash-pairs oracle rolled up by unordered source pair
+    "dedup_source_matrix" ->
+      s"""$simhashCte, pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_dup_pairs
+         |FROM pr
+         |JOIN documents da ON da.doc_id = pr.d1
+         |JOIN documents db ON db.doc_id = pr.d2
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_embedding" ->
       s"""WITH q AS (
          |  SELECT vec_id,

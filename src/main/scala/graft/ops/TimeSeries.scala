@@ -112,6 +112,29 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** CDC last-state compaction: collapse a change/event stream to one
+    * row per key holding the LATEST observation's payload — the "apply
+    * the changelog to a snapshot" batch primitive (the batch twin of the
+    * streaming upsert sink). The winner is picked by a struct-ordered
+    * max on (ts, tieCol, payload...): the (ts, tie) prefix is unique, so
+    * the pick is deterministic and needs ONE map-side-combined hash
+    * aggregate — no window pass, no per-key sort, no self-join.
+    */
+  def latestState(
+      events: DataFrame, keyCol: String, tsMsCol: String, tieCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "latestState needs at least one payload column")
+    val ordered = struct(
+      col(tsMsCol) +: col(tieCol) +: payloadCols.map(col): _*)
+    events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_changes"), max(ordered).as("__w"))
+      .select(
+        col(keyCol) +: col("n_changes") +:
+          col(s"__w.$tsMsCol").as(s"last_$tsMsCol") +:
+          payloadCols.map(c => col(s"__w.$c").as(s"last_$c")): _*)
+  }
+
   /** OHLC downsampling: per (key, day) the first/highest/lowest/last
     * value plus count and sum — the classic bar-chart / candle reduction
     * that turns an event stream into a bounded daily series. Open/close
@@ -244,6 +267,63 @@ object TimeSeries {
         col(keyCol), col("n_days"),
         col("day").as("change_day"),
         abs(col("__cusum")).as("cusum_scaled"))
+  }
+
+  /** Lag-k autocorrelation of the daily count series, exact integer e4 —
+    * "does today's volume predict tomorrow's / next week's?". Deviations
+    * are taken as `n·cᵢ − S` (multiplied through by the day count, the
+    * [[burstHours]]/[[cusumChangePoint]] trick), so
+    * `r_k = Σ devᵢ·devᵢ₊ₖ / Σ devᵢ²` is a ratio of exact integers and
+    * both engines floor-divide identically — no running double sums.
+    * Computed over the DENSE zero-filled calendar grid (gap days are
+    * real observations of zero), so lag k means k CALENDAR days, not k
+    * active rows. Products run in DECIMAL(38,0): a 1e12-events/day key
+    * has dev² ≈ 1e27, far past int64.
+    *
+    * Scale: same in-plan grid as [[gapFillDaily]] (broadcast bounds ×
+    * distinct keys); one window pass computes every lag's lead column.
+    */
+  def autocorrDaily(
+      events: DataFrame, keyCol: String, tsMsCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1)
+    val dec = "decimal(38,0)"
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val bounds = events.agg(min(day).as("__d0"), max(day).as("__d1"))
+    val grid = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val dense = grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val stats = dense.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val withDev = dense.join(broadcast(stats), Seq(keyCol))
+      .withColumn("__dev", col("__n") * col("__c") - col("__s"))
+    val withLeads = withDev.select(
+      Seq(col(keyCol), col("__n"), col("__dev")) ++
+        (1 to maxLag).map(k => lead(col("__dev"), k).over(w).as(s"__dev$k")): _*)
+    val aggs =
+      Seq(
+        first(col("__n")).as("n_days"),
+        sum(col("__dev").cast(dec) * col("__dev").cast(dec)).as("__den")) ++
+        (1 to maxLag).map(k =>
+          sum(col("__dev").cast(dec) * col(s"__dev$k").cast(dec)).as(s"__num$k"))
+    val moments = withLeads.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    moments
+      .select(
+        col(keyCol), col("n_days"),
+        explode(array((1 to maxLag).map(k =>
+          struct(
+            lit(k.toLong).as("lag"),
+            // constant series (den = 0): autocorrelation undefined → null
+            when(
+              col("__den") =!= 0,
+              Cols.floorDiv(col(s"__num$k") * lit(10000).cast(dec), col("__den")))
+              .cast("long").as("r_e4"))): _*)).as("__x"))
+      .select(col(keyCol), col("__x.lag"), col("n_days"), col("__x.r_e4"))
   }
 
   /** Time-in-status report composed on [[scd2]]: per status value, the

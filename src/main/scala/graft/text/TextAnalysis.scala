@@ -531,6 +531,51 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Zipf-law fit over the corpus vocabulary: the least-squares slope of
+    * quantized ln(frequency) against quantized ln(rank) for the top
+    * `topN` terms — natural-language corpora sit near slope −1; a corpus
+    * of boilerplate or machine junk drifts away, making this a one-row
+    * corpus-health gate. Logs are quantized to integer e4 BEFORE the
+    * regression (the entropy/surprisal discipline), and the slope is the
+    * exact-integer normal-equation form floored in DECIMAL(38,0) — the
+    * only double surface is ln() itself, applied to identical integers
+    * on both engines.
+    *
+    * Scale: one vocabulary aggregate, then a DISTRIBUTED top-k
+    * (orderBy+limit plans TakeOrderedAndProject — per-partition heaps, no
+    * global sort, no single-partition window over the vocabulary); the
+    * rank window runs over topN rows only.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val dec = "decimal(38,0)"
+    val top = docs
+      .select(explode(Cols.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term")) // topN rows — bounded by construction
+    val q = top
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("__rank").cast("double")) * 10000).cast("long").as("__x"),
+        round(log(col("n").cast("double")) * 10000).cast("long").as("__y"))
+    val s = q.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val num = (col("n_terms").cast(dec) * col("__sxy").cast(dec)
+      - col("__sx").cast(dec) * col("__sy").cast(dec)) * lit(10000).cast(dec)
+    val den = (col("n_terms").cast(dec) * col("__sxx").cast(dec)
+      - col("__sx").cast(dec) * col("__sx").cast(dec))
+    s.select(
+      col("n_terms"),
+      when(den =!= 0, graft.Cols.floorDiv(num, den)).cast("long").as("zipf_slope_e4"))
+  }
+
   /** Data-driven stopword candidates: tokens whose document frequency
     * exceeds half the corpus, with the df share in exact integer
     * ten-thousandths. The corpus size stays IN-PLAN (broadcast 1-row
@@ -632,6 +677,7 @@ object TextAnalysis {
           sum(col("n_chars")).as("sum_chars"),
           Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
+    "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
     "txt_prep_pipeline" -> ((s, d) => prepPipeline(Tables.documents(s, d))),
   )
@@ -963,6 +1009,34 @@ object TextAnalysis {
          |)
          |SELECT ngram, n_occurrences FROM c
          |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    // quantized-log regression; remainder-corrected floor (num can be
+    // negative — Zipf slopes are) with den > 0 by Cauchy–Schwarz
+    "txt_zipf" ->
+      s"""$tokCte, term AS (
+         |  SELECT unnest(toks) AS term FROM t
+         |), c AS (
+         |  SELECT term, count(*) AS n FROM term GROUP BY 1
+         |), top AS (
+         |  SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100
+         |), r AS (
+         |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM top
+         |), q AS (
+         |  SELECT round(ln(rank) * 10000)::BIGINT AS x,
+         |         round(ln(n) * 10000)::BIGINT AS y
+         |  FROM r
+         |), s AS (
+         |  SELECT count(*)::BIGINT AS m, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |         sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+         |  FROM q
+         |)
+         |SELECT m AS n_terms,
+         |  CASE WHEN m * sxx - sx * sx <> 0 THEN
+         |    (((m * sxy - sx * sy) * 10000
+         |      - (((m * sxy - sx * sy) * 10000 % (m * sxx - sx * sx))
+         |         + (m * sxx - sx * sx)) % (m * sxx - sx * sx))
+         |     // (m * sxx - sx * sx))::BIGINT
+         |  END AS zipf_slope_e4
+         |FROM s""".stripMargin,
     // df and the threshold are non-negative → truncating `//` is floor
     "txt_stopword_candidates" ->
       s"""$tokCte, d AS (

@@ -87,6 +87,22 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 10000L), (2L, 3L, 10000L), (3L, 4L, 10000L), (4L, 5L, 10000L)))
   }
 
+  test("cross-source matrix: near-dup pairs roll up by unordered source pair") {
+    // docs 1 (src A) and 2 (src B) are identical → Hamming 0 pair across
+    // sources; docs 3,4 (both src A) identical → same-source pair; doc 5
+    // unrelated
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog", "B"),
+      (3L, "an entirely different second text about spark engines", "A"),
+      (4L, "an entirely different second text about spark engines", "A"),
+      (5L, "zzz qqq xxx vvv unrelated words kkk mmm nnn ppp", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(("A", "A", 1L), ("A", "B", 1L)))
+  }
+
   test("minhash signatures: 16 entries, identical docs share signatures") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val sigs = Dedup.minhashSignatures(docs((1L, a), (2L, a)))

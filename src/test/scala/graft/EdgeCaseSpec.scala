@@ -34,6 +34,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s === ((1L, 0L, 1000L, 1000L + Clickstream.DefaultGapMs)))
   }
 
+  test("r5 batch operators on empty inputs return empty, not errors") {
+    import graft.ops.{Analytics, Profile, Scale, TimeSeries}
+    assert(TimeSeries.trendSlope(emptyEvents, "event_type", "ts_ms").count() === 0L)
+    assert(TimeSeries.cusumChangePoint(emptyEvents, "event_type", "ts_ms").count() === 0L)
+    assert(TimeSeries.ohlcDaily(emptyEvents, "event_type", "ts_ms", "value").count() === 0L)
+    assert(TimeSeries.autocorrDaily(emptyEvents, "event_type", "ts_ms").count() === 0L)
+    assert(TimeSeries.statusTimeShare(
+      emptyEvents, "user_id", "event_type", "ts_ms", "event_id").count() === 0L)
+    assert(TimeSeries.latestState(
+      emptyEvents, "user_id", "ts_ms", "event_id", Seq("value")).count() === 0L)
+    assert(Profile.madOutliers(emptyEvents, "event_type", "value").count() === 0L)
+    assert(Profile.equiDepthHistogram(emptyEvents, "value").count() === 0L)
+    assert(Scale.samplePerKey(emptyEvents, "event_type", "event_id", 5).count() === 0L)
+    assert(Analytics.paretoShares(emptyEvents, "user_id", "value").count() === 0L)
+    assert(Clickstream.entryConversion(emptyEvents).count() === 0L)
+    assert(Dedup.sortedNeighborPairs(emptyDocs).count() === 0L)
+    assert(TextAnalysis.zipfFit(emptyDocs).collect().head
+      === org.apache.spark.sql.Row(0L, null), "zipf on empty corpus: 0 terms, null slope")
+    // chi2 on empty input: one row of nulls/zeros is acceptable — must not throw
+    Profile.chi2Independence(emptyEvents, "event_type", "user_id").collect()
+    // pagerank on an empty edge list: no nodes, empty ranks
+    assert(Analytics.pageRank(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")).count() === 0L)
+  }
+
   test("dedup operators on empty docs return empty, not errors") {
     assert(Dedup.exact(emptyDocs).count() === 0L)
     assert(Dedup.ngramJaccard(emptyDocs).count() === 0L)

@@ -275,4 +275,32 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, "low_stopword"),
       (4L, 1L, "pass")))
   }
+
+  test("zipf fit: slope matches an independent BigInt recomputation") {
+    // term frequencies 8/4/2/1 — ranks tie-free by construction
+    val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") :+ "dd")
+      .mkString(" ")
+    val got = TextAnalysis.zipfFit(docs((1L, text)))
+      .as[(Long, Option[Long])].collect().head
+    // independent recomputation: same quantization, BigInt normal equations
+    val counts = Seq(8L, 4L, 2L, 1L)
+    val q = counts.zipWithIndex.map { case (n, i) =>
+      (math.round(math.log(i + 1.0) * 10000), math.round(math.log(n.toDouble) * 10000))
+    }
+    val m = BigInt(q.size)
+    val (sx, sy) = (BigInt(q.map(_._1).sum), BigInt(q.map(_._2).sum))
+    val sxy = BigInt(q.map(p => p._1 * p._2).sum)
+    val sxx = BigInt(q.map(p => p._1 * p._1).sum)
+    val num = (m * sxy - sx * sy) * 10000
+    val den = m * sxx - sx * sx
+    val expected = (num - (((num % den) + den) % den)) / den // floor, den > 0
+    assert(got === (4L, Some(expected.toLong)))
+    assert(expected < -10000L && expected > -20000L, "steeper than ideal Zipf on 8/4/2/1")
+  }
+
+  test("zipf fit: a single-term corpus has no rank variance, null slope") {
+    val got = TextAnalysis.zipfFit(docs((1L, "same same same")))
+      .as[(Long, Option[Long])].collect().head
+    assert(got === (1L, None))
+  }
 }

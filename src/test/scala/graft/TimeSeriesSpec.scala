@@ -143,6 +143,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List(("c", 4L, 0L, 0L)))
   }
 
+  test("autocorr: alternating series — negative lag-1, positive lag-2, null tail") {
+    // days 0..2 (global bounds from the data): counts 2, 0, 2 — the gap
+    // day is a REAL zero in the dense grid. n=3, S=4, dev = 3c−4 =
+    // {2,−4,2}: den=24, num1=−16 → ⌊−16e4/24⌋=−6667, num2=4 → 1666,
+    // lag 3 has no pairs → null.
+    val ev = Seq(("x", 10L), ("x", 20L), ("x", 2 * Day + 1), ("x", 2 * Day + 2))
+      .toDF("k", "ts_ms")
+    val got = TimeSeries.autocorrDaily(ev, "k", "ts_ms")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._2).toList
+    assert(got === List(
+      ("x", 1L, 3L, Some(-6667L)),
+      ("x", 2L, 3L, Some(1666L)),
+      ("x", 3L, 3L, None)))
+  }
+
+  test("autocorr: constant series has zero variance, undefined correlation") {
+    val ev = (0 until 4).map(d => ("c", d * Day + 1L)).toDF("k", "ts_ms")
+    val got = TimeSeries.autocorrDaily(ev, "k", "ts_ms")
+      .as[(String, Long, Long, Option[Long])].collect().toList
+    assert(got.size === 3)
+    assert(got.forall(_._4.isEmpty), s"den=0 must yield null r_e4: $got")
+  }
+
   test("status time share: dwell-weighted, open intervals capped at max ts") {
     val ev = Seq(
       // user 1: status a for [0,100), then b open at 100 → 0 dwell at cap
@@ -155,6 +178,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List(
       ("a", 2L, 150L, 10000L), // all observed dwell is in status a
       ("b", 1L, 0L, 0L)))
+  }
+
+  test("cdc compaction: latest payload per key, same-ts tie broken by id") {
+    val ev = Seq(
+      (1L, 10L, 100L, "a", 1.0), (1L, 11L, 200L, "b", 2.0), // id 11 latest by ts
+      (2L, 20L, 50L, "c", 3.0), (2L, 21L, 50L, "d", 4.0)) // ts tie → id 21 wins
+      .toDF("user_id", "event_id", "ts_ms", "event_type", "value")
+    val got = TimeSeries.latestState(
+      ev, "user_id", "ts_ms", "event_id", payloadCols = Seq("event_type", "value"))
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 2L, 200L, "b", 2.0),
+      (2L, 2L, 50L, "d", 4.0)))
   }
 
   test("ohlc: open/close by event order, high/low by value, per key-day") {
