@@ -264,6 +264,29 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
+    "ev_weekday_index" -> ((s, dir) =>
+      graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
+    // incremental-aggregate maintenance: snapshot (< day 19738) + delta
+    // merged algebraically — bit-identical to the full-scan aggregate,
+    // which is exactly what the oracle checks
+    "ev_incr_agg" -> ((s, dir) =>
+      graft.ops.TimeSeries.incrementalMerge(
+        Tables.events(s, dir), "event_type", "ts_ms", "value", splitDay = 19738L)),
+    // composition: chi² independence of event type × global value decile
+    // (equi-depth cuts in-plan, then the full-grid chi² machinery)
+    "ev_chi2_value_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val qs = (1 to 9).map(i => i.toDouble / 10).mkString(", ")
+      val cuts = ev.agg(
+        expr(s"transform(percentile(value, array($qs)), x -> round(x, 4))").as("__cuts"))
+      val decile = (0 until 9)
+        .map(i => (col("value") > element_at(col("__cuts"), i + 1)).cast("long"))
+        .reduce(_ + _) + 1
+      graft.ops.Profile.chi2Independence(
+        ev.crossJoin(broadcast(cuts)).select(col("event_type"), decile.as("decile")),
+        "event_type", "decile")
+    }),
     // CDC compaction: latest observation per user (one hash aggregate,
     // struct-ordered max — the batch twin of the streaming upsert sink)
     "ev_cdc_compact" -> ((s, dir) =>
@@ -786,6 +809,55 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // weekday = epoch-day mod 7 — pure integer, no calendar functions
+    "ev_weekday_index" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 % 7 AS weekday FROM events
+        |), c AS (
+        |  SELECT event_type, weekday, count(*) AS n_events FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(n_events)::BIGINT AS total FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, weekday, n_events,
+        |  (n_events * 70000) // total AS index_e4
+        |FROM c JOIN t USING (event_type)""".stripMargin,
+    // the oracle IS the full-scan aggregate — passing means the
+    // snapshot+delta merge reassociates exactly
+    "ev_incr_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // equi-depth cuts (ev_value_deciles machinery) feeding the full-grid
+    // chi² cell terms (ev_chi2_hour machinery)
+    "ev_chi2_value_type" -> {
+      val cutList = (1 to 9).map(i => s"0.${i}").mkString(", ")
+      val bucket = (1 to 9).map(i => s"(value > c[$i])::BIGINT").mkString(" + ")
+      s"""WITH cuts AS (
+         |  SELECT [round(x, 4) for x in quantile_cont(value, [$cutList])] AS c FROM events
+         |), e AS (
+         |  SELECT event_type, 1 + $bucket AS decile FROM events CROSS JOIN cuts
+         |), cells AS (
+         |  SELECT event_type, decile, count(*) AS o FROM e GROUP BY 1, 2
+         |), rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1
+         |), ct AS (SELECT decile, sum(o)::BIGINT AS c FROM cells GROUP BY 1
+         |), nt AS (SELECT sum(o)::BIGINT AS n FROM cells
+         |), grid AS (
+         |  SELECT rt.event_type, ct.decile, rt.r, ct.c, coalesce(cells.o, 0)::BIGINT AS o
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN cells ON cells.event_type = rt.event_type AND cells.decile = ct.decile
+         |), t AS (
+         |  SELECT grid.event_type, grid.decile, nt.n,
+         |    round((grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE)
+         |        * (grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE) * 10000.0
+         |        / (grid.r::DOUBLE * grid.c::DOUBLE * nt.n::DOUBLE))::BIGINT AS term_e4
+         |  FROM grid CROSS JOIN nt
+         |)
+         |SELECT sum(term_e4)::BIGINT AS chi2_e4,
+         |  ((count(DISTINCT event_type) - 1) * (count(DISTINCT decile) - 1))::BIGINT AS dof,
+         |  min(n)::BIGINT AS n_rows
+         |FROM t""".stripMargin
+    },
     // latest row per key via the descending (ts, event_id) row_number —
     // same unique order the Spark struct-max compares
     "ev_cdc_compact" ->

@@ -112,6 +112,66 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** Day-of-week seasonality index per key: each weekday's share of the
+    * key's events against the uniform 1/7 expectation, as exact integer
+    * e4 (index 10000 = exactly average, 20000 = twice the average
+    * weekday) — the weekly-rhythm profile. Weekday 0 = Thursday
+    * (epoch day 0, 1970-01-01) … deterministic pure integer arithmetic,
+    * no calendar/timezone functions to disagree across engines.
+    *
+    * Scale: one map-side-combined hash aggregate to |keys| × 7 rows;
+    * per-key totals re-aggregate THAT table and broadcast back.
+    */
+  def weekdayIndex(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val weekday = pmod(Cols.floorDiv(col(tsMsCol), DayMs), lit(7L))
+    val cells = events
+      .groupBy(col(keyCol), weekday.as("weekday"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = cells.groupBy(col(keyCol)).agg(sum(col("n_events")).as("__total"))
+    cells
+      .join(broadcast(totals), Seq(keyCol))
+      .select(
+        col(keyCol), col("weekday"), col("n_events"),
+        // share/(1/7) in e4 = n·7·1e4 / total
+        Cols.floorDiv(col("n_events") * 70000L, col("__total")).as("index_e4"))
+  }
+
+  /** Incremental-aggregate maintenance proof: merge a SNAPSHOT aggregate
+    * with a DELTA aggregate by re-aggregating the algebraic pieces
+    * (counts and sums add; min/max combine) — the daily-pipeline pattern
+    * where yesterday's 100 TB is never rescanned, only the new day is.
+    * `splitDay` plays the snapshot/delta boundary; the result is
+    * bit-identical to aggregating the full input (the oracle), which is
+    * exactly the property that makes the incremental plan safe to ship.
+    *
+    * Scale: the snapshot side would be a stored aggregate table in
+    * production — here both sides fold map-side before one tiny merge.
+    */
+  def incrementalMerge(
+      events: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
+      splitDay: Long): DataFrame = {
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    // values fold as integer cents: double partial sums would make the
+    // merged total depend on the split point (float addition isn't
+    // associative); integer cents re-associate exactly
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col(valueCol) * 100).cast("long")).as("__cents"),
+          min(col(valueCol)).as("min_value"),
+          max(col(valueCol)).as("max_value"))
+    val snapshot = partial(events.filter(day < splitDay))
+    val delta = partial(events.filter(day >= splitDay))
+    snapshot.union(delta)
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("__cents")).as("sum_cents"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+  }
+
   /** CDC last-state compaction: collapse a change/event stream to one
     * row per key holding the LATEST observation's payload — the "apply
     * the changelog to a snapshot" batch primitive (the batch twin of the

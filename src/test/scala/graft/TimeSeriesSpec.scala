@@ -180,6 +180,36 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 1L, 0L, 0L)))
   }
 
+  test("weekday index: uniform week scores 10000, a spike day indexes up") {
+    // key u: one event on each of 7 consecutive days → every weekday
+    // exactly average; key s: 6 events on weekday 0, 1 on weekday 1 →
+    // index 60000 vs 10000
+    val rows = (0 until 7).map(d => ("u", d * Day + 1L)) ++
+      Seq.fill(6)(("s", 0L)) :+ ("s", Day + 1L)
+    val got = TimeSeries.weekdayIndex(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got.filter(_._1 == "u").forall(_._4 == 10000L))
+    assert(got.filter(_._1 == "s").map(r => (r._2, r._3, r._4)) ===
+      List((0L, 6L, 60000L), (1L, 1L, 10000L)))
+  }
+
+  test("incremental merge equals the full-scan aggregate at any split") {
+    val ev = Seq(
+      ("a", 0L, 1.25), ("a", 10 * Day, 2.50), ("a", 20 * Day, -0.75),
+      ("b", 5 * Day, 4.00))
+      .toDF("k", "ts_ms", "value")
+    val full = TimeSeries.incrementalMerge(ev, "k", "ts_ms", "value", splitDay = Long.MinValue)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    for (split <- Seq(0L, 5L, 10L, 15L, 25L)) {
+      val merged = TimeSeries.incrementalMerge(ev, "k", "ts_ms", "value", split)
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toList
+      assert(merged === full, s"split at $split diverged")
+    }
+    assert(full === List(
+      ("a", 3L, 300L, -0.75, 2.50), // 125 + 250 − 75 cents
+      ("b", 1L, 400L, 4.00, 4.00)))
+  }
+
   test("cdc compaction: latest payload per key, same-ts tie broken by id") {
     val ev = Seq(
       (1L, 10L, 100L, "a", 1.0), (1L, 11L, 200L, "b", 2.0), // id 11 latest by ts
