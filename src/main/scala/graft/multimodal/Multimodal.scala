@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages.
   *
   * Decode comes in two tiers. [[Codecs]] REALLY decodes the formats whose
-  * decode is pure header arithmetic (binary PPM images, PCM WAV audio) —
+  * decode is pure header arithmetic (binary PPM and 24-bit BMP images,
+  * PCM WAV audio) —
   * no native libraries needed, verified byte-exactly in MultimodalSpec.
   * Formats that need libjpeg/ffmpeg (absent in this environment) fall
   * back to [[DecodeStub.decode]], which derives deterministic fake
@@ -65,7 +66,7 @@ object Multimodal {
     */
   final case class DecodedMedia(
       doc_id: Long,
-      format: String, // "ppm" | "wav" | "stub"
+      format: String, // "ppm" | "wav" | "bmp" | "stub"
       width: Long, // pixels (images) / 0 (audio)
       height: Long,
       channels: Long, // audio channels / 3 for RGB images
@@ -88,6 +89,11 @@ object Multimodal {
       else if (payload.length >= 44 &&
         new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
         new String(payload, 8, 4, "US-ASCII") == "WAVE") "wav"
+      // only the 24-bit BI_RGB form is "bmp" here — palette/compressed
+      // variants fall through to the stub tier rather than erroring a task
+      else if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M' &&
+        ((payload(28) & 0xff) | ((payload(29) & 0xff) << 8)) == 24 &&
+        (payload(30) | payload(31) | payload(32) | payload(33)) == 0) "bmp"
       else "unknown"
 
     /** Parsed P6 header: (width, height, maxval, pixel-data offset). */
@@ -124,6 +130,82 @@ object Multimodal {
       while (j < n && off + j < bytes.length) { sum += bytes(off + j) & 0xff; j += 1 }
       DecodedMedia(doc_id, "ppm", w, h, channels = 3, sample_rate = 0,
         n_frames = 1, mean_value = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** Parsed BMP header: (width, height, topDown, pixel-data offset,
+      * padded row stride). Only the 24-bit uncompressed (BI_RGB) form —
+      * the one whose decode is pure header arithmetic. BMP rows are
+      * bottom-up unless height is negative, and each row pads to 4 bytes.
+      */
+    private[multimodal] def bmpHeader(bytes: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      val dataOff = le32(10)
+      val w = le32(18)
+      val hRaw = le32(22)
+      val bpp = le16(28)
+      val compression = le32(30)
+      require(bpp == 24 && compression == 0,
+        s"only 24-bit BI_RGB BMP is a real codec here (bpp=$bpp, compression=$compression)")
+      val stride = (w * 3 + 3) / 4 * 4
+      (w, math.abs(hRaw), hRaw < 0, dataOff, stride)
+    }
+
+    /** 24-bit uncompressed BMP: feature = mean over the BGR samples,
+      * skipping each row's alignment padding.
+      */
+    def decodeBmp(doc_id: Long, bytes: Array[Byte]): DecodedMedia = {
+      val (w, h, _, off, stride) = bmpHeader(bytes)
+      var sum = 0L
+      var row = 0
+      while (row < h) {
+        val base = off + row * stride
+        var jj = 0
+        val rowEnd = math.min(w * 3, math.max(0, bytes.length - base))
+        while (jj < rowEnd) { sum += bytes(base + jj) & 0xff; jj += 1 }
+        row += 1
+      }
+      val n = w.toLong * h * 3
+      DecodedMedia(doc_id, "bmp", w, h, channels = 3, sample_rate = 0,
+        n_frames = 1, mean_value = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** REAL nearest-neighbor resize for 24-bit BMP — emits a valid
+      * minimal bottom-up BMP (54-byte header, BI_RGB, padded rows) whose
+      * pixel (x, y) is the source pixel (x·w/newW, y·h/newH). Handles
+      * both bottom-up and top-down sources.
+      */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, topDown, off, stride) = bmpHeader(bytes)
+      val outStride = (newW * 3 + 3) / 4 * 4
+      val out = java.nio.ByteBuffer.allocate(54 + outStride * newH)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + outStride * newH)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(newW).putInt(newH).putShort(1).putShort(24)
+        .putInt(0).putInt(outStride * newH).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      val arr = out.array()
+      var y = 0
+      while (y < newH) {
+        // both buffers in STORAGE order; map through visual space so
+        // top-down sources resize correctly into the bottom-up output
+        val visY = newH - 1 - y // visual row of output storage row y
+        val srcVis = (visY.toLong * h / newH).toInt
+        val srcRow = if (topDown) srcVis else h - 1 - srcVis
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val src = off + srcRow * stride + sx * 3
+          val dst = 54 + y * outStride + x * 3
+          arr(dst) = bytes(src); arr(dst + 1) = bytes(src + 1); arr(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      arr
     }
 
     /** REAL nearest-neighbor image resize for binary PPM — emits a valid
@@ -243,6 +325,7 @@ object Multimodal {
       sniff(payload) match {
         case "ppm" => Some(decodePpm(doc_id, payload))
         case "wav" => Some(decodeWav(doc_id, payload))
+        case "bmp" => Some(decodeBmp(doc_id, payload))
         case _ => None
       }
   }
@@ -286,6 +369,8 @@ object Multimodal {
         Codecs.sniff(r.payload) match {
           case "ppm" =>
             TransformedMedia(r.doc_id, "ppm", Codecs.resizePpm(r.payload, newW, newH), true)
+          case "bmp" =>
+            TransformedMedia(r.doc_id, "bmp", Codecs.resizeBmp(r.payload, newW, newH), true)
           case f => TransformedMedia(r.doc_id, f, r.payload, false)
         }
       }

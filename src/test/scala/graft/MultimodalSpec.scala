@@ -53,6 +53,75 @@ class MultimodalSpec extends SparkSpec {
     assert(d.mean_value === (100 - 100 + 300 + 500) / 4.0)
   }
 
+  /** Minimal bottom-up 24-bit BI_RGB BMP; `rows` are VISUAL rows (top
+    * first), each a seq of (b, g, r) triples.
+    */
+  private def bmp(rows: Seq[Seq[(Int, Int, Int)]], topDown: Boolean = false): Array[Byte] = {
+    val h = rows.length
+    val w = rows.head.length
+    val stride = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val storageRows = if (topDown) rows else rows.reverse
+    storageRows.foreach { row =>
+      row.foreach { case (b, g, r) =>
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (w * 3 until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("real BMP codec: padded rows skipped, exact mean over BGR samples") {
+    // 3x2: width 3 → 9 data bytes/row + 3 padding bytes (stride 12); the
+    // padding must NOT leak into the mean
+    val img = bmp(Seq(
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)),
+      Seq((1, 2, 3), (4, 5, 6), (7, 8, 9))))
+    val media = Seq((9L, "image", img)).toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeMedia(spark, media).collect().head
+    assert(d.format === "bmp")
+    assert(d.width === 3L && d.height === 2L && d.channels === 3L)
+    assert(d.mean_value === (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 45) / 18.0)
+  }
+
+  test("real BMP resize: bottom-up and top-down sources agree visually") {
+    // 4x2 image, visual pixel (x,y) = (10x+y, 100+10x+y, 200+x)
+    val rows = (0 until 2).map(y => (0 until 4).map(x =>
+      (10 * x + y, 100 + 10 * x + y, 200 + x)))
+    val up = bmp(rows); val down = bmp(rows, topDown = true)
+    for (src <- Seq(up, down)) {
+      val out = Multimodal.Codecs.resizeBmp(src, 2, 1)
+      val d = Multimodal.Codecs.decodeBmp(1L, out)
+      assert(d.width === 2L && d.height === 1L)
+      // visual row 0 of a 2x1 target samples source visual row 0 (y·2/1
+      // floor), columns 0 and 2 — same pixels the PPM resize test keeps
+      val kept = Seq(0, 100, 200, 20, 120, 202)
+      assert(d.mean_value === kept.sum / 6.0, s"topDown=${src eq down}")
+    }
+  }
+
+  test("resize stage routes BMP through the real BMP codec") {
+    val img = bmp(Seq(Seq((5, 5, 5), (9, 9, 9)), Seq((1, 1, 1), (3, 3, 3))))
+    val media = Seq((3L, "image", img)).toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(spark, media, newW = 1, newH = 1).collect().head
+    assert(out.transformed && out.format === "bmp")
+    val d = Multimodal.Codecs.decodeBmp(3L, out.payload)
+    assert(d.width === 1L && d.height === 1L)
+    assert(d.mean_value === 5.0) // visual (0,0) survives
+  }
+
+  test("unsupported BMP variants (8-bpp) fall to the stub tier, no task error") {
+    val img = bmp(Seq(Seq((1, 2, 3))))
+    img(28) = 8 // rewrite bpp to 8 (palette form we don't decode)
+    val media = Seq((4L, "image", img)).toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeMedia(spark, media).collect().head
+    assert(d.format === "stub")
+  }
+
   test("resize stage: PPM really resized nearest-neighbor; re-decodes; others pass through") {
     // 4x2 image whose pixels encode their (x, y) position
     val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
