@@ -250,6 +250,38 @@ object Dedup {
       .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("edit_distance") <= maxEdits)
 
+  /** End-to-end entity resolution: block ([[charGramNamePairs]]) →
+    * verify (Levenshtein bound) → CLUSTER (the [[nearDupClusters]]
+    * contraction machinery) — name variants collapse into entity groups
+    * with a deterministic canonical representative (minimum 60-bit name
+    * hash). This is the full ER pipeline a catalog/CRM dedup runs, built
+    * entirely from the already-proven pieces.
+    *
+    * Scale: everything runs on the DISTINCT name vocabulary (orders
+    * below row count); clustering contracts geometrically like the
+    * document version. Collision risk of the 60-bit id space is
+    * |vocab|²/2⁶¹ — negligible below ~10⁸ distinct names.
+    */
+  def nameEntities(
+      df: DataFrame,
+      nameCol: String,
+      thresholdE4: Long = 4000L,
+      maxGramDf: Int = 1000,
+      maxEdits: Int = 3): DataFrame = {
+    val vocab = df
+      .select(graft.Cols.normalizeText(col(nameCol)).as("name")).distinct()
+      .select(col("name"), graft.Cols.hash60(col("name")).as("doc_id"))
+    val pairs = charGramNamePairsVerified(df, nameCol, thresholdE4, maxGramDf, maxEdits)
+      .select(
+        graft.Cols.hash60(col("name_a")).as("doc_id_1"),
+        graft.Cols.hash60(col("name_b")).as("doc_id_2"))
+    nearDupClusters(vocab.select(col("doc_id")), pairs)
+      .join(vocab, "doc_id")
+      .select(
+        col("name"), col("cluster_id").as("entity_id"),
+        col("is_canonical"), col("cluster_size"))
+  }
+
   /** Sorted-neighborhood near-dup pairs (the classic SNM pass): documents
     * sort by a normalized-prefix key inside 2-char prefix blocks, each
     * document pairs with the next `windowSize − 1` in sort order, and the
@@ -688,6 +720,7 @@ object Dedup {
     "dedup_sorted_neighbor" -> ((s, d) => sortedNeighborPairs(Tables.documents(s, d))),
     "part_fuzzy_verified" -> ((s, d) =>
       charGramNamePairsVerified(Tables.part(s, d), "p_name")),
+    "part_entities" -> ((s, d) => nameEntities(Tables.part(s, d), "p_name")),
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -847,6 +880,52 @@ object Dedup {
         |JOIN cnt cb ON cb.norm = name_b
         |WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000
         |  AND levenshtein(name_a, name_b) <= 3""".stripMargin,
+    // the verified-pairs CTEs mapped onto 60-bit name ids + the same
+    // recursive-CTE closure the dedup_clusters oracle uses
+    "part_entities" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS norm FROM part
+        |), v AS (
+        |  SELECT norm, ('0x' || substr(md5(norm), 1, 15))::BIGINT AS id FROM n
+        |), g0 AS (
+        |  SELECT norm,
+        |    unnest(list_distinct([substr(norm, i, 3)
+        |                          for i in generate_series(1, len(norm) - 2)])) AS gram
+        |  FROM n
+        |), rare AS (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 1000
+        |), g AS (
+        |  SELECT g0.norm, g0.gram FROM g0 JOIN rare USING (gram)
+        |), cnt AS (
+        |  SELECT norm, count(*) AS c FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.norm AS name_a, b.norm AS name_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.norm < b.norm
+        |  GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT name_a, name_b
+        |  FROM inter
+        |  JOIN cnt ca ON ca.norm = name_a
+        |  JOIN cnt cb ON cb.norm = name_b
+        |  WHERE (n_common * 10000) // (ca.c + cb.c - n_common) >= 4000
+        |    AND levenshtein(name_a, name_b) <= 3
+        |), edges AS (
+        |  SELECT va.id AS a, vb.id AS b
+        |  FROM fp JOIN v va ON va.norm = fp.name_a JOIN v vb ON vb.norm = fp.name_b
+        |  UNION
+        |  SELECT vb.id, va.id
+        |  FROM fp JOIN v va ON va.norm = fp.name_a JOIN v vb ON vb.norm = fp.name_b
+        |), reach(x, m) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT reach.x, e.b FROM reach JOIN edges e ON reach.m = e.a
+        |), cl AS (
+        |  SELECT x AS id, min(m) AS entity_id FROM reach GROUP BY x
+        |)
+        |SELECT v.norm AS name, cl.entity_id,
+        |  (CASE WHEN cl.id = cl.entity_id THEN 1 ELSE 0 END)::BIGINT AS is_canonical,
+        |  (count(*) OVER (PARTITION BY cl.entity_id))::BIGINT AS cluster_size
+        |FROM cl JOIN v ON v.id = cl.id""".stripMargin,
     // the SNM pass: prefix-block row_number ranks, rank-window self-join
     // for candidates, then the same (uncapped) shingle CTEs score exact
     // integer-e4 Jaccard; counts non-negative → `//` is floor

@@ -531,6 +531,49 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Bigram conditional surprisal per document: the add-one-smoothed
+    * bigram language model `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)` scored
+    * over each document's bigrams, quantized to integer e4 PER BIGRAM
+    * then averaged (floor) — the LM-based quality signal one step up
+    * from [[unigramLogprob]]: repeated boilerplate scores low surprisal,
+    * incoherent word salad scores high, even when its unigram mix looks
+    * normal. Documents with fewer than two tokens emit no row (no
+    * bigrams to score).
+    *
+    * Scale: the posting-list shape again — per-doc bigram rows join the
+    * corpus bigram table on the bigram and the unigram table on the
+    * first word; V is a broadcast 1-row vocabulary count. All joins are
+    * vocabulary-keyed, never doc×doc.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
+    val bigrams = toks
+      .select(col("doc_id"), explode(Cols.ngramsOfTokens(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val bigramFreq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val unigramFreq = toks
+      .select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = unigramFreq.agg(count(lit(1)).as("__v"))
+    val scored = bigrams
+      .join(bigramFreq, "bigram")
+      .join(unigramFreq, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        round(log(
+          (col("c1") + col("__v")).cast("double") / (col("c2") + 1L).cast("double")) * 10000)
+          .cast("long").as("q"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_surprisal_e4"))
+      .withColumn(
+        "avg_surprisal_e4",
+        Cols.floorDiv(col("sum_surprisal_e4"), col("n_bigrams")))
+  }
+
   /** Zipf-law fit over the corpus vocabulary: the least-squares slope of
     * quantized ln(frequency) against quantized ln(rank) for the top
     * `topN` terms — natural-language corpora sit near slope −1; a corpus
@@ -678,6 +721,7 @@ object TextAnalysis {
           Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
+    "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
     "txt_prep_pipeline" -> ((s, d) => prepPipeline(Tables.documents(s, d))),
   )
@@ -1009,6 +1053,32 @@ object TextAnalysis {
          |)
          |SELECT ngram, n_occurrences FROM c
          |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    // add-one bigram LM; q ≥ 0 always (c2 ≤ c1 and V ≥ 1 make the ratio
+    // ≥ 1), so truncating `//` is floor
+    "txt_bigram_surprisal" ->
+      s"""$tokCte, bg AS (
+         |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+         |                         for i in generate_series(1, len(toks) - 1)]) AS bigram
+         |  FROM t
+         |), b2 AS (
+         |  SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1
+         |), u AS (
+         |  SELECT unnest(toks) AS w1 FROM t
+         |), c1t AS (
+         |  SELECT w1, count(*) AS c1 FROM u GROUP BY 1
+         |), vc AS (
+         |  SELECT count(*)::BIGINT AS v FROM c1t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    round(ln((c1t.c1 + vc.v)::DOUBLE / (b2.c2 + 1)::DOUBLE) * 10000)::BIGINT AS q
+         |  FROM bg
+         |  JOIN b2 USING (bigram)
+         |  JOIN c1t ON c1t.w1 = string_split(bg.bigram, ' ')[1]
+         |  CROSS JOIN vc
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_surprisal_e4,
+         |  (sum(q) // count(*))::BIGINT AS avg_surprisal_e4
+         |FROM sc GROUP BY 1""".stripMargin,
     // quantized-log regression; remainder-corrected floor (num can be
     // negative — Zipf slopes are) with den > 0 by Cauchy–Schwarz
     "txt_zipf" ->

@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 10000L), (2L, 3L, 10000L), (3L, 4L, 10000L), (4L, 5L, 10000L)))
   }
 
+  test("name entities: block→verify→cluster resolves variant chains transitively") {
+    // "small ring" ~ "small ping" ~ "small pong" chain → ONE entity even
+    // where the endpoints were never directly paired; unrelated name
+    // stays a singleton
+    val df = Seq("small ring", "small ping", "small pong", "unrelated thing")
+      .toDF("name")
+    val got = Dedup.nameEntities(df, "name")
+      .as[(String, Long, Long, Long)].collect()
+    val byEntity = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byEntity === Set(
+      Set("small ring", "small ping", "small pong"),
+      Set("unrelated thing")))
+    // exactly one canonical per entity, and it carries the min name hash
+    got.groupBy(_._2).foreach { case (eid, rows) =>
+      assert(rows.count(_._3 == 1L) === 1)
+      assert(rows.forall(_._4 == rows.length.toLong))
+      assert(eid === rows.map(r =>
+        graft.functions.Hash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r._1))).min)
+    }
+  }
+
   test("cross-source matrix: near-dup pairs roll up by unordered source pair") {
     // docs 1 (src A) and 2 (src B) are identical → Hamming 0 pair across
     // sources; docs 3,4 (both src A) identical → same-source pair; doc 5

@@ -276,6 +276,27 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1L, "pass")))
   }
 
+  test("bigram surprisal: repeated bigrams score lower than novel ones") {
+    // doc 1 repeats one bigram; doc 2 is four distinct words (all-novel
+    // bigrams); doc 3 has one token → no bigrams, no row
+    val got = TextAnalysis.bigramSurprisal(docs(
+      (1L, "aa bb aa bb aa bb"),
+      (2L, "cc dd ee ff"),
+      (3L, "gg")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === List(1L, 2L)) // doc 3 absent
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 === 5L) // 6 tokens → 5 bigrams
+    assert(byDoc(2L)._2 === 3L)
+    // "aa bb" occurs 3×, so doc 1's average conditional surprisal must
+    // sit below doc 2's all-singleton bigrams
+    assert(byDoc(1L)._4 < byDoc(2L)._4)
+    // exact check for one term: doc 2's "cc dd": c1(cc)=1, c2=1, V=7
+    // distinct tokens → q = round(ln((1+7)/(1+1))·1e4) = round(ln(4)·1e4)
+    val q = math.round(math.log(4.0) * 10000)
+    assert(byDoc(2L)._3 === 3 * q) // all three of doc 2's bigrams identical shape
+  }
+
   test("zipf fit: slope matches an independent BigInt recomputation") {
     // term frequencies 8/4/2/1 — ranks tie-free by construction
     val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") :+ "dd")
