@@ -264,6 +264,12 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // co-purchase graph structure: triangles and clustering coefficient
+    // over the basket-pair edges (canonical a<b<c join chain)
+    "li_graph_stats" -> ((s, dir) =>
+      graft.ops.Analytics.triangleStats(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
     "ev_weekday_index" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -809,6 +815,30 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // basket-pair edges + ordered triangle chain; wedges from degrees
+    "li_graph_stats" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e AS (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT count(*)::BIGINT AS n_nodes,
+        |         (sum(d * (d - 1)) // 2)::BIGINT AS n_wedges
+        |  FROM deg
+        |), tr AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+        |), ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN (n_triangles * 30000) // n_wedges
+        |       ELSE 0 END::BIGINT AS closure_e4
+        |FROM w CROSS JOIN ne CROSS JOIN tr""".stripMargin,
     // weekday = epoch-day mod 7 — pure integer, no calendar functions
     "ev_weekday_index" ->
       """WITH e AS (

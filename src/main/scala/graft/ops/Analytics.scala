@@ -298,6 +298,52 @@ object Analytics {
         graft.Cols.floorDiv(col("top_cents") * 10000, col("__total")).as("value_share_e4"))
   }
 
+  /** Undirected-graph structure report: node/edge/wedge/triangle counts
+    * and the global clustering coefficient (3·triangles / wedges, exact
+    * integer e4) — "is this co-occurrence graph cliquey or stringy", the
+    * communities-exist screen before anything heavier. Edges are
+    * canonicalized (least/greatest, self-loops dropped, deduped), which
+    * makes each triangle a single ordered (a < b < c) join chain:
+    * E(a,b) ⋈ E(b,c) ⋈ E(a,c) — counted once, no /6 correction, no
+    * direction explosion.
+    *
+    * Scale: the two-hop join fans out by per-node degree² — the classic
+    * bound; the canonical orientation already halves it, and the
+    * standard hardening (orient edges by DEGREE order so high-degree
+    * nodes never expand) drops in here without changing results.
+    * Wedges are Σ d(d−1)/2 over the degree table — exact integers.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") < col("dst")).distinct()
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      graft.Cols.floorDiv(sum(col("__d") * (col("__d") - 1)), 2L).as("n_wedges"))
+    val triangles = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(
+        e.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    wedges
+      .crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(triangles))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(
+          col("n_wedges") > 0,
+          graft.Cols.floorDiv(col("n_triangles") * 30000L, col("n_wedges")))
+          .otherwise(lit(0L)).as("closure_e4"))
+  }
+
   /** Fixed-iteration weighted PageRank in EXACT INTEGER e9 arithmetic —
     * graph centrality as a deterministic dataflow: every step is a
     * floor-divided integer, so any engine (and any aggregation order)

@@ -305,7 +305,11 @@ object Similarity {
     * all algebraic, map-side combined; output is |labels| rows. The
     * posexplode alternative (rows × dim shuffle) is deliberately avoided.
     */
-  def centroids(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+  /** Per-label integer centroid vectors (floor-divided milli-int means) —
+    * the exact-arithmetic core shared by [[centroids]] (string/report
+    * form) and [[silhouette]].
+    */
+  private[graft] def centroidVectors(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val q = Dedup.quantized(embeddings)
     val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
     q.groupBy(col("label"))
@@ -316,11 +320,59 @@ object Similarity {
         array((0 until dim).map(i =>
           call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n_vecs")), col("n_vecs"))): _*)
           .as("cv"))
+  }
+
+  def centroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    centroidVectors(embeddings, dim)
       .select(
         col("label"),
         col("n_vecs"),
         concat_ws(",", transform(col("cv"), x => x.cast("string"))).as("centroid_milli"),
         Dedup.longDot(col("cv"), col("cv")).as("cnorm2"))
+
+  /** Centroid-based (simplified) silhouette per label, exact integer e4:
+    * each vector scores `(b² − a²)·1e4 / max(a², b²)` where a² is the
+    * squared distance to its OWN label centroid and b² the minimum to
+    * any other — positive means the labels separate, ≈0 means they
+    * overlap, negative means misassignment. Squared distances expand to
+    * `|v|² − 2v·c + |c|²` over the quantized integer vectors (codegen'd
+    * `graft_long_dot`), so every distance — and therefore the score —
+    * is an exact integer on any engine. This is the classic O(n·k)
+    * medoid-free silhouette approximation: the textbook per-pair version
+    * is O(n²) and normalizes by mean intra-cluster distance; this one
+    * compares squared centroid distances, trading the constant for
+    * distributability.
+    *
+    * Scale: one pass to centroids (|labels| rows, broadcast), one
+    * map-side n × k scoring, one final hash agg — no pair joins at all.
+    */
+  def silhouette(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val v = Dedup.quantized(embeddings)
+      .select(col("vec_id"), col("label"), col("qv"),
+        Dedup.longDot(col("qv"), col("qv")).as("__vn"))
+    val cents = centroidVectors(embeddings, dim)
+      .select(col("label").as("__cl"), col("cv"),
+        Dedup.longDot(col("cv"), col("cv")).as("__cn"))
+    val d2 = col("__vn") - lit(2L) * Dedup.longDot(col("qv"), col("cv")) + col("__cn")
+    val perVec = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("__cl"), d2.as("__d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("__cl") === col("label"), col("__d2"))).as("__a2"),
+        min(when(col("__cl") =!= col("label"), col("__d2"))).as("__b2"))
+    val sE4 = when(col("__b2").isNull, lit(0L)) // single-label corpus
+      .when(
+        greatest(col("__a2"), col("__b2")) > 0,
+        graft.Cols.floorDiv(
+          (col("__b2") - col("__a2")) * 10000, greatest(col("__a2"), col("__b2"))))
+      .otherwise(lit(0L)) // vector exactly on both centroids
+    perVec
+      .select(col("label"), sE4.as("__s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__s")).as("__sum"))
+      .select(
+        col("label"), col("n_vecs"),
+        graft.Cols.floorDiv(col("__sum"), col("n_vecs")).as("avg_silhouette_e4"))
   }
 
   /** Centroid drift between two halves of the corpus (vec_id parity — the
@@ -407,6 +459,7 @@ object Similarity {
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
     "emb_centroid_shift" -> ((s, d) => centroidShift(Tables.embeddings(s, d))),
+    "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -449,6 +502,51 @@ object Similarity {
         |FROM d GROUP BY 1""".stripMargin,
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
+    // centroid CTEs + integer expanded squared distances; remainder-
+    // corrected floors (scores and their sums go negative)
+    "emb_silhouette" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cell_sums AS (
+        |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY label, ii.i
+        |), cent AS (
+        |  SELECT label AS clabel,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cell_sums GROUP BY label
+        |), cw AS (
+        |  SELECT clabel, cv,
+        |    list_sum(list_transform(cv, x -> x * x))::BIGINT AS cn
+        |  FROM cent
+        |), p AS (
+        |  SELECT q.vec_id, q.label, cw.clabel,
+        |    (list_sum(list_transform(q.qv, x -> x * x))::BIGINT
+        |     - 2 * list_sum([q.qv[i] * cw.cv[i] for i in generate_series(1, 64)])::BIGINT
+        |     + cw.cn) AS d2
+        |  FROM q CROSS JOIN cw
+        |), pv AS (
+        |  SELECT vec_id, label,
+        |    min(CASE WHEN clabel = label THEN d2 END)::BIGINT AS a2,
+        |    min(CASE WHEN clabel <> label THEN d2 END)::BIGINT AS b2
+        |  FROM p GROUP BY 1, 2
+        |), sv AS (
+        |  SELECT label,
+        |    CASE WHEN b2 IS NULL THEN 0
+        |         WHEN greatest(a2, b2) > 0 THEN
+        |           ((b2 - a2) * 10000
+        |            - ((((b2 - a2) * 10000) % greatest(a2, b2)) + greatest(a2, b2))
+        |              % greatest(a2, b2))
+        |           // greatest(a2, b2)
+        |         ELSE 0 END AS s_e4
+        |  FROM pv
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  (sum(s_e4) - (((sum(s_e4) % count(*)) + count(*)) % count(*))) // count(*)
+        |    AS avg_silhouette_e4
+        |FROM sv GROUP BY 1""".stripMargin,
     "emb_centroids" ->
       """WITH q AS (
         |  SELECT vec_id, label,

@@ -184,6 +184,25 @@ class AnalyticsSpec extends SparkSpec {
       (50L, 10L, 10L, 1000L * 100, 10000L)))
   }
 
+  test("triangle stats: K4 minus an edge — counts, wedges, closure by hand") {
+    // nodes {1,2,3,4}, all edges except (3,4): degrees 3,3,2,2 →
+    // wedges = 3+3+1+1 = 8; triangles = {123, 124}; closure = 6e4/8
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = Analytics.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((4L, 5L, 8L, 2L, 7500L)))
+  }
+
+  test("triangle stats: canonical orientation counts each triangle once") {
+    // a triangle fed with duplicate and reversed edges must still count 1
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Analytics.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 3L, 3L, 1L, 10000L)))
+  }
+
   test("pagerank: one hand-checked integer iteration with a dangling node") {
     // a→b, b→a, a→c; c dangles. r0 = ⌊1e9/3⌋ = 333333333 each.
     // contrib: a gets 333333333 (all of b); b,c get ⌊333333333/2⌋ each.

@@ -70,6 +70,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) === ((1, 1L, "-1000,1000", 2000000L)))
   }
 
+  test("silhouette: matches an independent integer recomputation; traitor drags its label") {
+    // label 0: two vectors near (1, 0) plus a TRAITOR sitting exactly on
+    // label 1's mass; label 1: two vectors near (−1, 0)
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0), (3L, Seq(-1.0f, 0.0f), 0),
+      (4L, Seq(-1.0f, 0.0f), 1), (5L, Seq(-1.0f, -0.2f), 1))
+    val got = Similarity.silhouette(rows.toDF("vec_id", "embedding", "label"), dim = 2)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // independent recomputation with plain JVM integer math
+    val q = rows.map { case (_, v, l) => (v.map(x => math.round(x.toDouble * 1000)), l) }
+    val cents = q.groupBy(_._2).map { case (l, vs) =>
+      val n = vs.size
+      l -> Seq(0, 1).map(i => Math.floorDiv(vs.map(_._1(i)).sum, n))
+    }
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = q.groupBy(_._2).map { case (l, vs) =>
+      val scores = vs.map { case (v, _) =>
+        val a2 = d2(v, cents(l))
+        val b2 = cents.collect { case (ol, c) if ol != l => d2(v, c) }.min
+        if (math.max(a2, b2) > 0) Math.floorDiv((b2 - a2) * 10000, math.max(a2, b2)) else 0L
+      }
+      l -> (vs.size.toLong, Math.floorDiv(scores.sum, vs.size))
+    }
+    assert(got(0) === ((0, expected(0)._1, expected(0)._2)))
+    assert(got(1) === ((1, expected(1)._1, expected(1)._2)))
+    // the traitor's strongly negative score drags label 0 below label 1
+    assert(got(0)._3 < got(1)._3)
+    assert(got(1)._3 > 5000L, s"separated label should score high: ${got(1)}")
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
     val brute = Similarity.bruteForceTopK(embs, k = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet
