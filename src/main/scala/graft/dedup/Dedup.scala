@@ -339,6 +339,32 @@ object Dedup {
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Dedup impact report: what near-dup clustering actually buys — doc
+    * and TOKEN counts before/after keeping one canonical per cluster,
+    * with the token savings in exact integer e4. Token savings is the
+    * number a training-data pipeline budgets by (dedup exists to stop
+    * paying for — and training on — the same tokens twice).
+    *
+    * Scale: rides [[nearDupClusters]] (geometric contraction) plus one
+    * narrow token-count scan joined on doc_id; the report is one row.
+    */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val labels = nearDupClusters(docs, simhashNearDups(docs))
+    val toks = docs.select(
+      col("doc_id"), size(Cols.tokens(col("text"))).cast("long").as("__n_toks"))
+    labels
+      .join(toks, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_canonical") === 1, 1)).as("n_kept_docs"),
+        sum(col("__n_toks")).as("n_tokens"),
+        sum(when(col("is_canonical") === 1, col("__n_toks"))).as("n_kept_tokens"))
+      .withColumn(
+        "token_savings_e4",
+        graft.Cols.floorDiv(
+          (col("n_tokens") - col("n_kept_tokens")) * 10000, col("n_tokens")))
+  }
+
   /** Cross-source near-duplicate contamination matrix: SimHash near-dup
     * pairs ([[simhashNearDups]]) rolled up by the (unordered) source
     * pair — "how much of source A is recycled in source B", the report
@@ -727,6 +753,7 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
+    "dedup_impact" -> ((s, d) => dedupImpact(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => {
@@ -1029,6 +1056,35 @@ object Dedup {
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the dedup_clusters closure + token lengths from the shared t CTE;
+    // canonical ≡ doc_id = cluster_id (the component min)
+    "dedup_impact" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |), tk AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t
+         |), j AS (
+         |  SELECT cl.doc_id, cl.cluster_id, tk.n_toks FROM cl JOIN tk USING (doc_id)
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |    count(CASE WHEN doc_id = cluster_id THEN 1 END)::BIGINT AS n_kept_docs,
+         |    sum(n_toks)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN doc_id = cluster_id THEN n_toks END)::BIGINT AS n_kept_tokens
+         |  FROM j
+         |)
+         |SELECT n_docs, n_kept_docs, n_tokens, n_kept_tokens,
+         |  ((n_tokens - n_kept_tokens) * 10000) // n_tokens AS token_savings_e4
+         |FROM agg""".stripMargin,
     // the simhash-pairs oracle rolled up by unordered source pair
     "dedup_source_matrix" ->
       s"""$simhashCte, pr AS (

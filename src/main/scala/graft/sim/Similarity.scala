@@ -330,6 +330,38 @@ object Similarity {
         concat_ws(",", transform(col("cv"), x => x.cast("string"))).as("centroid_milli"),
         Dedup.longDot(col("cv"), col("cv")).as("cnorm2"))
 
+  /** Embedding outliers against the label's own centroid: vectors whose
+    * squared centroid distance exceeds `factor` × the label's MEDIAN
+    * squared distance — the mislabeled/garbage-vector screen run before
+    * training on labeled embeddings. Distances are exact integers (the
+    * [[silhouette]] expansion); only the median is a (rounded) double,
+    * and it's compared, never accumulated.
+    *
+    * Scale: one equi-join to the broadcast centroid table, one exact
+    * percentile per label (swap `approx_percentile` at 100 TB), one
+    * counting aggregate. No pair joins.
+    */
+  def centroidOutliers(
+      embeddings: DataFrame, dim: Int = 64, factor: Double = 4.0): DataFrame = {
+    val v = Dedup.quantized(embeddings)
+      .select(col("vec_id"), col("label"), col("qv"),
+        Dedup.longDot(col("qv"), col("qv")).as("__vn"))
+    val cents = centroidVectors(embeddings, dim)
+      .select(col("label"), col("cv"), Dedup.longDot(col("cv"), col("cv")).as("__cn"))
+    val d2 = col("__vn") - lit(2L) * Dedup.longDot(col("qv"), col("cv")) + col("__cn")
+    val dists = v.join(broadcast(cents), "label").select(col("label"), d2.as("__d2"))
+    val meds = dists.groupBy(col("label"))
+      .agg(round(expr("percentile(__d2, 0.5)"), 4).as("median_d2"))
+    dists
+      .join(broadcast(meds), "label")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        first(col("median_d2")).as("median_d2"),
+        count(when(col("__d2").cast("double") > lit(factor) * col("median_d2"), 1))
+          .as("n_outliers"))
+  }
+
   /** Centroid-based (simplified) silhouette per label, exact integer e4:
     * each vector scores `(b² − a²)·1e4 / max(a², b²)` where a² is the
     * squared distance to its OWN label centroid and b² the minimum to
@@ -460,6 +492,7 @@ object Similarity {
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
     "emb_centroid_shift" -> ((s, d) => centroidShift(Tables.embeddings(s, d))),
     "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
+    "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -502,6 +535,36 @@ object Similarity {
         |FROM d GROUP BY 1""".stripMargin,
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
+    // same centroid CTEs; median via quantile_cont (≡ Spark percentile)
+    "emb_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cell_sums AS (
+        |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY label, ii.i
+        |), cent AS (
+        |  SELECT label,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cell_sums GROUP BY label
+        |), cw AS (
+        |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cn
+        |  FROM cent
+        |), d AS (
+        |  SELECT q.label,
+        |    (list_sum(list_transform(q.qv, x -> x * x))::BIGINT
+        |     - 2 * list_sum([q.qv[i] * cw.cv[i] for i in generate_series(1, 64)])::BIGINT
+        |     + cw.cn) AS d2
+        |  FROM q JOIN cw USING (label)
+        |), m AS (
+        |  SELECT label, round(quantile_cont(d2, 0.5), 4) AS median_d2 FROM d GROUP BY 1
+        |)
+        |SELECT d.label, count(*) AS n_vecs, min(median_d2) AS median_d2,
+        |  count(CASE WHEN d2::DOUBLE > 4.0 * median_d2 THEN 1 END) AS n_outliers
+        |FROM d JOIN m USING (label)
+        |GROUP BY 1""".stripMargin,
     // centroid CTEs + integer expanded squared distances; remainder-
     // corrected floors (scores and their sums go negative)
     "emb_silhouette" ->

@@ -109,6 +109,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup impact: token savings counts only non-canonical docs' tokens") {
+    val got = Dedup.dedupImpact(docs(
+      (1L, "the quick brown fox jumps over the lazy dog"), // cluster with 2
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different text about spark engines here")))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 3 docs → 2 kept; tokens 9 + 9 + 8 = 26, kept 9 + 8 = 17
+    assert(got === ((3L, 2L, 26L, 17L, 10000L * 9 / 26)))
+  }
+
   test("cross-source matrix: near-dup pairs roll up by unordered source pair") {
     // docs 1 (src A) and 2 (src B) are identical → Hamming 0 pair across
     // sources; docs 3,4 (both src A) identical → same-source pair; doc 5

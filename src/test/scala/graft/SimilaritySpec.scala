@@ -100,6 +100,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 > 5000L, s"separated label should score high: ${got(1)}")
   }
 
+  test("centroid outliers: the far vector flags, the tight cluster doesn't") {
+    // four vectors at (1, 0), one at (5, 0): centroid (1800, 0) milli —
+    // d2 = 640000 for the tight four, 10240000 for the stray (> 4×median)
+    val rows = ((1 to 4).map(i => (i.toLong, Seq(1.0f, 0.0f), 0)) :+
+      (5L, Seq(5.0f, 0.0f), 0))
+    val got = Similarity.centroidOutliers(rows.toDF("vec_id", "embedding", "label"), dim = 2)
+      .as[(Int, Long, Double, Long)].collect().toList
+    assert(got === List((0, 5L, 640000.0, 1L)))
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
     val brute = Similarity.bruteForceTopK(embs, k = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect().toSet
