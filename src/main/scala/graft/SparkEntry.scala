@@ -264,6 +264,12 @@ object SparkEntry {
           "hour",
           graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L)),
         "event_type", "hour")),
+    // retention dashboard rollup: cohort size + D1/D7/D14 shares e4
+    "cs_retention_summary" -> ((s, dir) =>
+      graft.ops.Analytics.retentionSummary(Tables.events(s, dir))),
+    // week-over-week growth per type, integer e4, null first week
+    "ev_wow_growth" -> ((s, dir) =>
+      graft.ops.TimeSeries.wowGrowth(Tables.events(s, dir), "event_type", "ts_ms")),
     // co-purchase graph structure: triangles and clustering coefficient
     // over the basket-pair edges (canonical a<b<c join chain)
     "li_graph_stats" -> ((s, dir) =>
@@ -815,6 +821,43 @@ object SparkEntry {
         |SELECT user_id, max(total)::BIGINT AS n_events, count(*) AS n_types,
         |       sum(term_e4)::BIGINT AS entropy_e4
         |FROM q GROUP BY 1""".stripMargin,
+    // the retention oracle pivoted by conditional max; shares floor on
+    // non-negative counts
+    "cs_retention_summary" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS off,
+        |         count(DISTINCT e.user_id) AS n
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT cohort_day,
+        |  max(CASE WHEN off = 0 THEN n END)::BIGINT AS cohort_size,
+        |  (coalesce(max(CASE WHEN off = 1 THEN n END), 0) * 10000)
+        |    // max(CASE WHEN off = 0 THEN n END) AS d1_e4,
+        |  (coalesce(max(CASE WHEN off = 7 THEN n END), 0) * 10000)
+        |    // max(CASE WHEN off = 0 THEN n END) AS d7_e4,
+        |  (coalesce(max(CASE WHEN off = 14 THEN n END), 0) * 10000)
+        |    // max(CASE WHEN off = 0 THEN n END) AS d14_e4
+        |FROM r GROUP BY 1""".stripMargin,
+    "ev_wow_growth" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 604800000 AS week FROM events
+        |), w AS (
+        |  SELECT event_type, week, count(*) AS n_events FROM e GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, week, n_events,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM w
+        |)
+        |SELECT event_type, week, n_events, prev_n,
+        |  CASE WHEN prev_n > 0 THEN
+        |    ((n_events - prev_n) * 10000
+        |     - ((((n_events - prev_n) * 10000) % prev_n) + prev_n) % prev_n) // prev_n
+        |  END AS growth_e4
+        |FROM l""".stripMargin,
     // basket-pair edges + ordered triangle chain; wedges from degrees
     "li_graph_stats" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

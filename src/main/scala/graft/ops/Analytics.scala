@@ -88,6 +88,30 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Retention curve summary: one row per cohort with its size and the
+    * D1/D7/D14-style retained shares in exact integer e4 — the
+    * growth-dashboard rollup of the full [[retention]] triangle. A
+    * cohort too young for an offset (or with zero actives that day)
+    * reports 0.
+    *
+    * Scale: pivots the |cohorts| × |offsets| retention table, never the
+    * raw events — the conditional max-pivot is a second tiny aggregate.
+    */
+  def retentionSummary(events: DataFrame, days: Seq[Int] = Seq(1, 7, 14)): DataFrame = {
+    require(days.nonEmpty && days.forall(_ > 0))
+    val r = retention(events)
+    val picks =
+      max(when(col("day_offset") === 0, col("n_users"))).as("cohort_size") +:
+        days.map(d => max(when(col("day_offset") === d, col("n_users"))).as(s"__d$d"))
+    r.groupBy(col("cohort_day"))
+      .agg(picks.head, picks.tail: _*)
+      .select(
+        col("cohort_day") +: col("cohort_size") +:
+          days.map(d =>
+            graft.Cols.floorDiv(coalesce(col(s"__d$d"), lit(0L)) * 10000, col("cohort_size"))
+              .as(s"d${d}_e4")): _*)
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered event sequence, count consecutive (from → to)
     * pairs, with the per-from-type share in exact integer ten-thousandths.

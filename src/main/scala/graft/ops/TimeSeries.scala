@@ -112,6 +112,29 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** Week-over-week growth per key: epoch-week event counts with the
+    * previous week's count and the growth rate in exact integer e4
+    * (null for a key's first week — no base to grow from). The simplest
+    * trend report a dashboard asks for, all-integer.
+    *
+    * Scale: one map-side-combined aggregate to |keys| × |weeks| rows;
+    * the lag window runs over that tiny table.
+    */
+  def wowGrowth(events: DataFrame, keyCol: String, tsMsCol: String): DataFrame = {
+    val week = Cols.floorDiv(col(tsMsCol), DayMs * 7)
+    val weekly = events
+      .groupBy(col(keyCol), week.as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn(
+        "growth_e4",
+        when(
+          col("prev_n") > 0,
+          Cols.floorDiv((col("n_events") - col("prev_n")) * 10000, col("prev_n"))))
+  }
+
   /** Day-of-week seasonality index per key: each weekday's share of the
     * key's events against the uniform 1/7 expectation, as exact integer
     * e4 (index 10000 = exactly average, 20000 = twice the average

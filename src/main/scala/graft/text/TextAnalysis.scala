@@ -619,6 +619,28 @@ object TextAnalysis {
       when(den =!= 0, graft.Cols.floorDiv(num, den)).cast("long").as("zipf_slope_e4"))
   }
 
+  /** Language-ID evaluation: the confusion matrix of predicted vs
+    * declared language, with each cell's share of its DECLARED row in
+    * exact e4 (diagonal share = per-language recall) — the
+    * classifier-eval pattern every heuristic labeler in the pipeline
+    * should ship with.
+    *
+    * Scale: [[langId]]'s narrow scan plus one |langs|² hash aggregate;
+    * the row totals re-aggregate the matrix, not the corpus.
+    */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTotals = cells.groupBy(col("lang_declared"))
+      .agg(sum(col("n_docs")).as("__row_total"))
+    cells
+      .join(broadcast(rowTotals), "lang_declared")
+      .select(
+        col("lang_declared"), col("lang_pred"), col("n_docs"),
+        Cols.floorDiv(col("n_docs") * 10000, col("__row_total")).as("row_share_e4"))
+  }
+
   /** Data-driven stopword candidates: tokens whose document frequency
     * exceeds half the corpus, with the df share in exact integer
     * ten-thousandths. The corpus size stays IN-PLAN (broadcast 1-row
@@ -722,6 +744,7 @@ object TextAnalysis {
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
+    "txt_langid_eval" -> ((s, d) => langIdEval(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
     "txt_prep_pipeline" -> ((s, d) => prepPipeline(Tables.documents(s, d))),
   )
@@ -1019,6 +1042,22 @@ object TextAnalysis {
          |  CASE WHEN len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks) >= 0.05
          |       THEN 'en' ELSE 'other' END AS lang_pred
          |FROM t""".stripMargin,
+    // the langid oracle aggregated to the confusion matrix; row shares
+    // floor on non-negative counts
+    "txt_langid_eval" ->
+      s"""$tokCte, pr AS (
+         |  SELECT lang AS lang_declared,
+         |    CASE WHEN len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks) >= 0.05
+         |         THEN 'en' ELSE 'other' END AS lang_pred
+         |  FROM t
+         |), cells AS (
+         |  SELECT lang_declared, lang_pred, count(*) AS n_docs FROM pr GROUP BY 1, 2
+         |), rt AS (
+         |  SELECT lang_declared, sum(n_docs)::BIGINT AS row_total FROM cells GROUP BY 1
+         |)
+         |SELECT cells.lang_declared, lang_pred, n_docs,
+         |  (n_docs * 10000) // row_total AS row_share_e4
+         |FROM cells JOIN rt USING (lang_declared)""".stripMargin,
     "txt_token_counts" ->
       s"""$tokCte
          |SELECT doc_id,

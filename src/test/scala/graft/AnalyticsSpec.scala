@@ -184,6 +184,17 @@ class AnalyticsSpec extends SparkSpec {
       (50L, 10L, 10L, 1000L * 100, 10000L)))
   }
 
+  test("retention summary: cohort size and D1/D7/D14 shares, young cohorts 0") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      (1L, 10L, "a"), (1L, D + 10, "a"), // u1: day 0 and 1
+      (2L, 20L, "a"), // u2: day 0 only
+      (3L, 30L, "a"), (3L, 7 * D + 30, "a"), (3L, 14 * D + 30, "a")) // u3: 0/7/14
+    val got = Analytics.retentionSummary(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((0L, 3L, 3333L, 3333L, 3333L)))
+  }
+
   test("triangle stats: K4 minus an edge — counts, wedges, closure by hand") {
     // nodes {1,2,3,4}, all edges except (3,4): degrees 3,3,2,2 →
     // wedges = 3+3+1+1 = 8; triangles = {123, 124}; closure = 6e4/8

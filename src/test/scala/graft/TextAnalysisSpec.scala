@@ -276,6 +276,20 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1L, "pass")))
   }
 
+  test("langid eval: confusion matrix with per-declared-row shares") {
+    val df = Seq(
+      (1L, "the and of to in it is was for on", "en"),
+      (2L, "zzz qqq vvv kkk mmm nnn ppp rrr sss ttt", "en"),
+      (3L, "xx yy zz ww vv uu tt ss rr qq", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdEval(df)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      ("de", "other", 1L, 10000L),
+      ("en", "en", 1L, 5000L),
+      ("en", "other", 1L, 5000L)))
+  }
+
   test("bigram surprisal: repeated bigrams score lower than novel ones") {
     // doc 1 repeats one bigram; doc 2 is four distinct words (all-novel
     // bigrams); doc 3 has one token → no bigrams, no row

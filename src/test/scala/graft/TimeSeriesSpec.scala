@@ -180,6 +180,18 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 1L, 0L, 0L)))
   }
 
+  test("wow growth: e4 rate against the previous week, null first week, floors negatives") {
+    val W = 7 * Day
+    val rows = Seq.fill(2)(("a", 10L)) ++ Seq.fill(3)(("a", W + 10)) ++
+      Seq.fill(1)(("a", 2 * W + 10))
+    val got = TimeSeries.wowGrowth(rows.toDF("k", "ts_ms"), "k", "ts_ms")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().sortBy(_._2).toList
+    assert(got === List(
+      ("a", 0L, 2L, None, None),
+      ("a", 1L, 3L, Some(2L), Some(5000L)), // +50%
+      ("a", 2L, 1L, Some(3L), Some(-6667L)))) // floor(−2e4/3)
+  }
+
   test("weekday index: uniform week scores 10000, a spike day indexes up") {
     // key u: one event on each of 7 consecutive days → every weekday
     // exactly average; key s: 6 events on weekday 0, 1 on weekday 1 →
