@@ -225,6 +225,36 @@ object SparkEntry {
     // inter-arrival gap statistics per type of the later event
     "ev_interarrival" -> ((s, dir) =>
       graft.ops.Analytics.interArrival(Tables.events(s, dir))),
+    // peak concurrent sessions per day — day-decomposed sweep line
+    "ev_concurrency" -> ((s, dir) =>
+      graft.ops.Analytics.sessionConcurrency(Tables.events(s, dir))),
+    // hash-armed two-proportion z² per event type, decimal-exact
+    "ev_ab_lift" -> ((s, dir) =>
+      graft.ops.Analytics.abLift(Tables.events(s, dir))),
+    // stage-to-stage funnel latency over the cs_funnel stage chain
+    "ev_funnel_latency" -> ((s, dir) =>
+      graft.ops.Analytics.funnelLatency(
+        Tables.events(s, dir),
+        stages = Seq("view", "click", "purchase"),
+        withinMs = Some(86400000L))),
+    // session-level time-to-return distribution (one summary row)
+    "cs_return_time" -> ((s, dir) =>
+      graft.ops.Analytics.returnTime(Tables.events(s, dir))),
+    // distinct-user rollup: (type, day) / (type) / () in one expand pass —
+    // the partial-distinct shuffle shape, unlike the algebraic rollups
+    "ev_uniques_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_type"),
+          graft.Cols.floorDiv(col("ts_ms"), 86400000L).as("day"),
+          col("user_id"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+    // order backlog level (day-granular interval sweep on TPC-H tables)
+    "ord_open_orders" -> ((s, dir) =>
+      graft.ops.TimeSeries.openOrders(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -775,6 +805,145 @@ object SparkEntry {
          |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
          |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
          |FROM sessions GROUP BY 1""".stripMargin,
+    "ev_uniques_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day, user_id FROM events
+        |)
+        |SELECT event_type, day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "ord_open_orders" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) // 86400000 AS pd FROM orders
+        |), sdt AS (
+        |  SELECT l_orderkey, max(epoch_ms(l_shipdate) // 86400000) AS sd
+        |  FROM lineitem GROUP BY 1
+        |), d AS (
+        |  SELECT pd AS day, 1 AS delta FROM p JOIN sdt ON o_orderkey = l_orderkey
+        |  UNION ALL
+        |  SELECT sd + 1, -1 FROM p JOIN sdt ON o_orderkey = l_orderkey
+        |), daily AS (
+        |  SELECT day, sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)::BIGINT AS n_placed,
+        |         sum(delta)::BIGINT AS net
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT day, n_placed,
+        |  (sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS open_eod
+        |FROM daily""".stripMargin,
+    // integer z² via HUGEINT: numerator is a perfect square so // == floor
+    "ev_ab_lift" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), ua AS (
+        |  SELECT user_id, ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |  FROM u
+        |), t AS (
+        |  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM ua
+        |), k AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS k_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS k_b
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) e JOIN ua USING (user_id)
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, n_a, k_a, n_b, k_b,
+        |  CASE WHEN n_a > 0 THEN (k_a * 10000) // n_a END AS rate_a_e4,
+        |  CASE WHEN n_b > 0 THEN (k_b * 10000) // n_b END AS rate_b_e4,
+        |  CASE WHEN n_a * n_b * (k_a + k_b) * (n_a + n_b - k_a - k_b) <> 0 THEN
+        |    (((k_a::HUGEINT * n_b - k_b::HUGEINT * n_a) * (k_a::HUGEINT * n_b - k_b::HUGEINT * n_a)
+        |      * (n_a + n_b) * 10000)
+        |     // (n_a::HUGEINT * n_b * (k_a + k_b) * (n_a + n_b - k_a - k_b)))::BIGINT
+        |  END AS z2_e4
+        |FROM k CROSS JOIN t""".stripMargin,
+    // the cs_funnel stage chain, joined pairwise for entry-time gaps
+    "ev_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_ms) AS t, min(s1.t) AS t0 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_ms > s1.t AND ts_ms <= s1.t + 86400000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_ms) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_ms > s2.t AND ts_ms <= s2.t0 + 86400000 GROUP BY 1
+        |), g2 AS (SELECT s2.t - s1.t AS gap FROM s2 JOIN s1 USING (user_id)
+        |), g3 AS (SELECT s3.t - s2.t AS gap FROM s3 JOIN s2 USING (user_id)
+        |)
+        |SELECT 2::BIGINT AS stage_idx, 'click' AS stage, count(*)::BIGINT AS n_users,
+        |  min(gap) AS min_gap_ms, round(quantile_cont(gap, 0.5), 4) AS p50_gap_ms,
+        |  round(quantile_cont(gap, 0.95), 4) AS p95_gap_ms, max(gap) AS max_gap_ms
+        |FROM g2
+        |UNION ALL
+        |SELECT 3::BIGINT, 'purchase', count(*)::BIGINT, min(gap),
+        |  round(quantile_cont(gap, 0.5), 4), round(quantile_cont(gap, 0.95), 4), max(gap)
+        |FROM g3""".stripMargin,
+    "cs_return_time" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), s AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM e
+        |), si AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+        |  FROM s
+        |), sess AS (
+        |  SELECT user_id, sid, min(ts_ms) AS s_start, max(ts_ms) AS s_last
+        |  FROM si GROUP BY 1, 2
+        |), g AS (
+        |  SELECT lead(s_start) OVER (PARTITION BY user_id ORDER BY s_start) - s_last AS ret
+        |  FROM sess
+        |)
+        |SELECT count(*)::BIGINT AS n_gaps, min(ret) AS min_ms,
+        |  round(quantile_cont(ret, 0.25), 4) AS p25_ms,
+        |  round(quantile_cont(ret, 0.5), 4) AS p50_ms,
+        |  round(quantile_cont(ret, 0.75), 4) AS p75_ms,
+        |  round(quantile_cont(ret, 0.95), 4) AS p95_ms,
+        |  max(ret) AS max_ms
+        |FROM g WHERE ret IS NOT NULL""".stripMargin,
+    // RANGE-frame running nets (tie-order-free on both engines); carry-in
+    // via the per-day net table so no global ordered window over the data
+    "ev_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), s AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM e
+        |), si AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+        |  FROM s
+        |), sess AS (
+        |  SELECT user_id, sid, min(ts_ms) AS s_start, max(ts_ms) + 1 AS s_end
+        |  FROM si GROUP BY 1, 2
+        |), d AS (
+        |  SELECT s_start AS ts, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT s_end AS ts, -1 AS delta FROM sess
+        |), r AS (
+        |  SELECT ts // 86400000 AS day, ts, delta,
+        |    sum(delta) OVER (PARTITION BY ts // 86400000 ORDER BY ts) AS run
+        |  FROM d
+        |), daily AS (
+        |  SELECT day,
+        |    sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)::BIGINT AS sessions_started,
+        |    max(run) AS peak_intra,
+        |    sum(delta) AS net
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT day, sessions_started,
+        |  (coalesce(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   + greatest(peak_intra, 0))::BIGINT AS peak_concurrent
+        |FROM daily""".stripMargin,
     "ev_interarrival" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events

@@ -185,6 +185,97 @@ object Dedup {
       .filter(greatest(col("containment_1_e4"), col("containment_2_e4")) >= thresholdE4)
   }
 
+  /** Exact shingle-set Jaccard join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family): identical output to the un-capped all-shingles
+    * Jaccard baseline at `thresholdE4`, but candidate pairs come only from
+    * documents sharing a shingle in their df-ascending prefix. Order every
+    * document's distinct shingles by the global (df, shingle) total order
+    * (rarest first) and keep the first |S| − ⌈θ|S|⌉ + 1; the prefix-filter
+    * lemma guarantees any pair with Jaccard ≥ θ shares a prefix shingle,
+    * so the pruning is LOSSLESS — unlike [[ngramJaccard]]'s df-cap, which
+    * trades recall on stop-shingle-only pairs for a hard skew bound.
+    *
+    * Scale: the posting lists that drive the candidate join are built on
+    * each document's RAREST shingles, so list lengths (and the Σdf² join
+    * work) collapse without dropping vocabulary; frequent shingles never
+    * enter a prefix unless a document is almost entirely made of them.
+    * Per-doc shingle arrays are bounded by document length (collect is
+    * per-row, not per-corpus); verification touches candidate pairs only,
+    * via one sorted-array intersection per pair.
+    */
+  def prefixJaccard(docs: DataFrame, thresholdE4: Long = 5000L): DataFrame = {
+    val sh = shingleRows(docs)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per doc: full distinct shingle set, rarest-first under (df, shingle)
+    val docSets = sh.join(dfs, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        count(lit(1)).as("n_sh"))
+      .select(
+        col("doc_id"),
+        transform(col("ord"), s => s.getField("shingle")).as("ss"),
+        col("n_sh"))
+    // prefix length n − ⌈θn⌉ + 1; ⌈θn⌉ = (n·θE4 + 9999) div 10000 (n > 0)
+    val prefLen = col("n_sh") - Cols.floorDiv(col("n_sh") * thresholdE4 + 9999L, 10000L) + 1
+    val prefRows = docSets
+      .select(col("doc_id"), explode(slice(col("ss"), lit(1), prefLen)).as("shingle"))
+    val cands = prefRows.as("a")
+      .join(prefRows.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    cands
+      .join(docSets.select(col("doc_id").as("doc_id_1"),
+        col("ss").as("ss_a"), col("n_sh").as("n_a")), "doc_id_1")
+      .join(docSets.select(col("doc_id").as("doc_id_2"),
+        col("ss").as("ss_b"), col("n_sh").as("n_b")), "doc_id_2")
+      .select(
+        col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("__c"),
+        col("n_a"), col("n_b"))
+      .select(
+        col("doc_id_1"), col("doc_id_2"),
+        Cols.floorDiv(col("__c") * 10000, col("n_a") + col("n_b") - col("__c"))
+          .as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= thresholdE4)
+  }
+
+  /** Incremental ingest dedup: the incoming batch (odd doc_id — the
+    * deterministic fixture stand-in for today's crawl) screened against
+    * the existing corpus (even doc_id) in two tiers. `dup_exact` when the
+    * normalized content hash already exists in the corpus (match_id = the
+    * smallest such corpus doc), else `dup_near` when the 60-bit SimHash
+    * signature collides (Hamming-0 blocking, [[canonical]]'s grouping
+    * tier), else `new`. This is the nightly-crawl screen: only survivors
+    * marked `new` enter the corpus.
+    *
+    * Scale: both tiers are MEMBERSHIP joins against corpus-side hash
+    * aggregates — keyed equi-joins, no pair space at all. At 100 TB the
+    * corpus side is a bucketed table keyed by hash, the batch probes it
+    * directly, and a bloom filter on corpus hashes prefilters the (much
+    * smaller) batch before the shuffle.
+    */
+  def incremental(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), md5(Cols.normalizeText(col("text"))).as("__h"))
+    val sigs = simhash(docs)
+    val corpusH = hashed.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("__match_exact"))
+    val corpusS = sigs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("__match_near"))
+    hashed.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .join(sigs, "doc_id")
+      .join(corpusH, Seq("__h"), "left")
+      .join(corpusS, Seq("simhash"), "left")
+      .select(
+        col("doc_id"),
+        when(col("__match_exact").isNotNull, lit("dup_exact"))
+          .when(col("__match_near").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__match_exact"), col("__match_near")).as("match_id"))
+  }
+
   /** Fuzzy name matching (the entity-resolution primitive): char-3-gram
     * Jaccard over the DISTINCT normalized name vocabulary, emitted as
     * scored pairs. Word shingles are useless on short strings ("small
@@ -743,6 +834,8 @@ object Dedup {
       canonical(docs, graft.text.TextAnalysis.qualityScore(docs))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_prefix_jaccard" -> ((s, d) => prefixJaccard(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => incremental(Tables.documents(s, d))),
     "dedup_sorted_neighbor" -> ((s, d) => sortedNeighborPairs(Tables.documents(s, d))),
     "part_fuzzy_verified" -> ((s, d) =>
       charGramNamePairsVerified(Tables.part(s, d), "p_name")),
@@ -833,6 +926,42 @@ object Dedup {
          |SELECT simhash, doc_id AS keep_doc_id, quality, n_copies::BIGINT AS n_copies
          |FROM ranked WHERE rn = 1""".stripMargin
     },
+    // oracle is the PLAIN all-shingles join — the prefix filter is an
+    // optimization, not a semantics change, so the outputs must be equal
+    "dedup_prefix_jaccard" ->
+      s"""$tokCte, cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id_1, doc_id_2,
+         |       ((n_common * 10000) // (ca.n + cb.n - n_common))::BIGINT AS jaccard_e4
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_id_1
+         |JOIN cnt cb ON cb.doc_id = doc_id_2
+         |WHERE (n_common * 10000) // (ca.n + cb.n - n_common) >= 5000""".stripMargin,
+    "dedup_incremental" ->
+      s"""$simhashCte, hashed AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |  FROM documents
+         |), ch AS (
+         |  SELECT h, min(doc_id) AS match_exact FROM hashed WHERE doc_id % 2 = 0 GROUP BY h
+         |), cs AS (
+         |  SELECT simhash, min(doc_id) AS match_near FROM sigs WHERE doc_id % 2 = 0 GROUP BY simhash
+         |)
+         |SELECT b.doc_id,
+         |  CASE WHEN ch.match_exact IS NOT NULL THEN 'dup_exact'
+         |       WHEN cs.match_near IS NOT NULL THEN 'dup_near'
+         |       ELSE 'new' END AS status,
+         |  coalesce(ch.match_exact, cs.match_near) AS match_id
+         |FROM hashed b
+         |JOIN sigs USING (doc_id)
+         |LEFT JOIN ch ON ch.h = b.h
+         |LEFT JOIN cs ON cs.simhash = sigs.simhash
+         |WHERE b.doc_id % 2 = 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$tokCte, rare AS (
          |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf

@@ -30,11 +30,27 @@ object Analytics {
   def funnel(
       events: DataFrame,
       stages: Seq[String],
-      withinMs: Option[Long] = None): DataFrame = {
+      withinMs: Option[Long] = None): DataFrame =
+    reachedStages(events, stages, withinMs).zip(stages).zipWithIndex
+      .map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(
+            lit((i + 1).toLong).as("stage_idx"),
+            lit(stage).as("stage"),
+            col("n_users"))
+      }
+      .reduce(_.union(_))
+
+  /** reached(k): users with their earliest valid stage-k timestamp `__t`
+    * and their funnel entry time `__t0` (the deadline anchor) — the
+    * shared chain under [[funnel]] and [[funnelLatency]].
+    */
+  private def reachedStages(
+      events: DataFrame,
+      stages: Seq[String],
+      withinMs: Option[Long]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    // reached(k): users with their earliest valid stage-k timestamp __t
-    // and their funnel entry time __t0 (the deadline anchor)
-    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val candidates = events.filter(col("event_type") === stage)
         val qualified = prev match {
@@ -53,15 +69,91 @@ object Analytics {
             .groupBy(col("user_id"))
             .agg(min(col("ts_ms")).as("__t"), min(col("__t0_src")).as("__t0")))
     }.flatten
-    reached.zip(stages).zipWithIndex
-      .map { case ((df, stage), i) =>
-        df.agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Stage-to-stage funnel latency: for each consecutive stage pair, the
+    * distribution of `entry(stage k) − entry(stage k−1)` over the users
+    * who reached stage k — the "where does the funnel stall" companion to
+    * [[funnel]]'s pure counts. Entry times are the same earliest-valid
+    * semantics as the funnel itself (strictly ordered, deadline-checked),
+    * so n_users here equals funnel's count for that stage.
+    *
+    * Scale: reuses the funnel's shrinking per-stage user aggregates; each
+    * pair adds one user-keyed join of adjacent (already tiny) stage
+    * tables and a 1-row stats aggregate. Exact percentiles swap for
+    * approx_percentile at 100 TB user counts.
+    */
+  def funnelLatency(
+      events: DataFrame,
+      stages: Seq[String],
+      withinMs: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, "funnel latency needs at least two stages")
+    val reached = reachedStages(events, stages, withinMs)
+    reached.zip(reached.tail).zip(stages.tail).zipWithIndex
+      .map { case (((prevDf, curDf), stage), i) =>
+        curDf.select(col("user_id"), col("__t"))
+          .join(prevDf.select(col("user_id"), col("__t").as("__pt")), "user_id")
+          .select((col("__t") - col("__pt")).as("__gap"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            min(col("__gap")).as("min_gap_ms"),
+            round(expr("percentile(__gap, 0.5)"), 4).as("p50_gap_ms"),
+            round(expr("percentile(__gap, 0.95)"), 4).as("p95_gap_ms"),
+            max(col("__gap")).as("max_gap_ms"))
           .select(
-            lit((i + 1).toLong).as("stage_idx"),
-            lit(stage).as("stage"),
-            col("n_users"))
+            lit((i + 2).toLong).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"), col("min_gap_ms"), col("p50_gap_ms"),
+            col("p95_gap_ms"), col("max_gap_ms"))
       }
       .reduce(_.union(_))
+  }
+
+  /** Deterministic A/B experiment readout: users split into two arms by a
+    * salted 60-bit md5 hash (`arm = h60('ab:' || user_id) % 2`), and for
+    * every event type the two-proportion z-test of "user did ≥1 such
+    * event". Emits arm sizes, converter counts, e4 rates, and z² computed
+    * EXACTLY as `(ka·nb − kb·na)²·n·10⁴ / (na·nb·k·(n−k))` in
+    * DECIMAL(38,0) — the squared numerator passes int64 at cluster-scale
+    * user counts, the same hazard [[TimeSeries.trendSlope]] documents.
+    * z² ≥ 38416 e4 (3.84) ⇔ p < 0.05 two-sided. Degenerate splits
+    * (k = 0, k = n, or an empty arm) emit NULL z².
+    *
+    * Scale: one distinct-user aggregate (map-side combined), one
+    * per-(type, arm) distinct aggregate, and a 1-row broadcast of arm
+    * totals folded into the plan — nothing grows with the event count.
+    */
+  def abLift(events: DataFrame): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val totals = broadcast(
+      events.select(col("user_id")).distinct()
+        .select(arm.as("__arm"))
+        .agg(
+          sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b")))
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val k = col("k_a") + col("k_b")
+    val n = col("n_a") + col("n_b")
+    val num = {
+      val diff = d(col("k_a")) * d(col("n_b")) - d(col("k_b")) * d(col("n_a"))
+      diff * diff * d(n) * d(lit(10000L))
+    }
+    val den = d(col("n_a")) * d(col("n_b")) * d(k) * d(n - k)
+    events.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), arm.as("__arm"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("k_a"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("k_b"))
+      .crossJoin(totals)
+      .select(
+        col("event_type"), col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        when(col("n_a") > 0, Cols.floorDiv(col("k_a") * 10000L, col("n_a")))
+          .as("rate_a_e4"),
+        when(col("n_b") > 0, Cols.floorDiv(col("k_b") * 10000L, col("n_b")))
+          .as("rate_b_e4"),
+        // numerator is a perfect square (≥ 0), so truncation == floor
+        when(den =!= 0, Cols.floorDiv(num, den).cast("long")).as("z2_e4"))
   }
 
   /** Cohort retention: users grouped by the day of their first-ever event
@@ -491,6 +583,93 @@ object Analytics {
         round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_gap_ms"),
         round(expr("percentile(gap_ms, 0.95)"), 4).as("p95_gap_ms"),
         max(col("gap_ms")).as("max_gap_ms"))
+  }
+
+  /** Peak concurrent sessions per day — the capacity-planning sweep line.
+    * Sessions are 30-min-gap islands per user, occupying the end-EXCLUSIVE
+    * interval [first ts, last ts + 1 ms) so single-event sessions still
+    * register at their instant. Each session contributes +1 at its start
+    * and −1 at its end; concurrency at an instant is the running net
+    * AFTER all transitions at that instant (RANGE-frame window ⇒ every
+    * row at a tied timestamp sees the same value — no tie-order
+    * dependence on any engine). Output: one row per day with ≥1
+    * transition: (day, sessions_started, peak_concurrent), where the peak
+    * also covers the day's opening instant (carry-in alone, before any
+    * transition — a day of nothing but session ends peaks at its carry).
+    *
+    * Scale: the textbook global ORDER BY running sum is a single ordered
+    * partition — unusable at 100 TB. The prefix decomposes instead:
+    * intra-day running sums partition by day (fully distributed), and the
+    * cross-day carry-in is a running sum over the per-day NET table —
+    * one row per day, driver-scale, in-plan. No global sort of the data.
+    */
+  def sessionConcurrency(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val sess = userSessions(events, gapMs)
+      .select(col("__start"), (col("__last") + 1L).as("__end"))
+    val deltas = sess.select(col("__start").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("__end").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", Cols.floorDiv(col("ts"), TimeSeries.DayMs))
+    // intra-day prefix: RANGE frame (default with orderBy) includes peers
+    val intra = Window.partitionBy(col("day")).orderBy(col("ts"))
+    val daily = deltas
+      .withColumn("__run", sum(col("delta")).over(intra))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("sessions_started"),
+        max(col("__run")).as("__peak_intra"),
+        sum(col("delta")).as("__net"))
+    // carry-in: running net over the tiny per-day table (|days| rows)
+    val byDay = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("__carry", coalesce(sum(col("__net")).over(byDay), lit(0L)))
+      .select(
+        col("day"), col("sessions_started"),
+        (col("__carry") + greatest(col("__peak_intra"), lit(0L))).as("peak_concurrent"))
+  }
+
+  /** Gap-island sessions per user: (user_id, __sid, __start, __last) —
+    * the shared base under [[sessionConcurrency]] and [[returnTime]].
+    */
+  private def userSessions(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    events
+      .select(col("user_id"), col("ts_ms"))
+      .withColumn("__new",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1L)
+          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts_ms")).as("__start"), max(col("ts_ms")).as("__last"))
+  }
+
+  /** Time-to-return distribution: for every consecutive pair of a user's
+    * 30-min-gap sessions, the gap from the earlier session's LAST event
+    * to the next session's first — the "how long until they come back"
+    * retention metric (session-level, unlike [[interArrival]]'s
+    * event-level gaps; every value here exceeds the session gap by
+    * construction). One global summary row: count, min, exact p25/p50/
+    * p75/p95 (identical interpolation on both engines, rounded to 4),
+    * max.
+    *
+    * Scale: the sessionization window is the only data-sized shuffle
+    * (keyed by user — the same clustering every session operator shares);
+    * the lead() runs over per-user session lists (tiny), and the final
+    * stats are one 1-row aggregate — swap approx_percentile at 100 TB.
+    */
+  def returnTime(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("__start"))
+    userSessions(events, gapMs)
+      .withColumn("__ret", lead(col("__start"), 1).over(seq) - col("__last"))
+      .filter(col("__ret").isNotNull)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("__ret")).as("min_ms"),
+        round(expr("percentile(__ret, 0.25)"), 4).as("p25_ms"),
+        round(expr("percentile(__ret, 0.5)"), 4).as("p50_ms"),
+        round(expr("percentile(__ret, 0.75)"), 4).as("p75_ms"),
+        round(expr("percentile(__ret, 0.95)"), 4).as("p95_ms"),
+        max(col("__ret")).as("max_ms"))
   }
 
   /** Per-user behavioral entropy over the event-type distribution, in

@@ -461,4 +461,36 @@ object TimeSeries {
         count(when(col("day") === col("first_day"), 1)).as("new_users"))
       .withColumn("returning_users", col("dau") - col("new_users"))
   }
+
+  /** Order backlog level by day: each order occupies the day-granular
+    * interval [order day, last-line ship day] (end-inclusive), and
+    * `open_eod(d)` is the number of such intervals covering day d's end —
+    * the operations "how deep is the fulfillment queue" series. Orders
+    * with no lineitems have no known fulfillment and are excluded.
+    *
+    * Scale: one per-order shipdate max (hash agg on the join key), one
+    * orderkey equi-join, then ±1 deltas collapse to the per-day net table
+    * — |days| rows — whose running sum is the level. The only window runs
+    * over that driver-scale table, never the orders ([[Analytics
+    * .sessionConcurrency]]'s decomposition, minus the intra-day term that
+    * day granularity makes moot).
+    */
+  def openOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders.select(
+      col("o_orderkey"),
+      Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), DayMs).as("__pd"))
+    val shipped = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(Cols.floorDiv(unix_millis(col("l_shipdate").cast("timestamp")), DayMs)).as("__sd"))
+    val iv = placed.join(shipped, col("o_orderkey") === col("l_orderkey"))
+    val deltas = iv.select(col("__pd").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("__sd") + 1L).as("day"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy(col("day")).agg(
+      sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_placed"),
+      sum(col("delta")).as("__net"))
+    val byDay = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.select(
+      col("day"), col("n_placed"),
+      sum(col("__net")).over(byDay).as("open_eod"))
+  }
 }

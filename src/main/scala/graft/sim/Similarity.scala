@@ -441,6 +441,109 @@ object Similarity {
           lit(0L), _ + _).as("shift2_milli"))
   }
 
+  /** One exact Lloyd (k-means) iteration with deterministic seeding:
+    * initial centroids are the quantized vectors of the `k` smallest
+    * vec_ids, every vector is assigned to its nearest centroid by exact
+    * integer squared distance (|v|² − 2v·c + |c|², ties → smallest
+    * centroid id), and per-cluster integer floor centroids + inertia
+    * (Σ min-d²) are re-emitted. One verifiable step is the building block
+    * the full iterative clustering loops on a driver — each step is this
+    * exact shape, so pinning one step pins the loop body.
+    *
+    * Scale: the k-row centroid table broadcasts (bounded by k, not data —
+    * same class as [[silhouette]]'s |labels|-row broadcast); assignment
+    * is a map-side n × k scoring, and the recompute is one hash agg of
+    * dim positional sums. No pair joins, nothing quadratic in the corpus.
+    */
+  def kmeansStep(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+    val v = Dedup.quantized(embeddings)
+      .select(col("vec_id"), col("qv"), col("norm2").as("__vn"))
+    val init = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("__cid"), col("qv").as("__cqv"), col("__vn").as("__cn"))
+    val d2 = col("__vn") - lit(2L) * Dedup.longDot(col("qv"), col("__cqv")) + col("__cn")
+    val assigned = v.crossJoin(broadcast(init))
+      .select(col("vec_id"), col("qv"), struct(d2.as("d2"), col("__cid").as("cid")).as("__dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__dc")).as("__best"), first(col("qv")).as("qv"))
+      .select(
+        col("qv"),
+        col("__best.cid").as("cluster_id"),
+        col("__best.d2").as("__d2"))
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"__s$i"))
+    assigned.groupBy(col("cluster_id"))
+      .agg(sums.head,
+        (sums.tail ++ Seq(count(lit(1)).as("n_vecs"), sum(col("__d2")).as("inertia"))): _*)
+      .select(
+        col("cluster_id"), col("n_vecs"), col("inertia"),
+        concat_ws(",", (0 until dim).map(i =>
+          call_function("div",
+            col(s"__s$i") - pmod(col(s"__s$i"), col("n_vecs")), col("n_vecs"))
+            .cast("string")): _*).as("centroid_milli"))
+  }
+
+  /** One EXACT power-iteration step toward the corpus' dominant principal
+    * direction: `v₁ = Xᵀ(X·1)` over the milli-quantized integer matrix —
+    * per row one dot with the ones vector (the row sum), then per
+    * dimension the 1 aggregated `Σᵣ xᵣᵢ·rowsumᵣ`. Emitted per dim as the
+    * raw integer component plus its e4 ratio to the max |component| (the
+    * normalized direction, exact floor division). Iterating this step
+    * (driver loop, renormalizing between steps) is textbook power
+    * iteration on the second-moment matrix; one verifiable step pins the
+    * loop body, exactly the [[kmeansStep]] philosophy.
+    *
+    * Scale: ONE keyless aggregate of dim algebraic sums over a narrow
+    * map-side expression — no per-pair work, no dim×dim matrix shuffle.
+    * Components reach element·rowsum·rows ≈ 10³·10⁵·rows, so past ~10¹⁰
+    * rows the sums move to DECIMAL(38,0) (the trendSlope hazard).
+    */
+  def powerIterStep(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+      .select(col("qv"), aggregate(col("qv"), lit(0L), _ + _).as("__rs"))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("qv"), i + 1) * col("__rs")).as(s"__v$i"))
+    q.agg(sums.head, sums.tail: _*)
+      .select(
+        greatest((0 until dim).map(i => abs(col(s"__v$i"))): _*).as("__mx"),
+        explode(array((0 until dim).map(i =>
+          struct(lit((i + 1).toLong).as("dim"), col(s"__v$i").as("v"))): _*)).as("d"))
+      .select(
+        col("d.dim"), col("d.v").as("component"),
+        when(col("__mx") > 0, graft.Cols.floorDiv(col("d.v") * 10000, col("__mx")))
+          .as("ratio_e4"))
+  }
+
+  /** Per-dimension Tukey fences over the quantized corpus — the robust
+    * outlier screen [[dimStats]]' min/max can't give (one corrupt vector
+    * saturates a min; it can't move a quartile). Quartiles are exact:
+    * percentile interpolation over integers at .25/.75 lands on quarter
+    * units (exactly representable doubles), so ×4 recovers integers, and
+    * the 1.5·IQR fences live in eighths — `F8_low = 5·Q1₄ − 3·Q3₄`,
+    * `F8_high = 5·Q3₄ − 3·Q1₄` — making every comparison (`8·v` vs `F8`)
+    * pure integer math, bit-identical across engines.
+    *
+    * Scale: one posexplode to (dim, value) rows, one exact percentile per
+    * dimension (swap approx_percentile at 100 TB), then a broadcast
+    * |dim|-row fence join and a counting aggregate.
+    */
+  def dimFences(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val vals = Dedup.quantized(embeddings)
+      .select(posexplode(col("qv")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("__v"))
+    val qs = vals.groupBy(col("dim")).agg(
+      round(expr("percentile(__v, 0.25) * 4"), 0).cast("long").as("q1_4"),
+      round(expr("percentile(__v, 0.75) * 4"), 0).cast("long").as("q3_4"))
+    vals.join(broadcast(qs), "dim")
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        first(col("q1_4")).as("q1_4"),
+        first(col("q3_4")).as("q3_4"),
+        count(when(col("__v") * 8 < lit(5L) * col("q1_4") - lit(3L) * col("q3_4"), 1))
+          .as("n_low"),
+        count(when(col("__v") * 8 > lit(5L) * col("q3_4") - lit(3L) * col("q1_4"), 1))
+          .as("n_high"))
+  }
+
   /** Per-dimension embedding statistics — the drift/health monitor an
     * embedding pipeline runs on every new batch (a collapsed dimension,
     * a mean shift, or an exploding scale shows up here before it poisons
@@ -493,6 +596,9 @@ object Similarity {
     "emb_centroid_shift" -> ((s, d) => centroidShift(Tables.embeddings(s, d))),
     "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
     "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
+    "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
+    "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
+    "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -536,6 +642,85 @@ object Similarity {
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
     // same centroid CTEs; median via quantile_cont (≡ Spark percentile)
+    // v₁ = Xᵀ(X·1) in exact integers; remainder-corrected floor for the
+    // (sign-carrying) e4 ratio
+    "emb_power_iter" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT qv, list_sum(qv)::BIGINT AS rs FROM q
+        |), v AS (
+        |  SELECT ii.i::BIGINT AS dim, sum(qv[ii.i] * rs)::BIGINT AS component
+        |  FROM r CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY 1
+        |), mx AS (SELECT max(abs(component)) AS m FROM v)
+        |SELECT dim, component,
+        |  CASE WHEN m > 0 THEN
+        |    ((component * 10000 - (((component * 10000 % m) + m) % m)) // m)::BIGINT
+        |  END AS ratio_e4
+        |FROM v CROSS JOIN mx""".stripMargin,
+    // quarter-unit quartiles (exact doubles), eighth-unit Tukey fences —
+    // every comparison is integer
+    "emb_dim_fences" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT ii.i::BIGINT AS dim, qv[ii.i] AS val
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |), qs AS (
+        |  SELECT dim, round(quantile_cont(val, 0.25) * 4, 0)::BIGINT AS q1_4,
+        |              round(quantile_cont(val, 0.75) * 4, 0)::BIGINT AS q3_4
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT v.dim, count(*)::BIGINT AS n_vecs, min(q1_4) AS q1_4, min(q3_4) AS q3_4,
+        |  count(CASE WHEN val * 8 < 5 * q1_4 - 3 * q3_4 THEN 1 END)::BIGINT AS n_low,
+        |  count(CASE WHEN val * 8 > 5 * q3_4 - 3 * q1_4 THEN 1 END)::BIGINT AS n_high
+        |FROM v JOIN qs USING (dim)
+        |GROUP BY 1""".stripMargin,
+    // deterministic k-seed Lloyd step: nearest centroid by exact integer
+    // d², tie → smallest centroid id (min over equal-d² rows), then the
+    // same integer floor-centroid construction as emb_centroids
+    "emb_kmeans_step" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), init AS (
+        |  SELECT vec_id AS cid, qv AS cqv, norm2 AS cn FROM n WHERE vec_id < 8
+        |), d AS (
+        |  SELECT n.vec_id, init.cid,
+        |    (n.norm2
+        |     - 2 * list_sum([n.qv[i] * init.cqv[i] for i in generate_series(1, len(n.qv))])::BIGINT
+        |     + init.cn)::BIGINT AS d2
+        |  FROM n CROSS JOIN init
+        |), m AS (
+        |  SELECT vec_id, min(d2) AS md FROM d GROUP BY 1
+        |), asg AS (
+        |  SELECT d.vec_id, min(d.cid) AS cluster_id, min(d.d2) AS d2
+        |  FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.md
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT cluster_id, ii.i AS i, sum(q.qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM asg JOIN q ON q.vec_id = asg.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY cluster_id, ii.i
+        |), cent AS (
+        |  SELECT cluster_id, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cells GROUP BY cluster_id
+        |), inert AS (
+        |  SELECT cluster_id, sum(d2)::BIGINT AS inertia FROM asg GROUP BY 1
+        |)
+        |SELECT cent.cluster_id, n_vecs, inertia,
+        |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli
+        |FROM cent JOIN inert USING (cluster_id)""".stripMargin,
     "emb_outliers" ->
       """WITH q AS (
         |  SELECT vec_id, label,

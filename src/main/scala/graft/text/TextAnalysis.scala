@@ -509,6 +509,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Corpus-order novelty curve: per document, the share of its distinct
+    * shingles that no LOWER doc_id contains — the "is the crawl still
+    * finding new content" monitor a curation pipeline plots per ingest
+    * batch (doc_id plays ingest order here). A corpus going stale shows
+    * novelty_e4 collapsing toward 0 while volume holds.
+    *
+    * Scale: one hash aggregate to first-occurrence per shingle, one
+    * equi-join back on the shingle key (fan-out = Σdf = the shingle-row
+    * count — linear, never quadratic), one per-doc counting aggregate.
+    */
+  def noveltyCurve(docs: DataFrame): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleRows(docs)
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("__first"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("__first") === col("doc_id"), 1)).as("n_novel"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_novel"),
+        Cols.floorDiv(col("n_novel") * 10000, col("n_shingles")).as("novelty_e4"))
+  }
+
   /** Corpus-wide top-k word n-grams by OCCURRENCE count (every repeat
     * counts, unlike the distinct-per-doc shingles of [[hotPassages]]),
     * ties broken by the n-gram string so the selected set is
@@ -716,6 +739,7 @@ object TextAnalysis {
     "txt_contamination_capped" -> ((s, d) =>
       contamination(Tables.documents(s, d), maxTrainDf = Some(5L))),
     "txt_hot_passages" -> ((s, d) => hotPassages(Tables.documents(s, d))),
+    "txt_novelty" -> ((s, d) => noveltyCurve(Tables.documents(s, d))),
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
@@ -819,6 +843,15 @@ object TextAnalysis {
       s"""$tokCte, $shingleCte
          |SELECT shingle, count(*) AS df FROM sh
          |GROUP BY shingle HAVING count(*) >= 3""".stripMargin,
+    "txt_novelty" ->
+      s"""$tokCte, $shingleCte, f AS (
+         |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+         |)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel,
+         |  (count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) * 10000) // count(*) AS novelty_e4
+         |FROM sh JOIN f USING (shingle)
+         |GROUP BY 1""".stripMargin,
     "txt_tfidf_top_terms" ->
       s"""$tokCte, terms AS (
          |  SELECT doc_id, unnest(toks) AS term FROM t

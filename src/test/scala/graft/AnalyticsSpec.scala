@@ -297,4 +297,90 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._2).toList
     assert(got === List(("x", 0L, 3L, 7500L), ("x", 1L, 1L, 2500L)))
   }
+
+  test("session concurrency: ties, midnight carry, end-only day") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      // user 1: one session [1000, 2001)
+      (1L, 1000L, "x"), (1L, 2000L, "x"),
+      // user 2: single-event session [1500, 1501)
+      (2L, 1500L, "x"),
+      // user 4: starts at the exact instant user 2's session ends —
+      // RANGE frame nets the tie identically on both engines
+      (4L, 1501L, "x"),
+      // user 1 again, > 30 min later: second session [10^7, 10^7+1)
+      (1L, 10000000L, "x"),
+      // user 3: session crossing midnight [D-1000, D+500001)
+      (3L, D - 1000L, "x"), (3L, D + 500000L, "x"))
+    val got = Analytics.sessionConcurrency(events)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // day 0: sessions started 5, peak 2 (users 1+2 overlap at t=1500;
+    //   the 1501 tie nets to 2, never 3)
+    // day 1: only user 3's session END lands here — zero starts, and the
+    //   peak is the carry-in alone (greatest(intra, 0) path)
+    assert(got === List((0L, 5L, 2L), (1L, 0L, 1L)))
+  }
+
+  test("ab lift: full separation → z² = n·10⁴, no lift → z² = 0") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val users = (1L to 20L).toList
+    // derive the arm assignment the operator will use (the hash is not
+    // under test here; the exact z² arithmetic is)
+    val arms = users.toDF("user_id")
+      .select(col("user_id"),
+        pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L)).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val aUsers = users.filter(arms(_) == 0L)
+    val bUsers = users.filter(arms(_) == 1L)
+    val (na, nb) = (aUsers.size.toLong, bUsers.size.toLong)
+    assert(na > 0 && nb > 1) // fixture sanity: both arms populated
+    // everyone but one arm-B user views; only arm-A users buy; every
+    // user signs up (degenerate k = n → NULL z², by design)
+    val events = ev(
+      ((aUsers ++ bUsers.tail).map(u => (u, 100L, "view")) ++
+        aUsers.map(u => (u, 200L, "buy")) ++
+        users.map(u => (u, 300L, "signup"))): _*)
+    val got = Analytics.abLift(events)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // view: ka=na, kb=nb−1 — mild lift, z² from the exact formula
+    val (ka, kb) = (na, nb - 1)
+    val n = na + nb
+    val diff = BigInt(ka) * nb - BigInt(kb) * na
+    val z2 = diff * diff * n * 10000 / (BigInt(na) * nb * (ka + kb) * (n - ka - kb))
+    assert(got("view") === (("view", na, ka, nb, kb,
+      Some(10000L), Some(kb * 10000L / nb), Some(z2.toLong))))
+    // buy: ka=na, kb=0 → diff = na·nb, den = (na·nb)² → z² = n exactly
+    assert(got("buy") === (("buy", na, na, nb, 0L,
+      Some(10000L), Some(0L), Some(20L * 10000L))))
+    // signup: everyone converts — the test is undefined, z² is NULL
+    assert(got("signup") === (("signup", na, na, nb, nb,
+      Some(10000L), Some(10000L), None)))
+  }
+
+  test("funnel latency: entry-time gaps per consecutive stage") {
+    val events = ev(
+      (1L, 100L, "view"), (1L, 300L, "click"), (1L, 500L, "purchase"),
+      (2L, 100L, "view"), (2L, 200L, "click"),
+      (3L, 100L, "click")) // never viewed — not in the funnel
+    val got = Analytics.funnelLatency(events, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Long, Double, Double, Long)]
+      .collect().sortBy(_._1).toList
+    // click gaps: [200, 100] → p50 = 150, p95 = 195 (exact interpolation)
+    assert(got === List(
+      (2L, "click", 2L, 100L, 150.0, 195.0, 200L),
+      (3L, "purchase", 1L, 200L, 200.0, 200.0, 200L)))
+  }
+
+  test("return time: gaps between consecutive sessions of a user") {
+    val events = ev(
+      (1L, 0L, "x"), (1L, 1000L, "x"), // session 1 ends at 1000
+      (1L, 10000000L, "x"), (1L, 10000500L, "x"), // ret₁ = 9 999 000
+      (1L, 20000000L, "x"), // ret₂ = 9 999 500
+      (2L, 5000L, "x")) // single session — no gap
+    val got = Analytics.returnTime(events)
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect().toList
+    assert(got === List(
+      (2L, 9999000L, 9999125.0, 9999250.0, 9999375.0, 9999475.0, 9999500L)))
+  }
 }

@@ -323,4 +323,60 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
+
+  test("prefix jaccard: identical docs pair at 10000, disjoint docs absent") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.prefixJaccard(docs((1L, a), (2L, a), (3L, b)))
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 10000L)))
+  }
+
+  test("prefix jaccard equals the un-pruned all-pairs join (lossless filter)") {
+    // seeded corpus over a small vocab (dense shingle collisions) plus
+    // planted near-dup pairs — the prefix filter must lose NOTHING
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch")
+    val base = (0L until 30L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.take(5).map { case (i, t) => (i + 100L, t + " extra") }
+    val corpus = docs((base ++ nearDups): _*)
+    val got = Dedup.prefixJaccard(corpus)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: every shared-shingle pair, no prefix pruning
+    val sh = Dedup.shingleRows(corpus)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.select(col("doc_id").as("doc_id_1"), col("n").as("na")), "doc_id_1")
+      .join(cnt.select(col("doc_id").as("doc_id_2"), col("n").as("nb")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        Cols.floorDiv(col("c") * 10000, col("na") + col("nb") - col("c")).as("j"))
+      .filter(col("j") >= 5000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // the planted pairs must actually clear θ
+    assert(got === brute)
+  }
+
+  test("incremental: exact tier, simhash near tier (token-set permutation), new") {
+    val corpus = docs(
+      (0L, "alpha beta gamma delta"),
+      (2L, "one two three four five six"),
+      (4L, "padding corpus document words here"),
+      // batch (odd ids):
+      (1L, "alpha  beta gamma delta"), // normalizes identical to 0 → exact
+      (3L, "six five four three two one"), // same token SET as 2, different
+      // text → same simhash, different md5 → near tier
+      (5L, "totally unseen vocabulary in this entry")) // → new
+    val got = Dedup.incremental(corpus)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "dup_exact", Some(0L)),
+      (3L, "dup_near", Some(2L)),
+      (5L, "new", None)))
+  }
 }

@@ -175,4 +175,52 @@ class SimilaritySpec extends SparkSpec {
     // top-5 labels: {1, 1, 1, 2, 2} → predicted 1 with 3 votes; true label 9
     assert(got === List((0L, 1L, 3L, 9L)))
   }
+
+  test("kmeans step: nearest-centroid assignment, integer centroids, tie → smaller id") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // seed centroid 0
+      (1L, Seq(0.0f, 1.0f), 0), // seed centroid 1
+      (2L, Seq(0.9f, 0.1f), 0), // d²(c0)=20000 < d²(c1)=1620000 → c0
+      (3L, Seq(0.1f, 0.9f), 0), // → c1
+      (4L, Seq(0.5f, 0.5f), 0)) // equidistant (500000) → tie → c0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansStep(d, k = 2, dim = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    // c0 = {0,2,4}: sums (2400,600)/3 → (800,200); inertia 0+20000+500000
+    // c1 = {1,3}:   sums (100,1900)/2 → (50,950);  inertia 0+20000
+    assert(got === List(
+      (0L, 3L, 520000L, "800,200"),
+      (1L, 2L, 20000L, "50,950")))
+  }
+
+  test("dim fences: quarter-unit quartiles, 1.5·IQR outlier counts") {
+    val d = Seq(
+      (0L, Seq(0.0f, 0.0f), 0),
+      (1L, Seq(0.1f, 0.0f), 0),
+      (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(0.3f, 0.0f), 0),
+      (4L, Seq(10.0f, 0.0f), 0)) // dim-1 outlier
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimFences(d, dim = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // dim 1 milli [0,100,200,300,10000]: q1=100→400/4, q3=300→1200/4;
+    // F8_high = 5·1200 − 3·400 = 4800 → v > 600 ⇒ only 10000 flags
+    // dim 2 all-zero: fences collapse to 0, nothing strictly outside
+    assert(got === List(
+      (1L, 5L, 400L, 1200L, 0L, 1L),
+      (2L, 5L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("power iteration step: v₁ = Xᵀ(X·1) exact, signed e4 ratios") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // rowsum 1000
+      (1L, Seq(1.0f, 1.0f), 0), // rowsum 2000
+      (2L, Seq(-1.0f, 0.0f), 0)) // rowsum −1000
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.powerIterStep(d, dim = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // dim1: 1000·1000 + 1000·2000 + (−1000)(−1000) = 4·10⁶ (max)
+    // dim2: 1000·2000 = 2·10⁶ → ratio 5000
+    assert(got === List((1L, 4000000L, 10000L), (2L, 2000000L, 5000L)))
+  }
 }

@@ -338,4 +338,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().head
     assert(got === (1L, None))
   }
+
+  test("novelty curve: first-occurrence shingle shares in doc_id order") {
+    val got = TextAnalysis.noveltyCurve(docs(
+      (1L, "a b c d"), // {a b c, b c d} — both novel
+      (2L, "a b c d"), // exact repeat — zero novel
+      (3L, "a b c x y z"))) // {a b c} seen, 3 of 4 novel
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 2L, 2L, 10000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 4L, 3L, 7500L)))
+  }
 }

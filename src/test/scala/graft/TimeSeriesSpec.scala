@@ -263,4 +263,21 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got === List((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
   }
+
+  test("open orders: end-inclusive backlog level, line-less orders excluded") {
+    val D = TimeSeries.DayMs
+    def ts(day: Long) = new java.sql.Timestamp(day * D)
+    val orders = Seq(
+      (1L, ts(0)), // ships over [0, 2]
+      (2L, ts(1)), // ships same day → [1, 1]
+      (3L, ts(0))) // no lineitems — unknown fulfillment, excluded
+      .toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (1L, ts(0)), (1L, ts(2)),
+      (2L, ts(1)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = TimeSeries.openOrders(orders, lines)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 1L), (3L, 0L, 0L)))
+  }
 }
