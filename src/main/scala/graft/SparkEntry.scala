@@ -255,6 +255,14 @@ object SparkEntry {
     "ord_open_orders" -> ((s, dir) =>
       graft.ops.TimeSeries.openOrders(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // per-part replenishment gaps from repeat (customer, part) orders
+    "li_repurchase_cycle" -> ((s, dir) =>
+      graft.ops.TimeSeries.repurchaseCycle(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // fulfillment SLA share by priority (last line within 30 days)
+    "ord_fill_rate" -> ((s, dir) =>
+      graft.ops.TimeSeries.fillRate(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -811,6 +819,33 @@ object SparkEntry {
         |)
         |SELECT event_type, day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "li_repurchase_cycle" ->
+      """WITH j AS (
+        |  SELECT DISTINCT o_custkey, l_partkey,
+        |    epoch_ms(o_orderdate) // 86400000 AS day
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), g AS (
+        |  SELECT l_partkey,
+        |    day - lag(day) OVER (PARTITION BY o_custkey, l_partkey ORDER BY day) AS gap
+        |  FROM j
+        |)
+        |SELECT l_partkey, count(*) AS n_cycles, min(gap) AS min_days,
+        |  ((sum(gap) * 10000) // count(*))::BIGINT AS avg_days_e4,
+        |  max(gap) AS max_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "ord_fill_rate" ->
+      """WITH sdt AS (
+        |  SELECT l_orderkey, max(epoch_ms(l_shipdate) // 86400000) AS sd
+        |  FROM lineitem GROUP BY 1
+        |), o AS (
+        |  SELECT o_orderpriority, epoch_ms(o_orderdate) // 86400000 AS pd, sd
+        |  FROM orders JOIN sdt ON o_orderkey = l_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(CASE WHEN sd - pd <= 30 THEN 1 END) AS n_within_sla,
+        |  (count(CASE WHEN sd - pd <= 30 THEN 1 END) * 10000) // count(*) AS fill_e4
+        |FROM o GROUP BY 1""".stripMargin,
     "ord_open_orders" ->
       """WITH p AS (
         |  SELECT o_orderkey, epoch_ms(o_orderdate) // 86400000 AS pd FROM orders

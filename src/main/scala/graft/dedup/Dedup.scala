@@ -552,6 +552,69 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
   }
 
+  /** Distinct shingle set per doc as a sorted array + its size — the
+    * exact-verification side table candidate-pair operators join against.
+    */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    shingleRows(docs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("ss"), count(lit(1)).as("n_sh"))
+
+  /** MinHash estimator calibration: every LSH candidate pair scored by
+    * BOTH the 16-permutation estimate and the exact shingle Jaccard, with
+    * the signed error — the "is my sketch lying to me" report run before
+    * trusting `est_jaccard` as a dedup gate at scale. est is k/16 so
+    * `est_e4 = 625·k` is exact; the exact side is the same integer floor
+    * Jaccard as [[prefixJaccard]].
+    *
+    * Scale: candidates come from the LSH buckets (never all pairs); the
+    * exact verification joins each candidate to two per-doc shingle
+    * arrays — work ∝ candidates, the [[embeddingNearDupsLsh]] discipline.
+    */
+  def minhashQuality(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
+    val sets = shingleSets(docs)
+    minhashLsh(docs, estThreshold)
+      .join(sets.select(col("doc_id").as("doc_id_1"),
+        col("ss").as("__sa"), col("n_sh").as("__na")), "doc_id_1")
+      .join(sets.select(col("doc_id").as("doc_id_2"),
+        col("ss").as("__sb"), col("n_sh").as("__nb")), "doc_id_2")
+      .select(
+        col("doc_id_1"), col("doc_id_2"),
+        round(col("est_jaccard") * 10000).cast("long").as("est_e4"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__c"),
+        col("__na"), col("__nb"))
+      .select(
+        col("doc_id_1"), col("doc_id_2"), col("est_e4"),
+        Cols.floorDiv(col("__c") * 10000, col("__na") + col("__nb") - col("__c"))
+          .as("exact_e4"))
+      .withColumn("err_e4", col("est_e4") - col("exact_e4"))
+  }
+
+  /** Near-dup METHOD agreement matrix: the pairwise overlap of the pair
+    * sets flagged by the three blocking families — MinHash LSH
+    * (probabilistic sketch), SimHash Hamming ≤ 3 (exact pigeonhole), and
+    * df-capped n-gram Jaccard (posting lists). 9 rows
+    * (method_a, method_b, n_pairs): the diagonal is each method's own
+    * pair count, off-diagonals the agreements — the report that justifies
+    * (or indicts) swapping one blocking tier for a cheaper one.
+    *
+    * Scale: each input is an already-bounded candidate-pair set, orders
+    * below the corpus; the agreement join is keyed by the pair itself.
+    */
+  def methodAgreement(docs: DataFrame): DataFrame = {
+    val tagged =
+      minhashLsh(docs).select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
+        .unionAll(simhashNearDups(docs)
+          .select(lit("simhash").as("method"), col("doc_id_1"), col("doc_id_2")))
+        .unionAll(ngramJaccard(docs)
+          .select(lit("ngram").as("method"), col("doc_id_1"), col("doc_id_2")))
+    tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.doc_id_1") === col("b.doc_id_1") && col("a.doc_id_2") === col("b.doc_id_2"))
+      .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash: 60-bit signature where bit j is the majority vote of bit j
     * across the hashes of the document's distinct tokens. Hamming-close
     * signatures ⇒ similar token sets. Computed as 60 algebraic sums (one
@@ -843,6 +906,8 @@ object Dedup {
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
+    "dedup_method_agreement" -> ((s, d) => methodAgreement(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
@@ -1158,6 +1223,100 @@ object Dedup {
          |WHERE round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
          |                            x -> x))::DOUBLE / $NumPerms, 4) >= $EstThreshold""".stripMargin,
     "dedup_simhash" -> s"$simhashCte\nSELECT doc_id, simhash FROM sigs",
+    // est_e4 = 625·(matching permutations) — exact (k/16 is a binary
+    // fraction); exact side = un-capped shingle jaccard on candidates only
+    "dedup_minhash_quality" ->
+      s"""$tokCte, h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT doc_id_1, doc_id_2,
+         |    len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                    x -> x))::BIGINT * 625 AS est_e4
+         |  FROM cand
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT mh.doc_id_1, mh.doc_id_2, mh.est_e4,
+         |  ((coalesce(c, 0) * 10000) // (ca.n + cb.n - coalesce(c, 0)))::BIGINT AS exact_e4,
+         |  (mh.est_e4 - (coalesce(c, 0) * 10000) // (ca.n + cb.n - coalesce(c, 0)))::BIGINT AS err_e4
+         |FROM mh
+         |LEFT JOIN inter ON d1 = doc_id_1 AND d2 = doc_id_2
+         |JOIN cnt ca ON ca.doc_id = doc_id_1
+         |JOIN cnt cb ON cb.doc_id = doc_id_2
+         |WHERE mh.est_e4 >= ${(EstThreshold * 10000).toLong}""".stripMargin,
+    // all three pair sets rebuilt on simhashCte's token table, then the
+    // 3×3 agreement join keyed by the pair itself
+    "dedup_method_agreement" ->
+      s"""$simhashCte, sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                          for i in generate_series(1, len(toks) - 2)])) AS shingle
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  WHERE len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                        x -> x)) * 625 >= ${(EstThreshold * 10000).toLong}
+         |), shp AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), ng AS (
+         |  SELECT doc_id_1, doc_id_2
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_id_1
+         |  JOIN cnt cb ON cb.doc_id = doc_id_2
+         |  WHERE round(c::DOUBLE / (ca.n + cb.n - c), 4) >= $JaccardThreshold
+         |), tagged AS (
+         |  SELECT 'minhash' AS method, doc_id_1, doc_id_2 FROM mh
+         |  UNION ALL SELECT 'simhash', doc_id_1, doc_id_2 FROM shp
+         |  UNION ALL SELECT 'ngram', doc_id_1, doc_id_2 FROM ng
+         |)
+         |SELECT a.method AS method_a, b.method AS method_b, count(*) AS n_pairs
+         |FROM tagged a JOIN tagged b
+         |  ON a.doc_id_1 = b.doc_id_1 AND a.doc_id_2 = b.doc_id_2
+         |GROUP BY 1, 2""".stripMargin,
     // connected components as a transitive-closure recursive CTE — exact
     // but O(Σ|component|²) rows, fine as a small-scale oracle for the
     // iterative min-propagation the Spark side runs

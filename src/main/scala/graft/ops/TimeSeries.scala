@@ -475,6 +475,62 @@ object TimeSeries {
     * .sessionConcurrency]]'s decomposition, minus the intra-day term that
     * day granularity makes moot).
     */
+  /** Repurchase cycle per part: the day gaps between a customer's
+    * consecutive DISTINCT order days of the same part, aggregated to the
+    * part — the replenishment-rate signal behind reorder forecasting.
+    * Parts nobody re-bought have no gaps and are absent.
+    *
+    * Scale: one orderkey equi-join, one distinct on (cust, part, day) —
+    * all sharing the same shuffle lineage — then a lag window keyed by
+    * (cust, part) (tiny partitions by construction) and a hash agg onto
+    * |parts| rows. avg_days_e4 is an exact integer floor division.
+    */
+  def repurchaseCycle(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val byPair = Window
+      .partitionBy(col("o_custkey"), col("l_partkey")).orderBy(col("__day"))
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey"), col("l_partkey"),
+        Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), DayMs).as("__day"))
+      .distinct()
+      .withColumn("__gap", col("__day") - lag(col("__day"), 1).over(byPair))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_cycles"),
+        min(col("__gap")).as("min_days"),
+        Cols.floorDiv(sum(col("__gap")) * 10000, count(lit(1))).as("avg_days_e4"),
+        max(col("__gap")).as("max_days"))
+  }
+
+  /** Fulfillment SLA by order priority: the share of orders whose LAST
+    * line shipped within `slaDays` of the order date, in exact e4 —
+    * the service-level report ops reviews weekly. Orders with no lines
+    * are excluded ([[openOrders]]' rule).
+    *
+    * Scale: the same per-order shipdate max + orderkey join as
+    * [[openOrders]], then one hash agg onto |priorities| rows.
+    */
+  def fillRate(orders: DataFrame, lineitem: DataFrame, slaDays: Long = 30L): DataFrame = {
+    val shipped = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(Cols.floorDiv(unix_millis(col("l_shipdate").cast("timestamp")), DayMs))
+        .as("__sd"))
+    orders
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), DayMs).as("__pd"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("__sd") - col("__pd") <= slaDays, 1)).as("n_within_sla"))
+      .select(
+        col("o_orderpriority"), col("n_orders"), col("n_within_sla"),
+        Cols.floorDiv(col("n_within_sla") * 10000, col("n_orders")).as("fill_e4"))
+  }
+
   def openOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val placed = orders.select(
       col("o_orderkey"),

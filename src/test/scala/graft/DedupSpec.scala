@@ -324,6 +324,25 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("minhash quality: identical docs — estimate and exact agree at 10000") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.minhashQuality(docs((1L, a), (2L, a), (3L, b)))
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 10000L, 10000L, 0L)))
+  }
+
+  test("method agreement: a true duplicate is flagged by all three methods") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.methodAgreement(docs((1L, a), (2L, a), (3L, b)))
+      .as[(String, String, Long)].collect().toSet
+    // one pair (1,2) in every method's set → the full 3×3 matrix is 1s
+    val methods = Seq("minhash", "simhash", "ngram")
+    val expected = (for (x <- methods; y <- methods) yield (x, y, 1L)).toSet
+    assert(got === expected)
+  }
+
   test("prefix jaccard: identical docs pair at 10000, disjoint docs absent") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "completely different words entirely unrelated to anything else here now"

@@ -264,6 +264,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
   }
 
+  test("repurchase cycle: distinct-day gaps per (customer, part), part-level stats") {
+    val D = TimeSeries.DayMs
+    def ts(day: Long) = new java.sql.Timestamp(day * D)
+    val orders = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(5)), (3L, 1L, ts(12)),
+      (4L, 2L, ts(0)), (5L, 2L, ts(3)),
+      (6L, 1L, ts(0))) // same day as ok1 — distinct-day dedup
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lines = (Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 10L)) :+ (1L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = TimeSeries.repurchaseCycle(orders, lines)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // part 10: cust-1 gaps [5, 7], cust-2 gap [3] → avg 5 days exactly;
+    // part 20 bought once — no cycle, absent
+    assert(got === List((10L, 3L, 3L, 50000L, 7L)))
+  }
+
+  test("fill rate: last-line ship within SLA, per priority") {
+    val D = TimeSeries.DayMs
+    def ts(day: Long) = new java.sql.Timestamp(day * D)
+    val orders = Seq(
+      (1L, "1-URGENT", ts(0)), // last line day 31 → misses
+      (2L, "1-URGENT", ts(0)), // day 30 → exactly on SLA, counts
+      (3L, "2-HIGH", ts(5)), // day 36 → 31 days, misses
+      (4L, "2-HIGH", ts(0))) // no lines — excluded
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lines = Seq(
+      (1L, ts(10)), (1L, ts(31)),
+      (2L, ts(30)),
+      (3L, ts(36)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = TimeSeries.fillRate(orders, lines)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("1-URGENT", 2L, 1L, 5000L),
+      ("2-HIGH", 1L, 0L, 0L)))
+  }
+
   test("open orders: end-inclusive backlog level, line-less orders excluded") {
     val D = TimeSeries.DayMs
     def ts(day: Long) = new java.sql.Timestamp(day * D)
