@@ -263,6 +263,13 @@ object SparkEntry {
     "ord_fill_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.fillRate(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // open-order age buckets at the in-plan reference day
+    "ord_backlog_aging" -> ((s, dir) =>
+      graft.ops.TimeSeries.backlogAging(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // weekly DAU/WAU engagement ratio, exact e4
+    "ev_stickiness" -> ((s, dir) =>
+      graft.ops.TimeSeries.stickiness(Tables.events(s, dir))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -819,6 +826,39 @@ object SparkEntry {
         |)
         |SELECT event_type, day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "ord_backlog_aging" ->
+      """WITH sdt AS (
+        |  SELECT l_orderkey, max(epoch_ms(l_shipdate) // 86400000) AS sd
+        |  FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT max(epoch_ms(o_orderdate) // 86400000) AS ref FROM orders
+        |), o AS (
+        |  SELECT o_orderpriority, epoch_ms(o_orderdate) // 86400000 AS pd, sd, ref
+        |  FROM orders JOIN sdt ON o_orderkey = l_orderkey CROSS JOIN r
+        |)
+        |SELECT o_orderpriority,
+        |  CASE WHEN ref - pd <= 7 THEN '0-7'
+        |       WHEN ref - pd <= 30 THEN '8-30'
+        |       ELSE '31+' END AS age_bucket,
+        |  count(*) AS n_orders
+        |FROM o WHERE sd > ref
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    (epoch_ms(ts::TIMESTAMP) // 86400000) // 7 AS week
+        |  FROM events
+        |), daily AS (
+        |  SELECT week, day, count(*) AS dau FROM ud GROUP BY 1, 2
+        |), weekly AS (
+        |  SELECT week, count(DISTINCT user_id) AS wau FROM ud GROUP BY 1
+        |), ws AS (
+        |  SELECT week, sum(dau)::BIGINT AS sum_dau, count(*) AS active_days
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT ws.week, wau, sum_dau, active_days,
+        |  (sum_dau * 10000) // (active_days * wau) AS stickiness_e4
+        |FROM ws JOIN weekly USING (week)""".stripMargin,
     "li_repurchase_cycle" ->
       """WITH j AS (
         |  SELECT DISTINCT o_custkey, l_partkey,

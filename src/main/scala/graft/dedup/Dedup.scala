@@ -199,11 +199,13 @@ object Dedup {
     * each document's RAREST shingles, so list lengths (and the Σdf² join
     * work) collapse without dropping vocabulary; frequent shingles never
     * enter a prefix unless a document is almost entirely made of them.
-    * Per-doc shingle arrays are bounded by document length (collect is
-    * per-row, not per-corpus); verification touches candidate pairs only,
-    * via one sorted-array intersection per pair.
+    * A size-compatibility predicate (θ|B| ≤ |A| ≤ |B|/θ — also implied by
+    * Jaccard ≥ θ, also lossless) prunes candidates INSIDE the join before
+    * the distinct. Per-doc shingle arrays are bounded by document length
+    * (collect is per-row, not per-corpus); verification touches candidate
+    * pairs only, via one sorted-array intersection per pair.
     */
-  def prefixJaccard(docs: DataFrame, thresholdE4: Long = 5000L): DataFrame = {
+  def prefixJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
     val sh = shingleRows(docs)
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per doc: full distinct shingle set, rarest-first under (df, shingle)
@@ -219,10 +221,13 @@ object Dedup {
     // prefix length n − ⌈θn⌉ + 1; ⌈θn⌉ = (n·θE4 + 9999) div 10000 (n > 0)
     val prefLen = col("n_sh") - Cols.floorDiv(col("n_sh") * thresholdE4 + 9999L, 10000L) + 1
     val prefRows = docSets
-      .select(col("doc_id"), explode(slice(col("ss"), lit(1), prefLen)).as("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("ss"), lit(1), prefLen)).as("shingle"))
     val cands = prefRows.as("a")
       .join(prefRows.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * 10000 >= col("b.n_sh") * thresholdE4 &&
+          col("b.n_sh") * 10000 >= col("a.n_sh") * thresholdE4)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
     cands
@@ -615,6 +620,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Planted-duplicate recall harness: every corpus document is cloned
+    * with its LAST token dropped (clone id = doc_id + `offset`), the
+    * clones are unioned in, and the MinHash LSH pair set is scored on how
+    * many planted (original, clone) pairs it recovers — the recall
+    * regression a dedup deployment runs BEFORE trusting its LSH
+    * parameters on a new corpus. Documents under 4 tokens are not planted
+    * (their clone would have no shingles — unfindable by construction).
+    * One row: (n_planted, n_found, recall_e4). Deterministic end-to-end:
+    * the perturbation is structural, no RNG anywhere.
+    *
+    * Scale: clone construction is map-only; the candidate path is the
+    * registered LSH scale path itself; scoring is one membership join on
+    * the planted pair key and a 1-row aggregate.
+    */
+  def recallHarness(docs: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), Cols.tokens(col("text")).as("__t"))
+    val clones = toks.filter(size(col("__t")) >= 4)
+      .select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat_ws(" ", slice(col("__t"), lit(1), size(col("__t")) - 1)).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(clones)
+    val pairs = minhashLsh(corpus)
+      .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("__hit"))
+    clones
+      .select((col("doc_id") - offset).as("doc_id_1"), col("doc_id").as("doc_id_2"))
+      .join(pairs, Seq("doc_id_1", "doc_id_2"), "left")
+      .agg(count(lit(1)).as("n_planted"), count(col("__hit")).as("n_found"))
+      .select(
+        col("n_planted"), col("n_found"),
+        when(col("n_planted") > 0,
+          Cols.floorDiv(col("n_found") * 10000, col("n_planted"))).as("recall_e4"))
+  }
+
   /** SimHash: 60-bit signature where bit j is the majority vote of bit j
     * across the hashes of the document's distinct tokens. Hamming-close
     * signatures ⇒ similar token sets. Computed as 60 algebraic sums (one
@@ -907,6 +945,7 @@ object Dedup {
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
+    "dedup_recall_harness" -> ((s, d) => recallHarness(Tables.documents(s, d))),
     "dedup_method_agreement" -> ((s, d) => methodAgreement(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
@@ -1006,7 +1045,7 @@ object Dedup {
          |FROM inter
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
-         |WHERE (n_common * 10000) // (ca.n + cb.n - n_common) >= 5000""".stripMargin,
+         |WHERE (n_common * 10000) // (ca.n + cb.n - n_common) >= 8000""".stripMargin,
     "dedup_incremental" ->
       s"""$simhashCte, hashed AS (
          |  SELECT doc_id,
@@ -1261,6 +1300,47 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
          |WHERE mh.est_e4 >= ${(EstThreshold * 10000).toLong}""".stripMargin,
+    // clone = last token dropped; LSH pair set rebuilt over the union
+    "dedup_recall_harness" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, toks FROM t0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, toks[1:len(toks)-1] FROM t0 WHERE len(toks) >= 4
+         |), sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                          for i in generate_series(1, len(toks) - 2)])) AS shingle
+         |  FROM u
+         |), h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT doc_id_1, doc_id_2, 1 AS hit FROM cand
+         |  WHERE len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                        x -> x)) * 625 >= ${(EstThreshold * 10000).toLong}
+         |), planted AS (
+         |  SELECT doc_id AS doc_id_1, doc_id + 1000000 AS doc_id_2
+         |  FROM t0 WHERE len(toks) >= 4
+         |)
+         |SELECT count(*) AS n_planted, count(hit) AS n_found,
+         |  CASE WHEN count(*) > 0 THEN (count(hit) * 10000) // count(*) END AS recall_e4
+         |FROM planted LEFT JOIN mh USING (doc_id_1, doc_id_2)""".stripMargin,
     // all three pair sets rebuilt on simhashCte's token table, then the
     // 3×3 agreement join keyed by the pair itself
     "dedup_method_agreement" ->

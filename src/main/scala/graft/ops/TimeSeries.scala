@@ -531,6 +531,66 @@ object TimeSeries {
         Cols.floorDiv(col("n_within_sla") * 10000, col("n_orders")).as("fill_e4"))
   }
 
+  /** Backlog aging snapshot: orders still open at the REFERENCE day (the
+    * max order day, computed in-plan) bucketed by how long they've
+    * waited — the "what's stuck and how badly" ops report. Open = last
+    * line ships strictly after the reference day ([[openOrders]]'
+    * interval, evaluated at its right edge); age = reference − order day.
+    * Output: (o_orderpriority, age_bucket, n_orders).
+    *
+    * Scale: the reference day is a 1-row broadcast folded into the plan
+    * (no driver max()); everything else is the [[fillRate]] join plus one
+    * map-only bucketing and a hash agg onto priorities × 3 buckets.
+    */
+  def backlogAging(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val shipped = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(Cols.floorDiv(unix_millis(col("l_shipdate").cast("timestamp")), DayMs))
+        .as("__sd"))
+    val pd = Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), DayMs)
+    val ref = broadcast(orders.agg(max(pd).as("__ref")))
+    val age = col("__ref") - col("__pd")
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"), pd.as("__pd"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .crossJoin(ref)
+      .filter(col("__sd") > col("__ref"))
+      .select(
+        col("o_orderpriority"),
+        when(age <= 7, lit("0-7"))
+          .when(age <= 30, lit("8-30"))
+          .otherwise(lit("31+")).as("age_bucket"))
+      .groupBy(col("o_orderpriority"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Weekly stickiness (the DAU/WAU engagement ratio): per 7-day epoch
+    * week, `Σ daily-active / (active_days · weekly-active)` in exact e4 —
+    * 10000 means every weekly user shows up every active day. Weeks the
+    * data skips entirely are absent; days with no events don't dilute
+    * (the denominator counts ACTIVE days, making sparse fixtures and
+    * full calendars comparable).
+    *
+    * Scale: one distinct on (user, day) — map-side combined — then two
+    * aggregates onto |weeks| and |weeks × active-days| rows.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), DayMs)
+    val ud = events
+      .select(col("user_id"), day.as("day"), Cols.floorDiv(day, 7L).as("week"))
+      .distinct()
+    val daily = ud.groupBy(col("week"), col("day")).agg(count(lit(1)).as("__dau"))
+    val weekly = ud.groupBy(col("week"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    daily.groupBy(col("week"))
+      .agg(sum(col("__dau")).as("sum_dau"), count(lit(1)).as("active_days"))
+      .join(weekly, "week")
+      .select(
+        col("week"), col("wau"), col("sum_dau"), col("active_days"),
+        Cols.floorDiv(col("sum_dau") * 10000, col("active_days") * col("wau"))
+          .as("stickiness_e4"))
+  }
+
   def openOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val placed = orders.select(
       col("o_orderkey"),

@@ -324,6 +324,30 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("recall harness: short docs not planted, score wiring matches the LSH pair set") {
+    val long1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val long2 = "completely different words entirely unrelated to anything else here now ok"
+    val corpus = docs((1L, long1), (2L, long2), (3L, "too short here")) // 3 toks
+    val got = Dedup.recallHarness(corpus, offset = 1000L)
+      .as[(Long, Long, Option[Long])].collect().head
+    // derive the expected found-count from the LSH pair set itself — the
+    // harness is scored on wiring and arithmetic, minhash on its own specs
+    val toks1 = long1.split(" ").dropRight(1).mkString(" ")
+    val toks2 = long2.split(" ").dropRight(1).mkString(" ")
+    val union = docs(
+      (1L, long1), (2L, long2), (3L, "too short here"),
+      (1001L, toks1), (1002L, toks2))
+    val pairs = Dedup.minhashLsh(union)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val expectedFound = Seq((1L, 1001L), (2L, 1002L)).count(pairs.contains)
+    assert(got._1 === 2L) // doc 3 (3 tokens) is not planted
+    assert(got._2 === expectedFound.toLong)
+    assert(got._3 === Some(expectedFound * 10000L / 2))
+    // a one-token-dropped clone of a 13-token doc shares 10/11 shingles —
+    // jaccard ≈ 0.91; the 4×4 LSH bands should recover both
+    assert(got._2 === 2L)
+  }
+
   test("minhash quality: identical docs — estimate and exact agree at 10000") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "completely different words entirely unrelated to anything else here now"
@@ -362,7 +386,9 @@ class DedupSpec extends SparkSpec {
     }
     val nearDups = base.take(5).map { case (i, t) => (i + 100L, t + " extra") }
     val corpus = docs((base ++ nearDups): _*)
-    val got = Dedup.prefixJaccard(corpus)
+    // θ = 0.5 — harder than the registered 0.8 default: more candidates
+    // must survive both the prefix filter and the size filter
+    val got = Dedup.prefixJaccard(corpus, thresholdE4 = 5000L)
       .as[(Long, Long, Long)].collect().toSet
     // brute force: every shared-shingle pair, no prefix pruning
     val sh = Dedup.shingleRows(corpus)

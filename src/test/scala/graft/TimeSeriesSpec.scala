@@ -264,6 +264,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
   }
 
+  test("backlog aging: open orders bucketed by age at the in-plan reference day") {
+    val D = TimeSeries.DayMs
+    def ts(day: Long) = new java.sql.Timestamp(day * D)
+    val orders = Seq(
+      (1L, "P", ts(0)), // age 40 → 31+
+      (2L, "P", ts(35)), // ships on day 35 — closed at ref, absent
+      (3L, "P", ts(38)), // age 2 → 0-7
+      (4L, "P", ts(20)), // age 20 → 8-30
+      (6L, "P", ts(40))) // defines ref = 40; age 0 → 0-7
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lines = Seq(
+      (1L, ts(100)), (2L, ts(35)), (3L, ts(45)), (4L, ts(50)), (6L, ts(45)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = TimeSeries.backlogAging(orders, lines)
+      .as[(String, String, Long)].collect().sortBy(_._2).toList
+    assert(got === List(("P", "0-7", 2L), ("P", "31+", 1L), ("P", "8-30", 1L)))
+  }
+
+  test("stickiness: weekly DAU/WAU ratio over active days") {
+    val D = TimeSeries.DayMs
+    val ev = Seq(
+      (1L, 10L), (1L, D + 10L), // user 1 active days 0, 1
+      (2L, 20L), // user 2 active day 0
+      (1L, 7 * D + 5L)) // week 1: one user, one day
+      .toDF("user_id", "ts_ms")
+    val got = TimeSeries.stickiness(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // week 0: Σdau = 2 + 1 = 3, 2 active days, wau 2 → 3·10⁴/(2·2) = 7500
+    assert(got === List((0L, 2L, 3L, 2L, 7500L), (1L, 1L, 1L, 1L, 10000L)))
+  }
+
   test("repurchase cycle: distinct-day gaps per (customer, part), part-level stats") {
     val D = TimeSeries.DayMs
     def ts(day: Long) = new java.sql.Timestamp(day * D)
