@@ -481,6 +481,31 @@ object Similarity {
             .cast("string")): _*).as("centroid_milli"))
   }
 
+  /** IVF recall readout: per query, how many of the exact top-k
+    * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
+    * quantitative answer to "is nprobe high enough", as a REGISTERED
+    * query rather than a test-only gate. Both sides are deterministic
+    * (exact integer dots, fixed tie-breaks), so unlike the hyperplane-LSH
+    * path this recall is itself exactly reproducible and fully oracled.
+    *
+    * Scale: both constituents keep their own plans (corpus scanned once
+    * each, queries broadcast); scoring is a membership join on
+    * (query, neighbor) over query-sized tables.
+    */
+  def ivfRecall(
+      embeddings: DataFrame, k: Int = TopK, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val ivf = ivfTopK(embeddings, k, nprobe, dim)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("k"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
+  }
+
   /** One EXACT power-iteration step toward the corpus' dominant principal
     * direction: `v₁ = Xᵀ(X·1)` over the milli-quantized integer matrix —
     * per row one dot with the ones vector (the row sum), then per
@@ -599,6 +624,7 @@ object Similarity {
     "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
     "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
+    "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -642,6 +668,64 @@ object Similarity {
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
     // same centroid CTEs; median via quantile_cont (≡ Spark percentile)
+    // brute and IVF rankings rebuilt side by side (IVF arms i_-prefixed),
+    // scored by a membership join — both deterministic, so fully oracled
+    "ann_recall_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, len(qq.qv))])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |), cell_sums AS (
+         |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+         |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY label, ii.i
+         |), cent AS (
+         |  SELECT label,
+         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+         |  FROM cell_sums GROUP BY label
+         |), cent2 AS (
+         |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent
+         |), queries AS (
+         |  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2
+         |  FROM n WHERE vec_id % $QueryStride = 0
+         |), probed AS (
+         |  SELECT query_id, q_qv, q_norm2, label FROM (
+         |    SELECT query_id, q_qv, q_norm2, c.label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        round(list_sum([q_qv[i] * c.cv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(q_norm2::DOUBLE) * sqrt(c.cnorm2::DOUBLE)), 6) DESC,
+         |        c.label) AS cell_rank
+         |    FROM queries CROSS JOIN cent2 c) t
+         |  WHERE cell_rank <= 2
+         |), i_scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q_qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(q_norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM probed p JOIN n c ON c.label = p.label AND c.vec_id <> p.query_id
+         |), i_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM i_scored
+         |)
+         |SELECT b.query_id, count(*) AS k, count(h.hit) AS n_hit,
+         |  (count(h.hit) * 10000) // count(*) AS recall_e4
+         |FROM (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK) b
+         |LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM i_ranked WHERE rank <= $TopK) h
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     // v₁ = Xᵀ(X·1) in exact integers; remainder-corrected floor for the
     // (sign-carrying) e4 ratio
     "emb_power_iter" ->

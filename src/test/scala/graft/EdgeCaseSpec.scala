@@ -66,6 +66,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhash(emptyDocs).count() === 0L)
   }
 
+  test("batch-13+ operators on empty inputs return empty (or a defined null row)") {
+    import graft.ops.{Analytics, TimeSeries}
+    import graft.sim.Similarity
+    assert(Dedup.prefixJaccard(emptyDocs).count() === 0L)
+    assert(Dedup.incremental(emptyDocs).count() === 0L)
+    assert(Dedup.minhashQuality(emptyDocs).count() === 0L)
+    assert(Dedup.methodAgreement(emptyDocs).count() === 0L)
+    assert(Analytics.sessionConcurrency(emptyEvents).count() === 0L)
+    assert(Analytics.abLift(emptyEvents).count() === 0L)
+    assert(TimeSeries.stickiness(emptyEvents).count() === 0L)
+    assert(TextAnalysis.noveltyCurve(emptyDocs).count() === 0L)
+    val emptyOrders = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val emptyLines = Seq.empty[(Long, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_shipdate")
+    assert(TimeSeries.fillRate(emptyOrders, emptyLines).count() === 0L)
+    assert(TimeSeries.openOrders(
+      emptyOrders.withColumnRenamed("o_orderpriority", "unused"), emptyLines).count() === 0L)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.kmeansStep(emptyEmb, k = 2, dim = 2).count() === 0L)
+    assert(Similarity.dimFences(emptyEmb, dim = 2).count() === 0L)
+    assert(Similarity.ivfRecall(emptyEmb).count() === 0L)
+    // single-row aggregates on empty input: one defined row, no throw
+    assert(Analytics.returnTime(emptyEvents)
+      .select("n_gaps").as[Long].collect().head === 0L)
+    assert(Dedup.recallHarness(emptyDocs)
+      .as[(Long, Long, Option[Long])].collect().head === ((0L, 0L, None)))
+  }
+
   test("doc shorter than the shingle width yields no shingles but valid stats") {
     val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
     assert(Dedup.minhashSignatures(tiny).count() === 0L) // no 3-gram shingles

@@ -11,7 +11,9 @@ object PlanAudit {
   val RedFlags = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
   // declared all-pairs baselines: the nested loop IS the (intentionally
   // quadratic) algorithm; the registered scale paths are the LSH variants
-  val AllPairsBaselines = Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify")
+  // ann_recall_ivf embeds the brute baseline as its ground-truth side
+  val AllPairsBaselines =
+    Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)

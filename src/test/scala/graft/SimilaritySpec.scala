@@ -223,4 +223,12 @@ class SimilaritySpec extends SparkSpec {
     // dim2: 1000·2000 = 2·10⁶ → ratio 5000
     assert(got === List((1L, 4000000L, 10000L), (2L, 2000000L, 5000L)))
   }
+
+  test("ivf recall: all cells probed → recall 10000 against brute force") {
+    // the shared embs fixture has 2 labels; nprobe=2 probes every cell,
+    // so IVF recovers the exact top-k and per-query recall is 1.0
+    val got = Similarity.ivfRecall(embs, dim = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 4L, 4L, 10000L), (50L, 4L, 4L, 10000L)))
+  }
 }
