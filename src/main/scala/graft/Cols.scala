@@ -57,6 +57,17 @@ object Cols {
   def hash60(seed: Int, c: Column): Column =
     hash60(concat_ws(":", lit(seed.toString), c))
 
+  /** Counting merge walk over two SORTED distinct string arrays — the
+    * allocation-free `size(array_intersect(a, b))` for candidate-pair
+    * verification ([[graft.functions.SortedIntersectCount]]).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.SortedIntersectCount(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Canonical text normalization shared by all text operators:
     * lowercase, collapse whitespace runs to single spaces, trim.
     * DuckDB: `trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`.

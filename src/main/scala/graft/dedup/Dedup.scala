@@ -237,6 +237,11 @@ object Dedup {
         col("ss").as("ss_b"), col("n_sh").as("n_b")), "doc_id_2")
       .select(
         col("doc_id_1"), col("doc_id_2"),
+        // array_intersect, not the sorted merge walk: ss is df-ordered
+        // (prefix order), and carrying a second, value-sorted array
+        // through the thrice-reused docSets exchange measured SLOWER
+        // than the hash-based intersect — the walk pays off only where
+        // a sorted array already exists (minhashQuality)
         size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("__c"),
         col("n_a"), col("n_b"))
       .select(
@@ -586,7 +591,7 @@ object Dedup {
       .select(
         col("doc_id_1"), col("doc_id_2"),
         round(col("est_jaccard") * 10000).cast("long").as("est_e4"),
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__c"),
+        Cols.sortedIntersectCount(col("__sa"), col("__sb")).as("__c"),
         col("__na"), col("__nb"))
       .select(
         col("doc_id_1"), col("doc_id_2"), col("est_e4"),

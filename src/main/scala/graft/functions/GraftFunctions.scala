@@ -20,6 +20,15 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"graft_long_dot expects 2 arguments, got ${other.length}")
     },
+    // counting merge walk over two sorted distinct string arrays — the
+    // allocation-free form of size(array_intersect(a, b)) for the
+    // candidate-pair verification loops
+    "graft_sorted_intersect_count" -> {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_sorted_intersect_count expects 2 arguments, got ${other.length}")
+    },
     // the engine's deterministic 60-bit hash (Cols.hash60) as a native
     // codegen'd expression — digest bytes straight to long, no hex/decimal
     // string detour (bit-identical to the composed built-in form)

@@ -52,4 +52,33 @@ class ColsSpec extends SparkSpec {
     val short = Seq("a b").toDF("s").select(Cols.shingles(col("s"), 3)).as[Seq[String]].head()
     assert(short.isEmpty)
   }
+
+  test("sorted intersect count: merge walk equals size(array_intersect)") {
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // overlap 2
+      (Seq.empty[String], Seq("x")), // empty left
+      (Seq("a"), Seq.empty[String]), // empty right
+      (Seq("a", "b"), Seq("c", "d")), // disjoint
+      (Seq("a", "b", "c"), Seq("a", "b", "c")), // identical
+      (Seq("aa", "ab", "b"), Seq("ab", "ba"))) // shared prefixes
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      Cols.sortedIntersectCount(col("a"), col("b")).as("walk"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (walk, ref) => assert(walk === ref) }
+    // seeded random sorted-distinct arrays — same equality must hold
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val rand = (1 to 50).map { _ =>
+      def arr() = rnd.shuffle(vocab).take(3 + rnd.nextInt(10)).sorted
+      (arr(), arr())
+    }
+    rand.toDF("a", "b")
+      .select(
+        Cols.sortedIntersectCount(col("a"), col("b")).as("walk"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+      .foreach { case (walk, ref) => assert(walk === ref) }
+  }
 }

@@ -48,6 +48,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val dot = s.sql("SELECT graft_long_dot(array(1L, 2L), array(3L, 4L)) AS d")
         .collect()(0).getLong(0)
       assert(dot === 11L)
+      val ic = s.sql(
+        "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c")
+        .collect()(0).getLong(0)
+      assert(ic === 2L)
     }
   }
 
