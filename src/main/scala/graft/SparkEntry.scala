@@ -270,6 +270,22 @@ object SparkEntry {
     // weekly DAU/WAU engagement ratio, exact e4
     "ev_stickiness" -> ((s, dir) =>
       graft.ops.TimeSeries.stickiness(Tables.events(s, dir))),
+    // rules-as-data hourly threshold alerting (config-sized rules table)
+    "ev_alert_rules" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(("error", 6L), ("click", 7L), ("view", 7L))
+        .toDF("event_type", "max_per_hour")
+      graft.ops.Analytics.thresholdAlerts(Tables.events(s, dir), rules)
+    }),
+    // daily + trailing-7-day error-rate SLI, all integer
+    "ev_error_budget" -> ((s, dir) =>
+      graft.ops.Analytics.errorBudget(Tables.events(s, dir))),
+    // the funnel split by experiment arm (composition of funnel × abLift)
+    "cs_funnel_by_arm" -> ((s, dir) =>
+      graft.ops.Analytics.funnelByArm(
+        Tables.events(s, dir),
+        stages = Seq("view", "click", "purchase"),
+        withinMs = Some(86400000L))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -820,6 +836,68 @@ object SparkEntry {
          |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
          |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
          |FROM sessions GROUP BY 1""".stripMargin,
+    "ev_alert_rules" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    epoch_ms(ts::TIMESTAMP) - epoch_ms(ts::TIMESTAMP) % 3600000 AS hour_start_ms,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT * FROM (VALUES ('error', 6), ('click', 7), ('view', 7))
+        |    AS t(event_type, max_per_hour)
+        |)
+        |SELECT h.event_type, hour_start_ms, n_events,
+        |  max_per_hour::BIGINT AS max_per_hour,
+        |  (n_events - max_per_hour)::BIGINT AS excess
+        |FROM h JOIN r ON h.event_type = r.event_type
+        |WHERE n_events > max_per_hour""".stripMargin,
+    "ev_error_budget" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*) AS n_events,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_events, n_errors,
+        |  (n_errors * 10000) // n_events AS err_e4,
+        |  (sum(n_errors) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000)
+        |    // sum(n_events) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS roll7_err_e4
+        |FROM d""".stripMargin,
+    // two cs_funnel chains restricted by the md5 arm split
+    "cs_funnel_by_arm" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |  FROM events
+        |), s1a AS (
+        |  SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = 'view' AND arm = 0 GROUP BY 1
+        |), s2a AS (
+        |  SELECT e.user_id, min(ts_ms) AS t, min(s1a.t) AS t0 FROM e JOIN s1a USING (user_id)
+        |  WHERE event_type = 'click' AND arm = 0 AND ts_ms > s1a.t AND ts_ms <= s1a.t + 86400000
+        |  GROUP BY 1
+        |), s3a AS (
+        |  SELECT e.user_id, min(ts_ms) AS t FROM e JOIN s2a USING (user_id)
+        |  WHERE event_type = 'purchase' AND arm = 0 AND ts_ms > s2a.t AND ts_ms <= s2a.t0 + 86400000
+        |  GROUP BY 1
+        |), s1b AS (
+        |  SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = 'view' AND arm = 1 GROUP BY 1
+        |), s2b AS (
+        |  SELECT e.user_id, min(ts_ms) AS t, min(s1b.t) AS t0 FROM e JOIN s1b USING (user_id)
+        |  WHERE event_type = 'click' AND arm = 1 AND ts_ms > s1b.t AND ts_ms <= s1b.t + 86400000
+        |  GROUP BY 1
+        |), s3b AS (
+        |  SELECT e.user_id, min(ts_ms) AS t FROM e JOIN s2b USING (user_id)
+        |  WHERE event_type = 'purchase' AND arm = 1 AND ts_ms > s2b.t AND ts_ms <= s2b.t0 + 86400000
+        |  GROUP BY 1
+        |)
+        |SELECT 0::BIGINT AS arm, 1::BIGINT AS stage_idx, 'view' AS stage,
+        |  (SELECT count(*) FROM s1a)::BIGINT AS n_users
+        |UNION ALL SELECT 0::BIGINT, 2::BIGINT, 'click', (SELECT count(*) FROM s2a)::BIGINT
+        |UNION ALL SELECT 0::BIGINT, 3::BIGINT, 'purchase', (SELECT count(*) FROM s3a)::BIGINT
+        |UNION ALL SELECT 1::BIGINT, 1::BIGINT, 'view', (SELECT count(*) FROM s1b)::BIGINT
+        |UNION ALL SELECT 1::BIGINT, 2::BIGINT, 'click', (SELECT count(*) FROM s2b)::BIGINT
+        |UNION ALL SELECT 1::BIGINT, 3::BIGINT, 'purchase', (SELECT count(*) FROM s3b)::BIGINT""".stripMargin,
     "ev_uniques_rollup" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day, user_id FROM events

@@ -672,6 +672,71 @@ object Analytics {
         max(col("__ret")).as("max_ms"))
   }
 
+  /** Rules-as-data threshold alerting: hourly event counts joined against
+    * a (event_type, max_per_hour) RULES table, emitting one row per
+    * violation with the excess — the monitoring primitive where the alert
+    * config lives in a table (editable without redeploying the job), not
+    * in code. Types without a rule are unmonitored; hours under the
+    * threshold emit nothing.
+    *
+    * Scale: events collapse to type × hour buckets in one map-side
+    * combined aggregate; the rules table is broadcast (it's config-sized
+    * by definition); only the violating tail leaves the join.
+    */
+  def thresholdAlerts(events: DataFrame, rules: DataFrame): DataFrame =
+    events
+      .groupBy(
+        col("event_type"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(3600000L))).as("hour_start_ms"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(rules), "event_type")
+      .filter(col("n_events") > col("max_per_hour"))
+      .select(
+        col("event_type"), col("hour_start_ms"), col("n_events"),
+        col("max_per_hour"), (col("n_events") - col("max_per_hour")).as("excess"))
+
+  /** Error-budget SLI series: per day, total events, error events, the
+    * e4 error rate, and the trailing-7-day rate (RANGE window over the
+    * day VALUE, so calendar gaps age out correctly) — the SLO burn-down
+    * every on-call dashboard opens with. All integer arithmetic.
+    *
+    * Scale: one map-side-combined aggregate collapses events to |days|
+    * rows; the rolling window runs over that tiny table only (the
+    * [[TimeSeries.rollingDaily]] discipline, global rather than per-key).
+    */
+  def errorBudget(events: DataFrame, errorType: String = "error"): DataFrame = {
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    events
+      .groupBy(Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === errorType, 1)).as("n_errors"))
+      .select(
+        col("day"), col("n_events"), col("n_errors"),
+        Cols.floorDiv(col("n_errors") * 10000, col("n_events")).as("err_e4"),
+        Cols.floorDiv(
+          sum(col("n_errors")).over(w) * 10000, sum(col("n_events")).over(w))
+          .as("roll7_err_e4"))
+  }
+
+  /** The ordered funnel split by deterministic A/B arm ([[abLift]]'s
+    * salted hash): per arm, the same strict-ordering stage counts as
+    * [[funnel]] — the "did the treatment change the FUNNEL, not just the
+    * endpoint" readout. Composes the two operators rather than re-deriving
+    * either.
+    */
+  def funnelByArm(
+      events: DataFrame,
+      stages: Seq[String],
+      withinMs: Option[Long] = None): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    Seq(0L, 1L)
+      .map(a =>
+        funnel(events.filter(arm === a), stages, withinMs)
+          .select(lit(a).as("arm"), col("stage_idx"), col("stage"), col("n_users")))
+      .reduce(_.unionAll(_))
+  }
+
   /** Per-user behavioral entropy over the event-type distribution, in
     * exact integer e4: each (user, type) contributes
     * `round(−p·ln(p) · 10⁴)` (p = type share), and the integer terms sum

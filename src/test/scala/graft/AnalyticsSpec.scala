@@ -358,6 +358,53 @@ class AnalyticsSpec extends SparkSpec {
       Some(10000L), Some(10000L), None)))
   }
 
+  test("threshold alerts: only monitored types over their hourly cap emit") {
+    val H = 3600000L
+    val events = ev(
+      (1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "x"), // hour 0: 3 > cap 2
+      (4L, H + 10L, "x"), // hour 1: 1 — under
+      (5L, 40L, "z")) // unmonitored type
+    val rules = Seq(("x", 2L), ("y", 5L)).toDF("event_type", "max_per_hour")
+    val got = Analytics.thresholdAlerts(events, rules)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(("x", 0L, 3L, 2L, 1L)))
+  }
+
+  test("error budget: daily and trailing-7-day rates; calendar gaps age out") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      (1L, 10L, "error"), (1L, 20L, "a"), (1L, 30L, "a"), (1L, 40L, "a"), // day 0: 1/4
+      (2L, D + 10L, "a"), (2L, D + 20L, "a"), // day 1: 0/2
+      (3L, 8 * D + 10L, "error")) // day 8: 1/1 — outside day 1's window
+    val got = Analytics.errorBudget(events)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 4L, 1L, 2500L, 2500L),
+      (1L, 2L, 0L, 0L, 1666L), // (1+0)·10⁴ / (4+2)
+      (8L, 1L, 1L, 10000L, 10000L))) // days 0-1 aged out of [2, 8]
+  }
+
+  test("funnel by arm: per-arm stage counts from the salted hash split") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val users = (1L to 12L).toList
+    val arms = users.toDF("user_id")
+      .select(col("user_id"),
+        pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L)).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val aUsers = users.filter(arms(_) == 0L)
+    val (na, nb) = (aUsers.size.toLong, users.size - aUsers.size.toLong)
+    assert(na > 0 && nb > 0)
+    // everyone views; only arm-A clicks; nobody purchases
+    val events = ev(
+      (users.map(u => (u, 100L, "view")) ++
+        aUsers.map(u => (u, 200L, "click"))): _*)
+    val got = Analytics.funnelByArm(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (0L, 1L, "view", na), (0L, 2L, "click", na), (0L, 3L, "purchase", 0L),
+      (1L, 1L, "view", nb), (1L, 2L, "click", 0L), (1L, 3L, "purchase", 0L)))
+  }
+
   test("funnel latency: entry-time gaps per consecutive stage") {
     val events = ev(
       (1L, 100L, "view"), (1L, 300L, "click"), (1L, 500L, "purchase"),
