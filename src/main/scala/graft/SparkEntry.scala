@@ -286,6 +286,13 @@ object SparkEntry {
         Tables.events(s, dir),
         stages = Seq("view", "click", "purchase"),
         withinMs = Some(86400000L))),
+    // within-session funnel, counted in sessions
+    "cs_session_funnel" -> ((s, dir) =>
+      graft.ops.Analytics.sessionFunnel(
+        Tables.events(s, dir), stages = Seq("view", "click", "purchase"))),
+    // parity-split batch drift screen per event type
+    "ev_profile_drift" -> ((s, dir) =>
+      graft.ops.Analytics.profileDrift(Tables.events(s, dir))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -836,6 +843,50 @@ object SparkEntry {
          |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
          |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
          |FROM sessions GROUP BY 1""".stripMargin,
+    // gap islands (RANGE-peer sid like ev_concurrency) + the cs_funnel
+    // chain keyed by (user, session)
+    "cs_session_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), s AS (
+        |  SELECT user_id, event_type, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM e
+        |), si AS (
+        |  SELECT user_id, event_type, ts_ms,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+        |  FROM s
+        |), s1 AS (
+        |  SELECT user_id, sid, min(ts_ms) AS t FROM si WHERE event_type = 'view' GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT si.user_id, si.sid, min(ts_ms) AS t FROM si JOIN s1 USING (user_id, sid)
+        |  WHERE event_type = 'click' AND ts_ms > s1.t GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT si.user_id, si.sid, min(ts_ms) AS t FROM si JOIN s2 USING (user_id, sid)
+        |  WHERE event_type = 'purchase' AND ts_ms > s2.t GROUP BY 1, 2
+        |)
+        |SELECT 1::BIGINT AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1)::BIGINT AS n_sessions
+        |UNION ALL SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT""".stripMargin,
+    "ev_profile_drift" ->
+      """WITH h0 AS (
+        |  SELECT event_type, count(*) AS n_old, count(DISTINCT user_id) AS users_old
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+        |), h1 AS (
+        |  SELECT event_type, count(*) AS n_new, count(DISTINCT user_id) AS users_new
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+        |)
+        |SELECT event_type,
+        |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        |  coalesce(users_old, 0) AS users_old, coalesce(users_new, 0) AS users_new,
+        |  ((coalesce(n_new, 0) - coalesce(n_old, 0)) * 10000
+        |   - ((((coalesce(n_new, 0) - coalesce(n_old, 0)) * 10000
+        |        % greatest(coalesce(n_old, 0), 1)) + greatest(coalesce(n_old, 0), 1))
+        |      % greatest(coalesce(n_old, 0), 1))
+        |  ) // greatest(coalesce(n_old, 0), 1) AS delta_e4
+        |FROM h0 FULL OUTER JOIN h1 USING (event_type)""".stripMargin,
     "ev_alert_rules" ->
       """WITH h AS (
         |  SELECT event_type,

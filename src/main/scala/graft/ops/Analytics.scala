@@ -627,6 +627,87 @@ object Analytics {
         (col("__carry") + greatest(col("__peak_intra"), lit(0L))).as("peak_concurrent"))
   }
 
+  /** Within-SESSION funnel: stage progression where every stage must land
+    * inside the SAME 30-min-gap session, counted in sessions (not users) —
+    * the "does the journey complete in one sitting" variant of [[funnel]].
+    * Same strict ordering and earliest-valid semantics, keyed by
+    * (user, session) instead of user; the session bound replaces the
+    * deadline.
+    *
+    * Scale: the session-id window shares the user_id clustering; each
+    * stage is then a shrinking hash aggregate on the composite key — the
+    * [[funnel]] chain shape with a wider key.
+    */
+  def sessionFunnel(
+      events: DataFrame,
+      stages: Seq[String],
+      gapMs: Long = 1800000L): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val sess = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("__new",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1L)
+          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+    val reached = stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stage) =>
+        val candidates = sess.filter(col("event_type") === stage)
+        val qualified = prev match {
+          case None => candidates
+          case Some(p) =>
+            candidates
+              .join(p.select(col("user_id"), col("__sid"), col("__t").as("__prev_t")),
+                Seq("user_id", "__sid"))
+              .filter(col("ts_ms") > col("__prev_t"))
+        }
+        Some(
+          qualified
+            .groupBy(col("user_id"), col("__sid"))
+            .agg(min(col("ts_ms")).as("__t")))
+    }.flatten
+    reached.zip(stages).zipWithIndex
+      .map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_sessions"))
+          .select(
+            lit((i + 1).toLong).as("stage_idx"),
+            lit(stage).as("stage"),
+            col("n_sessions"))
+      }
+      .reduce(_.union(_))
+  }
+
+  /** Batch-over-batch drift report: the event stream split into two
+    * deterministic halves (event_id parity — the fixture stand-in for
+    * yesterday/today), profiled per event type, with the e4 relative
+    * volume delta — the "did the pipeline's input shift" screen run
+    * before retraining on a new batch.
+    *
+    * Scale: two counting aggregates (map-side combined) onto |types|
+    * rows each, one tiny join. distinct-user counts swap for HLL
+    * sketches at 100 TB without changing the plan shape.
+    */
+  def profileDrift(events: DataFrame): DataFrame = {
+    def half(m: Long) = events
+      .filter(pmod(col("event_id"), lit(2L)) === m)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as(s"n_$m"),
+        count_distinct(col("user_id")).as(s"users_$m"))
+    half(0)
+      .join(half(1), Seq("event_type"), "full")
+      .select(
+        col("event_type"),
+        coalesce(col("n_0"), lit(0L)).as("n_old"),
+        coalesce(col("n_1"), lit(0L)).as("n_new"),
+        coalesce(col("users_0"), lit(0L)).as("users_old"),
+        coalesce(col("users_1"), lit(0L)).as("users_new"))
+      .withColumn("delta_e4",
+        Cols.floorDiv(
+          (col("n_new") - col("n_old")) * 10000, greatest(col("n_old"), lit(1L))))
+  }
+
   /** Gap-island sessions per user: (user_id, __sid, __start, __last) —
     * the shared base under [[sessionConcurrency]] and [[returnTime]].
     */

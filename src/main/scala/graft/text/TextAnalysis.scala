@@ -519,6 +519,41 @@ object TextAnalysis {
     * equi-join back on the shingle key (fan-out = Σdf = the shingle-row
     * count — linear, never quadratic), one per-doc counting aggregate.
     */
+  /** Bigram conditional entropy rate per language, exact-integer e4:
+    * `H(next | prev) = Σ_pairs −p(pair)·ln(c_pair / c_prev)` with each
+    * pair's term quantized to e4 BEFORE the sum (the [[unigramLogprob]]
+    * order-independence trick), so engines agree bit-for-bit. The lower
+    * the rate, the more predictable the language sample — the
+    * corpus-level companion to the per-document [[bigramSurprisal]]
+    * (which scores documents against the corpus model; this scores the
+    * model itself).
+    *
+    * Scale: explode to bigrams once, then a hash-agg pyramid onto the
+    * bigram vocabulary, its prev-margin, and |langs| totals — the same
+    * posting-list shape as TF-IDF, nothing quadratic.
+    */
+  def entropyRate(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("lang"), Cols.tokens(col("text")).as("toks"))
+      .select(col("lang"), explode(Cols.ngramsOfTokens(col("toks"), 2)).as("bg"))
+    val c = pairs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+    val t = c.groupBy(col("lang"), col("prev")).agg(sum(col("c")).as("t"))
+    val tot = c.groupBy(col("lang")).agg(sum(col("c")).as("total"))
+    val term = round(
+      -(col("c").cast("double") / col("total").cast("double")) *
+        log(col("c").cast("double") / col("t").cast("double")) * 10000)
+      .cast("long")
+    c.join(t, Seq("lang", "prev"))
+      .join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigram_types"),
+        first(col("total")).as("n_bigrams"),
+        sum(term).as("entropy_rate_e4"))
+  }
+
   def noveltyCurve(docs: DataFrame): DataFrame = {
     val sh = graft.dedup.Dedup.shingleRows(docs)
     val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("__first"))
@@ -740,6 +775,7 @@ object TextAnalysis {
       contamination(Tables.documents(s, d), maxTrainDf = Some(5L))),
     "txt_hot_passages" -> ((s, d) => hotPassages(Tables.documents(s, d))),
     "txt_novelty" -> ((s, d) => noveltyCurve(Tables.documents(s, d))),
+    "txt_entropy_rate" -> ((s, d) => entropyRate(Tables.documents(s, d))),
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
@@ -843,6 +879,24 @@ object TextAnalysis {
       s"""$tokCte, $shingleCte
          |SELECT shingle, count(*) AS df FROM sh
          |GROUP BY shingle HAVING count(*) >= 3""".stripMargin,
+    "txt_entropy_rate" ->
+      s"""$tokCte, bg AS (
+         |  SELECT lang,
+         |    unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)]) AS bg
+         |  FROM t WHERE len(toks) >= 2
+         |), c AS (
+         |  SELECT lang, bg, count(*) AS c, string_split(bg, ' ')[1] AS prev
+         |  FROM bg GROUP BY 1, 2
+         |), tt AS (
+         |  SELECT lang, prev, sum(c)::BIGINT AS t FROM c GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, sum(c)::BIGINT AS total FROM c GROUP BY 1
+         |)
+         |SELECT c.lang, count(*) AS n_bigram_types, min(total) AS n_bigrams,
+         |  sum(round(-(c::DOUBLE / total) * ln(c::DOUBLE / t) * 10000)::BIGINT)::BIGINT
+         |    AS entropy_rate_e4
+         |FROM c JOIN tt USING (lang, prev) JOIN tot USING (lang)
+         |GROUP BY 1""".stripMargin,
     "txt_novelty" ->
       s"""$tokCte, $shingleCte, f AS (
          |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1

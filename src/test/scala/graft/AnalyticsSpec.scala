@@ -405,6 +405,37 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, "view", nb), (1L, 2L, "click", 0L), (1L, 3L, "purchase", 0L)))
   }
 
+  test("session funnel: stages must complete within one session, counted in sessions") {
+    val events = ev(
+      // user 1, session A: full in-session progression
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 1, session B (> 30 min later): view only
+      (1L, 10000000L, "view"),
+      // user 2: click BEFORE view in the same session — strict ordering fails
+      (2L, 50L, "click"), (2L, 100L, "view"),
+      // user 2: purchase alone in a later session — no view there
+      (2L, 10000000L, "purchase"),
+      // user 3: view in one session, click in ANOTHER — session key mismatch
+      (3L, 100L, "view"), (3L, 10000000L, "click"))
+    val got = Analytics.sessionFunnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("profile drift: parity halves, e4 relative delta, full-outer types") {
+    val events = Seq(
+      (0L, 1L, "x", 10L), (2L, 2L, "x", 20L), // old x: 2 events, 2 users
+      (1L, 1L, "x", 30L), // new x: 1 event, 1 user
+      (3L, 5L, "y", 40L)) // y exists only in the new half
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = Analytics.profileDrift(events)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("x", 2L, 1L, 2L, 1L, -5000L),
+      ("y", 0L, 1L, 0L, 1L, 10000L)))
+  }
+
   test("funnel latency: entry-time gaps per consecutive stage") {
     val events = ev(
       (1L, 100L, "view"), (1L, 300L, "click"), (1L, 500L, "purchase"),

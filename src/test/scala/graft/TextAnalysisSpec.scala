@@ -339,6 +339,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === (1L, None))
   }
 
+  test("entropy rate: per-language bigram conditional entropy, e4 quantize-then-sum") {
+    val d = Seq(
+      (1L, "a b a b", "en"), // bigrams (a b)×2, (b a)×1
+      (2L, "a c", "en"), // (a c)×1 → t(a)=3, total 4
+      (3L, "p q", "xx")) // single deterministic bigram → H = 0
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.entropyRate(d)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    // en: −(2/4)ln(2/3)→2027, −(1/4)ln(1)→0, −(1/4)ln(1/3)→2747 ⇒ 4774
+    assert(got === List(("en", 3L, 4L, 4774L), ("xx", 1L, 1L, 0L)))
+  }
+
   test("novelty curve: first-occurrence shingle shares in doc_id order") {
     val got = TextAnalysis.noveltyCurve(docs(
       (1L, "a b c d"), // {a b c, b c d} — both novel
