@@ -293,6 +293,12 @@ object SparkEntry {
     // parity-split batch drift screen per event type
     "ev_profile_drift" -> ((s, dir) =>
       graft.ops.Analytics.profileDrift(Tables.events(s, dir))),
+    // ABC inventory classes on exact-cent part revenue
+    "li_abc_class" -> ((s, dir) =>
+      graft.ops.Analytics.abcClass(Tables.lineitem(s, dir))),
+    // activation latency by first-seen cohort
+    "cs_time_to_purchase" -> ((s, dir) =>
+      graft.ops.Analytics.timeToPurchase(Tables.events(s, dir))),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -843,6 +849,38 @@ object SparkEntry {
          |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
          |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
          |FROM sessions GROUP BY 1""".stripMargin,
+    "li_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(rev_cents)::BIGINT AS total FROM rev
+        |), c AS (
+        |  SELECT l_partkey, rev_cents, total,
+        |    coalesce(sum(rev_cents) OVER (
+        |      ORDER BY rev_cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM rev CROSS JOIN t
+        |)
+        |SELECT l_partkey, rev_cents,
+        |  (cum_before * 10000) // total AS cum_before_e4,
+        |  CASE WHEN (cum_before * 10000) // total < 8000 THEN 'A'
+        |       WHEN (cum_before * 10000) // total < 9500 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+    "cs_time_to_purchase" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts::TIMESTAMP)) AS first_ms,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts::TIMESTAMP) END) AS fp_ms
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT first_ms // 86400000 AS cohort_day,
+        |    (fp_ms - first_ms) // 86400000 AS days, fp_ms
+        |  FROM u
+        |)
+        |SELECT cohort_day, count(*) AS n_users, count(fp_ms) AS n_purchasers,
+        |  round(quantile_cont(days, 0.5), 4) AS p50_days,
+        |  max(days) AS max_days
+        |FROM d GROUP BY 1""".stripMargin,
     // gap islands (RANGE-peer sid like ev_concurrency) + the cs_funnel
     // chain keyed by (user, session)
     "cs_session_funnel" ->

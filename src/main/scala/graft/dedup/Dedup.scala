@@ -658,6 +658,22 @@ object Dedup {
           Cols.floorDiv(col("n_found") * 10000, col("n_planted"))).as("recall_e4"))
   }
 
+  /** Cluster-size histogram over the near-dup components: how many
+    * families of each size the corpus carries, and how many documents
+    * they absorb — the one-glance answer to "is duplication a few huge
+    * families or a long tail of pairs", which decides whether canonical
+    * selection or aggressive pruning is the right response.
+    *
+    * Scale: two hash aggregates on top of [[nearDupClusters]]' label
+    * table (|docs| rows in, |distinct sizes| rows out).
+    */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame): DataFrame =
+    nearDupClusters(docs, pairs)
+      .groupBy(col("cluster_size"))
+      .agg(
+        count_distinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
   /** SimHash: 60-bit signature where bit j is the majority vote of bit j
     * across the hashes of the document's distinct tokens. Hamming-close
     * signatures ⇒ similar token sets. Computed as 60 algebraic sums (one
@@ -961,6 +977,10 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       nearDupClusters(docs, simhashNearDups(docs))
+    }),
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      clusterSizeHistogram(docs, simhashNearDups(docs))
     }),
   )
 
@@ -1423,6 +1443,25 @@ object Dedup {
          |  (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS is_canonical,
          |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
          |FROM cl""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |), sizes AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  sum(cluster_size)::BIGINT AS n_docs
+         |FROM sizes GROUP BY 1""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhashCte
          |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,

@@ -627,6 +627,60 @@ object Analytics {
         (col("__carry") + greatest(col("__peak_intra"), lit(0L))).as("peak_concurrent"))
   }
 
+  /** ABC inventory classification: parts ranked by exact-cent revenue,
+    * classed A while the CUMULATIVE share of higher-ranked parts is under
+    * 80%, B under 95%, C after — the Pareto-derived stocking-policy
+    * staple. The crossing part takes the class of the band it enters
+    * (cum-BEFORE semantics: a single 90%-of-revenue part is still A).
+    * Ties rank by partkey, so the classing is deterministic.
+    *
+    * Scale: the fact table collapses to |parts| rows in one map-side
+    * combined aggregate; the ranking window and cumulative sum run over
+    * that DIMENSION-sized table, and the grand total folds in as a 1-row
+    * broadcast — nothing data-sized is sorted.
+    */
+  def abcClass(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    val total = broadcast(rev.agg(sum(col("rev_cents")).as("__total")))
+    val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rev.crossJoin(total)
+      .withColumn("__cum_before", coalesce(sum(col("rev_cents")).over(byRev), lit(0L)))
+      .select(
+        col("l_partkey"), col("rev_cents"),
+        Cols.floorDiv(col("__cum_before") * 10000, col("__total")).as("cum_before_e4"))
+      .withColumn("abc_class",
+        when(col("cum_before_e4") < 8000, lit("A"))
+          .when(col("cum_before_e4") < 9500, lit("B"))
+          .otherwise(lit("C")))
+  }
+
+  /** Time-to-first-purchase by signup cohort: per first-seen day, how
+    * many users ever purchased and the median / max days from first
+    * event to first purchase — the activation-latency report behind
+    * "how long does conversion take". Non-purchasers count in n_users
+    * but not in the latency stats (percentiles ignore nulls on both
+    * engines).
+    *
+    * Scale: one per-user aggregate (the cohort map), one per-cohort
+    * aggregate — both on the user key, orders below the event count.
+    */
+  def timeToPurchase(events: DataFrame, purchaseType: String = "purchase"): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts_ms")).as("__first"),
+        min(when(col("event_type") === purchaseType, col("ts_ms"))).as("__fp"))
+      .withColumn("__days", Cols.floorDiv(col("__fp") - col("__first"), TimeSeries.DayMs))
+      .groupBy(Cols.floorDiv(col("__first"), TimeSeries.DayMs).as("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("__fp")).as("n_purchasers"),
+        round(expr("percentile(__days, 0.5)"), 4).as("p50_days"),
+        max(col("__days")).as("max_days"))
+
   /** Within-SESSION funnel: stage progression where every stage must land
     * inside the SAME 30-min-gap session, counted in sessions (not users) —
     * the "does the journey complete in one sitting" variant of [[funnel]].

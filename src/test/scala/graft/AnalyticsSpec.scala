@@ -405,6 +405,33 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, "view", nb), (1L, 2L, "click", 0L), (1L, 3L, "purchase", 0L)))
   }
 
+  test("abc classification: cum-before banding, boundary parts take the entered band") {
+    val lines = Seq(
+      (1L, 80.0), // 8000 cents — cum_before 0 → A
+      (2L, 7.5), (2L, 7.5), // 1500 — cum_before 8000 e4, not < 8000 → B
+      (3L, 5.0)) // 500 — cum_before exactly 9500 e4 → C
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Analytics.abcClass(lines)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 8000L, 0L, "A"),
+      (2L, 1500L, 8000L, "B"),
+      (3L, 500L, 9500L, "C")))
+  }
+
+  test("time to purchase: cohort latency, non-purchasers counted but not timed") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      (1L, 100L, "view"), (1L, 2 * D + 100L, "purchase"), // 2 days
+      (2L, 200L, "view"), // never purchases
+      (3L, D + 10L, "purchase")) // instant purchase, day-1 cohort
+    val got = Analytics.timeToPurchase(events)
+      .as[(Long, Long, Long, Option[Double], Option[Long])].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 2L, 1L, Some(2.0), Some(2L)),
+      (1L, 1L, 1L, Some(0.0), Some(0L))))
+  }
+
   test("session funnel: stages must complete within one session, counted in sessions") {
     val events = ev(
       // user 1, session A: full in-session progression

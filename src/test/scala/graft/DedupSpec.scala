@@ -324,6 +324,14 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("cluster size histogram: family sizes and absorbed doc counts") {
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 12L).map((_, "x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_1", "doc_id_2")
+    val got = Dedup.clusterSizeHistogram(d, pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
   test("recall harness: short docs not planted, score wiring matches the LSH pair set") {
     val long1 = "the quick brown fox jumps over the lazy dog again and again today"
     val long2 = "completely different words entirely unrelated to anything else here now ok"
