@@ -299,6 +299,35 @@ object SparkEntry {
     // activation latency by first-seen cohort
     "cs_time_to_purchase" -> ((s, dir) =>
       graft.ops.Analytics.timeToPurchase(Tables.events(s, dir))),
+    // exact-cent revenue retention triangle by first-order month
+    "ord_revenue_cohorts" -> ((s, dir) =>
+      graft.ops.Analytics.revenueCohorts(Tables.orders(s, dir))),
+    // inactivity screen at the in-plan reference instant
+    "cs_churn_risk" -> ((s, dir) =>
+      graft.ops.Analytics.churnRisk(Tables.events(s, dir))),
+    // discount elasticity read: per discount point, lines/quantity/revenue
+    "li_discount_effect" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(round(col("l_discount") * 100).cast("long").as("disc_pct"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("disc_rev_cents"))),
+    // weekday × hour activity heatmap with e4 global shares (epoch
+    // weekday: day 0 = Thursday — deterministic, engine-independent)
+    "ev_dow_hour_heatmap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val total = broadcast(ev.agg(count(lit(1)).as("__total")))
+      ev.groupBy(
+          pmod(graft.Cols.floorDiv(col("ts_ms"), 86400000L), lit(7L)).as("dow"),
+          graft.Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(total)
+        .select(col("dow"), col("hour"), col("n_events"),
+          graft.Cols.floorDiv(col("n_events") * 10000, col("__total")).as("share_e4"))
+    }),
     // daily bounce rate: share of sessions with ≤1 qualifying event —
     // composes directly on the sessionizer (one extra tiny aggregate)
     "cs_bounce_rate" -> ((s, dir) =>
@@ -849,6 +878,47 @@ object SparkEntry {
          |  count(CASE WHEN event_count <= 1 THEN 1 END) AS n_bounces,
          |  (count(CASE WHEN event_count <= 1 THEN 1 END) * 10000) // count(*) AS bounce_e4
          |FROM sessions GROUP BY 1""".stripMargin,
+    "ord_revenue_cohorts" ->
+      """WITH m AS (
+        |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_custkey, min(midx) AS cm FROM m GROUP BY 1
+        |)
+        |SELECT cm::BIGINT AS cohort_midx, (midx - cm)::BIGINT AS month_offset,
+        |  count(DISTINCT m.o_custkey) AS n_customers,
+        |  sum(cents)::BIGINT AS revenue_cents
+        |FROM m JOIN c USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
+    "cs_churn_risk" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts::TIMESTAMP)) AS first_ms,
+        |    max(epoch_ms(ts::TIMESTAMP)) AS last_ms
+        |  FROM events GROUP BY 1
+        |), r AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS ref FROM events)
+        |SELECT first_ms // 86400000 AS cohort_day, count(*) AS n_users,
+        |  sum(CASE WHEN last_ms < ref - 14 * 86400000 THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+        |  (sum(CASE WHEN last_ms < ref - 14 * 86400000 THEN 1 ELSE 0 END) * 10000) // count(*)
+        |    AS churn_e4
+        |FROM u CROSS JOIN r
+        |GROUP BY 1""".stripMargin,
+    "li_discount_effect" ->
+      """SELECT round(l_discount * 100)::BIGINT AS disc_pct, count(*) AS n_lines,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT AS disc_rev_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "ev_dow_hour_heatmap" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |h AS (
+        |  SELECT (epoch_ms(ts::TIMESTAMP) // 86400000) % 7 AS dow,
+        |    (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT dow, hour, n_events, (n_events * 10000) // total AS share_e4
+        |FROM h CROSS JOIN t""".stripMargin,
     "li_abc_class" ->
       """WITH rev AS (
         |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents

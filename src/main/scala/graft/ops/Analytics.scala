@@ -627,6 +627,53 @@ object Analytics {
         (col("__carry") + greatest(col("__peak_intra"), lit(0L))).as("peak_concurrent"))
   }
 
+  /** Revenue-retention triangle: exact-cent revenue by (first-order-month
+    * cohort, month offset) — the finance-side twin of user [[retention]]
+    * (cohorts weighted by money instead of headcount). Months are
+    * calendar (year·12 + month), identical on both engines.
+    *
+    * Scale: the cohort map is one hash agg on the customer key; the join
+    * key is that same aggregation key; the triangle is |cohorts|²/2 rows.
+    */
+  def revenueCohorts(orders: DataFrame): DataFrame = {
+    val ts = col("o_orderdate").cast("timestamp")
+    val midx = (year(ts) * 12 + month(ts)).cast("long")
+    val withM = orders.select(
+      col("o_custkey"), midx.as("__m"),
+      round(col("o_totalprice") * 100).cast("long").as("__cents"))
+    val cohort = withM.groupBy(col("o_custkey")).agg(min(col("__m")).as("__cm"))
+    withM.join(cohort, "o_custkey")
+      .groupBy(col("__cm").as("cohort_midx"), (col("__m") - col("__cm")).as("month_offset"))
+      .agg(
+        count_distinct(col("o_custkey")).as("n_customers"),
+        sum(col("__cents")).as("revenue_cents"))
+  }
+
+  /** Churn-risk screen: per first-seen cohort day, how many users have
+    * been inactive for more than `inactiveDays` at the REFERENCE instant
+    * (the corpus max timestamp, folded in-plan — no driver max()).
+    * The e4 churn share is the retention dashboard's red number.
+    *
+    * Scale: one per-user aggregate, a 1-row broadcast reference, one
+    * cohort-grain aggregate.
+    */
+  def churnRisk(events: DataFrame, inactiveDays: Long = 14L): DataFrame = {
+    val ref = broadcast(events.agg(max(col("ts_ms")).as("__ref")))
+    events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("__first"), max(col("ts_ms")).as("__last"))
+      .crossJoin(ref)
+      .select(
+        Cols.floorDiv(col("__first"), TimeSeries.DayMs).as("cohort_day"),
+        when(col("__last") < col("__ref") - inactiveDays * TimeSeries.DayMs, 1L)
+          .otherwise(0L).as("__churned"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__churned")).as("n_churned"))
+      .select(
+        col("cohort_day"), col("n_users"), col("n_churned"),
+        Cols.floorDiv(col("n_churned") * 10000, col("n_users")).as("churn_e4"))
+  }
+
   /** ABC inventory classification: parts ranked by exact-cent revenue,
     * classed A while the CUMULATIVE share of higher-ranked parts is under
     * 80%, B under 95%, C after — the Pareto-derived stocking-policy

@@ -432,6 +432,32 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, 1L, Some(0.0), Some(0L))))
   }
 
+  test("revenue cohorts: exact-cent triangle by first-order month") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val orders = Seq(
+      (1L, ts("2020-01-15"), 10.0), (1L, ts("2020-03-15"), 5.0),
+      (2L, ts("2020-03-20"), 2.5))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.revenueCohorts(orders)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    val jan2020 = 2020L * 12 + 1
+    assert(got === List(
+      (jan2020, 0L, 1L, 1000L),
+      (jan2020, 2L, 1L, 500L),
+      (jan2020 + 2, 0L, 1L, 250L)))
+  }
+
+  test("churn risk: inactive beyond the window at the in-plan reference") {
+    val D = graft.ops.TimeSeries.DayMs
+    val events = ev(
+      (1L, 100L, "x"), (1L, 20 * D, "x"), // active at ref = 20D
+      (2L, 50L, "x"), (2L, 5 * D, "x"), // last seen 15 days before ref
+      (3L, D + 10L, "x"), (3L, 20 * D - 1000L, "x")) // active
+    val got = Analytics.churnRisk(events)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 2L, 1L, 5000L), (1L, 1L, 0L, 0L)))
+  }
+
   test("session funnel: stages must complete within one session, counted in sessions") {
     val events = ev(
       // user 1, session A: full in-session progression
