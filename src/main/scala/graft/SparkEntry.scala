@@ -315,6 +315,16 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast("long")).as("disc_rev_cents"))),
+    // key-uniqueness audit across the star schema + events
+    "tbl_pk_audit" -> ((s, dir) =>
+      graft.ops.Profile.pkAudit(Seq(
+        ("orders", Tables.orders(s, dir), "o_orderkey"),
+        ("part", Tables.part(s, dir), "p_partkey"),
+        ("customer", Tables.customer(s, dir), "c_custkey"),
+        ("supplier", Tables.supplier(s, dir), "s_suppkey"),
+        ("events", Tables.events(s, dir), "event_id"),
+        ("documents", Tables.documents(s, dir), "doc_id"),
+        ("embeddings", Tables.embeddings(s, dir), "vec_id")))),
     // weekday × hour activity heatmap with e4 global shares (epoch
     // weekday: day 0 = Thursday — deterministic, engine-independent)
     "ev_dow_hour_heatmap" -> ((s, dir) => {
@@ -909,6 +919,36 @@ object SparkEntry {
         |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents,
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT AS disc_rev_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "tbl_pk_audit" ->
+      """SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null_keys,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))::BIGINT AS n_dup_keys
+        |FROM orders
+        |UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey),
+        |  count(CASE WHEN p_partkey IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM part
+        |UNION ALL SELECT 'customer', count(*), count(DISTINCT c_custkey),
+        |  count(CASE WHEN c_custkey IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM customer
+        |UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+        |  count(CASE WHEN s_suppkey IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM supplier
+        |UNION ALL SELECT 'events', count(*), count(DISTINCT event_id),
+        |  count(CASE WHEN event_id IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM events
+        |UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id),
+        |  count(CASE WHEN doc_id IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM documents
+        |UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id),
+        |  count(CASE WHEN vec_id IS NULL THEN 1 END),
+        |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |FROM embeddings""".stripMargin,
     "ev_dow_hour_heatmap" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |h AS (

@@ -69,6 +69,30 @@ object Profile {
     }.reduce(_.union(_))
   }
 
+  /** Primary-key uniqueness audit across tables: per declared (label,
+    * table, key), row count, distinct keys, null keys, and how many key
+    * values repeat — the [[fkIntegrity]] companion (parents must be
+    * unique for the FK audit to mean anything). One lazy union plan, no
+    * driver actions.
+    *
+    * Scale: one count-distinct aggregate per table (swap HLL at 100 TB
+    * if an exact audit isn't required — same plan shape).
+    */
+  def pkAudit(tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "pkAudit needs at least one table")
+    tables.map { case (label, df, keyCol) =>
+      val dups = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(keyCol)).as("n_distinct"),
+        count(when(col(keyCol).isNull, 1)).as("n_null_keys"))
+        .crossJoin(broadcast(dups.agg(count(lit(1)).as("n_dup_keys"))))
+        .select(lit(label).as("table_name"), col("n_rows"), col("n_distinct"),
+          col("n_null_keys"), col("n_dup_keys"))
+    }.reduce(_.union(_))
+  }
+
   /** Benford leading-digit audit: the distribution of first significant
     * digits of a positive amount column against Benford's law — the
     * classic fabricated-data / unit-mix-up screen. The leading digit

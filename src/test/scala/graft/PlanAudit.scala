@@ -28,7 +28,7 @@ object PlanAudit {
     // pagerank's node count + dangling mass are all 1-row aggregates
     "ev_trend", "ev_chi2_hour", "ord_pareto", "ev_value_deciles", "ev_pagerank",
     "ev_ab_lift", "ord_backlog_aging", "li_abc_class", "cs_churn_risk",
-    "ev_dow_hour_heatmap",
+    "ev_dow_hour_heatmap", "tbl_pk_audit",
     "ev_status_time_share", "ev_autocorr", "ev_chi2_value_type",
     "li_graph_stats", "txt_bigram_surprisal",
     // |labels|-row broadcast (bounded by label cardinality, not data size)

@@ -137,4 +137,16 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got === List((500000L, 1L, 50L)))
   }
+
+  test("pk audit: dup and null keys surface per table") {
+    val clean = Seq(1L, 2L, 3L).map(k => (k, "v")).toDF("k", "v")
+    val dirty = Seq(Some(1L), Some(1L), Some(2L), None)
+      .map(k => (k, "v")).toDF("k", "v")
+    val got = Profile.pkAudit(Seq(("clean", clean, "k"), ("dirty", dirty, "k")))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // dirty: 4 rows, 2 distinct non-null keys, 1 null, 1 repeating key
+    assert(got === List(
+      ("clean", 3L, 3L, 0L, 0L),
+      ("dirty", 4L, 2L, 1L, 1L)))
+  }
 }
