@@ -315,6 +315,14 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast("long")).as("disc_rev_cents"))),
+    // comeback-after-silence counts (the churnRisk win-back pair); the
+    // fixture spans 30 days with max per-user gap ~4 days, so register a
+    // 2-day threshold that actually fires (p99 gap ≈ 48.5 h)
+    "ev_reactivations" -> ((s, dir) =>
+      graft.ops.TimeSeries.reactivations(Tables.events(s, dir), inactiveDays = 2L)),
+    // monthly returned-quantity share and revenue at risk
+    "li_return_rate" -> ((s, dir) =>
+      graft.ops.TimeSeries.returnRate(Tables.lineitem(s, dir))),
     // key-uniqueness audit across the star schema + events
     "tbl_pk_audit" -> ((s, dir) =>
       graft.ops.Profile.pkAudit(Seq(
@@ -919,6 +927,30 @@ object SparkEntry {
         |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents,
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT AS disc_rev_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "ev_reactivations" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    epoch_ms(ts::TIMESTAMP)
+        |      - lag(epoch_ms(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP)) AS gap
+        |  FROM events
+        |), r AS (
+        |  SELECT DISTINCT ts_ms // 86400000 AS day, user_id
+        |  FROM g WHERE gap > 2 * 86400000
+        |)
+        |SELECT day, count(*) AS n_reactivated FROM r GROUP BY 1""".stripMargin,
+    "li_return_rate" ->
+      """WITH m AS (
+        |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS midx,
+        |    l_quantity::BIGINT AS qty,
+        |    CASE WHEN l_returnflag = 'R' THEN l_quantity::BIGINT ELSE 0 END AS rqty,
+        |    CASE WHEN l_returnflag = 'R' THEN round(l_extendedprice * 100)::BIGINT ELSE 0 END AS rcents
+        |  FROM lineitem
+        |)
+        |SELECT midx::BIGINT AS midx, sum(qty)::BIGINT AS total_qty,
+        |  sum(rqty)::BIGINT AS returned_qty,
+        |  (sum(rqty) * 10000) // sum(qty) AS return_e4,
+        |  sum(rcents)::BIGINT AS returned_cents
+        |FROM m GROUP BY 1""".stripMargin,
     "tbl_pk_audit" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,
         |  count(DISTINCT o_orderkey) AS n_distinct,

@@ -112,6 +112,50 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start_ms"), col("n_events"))
   }
 
+  /** Reactivation counts: per day, users whose event arrives after more
+    * than `inactiveDays` of silence — the comeback curve that pairs with
+    * [[graft.ops.Analytics.churnRisk]] (one screens who's gone quiet, the
+    * other credits the win-backs). A user's FIRST event is an
+    * acquisition, not a reactivation.
+    *
+    * Scale: one lag window on the user key (the shared sessionization
+    * clustering), then a hash agg onto |days| rows.
+    */
+  def reactivations(events: DataFrame, inactiveDays: Long = 14L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    events
+      .select(col("user_id"), col("ts_ms"))
+      .withColumn("__gap", col("ts_ms") - lag(col("ts_ms"), 1).over(byUser))
+      .filter(col("__gap") > inactiveDays * DayMs)
+      .select(Cols.floorDiv(col("ts_ms"), DayMs).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_reactivated"))
+  }
+
+  /** Monthly return rate: per calendar month, lineitem quantity flagged
+    * 'R' (returned) as an e4 share of total quantity, plus the exact-cent
+    * revenue at risk — the merchandising quality series.
+    *
+    * Scale: one map-side-combined aggregate onto |months| rows.
+    */
+  def returnRate(lineitem: DataFrame): DataFrame = {
+    val ts = col("l_shipdate").cast("timestamp")
+    val returned = col("l_returnflag") === "R"
+    lineitem
+      .groupBy((year(ts) * 12 + month(ts)).cast("long").as("midx"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(when(returned, col("l_quantity").cast("long")).otherwise(0L))
+          .as("returned_qty"),
+        sum(when(returned, round(col("l_extendedprice") * 100).cast("long"))
+          .otherwise(0L)).as("returned_cents"))
+      .select(
+        col("midx"), col("total_qty"), col("returned_qty"),
+        Cols.floorDiv(col("returned_qty") * 10000, col("total_qty")).as("return_e4"),
+        col("returned_cents"))
+  }
+
   /** Week-over-week growth per key: epoch-week event counts with the
     * previous week's count and the growth rate in exact integer e4
     * (null for a key's first week — no base to grow from). The simplest

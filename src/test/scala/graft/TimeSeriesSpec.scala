@@ -264,6 +264,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
   }
 
+  test("reactivations: comebacks after >14 idle days, first events don't count") {
+    val D = TimeSeries.DayMs
+    val ev = Seq(
+      (1L, 100L), // acquisition — not a reactivation
+      (1L, 20 * D + 10L), // 20-day gap → reactivated on day 20
+      (1L, 20 * D + 1010L), // 1 s later — no
+      (1L, 50 * D), // 30-day gap → day 50
+      (2L, 5 * D)) // single event
+      .toDF("user_id", "ts_ms")
+    val got = TimeSeries.reactivations(ev)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((20L, 1L), (50L, 1L)))
+  }
+
+  test("return rate: monthly returned-quantity share, exact cents at risk") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val lines = Seq(
+      ("R", 3.0, 10.0, ts("2020-01-10")),
+      ("N", 7.0, 99.0, ts("2020-01-20")),
+      ("N", 5.0, 1.0, ts("2020-02-05")))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+    val got = TimeSeries.returnRate(lines)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    val jan = 2020L * 12 + 1
+    assert(got === List(
+      (jan, 10L, 3L, 3000L, 1000L),
+      (jan + 1, 5L, 0L, 0L, 0L)))
+  }
+
   test("backlog aging: open orders bucketed by age at the in-plan reference day") {
     val D = TimeSeries.DayMs
     def ts(day: Long) = new java.sql.Timestamp(day * D)
