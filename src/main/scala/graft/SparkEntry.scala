@@ -323,6 +323,15 @@ object SparkEntry {
     // monthly returned-quantity share and revenue at risk
     "li_return_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.returnRate(Tables.lineitem(s, dir))),
+    // integer-exact EWMA smoothing of the daily event-count series
+    "ev_ewma_daily" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDaily(Tables.events(s, dir))),
+    // exact join-cardinality probe on the biggest equi-join in the schema:
+    // measure Σ cntA·cntB + hottest-key share BEFORE shuffling the join
+    "tbl_join_card" -> ((s, dir) =>
+      graft.ops.Profile.joinCardinality(
+        Tables.orders(s, dir), "o_orderkey",
+        Tables.lineitem(s, dir), "l_orderkey")),
     // key-uniqueness audit across the star schema + events
     "tbl_pk_audit" -> ((s, dir) =>
       graft.ops.Profile.pkAudit(Seq(
@@ -938,6 +947,22 @@ object SparkEntry {
         |  FROM g WHERE gap > 2 * 86400000
         |)
         |SELECT day, count(*) AS n_reactivated FROM r GROUP BY 1""".stripMargin,
+    "ev_ewma_daily" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT day, n_events, row_number() OVER (ORDER BY day) AS i FROM d
+        |), r AS (
+        |  SELECT day, n_events, i, n_events * 10000 AS ewma_e4 FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.day, s.n_events, s.i,
+        |    r.ewma_e4 + ((s.n_events * 10000 - r.ewma_e4) >> 3)
+        |  FROM s JOIN r ON s.i = r.i + 1
+        |)
+        |SELECT day::BIGINT AS day, n_events::BIGINT AS n_events,
+        |  ewma_e4::BIGINT AS ewma_e4
+        |FROM r""".stripMargin,
     "li_return_rate" ->
       """WITH m AS (
         |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS midx,
@@ -951,6 +976,20 @@ object SparkEntry {
         |  (sum(rqty) * 10000) // sum(qty) AS return_e4,
         |  sum(rcents)::BIGINT AS returned_cents
         |FROM m GROUP BY 1""".stripMargin,
+    "tbl_join_card" ->
+      """WITH ca AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |j AS (SELECT ca.k, ca.c * cb.c AS p FROM ca JOIN cb USING (k))
+        |SELECT (SELECT sum(c) FROM ca)::BIGINT AS n_left,
+        |  (SELECT count(*) FROM ca)::BIGINT AS n_keys_left,
+        |  (SELECT sum(c) FROM cb)::BIGINT AS n_right,
+        |  (SELECT count(*) FROM cb)::BIGINT AS n_keys_right,
+        |  count(*)::BIGINT AS n_keys_matched,
+        |  coalesce(sum(p), 0)::BIGINT AS join_rows,
+        |  coalesce(max(p), 0)::BIGINT AS max_key_rows,
+        |  (CASE WHEN coalesce(sum(p), 0) > 0
+        |        THEN (max(p) * 10000) // sum(p) ELSE 0 END)::BIGINT AS top_share_e4
+        |FROM j""".stripMargin,
     "tbl_pk_audit" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,
         |  count(DISTINCT o_orderkey) AS n_distinct,

@@ -93,6 +93,46 @@ object Profile {
     }.reduce(_.union(_))
   }
 
+  /** Join-cardinality probe from key histograms: the EXACT row count
+    * `|A ⋈ B| = Σₖ cntA(k)·cntB(k)` the equi-join would produce, plus the
+    * skew facts that decide HOW to run it — the hottest key's output rows
+    * and its e4 share of the total. This is the "measure before you
+    * shuffle 100 TB" planning step: key-grain aggregates and a key-grain
+    * join are orders of magnitude cheaper than the join itself whenever
+    * rows are wider than keys, and the answer picks the strategy
+    * (broadcast / plain shuffle / salted — see [[Scale.saltedJoin]]).
+    *
+    * Scale: two hash aggregates (map-side combined) down to key grain,
+    * one equi-join between those key tables, a 1-row final aggregate,
+    * and the side totals as in-plan broadcast 1-row aggregates. At
+    * extreme fan-out (join_rows beyond ~9·10¹⁸) move the Σ to
+    * DECIMAL(38,0) — the plan shape is unchanged.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    val sides = ca
+      .agg(coalesce(sum(col("__ca")), lit(0L)).as("n_left"),
+        count(lit(1)).as("n_keys_left"))
+      .crossJoin(broadcast(
+        cb.agg(coalesce(sum(col("__cb")), lit(0L)).as("n_right"),
+          count(lit(1)).as("n_keys_right"))))
+    ca.join(cb, Seq("__k"))
+      .select((col("__ca") * col("__cb")).as("__p"))
+      .agg(
+        count(lit(1)).as("n_keys_matched"),
+        coalesce(sum(col("__p")), lit(0L)).as("join_rows"),
+        coalesce(max(col("__p")), lit(0L)).as("max_key_rows"))
+      .crossJoin(broadcast(sides))
+      .select(
+        col("n_left"), col("n_keys_left"), col("n_right"), col("n_keys_right"),
+        col("n_keys_matched"), col("join_rows"), col("max_key_rows"),
+        when(col("join_rows") > 0,
+          graft.Cols.floorDiv(col("max_key_rows") * 10000, col("join_rows")))
+          .otherwise(lit(0L)).as("top_share_e4"))
+  }
+
   /** Benford leading-digit audit: the distribution of first significant
     * digits of a positive amount column against Benford's law — the
     * classic fabricated-data / unit-mix-up screen. The leading digit

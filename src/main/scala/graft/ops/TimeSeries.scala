@@ -156,6 +156,39 @@ object TimeSeries {
         col("returned_cents"))
   }
 
+  /** Integer-exact EWMA of the daily event-count series: per day, the
+    * count and its exponentially-weighted moving average in e4 scale with
+    * α = 2^-alphaShift — s₀ = x₀·10⁴; sₜ = sₜ₋₁ + ((xₜ·10⁴ − sₜ₋₁) >> shift).
+    * The arithmetic right shift floors (Spark `shiftright` ≡ DuckDB `>>`),
+    * so the recursion is the same integer sequence on both engines — no
+    * float accumulation drift, unlike a pow-weighted window sum.
+    *
+    * Scale: one map-side-combined aggregate collapses the stream to the
+    * |days|-row calendar series; the inherently-sequential recursion then
+    * folds over THAT collected array (calendar-sized and bounded — never
+    * the data), keeping the operator a narrow two-stage plan at any
+    * input size.
+    */
+  def ewmaDaily(events: DataFrame, alphaShift: Int = 3): DataFrame = {
+    require(alphaShift >= 1 && alphaShift <= 30, "alphaShift must be in [1, 30]")
+    val daily = events
+      .groupBy(Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("n_events")))).as("__s"))
+      .select(explode(expr(
+        s"""aggregate(__s,
+           |  cast(array() as array<struct<day:bigint,n_events:bigint,ewma_e4:bigint>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'day', x.day, 'n_events', x.n_events,
+           |    'ewma_e4', CASE WHEN size(acc) = 0 THEN x.n_events * 10000L
+           |      ELSE element_at(acc, -1).ewma_e4
+           |        + shiftright(x.n_events * 10000L - element_at(acc, -1).ewma_e4,
+           |                     $alphaShift)
+           |    END)))""".stripMargin)).as("r"))
+      .select(col("r.day"), col("r.n_events"), col("r.ewma_e4"))
+  }
+
   /** Week-over-week growth per key: epoch-week event counts with the
     * previous week's count and the growth rate in exact integer e4
     * (null for a key's first week — no base to grow from). The simplest

@@ -433,6 +433,37 @@ object TextAnalysis {
         col("src_tokens"), col("keep_ppm"), col("bucket"))
   }
 
+  /** Largest-remainder quota allocation: split a document sample budget
+    * across groups proportionally to their sizes, in EXACT integers that
+    * sum to exactly `budget` — floor shares first, then one extra doc to
+    * the groups with the largest remainders (ties broken by group name).
+    * The deterministic partner to [[mixtureSample]]: that one samples to
+    * a budget in expectation; this one emits the per-group quota table a
+    * hard-capped sampler is driven by.
+    *
+    * Scale: one hash aggregate to |groups| rows; the total and the
+    * remainder-rank window run on that group-sized table (never the
+    * corpus), so the global window is bounded by group cardinality.
+    */
+  def quotaAlloc(docs: DataFrame, groupCol: String = "lang", budget: Long = 100L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val based = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("__total"))))
+      .select(
+        col(groupCol), col("n_docs"),
+        Cols.floorDiv(col("n_docs") * budget, col("__total")).as("__base"),
+        ((col("n_docs") * budget) % col("__total")).as("__rem"))
+    based
+      .crossJoin(broadcast(based.agg((lit(budget) - sum(col("__base"))).as("__deficit"))))
+      .withColumn("__rk",
+        row_number().over(w.orderBy(col("__rem").desc, col(groupCol))))
+      .select(
+        col(groupCol), col("n_docs"),
+        (col("__base") + when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
   /** Decile bucketing of the unigram-surprisal quality signal — the
     * "prune the worst decile / oversample the best" knob of a quality-
     * curriculum pipeline. Deliberately NOT `ntile()`: a global ntile is a
@@ -782,6 +813,8 @@ object TextAnalysis {
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "txt_surprisal_deciles" -> ((s, d) => surprisalDeciles(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
+    // hard-capped companion: exact integer quotas per language, Σ = budget
+    "txt_quota_alloc" -> ((s, d) => quotaAlloc(Tables.documents(s, d))),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -1087,6 +1120,20 @@ object TextAnalysis {
         |  ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 AS bucket
         |FROM tc JOIN f USING (source)
         |WHERE ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 < f.keep_ppm""".stripMargin,
+    "txt_quota_alloc" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM c),
+        |b AS (
+        |  SELECT lang, n_docs, (n_docs * 100) // total AS base,
+        |    (n_docs * 100) % total AS rem
+        |  FROM c, t
+        |), d AS (SELECT 100 - sum(base) AS deficit FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b
+        |)
+        |SELECT lang, n_docs::BIGINT AS n_docs,
+        |  (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota
+        |FROM r, d""".stripMargin,
     "txt_stratified_sample" ->
       """SELECT doc_id, lang,
         |  ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket

@@ -31,6 +31,8 @@ object PlanAudit {
     "ev_dow_hour_heatmap", "tbl_pk_audit",
     "ev_status_time_share", "ev_autocorr", "ev_chi2_value_type",
     "li_graph_stats", "txt_bigram_surprisal",
+    // side totals / quota total + deficit are 1-row aggregates
+    "tbl_join_card", "txt_quota_alloc",
     // |labels|-row broadcast (bounded by label cardinality, not data size)
     "emb_silhouette",
     // k-row broadcast centroid table (bounded by k, not data size)

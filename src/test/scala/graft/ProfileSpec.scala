@@ -138,6 +138,25 @@ class ProfileSpec extends SparkSpec {
     assert(got === List((500000L, 1L, 50L)))
   }
 
+  test("join cardinality: exact fan-out and hottest-key share from key histograms") {
+    val left = Seq("a", "a", "a", "b", "c").map((_, 1)).toDF("k", "v")
+    val right = Seq("a", "a", "b", "b", "b", "d").map((_, 1)).toDF("k", "v")
+    val got = Profile.joinCardinality(left, "k", right, "k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    // matched: a → 3·2 = 6, b → 1·3 = 3; total 9; top share 60000/9 = 6666
+    assert(got === List((5L, 3L, 6L, 3L, 2L, 9L, 6L, 6666L)))
+    // and the real join agrees with the prediction
+    assert(left.join(right, Seq("k")).count() === 9L)
+  }
+
+  test("join cardinality: disjoint keys predict an empty join, no div-by-zero") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("b", 1)).toDF("k", "v")
+    val got = Profile.joinCardinality(left, "k", right, "k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("pk audit: dup and null keys surface per table") {
     val clean = Seq(1L, 2L, 3L).map(k => (k, "v")).toDF("k", "v")
     val dirty = Seq(Some(1L), Some(1L), Some(2L), None)

@@ -201,6 +201,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("quota allocation: largest-remainder quotas sum exactly to the budget") {
+    // a: 5, b: 3, c: 2 of 10; budget 7 → bases 3/2/1 (Σ6), deficit 1 goes
+    // to the largest remainder (a: 35%10 = 5 beats c: 4 and b: 1)
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("lang", "doc_id")
+    val got = graft.text.TextAnalysis.quotaAlloc(docs, "lang", budget = 7L)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)))
+    assert(got.map(_._3).sum === 7L)
+  }
+
+  test("quota allocation: remainder ties break by group name") {
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("lang", "doc_id")
+    val got = graft.text.TextAnalysis.quotaAlloc(docs, "lang", budget = 3L)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    // both rem 1, deficit 1 → 'a' wins the tie deterministically
+    assert(got === List(("a", 1L, 2L), ("b", 1L, 1L)))
+  }
+
   test("split assignment: deterministic, complete, roughly 80/10/10") {
     val ids = (1L to 1000L).map(i => (i, s"doc $i")).toSeq
     val splits = TextAnalysis.splitAssign(docs(ids: _*))

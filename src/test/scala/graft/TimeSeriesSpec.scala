@@ -293,6 +293,17 @@ class TimeSeriesSpec extends SparkSpec {
       (jan + 1, 5L, 0L, 0L, 0L)))
   }
 
+  test("ewma daily: integer recursion with floor shift, including a negative delta") {
+    val D = TimeSeries.DayMs
+    val ev = (Seq.fill(2)(0L * D + 100L) ++ Seq(1L * D + 5L) ++
+      Seq.fill(4)(3L * D + 9L)).map((_, 1)).toDF("ts_ms", "v")
+    val got = TimeSeries.ewmaDaily(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // s0 = 20000; day1: 20000 + ((10000-20000) >> 3) = 20000 - 1250 = 18750
+    // day3: 18750 + ((40000-18750) >> 3) = 18750 + 2656 = 21406
+    assert(got === List((0L, 2L, 20000L), (1L, 1L, 18750L), (3L, 4L, 21406L)))
+  }
+
   test("backlog aging: open orders bucketed by age at the in-plan reference day") {
     val D = TimeSeries.DayMs
     def ts(day: Long) = new java.sql.Timestamp(day * D)
