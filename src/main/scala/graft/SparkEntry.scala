@@ -326,6 +326,26 @@ object SparkEntry {
     // integer-exact EWMA smoothing of the daily event-count series
     "ev_ewma_daily" -> ((s, dir) =>
       graft.ops.TimeSeries.ewmaDaily(Tables.events(s, dir))),
+    // Theil–Sen robust trend: median of pairwise slopes on the day series
+    "ev_theil_sen" -> ((s, dir) =>
+      graft.ops.TimeSeries.theilSen(Tables.events(s, dir))),
+    // snapshot reconciliation audit: deterministic old/new variants of
+    // orders (drop every 97th key from old, drop every 89th from new,
+    // bump cents on every 101st) → added/removed/changed/unchanged
+    "tbl_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val oldSnap = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      val newSnap = o
+        .filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .withColumn("cents",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("cents") + 100L)
+            .otherwise(col("cents")))
+      graft.ops.Profile.snapshotDiff(
+        oldSnap, newSnap, "o_orderkey", Seq("o_orderstatus", "cents"))
+    }),
     // exact join-cardinality probe on the biggest equi-join in the schema:
     // measure Σ cntA·cntB + hottest-key share BEFORE shuffling the join
     "tbl_join_card" -> ((s, dir) =>
@@ -963,6 +983,42 @@ object SparkEntry {
         |SELECT day::BIGINT AS day, n_events::BIGINT AS n_events,
         |  ewma_e4::BIGINT AS ewma_e4
         |FROM r""".stripMargin,
+    "ev_theil_sen" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  -- remainder-corrected floor division (DuckDB // truncates)
+        |  SELECT ((b.n - a.n) * 10000
+        |          - (((b.n - a.n) * 10000) % (b.day - a.day)
+        |             + (b.day - a.day)) % (b.day - a.day))
+        |         // (b.day - a.day) AS s
+        |  FROM d a JOIN d b ON a.day < b.day
+        |)
+        |SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+        |  count(*)::BIGINT AS n_pairs,
+        |  round(quantile_cont(s, 0.5), 4) AS slope_med_e4,
+        |  round(quantile_cont(s, 0.25), 4) AS slope_p25_e4,
+        |  round(quantile_cont(s, 0.75), 4) AS slope_p75_e4
+        |FROM p""".stripMargin,
+    "tbl_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders
+        |), old AS (SELECT * FROM o WHERE k % 97 <> 0),
+        |new AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 101 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM o WHERE k % 89 <> 0
+        |), j AS (
+        |  SELECT CASE WHEN old.k IS NULL THEN 'added'
+        |    WHEN new.k IS NULL THEN 'removed'
+        |    WHEN old.st = new.st AND old.cents = new.cents THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN new ON old.k = new.k
+        |)
+        |SELECT status, count(*)::BIGINT AS n_rows FROM j GROUP BY 1""".stripMargin,
     "li_return_rate" ->
       """WITH m AS (
         |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS midx,

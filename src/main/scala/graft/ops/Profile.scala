@@ -93,6 +93,40 @@ object Profile {
     }.reduce(_.union(_))
   }
 
+  /** Snapshot reconciliation: added / removed / changed / unchanged row
+    * counts between two KEYED snapshots (unique keys — [[pkAudit]] is the
+    * precondition), compared by an md5 over the declared value columns —
+    * the migration / backfill audit ("did the new pipeline change
+    * anything it shouldn't have?"). The hash only ever meets hashes from
+    * the SAME engine, so no cross-engine string-format parity is needed;
+    * still, normalize float value columns to exact integers (cents, e4)
+    * first so "changed" means a real change, not formatting drift.
+    * Null value columns are skipped by `concat_ws` — two rows differing
+    * only in WHICH column is null can collide; normalize nulls upstream
+    * if that distinction matters.
+    *
+    * Scale: both sides reduce to (key, 16-byte hash) BEFORE the one
+    * full-outer shuffle join, so bytes through the exchange are constant
+    * per row regardless of table width; output is ≤ 4 rows.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "snapshotDiff needs at least one value column")
+    def hashed(df: DataFrame, tag: String) = df.select(
+      col(keyCol).as("__k"),
+      md5(concat_ws("\u0001", valueCols.map(c => col(c).cast("string")): _*))
+        .as(s"__h_$tag"))
+    hashed(oldSnap, "old")
+      .join(hashed(newSnap, "new"), Seq("__k"), "full_outer")
+      .select(
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Join-cardinality probe from key histograms: the EXACT row count
     * `|A ⋈ B| = Σₖ cntA(k)·cntB(k)` the equi-join would produce, plus the
     * skew facts that decide HOW to run it — the hottest key's output rows

@@ -394,6 +394,35 @@ object TimeSeries {
       when(den =!= 0, Cols.floorDiv(num, den).cast("long")).as("slope_e4"))
   }
 
+  /** Theil–Sen robust trend of the global daily count series: the median
+    * of all pairwise slopes (integer e4/day, each floor-quantized BEFORE
+    * the median — quantize-then-aggregate), with the p25/p75 slope band.
+    * One wild day barely moves this; it drags [[trendSlope]]'s
+    * least-squares slope proportionally to its residual.
+    *
+    * Scale: events collapse to the |days|-row calendar series first; the
+    * O(|days|²) pair join runs on that bounded table (years² pairs, not
+    * data²) — all-pairs-on-calendar by design, never all-pairs-on-data.
+    */
+  def theilSen(events: DataFrame, tsMsCol: String = "ts_ms"): DataFrame = {
+    val daily = events
+      .groupBy(Cols.floorDiv(col(tsMsCol), DayMs).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("day").as("__d1"), col("n").as("__n1"))
+    val b = daily.select(col("day").as("__d2"), col("n").as("__n2"))
+    a.join(b, col("__d1") < col("__d2"))
+      .select(Cols.floorDiv(
+        (col("__n2") - col("__n1")) * 10000, col("__d2") - col("__d1")).as("__s"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__s, 0.5)"), 4).as("slope_med_e4"),
+        round(expr("percentile(__s, 0.25)"), 4).as("slope_p25_e4"),
+        round(expr("percentile(__s, 0.75)"), 4).as("slope_p75_e4"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_med_e4"), col("slope_p25_e4"), col("slope_p75_e4"))
+  }
+
   /** CUSUM change-point detection on the daily count series: per key, the
     * day where the cumulative deviation from the key's mean rate peaks —
     * the classic "when did the level shift" detector. The statistic is

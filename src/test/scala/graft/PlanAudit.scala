@@ -13,7 +13,9 @@ object PlanAudit {
   // quadratic) algorithm; the registered scale paths are the LSH variants
   // ann_recall_ivf embeds the brute baseline as its ground-truth side
   val AllPairsBaselines =
-    Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf")
+    Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf",
+      // all-pairs on the |days|-row calendar series (bounded), not on data
+      "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)

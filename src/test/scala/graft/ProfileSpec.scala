@@ -157,6 +157,26 @@ class ProfileSpec extends SparkSpec {
     assert(got === List((1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("snapshot diff: added/removed/changed/unchanged counts by key") {
+    val oldSnap = Seq((1L, "A", 100L), (2L, "A", 100L), (3L, "B", 300L))
+      .toDF("k", "status", "cents")
+    val newSnap = Seq((2L, "A", 150L), (3L, "B", 300L), (4L, "C", 400L))
+      .toDF("k", "status", "cents")
+    val got = Profile.snapshotDiff(oldSnap, newSnap, "k", Seq("status", "cents"))
+      .as[(String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("added", 1L), ("changed", 1L), ("removed", 1L), ("unchanged", 1L)))
+  }
+
+  test("snapshot diff: separator prevents cross-column value bleed") {
+    // ("ab","c") vs ("a","bc") must NOT collide as unchanged
+    val oldSnap = Seq((1L, "ab", "c")).toDF("k", "x", "y")
+    val newSnap = Seq((1L, "a", "bc")).toDF("k", "x", "y")
+    val got = Profile.snapshotDiff(oldSnap, newSnap, "k", Seq("x", "y"))
+      .as[(String, Long)].collect().toList
+    assert(got === List(("changed", 1L)))
+  }
+
   test("pk audit: dup and null keys surface per table") {
     val clean = Seq(1L, 2L, 3L).map(k => (k, "v")).toDF("k", "v")
     val dirty = Seq(Some(1L), Some(1L), Some(2L), None)

@@ -304,6 +304,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List((0L, 2L, 20000L), (1L, 1L, 18750L), (3L, 4L, 21406L)))
   }
 
+  test("theil-sen: median pairwise slope with quantize-then-median discipline") {
+    val D = TimeSeries.DayMs
+    // days (0,1), (1,3), (2,2) → pair slopes e4: 20000, 5000, -10000
+    val ev = (Seq(0L * D + 1) ++ Seq.fill(3)(1L * D + 1) ++ Seq.fill(2)(2L * D + 1))
+      .map((_, 1)).toDF("ts_ms", "v")
+    val got = TimeSeries.theilSen(ev)
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    // sorted slopes [-10000, 5000, 20000]: median 5000, p25/p75 interpolate
+    assert(got === List((3L, 3L, 5000.0, -2500.0, 12500.0)))
+  }
+
   test("backlog aging: open orders bucketed by age at the in-plan reference day") {
     val D = TimeSeries.DayMs
     def ts(day: Long) = new java.sql.Timestamp(day * D)
