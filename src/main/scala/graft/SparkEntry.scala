@@ -329,6 +329,19 @@ object SparkEntry {
     // Theil–Sen robust trend: median of pairwise slopes on the day series
     "ev_theil_sen" -> ((s, dir) =>
       graft.ops.TimeSeries.theilSen(Tables.events(s, dir))),
+    // seasonal-naive (lag-7) forecast backtest: exact bias/MAE/MAPE
+    "ev_forecast_backtest" -> ((s, dir) =>
+      graft.ops.TimeSeries.forecastBacktest(Tables.events(s, dir))),
+    // per-type freshness lag vs the freshest feed
+    "ev_freshness" -> ((s, dir) =>
+      graft.ops.TimeSeries.freshness(Tables.events(s, dir), "event_type")),
+    // sessionizer gap-threshold sweep in one pass, bracketing the
+    // production 12 h gap — that row equals cs_sessionize's session
+    // count by construction
+    "cs_gap_sensitivity" -> ((s, dir) =>
+      graft.ops.Clickstream.gapSensitivity(Tables.events(s, dir),
+        gapsMs = Seq(60000L, 600000L, 3600000L,
+          graft.ops.Clickstream.DefaultGapMs, 86400000L))),
     // snapshot reconciliation audit: deterministic old/new variants of
     // orders (drop every 97th key from old, drop every 89th from new,
     // bump cents on every 101st) → added/removed/changed/unchanged
@@ -983,6 +996,47 @@ object SparkEntry {
         |SELECT day::BIGINT AS day, n_events::BIGINT AS n_events,
         |  ewma_e4::BIGINT AS ewma_e4
         |FROM r""".stripMargin,
+    "ev_forecast_backtest" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), j AS (
+        |  SELECT a.n - b.n AS err, (abs(a.n - b.n) * 10000) // a.n AS ape_e4
+        |  FROM d a JOIN d b ON a.day = b.day + 7
+        |)
+        |SELECT count(*)::BIGINT AS n_eval_days,
+        |  coalesce(sum(err), 0)::BIGINT AS bias,
+        |  coalesce(sum(abs(err)), 0)::BIGINT AS sum_abs_err,
+        |  (CASE WHEN count(*) > 0
+        |        THEN (sum(abs(err)) * 10000) // count(*) ELSE 0 END)::BIGINT AS mae_e4,
+        |  (CASE WHEN count(*) > 0
+        |        THEN sum(ape_e4) // count(*) ELSE 0 END)::BIGINT AS mape_e4
+        |FROM j""".stripMargin,
+    "ev_freshness" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  max(epoch_ms(ts::TIMESTAMP))::BIGINT AS max_ts_ms,
+        |  ((SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)
+        |    - max(epoch_ms(ts::TIMESTAMP)))::BIGINT AS staleness_ms
+        |FROM events GROUP BY 1""".stripMargin,
+    "cs_gap_sensitivity" ->
+      """WITH g AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP)
+        |    - lag(epoch_ms(ts::TIMESTAMP)) OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY epoch_ms(ts::TIMESTAMP), event_id) AS gap
+        |  FROM events
+        |)
+        |SELECT 60000::BIGINT AS gap_ms,
+        |  count(CASE WHEN gap IS NULL OR gap >= 60000 THEN 1 END)::BIGINT AS n_sessions
+        |FROM g
+        |UNION ALL SELECT 600000,
+        |  count(CASE WHEN gap IS NULL OR gap >= 600000 THEN 1 END) FROM g
+        |UNION ALL SELECT 3600000,
+        |  count(CASE WHEN gap IS NULL OR gap >= 3600000 THEN 1 END) FROM g
+        |UNION ALL SELECT 43200000,
+        |  count(CASE WHEN gap IS NULL OR gap >= 43200000 THEN 1 END) FROM g
+        |UNION ALL SELECT 86400000,
+        |  count(CASE WHEN gap IS NULL OR gap >= 86400000 THEN 1 END) FROM g""".stripMargin,
     "ev_theil_sen" ->
       """WITH d AS (
         |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n

@@ -155,6 +155,34 @@ object Clickstream {
   def buySessions(sessions: DataFrame): DataFrame =
     sessions.filter(col("checkout_event_count") =!= 0)
 
+  /** Session-gap sensitivity sweep: the session count each candidate gap
+    * threshold would produce, in ONE pass — the parameter-tuning readout
+    * behind [[withSessionIds]]'s `gapMs` choice. A session starts where
+    * the in-user gap is `>= t` (same predicate as the sessionizer), so
+    * the count at the production threshold matches the sessionizer's
+    * output exactly.
+    *
+    * Scale: one lag window on the shared user-key clustering, then a
+    * SINGLE aggregate computes every threshold's count (no
+    * one-job-per-parameter loop, no |thresholds|× row expansion), finally
+    * exploded to |thresholds| rows.
+    */
+  def gapSensitivity(events: DataFrame,
+      gapsMs: Seq[Long] = Seq(1000L, 5000L, 30000L, 300000L, 3600000L)): DataFrame = {
+    require(gapsMs.nonEmpty, "gapSensitivity needs at least one threshold")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val withGap = events
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("__gap", col("ts_ms") - lag(col("ts_ms"), 1).over(byUser))
+    val aggs = gapsMs.map(t =>
+      count(when(col("__gap").isNull || col("__gap") >= t, 1)).as(s"__s_$t"))
+    withGap
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(gapsMs.map(t =>
+        struct(lit(t).as("gap_ms"), col(s"__s_$t").as("n_sessions"))): _*)).as("r"))
+      .select(col("r.gap_ms"), col("r.n_sessions"))
+  }
+
   /** The tumbling-window assignment timestamp for pipelines B and C:
     * session records carry event time `window end − 1 ms`
     * (Flink TimeWindow.maxTimestamp(), SURVEY.md §2.4).

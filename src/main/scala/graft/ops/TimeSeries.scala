@@ -394,6 +394,62 @@ object TimeSeries {
       when(den =!= 0, Cols.floorDiv(num, den).cast("long")).as("slope_e4"))
   }
 
+  /** Data-freshness audit: per group (source, event type, partition…),
+    * the row count, latest timestamp, and how far it lags the freshest
+    * group — the "which feed stopped" monitor a pipeline checks before
+    * trusting a batch. Staleness is relative to the data's own max (not
+    * wall clock), so the readout is deterministic and replayable.
+    *
+    * Scale: one map-side-combined aggregate to |groups| rows; the global
+    * max is the usual in-plan broadcast 1-row aggregate.
+    */
+  def freshness(events: DataFrame, groupCol: String, tsMsCol: String = "ts_ms"): DataFrame =
+    events
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"), max(col(tsMsCol)).as("max_ts_ms"))
+      .crossJoin(broadcast(
+        events.agg(max(col(tsMsCol)).as("__gmax"))))
+      .select(
+        col(groupCol), col("n_events"), col("max_ts_ms"),
+        (col("__gmax") - col("max_ts_ms")).as("staleness_ms"))
+
+  /** Seasonal-naive forecast backtest: predict each day's event count
+    * with the count `seasonDays` earlier (f(d) = n(d − season)), then
+    * score the forecast over every day that HAS a baseline — exact
+    * integer bias / MAE / MAPE in e4 (per-day APE floor-quantized before
+    * the mean: quantize-then-sum). The honest-baseline harness any fancier
+    * forecaster ([[ewmaDaily]], [[trendSlope]]) must beat before it ships.
+    *
+    * Scale: one map-side-combined aggregate to the |days|-row series,
+    * one calendar-shifted equi-join of that series with itself, one
+    * 1-row final aggregate.
+    */
+  def forecastBacktest(events: DataFrame, seasonDays: Long = 7L): DataFrame = {
+    require(seasonDays >= 1, "seasonDays must be positive")
+    val daily = events
+      .groupBy(Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val forecast = daily.select((col("day") + seasonDays).as("day"), col("n").as("__f"))
+    daily.join(forecast, Seq("day"))
+      .select(
+        (col("n") - col("__f")).as("__err"),
+        // observed days have n >= 1, so the APE denominator is never 0
+        Cols.floorDiv(abs(col("n") - col("__f")) * 10000, col("n")).as("__ape_e4"))
+      .agg(
+        count(lit(1)).as("n_eval_days"),
+        coalesce(sum(col("__err")), lit(0L)).as("bias"),
+        coalesce(sum(abs(col("__err"))), lit(0L)).as("sum_abs_err"),
+        coalesce(sum(col("__ape_e4")), lit(0L)).as("__sum_ape"))
+      .select(
+        col("n_eval_days"), col("bias"), col("sum_abs_err"),
+        when(col("n_eval_days") > 0,
+          Cols.floorDiv(col("sum_abs_err") * 10000, col("n_eval_days")))
+          .otherwise(lit(0L)).as("mae_e4"),
+        when(col("n_eval_days") > 0,
+          Cols.floorDiv(col("__sum_ape"), col("n_eval_days")))
+          .otherwise(lit(0L)).as("mape_e4"))
+  }
+
   /** Theil–Sen robust trend of the global daily count series: the median
     * of all pairwise slopes (integer e4/day, each floor-quantized BEFORE
     * the median — quantize-then-aggregate), with the p25/p75 slope band.

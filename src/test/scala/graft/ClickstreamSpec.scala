@@ -47,6 +47,18 @@ class ClickstreamSpec extends SparkSpec {
       (1L, 2L, 1L, 0L, "a", 2999L, 3999L)))
   }
 
+  test("gap sensitivity: one-pass session counts across thresholds") {
+    val df = ev(
+      (1L, 0L, "a"), (1L, 500L, "a"), (1L, 2000L, "a"), // gaps: null, 500, 1500
+      (2L, 0L, "a")) // gap: null
+    val got = Clickstream.gapSensitivity(df, Seq(400L, 1000L, 2000L))
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((400L, 4L), (1000L, 3L), (2000L, 2L)))
+    // the production threshold agrees with the sessionizer's output
+    val sessions = Clickstream.sessionize(df, 1000L).count()
+    assert(sessions === 3L)
+  }
+
   test("post-checkout browse: snapshot excludes later events") {
     val got = sess(ev((1L, 1000L, "a"), (1L, 1100L, "purchase"), (1L, 1200L, "b")))
     assert(got === List((1L, 1L, 2L, 1L, "a,b", 1000L, 2200L)))

@@ -35,6 +35,8 @@ object PlanAudit {
     "li_graph_stats", "txt_bigram_surprisal",
     // side totals / quota total + deficit are 1-row aggregates
     "tbl_join_card", "txt_quota_alloc",
+    // global-max freshness reference is a 1-row aggregate
+    "ev_freshness",
     // |labels|-row broadcast (bounded by label cardinality, not data size)
     "emb_silhouette",
     // k-row broadcast centroid table (bounded by k, not data size)

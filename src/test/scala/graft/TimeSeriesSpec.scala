@@ -304,6 +304,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === List((0L, 2L, 20000L), (1L, 1L, 18750L), (3L, 4L, 21406L)))
   }
 
+  test("forecast backtest: seasonal-naive lag, exact bias/MAE/MAPE") {
+    val D = TimeSeries.DayMs
+    // daily counts 3, 5, 4, 8; season = 2 → eval day2 (f=3) and day3 (f=5)
+    val ev = (Seq.fill(3)(0L) ++ Seq.fill(5)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(8)(3L))
+      .map(d => (d * D + 1, 1)).toDF("ts_ms", "v")
+    val got = TimeSeries.forecastBacktest(ev, seasonDays = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // errs: +1 (ape 2500), +3 (ape 3750) → bias 4, mae 20000, mape 3125
+    assert(got === List((2L, 4L, 4L, 20000L, 3125L)))
+  }
+
+  test("freshness: per-group staleness against the freshest group") {
+    val ev = Seq(("a", 10L), ("a", 50L), ("b", 40L)).toDF("event_type", "ts_ms")
+    val got = TimeSeries.freshness(ev, "event_type")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("a", 2L, 50L, 0L), ("b", 1L, 40L, 10L)))
+  }
+
   test("theil-sen: median pairwise slope with quantize-then-median discipline") {
     val D = TimeSeries.DayMs
     // days (0,1), (1,3), (2,2) → pair slopes e4: 20000, 5000, -10000
