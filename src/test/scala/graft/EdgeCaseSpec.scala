@@ -20,6 +20,31 @@ class EdgeCaseSpec extends SparkSpec {
   private def emptyDocs: DataFrame =
     Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("this session's batch operators tolerate empty and degenerate inputs") {
+    import graft.ops.{Profile, TimeSeries}
+    assert(TimeSeries.reactivations(emptyEvents).count() === 0L)
+    assert(TimeSeries.ewmaDaily(emptyEvents).count() === 0L)
+    assert(TimeSeries.forecastBacktest(emptyEvents)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+      === List((0L, 0L, 0L, 0L, 0L)), "backtest with no baseline days: all-zero row")
+    assert(TimeSeries.freshness(emptyEvents, "event_type").count() === 0L)
+    assert(Clickstream.gapSensitivity(emptyEvents)
+      .as[(Long, Long)].collect().forall(_._2 === 0L), "no events → 0 sessions at every gap")
+    // single observed day: no pairs — percentile over zero slopes is null
+    val oneDay = Seq((1L, 1L)).toDF("ts_ms", "v")
+    val ts = TimeSeries.theilSen(oneDay).collect().head
+    assert(ts.getLong(0) === 1L && ts.getLong(1) === 0L && ts.isNullAt(2))
+    assert(Profile.joinCardinality(emptyEvents, "event_id", emptyEvents, "event_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+      === List((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(Profile.snapshotDiff(emptyEvents, emptyEvents, "event_id", Seq("value"))
+      .count() === 0L)
+    assert(TextAnalysis.quotaAlloc(emptyDocs, "doc_id", 10L).count() === 0L)
+    assert(TimeSeries.returnRate(
+      Seq.empty[(String, Double, Double, java.sql.Timestamp)]
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")).count() === 0L)
+  }
+
   test("sessionize on an empty frame returns an empty frame") {
     assert(Clickstream.sessionize(emptyEvents).count() === 0L)
     assert(Clickstream.sessionizeTyped(emptyEvents).count() === 0L)
