@@ -433,6 +433,51 @@ object TextAnalysis {
         col("src_tokens"), col("keep_ppm"), col("bucket"))
   }
 
+  /** Corpus-wide character-pair counts — the counting step of a BPE
+    * tokenizer-training iteration (the most frequent pair is the next
+    * merge). Pairs run over the NORMALIZED character stream (lowercased,
+    * spaces included, so word-boundary pairs stay observable); top-k with
+    * ties broken by the pair string, deterministic on both engines.
+    *
+    * Scale: one explode (|chars| rows) into one map-side-combined hash
+    * aggregate over a vocabulary-sized key space (≤ |alphabet|²), then a
+    * k-row take — the same shape per BPE iteration, with the previous
+    * iteration's merges applied in the map stage.
+    */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      // materialize the normalized string BEFORE the lambda (the
+      // shinglesOfTokens re-evaluation discipline)
+      .select(lower(col("text")).as("__t"))
+      .filter(length(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+
+  /** Hashing-trick featurizer: each document as a sparse bag-of-words
+    * vector in a fixed `dim`-bucket space — (doc_id, bucket, count)
+    * posting rows, bucket = hash60(token) mod dim. No vocabulary table,
+    * no fit step, no driver state: the classic fixed-memory vectorizer
+    * for streaming/sharded featurization, deterministic across engines
+    * via the md5-based hash.
+    *
+    * Scale: one token explode + one (doc, bucket)-keyed hash aggregate,
+    * map-side combined; output rows ≤ |docs| × min(dim, doc tokens).
+    */
+  def featureHashing(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    require(dim >= 2, "need at least two buckets")
+    docs
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("__tok"))
+      .select(col("doc_id"),
+        pmod(Cols.hash60(col("__tok")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+  }
+
   /** Largest-remainder quota allocation: split a document sample budget
     * across groups proportionally to their sizes, in EXACT integers that
     * sum to exactly `budget` — floor shares first, then one extra doc to
@@ -815,6 +860,10 @@ object TextAnalysis {
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     // hard-capped companion: exact integer quotas per language, Σ = budget
     "txt_quota_alloc" -> ((s, d) => quotaAlloc(Tables.documents(s, d))),
+    // BPE tokenizer-training counting step: top char pairs
+    "txt_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    // hashing-trick sparse featurizer, 64 buckets on the fixtures
+    "txt_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d), dim = 64)),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -1120,6 +1169,25 @@ object TextAnalysis {
         |  ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 AS bucket
         |FROM tc JOIN f USING (source)
         |WHERE ('0x' || substr(md5('mix:' || tc.doc_id), 1, 15))::BIGINT % 1000000 < f.keep_ppm""".stripMargin,
+    "txt_bpe_pairs" ->
+      """WITH n AS (
+        |  SELECT lower(text) AS t FROM documents WHERE length(lower(text)) >= 2
+        |), p AS (
+        |  SELECT unnest([substr(t, i, 2) for i in range(1, length(t))]) AS pair
+        |  FROM n
+        |)
+        |SELECT pair, count(*)::BIGINT AS n_occurrences FROM p GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    "txt_feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+        |  count(*)::BIGINT AS n_tokens
+        |FROM tok GROUP BY 1, 2""".stripMargin,
     "txt_quota_alloc" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_docs) AS total FROM c),

@@ -201,6 +201,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("bpe pairs: char-pair counts over normalized text, deterministic top-k") {
+    val docs = Seq((1L, "aBab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    // normalized: "abab" → ab, ba, ab; "ab" → ab; "x" filtered (len < 2)
+    val got = graft.text.TextAnalysis.bpePairs(docs, k = 2)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("ab", 3L), ("ba", 1L)))
+  }
+
+  test("feature hashing: bucket counts are deterministic and bounded by dim") {
+    val docs = Seq((1L, "w1 w2 w1"), (2L, "w2")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.featureHashing(docs, dim = 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    // same token → same bucket everywhere; doc 1 has w1 twice
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(got.map(_._3).sum === 4L)
+    val w2Buckets = got.filter(_._3 === 1L).map(_._2).distinct
+    assert(w2Buckets.size === 1, "w2 must land in one bucket in both docs")
+    // replays identically
+    val again = graft.text.TextAnalysis.featureHashing(docs, dim = 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(again === got)
+  }
+
   test("quota allocation: largest-remainder quotas sum exactly to the budget") {
     // a: 5, b: 3, c: 2 of 10; budget 7 → bases 3/2/1 (Σ6), deficit 1 goes
     // to the largest remainder (a: 35%10 = 5 beats c: 4 and b: 1)
