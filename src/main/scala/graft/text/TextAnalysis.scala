@@ -478,6 +478,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"))
   }
 
+  /** PII scrub: redact email-, IPv4-, and account-number-shaped substrings
+    * from a text column and count what was masked — the compliance pass a
+    * training corpus runs before anything is tokenized. Three pattern
+    * classes, applied in order (emails first, so the digits inside an
+    * address are counted once as an email, not again as a number run):
+    *
+    *   email      → `<EMAIL>`   `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
+    *   IPv4       → `<IP>`      `([0-9]{1,3}\.){3}[0-9]{1,3}`
+    *   digit run  → `<NUM>`     `[0-9]{6,}` (6+ consecutive digits)
+    *
+    * Each count is taken on the text AFTER the previous class was redacted,
+    * so the counts partition the masked substrings. Patterns stay in the
+    * RE2-compatible subset (no lookaround, no backrefs) so Spark's Java
+    * regex and the oracle's RE2 agree literally.
+    *
+    * Scale: map-only narrow scan, all codegen'd built-ins — redaction runs
+    * at parquet-read speed and never shuffles.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val digits = "[0-9]{6,}"
+    df
+      .select(
+        col(idCol),
+        size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long").as("n_emails"),
+        regexp_replace(col(textCol), email, "<EMAIL>").as("__r1"))
+      .select(
+        col(idCol), col("n_emails"),
+        size(regexp_extract_all(col("__r1"), lit(ipv4), lit(0))).cast("long").as("n_ipv4"),
+        regexp_replace(col("__r1"), ipv4, "<IP>").as("__r2"))
+      .select(
+        col(idCol), col("n_emails"), col("n_ipv4"),
+        size(regexp_extract_all(col("__r2"), lit(digits), lit(0))).cast("long").as("n_digit_runs"),
+        regexp_replace(col("__r2"), digits, "<NUM>").as("redacted"))
+  }
+
+  /** Intra-document span dedup: split each document into consecutive
+    * non-overlapping `span`-token chunks, drop every chunk that already
+    * appeared earlier IN THE SAME document (first occurrence wins), and
+    * fingerprint the reconstruction — the within-doc repeated-passage
+    * removal that runs before corpus-level dedup (the cross-doc twin is
+    * [[hotPassages]]; C4 does this at line level, exact-substring dedup
+    * at suffix level — the non-overlapping chunk grid is the
+    * restartable, order-preserving middle ground).
+    *
+    * Scale: map-only — each row's work is quadratic in ITS OWN chunk
+    * count (`array_position` per chunk), bounded by document length,
+    * independent of corpus size; no shuffle, no state.
+    */
+  def dedupSpans(docs: DataFrame, span: Int = 5): DataFrame = {
+    require(span >= 1, "span must be positive")
+    docs
+      .select(col("doc_id"), Cols.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, cast((size(__toks) + ${span - 1}) / $span as int) - 1),
+           |  i -> array_join(slice(__toks, i * $span + 1, $span), ' '))""".stripMargin)
+        .as("__chunks"))
+      .select(col("doc_id"), col("__chunks"), expr(
+        "filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)").as("__kept"))
+      .select(
+        col("doc_id"),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        md5(array_join(col("__kept"), " ")).as("dedup_fp"))
+  }
+
   /** Largest-remainder quota allocation: split a document sample budget
     * across groups proportionally to their sizes, in EXACT integers that
     * sum to exactly `budget` — floor shares first, then one extra doc to
@@ -864,6 +932,14 @@ object TextAnalysis {
     "txt_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     // hashing-trick sparse featurizer, 64 buckets on the fixtures
     "txt_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d), dim = 64)),
+    // within-doc repeated-span removal (the cross-doc twin is hot_passages);
+    // span=2 so the drop path binds on the fixtures (250 drops at sf0.01 —
+    // span=5 never collides in the synthetic word soup)
+    "txt_dedup_spans" -> ((s, d) => dedupSpans(Tables.documents(s, d), span = 2)),
+    // PII redaction demo on the one fixture column with account-number
+    // shapes; emails/IPs verified-zero by the same oracle
+    "cust_pii_scrub" -> ((s, d) =>
+      piiScrub(Tables.customer(s, d), "c_custkey", "c_name")),
     "txt_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
@@ -1188,6 +1264,41 @@ object TextAnalysis {
         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
         |  count(*)::BIGINT AS n_tokens
         |FROM tok GROUP BY 1, 2""".stripMargin,
+    "txt_dedup_spans" ->
+      s"""$tokCte, ch AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[(i-1)*2+1:(i-1)*2+2], ' ')
+         |     for i in range(1, ((len(toks) + 1) // 2) + 1)] AS chunks
+         |  FROM t
+         |), k AS (
+         |  SELECT doc_id, chunks,
+         |    list_filter(chunks, (x, i) -> list_position(chunks, x) = i) AS kept
+         |  FROM ch
+         |)
+         |SELECT doc_id,
+         |  len(chunks)::BIGINT AS n_chunks,
+         |  len(kept)::BIGINT AS n_kept,
+         |  (len(chunks) - len(kept))::BIGINT AS n_dropped,
+         |  md5(array_to_string(kept, ' ')) AS dedup_fp
+         |FROM k""".stripMargin,
+    "cust_pii_scrub" ->
+      """WITH r1 AS (
+        |  SELECT c_custkey,
+        |    len(regexp_extract_all(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |    regexp_replace(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM customer
+        |), r2 AS (
+        |  SELECT c_custkey, n_emails,
+        |    len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ipv4,
+        |    regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+        |  FROM r1
+        |)
+        |SELECT c_custkey, n_emails, n_ipv4,
+        |  len(regexp_extract_all(t2, '[0-9]{6,}'))::BIGINT AS n_digit_runs,
+        |  regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM r2""".stripMargin,
     "txt_quota_alloc" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_docs) AS total FROM c),

@@ -224,6 +224,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("dedup spans: first occurrence wins, tail chunk kept, fingerprint exact") {
+    val docs = Seq(
+      (1L, "a b a b c d a b"), // chunks: [a b][a b][c d][a b] -> keep [a b][c d]
+      (2L, "x y z")            // odd tail: [x y][z] -> nothing repeats
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.dedupSpans(docs, span = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toList
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got === List(
+      (1L, 4L, 2L, 2L, md5hex("a b c d")),
+      (2L, 2L, 2L, 0L, md5hex("x y z"))))
+  }
+
+  test("pii scrub: emails, ipv4, digit runs redacted in order; counts partition") {
+    val rows = Seq(
+      (1L, "mail Bob.Smith+x@Example.COM or 10.0.0.1 acct 123456789 v123"),
+      (2L, "clean text, nothing to mask")).toDF("id", "t")
+    val got = graft.text.TextAnalysis.piiScrub(rows, "id", "t")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 1L, 1L, 1L, "mail <EMAIL> or <IP> acct <NUM> v123"),
+      (2L, 0L, 0L, 0L, "clean text, nothing to mask")))
+  }
+
   test("quota allocation: largest-remainder quotas sum exactly to the budget") {
     // a: 5, b: 3, c: 2 of 10; budget 7 → bases 3/2/1 (Σ6), deficit 1 goes
     // to the largest remainder (a: 35%10 = 5 beats c: 4 and b: 1)
