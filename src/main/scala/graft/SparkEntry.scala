@@ -91,6 +91,14 @@ object SparkEntry {
     // the should-I-salt diagnostic: hottest-key share and p99 per-key count
     "ev_key_skew" -> ((s, dir) =>
       graft.ops.Scale.keySkew(Tables.events(s, dir), "user_id")),
+    // directory-level zone map over the engine's own bucketing: the table
+    // a planner prunes time-range and point-lookup scans with
+    "ev_zone_map" -> ((s, dir) =>
+      graft.ops.Scale.zoneMap(Tables.events(s, dir), "user_id", "ts_ms")),
+    // small-cell privacy audit over the quasi-identifier grid
+    "cust_k_anon" -> ((s, dir) =>
+      graft.ops.Scale.kAnonymity(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"))),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -931,6 +939,20 @@ object SparkEntry {
         |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
         |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
         |FROM c""".stripMargin,
+    "ev_zone_map" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |    user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_keys,
+        |  min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
+        |FROM b GROUP BY 1""".stripMargin,
+    "cust_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "cs_bounce_rate" ->
       s"""$sessionsCte
          |SELECT win_begin_ms // 86400000 AS day,

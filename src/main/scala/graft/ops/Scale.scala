@@ -91,6 +91,48 @@ object Scale {
         graft.Cols.floorDiv(col("max_key_rows") * 1000000L, col("n_rows")).as("top_share_ppm"),
         col("p99_key_rows"))
 
+  /** Zone map over a bucketed layout: per bucket (the deterministic
+    * engine-stable `hash60(key) mod nBuckets` — the same bucketing the
+    * partitioned writers use), the row count, distinct keys, and the
+    * min/max of a sort column in epoch millis. This is the table a
+    * planner prunes with: a probe for `[t1, t2]` scans only buckets whose
+    * `[min_ts_ms, max_ts_ms]` envelope intersects it, and a point lookup
+    * for one key reads exactly one bucket. At 100 TB the map is a few KB
+    * per directory while the data it spares is the whole point —
+    * file-level min/max is what parquet row-group stats give a single
+    * file; this is the directory-level equivalent the engine owns.
+    *
+    * One hash aggregate to |buckets| rows, map-side combined.
+    */
+  def zoneMap(df: DataFrame, key: String, tsMsCol: String, nBuckets: Int = 16): DataFrame =
+    df
+      .select(
+        pmod(graft.Cols.hash60(col(key)), lit(nBuckets.toLong)).as("bucket"),
+        col(key), col(tsMsCol).as("__ts_ms"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(key)).as("n_keys"),
+        min(col("__ts_ms")).as("min_ts_ms"),
+        max(col("__ts_ms")).as("max_ts_ms"))
+
+  /** k-anonymity audit over a set of quasi-identifier columns: every
+    * combination cell with its row count and a suppress flag for cells
+    * below `k` — the small-cell report a privacy review runs before a
+    * table (or an aggregate export) leaves the fence, and the partner of
+    * the row-level PII scrub ([[graft.text.TextAnalysis.piiScrub]]): that
+    * one masks direct identifiers, this one bounds re-identification by
+    * the indirect ones.
+    *
+    * One hash aggregate to |cells| rows; the flag is a plain column so
+    * downstream can either drop flagged cells or coarsen the grid.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long = 8L): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(quasiIds.map(col) :+ col("n_rows") :+
+        when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)).as("suppress"): _*)
+
   /** Bloom-filter pre-filtered left-semi join: the hand-rolled runtime
     * filter for "keep only the big-side rows whose key appears in a
     * (much smaller, but not broadcast-join-small) key set" — the

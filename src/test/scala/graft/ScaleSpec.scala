@@ -92,6 +92,32 @@ class ScaleSpec extends SparkSpec {
     assert(p99 > 5.0 && p99 <= 60.0)
   }
 
+  test("zone map: per-bucket envelopes are exact and a range probe prunes") {
+    val rows = Seq(
+      ("u1", 100L), ("u1", 900L), ("u2", 500L), ("u3", 50L), ("u3", 60L))
+      .toDF("k", "ts_ms")
+    val zm = Scale.zoneMap(rows, "k", "ts_ms", nBuckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // every key lands in exactly one bucket; totals conserve
+    assert(zm.map(_._2).sum === 5L)
+    assert(zm.map(_._3).sum === 3L, "3 distinct keys across disjoint buckets")
+    // envelope of the bucket holding u1 must span [100, 900]
+    val u1Bucket = zm.filter(b => b._4 <= 100L && b._5 >= 900L)
+    assert(u1Bucket.nonEmpty)
+    // a probe for [2000, 3000] intersects no envelope -> full prune
+    assert(zm.count(b => b._4 <= 3000L && b._5 >= 2000L) === 0)
+  }
+
+  test("k-anonymity: cells below k flagged, counts exact") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("q1", "q2")
+    val got = Scale.kAnonymity(df, Seq("q1", "q2"), k = 2L)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      ("a", "x", 3L, 0L), ("a", "y", 1L, 1L), ("b", "x", 1L, 1L)))
+  }
+
   test("bloom semi join equals plain semi join; filter runs before the join") {
     val big = (1 to 20000).map(i => (i.toLong % 997, i)).toDF("k", "v")
     val keys = Seq(1L, 5L, 900L, 12345L).toDF("k") // 12345 matches nothing
