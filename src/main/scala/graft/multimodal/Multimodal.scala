@@ -241,6 +241,41 @@ object Multimodal {
       out
     }
 
+    /** Average-hash (aHash) perceptual signature of a binary PPM: REAL
+      * nearest-neighbor resize to 8×8 ([[resizePpm]]), integer gray
+      * `(r+g+b)/3` per pixel, bit i set iff `64·gray_i > Σgray`
+      * (strictly above the mean, exact integers throughout), emitted as
+      * a 64-char row-major bitstring — string form so the signature is
+      * sign-free and trivially comparable across engines. The classic
+      * perceptual-dedup property holds by construction: the same image
+      * at different resolutions hashes equal (nearest-neighbor resize
+      * commutes), and a small edit flips only the bits whose cells it
+      * touches, so near-dup detection is a Hamming-distance bucket join
+      * — the same machinery as [[graft.dedup.Dedup]]'s SimHash pairs,
+      * now fed by pixels instead of tokens.
+      */
+    def aHashPpm(bytes: Array[Byte]): String = {
+      val small = resizePpm(bytes, 8, 8)
+      val (_, _, _, off) = ppmHeader(small)
+      val grays = new Array[Long](64)
+      var i = 0
+      var sum = 0L
+      while (i < 64) {
+        val o = off + i * 3
+        val g = ((small(o) & 0xff) + (small(o + 1) & 0xff) + (small(o + 2) & 0xff)) / 3
+        grays(i) = g
+        sum += g
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i < 64) {
+        sb.append(if (64L * grays(i) > sum) '1' else '0')
+        i += 1
+      }
+      sb.toString
+    }
+
     /** REAL frame sampling for 16-bit PCM WAV — keeps every `everyK`-th
       * frame (all channels) and re-emits a valid minimal RIFF/WAVE
       * container with patched sizes. The frame-sample stage of an
@@ -442,9 +477,45 @@ object Multimodal {
         round(avg(col("height")), 4).as("avg_height"),
         max(col("frames")).as("max_frames"))
 
+  /** Documents as deterministic 16×16 binary PPM images: the ASCII text
+    * bytes, repeated/truncated to the 768-byte pixel plane, behind a real
+    * P6 header — a payload BOTH engines can reconstruct (the fixtures are
+    * pure ASCII, so DuckDB's char arithmetic sees the same bytes), which
+    * is what lets the full decode→resize→hash path carry an exact oracle.
+    */
+  def asPpmImages(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(concat(lit("P6\n16 16\n255\n"), expr(
+        "substring(repeat(text, cast(768 / length(text) as int) + 1), 1, 768)")),
+        "UTF-8").as("payload"))
+
+  /** Perceptual-hash table: REAL PPM decode + nearest-neighbor resize +
+    * aHash per image, then the duplicate-cluster size per signature —
+    * image-level dedup with the same grouping shape as exact text dedup.
+    *
+    * Scale: the codec runs in `mapPartitions` (the justified tier for
+    * binary decode), map-only; the window is partitioned BY HASH (no
+    * global sort), so cluster counting shuffles once on the signature —
+    * identical to the exact-dedup aggregate at 100 TB.
+    */
+  def phash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashed = asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, Codecs.aHashPpm(bytes)) })
+      .toDF("doc_id", "phash")
+    hashed.select(
+      col("doc_id"), col("phash"),
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("phash")))
+        .as("n_same_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
+    "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -475,5 +546,32 @@ object Multimodal {
          |       round(avg(height), 4) AS avg_height,
          |       max(frames) AS max_frames
          |FROM feat GROUP BY media_type""".stripMargin,
+    // replays decode → 16→8 nearest-neighbor resize (src pixel (2c, 2r))
+    // → integer aHash in char arithmetic (fixtures are pure ASCII, so
+    // ord(char) == payload byte)
+    "mm_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [(ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 1, 1)) +
+        |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 2, 1)) +
+        |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 3, 1))) // 3
+        |     for i in range(0, 64)] AS grays
+        |  FROM px
+        |), s AS (
+        |  SELECT doc_id, grays, list_sum(grays) AS tot FROM g
+        |), h AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      [CASE WHEN 64 * grays[i] > tot THEN '1' ELSE '0' END
+        |       for i in range(1, 65)], '') AS phash
+        |  FROM s
+        |)
+        |SELECT doc_id, phash,
+        |  count(*) OVER (PARTITION BY phash) AS n_same_hash
+        |FROM h""".stripMargin,
   )
 }

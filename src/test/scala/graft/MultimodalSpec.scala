@@ -143,6 +143,56 @@ class MultimodalSpec extends SparkSpec {
     assert(d.mean_value === kept.sum / 6.0)
   }
 
+  test("aHash: quadrant image hashes to the hand-computed bitstring") {
+    // 2x2 gray quadrants 10/20/30/40: resized to 8x8, each quadrant fills
+    // a 4x4 block; mean = 25, so only the 30 and 40 quadrants set bits
+    def gray(g: Int) = Seq(g.toByte, g.toByte, g.toByte)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      (gray(10) ++ gray(20) ++ gray(30) ++ gray(40)).toArray
+    val h = Multimodal.Codecs.aHashPpm(img)
+    assert(h === "0" * 32 + "1" * 32)
+  }
+
+  test("aHash: resolution-invariant under pixel doubling; small edit flips few bits") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8 * 8 * 3)(rnd.nextInt(256).toByte)
+    // pin the last pixel to gray 0 so the edit below provably crosses the mean
+    base(base.length - 1) = 0; base(base.length - 2) = 0; base(base.length - 3) = 0
+    val small = "P6\n8 8\n255\n".getBytes("US-ASCII") ++ base
+    // 16x16 by 2x2 block replication: nearest-neighbor resize back to 8x8
+    // samples the top-left of each block, reproducing the original
+    val doubledPix = (0 until 16).flatMap { y =>
+      (0 until 16).flatMap { x =>
+        val so = ((y / 2) * 8 + (x / 2)) * 3
+        Seq(base(so), base(so + 1), base(so + 2))
+      }
+    }.toArray
+    val doubled = "P6\n16 16\n255\n".getBytes("US-ASCII") ++ doubledPix
+    assert(Multimodal.Codecs.aHashPpm(small) === Multimodal.Codecs.aHashPpm(doubled))
+    // flip one pixel to the extreme: at most a few bits change
+    val edited = small.clone()
+    edited(edited.length - 1) = 255.toByte
+    edited(edited.length - 2) = 255.toByte
+    edited(edited.length - 3) = 255.toByte
+    val d = Multimodal.Codecs.aHashPpm(small).zip(Multimodal.Codecs.aHashPpm(edited))
+      .count { case (a, b) => a != b }
+    assert(d >= 1 && d <= 4, s"one-pixel edit should flip few bits, flipped $d")
+  }
+
+  test("phash pipeline: duplicate texts cluster, distinct text stands alone") {
+    val docs = Seq(
+      (1L, "same words here all along the row"),
+      (2L, "same words here all along the row"),
+      (3L, "a completely different document body"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phash(spark, docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._3) === List(2L, 2L, 1L))
+    assert(got(0)._2 === got(1)._2)
+    assert(got(0)._2 !== got(2)._2)
+    assert(got.forall(_._2.length === 64))
+  }
+
   test("frame-sample stage: WAV keeps every k-th frame in a valid container") {
     // stereo, 8 frames: frame i = (L=i*10, R=-i*10)
     val frames = (0 until 8).map(i => ((i * 10).toShort, (-i * 10).toShort))
