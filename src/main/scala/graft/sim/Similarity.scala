@@ -608,8 +608,48 @@ object Similarity {
         graft.Cols.floorDiv(col("d.sum_milli"), col("d.n_vecs")).as("avg_milli"))
   }
 
+  /** Dimension-truncation retrieval agreement — the matryoshka question:
+    * if vectors are cut to their first `dims` dimensions (the cheap index
+    * a 100 TB deployment actually serves), does top-1 retrieval still
+    * return the same neighbor the full vector would? Per query: the full
+    * top-1, the truncated top-1, and an agreement flag — the empirical
+    * basis for choosing a truncation width before re-indexing a corpus.
+    *
+    * Both ranking passes reuse the brute-force shape (query side
+    * broadcast, corpus scanned once, no corpus shuffle); the truncated
+    * pass carries only the `dims`-wide prefix through the join. Exact
+    * quantized-integer cosines, rank ties broken by neighbor id.
+    */
+  def truncationAgreement(embeddings: DataFrame, dims: Int = 16): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    def top1(vecs: DataFrame, vCol: String, nCol: String, outId: String): DataFrame = {
+      val queries = broadcast(
+        vecs.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+          .select(col("vec_id").as("query_id"), col(vCol).as("__q_v"), col(nCol).as("__q_n")))
+      val scored = vecs.join(queries, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("__nid"),
+          Dedup.cosineQ(col("__q_v"), col("__q_n"), col(vCol), col(nCol)).as("__cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("__nid"))
+      scored.withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") === 1)
+        .select(col("query_id"), col("__nid").as(outId))
+    }
+    val full = top1(
+      q.select(col("vec_id"), col("qv"), col("norm2")), "qv", "norm2", "full_top1")
+    val tq = q.select(col("vec_id"), slice(col("qv"), 1, dims).as("tv"))
+      .withColumn("tn", Dedup.longDot(col("tv"), col("tv")))
+    val trunc = top1(tq, "tv", "tn", "trunc_top1")
+    full.join(trunc, "query_id")
+      .select(
+        col("query_id"), col("full_top1"), col("trunc_top1"),
+        when(col("full_top1") === col("trunc_top1"), lit(1L)).otherwise(lit(0L)).as("agree"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_dim_stats" -> ((s, d) => dimStats(Tables.embeddings(s, d))),
+    // dims=40: mixed outcome on the fixtures (2/10 agree at sf0.01), so
+    // both branches of the flag are driver-verified
+    "emb_trunc_agreement" -> ((s, d) => truncationAgreement(Tables.embeddings(s, d), dims = 40)),
     "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
@@ -938,6 +978,39 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "emb_trunc_agreement" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, qv[1:40] AS tv,
+         |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2,
+         |    list_sum(list_transform(qv[1:40], x -> x * x))::BIGINT AS tnorm2
+         |  FROM q
+         |), fs AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS nid,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, len(qq.qv))])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cos
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id WHERE qq.vec_id % $QueryStride = 0
+         |), fr AS (
+         |  SELECT query_id, nid,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS r
+         |  FROM fs
+         |), ts AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS nid,
+         |    round(list_sum([qq.tv[i] * c.tv[i] for i in generate_series(1, 40)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.tnorm2::DOUBLE) * sqrt(c.tnorm2::DOUBLE)), 6) AS cos
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id WHERE qq.vec_id % $QueryStride = 0
+         |), tr AS (
+         |  SELECT query_id, nid,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS r
+         |  FROM ts
+         |)
+         |SELECT f.query_id, f.nid AS full_top1, t.nid AS trunc_top1,
+         |  (CASE WHEN f.nid = t.nid THEN 1 ELSE 0 END)::BIGINT AS agree
+         |FROM (SELECT query_id, nid FROM fr WHERE r = 1) f
+         |JOIN (SELECT query_id, nid FROM tr WHERE r = 1) t USING (query_id)""".stripMargin,
     "emb_dim_corr" -> dimCorrOracle(),
     // same cell_sums/cent construction as emb_centroids, keyed by parity
     // half; the shift is an exact integer sum of squared differences

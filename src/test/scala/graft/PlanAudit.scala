@@ -14,6 +14,8 @@ object PlanAudit {
   // ann_recall_ivf embeds the brute baseline as its ground-truth side
   val AllPairsBaselines =
     Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf",
+      // both ranking passes reuse the brute-force broadcast baseline
+      "emb_trunc_agreement",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins

@@ -24,6 +24,19 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1L, 3L), (50L, 2L, 4L)))
   }
 
+  test("truncation agreement: prefix index flips one winner, keeps the other") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f), 0),
+      (1L, Seq(1.0f, 0.2f, 1.0f, 1.0f), 0),  // full winner for 0
+      (2L, Seq(1.0f, 0.0f, -1.0f, -1.0f), 0), // prefix-2 winner for 0
+      (50L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (51L, Seq(0.0f, 1.0f, 0.1f, 0.0f), 1))  // winner for 50 both ways
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.truncationAgreement(e, dims = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 1L, 2L, 0L), (50L, 51L, 51L, 1L)))
+  }
+
   test("IVF with all cells probed equals brute force exactly") {
     val brute = Similarity.bruteForceTopK(embs, k = 3)
       .select("query_id", "rank", "neighbor_id", "cosine")
