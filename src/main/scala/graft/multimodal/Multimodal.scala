@@ -356,6 +356,65 @@ object Multimodal {
         mean_value = if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
     }
 
+    /** Energy fingerprint of a 16-bit PCM WAV — the audio twin of
+      * [[aHashPpm]]: the container is walked exactly like [[decodeWav]],
+      * the raw 16-bit signed sample stream is split into `windows` equal
+      * windows (tail samples beyond an even split are ignored), each
+      * window's energy is the exact integer Σ s², and bit w is set iff
+      * `windows·E_w > ΣE` — strictly above the mean energy. Emitted as a
+      * `windows`-char bitstring: a loudness *shape* signature, invariant
+      * to where in the stream the energy sits only up to window
+      * granularity, so time-shifted copies collide and silence never
+      * matches speech.
+      */
+    def fingerprintWav(bytes: Array[Byte], windows: Int = 64): String = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var bits16 = 16
+      var dataOff = -1; var dataLen = 0L
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (id == "fmt ") bits16 = le16(o + 22)
+        else if (id == "data") { dataOff = o + 8; dataLen = len }
+        o += 8 + len.toInt + (len.toInt & 1)
+      }
+      val nSamples =
+        if (dataOff < 0 || bits16 != 16) 0L
+        else math.min(dataLen / 2, (bytes.length - dataOff) / 2)
+      val per = nSamples / windows
+      val sb = new java.lang.StringBuilder(windows)
+      if (per == 0) { // too short for the window grid: all-silent signature
+        var w = 0
+        while (w < windows) { sb.append('0'); w += 1 }
+        return sb.toString
+      }
+      val energies = new Array[Long](windows)
+      var total = 0L
+      var w = 0
+      while (w < windows) {
+        var e = 0L
+        var k = 0
+        while (k < per) {
+          val s = le16(dataOff + ((w * per + k) * 2).toInt).toShort.toLong
+          e += s * s
+          k += 1
+        }
+        energies(w) = e
+        total += e
+        w += 1
+      }
+      w = 0
+      while (w < windows) {
+        sb.append(if (windows.toLong * energies(w) > total) '1' else '0')
+        w += 1
+      }
+      sb.toString
+    }
+
     def decode(doc_id: Long, payload: Array[Byte]): Option[DecodedMedia] =
       sniff(payload) match {
         case "ppm" => Some(decodePpm(doc_id, payload))
@@ -512,10 +571,51 @@ object Multimodal {
         .as("n_same_hash"))
   }
 
+  /** Documents as deterministic mono 16-bit PCM WAVs (8 kHz, 512 samples):
+    * the ASCII text bytes, repeated/truncated to the 1024-byte PCM plane,
+    * behind a real RIFF/WAVE header built once on the driver — the audio
+    * twin of [[asPpmImages]], and the same both-engines-can-replay trick
+    * (ASCII high bytes keep every little-endian sample non-negative, so
+    * the oracle needs no sign correction; the codec itself is
+    * sign-correct, pinned by spec).
+    */
+  def asWavAudio(docs: DataFrame): DataFrame = {
+    val dataLen = 1024
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    docs.select(
+      col("doc_id"),
+      concat(lit(bb.array()), encode(expr(
+        "substring(repeat(text, cast(1024 / length(text) as int) + 1), 1, 1024)"),
+        "UTF-8")).as("payload"))
+  }
+
+  /** Audio fingerprint table: REAL WAV container walk + integer energy
+    * signature per clip, plus the set-bit count (how much of the clip is
+    * above mean loudness). Same mapPartitions codec tier and map-only
+    * shape as [[phash]].
+    */
+  def audioFingerprint(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, Codecs.fingerprintWav(bytes)) })
+      .toDF("doc_id", "audio_fp")
+      .select(
+        col("doc_id"), col("audio_fp"),
+        length(regexp_replace(col("audio_fp"), "0", "")).cast("long").as("n_set"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
+    "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -573,5 +673,36 @@ object Multimodal {
         |SELECT doc_id, phash,
         |  count(*) OVER (PARTITION BY phash) AS n_same_hash
         |FROM h""".stripMargin,
+    // replays the WAV energy signature: little-endian 16-bit samples from
+    // ASCII chars (lo + 256*hi, never >= 32768 on ASCII so no sign branch),
+    // 64 windows of 8 samples, bit = strictly-above-mean energy
+    "mm_audio_fp" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+        |     for i in range(0, 512)] AS v
+        |  FROM px
+        |), sq AS (
+        |  SELECT doc_id, [x * x for x in v] AS s FROM smp
+        |), en AS (
+        |  SELECT doc_id,
+        |    [list_sum(s[8 * w + 1:8 * w + 8]) for w in range(0, 64)] AS e
+        |  FROM sq
+        |), t AS (
+        |  SELECT doc_id, e, list_sum(e) AS tot FROM en
+        |), fp AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      [CASE WHEN 64 * e[w] > tot THEN '1' ELSE '0' END
+        |       for w in range(1, 65)], '') AS audio_fp
+        |  FROM t
+        |)
+        |SELECT doc_id, audio_fp,
+        |  length(replace(audio_fp, '0', ''))::BIGINT AS n_set
+        |FROM fp""".stripMargin,
   )
 }

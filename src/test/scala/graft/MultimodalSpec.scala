@@ -193,6 +193,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_._2.length === 64))
   }
 
+  test("wav fingerprint: hand-computed energy bits; negative samples count; short clip silent") {
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    // windows of 4: energies 0, 40000, 40000 (sign-squared), 100; mean 20025
+    val samples = Seq[Short](0, 0, 0, 0, 100, 100, 100, 100, -200, 0, 0, 0, 10, 0, 0, 0)
+    assert(Multimodal.Codecs.fingerprintWav(wav(samples), windows = 4) === "0110")
+    // clip shorter than the window grid: all-silent signature, no crash
+    assert(Multimodal.Codecs.fingerprintWav(wav(Seq[Short](5, 5, 5)), windows = 4) === "0000")
+  }
+
   test("frame-sample stage: WAV keeps every k-th frame in a valid container") {
     // stereo, 8 frames: frame i = (L=i*10, R=-i*10)
     val frames = (0 until 8).map(i => ((i * 10).toShort, (-i * 10).toShort))
