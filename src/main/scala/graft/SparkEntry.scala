@@ -383,6 +383,20 @@ object SparkEntry {
         ("events", Tables.events(s, dir), "event_id"),
         ("documents", Tables.documents(s, dir), "doc_id"),
         ("embeddings", Tables.embeddings(s, dir), "vec_id")))),
+    // order-independent replica checksum: count + xor + decimal sum of
+    // the cross-engine 60-bit key hash, per table (verify a copy without
+    // sorting or shipping rows)
+    "tbl_checksum" -> ((s, dir) =>
+      Seq(
+        graft.ops.Scale.rowChecksum(
+          Tables.lineitem(s, dir), "lineitem", Seq("l_orderkey", "l_linenumber")),
+        graft.ops.Scale.rowChecksum(
+          Tables.orders(s, dir), "orders", Seq("o_orderkey", "o_custkey")),
+        graft.ops.Scale.rowChecksum(
+          Tables.customer(s, dir), "customer", Seq("c_custkey", "c_name")),
+        graft.ops.Scale.rowChecksum(
+          Tables.events(s, dir), "events", Seq("event_id", "user_id", "event_type")))
+        .reduce(_.union(_))),
     // weekday × hour activity heatmap with e4 global shares (epoch
     // weekday: day 0 = Thursday — deterministic, engine-independent)
     "ev_dow_hour_heatmap" -> ((s, dir) => {
@@ -438,6 +452,9 @@ object SparkEntry {
     // retention dashboard rollup: cohort size + D1/D7/D14 shares e4
     "cs_retention_summary" -> ((s, dir) =>
       graft.ops.Analytics.retentionSummary(Tables.events(s, dir))),
+    // day-over-day retention from 63-bit bitmap words (AND + popcount)
+    "ev_bitmap_retention" -> ((s, dir) =>
+      graft.ops.Analytics.bitmapRetention(Tables.events(s, dir))),
     // week-over-week growth per type, integer e4, null first week
     "ev_wow_growth" -> ((s, dir) =>
       graft.ops.TimeSeries.wowGrowth(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -1152,6 +1169,31 @@ object SparkEntry {
         |  count(CASE WHEN vec_id IS NULL THEN 1 END),
         |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings GROUP BY 1 HAVING count(*) > 1))::BIGINT
         |FROM embeddings""".stripMargin,
+    // same 60-bit md5-prefix hash as Cols.hash60; sum in DECIMAL(38,0)
+    // on both engines (DuckDB's HUGEINT sum cast down, Spark summing a
+    // decimal-cast column) so the checksum never truncates
+    "tbl_checksum" ->
+      """WITH hl AS (
+        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem
+        |), ho AS (
+        |  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |), hc AS (
+        |  SELECT ('0x' || substr(md5(c_custkey::VARCHAR || '|' || c_name), 1, 15))::BIGINT AS h
+        |  FROM customer
+        |), he AS (
+        |  SELECT ('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 15))::BIGINT AS h
+        |  FROM events
+        |)
+        |SELECT 'lineitem' AS tbl, count(*) AS n_rows, bit_xor(h) AS h_xor,
+        |  sum(h)::DECIMAL(38,0) AS h_sum, min(h) AS h_min, max(h) AS h_max FROM hl
+        |UNION ALL SELECT 'orders', count(*), bit_xor(h),
+        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM ho
+        |UNION ALL SELECT 'customer', count(*), bit_xor(h),
+        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM hc
+        |UNION ALL SELECT 'events', count(*), bit_xor(h),
+        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM he""".stripMargin,
     "ev_dow_hour_heatmap" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |h AS (
@@ -1566,6 +1608,29 @@ object SparkEntry {
         |  (coalesce(max(CASE WHEN off = 14 THEN n END), 0) * 10000)
         |    // max(CASE WHEN off = 0 THEN n END) AS d14_e4
         |FROM r GROUP BY 1""".stripMargin,
+    // replays the bitmap-word packing: 63 bits per word so the BIGINT
+    // shift never reaches the sign bit (DuckDB errors on 1::BIGINT << 63);
+    // all quantities non-negative, so // is exact floor
+    "ev_bitmap_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    user_id // 63 AS word, (user_id % 63)::INT AS bit
+        |  FROM events
+        |), b AS (
+        |  SELECT day, word, bit_or(1::BIGINT << bit) AS bm FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT day, sum(bit_count(bm))::BIGINT AS dau FROM b GROUP BY 1
+        |), r AS (
+        |  SELECT c.day AS day, sum(bit_count(c.bm & p.bm))::BIGINT AS retained
+        |  FROM b c JOIN b p ON p.word = c.word AND p.day = c.day - 1
+        |  GROUP BY 1
+        |)
+        |SELECT c.day, c.dau, p.dau AS prev_dau,
+        |  coalesce(r.retained, 0)::BIGINT AS retained,
+        |  (coalesce(r.retained, 0) * 10000) // p.dau AS retention_e4
+        |FROM t c
+        |JOIN t p ON p.day = c.day - 1
+        |LEFT JOIN r ON r.day = c.day""".stripMargin,
     "ev_wow_growth" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 604800000 AS week FROM events

@@ -415,6 +415,52 @@ object Multimodal {
       sb.toString
     }
 
+    /** Exact integer autocorrelation of a 16-bit PCM WAV: the container
+      * walk of [[fingerprintWav]], then `R(L) = Σ s[i]·s[i+L]` for
+      * L = 1..maxLag with `R(0)` as the energy reference. Returns
+      * (bestLag, rBest, r0) where bestLag is the SMALLEST lag attaining
+      * the max (first-occurrence argmax, the deterministic tie-break) —
+      * the classic dominant-period probe behind pitch detection and
+      * buzz/hum QA, kept in pure integer math so every engine agrees
+      * bit-for-bit. An empty or non-16-bit clip reports (0, 0, 0).
+      */
+    def autocorrWav(bytes: Array[Byte], maxLag: Int = 32): (Int, Long, Long) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var bits16 = 16
+      var dataOff = -1; var dataLen = 0L
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (id == "fmt ") bits16 = le16(o + 22)
+        else if (id == "data") { dataOff = o + 8; dataLen = len }
+        o += 8 + len.toInt + (len.toInt & 1)
+      }
+      val n =
+        if (dataOff < 0 || bits16 != 16) 0
+        else math.min(dataLen / 2, (bytes.length - dataOff).toLong / 2).toInt
+      if (n == 0) return (0, 0L, 0L)
+      val s = new Array[Long](n)
+      var i = 0
+      while (i < n) { s(i) = le16(dataOff + 2 * i).toShort.toLong; i += 1 }
+      var r0 = 0L
+      i = 0
+      while (i < n) { r0 += s(i) * s(i); i += 1 }
+      var bestLag = 0; var rBest = Long.MinValue
+      var lag = 1
+      while (lag <= maxLag) {
+        var r = 0L
+        i = 0
+        while (i + lag < n) { r += s(i) * s(i + lag); i += 1 }
+        if (r > rBest) { rBest = r; bestLag = lag }
+        lag += 1
+      }
+      (bestLag, rBest, r0)
+    }
+
     def decode(doc_id: Long, payload: Array[Byte]): Option[DecodedMedia] =
       sniff(payload) match {
         case "ppm" => Some(decodePpm(doc_id, payload))
@@ -611,11 +657,29 @@ object Multimodal {
         length(regexp_replace(col("audio_fp"), "0", "")).cast("long").as("n_set"))
   }
 
+  /** Dominant-period table: exact integer autocorrelation over the real
+    * WAV path — per clip the smallest lag (1..32 samples) maximizing
+    * `R(L)`, its value, and the `R(0)` energy. Same mapPartitions codec
+    * tier and map-only shape as [[audioFingerprint]]; the O(maxLag·N)
+    * inner loop is per-clip CPU, no shuffle grows with it.
+    */
+  def audioAutocorr(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (lag, rBest, r0) = Codecs.autocorrWav(bytes)
+        (id, lag.toLong, rBest, r0)
+      })
+      .toDF("doc_id", "best_lag", "r_best", "r0")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
+    "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -704,5 +768,28 @@ object Multimodal {
         |SELECT doc_id, audio_fp,
         |  length(replace(audio_fp, '0', ''))::BIGINT AS n_set
         |FROM fp""".stripMargin,
+    // replays the autocorrelation: same ASCII-sample reconstruction as
+    // mm_audio_fp, R(L) by nested list comprehension, first-occurrence
+    // argmax via list_position (ties -> smallest lag, as the codec does)
+    "mm_audio_autocorr" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+        |     for i in range(0, 512)] AS v
+        |  FROM px
+        |), ac AS (
+        |  SELECT doc_id,
+        |    list_sum([x * x for x in v])::BIGINT AS r0,
+        |    [list_sum([v[i] * v[i + l] for i in range(1, 513 - l)])::BIGINT
+        |     for l in range(1, 33)] AS rs
+        |  FROM smp
+        |)
+        |SELECT doc_id, list_position(rs, list_max(rs))::BIGINT AS best_lag,
+        |  list_max(rs)::BIGINT AS r_best, r0
+        |FROM ac""".stripMargin,
   )
 }

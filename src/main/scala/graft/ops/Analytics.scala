@@ -988,4 +988,45 @@ object Analytics {
         "share_e4",
         Cols.floorDiv(col("n_events") * 10000, sum(col("n_events")).over(byType)))
   }
+
+  /** Day-over-day retention via bitmap indexes: each day's distinct
+    * actives are packed into 63-bit bitmap words (word = user_id / 63,
+    * bit = user_id % 63 — 63 bits per word, not 64, so no engine ever
+    * shifts into the BIGINT sign bit), consecutive days' bitmaps are
+    * ANDed per word, and retained = Σ popcount. One row per day that has
+    * a previous day: (day, dau, prev_dau, retained, retention_e4).
+    *
+    * Scale: THE audience-overlap representation for 100 TB — the bitmap
+    * table is |users|/63 longs per day regardless of event volume, the
+    * day-over-day join co-partitions on (day, word) and never touches raw
+    * events again, and AND/popcount are codegen'd integer ops. The same
+    * bitmap table serves WAU/MAU overlap, cross-segment reach, and
+    * incremental audience diffs; `count_distinct` retention at this
+    * granularity would instead re-shuffle user ids every pairing.
+    */
+  def bitmapRetention(events: DataFrame): DataFrame = {
+    val uid = col("user_id").cast("long")
+    val bm = events
+      .select(
+        Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("day"),
+        Cols.floorDiv(uid, 63L).as("word"),
+        pmod(uid, lit(63L)).cast("int").as("bit"))
+      .distinct()
+      .groupBy(col("day"), col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bm"))
+    val totals = bm.groupBy(col("day"))
+      .agg(sum(bit_count(col("bm")).cast("long")).as("dau"))
+    val prev = bm.select((col("day") + 1).as("day"), col("word"), col("bm").as("pbm"))
+    val retained = bm
+      .join(prev, Seq("day", "word"))
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("bm").bitwiseAND(col("pbm"))).cast("long")).as("retained"))
+    totals
+      .join(totals.select((col("day") + 1).as("day"), col("dau").as("prev_dau")), "day")
+      .join(retained, Seq("day"), "left")
+      .select(
+        col("day"), col("dau"), col("prev_dau"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .withColumn("retention_e4", Cols.floorDiv(col("retained") * 10000, col("prev_dau")))
+  }
 }

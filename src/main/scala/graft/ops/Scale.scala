@@ -133,6 +133,35 @@ object Scale {
       .select(quasiIds.map(col) :+ col("n_rows") :+
         when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)).as("suppress"): _*)
 
+  /** Order-independent key checksum of one table: row count, the XOR
+    * fold and the exact DECIMAL(38,0) sum of the engine's 60-bit row-key
+    * hash, and the hash min/max as a range witness — the primitive for
+    * verifying a replica, a migration, or either end of a 100 TB
+    * transfer WITHOUT sorting or shipping rows. Count + sum + xor over a
+    * keyed hash is a strong multiset witness: a dropped, duplicated, or
+    * key-mangled row moves at least one of them, and two engines can
+    * each compute their side independently (the hash is the
+    * cross-engine [[graft.Cols.hash60]]).
+    *
+    * One keyless aggregate, map-side combined — the bytes that move are
+    * five numbers per table, never the data. The decimal sum exists
+    * because a sum of 2⁶⁰-scale hashes can exceed int64 within 8 rows;
+    * 38 digits absorbs 10²⁰ rows.
+    */
+  def rowChecksum(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
+    df
+      .select(graft.Cols.hash60(
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)).as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("h_xor"),
+        sum(col("h").cast("decimal(38,0)")).as("h_sum"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .select(
+        lit(name).as("tbl"), col("n_rows"), col("h_xor"),
+        col("h_sum"), col("h_min"), col("h_max"))
+
   /** Bloom-filter pre-filtered left-semi join: the hand-rolled runtime
     * filter for "keep only the big-side rows whose key appears in a
     * (much smaller, but not broadcast-join-small) key set" — the

@@ -514,4 +514,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(
       (2L, 9999000L, 9999125.0, 9999250.0, 9999375.0, 9999475.0, 9999500L)))
   }
+
+  test("bitmap retention: word-boundary packing, AND+popcount, zero-overlap day") {
+    val Day = graft.ops.TimeSeries.DayMs
+    // users chosen to straddle 63-bit words: 1 and 62 land in word 0
+    // (bit 62 is the max shift — sign bit never touched), 63 and 125 in
+    // word 1 (bits 0 and 62)
+    val events = ev(
+      (1L, 10L, "view"), (62L, 20L, "view"), (63L, 30L, "view"),
+      (62L, Day + 1, "view"), (62L, Day + 2, "click"), // dup: one bit
+      (63L, Day + 3, "view"), (125L, Day + 4, "view"),
+      (1L, 2 * Day + 5, "view"))
+    val got = Analytics.bitmapRetention(events)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      // day 1: actives {62,63,125} (62's two events distinct-count once),
+      // retained {62,63} of day-0's {1,62,63} → floor(2*10000/3) = 6666
+      (1L, 3L, 3L, 2L, 6666L),
+      // day 2: user 1 only; no overlap with {62,63,125}
+      (2L, 1L, 3L, 0L, 0L)))
+  }
 }

@@ -211,6 +211,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.fingerprintWav(wav(samples), windows = 4) === "0110")
     // clip shorter than the window grid: all-silent signature, no crash
     assert(Multimodal.Codecs.fingerprintWav(wav(Seq[Short](5, 5, 5)), windows = 4) === "0000")
+
+    // autocorrelation on a period-2 square wave: R0 = 8·100 = 800,
+    // R(1) = 7·(−100) = −700, R(2) = 6·100 = 600, R(3) = 5·(−100) = −500
+    val sq = Seq[Short](10, -10, 10, -10, 10, -10, 10, -10)
+    assert(Multimodal.Codecs.autocorrWav(wav(sq), maxLag = 3) === ((2, 600L, 800L)))
+    // silence: every R(L) = 0 — first-occurrence argmax picks lag 1
+    assert(Multimodal.Codecs.autocorrWav(wav(Seq.fill(6)(0: Short)), maxLag = 3) === ((1, 0L, 0L)))
+    // empty data chunk: (0, 0, 0), no crash
+    assert(Multimodal.Codecs.autocorrWav(wav(Seq.empty), maxLag = 3) === ((0, 0L, 0L)))
   }
 
   test("frame-sample stage: WAV keeps every k-th frame in a valid container") {

@@ -218,4 +218,30 @@ class ScaleSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("row checksum: order-independent, detects drop/dup, single row = own hash") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v").repartition(7)
+    def sum5(df: org.apache.spark.sql.DataFrame) =
+      Scale.rowChecksum(df, "t", Seq("k", "v"))
+        .as[(String, Long, Long, java.math.BigDecimal, Long, Long)].head()
+    val base = sum5(a)
+    assert(base._2 === 3L)
+    // row order and partitioning don't move any component
+    assert(sum5(shuffled) === base)
+    // a dropped row and a duplicated row each change the checksum
+    val dropped = sum5(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val duped = sum5(Seq((1L, "x"), (2L, "y"), (3L, "z"), (3L, "z")).toDF("k", "v"))
+    assert(dropped != base && duped != base)
+    // xor blindspot: duplicating row 3 cancels it entirely (h3 ^ h3 = 0),
+    // so {1,2,3,3} and {1,2} share an xor — count and sum still split
+    // them, which is why all three components ship together
+    assert(duped._3 === dropped._3)
+    assert(duped._2 != dropped._2 && duped._4 != dropped._4)
+    // single row: xor == sum == min == max == hash60 of "k|v"
+    val one = sum5(Seq((9L, "q")).toDF("k", "v"))
+    val h = Seq(("9|q")).toDF("s")
+      .select(graft.Cols.hash60(col("s"))).as[Long].head()
+    assert(one === (("t", 1L, h, new java.math.BigDecimal(h), h, h)))
+  }
 }
