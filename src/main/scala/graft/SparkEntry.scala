@@ -95,6 +95,10 @@ object SparkEntry {
     // a planner prunes time-range and point-lookup scans with
     "ev_zone_map" -> ((s, dir) =>
       graft.ops.Scale.zoneMap(Tables.events(s, dir), "user_id", "ts_ms")),
+    // Z-order layout audit: 16 Z-ranges, each a bounded 64x64 rectangle
+    // in (key mod 256, day mod 256) space — two-column pruning in one key
+    "ev_zorder_layout" -> ((s, dir) =>
+      graft.ops.Scale.zorderLayout(Tables.events(s, dir), "user_id", "ts_ms")),
     // small-cell privacy audit over the quasi-identifier grid
     "cust_k_anon" -> ((s, dir) =>
       graft.ops.Scale.kAnonymity(
@@ -966,6 +970,24 @@ object SparkEntry {
         |  count(DISTINCT user_id)::BIGINT AS n_keys,
         |  min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
         |FROM b GROUP BY 1""".stripMargin,
+    // replays the 8+8-bit Morton interleave with a list-comprehension sum;
+    // all quantities non-negative so // is exact floor
+    "ev_zorder_layout" ->
+      """WITH d AS (
+        |  SELECT (user_id % 256)::BIGINT AS ub,
+        |    (epoch_ms(ts::TIMESTAMP) // 86400000) % 256 AS tb
+        |  FROM events
+        |), z AS (
+        |  SELECT ub, tb,
+        |    list_sum([((ub >> i) & 1) * (1 << (2 * i)) +
+        |              ((tb >> i) & 1) * (1 << (2 * i + 1))
+        |              for i in range(0, 8)])::BIGINT AS zval
+        |  FROM d
+        |)
+        |SELECT zval // 4096 AS zbucket, count(*)::BIGINT AS n_rows,
+        |  min(ub) AS min_key8, max(ub) AS max_key8,
+        |  min(tb) AS min_day8, max(tb) AS max_day8
+        |FROM z GROUP BY 1""".stripMargin,
     "cust_k_anon" ->
       """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
         |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress

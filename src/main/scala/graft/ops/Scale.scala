@@ -148,6 +148,40 @@ object Scale {
     * because a sum of 2⁶⁰-scale hashes can exceed int64 within 8 rows;
     * 38 digits absorbs 10²⁰ rows.
     */
+  /** Morton (Z-order) layout audit: the low 8 bits of two dimensions —
+    * key mod 256 and epoch-day mod 256 — bit-interleave into a 16-bit
+    * Z-value (key bits on even positions, time bits on odd), and the
+    * 16 top-nibble Z-ranges report their row count plus both dims'
+    * min/max. Because a Z-range prefix fixes the high bits of BOTH
+    * dimensions at once, every bucket is a bounded 64×64 rectangle in
+    * (key, day) space — which is the whole trick: files clustered by Z
+    * carry tight min/max stats on two columns simultaneously, so scans
+    * filtered on EITHER dimension prune, where single-column range
+    * clustering ([[clusteredWrite]]) prunes only its sort key.
+    *
+    * Pure integer bit math (no UDF, codegen'd), one hash aggregate to
+    * 16 rows. At 100 TB this Z-value is the clustering/sort key of the
+    * write path; the audit table is what proves the layout holds.
+    */
+  def zorderLayout(df: DataFrame, key: String, tsMsCol: String): DataFrame = {
+    val ub = pmod(col(key).cast("long"), lit(256L))
+    val tb = pmod(graft.Cols.floorDiv(col(tsMsCol), 86400000L), lit(256L))
+    val z = (0 until 8)
+      .map(i =>
+        shiftleft(shiftright(ub, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(tb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _)
+    df
+      .select(ub.as("__ub"), tb.as("__tb"), z.as("__z"))
+      .groupBy(graft.Cols.floorDiv(col("__z"), 4096L).as("zbucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__ub")).as("min_key8"),
+        max(col("__ub")).as("max_key8"),
+        min(col("__tb")).as("min_day8"),
+        max(col("__tb")).as("max_day8"))
+  }
+
   def rowChecksum(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
     df
       .select(graft.Cols.hash60(

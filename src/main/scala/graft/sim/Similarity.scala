@@ -206,6 +206,98 @@ object Similarity {
           .as("max_err"))
   }
 
+  /** Product quantization (PQ): the 64-dim milli-quantized vector splits
+    * into `subspaces` contiguous 16-dim subvectors; each is assigned to
+    * its nearest codebook centroid by EXACT integer squared-L2, with
+    * ties to the smallest centroid id. The codebook is deterministic —
+    * the subvectors of the `k` lowest vec_ids — so both engines derive
+    * it from the data with no RNG and no trained artifact. Output per
+    * vector: the 4 centroid codes and the total reconstruction error
+    * (Σ of per-subspace min distances) — the PQ compression that stores
+    * 100 TB of vectors in 4 bytes each plus a k×dims codebook.
+    *
+    * Plan: the codebook is a k-row broadcast (bounded by k, never data
+    * size) cross-joined onto a single corpus scan; distances explode to
+    * |corpus|·k·subspaces narrow rows, then two hash aggregates fold
+    * them back to one row per vector. No driver action builds the
+    * codebook — it is a filter on the same scan, kept in-plan.
+    */
+  def productQuantize(embeddings: DataFrame, subspaces: Int = 4, k: Int = 8): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val subLen = 16
+    val codebook = broadcast(
+      q.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    val dists = array((0 until subspaces).map { j =>
+      aggregate(
+        zip_with(
+          slice(col("qv"), j * subLen + 1, subLen),
+          slice(col("cqv"), j * subLen + 1, subLen),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+    }: _*)
+    q.select(col("vec_id"), col("qv"))
+      .crossJoin(codebook)
+      .select(col("vec_id"), col("cid"), posexplode(dists).as(Seq("j", "dist")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("j") === 0, col("m.cid"))).as("code_0"),
+        (1 until subspaces).map(j =>
+          max(when(col("j") === j, col("m.cid"))).as(s"code_$j")) :+
+          sum(col("m.dist")).as("recon_err"): _*)
+      .select(
+        col("vec_id") +: (0 until subspaces).map(j => col(s"code_$j")) :+
+          col("recon_err"): _*)
+  }
+
+  /** Reciprocal-rank fusion (RRF) of two retrieval rankings — the
+    * hybrid-search combiner: each method contributes
+    * `floor(10⁶ / (rrfK + rank))` for candidates in its top `deep`, a
+    * missing candidate contributes 0, and the fused top-`k` orders by
+    * (score desc, neighbor_id). Here the two methods are the full-dim
+    * exact cosine ranking and the truncated-prefix ranking
+    * ([[truncationAgreement]]'s index) — the cheap-index + exact-rerank
+    * pair a hybrid retrieval stack actually fuses. Integer scores make
+    * the fusion bit-exact across engines.
+    *
+    * Plan: two broadcast-query ranking passes over one corpus scan each
+    * (same shape as [[bruteForceTopK]]), then a full-outer join of two
+    * |queries|·deep tables — tiny next to the corpus — and one window.
+    * At 100 TB the rankings come from the ANN indexes; the fusion
+    * itself never touches raw vectors.
+    */
+  def rrfFusion(embeddings: DataFrame, truncDims: Int = 16, deep: Int = 20,
+      k: Int = TopK, rrfK: Int = 60): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    def topN(vecs: DataFrame, vCol: String, nCol: String, rankName: String): DataFrame = {
+      val queries = broadcast(
+        vecs.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+          .select(col("vec_id").as("query_id"), col(vCol).as("__q_v"), col(nCol).as("__q_n")))
+      val scored = vecs.join(queries, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Dedup.cosineQ(col("__q_v"), col("__q_n"), col(vCol), col(nCol)).as("__cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
+      scored.withColumn(rankName, row_number().over(w).cast("long"))
+        .filter(col(rankName) <= deep)
+        .select(col("query_id"), col("neighbor_id"), col(rankName))
+    }
+    val full = topN(q.select(col("vec_id"), col("qv"), col("norm2")), "qv", "norm2", "rank_full")
+    val tq = q.select(col("vec_id"), slice(col("qv"), 1, truncDims).as("tv"))
+      .withColumn("tn", Dedup.longDot(col("tv"), col("tv")))
+    val trunc = topN(tq, "tv", "tn", "rank_trunc")
+    def contrib(rank: String): Column = coalesce(
+      graft.Cols.floorDiv(lit(1000000L), lit(rrfK.toLong) + col(rank)), lit(0L))
+    val fused = full.join(trunc, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(
+        col("query_id"), col("neighbor_id"), col("rank_full"), col("rank_trunc"),
+        (contrib("rank_full") + contrib("rank_trunc")).as("rrf_e6"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_e6").desc, col("neighbor_id"))
+    fused
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** L2 normalization of the (milli-quantized) embedding, emitted per
     * dimension as exact integer e4 units of the unit vector:
     * `comp_e4 = round(v · 10000 / √norm2)` — one multiply, one
@@ -655,6 +747,7 @@ object Similarity {
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -958,6 +1051,32 @@ object Similarity {
         |  list_max(list_transform(qv,
         |    x -> (((x * 127) % scale_milli) + scale_milli) % scale_milli))::BIGINT AS max_err
         |FROM s""".stripMargin,
+    // replays PQ: codebook = subvectors of vec_ids < 8, exact integer
+    // squared-L2 per 16-dim subspace, ties to the smallest centroid id
+    "emb_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.vec_id, cb.cid, r.j,
+        |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+        |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+        |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+        |), p AS (
+        |  SELECT vec_id, j, dist, cid,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN j = 0 THEN cid END)::BIGINT AS code_0,
+        |  max(CASE WHEN j = 1 THEN cid END)::BIGINT AS code_1,
+        |  max(CASE WHEN j = 2 THEN cid END)::BIGINT AS code_2,
+        |  max(CASE WHEN j = 3 THEN cid END)::BIGINT AS code_3,
+        |  sum(dist)::BIGINT AS recon_err
+        |FROM p WHERE rn = 1 GROUP BY 1""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id,

@@ -42,7 +42,9 @@ object PlanAudit {
     // |labels|-row broadcast (bounded by label cardinality, not data size)
     "emb_silhouette",
     // k-row broadcast centroid table (bounded by k, not data size)
-    "emb_kmeans_step")
+    "emb_kmeans_step",
+    // k-row broadcast PQ codebook (bounded by k, not data size)
+    "emb_pq")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

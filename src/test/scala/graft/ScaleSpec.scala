@@ -219,6 +219,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout: hand-computed Morton codes; buckets are 64x64 rectangles") {
+    val Day = 86400000L
+    // (user, day): morton interleaves user bits (even) / day bits (odd).
+    // user 3 (0b11), day 1 (0b1): z = 0b101 | 0b010 = 7 -> bucket 0
+    // user 255, day 255: z = 0xFFFF = 65535 -> bucket 15
+    // user 0, day 192 (0b11000000): z = bits 13,15 = 40960 -> bucket 10
+    val events = Seq(
+      (1L, 3L, "a", 1L * Day + 5),
+      (2L, 255L, "a", 255L * Day + 5),
+      (3L, 0L, "a", 192L * Day + 5))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = Scale.zorderLayout(events, "user_id", "ts_ms")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 3L, 3L, 1L, 1L),
+      (10L, 1L, 0L, 0L, 192L, 192L),
+      (15L, 1L, 255L, 255L, 255L, 255L)))
+    // rectangle bound: within one bucket both dims span < 64
+    val spread = (0 until 512).map(i =>
+      (i.toLong, (i * 7 % 256).toLong, "x", (i * 13 % 256).toLong * Day))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val rects = Scale.zorderLayout(spread, "user_id", "ts_ms")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rects.foreach { case (_, _, lo, hi, tlo, thi) =>
+      assert(hi - lo < 64 && thi - tlo < 64)
+    }
+  }
+
   test("row checksum: order-independent, detects drop/dup, single row = own hash") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v").repartition(7)

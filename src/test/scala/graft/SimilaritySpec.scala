@@ -244,4 +244,28 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got === List((0L, 4L, 4L, 10000L), (50L, 4L, 4L, 10000L)))
   }
+
+  test("product quantization: per-subspace argmin, smallest-cid ties, exact error") {
+    // 64-dim vectors built from per-dim constants; codebook = vec 0 (all
+    // zeros) and vec 1 (all milli-ones). Per 16-dim subspace:
+    //   vec 2 (zeros then ones): halves split codes (0,0,1,1), err 0
+    //   vec 3 (all twos): per subspace 16·(2-0)²=64 to c0, 16·(2-1)²=16
+    //     to c1 → codes all 1, err 4·16 = 64
+    //   vec 4 (alternating 0/1): dist 8 to each — tie → c0, err 8·4 = 32
+    val rows = Seq(
+      (0L, Array.fill(64)(0.0f), 0),
+      (1L, Array.fill(64)(0.001f), 0),
+      (2L, (Array.fill(32)(0.0f) ++ Array.fill(32)(0.001f)), 0),
+      (3L, Array.fill(64)(0.002f), 0),
+      (4L, Array.tabulate(64)(i => if (i % 2 == 0) 0.0f else 0.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.productQuantize(rows, k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 0L, 0L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1L, 1L, 0L),
+      (2L, 0L, 0L, 1L, 1L, 0L),
+      (3L, 1L, 1L, 1L, 1L, 64L),
+      (4L, 0L, 0L, 0L, 0L, 32L)))
+  }
 }
