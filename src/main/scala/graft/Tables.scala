@@ -28,14 +28,23 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** The `events` table with event time normalized to epoch milliseconds
-    * (`ts_ms: Long`). The parquet column is INT64 TIMESTAMP(NANOS), read as
-    * raw nanos via `nanosAsLong` and floor-divided (exact integer floor,
-    * valid for pre-1970 epochs too) — matching the DuckDB oracle's
-    * `epoch_ms(ts::TIMESTAMP)` exactly.
+    * (`ts_ms: Long`). The driver has generated `ts` as INT64
+    * TIMESTAMP(NANOS) in some rounds (read as raw nanos via `nanosAsLong`)
+    * and TIMESTAMP(MICROS) in others (read as TIMESTAMP_NTZ); branch on the
+    * resolved type so both encodings floor to the same epoch millis (exact
+    * integer floor, valid for pre-1970 epochs too) — matching the DuckDB
+    * oracle's `epoch_ms(ts::TIMESTAMP)` exactly (session timezone is UTC,
+    * so the NTZ wall clock IS the epoch clock).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events")
-      .withColumn("ts_ms", Cols.floorDiv(col("ts"), 1000000L))
+    val df = table(spark, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        Cols.floorDiv(col("ts"), 1000000L) // raw nanos (nanosAsLong path)
+      case _ => // TIMESTAMP_NTZ / TIMESTAMP micros
+        Cols.floorDiv(unix_micros(col("ts").cast("timestamp")), 1000L)
+    }
+    df.withColumn("ts_ms", tsMs)
   }
 
   val AllNames: Seq[String] = Seq(
