@@ -11,7 +11,16 @@ For each query: load Spark parquet result + run oracle SQL in DuckDB with
 views over the sfDir parquet tables; compare columns IN DECLARED ORDER
 (the driver's hash is column-order sensitive — sorting columns here masked
 the ev_props_json red row through rounds 3-4), sort rows, and compare
-values exactly (doubles via repr). NOT part of the shipped library.
+values exactly (doubles via repr), INCLUDING the Python value type — a
+HUGEINT and an int64 that print alike must still fail here.
+
+Additionally every oracle's RESULT COLUMN TYPES are gated: HUGEINT /
+UHUGEINT / DECIMAL are rejected outright. DuckDB silently promotes
+un-cast sum(BIGINT) arithmetic to HUGEINT, fetchall() converts it to a
+plain Python int, and the driver's hasher materializes int128/decimal
+through a path that disagrees with Spark's int64 — so a value-level
+compare alone cannot see the failure class that made 9 rows red in
+round 5. NOT part of the shipped library.
 """
 import json
 import math
@@ -23,8 +32,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def canon(rows, cols):
-    # columns stay in DECLARED order — the driver's hash respects it
+    # columns stay in DECLARED order — the driver's hash respects it;
+    # values carry their Python type name so int vs float vs Decimal
+    # mismatches fail even when they print identically
     out = [tuple(norm(v) for v in r) for r in rows]
     out.sort(key=repr)
     return list(cols), out
@@ -33,9 +47,17 @@ def canon(rows, cols):
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return v
+            return ("float", "NaN")
+        return ("float", repr(v))
+    return (type(v).__name__, v)
+
+
+def banned_types(rel):
+    # driver-invisible types: the driver's arrow/pandas hash path renders
+    # int128/decimal differently from Spark's int64 while fetchall() hides
+    # the difference — reject them before any value compare happens
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if any(b in str(t).upper() for b in BANNED_TYPES)]
 
 
 def main():
@@ -51,6 +73,23 @@ def main():
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             duck_rel = con.sql(sql)
+            bad = banned_types(duck_rel) + banned_types(spark_rel)
+            if bad:
+                print(f"FAIL {name}: driver-invisible column types {bad}")
+                n_fail += 1
+                continue
+            # exact column-type equality between the two relations: an
+            # int32 Spark column vs a BIGINT oracle column fetches as the
+            # same Python int, but the driver's arrow path can tell them
+            # apart — so compare DuckDB's view of both type lists directly
+            s_types = list(map(str, spark_rel.types))
+            d_types = list(map(str, duck_rel.types))
+            if s_types != d_types:
+                mism = [f"{c}: spark={a} duck={b}" for c, a, b
+                        in zip(spark_rel.columns, s_types, d_types) if a != b]
+                print(f"FAIL {name}: column type mismatch {mism}")
+                n_fail += 1
+                continue
             d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: error {e}")

@@ -81,21 +81,33 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
       (name, sec, n >= 0, noise)
     }
-    // failed queries report -1 (numeric, to keep the driver's JSON shape)
-    // and are listed by name under "failed"
-    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
-      .mkString("{", ",", "}")
     // Locale.ROOT: the default-locale f"" interpolator emits comma decimals
     // under e.g. de_DE, which breaks the JSON contract
     def num2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + num2(nz) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = results.collect { case (_, v, true, _) => v }.sum
     val probeBaseStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(probeBase))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,""" +
-      s""""noise":$noiseJson,"probe_base_sec":$probeBaseStr,"sf":"$sfDir"}""")
+    // full per-query detail goes to a file: at 200+ queries the flat map is
+    // ~8 KB and the driver keeps only a ~2 KB tail of stdout, which left
+    // BENCH_r04/r05 unparseable ("parsed": null). Stdout gets a compact
+    // primary line (total, failures, slowest-10) that always fits.
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
+      .mkString("{", ",", "}")
+    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + num2(nz) }
+      .mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""queries":$qs$failedJson,"noise":$noiseJson,"probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + num2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""slowest":$slowest$failedJson,"probe_base_sec":$probeBaseStr,""" +
+      s""""detail_file":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

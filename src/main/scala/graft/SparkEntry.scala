@@ -102,7 +102,9 @@ object SparkEntry {
     // small-cell privacy audit over the quasi-identifier grid
     "cust_k_anon" -> ((s, dir) =>
       graft.ops.Scale.kAnonymity(
-        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"))),
+        Tables.customer(s, dir)
+          .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
+        Seq("c_nationkey", "c_mktsegment"))),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -789,13 +791,13 @@ object SparkEntry {
     "ev_props_json" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS n_events,
-        |    sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |    sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |    min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |    max(json_extract(props, '$.k')::BIGINT) AS max_k
         |  FROM events GROUP BY event_type
         |)
         |SELECT event_type, n_events, sum_k,
-        |  (sum_k * 10000 - ((sum_k * 10000 % n_events) + n_events) % n_events) // n_events AS avg_k_e4,
+        |  ((sum_k * 10000 - ((sum_k * 10000 % n_events) + n_events) % n_events) // n_events)::BIGINT AS avg_k_e4,
         |  min_k, max_k
         |FROM a""".stripMargin,
     "ev_salted_join" ->
@@ -953,13 +955,21 @@ object SparkEntry {
              |  count(DISTINCT $c)::BIGINT AS n_distinct FROM e""".stripMargin
         }.mkString("\nUNION ALL ")
     },
+    // p99 is the exact rank statistic (value at rank ceil(0.99·n_keys) over
+    // the ascending per-key counts) — all-integer, so it hashes identically
+    // cross-engine where an interpolated quantile_cont double would not
     "ev_key_skew" ->
-      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
-        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
-        |  max(c)::BIGINT AS max_key_rows,
-        |  (max(c) * 1000000) // sum(c) AS top_share_ppm,
-        |  round(quantile_cont(c, 0.99), 4) AS p99_key_rows
-        |FROM c""".stripMargin,
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |    max(c)::BIGINT AS max_key_rows
+        |  FROM c
+        |), r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c)
+        |SELECT n_rows, n_keys, max_key_rows,
+        |  ((max_key_rows * 1000000) // n_rows)::BIGINT AS top_share_ppm,
+        |  (SELECT r.c FROM r, s WHERE r.rn = (s.n_keys * 99 + 99) // 100)::BIGINT
+        |    AS p99_key_rows
+        |FROM s""".stripMargin,
     "ev_zone_map" ->
       """WITH b AS (
         |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
@@ -989,7 +999,7 @@ object SparkEntry {
         |  min(tb) AS min_day8, max(tb) AS max_day8
         |FROM z GROUP BY 1""".stripMargin,
     "cust_k_anon" ->
-      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
+      """SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
         |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress
         |FROM customer GROUP BY 1, 2""".stripMargin,
     "cs_bounce_rate" ->
@@ -1020,7 +1030,7 @@ object SparkEntry {
         |), r AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS ref FROM events)
         |SELECT first_ms // 86400000 AS cohort_day, count(*) AS n_users,
         |  sum(CASE WHEN last_ms < ref - 14 * 86400000 THEN 1 ELSE 0 END)::BIGINT AS n_churned,
-        |  (sum(CASE WHEN last_ms < ref - 14 * 86400000 THEN 1 ELSE 0 END) * 10000) // count(*)
+        |  ((sum(CASE WHEN last_ms < ref - 14 * 86400000 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT
         |    AS churn_e4
         |FROM u CROSS JOIN r
         |GROUP BY 1""".stripMargin,
@@ -1144,7 +1154,7 @@ object SparkEntry {
         |)
         |SELECT midx::BIGINT AS midx, sum(qty)::BIGINT AS total_qty,
         |  sum(rqty)::BIGINT AS returned_qty,
-        |  (sum(rqty) * 10000) // sum(qty) AS return_e4,
+        |  ((sum(rqty) * 10000) // sum(qty))::BIGINT AS return_e4,
         |  sum(rcents)::BIGINT AS returned_cents
         |FROM m GROUP BY 1""".stripMargin,
     "tbl_join_card" ->
@@ -1191,9 +1201,10 @@ object SparkEntry {
         |  count(CASE WHEN vec_id IS NULL THEN 1 END),
         |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings GROUP BY 1 HAVING count(*) > 1))::BIGINT
         |FROM embeddings""".stripMargin,
-    // same 60-bit md5-prefix hash as Cols.hash60; sum in DECIMAL(38,0)
-    // on both engines (DuckDB's HUGEINT sum cast down, Spark summing a
-    // decimal-cast column) so the checksum never truncates
+    // same 60-bit md5-prefix hash as Cols.hash60; the hash sum is split
+    // into two int64-safe halves (sum(h >> 30), sum(h & (2^30-1))) on both
+    // engines so the checksum never truncates and never leaves BIGINT —
+    // no HUGEINT/decimal in the result, which keeps the driver hash stable
     "tbl_checksum" ->
       """WITH hl AS (
         |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::BIGINT AS h
@@ -1209,13 +1220,14 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT 'lineitem' AS tbl, count(*) AS n_rows, bit_xor(h) AS h_xor,
-        |  sum(h)::DECIMAL(38,0) AS h_sum, min(h) AS h_min, max(h) AS h_max FROM hl
+        |  sum(h >> 30)::BIGINT AS h_sum_hi, sum(h & 1073741823)::BIGINT AS h_sum_lo,
+        |  min(h) AS h_min, max(h) AS h_max FROM hl
         |UNION ALL SELECT 'orders', count(*), bit_xor(h),
-        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM ho
+        |  sum(h >> 30)::BIGINT, sum(h & 1073741823)::BIGINT, min(h), max(h) FROM ho
         |UNION ALL SELECT 'customer', count(*), bit_xor(h),
-        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM hc
+        |  sum(h >> 30)::BIGINT, sum(h & 1073741823)::BIGINT, min(h), max(h) FROM hc
         |UNION ALL SELECT 'events', count(*), bit_xor(h),
-        |  sum(h)::DECIMAL(38,0), min(h), max(h) FROM he""".stripMargin,
+        |  sum(h >> 30)::BIGINT, sum(h & 1073741823)::BIGINT, min(h), max(h) FROM he""".stripMargin,
     "ev_dow_hour_heatmap" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |h AS (
@@ -1326,8 +1338,8 @@ object SparkEntry {
         |)
         |SELECT day, n_events, n_errors,
         |  (n_errors * 10000) // n_events AS err_e4,
-        |  (sum(n_errors) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000)
-        |    // sum(n_events) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |  ((sum(n_errors) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000)
+        |    // sum(n_events) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::BIGINT
         |    AS roll7_err_e4
         |FROM d""".stripMargin,
     // two cs_funnel chains restricted by the md5 arm split
@@ -1940,7 +1952,7 @@ object SparkEntry {
          |)
          |SELECT event_type AS entry_type, count(*) AS n_sessions,
          |  sum(has_buy)::BIGINT AS n_converted,
-         |  (sum(has_buy) * 10000) // count(*) AS conv_e4
+         |  ((sum(has_buy) * 10000) // count(*))::BIGINT AS conv_e4
          |FROM r WHERE rn = 1
          |GROUP BY 1""".stripMargin,
     // hash-rank sampling on the shared 60-bit md5 hash (Cols.hash60)

@@ -41,8 +41,20 @@ object Tables {
     val tsMs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         Cols.floorDiv(col("ts"), 1000000L) // raw nanos (nanosAsLong path)
-      case _ => // TIMESTAMP_NTZ / TIMESTAMP micros
+      case org.apache.spark.sql.types.TimestampType =>
+        // instant-typed: unix_micros is timezone-independent, no cast needed
+        Cols.floorDiv(unix_micros(col("ts")), 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ wall clock IS the epoch clock only under UTC; re-assert
+        // the conf here (tune() sets it once per session) so a caller
+        // mutating the session timezone afterwards can't silently shift ts_ms
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         Cols.floorDiv(unix_micros(col("ts").cast("timestamp")), 1000L)
+      case other =>
+        // loud failure beats silent nulls/wrong epochs from a blind cast
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; " +
+            "expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
     }
     df.withColumn("ts_ms", tsMs)
   }

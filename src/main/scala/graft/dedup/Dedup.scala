@@ -937,7 +937,9 @@ object Dedup {
   private[graft] def quantized(embeddings: DataFrame): DataFrame = {
     val q = embeddings.select(
       col("vec_id"),
-      col("label"),
+      // int64 from the start: the parquet int32 would otherwise leak into
+      // result schemas, where DuckDB answers BIGINT (type-contract spec)
+      col("label").cast("long").as("label"),
       transform(col("embedding"), x => round(x.cast("double") * lit(1000)).cast("long")).as("qv"))
     q.withColumn("norm2", longDot(col("qv"), col("qv")))
   }

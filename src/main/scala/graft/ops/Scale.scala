@@ -74,22 +74,38 @@ object Scale {
   /** Key-skew diagnostic: the one-row report that answers "should this key
     * be salted / is this join AQE-skew territory" BEFORE a job ships —
     * total rows, distinct keys, the hottest key's row count, its share in
-    * exact ppm, and the p99 per-key count. Two hash aggregates (the second
-    * over |keys| rows); at 100 TB this is the cheap probe you run on a
-    * sample or on the full table overnight, not a per-query cost.
+    * exact ppm, and the p99 per-key count as the EXACT rank statistic
+    * (the count at rank ceil(0.99·n_keys) in ascending order) — all
+    * integer, so the report hashes identically on any engine; an
+    * interpolated `percentile()` double would not. One hash aggregate to
+    * |keys| rows, then a |keys|-row rank pass and two 1-row broadcast
+    * joins; at 100 TB this is the cheap probe you run on a sample or on
+    * the full table overnight, not a per-query cost.
     */
-  def keySkew(df: DataFrame, key: String): DataFrame =
-    df.groupBy(col(key))
-      .agg(count(lit(1)).as("__c"))
-      .agg(
-        sum(col("__c")).as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        max(col("__c")).as("max_key_rows"),
-        round(expr("percentile(__c, 0.99)"), 4).as("p99_key_rows"))
+  def keySkew(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    val stats = counts.agg(
+      sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__c")).as("max_key_rows"))
+    // rank statistic over the |keys|-row count table; the single-partition
+    // window is bounded by n_keys (the already-aggregated side), never n_rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__c"))
+    val ranked = counts.select(
+      col("__c").as("p99_key_rows"),
+      row_number().over(w).cast("long").as("__rn"))
+    val target = stats.select(
+      graft.Cols.floorDiv(col("n_keys") * 99L + 99L, lit(100L)).as("__target"))
+    val p99 = ranked
+      .join(broadcast(target), col("__rn") === col("__target"))
+      .select(col("p99_key_rows"))
+    stats
+      .crossJoin(broadcast(p99))
       .select(
         col("n_rows"), col("n_keys"), col("max_key_rows"),
         graft.Cols.floorDiv(col("max_key_rows") * 1000000L, col("n_rows")).as("top_share_ppm"),
         col("p99_key_rows"))
+  }
 
   /** Zone map over a bucketed layout: per bucket (the deterministic
     * engine-stable `hash60(key) mod nBuckets` — the same bucketing the
@@ -133,21 +149,6 @@ object Scale {
       .select(quasiIds.map(col) :+ col("n_rows") :+
         when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)).as("suppress"): _*)
 
-  /** Order-independent key checksum of one table: row count, the XOR
-    * fold and the exact DECIMAL(38,0) sum of the engine's 60-bit row-key
-    * hash, and the hash min/max as a range witness — the primitive for
-    * verifying a replica, a migration, or either end of a 100 TB
-    * transfer WITHOUT sorting or shipping rows. Count + sum + xor over a
-    * keyed hash is a strong multiset witness: a dropped, duplicated, or
-    * key-mangled row moves at least one of them, and two engines can
-    * each compute their side independently (the hash is the
-    * cross-engine [[graft.Cols.hash60]]).
-    *
-    * One keyless aggregate, map-side combined — the bytes that move are
-    * five numbers per table, never the data. The decimal sum exists
-    * because a sum of 2⁶⁰-scale hashes can exceed int64 within 8 rows;
-    * 38 digits absorbs 10²⁰ rows.
-    */
   /** Morton (Z-order) layout audit: the low 8 bits of two dimensions —
     * key mod 256 and epoch-day mod 256 — bit-interleave into a 16-bit
     * Z-value (key bits on even positions, time bits on odd), and the
@@ -182,6 +183,24 @@ object Scale {
         max(col("__tb")).as("max_day8"))
   }
 
+  /** Order-independent key checksum of one table: row count, the XOR
+    * fold and the exact sum of the engine's 60-bit row-key hash, and the
+    * hash min/max as a range witness — the primitive for verifying a
+    * replica, a migration, or either end of a 100 TB transfer WITHOUT
+    * sorting or shipping rows. Count + sum + xor over a keyed hash is a
+    * strong multiset witness: a dropped, duplicated, or key-mangled row
+    * moves at least one of them, and two engines can each compute their
+    * side independently (the hash is the cross-engine
+    * [[graft.Cols.hash60]]).
+    *
+    * One keyless aggregate, map-side combined — the bytes that move are
+    * six numbers per table, never the data. A plain `sum(h)` of
+    * 2⁶⁰-scale hashes would exceed int64 within 8 rows, so the sum is
+    * split into two int64-safe halves — `sum(h >> 30)` and
+    * `sum(h & (2³⁰−1))`, each ≤ 2³⁰·n_rows — which together carry the
+    * full 90-bit sum exactly and stay hash-stable on every engine (no
+    * int128/decimal anywhere).
+    */
   def rowChecksum(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
     df
       .select(graft.Cols.hash60(
@@ -189,12 +208,13 @@ object Scale {
       .agg(
         count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("h_xor"),
-        sum(col("h").cast("decimal(38,0)")).as("h_sum"),
+        sum(shiftright(col("h"), 30)).as("h_sum_hi"),
+        sum(col("h").bitwiseAND(lit(0x3FFFFFFFL))).as("h_sum_lo"),
         min(col("h")).as("h_min"),
         max(col("h")).as("h_max"))
       .select(
         lit(name).as("tbl"), col("n_rows"), col("h_xor"),
-        col("h_sum"), col("h_min"), col("h_max"))
+        col("h_sum_hi"), col("h_sum_lo"), col("h_min"), col("h_max"))
 
   /** Bloom-filter pre-filtered left-semi join: the hand-rolled runtime
     * filter for "keep only the big-side rows whose key appears in a

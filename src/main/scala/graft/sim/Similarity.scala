@@ -746,6 +746,7 @@ object Similarity {
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -796,7 +797,7 @@ object Similarity {
         |SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n_vecs, sum(v)::BIGINT AS sum_milli,
         |  min(v)::BIGINT AS min_milli, max(v)::BIGINT AS max_milli,
         |  sum(v * v)::BIGINT AS sumsq_milli,
-        |  (sum(v) - (((sum(v) % count(*)) + count(*)) % count(*))) // count(*) AS avg_milli
+        |  ((sum(v) - (((sum(v) % count(*)) + count(*)) % count(*))) // count(*))::BIGINT AS avg_milli
         |FROM d GROUP BY 1""".stripMargin,
     // same cell_sums/cent construction as the ann_topk_ivf oracle
     // (remainder-corrected floor division on possibly-negative sums)
@@ -963,7 +964,7 @@ object Similarity {
         |), m AS (
         |  SELECT label, round(quantile_cont(d2, 0.5), 4) AS median_d2 FROM d GROUP BY 1
         |)
-        |SELECT d.label, count(*) AS n_vecs, min(median_d2) AS median_d2,
+        |SELECT d.label::BIGINT AS label, count(*) AS n_vecs, min(median_d2) AS median_d2,
         |  count(CASE WHEN d2::DOUBLE > 4.0 * median_d2 THEN 1 END) AS n_outliers
         |FROM d JOIN m USING (label)
         |GROUP BY 1""".stripMargin,
@@ -1008,8 +1009,8 @@ object Similarity {
         |         ELSE 0 END AS s_e4
         |  FROM pv
         |)
-        |SELECT label, count(*) AS n_vecs,
-        |  (sum(s_e4) - (((sum(s_e4) % count(*)) + count(*)) % count(*))) // count(*)
+        |SELECT label::BIGINT AS label, count(*) AS n_vecs,
+        |  ((sum(s_e4) - (((sum(s_e4) % count(*)) + count(*)) % count(*))) // count(*))::BIGINT
         |    AS avg_silhouette_e4
         |FROM sv GROUP BY 1""".stripMargin,
     "emb_centroids" ->
@@ -1026,7 +1027,7 @@ object Similarity {
         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
         |  FROM cell_sums GROUP BY label
         |)
-        |SELECT label, n_vecs,
+        |SELECT label::BIGINT AS label, n_vecs,
         |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli,
         |  list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2
         |FROM cent""".stripMargin,
@@ -1147,7 +1148,7 @@ object Similarity {
         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
         |  FROM cell GROUP BY 1, 2
         |)
-        |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |SELECT a.label::BIGINT AS label, a.n_vecs AS n_a, b.n_vecs AS n_b,
         |  list_sum([(a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])
         |            for i in generate_series(1, 64)])::BIGINT AS shift2_milli
         |FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1""".stripMargin,
@@ -1200,8 +1201,99 @@ object Similarity {
          |SELECT b.query_id, b.label AS pred_label, b.n_votes, t.label::BIGINT AS true_label
          |FROM best b JOIN n t ON t.vec_id = b.query_id
          |WHERE b.rk = 1""".stripMargin,
-    // ann_topk_lsh intentionally has no oracle: approximate recall-bounded
-    // output (driver records rows-only check).
+    // RRF fusion mirror: both ranking passes rebuilt (full-dim + 16-dim
+    // truncated prefix), integer contributions floor(1e6/(60+rank)), full
+    // outer join, fused rank. BIGINT // BIGINT stays BIGINT in DuckDB
+    // (only sum() promotes), so no HUGEINT appears anywhere.
+    "ann_rrf_fusion" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), tn AS (
+         |  SELECT vec_id, qv[1:16] AS tv,
+         |    list_sum(list_transform(qv[1:16], x -> x * x))::BIGINT AS tnorm2
+         |  FROM q
+         |), fr AS (
+         |  SELECT * FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
+         |        c.vec_id) AS rank_full
+         |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |    WHERE qq.vec_id % $QueryStride = 0
+         |  ) WHERE rank_full <= 20
+         |), tr AS (
+         |  SELECT * FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(list_sum([qq.tv[i] * c.tv[i] for i in generate_series(1, 16)])::BIGINT::DOUBLE
+         |              / (sqrt(qq.tnorm2::DOUBLE) * sqrt(c.tnorm2::DOUBLE)), 6) DESC,
+         |        c.vec_id) AS rank_trunc
+         |    FROM tn qq JOIN tn c ON c.vec_id <> qq.vec_id
+         |    WHERE qq.vec_id % $QueryStride = 0
+         |  ) WHERE rank_trunc <= 20
+         |), fused AS (
+         |  SELECT query_id, neighbor_id, rank_full, rank_trunc,
+         |    coalesce(1000000 // (60 + rank_full), 0)
+         |      + coalesce(1000000 // (60 + rank_trunc), 0) AS rrf_e6
+         |  FROM fr FULL OUTER JOIN tr USING (query_id, neighbor_id)
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, rank_full, rank_trunc, rrf_e6,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, neighbor_id)
+         |      AS fused_rank
+         |  FROM fused
+         |)
+         |SELECT * FROM ranked WHERE fused_rank <= $TopK""".stripMargin,
+    // ann_topk_lsh IS oracled (r6): approximate only vs the brute-force
+    // ground truth — the index itself is deterministic (md5-derived
+    // hyperplanes, integer projections, exact candidate cosine), so the
+    // whole bucket→candidate→rank pipeline replays bit-for-bit in DuckDB.
+    // Plane p's component on dim i mirrors Similarity.planeComponent; the
+    // plane id layout is p = table*bits + bit with tables=8, bits=4.
+    "ann_topk_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${Dedup.LshTables * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM n CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bk qb JOIN bk cb
+         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand c
+         |  JOIN n qq ON qq.vec_id = c.query_id
+         |  JOIN n nn ON nn.vec_id = c.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
     "ann_topk_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

@@ -16,6 +16,8 @@ object PlanAudit {
     Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf",
       // both ranking passes reuse the brute-force broadcast baseline
       "emb_trunc_agreement",
+      // fuses two brute-force broadcast rankings (full + truncated prefix)
+      "ann_rrf_fusion",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins
@@ -39,6 +41,8 @@ object PlanAudit {
     "tbl_join_card", "txt_quota_alloc",
     // global-max freshness reference is a 1-row aggregate
     "ev_freshness",
+    // r6: exact-rank p99 joins the 1-row stats/target aggregates back in
+    "ev_key_skew",
     // |labels|-row broadcast (bounded by label cardinality, not data size)
     "emb_silhouette",
     // k-row broadcast centroid table (bounded by k, not data size)

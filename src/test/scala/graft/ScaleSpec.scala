@@ -82,14 +82,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("key skew diagnostic: exact counts and hottest-key share") {
-    // key 1: 60 rows of 100 total → top_share = 600000 ppm
+  test("key skew diagnostic: exact counts, hottest-key share, exact-rank p99") {
+    // key 1: 60 rows of 100 total → top_share = 600000 ppm; keys 2..9 get
+    // 5 rows each, so the ascending count list is [5×8, 60] and the exact
+    // p99 rank is ceil(0.99·9) = 9 → value 60 (all integer, no interpolation)
     val rows = (1 to 60).map(i => (1L, i)) ++ (1 to 40).map(i => ((i % 8 + 2).toLong, i))
     val got = Scale.keySkew(rows.toDF("k", "v"), "k")
-      .as[(Long, Long, Long, Long, Double)].collect().toList
+      .as[(Long, Long, Long, Long, Long)].collect().toList
     val (nRows, nKeys, maxRows, ppm, p99) = got.head
     assert(nRows === 100L && nKeys === 9L && maxRows === 60L && ppm === 600000L)
-    assert(p99 > 5.0 && p99 <= 60.0)
+    assert(p99 === 60L)
+    // 10 equal keys: rank ceil(0.99·10) = 10 → still the max count
+    val even = (1 to 100).map(i => ((i % 10).toLong, i))
+    val p99even = Scale.keySkew(even.toDF("k", "v"), "k")
+      .as[(Long, Long, Long, Long, Long)].head()._5
+    assert(p99even === 10L)
   }
 
   test("zone map: per-bucket envelopes are exact and a range probe prunes") {
@@ -250,26 +257,32 @@ class ScaleSpec extends SparkSpec {
   test("row checksum: order-independent, detects drop/dup, single row = own hash") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "v").repartition(7)
-    def sum5(df: org.apache.spark.sql.DataFrame) =
+    def sum6(df: org.apache.spark.sql.DataFrame) =
       Scale.rowChecksum(df, "t", Seq("k", "v"))
-        .as[(String, Long, Long, java.math.BigDecimal, Long, Long)].head()
-    val base = sum5(a)
+        .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    val base = sum6(a)
     assert(base._2 === 3L)
     // row order and partitioning don't move any component
-    assert(sum5(shuffled) === base)
+    assert(sum6(shuffled) === base)
     // a dropped row and a duplicated row each change the checksum
-    val dropped = sum5(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
-    val duped = sum5(Seq((1L, "x"), (2L, "y"), (3L, "z"), (3L, "z")).toDF("k", "v"))
+    val dropped = sum6(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val duped = sum6(Seq((1L, "x"), (2L, "y"), (3L, "z"), (3L, "z")).toDF("k", "v"))
     assert(dropped != base && duped != base)
     // xor blindspot: duplicating row 3 cancels it entirely (h3 ^ h3 = 0),
-    // so {1,2,3,3} and {1,2} share an xor — count and sum still split
-    // them, which is why all three components ship together
+    // so {1,2,3,3} and {1,2} share an xor — count and the split sum still
+    // separate them, which is why all the components ship together
     assert(duped._3 === dropped._3)
-    assert(duped._2 != dropped._2 && duped._4 != dropped._4)
-    // single row: xor == sum == min == max == hash60 of "k|v"
-    val one = sum5(Seq((9L, "q")).toDF("k", "v"))
+    assert(duped._2 != dropped._2 && (duped._4, duped._5) != ((dropped._4, dropped._5)))
+    // split sum reassembles the exact 90-bit total: (hi << 30) + lo over
+    // the three hashes equals the BigInt sum of the hashes themselves
+    val hs = Seq("1|x", "2|y", "3|z").toDF("s")
+      .select(graft.Cols.hash60(col("s"))).as[Long].collect()
+    val exact = hs.map(BigInt(_)).sum
+    assert((BigInt(base._4) << 30) + BigInt(base._5) === exact)
+    // single row: xor == min == max == hash60 of "k|v"; sum splits it
+    val one = sum6(Seq((9L, "q")).toDF("k", "v"))
     val h = Seq(("9|q")).toDF("s")
       .select(graft.Cols.hash60(col("s"))).as[Long].head()
-    assert(one === (("t", 1L, h, new java.math.BigDecimal(h), h, h)))
+    assert(one === (("t", 1L, h, h >> 30, h & 0x3FFFFFFFL, h, h)))
   }
 }

@@ -77,10 +77,10 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.centroids(e, dim = 2)
       .select("label", "n_vecs", "centroid_milli", "cnorm2")
-      .as[(Int, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
     // floor(-700 / 2) = -350 (floor, NOT the -349 a truncating div gives)
-    assert(got(0) === ((0, 2L, "500,-350", 500L * 500 + 350L * 350)))
-    assert(got(1) === ((1, 1L, "-1000,1000", 2000000L)))
+    assert(got(0L) === ((0L, 2L, "500,-350", 500L * 500 + 350L * 350)))
+    assert(got(1L) === ((1L, 1L, "-1000,1000", 2000000L)))
   }
 
   test("silhouette: matches an independent integer recomputation; traitor drags its label") {
@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0), (3L, Seq(-1.0f, 0.0f), 0),
       (4L, Seq(-1.0f, 0.0f), 1), (5L, Seq(-1.0f, -0.2f), 1))
     val got = Similarity.silhouette(rows.toDF("vec_id", "embedding", "label"), dim = 2)
-      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     // independent recomputation with plain JVM integer math
     val q = rows.map { case (_, v, l) => (v.map(x => math.round(x.toDouble * 1000)), l) }
     val cents = q.groupBy(_._2).map { case (l, vs) =>
@@ -106,11 +106,11 @@ class SimilaritySpec extends SparkSpec {
       }
       l -> (vs.size.toLong, Math.floorDiv(scores.sum, vs.size))
     }
-    assert(got(0) === ((0, expected(0)._1, expected(0)._2)))
-    assert(got(1) === ((1, expected(1)._1, expected(1)._2)))
+    assert(got(0L) === ((0L, expected(0)._1, expected(0)._2)))
+    assert(got(1L) === ((1L, expected(1)._1, expected(1)._2)))
     // the traitor's strongly negative score drags label 0 below label 1
-    assert(got(0)._3 < got(1)._3)
-    assert(got(1)._3 > 5000L, s"separated label should score high: ${got(1)}")
+    assert(got(0L)._3 < got(1L)._3)
+    assert(got(1L)._3 > 5000L, s"separated label should score high: ${got(1L)}")
   }
 
   test("centroid outliers: the far vector flags, the tight cluster doesn't") {
@@ -119,8 +119,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = ((1 to 4).map(i => (i.toLong, Seq(1.0f, 0.0f), 0)) :+
       (5L, Seq(5.0f, 0.0f), 0))
     val got = Similarity.centroidOutliers(rows.toDF("vec_id", "embedding", "label"), dim = 2)
-      .as[(Int, Long, Double, Long)].collect().toList
-    assert(got === List((0, 5L, 640000.0, 1L)))
+      .as[(Long, Long, Double, Long)].collect().toList
+    assert(got === List((0L, 5L, 640000.0, 1L)))
   }
 
   test("LSH top-k returns a subset of brute-force candidates with same scoring") {
@@ -168,9 +168,9 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(0.001f, 0.001f), 8))
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.centroidShift(d, dim = 2)
-      .as[(Int, Long, Long, Long)].collect().toList
+      .as[(Long, Long, Long, Long)].collect().toList
     // shift² = (1−3)² + (2−6)² = 20
-    assert(got === List((7, 1L, 1L, 20L)))
+    assert(got === List((7L, 1L, 1L, 20L)))
   }
 
   test("knn classify: majority vote over the exact top-k neighbor labels") {
