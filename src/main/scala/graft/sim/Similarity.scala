@@ -251,6 +251,66 @@ object Similarity {
           col("recon_err"): _*)
   }
 
+  /** ADC (asymmetric distance computation) top-k over the PQ codes —
+    * the search half of the [[productQuantize]] compression: the corpus
+    * is represented ONLY by its per-subspace centroid codes (4 small ints
+    * per vector), while each query keeps full precision and precomputes a
+    * |codebook| × |subspaces| table of exact integer squared distances
+    * from its own subvectors to every centroid. A vector's approximate
+    * distance is then four table lookups summed — never a touch of the
+    * original 64 floats. Deterministic end to end (same argmin/tie rules
+    * as productQuantize, integer d²), so fully oracle-checkable, unlike
+    * classic trained-codebook PQ.
+    *
+    * Scale: this is the shape that searches 100 TB of vectors from a few
+    * hundred GB of codes — the codes table is ~16× narrower than the
+    * corpus, the ADC lookup table is |queries|·k·subspaces rows broadcast
+    * (bounded by the query batch, never the corpus), and the join is a
+    * broadcast hash join per subspace followed by one hash aggregate per
+    * (query, vector). No full-vector pass after the one-time encode.
+    */
+  def adcTopK(embeddings: DataFrame, k: Int = TopK, subspaces: Int = 4,
+      codebookK: Int = 8): DataFrame = {
+    val subLen = 16
+    val q = Dedup.quantized(embeddings)
+    val codebook = broadcast(
+      q.filter(col("vec_id") < codebookK).select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    def subDists(vCol: Column): Column = array((0 until subspaces).map { j =>
+      aggregate(
+        zip_with(
+          slice(vCol, j * subLen + 1, subLen),
+          slice(col("cqv"), j * subLen + 1, subLen),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+    }: _*)
+    // per-vector codes — the productQuantize argmin (dist, then cid) rules
+    val codes = q.select(col("vec_id"), col("qv"))
+      .crossJoin(codebook)
+      .select(col("vec_id"), col("cid"), posexplode(subDists(col("qv"))).as(Seq("j", "dist")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+    // per-query ADC lookup table: exact d² from the query's own subvector
+    // to every centroid's subvector — |queries|·codebookK·subspaces rows
+    val adc = broadcast(
+      q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv"))
+        .crossJoin(codebook)
+        .select(col("query_id"), col("cid").as("a_cid"),
+          posexplode(subDists(col("qv"))).as(Seq("a_j", "d2"))))
+    val scored = codes
+      .join(adc, col("j") === col("a_j") && col("code") === col("a_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (RRF) of two retrieval rankings — the
     * hybrid-search combiner: each method contributes
     * `floor(10⁶ / (rrfK + rank))` for candidates in its top `deep`, a
@@ -747,6 +807,7 @@ object Similarity {
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
+    "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -1201,6 +1262,41 @@ object Similarity {
          |SELECT b.query_id, b.label AS pred_label, b.n_votes, t.label::BIGINT AS true_label
          |FROM best b JOIN n t ON t.vec_id = b.query_id
          |WHERE b.rk = 1""".stripMargin,
+    // ADC mirror: the emb_pq code derivation (argmin over the deterministic
+    // vec_id<8 codebook, ties to smallest cid) plus the per-query exact
+    // integer distance table, summed per (query, vector) and ranked
+    "ann_topk_pq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c JOIN adc a ON a.j = c.j AND a.cid = c.code
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |  FROM s
+         |) WHERE rank <= $TopK""".stripMargin,
     // RRF fusion mirror: both ranking passes rebuilt (full-dim + 16-dim
     // truncated prefix), integer contributions floor(1e6/(60+rank)), full
     // outer join, fused rank. BIGINT // BIGINT stays BIGINT in DuckDB

@@ -222,6 +222,45 @@ object TextAnalysis {
           .when(col("bucket") < 90, lit("valid"))
           .otherwise(lit("test")))
 
+  /** Held-out OOV (out-of-vocabulary) rate against a train-split vocab —
+    * the tokenizer/vocab coverage eval a training pipeline runs before
+    * freezing a word list: the vocabulary is the top `vocabSize` train
+    * terms (frequency desc, term asc — deterministic), and each held-out
+    * split reports its exact token and OOV-token counts plus the e4 rate.
+    * Composes [[splitAssign]] (content-free hash split) with the shared
+    * tokenizer ([[Cols.tokens]]); everything is integer-exact.
+    *
+    * Scale: token scan → hash agg to |distinct train terms| rows; the
+    * top-V rank runs on that aggregated table (at 100 TB pre-filter
+    * `freq >= minFreq` so the rank pass sees the head, not the long
+    * tail — the cutoff can only exclude terms that could never make the
+    * top V). The held-out probe joins against the broadcast V-row vocab —
+    * bounded by V, never by the corpus.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val sp = splitAssign(docs).select(col("doc_id"), col("split"))
+    val toks = docs
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+      .join(sp, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val vocab = toks.filter(col("split") === "train")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= vocabSize)
+      .select(col("term"), lit(1L).as("__in_vocab"))
+    toks.filter(col("split") =!= "train")
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("split"))
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .select(
+        col("split"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        Cols.floorDiv(col("n_oov") * 10000L, col("n_tokens")).as("oov_e4"))
+  }
+
   /** Deterministic stratified sampling: per-stratum (language) keep
     * fractions applied through a content-free salted hash of the doc id —
     * the downsample-the-dominant / upweight-the-rare rebalancing step of
@@ -944,6 +983,8 @@ object TextAnalysis {
     "txt_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "txt_tfidf_doc_sim" -> ((s, d) => tfidfDocSimilarity(Tables.documents(s, d))),
     "txt_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
+    // held-out OOV rate vs the top-1000 train-term vocabulary
+    "txt_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1326,6 +1367,32 @@ object TextAnalysis {
         |       WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // split CTE + tokenizer mirror; vocab = top-1000 train terms
+    // (freq desc, term asc), held-out splits probe it with a left join
+    "txt_oov_rate" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), tk AS (
+        |  SELECT d.doc_id, sp.split,
+        |    unnest(string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents d JOIN sp USING (doc_id)
+        |), v AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS freq,
+        |      row_number() OVER (ORDER BY count(*) DESC, term) AS r
+        |    FROM tk WHERE split = 'train' GROUP BY term
+        |  ) WHERE r <= 1000
+        |), h AS (SELECT split, doc_id, term FROM tk WHERE split <> 'train')
+        |SELECT h.split, count(DISTINCT h.doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_tokens,
+        |  count(CASE WHEN v.term IS NULL THEN 1 END)::BIGINT AS n_oov,
+        |  ((count(CASE WHEN v.term IS NULL THEN 1 END) * 10000) // count(*))::BIGINT AS oov_e4
+        |FROM h LEFT JOIN v ON h.term = v.term
+        |GROUP BY 1""".stripMargin,
     "txt_doc_stats" ->
       s"""$tokCte
          |SELECT doc_id,

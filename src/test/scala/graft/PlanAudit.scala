@@ -48,7 +48,9 @@ object PlanAudit {
     // k-row broadcast centroid table (bounded by k, not data size)
     "emb_kmeans_step",
     // k-row broadcast PQ codebook (bounded by k, not data size)
-    "emb_pq")
+    "emb_pq",
+    // same k-row codebook broadcast for encode + the per-query ADC table
+    "ann_topk_pq")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

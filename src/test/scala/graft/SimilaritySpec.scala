@@ -24,6 +24,26 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1L, 3L), (50L, 2L, 4L)))
   }
 
+  test("adc top-k: with every vector in the codebook, ADC equals exact squared L2") {
+    // all vec_ids < 8 → each vector is its own (zero-distance) centroid, so
+    // the ADC lookup degenerates to the exact squared distance — the
+    // boundary case that pins the table-lookup plumbing bit-for-bit
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // the query (vec_id % 50 == 0)
+      (1L, Seq(0.9f, 0.1f), 0), // d² = 100² + 100² = 20000
+      (2L, Seq(0.0f, 1.0f), 0), // d² = 2,000,000
+      (3L, Seq(-1.0f, 0.0f), 0), // d² = 4,000,000
+      (4L, Seq(1.0f, 0.0f), 0)) // duplicate of the query — codes to cid 0, d² = 0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.adcTopK(d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toList
+    assert(got === List(
+      (0L, 4L, 0L, 1L),
+      (0L, 1L, 20000L, 2L),
+      (0L, 2L, 2000000L, 3L),
+      (0L, 3L, 4000000L, 4L)))
+  }
+
   test("truncation agreement: prefix index flips one winner, keeps the other") {
     val e = Seq(
       (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f), 0),
