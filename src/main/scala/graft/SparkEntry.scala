@@ -284,6 +284,39 @@ object SparkEntry {
     // weekly DAU/WAU engagement ratio, exact e4
     "ev_stickiness" -> ((s, dir) =>
       graft.ops.TimeSeries.stickiness(Tables.events(s, dir))),
+    // replayed-feed screen: near-duplicate events — same (user, type,
+    // exact value) within 60 s under different event ids — the
+    // double-delivery audit an at-least-once ingest runs before billing.
+    // The fixture feed is clean, so the screen is self-verifying: every
+    // 97th event is replayed 30 s later under a shifted id (the
+    // tbl_snapshot_diff pattern), and the screen must recover exactly
+    // that planted set. Equi self-join on (user, type, value): exact
+    // double equality makes accidental groups empty (verified), so the
+    // join output is the planted pairs only — never a time-range scan.
+    "ev_replay_screen" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_ms"))
+      val replayed = base
+        .filter(pmod(col("event_id"), lit(97L)) === 0)
+        .select(
+          (col("event_id") + 1000000000L).as("event_id"),
+          col("user_id"), col("event_type"), col("value"),
+          (col("ts_ms") + 30000L).as("ts_ms"))
+      val feed = base.unionAll(replayed)
+      feed.as("a")
+        .join(feed.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") === col("b.event_type") &&
+            col("a.value") === col("b.value") &&
+            col("a.event_id") < col("b.event_id"))
+        .select(
+          col("a.user_id").as("user_id"), col("a.event_type").as("event_type"),
+          col("a.event_id").as("event_id_first"),
+          col("b.event_id").as("event_id_dup"),
+          (col("b.ts_ms") - col("a.ts_ms")).as("gap_ms"))
+        .filter(abs(col("gap_ms")) <= 60000L)
+    }),
     // rules-as-data hourly threshold alerting (config-sized rules table)
     "ev_alert_rules" -> ((s, dir) => {
       import s.implicits._
@@ -349,6 +382,29 @@ object SparkEntry {
     // per-type freshness lag vs the freshest feed
     "ev_freshness" -> ((s, dir) =>
       graft.ops.TimeSeries.freshness(Tables.events(s, dir), "event_type")),
+    // sequence-contract QA: daily purchases whose user had NO browse
+    // (view/click) strictly earlier — the event-ordering violation
+    // monitor (instrumentation bugs, replayed feeds, bot traffic all
+    // surface here). One shuffle on user_id for the running-history
+    // window, then a daily hash agg — no joins.
+    "ev_cold_purchases" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn(
+          "__browsed",
+          max(when(col("event_type").isin("view", "click"), lit(1L)).otherwise(lit(0L)))
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(graft.Cols.floorDiv(col("ts_ms"), 86400000L).as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(when(coalesce(col("__browsed"), lit(0L)) === 0L, 1)).as("n_cold"))
+        .select(
+          col("day"), col("n_purchases"), col("n_cold"),
+          graft.Cols.floorDiv(col("n_cold") * 10000L, col("n_purchases")).as("cold_e4"))
+    }),
     // sessionizer gap-threshold sweep in one pass, bracketing the
     // production 12 h gap — that row equals cs_sessionize's session
     // count by construction
@@ -1040,6 +1096,23 @@ object SparkEntry {
         |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents,
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT AS disc_rev_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // same running-history window (strictly-earlier rows, deterministic
+    // (ts, event_id) order) — all integer, count arithmetic never promotes
+    "ev_cold_purchases" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+        |), h AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS browsed
+        |  FROM e
+        |)
+        |SELECT ts_ms // 86400000 AS day, count(*) AS n_purchases,
+        |  count(CASE WHEN coalesce(browsed, 0) = 0 THEN 1 END) AS n_cold,
+        |  (count(CASE WHEN coalesce(browsed, 0) = 0 THEN 1 END) * 10000) // count(*) AS cold_e4
+        |FROM h WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "ev_reactivations" ->
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
@@ -1382,6 +1455,23 @@ object SparkEntry {
         |)
         |SELECT event_type, day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "ev_replay_screen" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events
+        |), feed AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, user_id, event_type, value, ts_ms + 30000
+        |  FROM base WHERE event_id % 97 = 0
+        |)
+        |SELECT a.user_id, a.event_type,
+        |  a.event_id AS event_id_first, b.event_id AS event_id_dup,
+        |  b.ts_ms - a.ts_ms AS gap_ms
+        |FROM feed a JOIN feed b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |  AND a.value = b.value AND a.event_id < b.event_id
+        |WHERE abs(b.ts_ms - a.ts_ms) <= 60000""".stripMargin,
     "ord_backlog_aging" ->
       """WITH sdt AS (
         |  SELECT l_orderkey, max(epoch_ms(l_shipdate) // 86400000) AS sd

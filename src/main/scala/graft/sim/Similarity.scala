@@ -658,6 +658,30 @@ object Similarity {
         graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
+  /** PQ/ADC recall readout: per query, how many of the exact top-k
+    * ([[bruteForceTopK]]) the code-only ADC search ([[adcTopK]]) recovers
+    * — the quantitative answer to "is 4×16-dim quantization tight enough
+    * for this corpus", as a registered query. Both constituents are
+    * deterministic (fixed codebook, integer distances, fixed tie-breaks),
+    * so like [[ivfRecall]] — and unlike trained-codebook PQ — this recall
+    * is itself exactly reproducible and fully oracled.
+    *
+    * Scale: the two constituents keep their own plans; scoring is a
+    * membership join on (query, neighbor) over query-sized tables.
+    */
+  def pqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val pq = adcTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(pq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("k"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
+  }
+
   /** One EXACT power-iteration step toward the corpus' dominant principal
     * direction: `v₁ = Xᵀ(X·1)` over the milli-quantized integer matrix —
     * per row one dot with the ones vector (the row sum), then per
@@ -820,6 +844,7 @@ object Similarity {
     "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
+    "ann_recall_pq" -> ((s, d) => pqRecall(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -1297,6 +1322,58 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
          |  FROM s
          |) WHERE rank <= $TopK""".stripMargin,
+    // PQ recall mirror: the brute ranking and the whole ADC pipeline side
+    // by side, scored by a membership join — same shape as ann_recall_ivf
+    "ann_recall_pq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), br AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
+         |        c.vec_id) AS rank
+         |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |    WHERE qq.vec_id % $QueryStride = 0
+         |  ) WHERE rank <= $TopK
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c JOIN adc a ON a.j = c.j AND a.cid = c.code
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |), pqr AS (
+         |  SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |    FROM s
+         |  ) WHERE rank <= $TopK
+         |)
+         |SELECT b.query_id, count(*) AS k, count(h.hit) AS n_hit,
+         |  (count(h.hit) * 10000) // count(*) AS recall_e4
+         |FROM br b LEFT JOIN pqr h USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     // RRF fusion mirror: both ranking passes rebuilt (full-dim + 16-dim
     // truncated prefix), integer contributions floor(1e6/(60+rank)), full
     // outer join, fused rank. BIGINT // BIGINT stays BIGINT in DuckDB

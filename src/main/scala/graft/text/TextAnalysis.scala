@@ -261,6 +261,51 @@ object TextAnalysis {
         Cols.floorDiv(col("n_oov") * 10000L, col("n_tokens")).as("oov_e4"))
   }
 
+  /** Vocabulary-size coverage curve: held-out token coverage at several
+    * vocab cutoffs (top-5/10/20/40 train terms on the 31-term synthetic
+    * fixtures; production would sweep 8k/16k/32k/64k) in one pass — the
+    * "how big does the word list need to be" sweep behind tokenizer
+    * sizing, generalizing [[oovRate]] from one point to the curve. The
+    * train ranking is computed once at the largest cutoff; each held-out
+    * token joins to its term's rank and the per-cutoff counts are
+    * conditional aggregates over that single joined table.
+    *
+    * Scale: identical posture to [[oovRate]] — the rank pass runs on the
+    * aggregated distinct-term table and the probe joins a broadcast
+    * max(cutoffs)-row vocab. One extra constant-size explode unpivots the
+    * cutoff columns into rows.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      cutoffs: Seq[Int] = Seq(5, 10, 20, 40)): DataFrame = {
+    val sp = splitAssign(docs).select(col("doc_id"), col("split"))
+    val toks = docs
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+      .join(sp, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val vocab = toks.filter(col("split") === "train")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= cutoffs.max)
+      .select(col("term"), col("term_rank"))
+    val counts = toks.filter(col("split") =!= "train")
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        cutoffs.map(v => count(when(col("term_rank") <= v, 1)).as(s"__c_$v")): _*)
+    counts
+      .select(
+        col("split"), col("n_tokens"),
+        explode(array(cutoffs.map(v =>
+          struct(lit(v.toLong).as("vocab_size"), col(s"__c_$v").as("n_covered"))): _*))
+          .as("__c"))
+      .select(
+        col("split"), col("__c.vocab_size"), col("n_tokens"), col("__c.n_covered"),
+        Cols.floorDiv(col("__c.n_covered") * 10000L, col("n_tokens")).as("coverage_e4"))
+  }
+
   /** Deterministic stratified sampling: per-stratum (language) keep
     * fractions applied through a content-free salted hash of the doc id —
     * the downsample-the-dominant / upweight-the-rare rebalancing step of
@@ -985,6 +1030,8 @@ object TextAnalysis {
     "txt_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     // held-out OOV rate vs the top-1000 train-term vocabulary
     "txt_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
+    // coverage at 4 binding vocab cutoffs — the tokenizer-sizing sweep
+    "txt_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1393,6 +1440,45 @@ object TextAnalysis {
         |  ((count(CASE WHEN v.term IS NULL THEN 1 END) * 10000) // count(*))::BIGINT AS oov_e4
         |FROM h LEFT JOIN v ON h.term = v.term
         |GROUP BY 1""".stripMargin,
+    // same split + tokenizer + ranked-vocab CTEs as txt_oov_rate, one
+    // UNION ALL arm per cutoff over the shared conditional aggregate
+    "txt_vocab_coverage" -> {
+      val cutoffs = Seq(5, 10, 20, 40)
+      val condCols = cutoffs
+        .map(v => s"count(CASE WHEN term_rank <= $v THEN 1 END) AS c_$v")
+        .mkString(",\n  ")
+      val arms = cutoffs.map { v =>
+        s"""SELECT split, ${v}::BIGINT AS vocab_size, n_tokens::BIGINT AS n_tokens,
+           |  c_$v::BIGINT AS n_covered,
+           |  ((c_$v * 10000) // n_tokens)::BIGINT AS coverage_e4 FROM a""".stripMargin
+      }
+      s"""WITH sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), tk AS (
+         |  SELECT d.doc_id, sp.split,
+         |    unnest(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM documents d JOIN sp USING (doc_id)
+         |), v AS (
+         |  SELECT term, term_rank FROM (
+         |    SELECT term, count(*) AS freq,
+         |      row_number() OVER (ORDER BY count(*) DESC, term) AS term_rank
+         |    FROM tk WHERE split = 'train' GROUP BY term
+         |  ) WHERE term_rank <= ${cutoffs.max}
+         |), j AS (
+         |  SELECT h.split, v.term_rank
+         |  FROM (SELECT split, term FROM tk WHERE split <> 'train') h
+         |  LEFT JOIN v ON h.term = v.term
+         |), a AS (
+         |  SELECT split, count(*) AS n_tokens,
+         |  $condCols
+         |  FROM j GROUP BY 1
+         |)
+         |${arms.mkString("\nUNION ALL ")}""".stripMargin
+    },
     "txt_doc_stats" ->
       s"""$tokCte
          |SELECT doc_id,

@@ -18,6 +18,8 @@ object PlanAudit {
       "emb_trunc_agreement",
       // fuses two brute-force broadcast rankings (full + truncated prefix)
       "ann_rrf_fusion",
+      // scores the ADC index against the brute-force ground-truth side
+      "ann_recall_pq",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins
