@@ -311,6 +311,83 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the two index stages composed the way production ANN serves
+    * 100 TB — the IVF coarse quantizer ([[ivfTopK]]'s label cells) prunes
+    * the corpus to `nprobe` cells per query, and within the probed cells
+    * candidates are ranked by the code-only ADC distance ([[adcTopK]]),
+    * never the raw vectors. Both stages keep their deterministic
+    * constructions (integer floor centroids, fixed codebook, fixed tie
+    * rules), so the composition is fully oracle-checkable end to end.
+    *
+    * Scale: cell pruning multiplies ADC's code-table savings — the scan
+    * is |corpus|·nprobe/#cells CODE rows per query batch. The two
+    * broadcast sides stay bounded: |labels|-row centroids, |queries|·
+    * codebookK·subspaces ADC entries.
+    */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = TopK, nprobe: Int = 2,
+      dim: Int = 64, subspaces: Int = 4, codebookK: Int = 8): DataFrame = {
+    val subLen = 16
+    val q = Dedup.quantized(embeddings)
+    // IVF stage: the ivfTopK coarse quantizer, verbatim
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val centroids = q.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(
+        col("label"),
+        array((0 until dim).map(i =>
+          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n")), col("n"))): _*)
+          .as("cv"))
+      .withColumn("cnorm2", Dedup.longDot(col("cv"), col("cv")))
+    val queries = q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("cv"), col("cnorm2")).desc, col("label"))
+    val probed = broadcast(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cell_rank", row_number().over(probeW))
+        .filter(col("cell_rank") <= nprobe)
+        .select(col("query_id"), col("label")))
+    // PQ stage: the adcTopK codes + per-query distance table, verbatim
+    val codebook = broadcast(
+      q.filter(col("vec_id") < codebookK).select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    def subDists(vCol: Column): Column = array((0 until subspaces).map { j =>
+      aggregate(
+        zip_with(
+          slice(vCol, j * subLen + 1, subLen),
+          slice(col("cqv"), j * subLen + 1, subLen),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+    }: _*)
+    val codes = q.select(col("vec_id"), col("label"), col("qv"))
+      .crossJoin(codebook)
+      .select(col("vec_id"), col("label"), col("cid"),
+        posexplode(subDists(col("qv"))).as(Seq("j", "dist")))
+      .groupBy(col("vec_id"), col("label"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("label"), col("j"), col("m.cid").as("code"))
+    val adc = broadcast(
+      q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv"))
+        .crossJoin(codebook)
+        .select(col("query_id"), col("cid").as("a_cid"),
+          posexplode(subDists(col("qv"))).as(Seq("a_j", "d2"))))
+    // candidates = codes of vectors in the query's probed cells only
+    val scored = codes
+      .join(probed.withColumnRenamed("query_id", "p_query_id"), Seq("label"))
+      .join(adc,
+        col("j") === col("a_j") && col("code") === col("a_cid") &&
+          col("p_query_id") === col("query_id") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (RRF) of two retrieval rankings — the
     * hybrid-search combiner: each method contributes
     * `floor(10⁶ / (rrfK + rank))` for candidates in its top `deep`, a
@@ -832,6 +909,7 @@ object Similarity {
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
+    "ann_topk_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -1511,5 +1589,66 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // IVF-PQ composition: the ann_topk_ivf probe CTEs select the cells,
+    // the ann_topk_pq code/ADC CTEs rank within them — both verbatim
+    "ann_topk_ivfpq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), cell_sums AS (
+         |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+         |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY label, ii.i
+         |), cent AS (
+         |  SELECT label,
+         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+         |  FROM cell_sums GROUP BY label
+         |), cent2 AS (
+         |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent
+         |), queries AS (
+         |  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2
+         |  FROM n WHERE vec_id % $QueryStride = 0
+         |), probed AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, c.label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        round(list_sum([q_qv[i] * c.cv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(q_norm2::DOUBLE) * sqrt(c.cnorm2::DOUBLE)), 6) DESC,
+         |        c.label) AS cell_rank
+         |    FROM queries CROSS JOIN cent2 c) t
+         |  WHERE cell_rank <= 2
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, q.label, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, label, j, cid AS code FROM (
+         |    SELECT vec_id, label, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c
+         |  JOIN probed p ON p.label = c.label
+         |  JOIN adc a ON a.j = c.j AND a.cid = c.code AND a.query_id = p.query_id
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |  FROM s
+         |) WHERE rank <= $TopK""".stripMargin,
   )
 }

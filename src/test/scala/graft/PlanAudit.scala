@@ -52,7 +52,9 @@ object PlanAudit {
     // k-row broadcast PQ codebook (bounded by k, not data size)
     "emb_pq",
     // same k-row codebook broadcast for encode + the per-query ADC table
-    "ann_topk_pq")
+    "ann_topk_pq",
+    // |labels|-row centroid probe + the same codebook/ADC broadcasts
+    "ann_topk_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

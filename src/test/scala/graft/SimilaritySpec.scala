@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
       (0L, 3L, 4000000L, 4L)))
   }
 
+  test("ivf-pq with all cells probed equals the plain ADC ranking") {
+    // the fixture has 2 labels; nprobe=2 probes every cell, so the coarse
+    // stage prunes nothing and the composition must reduce to pure ADC
+    val adc = Similarity.adcTopK(embs, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(embs, k = 3, nprobe = 2, dim = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ivfpq === adc)
+    assert(adc.nonEmpty)
+  }
+
   test("truncation agreement: prefix index flips one winner, keeps the other") {
     val e = Seq(
       (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f), 0),
