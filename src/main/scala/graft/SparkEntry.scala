@@ -370,6 +370,31 @@ object SparkEntry {
     // monthly returned-quantity share and revenue at risk
     "li_return_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.returnRate(Tables.lineitem(s, dir))),
+    // exact quantity-weighted median line price per return flag: the
+    // smallest cents value whose cumulative weight reaches half the
+    // total — all integer, no interpolation, so it hashes identically
+    // on any engine (the r3 double-percentile failure class avoided by
+    // construction). Rows first collapse to (flag, cents) weight cells,
+    // so the cumulative window runs over the price grid, not the rows.
+    "li_weighted_median" -> ((s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("qty")).as("w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cw", sum(col("w")).over(win))
+        .withColumn("tw", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tw")).as("total_qty"), min(col("cents")).as("wmedian_cents"))
+    }),
     // integer-exact EWMA smoothing of the daily event-count series
     "ev_ewma_daily" -> ((s, dir) =>
       graft.ops.TimeSeries.ewmaDaily(Tables.events(s, dir))),
@@ -1217,6 +1242,24 @@ object SparkEntry {
         |  FROM old FULL OUTER JOIN new ON old.k = new.k
         |)
         |SELECT status, count(*)::BIGINT AS n_rows FROM j GROUP BY 1""".stripMargin,
+    // same (flag, cents) weight-cell collapse + cumulative window; sums
+    // cast down from DuckDB's HUGEINT at every exposed column
+    "li_weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(l_quantity::BIGINT)::BIGINT AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tw
+        |  FROM cells
+        |)
+        |SELECT l_returnflag, max(tw)::BIGINT AS total_qty,
+        |  min(cents)::BIGINT AS wmedian_cents
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY 1""".stripMargin,
     "li_return_rate" ->
       """WITH m AS (
         |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS midx,

@@ -144,6 +144,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Jaccard threshold sensitivity sweep: surviving pair count and
+    * affected-document count at every candidate threshold in ONE pass
+    * over the candidate-pair table — the "where do we set θ" calibration
+    * a dedup rollout runs before committing to a cut. Similarities are
+    * exact integer e4 (floor), so every row is engine-exact; thresholds
+    * with zero survivors still report (0, 0) rows.
+    *
+    * Scale: the candidate pairs come from the same df-capped posting-list
+    * join as [[ngramJaccard]] (identical skew bound); the sweep itself is
+    * a |thresholds|-row broadcast fan-out over the pair table plus one
+    * hash agg — parameter sweeps never re-scan the corpus.
+    */
+  def thresholdSweep(
+      docs: DataFrame,
+      thresholdsE4: Seq[Long] = Seq(3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L),
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh0 = shingleRows(docs)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select(col("shingle"))
+    val sh = sh0.join(rare, "shingle")
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .select(
+        col("doc_id_1"), col("doc_id_2"),
+        Cols.floorDiv(
+          col("n_common") * 10000L,
+          col("ca.n_shingles") + col("cb.n_shingles") - col("n_common")).as("jaccard_e4"))
+    val thetas = thresholdsE4.toDF("theta_e4")
+    val survivors = pairs
+      .crossJoin(broadcast(thetas))
+      .filter(col("jaccard_e4") >= col("theta_e4"))
+      .select(col("theta_e4"), explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
+      .groupBy(col("theta_e4"))
+      .agg(
+        Cols.floorDiv(count(lit(1)), lit(2L)).as("n_pairs"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    thetas
+      .join(survivors, Seq("theta_e4"), "left_outer")
+      .select(
+        col("theta_e4"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Asymmetric containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| in
     * exact integer ten-thousandths — the SUB-document duplication signal
     * (a short doc wholly embedded in a longer one scores containment
@@ -958,6 +1008,7 @@ object Dedup {
       canonical(docs, graft.text.TextAnalysis.qualityScore(docs))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_threshold_sweep" -> ((s, d) => thresholdSweep(Tables.documents(s, d))),
     "dedup_prefix_jaccard" -> ((s, d) => prefixJaccard(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => incremental(Tables.documents(s, d))),
     "dedup_sorted_neighbor" -> ((s, d) => sortedNeighborPairs(Tables.documents(s, d))),
@@ -1111,6 +1162,38 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
          |WHERE round(n_common::DOUBLE / (ca.n_shingles + cb.n_shingles - n_common), 4) >= $JaccardThreshold""".stripMargin,
+    // same df-capped candidate CTEs as dedup_ngram_jaccard, exact e4
+    // similarity, |thresholds|-row fan-out with zero-filled arms
+    "dedup_threshold_sweep" ->
+      s"""$tokCte, rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_id_1, doc_id_2,
+         |    ((n_common * 10000) // (ca.n_shingles + cb.n_shingles - n_common))::BIGINT AS jaccard_e4
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_id_1
+         |  JOIN cnt cb ON cb.doc_id = doc_id_2
+         |), th AS (
+         |  SELECT unnest([3000, 4000, 5000, 6000, 7000, 8000, 9000])::BIGINT AS theta_e4
+         |), x AS (
+         |  SELECT th.theta_e4, unnest([p.doc_id_1, p.doc_id_2]) AS doc_id
+         |  FROM pairs p JOIN th ON p.jaccard_e4 >= th.theta_e4
+         |), a AS (
+         |  SELECT theta_e4, (count(*) // 2)::BIGINT AS n_pairs,
+         |    count(DISTINCT doc_id)::BIGINT AS n_docs
+         |  FROM x GROUP BY 1
+         |)
+         |SELECT th.theta_e4, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(a.n_docs, 0)::BIGINT AS n_docs
+         |FROM th LEFT JOIN a USING (theta_e4)""".stripMargin,
     // char-trigram vocabulary matching; the df-cap (1000) mirrors
     // charGramNamePairs' default and never binds on the fixture
     "part_fuzzy_names" ->

@@ -23,6 +23,18 @@ class DedupSpec extends SparkSpec {
     assert(got === List((1L, 2L, 1.0)))
   }
 
+  test("threshold sweep: exact survivor counts per theta, zero-filled arms") {
+    // d1 == d2 (4 shared shingles → e4 10000); d1/d3 and d2/d3 share 2 of
+    // 6 union shingles → floor(20000/6) = 3333. So θ=3000 keeps all 3
+    // pairs over 3 docs; θ≥4000 keeps only the identical pair
+    val got = Dedup.thresholdSweep(docs(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d x y")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (3000L, 3L, 3L), (4000L, 1L, 2L), (5000L, 1L, 2L), (6000L, 1L, 2L),
+      (7000L, 1L, 2L), (8000L, 1L, 2L), (9000L, 1L, 2L)))
+  }
+
   test("containment: sub-document duplication scores ≈1 in the short direction") {
     // B's 2 shingles are both inside A (3 shingles): containment_2 = 1.0,
     // containment_1 = floor(20000/3); C is unrelated — absent

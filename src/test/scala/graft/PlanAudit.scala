@@ -54,7 +54,9 @@ object PlanAudit {
     // same k-row codebook broadcast for encode + the per-query ADC table
     "ann_topk_pq",
     // |labels|-row centroid probe + the same codebook/ADC broadcasts
-    "ann_topk_ivfpq")
+    "ann_topk_ivfpq",
+    // |thresholds|-row (7) broadcast fan-out over the candidate pairs
+    "dedup_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
