@@ -105,6 +105,13 @@ object SparkEntry {
         Tables.customer(s, dir)
           .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
         Seq("c_nationkey", "c_mktsegment"))),
+    // the k-anonymity partner: large cells can still leak when every row
+    // shares one sensitive value — flag cells with < 2 distinct segments
+    "cust_l_diversity" -> ((s, dir) =>
+      graft.ops.Scale.lDiversity(
+        Tables.customer(s, dir)
+          .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
+        Seq("c_nationkey"), "c_mktsegment")),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -554,6 +561,10 @@ object SparkEntry {
     // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
     "ev_weekday_index" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
+    // weekday-baseline anomaly monitor: daily counts vs their own
+    // weekday's floor mean, integer e4 residuals, ±20% flag
+    "ev_seasonal_residuals" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalResiduals(Tables.events(s, dir))),
     // incremental-aggregate maintenance: snapshot (< day 19738) + delta
     // merged algebraically — bit-identical to the full-scan aggregate,
     // which is exactly what the oracle checks
@@ -1079,6 +1090,11 @@ object SparkEntry {
         |  min(ub) AS min_key8, max(ub) AS max_key8,
         |  min(tb) AS min_day8, max(tb) AS max_day8
         |FROM z GROUP BY 1""".stripMargin,
+    "cust_l_diversity" ->
+      """SELECT c_nationkey::BIGINT AS c_nationkey, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT c_mktsegment)::BIGINT AS n_sensitive,
+        |  (CASE WHEN count(DISTINCT c_mktsegment) < 2 THEN 1 ELSE 0 END)::BIGINT AS not_diverse
+        |FROM customer GROUP BY 1""".stripMargin,
     "cust_k_anon" ->
       """SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
         |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress
@@ -1839,6 +1855,29 @@ object SparkEntry {
         |       ELSE 0 END::BIGINT AS closure_e4
         |FROM w CROSS JOIN ne CROSS JOIN tr""".stripMargin,
     // weekday = epoch-day mod 7 — pure integer, no calendar functions
+    // weekday floor-mean baseline + remainder-corrected floor residual
+    // (the residual can be negative; DuckDB // truncates, so the pmod
+    // pre-subtraction makes it a true floor like Cols.floorDiv)
+    "ev_seasonal_residuals" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), dw AS (
+        |  SELECT day, n_events, day % 7 AS weekday FROM d
+        |), b AS (
+        |  SELECT weekday, (sum(n_events) // count(*))::BIGINT AS expected
+        |  FROM dw GROUP BY 1
+        |), r AS (
+        |  SELECT day, dw.weekday, n_events, expected,
+        |    (((n_events - expected) * 10000
+        |       - ((((n_events - expected) * 10000 % greatest(expected, 1)) + greatest(expected, 1))
+        |          % greatest(expected, 1)))
+        |     // greatest(expected, 1))::BIGINT AS resid_e4
+        |  FROM dw JOIN b USING (weekday)
+        |)
+        |SELECT day, weekday, n_events, expected, resid_e4,
+        |  (CASE WHEN abs(resid_e4) >= 2000 THEN 1 ELSE 0 END)::BIGINT AS flagged
+        |FROM r""".stripMargin,
     "ev_weekday_index" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 % 7 AS weekday FROM events

@@ -149,6 +149,26 @@ object Scale {
       .select(quasiIds.map(col) :+ col("n_rows") :+
         when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)).as("suppress"): _*)
 
+  /** l-diversity audit — [[kAnonymity]]'s partner check: a cell can be
+    * large (k-anonymous) yet still leak if every row in it shares one
+    * sensitive value, so each quasi-identifier cell also reports the
+    * number of DISTINCT sensitive values and a flag for cells below `l`.
+    * Releasing a k-anonymous, non-diverse table lets an attacker learn
+    * the sensitive attribute without re-identifying anyone — this is the
+    * audit that catches it.
+    *
+    * Same single hash aggregate as the k-anonymity audit (one
+    * count_distinct added); output is |cells| rows.
+    */
+  def lDiversity(
+      df: DataFrame, quasiIds: Seq[String], sensitive: String, l: Long = 2L): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitive)).as("n_sensitive"))
+      .select(quasiIds.map(col) :+ col("n_rows") :+ col("n_sensitive") :+
+        when(col("n_sensitive") < l, lit(1L)).otherwise(lit(0L)).as("not_diverse"): _*)
+
   /** Morton (Z-order) layout audit: the low 8 bits of two dimensions —
     * key mod 256 and epoch-day mod 256 — bit-interleave into a 16-bit
     * Z-value (key bits on even positions, time bits on odd), and the

@@ -236,6 +236,36 @@ object TimeSeries {
         Cols.floorDiv(col("n_events") * 70000L, col("__total")).as("index_e4"))
   }
 
+  /** Seasonality-adjusted daily anomalies: each day's event count against
+    * its own weekday's exact floor-mean baseline, residual in integer e4
+    * of the baseline, flagged beyond ±`flagE4` — the anomaly monitor that
+    * doesn't page every Saturday because weekends differ from weekdays
+    * (the raw-count z-score does). Composes the [[weekdayIndex]] weekday
+    * decomposition with the daily series; everything is integer, so the
+    * report hashes identically on any engine.
+    *
+    * Scale: events collapse to the |days|-row daily table once; weekday
+    * baselines are a 7-row broadcast re-aggregate of THAT table.
+    */
+  def seasonalResiduals(events: DataFrame, flagE4: Long = 2000L): DataFrame = {
+    val daily = events
+      .groupBy(Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+    val base = daily.groupBy(col("weekday"))
+      .agg(Cols.floorDiv(sum(col("n_events")), count(lit(1))).as("expected"))
+    daily
+      .join(broadcast(base), Seq("weekday"))
+      .select(
+        col("day"), col("weekday"), col("n_events"), col("expected"),
+        Cols.floorDiv(
+          (col("n_events") - col("expected")) * 10000L,
+          greatest(col("expected"), lit(1L))).as("resid_e4"))
+      .withColumn(
+        "flagged",
+        when(abs(col("resid_e4")) >= flagE4, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Incremental-aggregate maintenance proof: merge a SNAPSHOT aggregate
     * with a DELTA aggregate by re-aggregating the algebraic pieces
     * (counts and sums add; min/max combine) — the daily-pipeline pattern

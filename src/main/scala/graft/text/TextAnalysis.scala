@@ -306,6 +306,36 @@ object TextAnalysis {
         Cols.floorDiv(col("__c.n_covered") * 10000L, col("n_tokens")).as("coverage_e4"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS selection rule): hash every char `k`-gram of the normalized
+    * text, slide a window of `w` consecutive hashes, and keep each
+    * window's minimum — guaranteeing any match of length ≥ k+w−1 shares
+    * a selected fingerprint while storing only ~2/(w+1) of the grams.
+    * The hash is the engine's cross-portable [[Cols.hash60]], so the
+    * selected fingerprint SET is identical on any engine (ties between
+    * equal hash values select the same value by definition). Emitted as
+    * (doc_id, fingerprint) rows — the local-fingerprint index behind
+    * plagiarism-style overlap detection, complementing the global
+    * [[fingerprint]] and the fixed-stride [[Dedup]] shingles.
+    *
+    * Scale: map-only — one narrow scan, per-row cost linear in doc
+    * length (codegen'd md5 per gram), no shuffle; the pair-finding join
+    * over shared fingerprints inherits the posting-list disciplines.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), Cols.normalizeText(col("text")).as("__norm"))
+      .filter(length(col("__norm")) >= k + w - 1)
+      .withColumn(
+        "__h",
+        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> graft_hash60(substr(__norm, i, $k)))"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +
+            s"i -> array_min(slice(__h, i, $w)))"))).as("fingerprint"))
+
   /** Deterministic stratified sampling: per-stratum (language) keep
     * fractions applied through a content-free salted hash of the doc id —
     * the downsample-the-dominant / upweight-the-rare rebalancing step of
@@ -1032,6 +1062,8 @@ object TextAnalysis {
     "txt_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     // coverage at 4 binding vocab cutoffs — the tokenizer-sizing sweep
     "txt_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
+    // winnowed (MOSS-style) local fingerprints, k=4 char grams, w=4
+    "txt_winnow_fp" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1440,6 +1472,22 @@ object TextAnalysis {
         |  ((count(CASE WHEN v.term IS NULL THEN 1 END) * 10000) // count(*))::BIGINT AS oov_e4
         |FROM h LEFT JOIN v ON h.term = v.term
         |GROUP BY 1""".stripMargin,
+    // winnowing mirror: the same md5-prefix hash per char 4-gram, window
+    // minima via list slicing, distinct selected values per doc
+    "txt_winnow_fp" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(substr(norm, i, 4)), 1, 15))::BIGINT
+        |     for i in generate_series(1, length(norm) - 3)] AS h
+        |  FROM t WHERE length(norm) >= 7
+        |)
+        |SELECT doc_id,
+        |  unnest(list_distinct([list_min(h[i:i+3])
+        |                        for i in generate_series(1, len(h) - 3)])) AS fingerprint
+        |FROM f""".stripMargin,
     // same split + tokenizer + ranked-vocab CTEs as txt_oov_rate, one
     // UNION ALL arm per cutoff over the shared conditional aggregate
     "txt_vocab_coverage" -> {

@@ -115,6 +115,16 @@ class ScaleSpec extends SparkSpec {
     assert(zm.count(b => b._4 <= 3000L && b._5 >= 2000L) === 0)
   }
 
+  test("l-diversity: homogeneous cells flagged even when large (k-anonymous)") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), // 3 rows but 1 sensitive value → leak
+      ("b", "x"), ("b", "y")) // 2 rows, 2 values → diverse
+      .toDF("q1", "sens")
+    val got = Scale.lDiversity(df, Seq("q1"), "sens")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("a", 3L, 1L, 1L), ("b", 2L, 2L, 0L)))
+  }
+
   test("k-anonymity: cells below k flagged, counts exact") {
     val df = Seq(
       ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))

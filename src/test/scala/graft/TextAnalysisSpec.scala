@@ -21,6 +21,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._7 === 0.8)
   }
 
+  test("winnowing: docs sharing a ≥ k+w−1 run share a fingerprint; unrelated don't") {
+    // the winnowing guarantee: any common substring of length ≥ k+w−1 = 7
+    // leaves at least one common selected fingerprint. Docs 1 and 2 share
+    // the 8-char run "abcdefgh"; doc 3 shares no 4-gram with either.
+    val fp = TextAnalysis.winnowFingerprints(docs(
+      (1L, "abcdefghijkl"),
+      (2L, "zzz abcdefgh yyy"),
+      (3L, "qrstuvw 012345")))
+      .as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).map { case (d, r) => d -> r.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // selection really thins: doc 1 has 9 grams / 6 windows, ≤ 6 selected
+    assert(byDoc(1L).size <= 6)
+    // a doc shorter than k+w−1 emits nothing
+    val none = TextAnalysis.winnowFingerprints(docs((9L, "abcdef"))).count()
+    assert(none === 0L)
+  }
+
   test("token counts: whitespace vs bpe-ish vs subword estimate") {
     val r = TextAnalysis.tokenCounts(docs((1L, "abc 12cd ef")))
       .as[(Long, Long, Long, Long)].collect().head

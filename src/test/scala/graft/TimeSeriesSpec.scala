@@ -45,6 +45,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(after === before, "plan construction ran Spark jobs")
   }
 
+  test("seasonal residuals: weekday baseline flags only genuine deviations") {
+    // 14 days, 10 events/day except day 7 has 30: weekday 0 = {10, 30} →
+    // floor mean 20, residuals ∓5000 e4 (both flagged at ±2000); every
+    // other weekday is {10, 10} → residual 0, unflagged
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d == 7) 30 else 10
+      (0 until n).map(i => (d * 100L + i, d * Day + i * 1000L))
+    }
+    val got = TimeSeries.seasonalResiduals(rows.toDF("event_id", "ts_ms"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 0L, 10L, 20L, -5000L, 1L)))
+    assert(got(7L) === ((7L, 0L, 30L, 20L, 5000L, 1L)))
+    assert(got(1L) === ((1L, 1L, 10L, 10L, 0L, 0L)))
+    assert(got.values.count(_._6 == 1L) === 2)
+  }
+
   test("rolling daily: RANGE frame ages gap days out of the window") {
     val D = TimeSeries.DayMs
     val ev = Seq(
