@@ -976,25 +976,33 @@ object SparkEntry {
         |  count(DISTINCT p.user_id) AS n_users, round(sum(p.value), 2) AS sum_value
         |FROM i JOIN e p ON p.ts_ms >= i.win_start_ms AND p.ts_ms < i.win_end_ms
         |GROUP BY 1, 2""".stripMargin,
+    // integer cents end to end; the carried average is an exact floor in
+    // cents·e2 — no double rounding anywhere (an avg/round(…,4) here hit a
+    // half boundary at sf0.001 and the engines split on it)
     "ev_gapfill" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, value FROM events
         |), d AS (
         |  SELECT event_type, ts_ms // 86400000 AS day, count(*) AS n_events,
-        |         round(sum(value), 2) AS sum_value, round(avg(value), 4) AS day_avg
+        |         sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         |  FROM e GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT *,
+        |    ((sum_cents * 100 - (((sum_cents * 100 % n_events) + n_events) % n_events))
+        |     // n_events)::BIGINT AS day_avg_cents_e2
+        |  FROM d
         |), b AS (
         |  SELECT min(ts_ms // 86400000) AS d0, max(ts_ms // 86400000) AS d1 FROM e
         |), g AS (
         |  SELECT t.event_type, unnest(generate_series(b.d0, b.d1)) AS day
         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN b
         |)
-        |SELECT g.event_type, g.day, coalesce(d.n_events, 0)::BIGINT AS n_events,
-        |  coalesce(d.sum_value, 0.0) AS sum_value,
-        |  last_value(d.day_avg IGNORE NULLS) OVER (
+        |SELECT g.event_type, g.day, coalesce(d2.n_events, 0)::BIGINT AS n_events,
+        |  coalesce(d2.sum_cents, 0)::BIGINT AS sum_cents,
+        |  last_value(d2.day_avg_cents_e2 IGNORE NULLS) OVER (
         |    PARTITION BY g.event_type ORDER BY g.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_avg_value
-        |FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_avg_cents_e2
+        |FROM g LEFT JOIN d2 ON g.event_type = d2.event_type AND g.day = d2.day""".stripMargin,
     "ev_unpivot" ->
       """WITH p AS (
         |  SELECT user_id % 10 AS user_bucket,

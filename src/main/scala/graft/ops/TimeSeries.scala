@@ -22,9 +22,15 @@ object TimeSeries {
   val DayMs: Long = 86400000L
 
   /** Dense per-(key, day) daily aggregate over `[min day, max day]` of the
-    * whole input: `n_events`/`sum_value` zero-filled, and the daily average
+    * whole input: `n_events`/`sum_cents` zero-filled, and the daily average
     * forward-filled from the key's most recent active day (null until a
     * key's first active day — leading gaps have no history to carry).
+    *
+    * Values fold as integer cents and the carried average is an exact
+    * floor in cents·e2 (hundredths of a cent): a `round(avg(double), 4)`
+    * here sat exactly on a half boundary at one scale factor and the two
+    * engines rounded it opposite ways — the r3 cross-engine-double class,
+    * removed by keeping the whole surface integer.
     */
   def gapFillDaily(events: DataFrame, keyCol: String, tsMsCol: String, valueCol: String): DataFrame = {
     val day = Cols.floorDiv(col(tsMsCol), DayMs)
@@ -32,8 +38,10 @@ object TimeSeries {
       .groupBy(col(keyCol), day.as("day"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("sum_value"),
-        round(avg(col(valueCol)), 4).as("day_avg"))
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"))
+      .withColumn(
+        "day_avg_cents_e2",
+        Cols.floorDiv(col("sum_cents") * 100L, col("n_events")))
     val bounds = events.agg(min(day).as("__d0"), max(day).as("__d1"))
     val grid = events.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
@@ -46,8 +54,9 @@ object TimeSeries {
         col(keyCol),
         col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
-        last(col("day_avg"), ignoreNulls = true).over(ffill).as("ffill_avg_value"))
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"),
+        last(col("day_avg_cents_e2"), ignoreNulls = true).over(ffill)
+          .as("ffill_avg_cents_e2"))
   }
 
   /** Calendar rolling window per key: for each active (key, day), the

@@ -336,6 +336,31 @@ object TextAnalysis {
           expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +
             s"i -> array_min(slice(__h, i, $w)))"))).as("fingerprint"))
 
+  /** Winnowed-fingerprint overlap pairs — the plagiarism-candidate
+    * report built on [[winnowFingerprints]]: document pairs sharing at
+    * least `minShared` selected fingerprints, with a df-cap dropping
+    * fingerprints common to more than `maxFpDf` documents before the
+    * join (stop-gram fingerprints carry no overlap signal and dominate
+    * posting-list cost — the [[graft.dedup.Dedup.ngramJaccard]] skew
+    * discipline applied to local fingerprints).
+    *
+    * Scale: posting-list join on the capped fingerprint index; work is
+    * Σ df² over surviving fingerprints, never doc×doc.
+    */
+  def winnowOverlap(
+      docs: DataFrame, minShared: Long = 8L, maxFpDf: Int = 50): DataFrame = {
+    val fp = winnowFingerprints(docs)
+    val rare = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf).select(col("fingerprint"))
+    val f = fp.join(rare, "fingerprint")
+    f.as("a")
+      .join(f.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic stratified sampling: per-stratum (language) keep
     * fractions applied through a content-free salted hash of the doc id —
     * the downsample-the-dominant / upweight-the-rare rebalancing step of
@@ -1064,6 +1089,8 @@ object TextAnalysis {
     "txt_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     // winnowed (MOSS-style) local fingerprints, k=4 char grams, w=4
     "txt_winnow_fp" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
+    // df-capped overlap pairs over the winnowed index (≥8 shared)
+    "txt_winnow_overlap" -> ((s, d) => winnowOverlap(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1488,6 +1515,30 @@ object TextAnalysis {
         |  unnest(list_distinct([list_min(h[i:i+3])
         |                        for i in generate_series(1, len(h) - 3)])) AS fingerprint
         |FROM f""".stripMargin,
+    // the winnow CTEs + df-cap + posting-list pair join
+    "txt_winnow_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(substr(norm, i, 4)), 1, 15))::BIGINT
+        |     for i in generate_series(1, length(norm) - 3)] AS h
+        |  FROM t WHERE length(norm) >= 7
+        |), sel AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([list_min(h[i:i+3])
+        |                          for i in generate_series(1, len(h) - 3)])) AS fp
+        |  FROM f
+        |), rare AS (
+        |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50
+        |), sf AS (
+        |  SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp)
+        |)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_shared
+        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 8""".stripMargin,
     // same split + tokenizer + ranked-vocab CTEs as txt_oov_rate, one
     // UNION ALL arm per cutoff over the shared conditional aggregate
     "txt_vocab_coverage" -> {

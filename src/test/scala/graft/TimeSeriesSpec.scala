@@ -17,18 +17,18 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 1L * Day + 10, 7.0))
       .toDF("k", "ts_ms", "value")
     val got = TimeSeries.gapFillDaily(ev, "k", "ts_ms", "value")
-      .select($"k", $"day", $"n_events", $"sum_value", $"ffill_avg_value")
-      .as[(String, Long, Long, Double, Option[Double])]
+      .select($"k", $"day", $"n_events", $"sum_cents", $"ffill_avg_cents_e2")
+      .as[(String, Long, Long, Long, Option[Long])]
       .collect().sortBy(r => (r._1, r._2)).toList
     assert(got === List(
-      ("a", 0L, 2L, 30.0, Some(15.0)),
-      ("a", 1L, 0L, 0.0, Some(15.0)), // gap: zero-filled, avg carried forward
-      ("a", 2L, 0L, 0.0, Some(15.0)),
-      ("a", 3L, 1L, 40.0, Some(40.0)),
-      ("b", 0L, 0L, 0.0, None), // leading gap: no history to carry
-      ("b", 1L, 1L, 7.0, Some(7.0)),
-      ("b", 2L, 0L, 0.0, Some(7.0)),
-      ("b", 3L, 0L, 0.0, Some(7.0))))
+      ("a", 0L, 2L, 3000L, Some(150000L)), // avg 15.00 → 150000 cents·e2
+      ("a", 1L, 0L, 0L, Some(150000L)), // gap: zero-filled, avg carried forward
+      ("a", 2L, 0L, 0L, Some(150000L)),
+      ("a", 3L, 1L, 4000L, Some(400000L)),
+      ("b", 0L, 0L, 0L, None), // leading gap: no history to carry
+      ("b", 1L, 1L, 700L, Some(70000L)),
+      ("b", 2L, 0L, 0L, Some(70000L)),
+      ("b", 3L, 0L, 0L, Some(70000L))))
   }
 
   test("gap fill: grid bounds come from the data, in-plan (no driver job)") {
@@ -41,7 +41,7 @@ class TimeSeriesSpec extends SparkSpec {
     val df = TimeSeries.gapFillDaily(ev, "k", "ts_ms", "value")
     val after = sc.statusTracker.getJobIdsForGroup(null).length
     assert(df.columns.toSeq ===
-      Seq("k", "day", "n_events", "sum_value", "ffill_avg_value"))
+      Seq("k", "day", "n_events", "sum_cents", "ffill_avg_cents_e2"))
     assert(after === before, "plan construction ran Spark jobs")
   }
 
