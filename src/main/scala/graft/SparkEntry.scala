@@ -565,6 +565,49 @@ object SparkEntry {
     // weekday's floor mean, integer e4 residuals, ±20% flag
     "ev_seasonal_residuals" -> ((s, dir) =>
       graft.ops.TimeSeries.seasonalResiduals(Tables.events(s, dir))),
+    // out-of-orderness profile — the empirical basis for choosing a
+    // streaming watermark: per event, lateness = the running max event
+    // time over the SAME USER's arrival order minus its own event time,
+    // bucketed into bands; a watermark at the band covering ~p99 bounds
+    // state while dropping almost nothing (SURVEY §2.2's 0 ms assigner
+    // is the degenerate choice this table justifies or refutes). The
+    // fixture stream arrives perfectly ordered, so arrival order plants
+    // a delay — every 13th event arrives 40 sequence slots late (the
+    // ev_replay_screen pattern), and the screen must price exactly that
+    // planted disorder. The per-key window rides the sessionization
+    // shuffle key; the report is one hash agg to |bands| rows.
+    "ev_lateness_profile" -> ((s, dir) => {
+      val arrival = col("event_id") +
+        when(pmod(col("event_id"), lit(13L)) === 0, lit(40L)).otherwise(lit(0L))
+      // (arrival, event_id) order: a delayed id+40 can collide with a
+      // natural id (13+40 = 53) — the tie-break keeps both engines'
+      // running maxima identical
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__arrival"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val late = Tables.events(s, dir)
+        .withColumn("__arrival", arrival)
+        .withColumn("__hwm", max(col("ts_ms")).over(w))
+        .withColumn(
+          "lateness_ms",
+          greatest(coalesce(col("__hwm") - col("ts_ms"), lit(0L)), lit(0L)))
+      val bucket = when(col("lateness_ms") === 0, "0_in_order")
+        .when(col("lateness_ms") <= 60000L, "1_le_1m")
+        .when(col("lateness_ms") <= 3600000L, "2_le_1h")
+        .when(col("lateness_ms") <= 21600000L, "3_le_6h")
+        .otherwise("4_gt_6h")
+      late
+        .groupBy(bucket.as("lateness_band"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("lateness_ms")).as("max_lateness_ms"))
+        .withColumn(
+          "share_e4",
+          graft.Cols.floorDiv(
+            col("n_events") * 10000L,
+            sum(col("n_events")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy())))
+    }),
     // incremental-aggregate maintenance: snapshot (< day 19738) + delta
     // merged algebraically — bit-identical to the full-scan aggregate,
     // which is exactly what the oracle checks
@@ -1863,6 +1906,36 @@ object SparkEntry {
         |       ELSE 0 END::BIGINT AS closure_e4
         |FROM w CROSS JOIN ne CROSS JOIN tr""".stripMargin,
     // weekday = epoch-day mod 7 — pure integer, no calendar functions
+    // same per-user running-high-watermark window over the planted
+    // arrival order (every 13th event 40 slots late); totals cast down
+    // from HUGEINT
+    "ev_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    event_id + CASE WHEN event_id % 13 = 0 THEN 40 ELSE 0 END AS arrival_seq
+        |  FROM events
+        |), l AS (
+        |  SELECT greatest(coalesce(
+        |    max(ts_ms) OVER (PARTITION BY user_id ORDER BY arrival_seq, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_ms,
+        |    0), 0) AS lateness_ms
+        |  FROM e
+        |), b AS (
+        |  SELECT CASE WHEN lateness_ms = 0 THEN '0_in_order'
+        |              WHEN lateness_ms <= 60000 THEN '1_le_1m'
+        |              WHEN lateness_ms <= 3600000 THEN '2_le_1h'
+        |              WHEN lateness_ms <= 21600000 THEN '3_le_6h'
+        |              ELSE '4_gt_6h' END AS lateness_band,
+        |    lateness_ms
+        |  FROM l
+        |), a AS (
+        |  SELECT lateness_band, count(*) AS n_events,
+        |    max(lateness_ms)::BIGINT AS max_lateness_ms
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT lateness_band, n_events, max_lateness_ms,
+        |  ((n_events * 10000) // (SELECT sum(n_events)::BIGINT FROM a))::BIGINT AS share_e4
+        |FROM a""".stripMargin,
     // weekday floor-mean baseline + remainder-corrected floor residual
     // (the residual can be negative; DuckDB // truncates, so the pmod
     // pre-subtraction makes it a true floor like Cols.floorDiv)
