@@ -617,6 +617,53 @@ object Multimodal {
         .as("n_same_hash"))
   }
 
+  /** Image near-duplicate pairs: aHash signatures within `maxHamming`
+    * bits, found by exact pigeonhole blocking — the 64-bit hash splits
+    * into `maxHamming + 1` chunks, any pair within the threshold must
+    * agree exactly on at least one chunk (complete recall, no
+    * probabilistic miss), and exact Hamming verification runs on the
+    * blocked candidates only. The [[graft.dedup.Dedup.simhashNearDups]]
+    * pairing discipline applied to the REAL-codec image signatures —
+    * near-dup image detection as a first-class dedup operator.
+    *
+    * Scale: candidates are bounded by chunk-bucket sizes (Σ df² over
+    * 13 small buckets), never |images|²; verification is two XOR +
+    * popcounts per candidate on the pre-parsed 32-bit halves.
+    */
+  def imageNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    import spark.implicits._
+    val chunks = maxHamming + 1
+    val hashed = asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, Codecs.aHashPpm(bytes)) })
+      .toDF("doc_id", "phash")
+    val sigs = hashed.select(
+      col("doc_id"),
+      col("phash"),
+      conv(substring(col("phash"), 1, 32), 2, 10).cast("long").as("__hi"),
+      conv(substring(col("phash"), 33, 32), 2, 10).cast("long").as("__lo"))
+    val bounds = (0 until chunks).map(c => (c * 64 / chunks, (c + 1) * 64 / chunks))
+    // the parsed halves ride along through the chunk explode (16 bytes per
+    // row), so each chunk collision verifies inline with two XOR+popcounts
+    // — no candidate-pair distinct, no back-joins; only the (tiny)
+    // verified output deduplicates across chunks
+    val ch = sigs.select(
+      col("doc_id"), col("__hi"), col("__lo"),
+      posexplode(array(bounds.map { case (s0, e0) =>
+        substring(col("phash"), s0 + 1, e0 - s0)
+      }: _*)).as(Seq("c", "chunk")))
+    ch.as("a")
+      .join(ch.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+          bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Documents as deterministic mono 16-bit PCM WAVs (8 kHz, 512 samples):
     * the ASCII text bytes, repeated/truncated to the 1024-byte PCM plane,
     * behind a real RIFF/WAVE header built once on the driver — the audio
@@ -678,6 +725,7 @@ object Multimodal {
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
+    "mm_phash_pairs" -> ((s, d) => imageNearDups(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
   )
@@ -737,6 +785,52 @@ object Multimodal {
         |SELECT doc_id, phash,
         |  count(*) OVER (PARTITION BY phash) AS n_same_hash
         |FROM h""".stripMargin,
+    // the mm_phash bitstring CTEs + 13-chunk pigeonhole blocking + exact
+    // 64-position Hamming verify on candidates (Spark verifies the same
+    // value via parsed-int XOR/popcount — value-identical either way)
+    "mm_phash_pairs" -> {
+      val chunks = 13
+      val chunkStructs = (0 until chunks).map { c =>
+        val s0 = c * 64 / chunks
+        val e0 = (c + 1) * 64 / chunks
+        s"{'c': $c, 'chunk': substr(phash, ${s0 + 1}, ${e0 - s0})}"
+      }
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    [(ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 1, 1)) +
+         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 2, 1)) +
+         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 3, 1))) // 3
+         |     for i in range(0, 64)] AS grays
+         |  FROM px
+         |), s AS (
+         |  SELECT doc_id, grays, list_sum(grays) AS tot FROM g
+         |), h AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      [CASE WHEN 64 * grays[i] > tot THEN '1' ELSE '0' END
+         |       for i in range(1, 65)], '') AS phash
+         |  FROM s
+         |), ch0 AS (
+         |  SELECT doc_id, phash,
+         |    unnest([${chunkStructs.mkString(",\n      ")}]) AS u
+         |  FROM h
+         |), ch AS (
+         |  SELECT doc_id, phash, u.c AS c, u.chunk AS chunk FROM ch0
+         |), hits AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    list_sum([CASE WHEN substr(a.phash, i, 1) <> substr(b.phash, i, 1)
+         |              THEN 1 ELSE 0 END
+         |              for i in generate_series(1, 64)])::BIGINT AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |)
+         |SELECT DISTINCT doc_id_1, doc_id_2, hamming
+         |FROM hits WHERE hamming <= 12""".stripMargin
+    },
     // replays the WAV energy signature: little-endian 16-bit samples from
     // ASCII chars (lo + 256*hi, never >= 32768 on ASCII so no sign branch),
     // 64 windows of 8 samples, bit = strictly-above-mean energy

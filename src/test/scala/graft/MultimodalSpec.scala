@@ -15,6 +15,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === 6) // ö is 2 bytes in UTF-8 — byte length, not char length
   }
 
+  test("image near-dup pigeonhole recovers exactly the brute-force hamming pairs") {
+    // 13 chunks guarantee complete recall at hamming ≤ 12 — the blocked
+    // path must equal the all-pairs computation, not approximate it
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.imageNearDups(spark, docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashes = Multimodal.phash(spark, docs)
+      .select("doc_id", "phash").distinct().as[(Long, String)].collect()
+    val brute = (for {
+      (d1, p1) <- hashes; (d2, p2) <- hashes
+      if d1 < d2
+      h = p1.zip(p2).count { case (a, b) => a != b }
+      if h <= 12
+    } yield (d1, d2, h.toLong)).toSet
+    assert(got === brute)
+  }
+
   test("real PPM codec: exact dimensions and mean pixel from genuine bytes") {
     // 2x1 P6 image, maxval 255, pixels (10,20,30) and (40,50,60)
     val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
