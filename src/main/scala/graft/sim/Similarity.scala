@@ -311,6 +311,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: a cheap code-only ADC shortlist re-ranked by
+    * exact cosine — the standard serving sandwich (approximate recall
+    * stage, exact precision stage) that turns [[adcTopK]]'s compressed
+    * index into final-quality rankings while touching raw vectors for
+    * only `shortlist` candidates per query. Both stages deterministic,
+    * so the composition is fully oracled.
+    *
+    * Scale: stage 1 never reads vectors ([[adcTopK]]'s posture); stage 2
+    * joins the |queries|·shortlist candidate table back to the corpus by
+    * id — a point-lookup-shaped equi-join, cost ∝ candidates, not corpus.
+    */
+  def adcRerank(embeddings: DataFrame, k: Int = TopK, shortlist: Int = 25): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val short = adcTopK(embeddings, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = broadcast(q.select(
+      col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2")))
+    val rescored = short
+      .join(queries, "query_id")
+      .join(
+        q.select(col("vec_id").as("neighbor_id"), col("qv"), col("norm2")),
+        "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    rescored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ: the two index stages composed the way production ANN serves
     * 100 TB — the IVF coarse quantizer ([[ivfTopK]]'s label cells) prunes
     * the corpus to `nprobe` cells per query, and within the probed cells
@@ -910,6 +941,7 @@ object Similarity {
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
     "ann_topk_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
+    "ann_topk_rerank" -> ((s, d) => adcRerank(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -1589,6 +1621,56 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // two-stage rerank: the ADC CTEs produce a 25-deep shortlist, exact
+    // cosine re-ranks it — the serving sandwich, fully deterministic
+    "ann_topk_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c JOIN adc a ON a.j = c.j AND a.cid = c.code
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |    FROM s
+         |  ) WHERE rank <= 25
+         |), rescored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM short sh
+         |  JOIN n qq ON qq.vec_id = sh.query_id
+         |  JOIN n nn ON nn.vec_id = sh.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rescored
+         |) WHERE rank <= $TopK""".stripMargin,
     // IVF-PQ composition: the ann_topk_ivf probe CTEs select the cells,
     // the ann_topk_pq code/ADC CTEs rank within them — both verbatim
     "ann_topk_ivfpq" ->

@@ -55,6 +55,8 @@ object PlanAudit {
     "ann_topk_pq",
     // |labels|-row centroid probe + the same codebook/ADC broadcasts
     "ann_topk_ivfpq",
+    // ADC shortlist stage reuses the codebook broadcasts; rerank joins by id
+    "ann_topk_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
     "dedup_threshold_sweep")
 
