@@ -252,6 +252,24 @@ object SparkEntry {
     // hash-armed two-proportion z² per event type, decimal-exact
     "ev_ab_lift" -> ((s, dir) =>
       graft.ops.Analytics.abLift(Tables.events(s, dir))),
+    // nonparametric partner of ev_ab_lift: rank-sum U test on the value
+    // distribution between the same hash arms, integer doubled midranks
+    "ev_mann_whitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitney(Tables.events(s, dir))),
+    // whole-distribution concentration (HHI + effective users) per type —
+    // the partner of ev_key_skew's single-hottest-key share
+    "ev_hhi" -> ((s, dir) =>
+      graft.ops.Stats.hhi(Tables.events(s, dir))),
+    // spend-inequality coefficient over per-customer revenue, exact e4
+    "cust_gini" -> ((s, dir) =>
+      graft.ops.Stats.gini(Tables.orders(s, dir))),
+    // do busy hours buy: Spearman rank correlation on the 24-hour domain
+    "ev_hour_spearman" -> ((s, dir) =>
+      graft.ops.Stats.hourSpearman(Tables.events(s, dir))),
+    // nightly layout maintenance: next-fit bin packing of hash-bucket
+    // "files" into target-size compaction bins, contiguous ranges
+    "tbl_compaction_plan" -> ((s, dir) =>
+      graft.ops.Stats.compactionPlan(Tables.events(s, dir), "user_id")),
     // stage-to-stage funnel latency over the cs_funnel stage chain
     "ev_funnel_latency" -> ((s, dir) =>
       graft.ops.Analytics.funnelLatency(
@@ -698,6 +716,16 @@ object SparkEntry {
     "li_basket_pairs" -> ((s, dir) =>
       graft.ops.Analytics.coOccurrence(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
+    // one LPA step over the basket graph: heaviest-neighbor label from
+    // singleton init, the community seed for basket clustering
+    "li_label_prop_step" -> ((s, dir) =>
+      graft.ops.Analytics.labelPropStep(
+        graft.ops.Analytics.coOccurrence(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+    // Count-Min sketch heavy hitters: exact vs estimate overcount
+    // diagnostic over a deterministic md5-row sketch
+    "ev_countmin_est" -> ((s, dir) =>
+      graft.ops.Stats.countMinEstimates(Tables.events(s, dir))),
     // co-occurrence recommender on the basket pairs: per customer, top-3
     // unowned parts by strongest lift against anything they bought
     "li_recommend" -> ((s, dir) => {
@@ -1688,6 +1716,99 @@ object SparkEntry {
         |     // (n_a::HUGEINT * n_b * (k_a + k_b) * (n_a + n_b - k_a - k_b)))::BIGINT
         |  END AS z2_e4
         |FROM k CROSS JOIN t""".stripMargin,
+    // doubled midranks keep tie handling integer; u2_a ≥ 0 so // == floor
+    "ev_mann_whitney" ->
+      """WITH ua AS (
+        |  SELECT user_id, ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), e AS (
+        |  SELECT event_type, arm, value FROM events JOIN ua USING (user_id)
+        |), v AS (
+        |  SELECT event_type, value, count(*)::BIGINT AS c,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a
+        |  FROM e GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, c, c_a,
+        |    coalesce((sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::BIGINT, 0) AS below
+        |  FROM v
+        |), a AS (
+        |  SELECT event_type, sum(c_a)::BIGINT AS n_a, sum(c - c_a)::BIGINT AS n_b,
+        |    sum(c_a * (2 * below + c + 1))::BIGINT AS r2_a
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT event_type, n_a, n_b, (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+        |  CASE WHEN n_a * n_b > 0 THEN
+        |    ((r2_a - n_a * (n_a + 1)) * 10000 // (2 * n_a * n_b))::BIGINT END AS auc_e4
+        |FROM a""".stripMargin,
+    // all quantities non-negative: // is exact floor on both sides
+    "ev_hhi" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS c FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_users, sum(c)::BIGINT AS n_events,
+        |    sum(c * c)::BIGINT AS s2
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT event_type, n_users, n_events,
+        |  (s2 * 1000000 // (n_events * n_events))::BIGINT AS hhi_ppm,
+        |  (n_events * n_events // s2)::BIGINT AS effective_users
+        |FROM a""".stripMargin,
+    // ascending-rank covariance form; numerator ≥ 0 so // == floor
+    "cust_gini" ->
+      """WITH s AS (
+        |  SELECT o_custkey, (sum(round(o_totalprice * 100)::BIGINT) // 100)::BIGINT AS x
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT x, (row_number() OVER (ORDER BY x, o_custkey))::BIGINT AS i FROM s
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n_customers, sum(x)::BIGINT AS total_spend,
+        |    sum(i * x)::BIGINT AS ix
+        |  FROM r
+        |)
+        |SELECT n_customers, total_spend,
+        |  ((2 * ix - (n_customers + 1) * total_spend) * 10000
+        |   // (n_customers * total_spend))::BIGINT AS gini_e4
+        |FROM a""".stripMargin,
+    // doubled midranks (rank() + tie count), Σd² form; numerator ≥ 0
+    "ev_hour_spearman" ->
+      """WITH h AS (
+        |  SELECT (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour,
+        |    count(*)::BIGINT AS n_events,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT hour, n_events, n_purchases,
+        |    (2 * rank() OVER (ORDER BY n_events)
+        |     + count(*) OVER (PARTITION BY n_events) - 1)::BIGINT AS rx2,
+        |    (2 * rank() OVER (ORDER BY n_purchases)
+        |     + count(*) OVER (PARTITION BY n_purchases) - 1)::BIGINT AS ry2
+        |  FROM h
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n_hours,
+        |    sum((rx2 - ry2) * (rx2 - ry2))::BIGINT AS d2
+        |  FROM r
+        |)
+        |SELECT n_hours, d2,
+        |  (10000 - (6 * d2 * 10000 // (4 * n_hours * (n_hours * n_hours - 1))))::BIGINT AS rho_e4
+        |FROM a""".stripMargin,
+    // next-fit by running sum: bin = floor(rows_before / target)
+    "tbl_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM events
+        |), c AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_rows FROM f GROUP BY 1
+        |), w AS (
+        |  SELECT bucket, n_rows,
+        |    coalesce((sum(n_rows) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::BIGINT, 0) AS before
+        |  FROM c
+        |)
+        |SELECT (before // 2000)::BIGINT AS bin, count(*)::BIGINT AS n_files,
+        |  sum(n_rows)::BIGINT AS total_rows,
+        |  min(bucket)::BIGINT AS first_bucket, max(bucket)::BIGINT AS last_bucket
+        |FROM w GROUP BY 1""".stripMargin,
     // the cs_funnel stage chain, joined pairwise for entry-time gaps
     "ev_funnel_latency" ->
       """WITH e AS (
@@ -2394,6 +2515,46 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // the basket-pairs CTEs + symmetric expansion + heaviest-edge window
+    "li_label_prop_step" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS nbr, n_ab FROM p
+        |  UNION ALL SELECT item_b, item_a, n_ab FROM p
+        |)
+        |SELECT item, nbr AS label, n_ab AS label_weight FROM (
+        |  SELECT item, nbr, n_ab,
+        |    row_number() OVER (PARTITION BY item ORDER BY n_ab DESC, nbr) AS rn
+        |  FROM sym) t
+        |WHERE rn = 1""".stripMargin,
+    // deterministic md5 hash rows make the CM sketch fully oracled;
+    // estimate = min over the key's depth cells
+    "ev_countmin_est" ->
+      """WITH b AS (
+        |  SELECT user_id, r,
+        |    ('0x' || substr(md5('cm' || r || ':' || user_id), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+        |), sk AS (
+        |  SELECT r, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT user_id, count(*)::BIGINT AS exact_n FROM events GROUP BY 1
+        |), top AS (
+        |  SELECT user_id, exact_n,
+        |    (row_number() OVER (ORDER BY exact_n DESC, user_id))::BIGINT AS rank
+        |  FROM ex QUALIFY rank <= 20
+        |), eb AS (
+        |  SELECT t.user_id, t.exact_n, t.rank, rr.r,
+        |    ('0x' || substr(md5('cm' || rr.r || ':' || t.user_id), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM top t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr
+        |)
+        |SELECT eb.user_id, eb.rank, eb.exact_n, min(sk.c)::BIGINT AS cm_est,
+        |  (min(sk.c) - eb.exact_n)::BIGINT AS overcount
+        |FROM eb JOIN sk ON sk.r = eb.r AND sk.bucket = eb.bucket
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the basket-pairs CTEs + symmetric expansion + owned anti-join +
     // per-user top-3 window, mirroring recommendFromCoOccurrence
     "li_recommend" ->

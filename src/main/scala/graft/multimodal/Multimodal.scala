@@ -276,6 +276,39 @@ object Multimodal {
       sb.toString
     }
 
+    /** Difference-hash (dHash) signature of a binary PPM: REAL
+      * nearest-neighbor resize to 9×8 ([[resizePpm]]), integer gray per
+      * pixel, bit (r,c) set iff `gray(r,c) > gray(r,c+1)` — the
+      * horizontal-gradient signature. Complements [[aHashPpm]]: aHash
+      * keys on absolute brightness vs the mean (flips under global
+      * brightness shifts near the mean), dHash keys on LOCAL gradients
+      * (invariant to any monotone brightness change), so the two
+      * disagree on different edit classes — running both is the image
+      * analogue of the SimHash+MinHash method-agreement matrix.
+      */
+    def dHashPpm(bytes: Array[Byte]): String = {
+      val small = resizePpm(bytes, 9, 8)
+      val (_, _, _, off) = ppmHeader(small)
+      val grays = new Array[Long](72)
+      var i = 0
+      while (i < 72) {
+        val o = off + i * 3
+        grays(i) = ((small(o) & 0xff) + (small(o + 1) & 0xff) + (small(o + 2) & 0xff)) / 3
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          sb.append(if (grays(r * 9 + c) > grays(r * 9 + c + 1)) '1' else '0')
+          c += 1
+        }
+        r += 1
+      }
+      sb.toString
+    }
+
     /** REAL frame sampling for 16-bit PCM WAV — keeps every `everyK`-th
       * frame (all channels) and re-emits a valid minimal RIFF/WAVE
       * container with patched sizes. The frame-sample stage of an
@@ -459,6 +492,62 @@ object Multimodal {
         lag += 1
       }
       (bestLag, rBest, r0)
+    }
+
+    /** DC-removed zero-crossing and quiet-fraction probe for 16-bit PCM
+      * WAV — the container walk of [[fingerprintWav]], then over the n
+      * samples the CENTERED signal `s'ᵢ = n·sᵢ − Σs` (scaling by n keeps
+      * the DC removal in exact integers; the sign pattern equals that of
+      * sᵢ − mean): `n_crossings` counts adjacent sign flips (the
+      * voiced/unvoiced + buzz frequency probe) and `n_quiet` counts
+      * samples with `10·|s'ᵢ| < max|s'|` (below 10% of peak amplitude —
+      * the silence-trim readout). An empty or non-16-bit clip reports
+      * (0, 0, 0).
+      */
+    def zcrWav(bytes: Array[Byte]): (Long, Long, Long) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var bits16 = 16
+      var dataOff = -1; var dataLen = 0L
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val len = le32(o + 4)
+        if (id == "fmt ") bits16 = le16(o + 22)
+        else if (id == "data") { dataOff = o + 8; dataLen = len }
+        o += 8 + len.toInt + (len.toInt & 1)
+      }
+      val n =
+        if (dataOff < 0 || bits16 != 16) 0L
+        else math.min(dataLen / 2, (bytes.length - dataOff) / 2)
+      if (n == 0) return (0L, 0L, 0L)
+      val s = new Array[Long](n.toInt)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        s(i) = le16(dataOff + i * 2).toShort.toLong
+        sum += s(i)
+        i += 1
+      }
+      var peak = 0L
+      i = 0
+      while (i < n) {
+        val c = math.abs(n * s(i) - sum)
+        if (c > peak) peak = c
+        i += 1
+      }
+      var crossings = 0L
+      var quiet = 0L
+      i = 0
+      while (i < n) {
+        val c = n * s(i) - sum
+        if (i > 0 && ((c >= 0) != ((n * s(i - 1) - sum) >= 0))) crossings += 1
+        if (10L * math.abs(c) < peak) quiet += 1
+        i += 1
+      }
+      (n, crossings, quiet)
     }
 
     def decode(doc_id: Long, payload: Array[Byte]): Option[DecodedMedia] =
@@ -721,6 +810,51 @@ object Multimodal {
       .toDF("doc_id", "best_lag", "r_best", "r0")
   }
 
+  /** Difference-hash table: REAL PPM decode + 9×8 nearest-neighbor
+    * resize + horizontal-gradient dHash per image, with the duplicate
+    * cluster size per signature — [[phash]]'s gradient-keyed partner
+    * (invariant to monotone brightness changes where aHash is not).
+    * Same mapPartitions codec tier, same hash-partitioned window shape.
+    */
+  def dhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashed = asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, Codecs.dHashPpm(bytes)) })
+      .toDF("doc_id", "dhash")
+    hashed.select(
+      col("doc_id"), col("dhash"),
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dhash")))
+        .as("n_same_hash"))
+  }
+
+  /** Zero-crossing / quiet-fraction table over the real WAV path: per
+    * clip the sample count, DC-removed adjacent sign flips, the e4
+    * crossing rate (per adjacent pair), and the below-10%-of-peak quiet
+    * fraction — the voiced/unvoiced + silence-trim QA screen. Same
+    * mapPartitions codec tier and map-only shape as [[audioFingerprint]].
+    */
+  def audioZcr(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (n, crossings, quiet) = Codecs.zcrWav(bytes)
+        (id, n, crossings, quiet)
+      })
+      .toDF("doc_id", "n_samples", "n_crossings", "n_quiet")
+      .select(
+        col("doc_id"), col("n_samples"), col("n_crossings"),
+        when(col("n_samples") > 1,
+          graft.Cols.floorDiv(col("n_crossings") * 10000L, col("n_samples") - 1L))
+          .otherwise(lit(0L)).as("zcr_e4"),
+        col("n_quiet"),
+        when(col("n_samples") > 0,
+          graft.Cols.floorDiv(col("n_quiet") * 10000L, col("n_samples")))
+          .otherwise(lit(0L)).as("quiet_e4"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
@@ -728,6 +862,8 @@ object Multimodal {
     "mm_phash_pairs" -> ((s, d) => imageNearDups(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
+    "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
+    "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -885,5 +1021,60 @@ object Multimodal {
         |SELECT doc_id, list_position(rs, list_max(rs))::BIGINT AS best_lag,
         |  list_max(rs)::BIGINT AS r_best, r0
         |FROM ac""".stripMargin,
+    // replays 16→9×8 nearest-neighbor resize (src pixel (x*16//9, 2y))
+    // then the horizontal-gradient compare in char arithmetic
+    "mm_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [(ord(substr(pix, ((i // 9) * 2 * 16 + ((i % 9) * 16) // 9) * 3 + 1, 1)) +
+        |      ord(substr(pix, ((i // 9) * 2 * 16 + ((i % 9) * 16) // 9) * 3 + 2, 1)) +
+        |      ord(substr(pix, ((i // 9) * 2 * 16 + ((i % 9) * 16) // 9) * 3 + 3, 1))) // 3
+        |     for i in range(0, 72)] AS grays
+        |  FROM px
+        |), h AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      [CASE WHEN grays[(i // 8) * 9 + (i % 8) + 1]
+        |              > grays[(i // 8) * 9 + (i % 8) + 2] THEN '1' ELSE '0' END
+        |       for i in range(0, 64)], '') AS dhash
+        |  FROM g
+        |)
+        |SELECT doc_id, dhash,
+        |  count(*) OVER (PARTITION BY dhash) AS n_same_hash
+        |FROM h""".stripMargin,
+    // same ASCII-sample reconstruction as mm_audio_fp; centered signal
+    // n·s − Σs keeps DC removal integer; all ratios non-negative
+    "mm_audio_zcr" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+        |     for i in range(0, 512)] AS v
+        |  FROM px
+        |), ctr AS (
+        |  SELECT doc_id, [512 * x - list_sum(v) for x in v] AS c FROM smp
+        |), m AS (
+        |  SELECT doc_id, c,
+        |    list_max(list_transform(c, x -> abs(x)))::BIGINT AS peak
+        |  FROM ctr
+        |), agg AS (
+        |  SELECT doc_id, 512::BIGINT AS n_samples,
+        |    list_sum([CASE WHEN (c[i] >= 0) <> (c[i + 1] >= 0) THEN 1 ELSE 0 END
+        |              for i in range(1, 512)])::BIGINT AS n_crossings,
+        |    list_sum([CASE WHEN 10 * abs(c[i]) < peak THEN 1 ELSE 0 END
+        |              for i in range(1, 513)])::BIGINT AS n_quiet
+        |  FROM m
+        |)
+        |SELECT doc_id, n_samples, n_crossings,
+        |  (n_crossings * 10000 // (n_samples - 1))::BIGINT AS zcr_e4,
+        |  n_quiet, (n_quiet * 10000 // n_samples)::BIGINT AS quiet_e4
+        |FROM agg""".stripMargin,
   )
 }

@@ -460,6 +460,32 @@ object Analytics {
           .otherwise(lit(0L)).as("closure_e4"))
   }
 
+  /** One label-propagation step over a weighted undirected pair table
+    * (item_a, item_b, n_ab) from singleton initialization: each node
+    * adopts the label of its heaviest incident edge's neighbor
+    * (tie-break: smallest neighbor id) — LPA iteration 1, which from
+    * id-labels is exactly "attach to your strongest association". The
+    * community seed for basket-graph clustering, composable: feed the
+    * output labels back through a join to run iteration 2 (same shape as
+    * [[graft.dedup.Dedup]]'s edge-contraction rounds).
+    *
+    * Scale: symmetrize (a map-side union), one per-node window over the
+    * incident-edge lists — bounded by the pair table, which
+    * [[coOccurrence]] already thresholds; no |nodes|² anywhere.
+    */
+  def labelPropStep(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("nbr"), col("n_ab"))
+      .union(pairs
+        .select(col("item_b").as("item"), col("item_a").as("nbr"), col("n_ab")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("n_ab").desc, col("nbr"))
+    sym
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("item"), col("nbr").as("label"), col("n_ab").as("label_weight"))
+  }
+
   /** Fixed-iteration weighted PageRank in EXACT INTEGER e9 arithmetic —
     * graph centrality as a deterministic dataflow: every step is a
     * floor-divided integer, so any engine (and any aggregation order)

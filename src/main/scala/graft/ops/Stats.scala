@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.Cols
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric / concentration statistics, all integer-exact so the
+  * DuckDB oracle hashes bit-for-bit (the round-3/round-5 lesson: any
+  * cross-engine double or int128 in a result column eventually diverges).
+  *
+  * - [[mannWhitney]]: rank-sum A/B test — the nonparametric partner of
+  *   [[Analytics.abLift]]'s proportion z-test (does the VALUE distribution
+  *   differ between arms, not just the converter rate).
+  * - [[hhi]]: Herfindahl–Hirschman concentration per group — the
+  *   "one whale or many minnows" readout that pairs with
+  *   [[Scale.keySkew]]'s hottest-key share.
+  * - [[gini]]: spend-inequality coefficient over per-customer revenue.
+  * - [[hourSpearman]]: rank correlation between two hourly activity
+  *   series over the 24-row hour-of-day domain.
+  * - [[compactionPlan]]: next-fit small-file bin packing — the layout
+  *   maintenance planner a 100 TB table runs nightly.
+  */
+object Stats {
+
+  /** Mann–Whitney U between the two deterministic experiment arms
+    * (`arm = hash60('ab:' || user_id) % 2` — the same salted split as
+    * [[Analytics.abLift]]), per event type, over the event `value`.
+    *
+    * Rank sums use midrank tie handling kept in INTEGERS by doubling:
+    * for a distinct value v with `below(v)` observations strictly less
+    * and `c(v)` tied, each tied observation's doubled midrank is
+    * `2·below + c + 1`, so `r2_a = Σ_v c_a(v)·(2·below(v) + c(v) + 1)`
+    * is exactly twice arm A's rank sum. Then `u2_a = r2_a − n_a(n_a+1)`
+    * is twice the U statistic (≥ 0 by construction) and
+    * `auc_e4 = ⌊u2_a·10⁴ / (2·n_a·n_b)⌋` is the common-language effect
+    * size P(A > B) + ½P(A = B) in e4 — 5000 means "no shift".
+    *
+    * Scale: one hash aggregate to |event_type × distinct value| rows
+    * (map-side combined), then a per-type running-sum window over that
+    * already-aggregated table — the same bounded rank-pass posture as
+    * [[Scale.keySkew]]; nothing scales with raw event count.
+    */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val perValue = events
+      .select(col("event_type"), arm.as("__arm"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("c_a"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perValue
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c_a")).as("n_a"),
+        sum(col("c") - col("c_a")).as("n_b"),
+        sum(col("c_a") * (lit(2L) * col("below") + col("c") + 1L)).as("r2_a"))
+      .select(
+        col("event_type"), col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        when(col("n_a") * col("n_b") > 0,
+          Cols.floorDiv(
+            (col("r2_a") - col("n_a") * (col("n_a") + 1L)) * 10000L,
+            lit(2L) * col("n_a") * col("n_b"))).as("auc_e4"))
+  }
+
+  /** Herfindahl–Hirschman concentration of events across users, per event
+    * type: `hhi_ppm = ⌊Σc²·10⁶ / t²⌋` (10⁶ = single-user monopoly) and
+    * the inverse-Simpson "effective user count" `⌊t² / Σc²⌋` — how many
+    * equal-share users would produce this concentration. Pairs with
+    * [[Scale.keySkew]]: that reports the single hottest key, this reports
+    * the whole distribution's concentration in one number.
+    *
+    * Integer ranges: Σc² ≤ t², so `Σc²·10⁶` fits int64 up to t ≈ 3·10⁶
+    * rows per group; beyond that (100 TB, billions of rows per type) run
+    * the same aggregate over per-key ppm shares — documented, same shape.
+    *
+    * Scale: two hash aggregates (user counts, then per-type moments),
+    * both map-side combined; output is |event_type| rows.
+    */
+  def hhi(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("__s2"))
+      .select(
+        col("event_type"), col("n_users"), col("n_events"),
+        Cols.floorDiv(col("__s2") * 1000000L, col("n_events") * col("n_events"))
+          .as("hhi_ppm"),
+        Cols.floorDiv(col("n_events") * col("n_events"), col("__s2"))
+          .as("effective_users"))
+
+  /** Gini coefficient of per-customer spend (whole dollars, floor of the
+    * exact cents so both engines truncate identically):
+    * `g_e4 = ⌊(2·Σ(i·xᵢ) − (n+1)·Σx)·10⁴ / (n·Σx)⌋` with spend ranked
+    * ascending, ties broken by customer key — the standard rank-covariance
+    * form, exact in int64 at dollar granularity up to ~10⁹ customer-dollars
+    * of Σ(i·x) headroom (document: at 100 TB shard the rank pass by spend
+    * decile and merge, same as any global-rank statistic).
+    *
+    * Output is one row: n_customers, total_spend, gini_e4 (0 = perfectly
+    * equal, → 10⁴ as one customer takes everything).
+    *
+    * Scale: one hash aggregate to |customers| rows, a single rank window
+    * over that aggregated table (the bounded rank-pass posture), one
+    * 1-row reduce.
+    */
+  def gini(orders: DataFrame): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_custkey"))
+      .agg(Cols.floorDiv(
+        sum(round(col("o_totalprice") * 100).cast("long")), 100L).as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_spend"),
+        sum(col("i") * col("x")).as("__ix"))
+      .select(
+        col("n_customers"), col("total_spend"),
+        Cols.floorDiv(
+          (lit(2L) * col("__ix") - (col("n_customers") + 1L) * col("total_spend")) * 10000L,
+          col("n_customers") * col("total_spend")).as("gini_e4"))
+  }
+
+  /** Spearman rank correlation between hourly total activity and hourly
+    * purchase activity over the 24-row hour-of-day domain — "do busy
+    * hours buy". Midranks are doubled to stay integer (ties in hourly
+    * counts are possible), so `d2 = Σ(rx₂ − ry₂)² = 4·Σd²` and
+    * `rho_e4 = 10⁴ − ⌊6·d2·10⁴ / (4·n·(n²−1))⌋` — the classic Σd² form;
+    * the tie-correction factor is deliberately omitted (documented
+    * convention, identical in both engines; hourly counts rarely tie).
+    *
+    * Scale: one hash aggregate to 24 rows, then rank windows over 24
+    * rows — negligible regardless of input size.
+    */
+  def hourSpearman(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(Cols.floorDiv(pmod(col("ts_ms"), lit(86400000L)), 3600000L).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+    // doubled midrank = 2·rank + (ties − 1): rank() gives the first
+    // position of a tie run, counting ties completes the midrank
+    def rank2(c: String): org.apache.spark.sql.Column = {
+      val r = rank().over(Window.orderBy(col(c))).cast("long")
+      val t = count(lit(1)).over(Window.partitionBy(col(c)))
+      lit(2L) * r + (t - 1L)
+    }
+    hourly
+      .select(
+        col("hour"), col("n_events"), col("n_purchases"),
+        rank2("n_events").as("rx2"), rank2("n_purchases").as("ry2"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum((col("rx2") - col("ry2")) * (col("rx2") - col("ry2"))).as("d2"))
+      .select(
+        col("n_hours"), col("d2"),
+        (lit(10000L) - Cols.floorDiv(
+          lit(6L) * col("d2") * 10000L,
+          lit(4L) * col("n_hours") * (col("n_hours") * col("n_hours") - 1L)))
+          .as("rho_e4"))
+  }
+
+  /** Count-Min sketch heavy-hitter readout: build the `depth × width`
+    * sketch (independent md5 hash rows — deterministic, so unlike most
+    * sketches this one carries an exact cross-engine oracle), then for
+    * the `topK` exact-heaviest keys report exact count, CM estimate
+    * (min over rows), and the overcount — the one-sided-error diagnostic
+    * that tells you whether `width` is sized for the traffic. The CM
+    * guarantee holds by construction: estimate ≥ exact always;
+    * overcount ~ (n_rows − exact)/width per hash row before the min.
+    *
+    * Scale: the sketch is ONE hash aggregate to depth·width rows
+    * (map-side combined — this is the whole point of CM at 100 TB: the
+    * reduce state is 1024 cells regardless of key cardinality), then the
+    * tiny sketch broadcasts into the topK keys' estimate join. The exact
+    * top-K pass exists only because this is a *diagnostic* of the
+    * sketch; production reads the sketch alone.
+    */
+  def countMinEstimates(
+      events: DataFrame,
+      key: String = "user_id",
+      depth: Int = 4,
+      width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    def buckets = array((0 until depth).map { r =>
+      pmod(Cols.hash60(concat(lit(s"cm$r:"), col(key))), lit(width.toLong))
+    }: _*)
+    val sketch = events
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = events
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact_n").desc, col(key))).cast("long"))
+      .filter(col("rank") <= topK)
+    top
+      .select(col(key), col("exact_n"), col("rank"),
+        posexplode(buckets).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col(key), col("exact_n"), col("rank"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(
+        col(key), col("rank"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overcount"))
+  }
+
+  /** Small-file compaction plan: treat the table's hash buckets
+    * (`hash60(key) mod nBuckets` — the same engine-stable bucketing the
+    * zone map and partitioned writers use) as "files" with their row
+    * counts, and pack them in bucket order into target-size bins by
+    * NEXT-FIT on the running sum: `bin = ⌊running_rows_before / target⌋`.
+    * Output per bin: file count, total rows, and the contiguous
+    * [first_bucket, last_bucket] range a compaction job would coalesce —
+    * the nightly layout-maintenance plan that turns ten thousand small
+    * files into target-size ones without a full rewrite.
+    *
+    * Deterministic (no bin-packing heuristic ties), and contiguous ranges
+    * mean each compaction task reads a sequential bucket span. Scale: one
+    * hash aggregate to nBuckets rows, then an nBuckets-row window —
+    * the plan costs nothing next to the data it reorganizes.
+    */
+  def compactionPlan(
+      df: DataFrame,
+      key: String,
+      nBuckets: Int = 64,
+      targetRows: Long = 2000L): DataFrame = {
+    val files = df
+      .select(pmod(Cols.hash60(col(key)), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin", Cols.floorDiv(col("__before"), targetRows))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("total_rows"),
+        min(col("bucket")).as("first_bucket"),
+        max(col("bucket")).as("last_bucket"))
+  }
+}

@@ -88,6 +88,39 @@ object Similarity {
   def lshTopK(spark: SparkSession, embeddings: DataFrame, k: Int = TopK,
               dim: Int = 64, tables: Int = Dedup.LshTables,
               bits: Int = Dedup.LshBitsPerTable): DataFrame = {
+    val scored = lshScored(embeddings, dim, tables, bits)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Threshold (range) retrieval over the same multi-table hyperplane
+    * index as [[lshTopK]]: every candidate pair the buckets surface with
+    * exact cosine ≥ `minCosine` — "all neighbors within a radius" rather
+    * than "the k nearest", the retrieval mode behind near-dup mining and
+    * radius-bounded RAG context. Deterministic md5 planes, so (like the
+    * top-k variant) it carries a full DuckDB oracle despite being an ANN
+    * index — candidates short of 100% recall are *pinned by construction*,
+    * not probabilistic noise.
+    *
+    * Scale: identical posture to [[lshTopK]] — bucket join bounded by
+    * Σ bucket-size², exact verification on candidates only; the result is
+    * output-bounded (pairs above the radius), never |corpus|².
+    */
+  def lshRangeSearch(spark: SparkSession, embeddings: DataFrame,
+                     minCosine: Double = 0.35, dim: Int = 64,
+                     tables: Int = Dedup.LshTables,
+                     bits: Int = Dedup.LshBitsPerTable): DataFrame =
+    lshScored(embeddings, dim, tables, bits)
+      .filter(col("cosine") >= minCosine)
+
+  /** Shared LSH stage: multi-table bucket assignment, candidate join,
+    * exact quantized-cosine scoring. Feeds [[lshTopK]] (rank filter) and
+    * [[lshRangeSearch]] (radius filter).
+    */
+  private def lshScored(embeddings: DataFrame, dim: Int,
+                        tables: Int, bits: Int): DataFrame = {
     val q = Dedup.quantized(embeddings)
     // planes as literal arrays (tables × bits × dim longs), built once on
     // the driver and folded into the plan as constants
@@ -124,10 +157,7 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
   }
 
   /** IVF (inverted-file) ANN with the `label` column as the coarse
@@ -937,6 +967,7 @@ object Similarity {
     "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
+    "ann_range_lsh" -> ((s, d) => lshRangeSearch(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
@@ -1577,6 +1608,42 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // the ann_topk_lsh CTEs with a radius filter instead of a rank cut
+    "ann_range_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${Dedup.LshTables * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM n CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bk qb JOIN bk cb
+         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand c
+         |  JOIN n qq ON qq.vec_id = c.query_id
+         |  JOIN n nn ON nn.vec_id = c.neighbor_id
+         |)
+         |SELECT * FROM scored WHERE cosine >= 0.35""".stripMargin,
     "ann_topk_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

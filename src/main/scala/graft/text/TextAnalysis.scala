@@ -536,6 +536,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("ws_tokens"), col("cum_before"), col("pack_id"))
   }
 
+  /** Overlapping-window RAG chunking: split each document's whitespace
+    * tokens into chunks of `chunkTokens` advancing by `stride` (overlap
+    * `chunkTokens − stride`), each chunk re-joined as text with its
+    * index, 1-based start-token offset, and actual token count (the last
+    * chunk may be short). The retrieval-prep step between cleaning and
+    * embedding: every downstream vector in the ANN family is "a chunk",
+    * and the (doc_id, chunk_idx) pair is the stable citation key.
+    * Chunk count is `1 + ⌈(len − chunkTokens)/stride⌉` (always ≥ 1, so
+    * empty/short docs still emit exactly one chunk).
+    *
+    * Scale: pure map — tokenize, explode a bounded index sequence,
+    * slice; no shuffle at all, output rows ≈ corpus tokens / stride.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    val nChunks = when(size(col("toks")) <= chunkTokens, lit(1L))
+      .otherwise(lit(1L) + Cols.floorDiv(
+        size(col("toks")).cast("long") - chunkTokens + (stride - 1), stride.toLong))
+    docs
+      .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1L).as("start_token"),
+        size(slice(col("toks"), (col("chunk_idx") * stride + 1L).cast("int"),
+          lit(chunkTokens))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_idx") * stride + 1L).cast("int"),
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Deterministic domain-mixture downsampling: cap every source at
     * ~`budgetTokens` whitespace tokens — the "rebalance the web-heavy crawl
     * against the small curated sets" step of assembling a training mixture.
@@ -1062,6 +1092,8 @@ object TextAnalysis {
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    // overlapping-window RAG chunking: (doc_id, chunk_idx) citation keys
+    "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "txt_surprisal_deciles" -> ((s, d) => surprisalDeciles(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
@@ -1336,6 +1368,20 @@ object TextAnalysis {
          |SELECT doc_id, split, ws_tokens, cum_before,
          |  cum_before // 2048 AS pack_id
          |FROM cum""".stripMargin,
+    // 64-token windows advancing by 48; list slices are inclusive-bounds
+    "txt_chunk" ->
+      s"""$tokCte, c AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 64 THEN 1
+         |         ELSE 1 + (len(toks) - 64 + 47) // 48 END AS k
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, toks, unnest(generate_series(0, k - 1)) AS i FROM c
+         |)
+         |SELECT doc_id, i::BIGINT AS chunk_idx, (i * 48 + 1)::BIGINT AS start_token,
+         |  len(toks[i * 48 + 1 : i * 48 + 64])::BIGINT AS n_tokens,
+         |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+         |FROM u""".stripMargin,
     "txt_surprisal_deciles" ->
       s"""$tokCte, terms AS (
          |  SELECT doc_id, unnest(toks) AS term FROM t

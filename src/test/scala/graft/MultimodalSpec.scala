@@ -196,6 +196,51 @@ class MultimodalSpec extends SparkSpec {
     assert(d >= 1 && d <= 4, s"one-pixel edit should flip few bits, flipped $d")
   }
 
+  test("dHash: gradient direction sets bits; invariant to brightness shift") {
+    // 9x8 source resizes to 9x8 identically; a left-to-right DECREASING
+    // gradient sets every bit, increasing sets none
+    def img(g: (Int, Int) => Int): Array[Byte] =
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++
+        (0 until 8).flatMap(y => (0 until 9).flatMap { x =>
+          val v = g(x, y).toByte; Seq(v, v, v)
+        }).toArray
+    assert(Multimodal.Codecs.dHashPpm(img((x, _) => 90 - x * 10)) === "1" * 64)
+    assert(Multimodal.Codecs.dHashPpm(img((x, _) => x * 10)) === "0" * 64)
+    // monotone brightness change preserves the gradient signature — the
+    // invariance aHash does not have
+    val base = img((x, y) => 10 + ((x * 7 + y * 13) % 80))
+    val brighter = img((x, y) => 110 + ((x * 7 + y * 13) % 80))
+    assert(Multimodal.Codecs.dHashPpm(base) === Multimodal.Codecs.dHashPpm(brighter))
+  }
+
+  test("zcrWav: hand-computed crossings with DC removal; degenerate clips") {
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    // alternating square wave: 3 sign flips, nothing below 10% of peak
+    assert(Multimodal.Codecs.zcrWav(wav(Seq[Short](10, -10, 10, -10))) === ((4L, 3L, 0L)))
+    // same wave riding a +100 DC offset: centering must recover the flips
+    assert(Multimodal.Codecs.zcrWav(wav(Seq[Short](110, 90, 110, 90))) === ((4L, 3L, 0L)))
+    // constant signal: centered to all-zero, no crossings, zero peak
+    assert(Multimodal.Codecs.zcrWav(wav(Seq[Short](5, 5, 5, 5))) === ((4L, 0L, 0L)))
+    // loud symmetric pair + near-silence (zero mean, so c = 8·s): peak
+    // 8000, quiet slots are |s| < 100 → the six small samples; crossings
+    // at the four leading sign flips (zero counts as non-negative)
+    val mixed = Seq[Short](1000, -1000, 10, -10, 0, 0, 0, 0)
+    assert(Multimodal.Codecs.zcrWav(wav(mixed)) === ((8L, 4L, 6L)))
+    // empty data chunk: all-zero report, no crash
+    assert(Multimodal.Codecs.zcrWav(wav(Seq.empty)) === ((0L, 0L, 0L)))
+  }
+
   test("phash pipeline: duplicate texts cluster, distinct text stands alone") {
     val docs = Seq(
       (1L, "same words here all along the row"),

@@ -1,0 +1,148 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** The integer-exact statistics family: each operator checked against an
+  * independent in-memory reference computation (not just "runs").
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannWhitney matches the textbook midrank computation") {
+    // two arms with a known shift; replicate the salted arm assignment
+    // per user, then compute U by brute-force pair counting: U_a =
+    // #(a > b) + 0.5 #(a == b) over all cross-arm pairs — the doubled
+    // u2_a must equal 2·U_a exactly
+    val rows = (1 to 200).map { i =>
+      (i.toLong % 40, "t", (i % 7).toDouble + (i % 3) * 0.5)
+    }
+    val df = rows.toDF("user_id", "event_type", "value")
+    val out = Stats.mannWhitney(df)
+      .as[(String, Long, Long, Long, Long)].collect().head
+
+    val armOf = df.select($"user_id",
+      pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val (as, bs) = rows.partition { case (u, _, _) => armOf(u) == 0L }
+    val u2 = (for (a <- as; b <- bs) yield {
+      if (a._3 > b._3) 2L else if (a._3 == b._3) 1L else 0L
+    }).sum
+    assert(out._2 === as.size.toLong)
+    assert(out._3 === bs.size.toLong)
+    assert(out._4 === u2, "doubled U mismatch vs brute-force pair count")
+    assert(out._5 === Math.floorDiv(u2 * 10000L, 2L * as.size * bs.size))
+  }
+
+  test("mannWhitney: identical distributions give auc_e4 = 5000") {
+    // every user contributes the same single value → all ties → U = n_a·n_b/2
+    val df = (1 to 100).map(i => (i.toLong, "t", 1.0)).toDF("user_id", "event_type", "value")
+    val (_, nA, nB, u2, auc) =
+      Stats.mannWhitney(df).as[(String, Long, Long, Long, Long)].collect().head
+    assert(u2 === nA * nB)          // 2·U = 2·(n_a·n_b/2)
+    assert(auc === 5000L)
+  }
+
+  test("hhi: monopoly is 10^6 ppm, uniform is 10^6/n with effective n") {
+    val mono = (1 to 50).map(_ => (1L, "t")).toDF("user_id", "event_type")
+    val m = Stats.hhi(mono.withColumn("event_type", lit("t")))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(m._4 === 1000000L && m._5 === 1L)
+
+    val uniform = (1 to 50).map(i => (i.toLong, "t")).toDF("user_id", "event_type")
+    val u = Stats.hhi(uniform).as[(String, Long, Long, Long, Long)].collect().head
+    assert(u._4 === 1000000L / 50 && u._5 === 50L)
+  }
+
+  test("gini: perfect equality 0; extreme concentration near (n-1)/n") {
+    val equal = (1 to 10).map(i => (i.toLong, 100.0)).toDF("o_custkey", "o_totalprice")
+    assert(Stats.gini(equal).as[(Long, Long, Long)].collect().head._3 === 0L)
+
+    // one whale: G = (n-1)/n with a whole-dollar whale; 9/10 → 9000 e4
+    val whale = ((1 to 9).map(i => (i.toLong, 0.0)) :+ (10L, 1000.0))
+      .toDF("o_custkey", "o_totalprice")
+    assert(Stats.gini(whale).as[(Long, Long, Long)].collect().head._3 === 9000L)
+  }
+
+  test("hourSpearman: a perfectly monotone relationship gives rho_e4 = 10000") {
+    // hour h gets h+1 purchase events and h+1 total events → identical
+    // rankings; ts lands inside hour h via h*3600000 + 1
+    val rows = for {
+      h <- 0 until 24
+      i <- 0 to h
+    } yield (h * 3600000L + 1000L + i, "purchase", i.toLong)
+    val df = rows.toDF("ts_ms", "event_type", "user_id")
+    val (n, d2, rho) = Stats.hourSpearman(df).as[(Long, Long, Long)].collect().head
+    assert(n === 24L && d2 === 0L && rho === 10000L)
+  }
+
+  test("hourSpearman: reversed relationship gives rho_e4 = -10000") {
+    // purchases rise with hour while total activity falls: hour h has
+    // 3·(24-h) filler events and h+1 purchases, so totals 73-2h strictly
+    // fall while purchases strictly rise → exactly opposite ranks
+    val rows = (for {
+      h <- 0 until 24
+      i <- 0 until 3 * (24 - h)
+    } yield (h * 3600000L + 1000L + i, "view", i.toLong)) ++ (for {
+      h <- 0 until 24
+      i <- 0 to h
+    } yield (h * 3600000L + 2000L + i, "purchase", i.toLong))
+    val df = rows.toDF("ts_ms", "event_type", "user_id")
+    val (n, _, rho) = Stats.hourSpearman(df).as[(Long, Long, Long)].collect().head
+    assert(n === 24L && rho === -10000L)
+  }
+
+  test("countMinEstimates: estimate dominates exact; exact-width sketch is tight") {
+    // 30 keys, key i appears i times → top-20 well defined
+    val rows = for { k <- 1 to 30; _ <- 1 to k } yield Tuple1(k.toLong)
+    val df = rows.toDF("user_id")
+    val out = graft.ops.Stats.countMinEstimates(df, "user_id", depth = 4, width = 8, topK = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 20)
+    // CM's one-sided error: estimate ≥ exact, overcount = est − exact ≥ 0
+    out.foreach { case (_, _, exact, est, over) =>
+      assert(est >= exact && over === est - exact)
+    }
+    // rank 1 is the heaviest key (30, count 30)
+    val r1 = out.find(_._2 === 1L).get
+    assert(r1._1 === 30L && r1._3 === 30L)
+    // a wide sketch (no collisions possible: width >> keys) is exact
+    val wide = graft.ops.Stats.countMinEstimates(df, "user_id", depth = 4, width = 4096, topK = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(wide.forall(_._5 === 0L), "width 4096 over 30 keys must be collision-free")
+  }
+
+  test("labelPropStep: each node adopts its heaviest neighbor, min-id ties") {
+    import graft.ops.Analytics
+    // triangle with weights: 1-2 (w5), 2-3 (w5), 1-3 (w2)
+    val pairs = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 2L))
+      .toDF("item_a", "item_b", "n_ab")
+    val labels = Analytics.labelPropStep(pairs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(labels(1L) === ((2L, 5L)))  // heaviest edge 1-2
+    assert(labels(3L) === ((2L, 5L)))  // heaviest edge 2-3
+    // node 2 ties between nbr 1 and nbr 3 at w5 → smallest neighbor id
+    assert(labels(2L) === ((1L, 5L)))
+  }
+
+  test("compactionPlan: bins respect the target and partition the files") {
+    val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("user_id")
+    val plan = Stats.compactionPlan(df, "user_id", nBuckets = 32, targetRows = 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plan.map(_._3).sum === 5000L, "bins must cover every row")
+    assert(plan.map(_._2).sum === 32L, "bins must cover every file")
+    // contiguity: each bin's bucket range never overlaps the next bin's
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, s"bins overlap: $a then $b")
+      case _ =>
+    }
+    // next-fit bound: every bin except the last stops once it crosses the
+    // target, so no bin (except possibly one oversized file) exceeds
+    // target + max single file
+    val maxFile = df.select(pmod(Cols.hash60($"user_id"), lit(32L)).as("b"))
+      .groupBy($"b").count().agg(max($"count")).as[Long].collect().head
+    plan.dropRight(1).foreach { bin =>
+      assert(bin._3 <= 1000L + maxFile, s"bin over target+maxFile: $bin")
+    }
+  }
+}

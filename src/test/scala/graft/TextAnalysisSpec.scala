@@ -449,4 +449,32 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, 0L, 0L),
       (3L, 4L, 3L, 7500L)))
   }
+
+  test("chunk: windows cover every token with the declared overlap") {
+    val words = (1 to 200).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunk(docs((1L, words)), chunkTokens = 64, stride = 48)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._2)
+    // 200 tokens → 1 + ceil((200-64)/48) = 1 + 3 = 4 chunks
+    assert(out.length === 4)
+    assert(out.map(_._3).toList === List(1L, 49L, 97L, 145L))
+    // full chunks carry 64 tokens; the last carries the remainder 200-144
+    assert(out.map(_._4).toList === List(64L, 64L, 64L, 56L))
+    // reconstruction: dropping each chunk's 16-token overlap with its
+    // predecessor and concatenating yields the original text
+    val rebuilt = out.zipWithIndex.map { case ((_, _, _, _, text), i) =>
+      val toks = text.split(" ")
+      if (i == 0) toks else toks.drop(64 - 48)
+    }.flatten.mkString(" ")
+    assert(rebuilt === words)
+  }
+
+  test("chunk: short and empty docs emit exactly one chunk") {
+    val out = TextAnalysis.chunk(docs((1L, "only three words"), (2L, "")))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out(0) === ((1L, 0L, 1L, 3L, "only three words")))
+    // empty text normalizes to one empty token — one chunk, same as the
+    // tokCte convention everywhere else
+    assert(out(1)._2 === 0L && out(1)._4 === 1L)
+  }
 }
