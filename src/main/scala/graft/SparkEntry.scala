@@ -716,6 +716,10 @@ object SparkEntry {
     "li_basket_pairs" -> ((s, dir) =>
       graft.ops.Analytics.coOccurrence(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
+    // directed sequence mining: first-buy-of-A strictly before
+    // first-buy-of-B per customer, with directional confidence
+    "ord_seq_pairs" -> ((s, dir) =>
+      graft.ops.Analytics.seqPairs(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // one LPA step over the basket graph: heaviest-neighbor label from
     // singleton init, the community seed for basket clustering
     "li_label_prop_step" -> ((s, dir) =>
@@ -2515,6 +2519,26 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // first-date dedupe before the self-join; strict < drops same-day
+    // ties on both sides, so direction is never ambiguous within a day
+    "ord_seq_pairs" ->
+      """WITH fb AS (
+        |  SELECT o.o_custkey AS cust, l.l_partkey AS item, min(o.o_orderdate) AS d
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2
+        |), buyers AS (
+        |  SELECT item, count(*)::BIGINT AS n FROM fb GROUP BY 1
+        |), thr AS (
+        |  SELECT greatest(2, count(DISTINCT cust) // 500)::BIGINT AS min_ab FROM fb
+        |), p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+        |  FROM fb a JOIN fb b ON a.cust = b.cust AND a.d < b.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, n_ab, buyers.n AS n_a,
+        |  (n_ab * 10000 // buyers.n)::BIGINT AS conf_e4
+        |FROM p JOIN buyers ON buyers.item = p.item_a
+        |CROSS JOIN thr WHERE n_ab >= thr.min_ab""".stripMargin,
     // the basket-pairs CTEs + symmetric expansion + heaviest-edge window
     "li_label_prop_step" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

@@ -460,6 +460,50 @@ object Analytics {
           .otherwise(lit(0L)).as("closure_e4"))
   }
 
+  /** Directed purchase-sequence mining — [[coOccurrence]]'s temporal
+    * partner: for each customer, part A at a strictly earlier FIRST
+    * purchase date than part B yields the ordered pair (A → B); pairs
+    * kept at support ≥ `minPairCount` with directional confidence
+    * `⌊n_ab·10⁴ / n_a⌋` (of customers who ever bought A, how many later
+    * bought B) — the "what do buyers of X go on to buy" table an
+    * email-sequence or restock planner reads. First-date semantics make
+    * each (customer, A, B) count once regardless of repurchases, and
+    * strict `<` drops same-day ties on BOTH sides (deterministic, no
+    * ordering ambiguity inside a day).
+    *
+    * Scale: baskets collapse to DISTINCT (customer, part, first-date)
+    * before the self-join, so fan-out is per-customer parts² over the
+    * DEDUPED assortment — the [[coOccurrence]] bound one level up
+    * (customer, not order). The support threshold is RELATIVE —
+    * `max(minPairCount, ⌊customers/500⌋)` as an in-plan broadcast scalar
+    * — so the output stays proportionally selective at any scale, where
+    * a fixed absolute count would stop binding at 10× the customers.
+    * Cap pathological customers (resellers) by assortment size before
+    * the join at 100 TB.
+    */
+  def seqPairs(orders: DataFrame, lineitem: DataFrame,
+               minPairCount: Long = 2L): DataFrame = {
+    val firstBuy = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .agg(min(col("o_orderdate")).as("d"))
+    val buyers = firstBuy.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val support = broadcast(firstBuy
+      .agg(count_distinct(col("cust")).as("__nc"))
+      .select(greatest(lit(minPairCount), Cols.floorDiv(col("__nc"), 500L)).as("__min_ab")))
+    firstBuy.select(col("cust"), col("item").as("item_a"), col("d").as("d_a"))
+      .join(firstBuy.select(col("cust"), col("item").as("item_b"), col("d").as("d_b")), "cust")
+      .filter(col("d_a") < col("d_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .crossJoin(support)
+      .filter(col("n_ab") >= col("__min_ab"))
+      .join(buyers.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        Cols.floorDiv(col("n_ab") * 10000L, col("n_a")).as("conf_e4"))
+  }
+
   /** One label-propagation step over a weighted undirected pair table
     * (item_a, item_b, n_ab) from singleton initialization: each node
     * adopts the label of its heaviest incident edge's neighbor

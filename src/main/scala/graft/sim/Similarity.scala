@@ -796,6 +796,38 @@ object Similarity {
         graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
+  /** LSH recall CURVE — recall@k for k ∈ `ks` from ONE pair of rankings:
+    * brute and LSH top-k tables are built once, the membership join fans
+    * out over the k arms map-side, and each arm aggregates its macro
+    * (pooled-over-queries) recall in e4. The parameter-sweep view
+    * [[ivfRecall]]'s per-query readout doesn't give: how recall decays
+    * as k grows is THE tables×bits sizing signal. Both constituents
+    * deterministic (md5 planes) → fully oracled.
+    *
+    * Scale: rankings are |queries|·k rows; the arms explode THAT table,
+    * never the corpus.
+    */
+  def lshRecallCurve(spark: SparkSession, embeddings: DataFrame,
+                     ks: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    val lsh = lshTopK(spark, embeddings, ks.max)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("l_rank"))
+    val joined = bruteForceTopK(embeddings, ks.max)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("b_rank"))
+      .join(lsh, Seq("query_id", "neighbor_id"), "left")
+    joined
+      .select(col("query_id"), col("b_rank"), col("l_rank"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .filter(col("b_rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        sum(when(col("l_rank") <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+      .select(
+        col("k"), col("n_queries"), col("n_truth"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("n_truth")).as("recall_e4"))
+  }
+
   /** PQ/ADC recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the code-only ADC search ([[adcTopK]]) recovers
     * — the quantitative answer to "is 4×16-dim quantization tight enough
@@ -968,6 +1000,7 @@ object Similarity {
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_range_lsh" -> ((s, d) => lshRangeSearch(s, Tables.embeddings(s, d))),
+    "ann_recall_curve" -> ((s, d) => lshRecallCurve(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
@@ -1644,6 +1677,70 @@ object Similarity {
          |  JOIN n nn ON nn.vec_id = c.neighbor_id
          |)
          |SELECT * FROM scored WHERE cosine >= 0.35""".stripMargin,
+    // brute + LSH rankings rebuilt side by side; NULL l_rank (miss)
+    // falls out of the CASE — macro recall pooled over queries per k arm
+    "ann_recall_curve" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), b_scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), b_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM b_scored
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${Dedup.LshTables * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM n CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bk qb JOIN bk cb
+         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0
+         |), l_scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand c
+         |  JOIN n qq ON qq.vec_id = c.query_id
+         |  JOIN n nn ON nn.vec_id = c.neighbor_id
+         |), l_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM l_scored
+         |), tr AS (
+         |  SELECT b.query_id, b.rank AS b_rank, l.rank AS l_rank
+         |  FROM (SELECT * FROM b_ranked WHERE rank <= $TopK) b
+         |  LEFT JOIN (SELECT * FROM l_ranked WHERE rank <= $TopK) l
+         |    USING (query_id, neighbor_id)
+         |), e AS (
+         |  SELECT k, query_id, b_rank, l_rank
+         |  FROM tr CROSS JOIN (SELECT unnest([1, 3, 5]) AS k)
+         |  WHERE b_rank <= k
+         |)
+         |SELECT k::BIGINT AS k, count(DISTINCT query_id)::BIGINT AS n_queries,
+         |  count(*)::BIGINT AS n_truth,
+         |  sum(CASE WHEN l_rank <= k THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  (sum(CASE WHEN l_rank <= k THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS recall_e4
+         |FROM e GROUP BY 1""".stripMargin,
     "ann_topk_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

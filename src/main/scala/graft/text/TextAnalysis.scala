@@ -536,6 +536,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("ws_tokens"), col("cum_before"), col("pack_id"))
   }
 
+  /** Per-source vocabulary-divergence screen: χ² contribution of each
+    * source against the corpus over the top-`topTerms` corpus terms —
+    * "which crawl slice's word distribution is drifting". The cell grid
+    * is |sources| × topTerms INCLUDING empty cells (an absent hot term is
+    * evidence, same discipline as [[graft.ops.Profile.chi2Independence]]);
+    * per-cell terms are e4-quantized THEN summed so the per-source total
+    * is aggregation-order-independent. Output per source: in-vocab token
+    * count and the χ² divergence e4 — rank sources by it to find the
+    * outlier slice before it trains.
+    *
+    * Scale: one token scan → map-side-combined term agg; the top-V rank
+    * runs on the aggregated vocabulary; cells join the broadcast V-row
+    * vocab. Nothing pairs docs or sources; grid is sources × V rows.
+    */
+  def sourceChi2(docs: DataFrame, topTerms: Int = 50): DataFrame = {
+    val terms = docs.select(col("source"),
+      explode(Cols.tokens(col("text"))).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("__f"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__f").desc, col("term"))))
+      .filter(col("__rk") <= topTerms)
+      .select(col("term"))
+    val cells = terms.join(broadcast(vocab), "term")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("source")).agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy(col("term")).agg(sum(col("__o")).as("__c"))
+    val total = cells.agg(sum(col("__o")).as("__n"))
+    val d = (col("__o").cast("double") * col("__n").cast("double")
+      - col("__r").cast("double") * col("__c").cast("double"))
+    val termE4 = round(d * d * 10000.0
+      / (col("__r").cast("double") * col("__c").cast("double") * col("__n").cast("double")))
+      .cast("long")
+    rowT
+      .crossJoin(colT)
+      .join(cells, Seq("source", "term"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__o")).as("n_tokens"),
+        sum(termE4).as("chi2_e4"))
+  }
+
   /** Overlapping-window RAG chunking: split each document's whitespace
     * tokens into chunks of `chunkTokens` advancing by `stride` (overlap
     * `chunkTokens − stride`), each chunk re-joined as text with its
@@ -1094,6 +1137,8 @@ object TextAnalysis {
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     // overlapping-window RAG chunking: (doc_id, chunk_idx) citation keys
     "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
+    // per-source vocabulary-divergence screen over the top-50 terms
+    "txt_source_chi2" -> ((s, d) => sourceChi2(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "txt_surprisal_deciles" -> ((s, d) => surprisalDeciles(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
@@ -1382,6 +1427,40 @@ object TextAnalysis {
          |  len(toks[i * 48 + 1 : i * 48 + 64])::BIGINT AS n_tokens,
          |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
          |FROM u""".stripMargin,
+    // full grid incl. empty cells; per-cell terms e4-quantized THEN
+    // summed (the ev_chi2_hour discipline, grouped by source)
+    "txt_source_chi2" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), tm AS (
+        |  SELECT source, unnest(toks) AS term FROM s
+        |), vf AS (
+        |  SELECT term, count(*)::BIGINT AS f FROM tm GROUP BY 1
+        |), vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY f DESC, term) AS rk FROM vf) v
+        |  WHERE rk <= 50
+        |), cells AS (
+        |  SELECT source, term, count(*)::BIGINT AS o
+        |  FROM tm JOIN vocab USING (term) GROUP BY 1, 2
+        |), rt AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1
+        |), ct AS (SELECT term, sum(o)::BIGINT AS c FROM cells GROUP BY 1
+        |), nt AS (SELECT sum(o)::BIGINT AS n FROM cells
+        |), grid AS (
+        |  SELECT rt.source, ct.term, rt.r, ct.c, coalesce(cells.o, 0)::BIGINT AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.source = rt.source AND cells.term = ct.term
+        |), t AS (
+        |  SELECT grid.source, grid.o,
+        |    round((grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE)
+        |        * (grid.o::DOUBLE * nt.n::DOUBLE - grid.r::DOUBLE * grid.c::DOUBLE) * 10000.0
+        |        / (grid.r::DOUBLE * grid.c::DOUBLE * nt.n::DOUBLE))::BIGINT AS term_e4
+        |  FROM grid CROSS JOIN nt
+        |)
+        |SELECT source, sum(o)::BIGINT AS n_tokens, sum(term_e4)::BIGINT AS chi2_e4
+        |FROM t GROUP BY 1""".stripMargin,
     "txt_surprisal_deciles" ->
       s"""$tokCte, terms AS (
          |  SELECT doc_id, unnest(toks) AS term FROM t

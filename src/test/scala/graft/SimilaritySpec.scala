@@ -299,4 +299,25 @@ class SimilaritySpec extends SparkSpec {
       (3L, 1L, 1L, 1L, 1L, 64L),
       (4L, 0L, 0L, 0L, 0L, 32L)))
   }
+
+  test("lshRecallCurve: truth pool = k·queries; recall consistent with the rankings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val curve = Similarity.lshRecallCurve(spark, emb)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toList === List(1L, 3L, 5L))
+    curve.foreach { case (k, nq, nTruth, nHit, recall) =>
+      assert(nTruth === k * nq, "every query contributes exactly k truth rows")
+      assert(nHit >= 0 && nHit <= nTruth)
+      assert(recall === Math.floorDiv(nHit * 10000, nTruth))
+    }
+    // the k=5 arm must agree with the per-query ivf-style readout's pool:
+    // recompute recall@5 independently from the two rankings
+    val lsh5 = Similarity.lshTopK(spark, emb, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val brute5 = Similarity.bruteForceTopK(emb, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val hits = brute5.count(lsh5.contains)
+    val k5 = curve.find(_._1 == 5L).get
+    assert(k5._4 === hits.toLong)
+  }
 }

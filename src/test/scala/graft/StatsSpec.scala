@@ -125,6 +125,31 @@ class StatsSpec extends SparkSpec {
     assert(labels(2L) === ((1L, 5L)))
   }
 
+  test("seqPairs: direction respected, same-day ties dropped, confidence exact") {
+    import graft.ops.Analytics
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // customers 1..4 all buy part 10 first, part 20 later; customer 5
+    // buys both same day (tie → dropped); customer 6 buys only part 10
+    val orders = Seq(
+      (101L, 1L, d("2024-01-01")), (102L, 1L, d("2024-02-01")),
+      (103L, 2L, d("2024-01-01")), (104L, 2L, d("2024-02-01")),
+      (105L, 3L, d("2024-01-01")), (106L, 3L, d("2024-02-01")),
+      (107L, 4L, d("2024-01-01")), (108L, 4L, d("2024-02-01")),
+      (109L, 5L, d("2024-03-01")), (110L, 6L, d("2024-01-05"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (101L, 10L), (102L, 20L), (103L, 10L), (104L, 20L),
+      (105L, 10L), (106L, 20L), (107L, 10L), (108L, 20L),
+      (109L, 10L), (109L, 20L), (110L, 10L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.seqPairs(orders, lineitem)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // only 10 → 20 survives: support 4 (cust 5's same-day tie excluded),
+    // 6 customers ever bought part 10 → confidence 4/6 = 6666 e4
+    assert(out.toList === List((10L, 20L, 4L, 6L, 6666L)))
+  }
+
   test("compactionPlan: bins respect the target and partition the files") {
     val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("user_id")
     val plan = Stats.compactionPlan(df, "user_id", nBuckets = 32, targetRows = 1000L)

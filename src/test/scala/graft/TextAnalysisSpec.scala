@@ -450,6 +450,23 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 4L, 3L, 7500L)))
   }
 
+  test("sourceChi2: identical sources score zero; a skewed source dominates") {
+    def docsWithSource(rows: (Long, String, String)*) =
+      rows.map { case (id, t, src) => (id, t, "en", src) }
+        .toDF("doc_id", "text", "lang", "source")
+    // two sources with identical term distributions → every cell o == e
+    val evenScores = TextAnalysis.sourceChi2(docsWithSource(
+      (1L, "a b c a b c", "web"), (2L, "a b c a b c", "wiki")), topTerms = 3)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(evenScores.values.forall(_ === 0L), s"identical sources must score 0: $evenScores")
+    // one source is all-'z' while the other mixes → both diverge, the
+    // statistic is symmetric here (2×2-ish grid) and strictly positive
+    val skew = TextAnalysis.sourceChi2(docsWithSource(
+      (1L, "z z z z z z z z", "spam"), (2L, "a b c d a b c d", "web")), topTerms = 5)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(skew("spam") > 0L && skew("web") > 0L)
+  }
+
   test("chunk: windows cover every token with the declared overlap") {
     val words = (1 to 200).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunk(docs((1L, words)), chunkTokens = 64, stride = 48)
