@@ -115,6 +115,73 @@ object Similarity {
     lshScored(embeddings, dim, tables, bits)
       .filter(col("cosine") >= minCosine)
 
+  /** Multi-table bucket assignment over an already-quantized vector
+    * table: planes as literal arrays (tables × bits × dim longs), built
+    * once on the driver and folded into the plan as constants. One row
+    * per (vector, table).
+    */
+  private def lshBuckets(q: DataFrame, dim: Int,
+                         tables: Int, bits: Int): DataFrame = {
+    val bucketCols: Seq[Column] = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = array((0 until dim).map(i => lit(planeComponent(t * bits + b, i))): _*)
+        when(Dedup.longDot(col("qv"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    q.select(
+      col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** LSH index-health report, per hash table: bucket count, occupied-
+    * bucket row total, the largest bucket, and Σ size² — the EXACT
+    * candidate-join cost the bucketed pair join will pay. This is the
+    * number to read BEFORE running `ann_topk_lsh`/`dedup_embedding_lsh`
+    * at scale: a skewed table (one mega-bucket) shows up here as a
+    * dominating `join_cost` long before the join runs. The bits dial
+    * trades this cost against recall; the per-table report shows whether
+    * any single table is degenerate while others are healthy.
+    *
+    * Scale: one map-side-combined hash agg to |tables|·2^bits rows, then
+    * a |tables|-row rollup — the estimator costs nothing next to the
+    * join it prices (same spirit as [[graft.ops.Profile.joinCardinality]]).
+    */
+  def lshBucketStats(spark: SparkSession, embeddings: DataFrame,
+                     dim: Int = 64, tables: Int = Dedup.LshTables,
+                     bits: Int = Dedup.LshBitsPerTable): DataFrame =
+    lshBuckets(Dedup.quantized(embeddings), dim, tables, bits)
+      .groupBy(col("tbl").cast("long").as("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__s"))
+      .groupBy(col("tbl"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("__s")).as("n_vecs"),
+        max(col("__s")).as("max_bucket"),
+        sum(col("__s") * col("__s")).as("join_cost"))
+
+  /** Candidate cosine histogram over the LSH buckets: the exact verified
+    * cosines of every query-side bucketed candidate, binned into ten
+    * fixed 0.2-wide bins on [−1, 1] — the index-tightness readout ("how
+    * much of what the buckets surface is actually close"). A healthy
+    * index piles candidates into the top bins; mass in the low bins is
+    * wasted verification work → raise bits.
+    *
+    * Scale: rides the [[lshScored]] candidate stage (Σ size² bound);
+    * the histogram is a 10-row aggregate on top.
+    */
+  def lshSimHistogram(spark: SparkSession, embeddings: DataFrame,
+                      dim: Int = 64, tables: Int = Dedup.LshTables,
+                      bits: Int = Dedup.LshBitsPerTable): DataFrame =
+    lshScored(embeddings, dim, tables, bits)
+      .select(least(floor((col("cosine") + 1.0) * 5.0).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(
+        col("bin"),
+        (col("bin") * 2 - 10).as("lo_e1"),
+        (col("bin") * 2 - 8).as("hi_e1"),
+        col("n_pairs"))
+
   /** Shared LSH stage: multi-table bucket assignment, candidate join,
     * exact quantized-cosine scoring. Feeds [[lshTopK]] (rank filter) and
     * [[lshRangeSearch]] (radius filter).
@@ -122,17 +189,7 @@ object Similarity {
   private def lshScored(embeddings: DataFrame, dim: Int,
                         tables: Int, bits: Int): DataFrame = {
     val q = Dedup.quantized(embeddings)
-    // planes as literal arrays (tables × bits × dim longs), built once on
-    // the driver and folded into the plan as constants
-    val bucketCols: Seq[Column] = (0 until tables).map { t =>
-      (0 until bits).map { b =>
-        val plane = array((0 until dim).map(i => lit(planeComponent(t * bits + b, i))): _*)
-        when(Dedup.longDot(col("qv"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    val bucketed = q.select(
-      col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    val bucketed = lshBuckets(q, dim, tables, bits)
     val queries = broadcast(
       bucketed.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
         .select(
@@ -1001,6 +1058,8 @@ object Similarity {
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_range_lsh" -> ((s, d) => lshRangeSearch(s, Tables.embeddings(s, d))),
     "ann_recall_curve" -> ((s, d) => lshRecallCurve(s, Tables.embeddings(s, d))),
+    "ann_bucket_stats" -> ((s, d) => lshBucketStats(s, Tables.embeddings(s, d))),
+    "ann_sim_histogram" -> ((s, d) => lshSimHistogram(s, Tables.embeddings(s, d))),
     "ann_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_rrf_fusion" -> ((s, d) => rrfFusion(Tables.embeddings(s, d))),
     "ann_topk_pq" -> ((s, d) => adcTopK(Tables.embeddings(s, d))),
@@ -1677,6 +1736,72 @@ object Similarity {
          |  JOIN n nn ON nn.vec_id = c.neighbor_id
          |)
          |SELECT * FROM scored WHERE cosine >= 0.35""".stripMargin,
+    // bucket-size rollup per hash table; Σ size² IS the candidate-join
+    // cost the bucketed pair join pays
+    "ann_bucket_stats" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${Dedup.LshTables * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT q.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([q.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM q CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), bs AS (
+         |  SELECT tbl, bucket, count(*)::BIGINT AS s FROM bk GROUP BY 1, 2
+         |)
+         |SELECT tbl::BIGINT AS tbl, count(*)::BIGINT AS n_buckets,
+         |  sum(s)::BIGINT AS n_vecs, max(s)::BIGINT AS max_bucket,
+         |  sum(s * s)::BIGINT AS join_cost
+         |FROM bs GROUP BY 1""".stripMargin,
+    // the ann_range_lsh scored CTEs, binned into ten fixed 0.2 bins
+    "ann_sim_histogram" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${Dedup.LshTables * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM n CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bk qb JOIN bk cb
+         |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand c
+         |  JOIN n qq ON qq.vec_id = c.query_id
+         |  JOIN n nn ON nn.vec_id = c.neighbor_id
+         |)
+         |SELECT bin, (bin * 2 - 10)::BIGINT AS lo_e1, (bin * 2 - 8)::BIGINT AS hi_e1,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM (SELECT least(floor((cosine + 1.0) * 5.0)::BIGINT, 9) AS bin FROM scored) b
+         |GROUP BY 1""".stripMargin,
     // brute + LSH rankings rebuilt side by side; NULL l_rank (miss)
     // falls out of the CASE — macro recall pooled over queries per k arm
     "ann_recall_curve" ->

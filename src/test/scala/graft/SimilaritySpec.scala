@@ -320,4 +320,30 @@ class SimilaritySpec extends SparkSpec {
     val k5 = curve.find(_._1 == 5L).get
     assert(k5._4 === hits.toLong)
   }
+
+  test("lshBucketStats: every table accounts for the whole corpus; cost ≥ rows") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val stats = Similarity.lshBucketStats(spark, emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.length === graft.dedup.Dedup.LshTables)
+    stats.foreach { case (_, nBuckets, nVecs, maxBucket, joinCost) =>
+      assert(nVecs === n, "each hash table buckets every vector exactly once")
+      assert(maxBucket <= nVecs && nBuckets >= 1)
+      // Σ s² ≥ Σ s with equality iff all buckets singleton
+      assert(joinCost >= nVecs)
+    }
+  }
+
+  test("lshSimHistogram: bins partition the candidate set") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hist = Similarity.lshSimHistogram(spark, emb)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hist.forall(h => h._1 >= 0 && h._1 <= 9))
+    assert(hist.forall(h => h._3 === h._2 + 2), "bins are fixed 0.2-wide")
+    // total candidates equals the scored-candidate count from the range
+    // search at threshold -1 (everything the buckets surface)
+    val all = Similarity.lshRangeSearch(spark, emb, minCosine = -1.0).count()
+    assert(hist.map(_._4).sum === all)
+  }
 }
