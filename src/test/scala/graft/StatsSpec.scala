@@ -2,6 +2,8 @@ package graft
 
 import graft.ops.Stats
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** The integer-exact statistics family: each operator checked against an
   * independent in-memory reference computation (not just "runs").
@@ -41,6 +43,44 @@ class StatsSpec extends SparkSpec {
       Stats.mannWhitney(df).as[(String, Long, Long, Long, Long)].collect().head
     assert(u2 === nA * nB)          // 2·U = 2·(n_a·n_b/2)
     assert(auc === 5000L)
+  }
+
+  test("mannWhitney property: doubled U equals brute-force pair counting on random data") {
+    // seeded ScalaCheck draws (deterministic, same style as
+    // ClickstreamPropertySpec) — heavy ties on purpose via a small value
+    // domain, multiple event types per draw
+    val rowsGen: Gen[List[(Long, String, Double)]] = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 25L)
+        tpe <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 4)
+      } yield (user, tpe, v.toDouble / 2.0))
+    } yield rows
+    // the hash60('ab:'||u) % 2 arm, recomputed locally from md5
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    (1 to 12).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { rows =>
+        val df = rows.toDF("user_id", "event_type", "value")
+        val got = Stats.mannWhitney(df).collect().map(r => r.getString(0) -> r).toMap
+        rows.groupBy(_._2).foreach { case (tpe, trows) =>
+          val (as, bs) = trows.partition(r => arm(r._1) == 0L)
+          val u2 = (for (a <- as; b <- bs) yield {
+            if (a._3 > b._3) 2L else if (a._3 == b._3) 1L else 0L
+          }).sum
+          val r = got(tpe)
+          assert(r.getLong(1) === as.size.toLong && r.getLong(2) === bs.size.toLong,
+            s"type $tpe arm sizes")
+          assert(r.getLong(3) === u2, s"type $tpe doubled U vs brute force")
+          if (as.nonEmpty && bs.nonEmpty)
+            assert(r.getLong(4) === Math.floorDiv(u2 * 10000L, 2L * as.size * bs.size))
+          else assert(r.isNullAt(4), s"type $tpe empty arm must yield NULL auc")
+        }
+      }
   }
 
   test("hhi: monopoly is 10^6 ppm, uniform is 10^6/n with effective n") {
