@@ -20,6 +20,8 @@ object PlanAudit {
       "ann_rrf_fusion",
       // scores the ADC index against the brute-force ground-truth side
       "ann_recall_pq",
+      // r6: the recall@k curve embeds the same brute ground-truth side
+      "ann_recall_curve",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins
@@ -58,7 +60,14 @@ object PlanAudit {
     // ADC shortlist stage reuses the codebook broadcasts; rerank joins by id
     "ann_topk_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // r6: |sources| × top-50 grid + 1-row total — same shape as the
+    // chi2 queries; both sides bounded by construction
+    "txt_source_chi2",
+    // r6: 1-row broadcast support threshold (max(2, customers/500))
+    "ord_seq_pairs",
+    // r6: inherits coOccurrence's 1-row broadcast group total
+    "li_label_prop_step")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
