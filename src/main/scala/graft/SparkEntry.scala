@@ -567,6 +567,10 @@ object SparkEntry {
     // day-over-day retention from 63-bit bitmap words (AND + popcount)
     "ev_bitmap_retention" -> ((s, dir) =>
       graft.ops.Analytics.bitmapRetention(Tables.events(s, dir))),
+    // rolling 7-day exact distinct users from the same bitmap words —
+    // windowed distinct without re-scanning events per window
+    "ev_rolling_distinct" -> ((s, dir) =>
+      graft.ops.Analytics.rollingDistinct(Tables.events(s, dir))),
     // week-over-week growth per type, integer e4, null first week
     "ev_wow_growth" -> ((s, dir) =>
       graft.ops.TimeSeries.wowGrowth(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -1990,6 +1994,33 @@ object SparkEntry {
         |FROM t c
         |JOIN t p ON p.day = c.day - 1
         |LEFT JOIN r ON r.day = c.day""".stripMargin,
+    // the bitmap CTEs + a bounded ×7 fan-out of each word-day onto the
+    // target days it covers (NOT a per-word RANGE window — that misses
+    // words absent on the target day); OR per (day, word), then popcount
+    "ev_rolling_distinct" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    user_id // 63 AS word, (user_id % 63)::INT AS bit
+        |  FROM events
+        |), b AS (
+        |  SELECT day, word, bit_or(1::BIGINT << bit) AS bm FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT day, sum(bit_count(bm))::BIGINT AS dau FROM b GROUP BY 1
+        |), days AS (
+        |  SELECT DISTINCT day FROM b
+        |), wk AS (
+        |  SELECT b.day + g.i AS day, b.word, b.bm
+        |  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+        |), wo AS (
+        |  SELECT wk.day, wk.word, bit_or(wk.bm) AS wbm
+        |  FROM wk JOIN days ON days.day = wk.day
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, sum(bit_count(wbm))::BIGINT AS rolling_users FROM wo GROUP BY 1
+        |)
+        |SELECT day, dau, rolling_users,
+        |  (dau * 10000 // rolling_users)::BIGINT AS dau_wau_e4
+        |FROM t JOIN r USING (day)""".stripMargin,
     "ev_wow_growth" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 604800000 AS week FROM events
@@ -2528,17 +2559,14 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), buyers AS (
         |  SELECT item, count(*)::BIGINT AS n FROM fb GROUP BY 1
-        |), thr AS (
-        |  SELECT greatest(2, count(DISTINCT cust) // 500)::BIGINT AS min_ab FROM fb
         |), p AS (
         |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
         |  FROM fb a JOIN fb b ON a.cust = b.cust AND a.d < b.d
-        |  GROUP BY 1, 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
         |)
         |SELECT item_a, item_b, n_ab, buyers.n AS n_a,
         |  (n_ab * 10000 // buyers.n)::BIGINT AS conf_e4
-        |FROM p JOIN buyers ON buyers.item = p.item_a
-        |CROSS JOIN thr WHERE n_ab >= thr.min_ab""".stripMargin,
+        |FROM p JOIN buyers ON buyers.item = p.item_a""".stripMargin,
     // the basket-pairs CTEs + symmetric expansion + heaviest-edge window
     "li_label_prop_step" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

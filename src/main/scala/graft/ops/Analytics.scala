@@ -474,30 +474,27 @@ object Analytics {
     * Scale: baskets collapse to DISTINCT (customer, part, first-date)
     * before the self-join, so fan-out is per-customer parts² over the
     * DEDUPED assortment — the [[coOccurrence]] bound one level up
-    * (customer, not order). The support threshold is RELATIVE —
-    * `max(minPairCount, ⌊customers/500⌋)` as an in-plan broadcast scalar
-    * — so the output stays proportionally selective at any scale, where
-    * a fixed absolute count would stop binding at 10× the customers.
-    * Cap pathological customers (resellers) by assortment size before
-    * the join at 100 TB.
+    * (customer, not order). The support threshold is a FIXED count on
+    * purpose: pair support does NOT inflate with table size here,
+    * because the item vocabulary grows with the data (verified at sf0.01
+    * vs sf0.1 — max support 6 vs 4) — so the threshold keeps binding at
+    * any scale, and the output stays sparse. The lever that DOES need
+    * attention at 100 TB is per-customer assortment size: cap reseller
+    * accounts before the self-join.
     */
   def seqPairs(orders: DataFrame, lineitem: DataFrame,
-               minPairCount: Long = 2L): DataFrame = {
+               minPairCount: Long = 3L): DataFrame = {
     val firstBuy = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
       .agg(min(col("o_orderdate")).as("d"))
     val buyers = firstBuy.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val support = broadcast(firstBuy
-      .agg(count_distinct(col("cust")).as("__nc"))
-      .select(greatest(lit(minPairCount), Cols.floorDiv(col("__nc"), 500L)).as("__min_ab")))
     firstBuy.select(col("cust"), col("item").as("item_a"), col("d").as("d_a"))
       .join(firstBuy.select(col("cust"), col("item").as("item_b"), col("d").as("d_b")), "cust")
       .filter(col("d_a") < col("d_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
-      .crossJoin(support)
-      .filter(col("n_ab") >= col("__min_ab"))
+      .filter(col("n_ab") >= minPairCount)
       .join(buyers.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
       .select(
         col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
@@ -1074,6 +1071,52 @@ object Analytics {
     * incremental audience diffs; `count_distinct` retention at this
     * granularity would instead re-shuffle user ids every pairing.
     */
+  /** Rolling 7-day distinct users per day from the SAME 63-bit word
+    * bitmaps as [[bitmapRetention]] — exact windowed distinct WITHOUT
+    * re-scanning events per window: the per-(day, word) bitmap table is
+    * built once, a RANGE frame bit_or's each word over the trailing week
+    * (gap days age out arithmetically), and popcounts sum per day. The
+    * WAU-per-day series every growth dashboard wants, where the naive
+    * `count_distinct` over a 7-day self-join re-shuffles user ids 7×.
+    *
+    * Scale: the distinct collapses to (day, word) — |users|/63 longs per
+    * day; each word-day then fans out to the `windowDays` target days it
+    * covers (a bounded ×7 explode of the BITMAP table, not the events —
+    * NOT a per-word RANGE window, which would silently miss words absent
+    * on the target day), OR-combines per (target day, word), and
+    * popcounts. Everything after the first distinct is |days|·|words|
+    * sized. 63-bit words keep shifts sign-safe in every engine (the
+    * bitmapRetention discipline).
+    */
+  def rollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val uid = col("user_id").cast("long")
+    val bm = events
+      .select(
+        Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("day"),
+        Cols.floorDiv(uid, 63L).as("word"),
+        pmod(uid, lit(63L)).cast("int").as("bit"))
+      .distinct()
+      .groupBy(col("day"), col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bm"))
+    val dau = bm.groupBy(col("day"))
+      .agg(sum(bit_count(col("bm")).cast("long")).as("dau"))
+    // report only observed days (the retention convention): the fan-out
+    // covers future target days, the semi-join keeps real ones
+    val days = bm.select(col("day")).distinct()
+    bm
+      .select(
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"),
+        col("word"), col("bm"))
+      .join(days, "day", "left_semi")
+      .groupBy(col("day"), col("word"))
+      .agg(expr("bit_or(bm)").as("wbm"))
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("wbm")).cast("long")).as("rolling_users"))
+      .join(dau, "day")
+      .select(col("day"), col("dau"), col("rolling_users"),
+        Cols.floorDiv(col("dau") * 10000, col("rolling_users")).as("dau_wau_e4"))
+  }
+
   def bitmapRetention(events: DataFrame): DataFrame = {
     val uid = col("user_id").cast("long")
     val bm = events

@@ -534,4 +534,29 @@ class AnalyticsSpec extends SparkSpec {
       // day 2: user 1 only; no overlap with {62,63,125}
       (2L, 1L, 3L, 0L, 0L)))
   }
+
+  test("rolling distinct: bitmap window equals brute-force 7-day distinct; gaps age out") {
+    // users across word boundaries, a 5-day gap so aged-out days matter
+    val rows = Seq(
+      (0L, 1L), (0L, 62L), (0L, 63L),       // day 0: 3 users
+      (1L, 63L), (1L, 125L),                // day 1: 2 users
+      (2L, 1L),                             // day 2
+      (9L, 1L), (9L, 200L)                  // day 9: day 0-2 outside the 7-day frame
+    ).map { case (day, u) => (day * 86400000L + 1L, u) }
+      .toDF("ts_ms", "user_id")
+    val got = graft.ops.Analytics.rollingDistinct(rows)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // brute force recomputed by hand over [day-6, day]
+    val byDay = Map(
+      0L -> Set(1L, 62L, 63L), 1L -> Set(63L, 125L), 2L -> Set(1L), 9L -> Set(1L, 200L))
+    got.foreach { case (day, dau, rolling, ratio) =>
+      val window = (day - 6 to day).flatMap(d => byDay.getOrElse(d, Set.empty)).toSet
+      assert(dau === byDay(day).size.toLong, s"day $day dau")
+      assert(rolling === window.size.toLong, s"day $day rolling window distinct")
+      assert(ratio === Math.floorDiv(dau * 10000, window.size))
+    }
+    assert(got.map(_._1) === List(0L, 1L, 2L, 9L))
+    // day 9's window excludes days 0-2 entirely
+    assert(got.last._3 === 2L)
+  }
 }

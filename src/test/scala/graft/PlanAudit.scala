@@ -64,8 +64,6 @@ object PlanAudit {
     // r6: |sources| × top-50 grid + 1-row total — same shape as the
     // chi2 queries; both sides bounded by construction
     "txt_source_chi2",
-    // r6: 1-row broadcast support threshold (max(2, customers/500))
-    "ord_seq_pairs",
     // r6: inherits coOccurrence's 1-row broadcast group total
     "li_label_prop_step")
 
