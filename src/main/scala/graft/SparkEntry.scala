@@ -580,6 +580,21 @@ object SparkEntry {
       graft.ops.Analytics.triangleStats(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // 3-core of the co-purchase graph: fixed-round degree peel, one plan
+    "li_kcore" -> ((s, dir) =>
+      graft.ops.Analytics.kCore(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // departments browsed together within one session — the clickstream
+    // analog of basket pairs, composed on the reference's own sessions
+    "cs_dept_pairs" -> ((s, dir) => {
+      val sess = Clickstream.sessionize(Tables.events(s, dir))
+      val exploded = sess.select(
+        concat(col("user_id"), lit(":"), col("win_begin_ms")).as("sess"),
+        explode(split(col("dept_list"), ",")).as("department"))
+        .filter(col("department") =!= "")
+      graft.ops.Analytics.coOccurrence(exploded, "sess", "department")
+    }),
     // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
     "ev_weekday_index" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -2550,6 +2565,61 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // the basket-pairs edge CTE + five unrolled degree-peel layers
+    // (fixed-round, mirroring the one-plan Spark loop exactly)
+    "li_kcore" -> {
+      // AS MATERIALIZED is load-bearing: every e_{i-1} is referenced
+      // three times per round, and an inlining planner re-evaluates the
+      // whole peel pyramid exponentially (the same hazard the Spark side
+      // solves with localCheckpoint)
+      val base =
+        """WITH gi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |e0 AS MATERIALIZED (
+          |  SELECT a.item AS src, b.item AS dst
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |)""".stripMargin
+      val peels = (1 to 5).map { i =>
+        s""", d$i AS MATERIALIZED (
+           |  SELECT node, count(*) AS d FROM (
+           |    SELECT src AS node FROM e${i - 1}
+           |    UNION ALL SELECT dst FROM e${i - 1}) n GROUP BY 1
+           |), e$i AS MATERIALIZED (
+           |  SELECT src, dst FROM e${i - 1}
+           |  WHERE src IN (SELECT node FROM d$i WHERE d >= 3)
+           |    AND dst IN (SELECT node FROM d$i WHERE d >= 3)
+           |)""".stripMargin
+      }.mkString
+      base + peels +
+        """
+          |SELECT 3::BIGINT AS k, 5::BIGINT AS rounds,
+          |  (SELECT count(*) FROM (SELECT DISTINCT node FROM (
+          |     SELECT src AS node FROM e5 UNION ALL SELECT dst FROM e5) x) y)::BIGINT
+          |    AS n_core_nodes,
+          |  (SELECT count(*) FROM e5)::BIGINT AS n_core_edges""".stripMargin
+    },
+    // session-grain basket pairs over the reference's own dept_list
+    "cs_dept_pairs" ->
+      s"""$sessionsCte, gi AS (
+         |  SELECT DISTINCT user_id || ':' || win_begin_ms AS grp, department AS item
+         |  FROM (
+         |    SELECT user_id, win_begin_ms,
+         |      unnest(string_split(dept_list, ',')) AS department
+         |    FROM sessions) t
+         |  WHERE department <> ''
+         |), ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
+         |p AS (
+         |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+         |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+         |  ((n_ab::HUGEINT * tot.ng * 10000) // (ia.n::HUGEINT * ib.n))::BIGINT AS lift_e4
+         |FROM p
+         |JOIN ic ia ON p.item_a = ia.item
+         |JOIN ic ib ON p.item_b = ib.item
+         |CROSS JOIN tot""".stripMargin,
     // first-date dedupe before the self-join; strict < drops same-day
     // ties on both sides, so direction is never ambiguous within a day
     "ord_seq_pairs" ->

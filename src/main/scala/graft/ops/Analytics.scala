@@ -1071,6 +1071,48 @@ object Analytics {
     * incremental audience diffs; `count_distinct` retention at this
     * granularity would instead re-shuffle user ids every pairing.
     */
+  /** Fixed-round k-core peel over an undirected edge table: each round
+    * drops nodes of degree < k and their incident edges; after `rounds`
+    * iterations the report says how much graph survives — the standard
+    * dense-substructure screen (spam rings, power-user cliques) and the
+    * preprocessing cut before any expensive community algorithm. Fixed
+    * iteration count keeps it ONE lazy plan (the [[pageRank]]
+    * discipline); geometric shrinkage means 5 rounds reach the fixpoint
+    * on all but adversarial graphs — compare two `rounds` settings (the
+    * same one-row report twice) to confirm convergence, rerun deeper if
+    * they differ.
+    *
+    * Scale: per round one degree aggregate + two semi-joins, each
+    * bounded by the shrinking edge table. Each round's survivor edges
+    * are `localCheckpoint`ed and the retired round freed (the
+    * near-dup-clustering discipline): every round references its input
+    * THREE times (degree + two semi-joins), so an unbroken lineage grows
+    * ~3^rounds and OOMs the planner before any data moves — the
+    * checkpoint keeps the plan constant-size per round. On a real
+    * cluster swap in reliable `checkpoint`.
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
+    def nodesOf(e: DataFrame) =
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = nodesOf(e).groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(e)
+      e = next
+    }
+    val coreNodes = nodesOf(e).distinct().agg(count(lit(1)).as("n_core_nodes"))
+    val coreEdges = e.agg(count(lit(1)).as("n_core_edges"))
+    coreNodes.crossJoin(broadcast(coreEdges))
+      .select(
+        lit(k.toLong).as("k"), lit(rounds.toLong).as("rounds"),
+        col("n_core_nodes"), col("n_core_edges"))
+  }
+
   /** Rolling 7-day distinct users per day from the SAME 63-bit word
     * bitmaps as [[bitmapRetention]] — exact windowed distinct WITHOUT
     * re-scanning events per window: the per-(day, word) bitmap table is

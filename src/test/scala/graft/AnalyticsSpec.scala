@@ -559,4 +559,25 @@ class AnalyticsSpec extends SparkSpec {
     // day 9's window excludes days 0-2 entirely
     assert(got.last._3 === 2L)
   }
+
+  test("kCore: pendant chain peels away, the clique survives") {
+    import graft.ops.Analytics
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6: 3-core = exactly the K4
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("src", "dst")
+    val got = Analytics.kCore(edges, k = 3, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 3L, 4L, 6L)))
+    // k=2: the path still peels (5 and 6 have degree <= 2 but 6 has 1 →
+    // peeling 6 leaves 5 with degree 1 → peels too); K4 plus nothing
+    val got2 = Analytics.kCore(edges, k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got2 === ((2L, 3L, 4L, 6L)))
+    // k larger than any degree: empty core
+    val got3 = Analytics.kCore(edges, k = 5, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got3._3 === 0L && got3._4 === 0L)
+  }
 }

@@ -64,8 +64,9 @@ object PlanAudit {
     // r6: |sources| × top-50 grid + 1-row total — same shape as the
     // chi2 queries; both sides bounded by construction
     "txt_source_chi2",
-    // r6: inherits coOccurrence's 1-row broadcast group total
-    "li_label_prop_step")
+    // r6: inherit coOccurrence's 1-row broadcast group total (and
+    // kcore adds its own two 1-row summary aggregates)
+    "li_label_prop_step", "li_kcore", "cs_dept_pairs")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
