@@ -45,6 +45,37 @@ class EdgeCaseSpec extends SparkSpec {
         .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")).count() === 0L)
   }
 
+  test("round-6 batch operators tolerate empty and degenerate inputs") {
+    import graft.ops.{Analytics, Stats}
+    assert(Stats.mannWhitney(emptyEvents).count() === 0L)
+    assert(Stats.hhi(emptyEvents).count() === 0L)
+    // keyless summary agg on empty input: one row, zero count, NULL e4
+    val g = Stats.gini(
+      Seq.empty[(Long, Double)].toDF("o_custkey", "o_totalprice")).collect().head
+    assert(g.getLong(0) === 0L && g.isNullAt(2))
+    // empty events: the 24-hour domain is empty → no output row after agg?
+    // one keyless agg always emits a row; rho over n=0 divides by zero →
+    // the e4 column must be NULL, not a crash
+    val sp = Stats.hourSpearman(emptyEvents).collect().head
+    assert(sp.getLong(0) === 0L && sp.isNullAt(2))
+    assert(Stats.compactionPlan(emptyEvents, "user_id").count() === 0L)
+    assert(Stats.countMinEstimates(emptyEvents).count() === 0L)
+    assert(Analytics.seqPairs(
+      Seq.empty[(Long, Long, java.sql.Date)].toDF("o_orderkey", "o_custkey", "o_orderdate"),
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0L)
+    assert(Analytics.labelPropStep(
+      Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "n_ab")).count() === 0L)
+    assert(Analytics.rollingDistinct(emptyEvents).count() === 0L)
+    val core = Analytics.kCore(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k = 3, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(core._3 === 0L && core._4 === 0L)
+    assert(TextAnalysis.sourceChi2(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")).count() === 0L)
+    // single-doc chunking on empty docs: no rows, no crash
+    assert(TextAnalysis.chunk(emptyDocs).count() === 0L)
+  }
+
   test("sessionize on an empty frame returns an empty frame") {
     assert(Clickstream.sessionize(emptyEvents).count() === 0L)
     assert(Clickstream.sessionizeTyped(emptyEvents).count() === 0L)
