@@ -580,6 +580,10 @@ object SparkEntry {
       graft.ops.Analytics.triangleStats(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // absorbing-chain removal-effect attribution over the event-type
+    // journey graph, exact e9 fixed-point iteration
+    "cs_markov_attribution" -> ((s, dir) =>
+      graft.ops.Analytics.markovAttribution(Tables.events(s, dir))),
     // 3-core of the co-purchase graph: fixed-round degree peel, one plan
     "li_kcore" -> ((s, dir) =>
       graft.ops.Analytics.kCore(
@@ -2565,6 +2569,84 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // transition/start CTEs + five runs × 16 unrolled fixed-point layers
+    // (AS MATERIALIZED throughout — every layer is referenced by the
+    // next and an inlining planner would re-evaluate the pyramid);
+    // per-edge terms floored THEN summed, exactly as the Spark loop does
+    "cs_markov_attribution" -> {
+      val E9 = "1000000000"
+      val runs = Seq("base" -> None, "view" -> Some("view"),
+        "click" -> Some("click"), "signup" -> Some("signup"),
+        "error" -> Some("error"))
+      val base =
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+           |), pairs AS MATERIALIZED (
+           |  SELECT from_type, to_type FROM (
+           |    SELECT event_type AS from_type,
+           |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+           |    FROM e) x
+           |  WHERE to_type IS NOT NULL
+           |), tc AS MATERIALIZED (
+           |  SELECT from_type, to_type, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2
+           |), t2 AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT from_type, to_type,
+           |      (n * $E9 // (sum(n) OVER (PARTITION BY from_type)))::BIGINT AS t_e9
+           |    FROM tc) shares
+           |  WHERE from_type <> 'purchase'
+           |), states AS MATERIALIZED (
+           |  SELECT DISTINCT from_type AS state FROM pairs
+           |  UNION SELECT DISTINCT to_type FROM pairs
+           |), fe AS MATERIALIZED (
+           |  SELECT event_type AS state, count(*)::BIGINT AS nf FROM (
+           |    SELECT user_id, event_type,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+           |    FROM e) x
+           |  WHERE rn = 1 GROUP BY 1
+           |), start AS MATERIALIZED (
+           |  SELECT state, (nf * $E9 // (sum(nf) OVER ()))::BIGINT AS pi_e9 FROM fe
+           |)""".stripMargin
+      val layers = runs.map { case (r, dead) =>
+        val deadCase = dead.map(x => s"WHEN s.state = '$x' THEN 0 ").getOrElse("")
+        val init =
+          s""", p_${r}_0 AS MATERIALIZED (
+             |  SELECT state, CASE WHEN state = 'purchase' THEN $E9 ELSE 0 END AS p
+             |  FROM states
+             |)""".stripMargin
+        val steps = (1 to 16).map { k =>
+          s""", p_${r}_$k AS MATERIALIZED (
+             |  SELECT s.state,
+             |    CASE WHEN s.state = 'purchase' THEN $E9
+             |         ${deadCase}ELSE coalesce(c.v, 0) END AS p
+             |  FROM states s LEFT JOIN (
+             |    SELECT t2.from_type AS state, sum((t2.t_e9 * p.p) // $E9)::BIGINT AS v
+             |    FROM t2 JOIN p_${r}_${k - 1} p ON p.state = t2.to_type
+             |    GROUP BY 1) c ON c.state = s.state
+             |)""".stripMargin
+        }.mkString
+        val o =
+          s""", o_$r AS MATERIALIZED (
+             |  SELECT sum((start.pi_e9 * p.p) // $E9)::BIGINT AS p_e9
+             |  FROM start JOIN p_${r}_16 p USING (state)
+             |)""".stripMargin
+        init + steps + o
+      }.mkString
+      val tail =
+        """
+          |SELECT r.removed_state, b.p_e9 AS p_base_e9, r.p_removed_e9,
+          |  (b.p_e9 - r.p_removed_e9)::BIGINT AS removal_effect_e9,
+          |  CASE WHEN sum(b.p_e9 - r.p_removed_e9) OVER () > 0 THEN
+          |    ((b.p_e9 - r.p_removed_e9) * 10000
+          |     // (sum(b.p_e9 - r.p_removed_e9) OVER ()))::BIGINT END AS share_e4
+          |FROM (
+          |  SELECT 'view' AS removed_state, p_e9 AS p_removed_e9 FROM o_view
+          |  UNION ALL SELECT 'click', p_e9 FROM o_click
+          |  UNION ALL SELECT 'signup', p_e9 FROM o_signup
+          |  UNION ALL SELECT 'error', p_e9 FROM o_error) r
+          |CROSS JOIN o_base b""".stripMargin
+      base + layers + tail
+    },
     // the basket-pairs edge CTE + five unrolled degree-peel layers
     // (fixed-round, mirroring the one-plan Spark loop exactly)
     "li_kcore" -> {

@@ -1071,6 +1071,97 @@ object Analytics {
     * incremental audience diffs; `count_distinct` retention at this
     * granularity would instead re-shuffle user ids every pairing.
     */
+  /** Markov removal-effect attribution — the absorbing-chain upgrade of
+    * [[SparkEntry]]'s position-based `cs_attribution`: model the user
+    * journey as a first-order chain over event types ([[transitions]]'s
+    * edges), make `purchase` absorbing, solve P(absorb | state) by
+    * `iters` fixed-point iterations in EXACT e9 integers (per-edge terms
+    * floored THEN summed — order-independent, any engine agrees
+    * bit-for-bit), and score each non-absorbing state by how much the
+    * overall start-weighted conversion probability drops when that state
+    * is removed (paths through it die) — the standard removal-effect
+    * channel attribution. The fixed iteration count is the convention
+    * (the [[pageRank]] discipline): both engines run the same 16 steps,
+    * so the quantized fixpoint is identical even where it hasn't fully
+    * converged mathematically.
+    *
+    * Scale: edges/start-distribution are |types|²-/|types|-row aggregates
+    * off one user-keyed window (the sessionization shuffle); every
+    * iteration is a join+agg on the TINY state table; each removal run's
+    * solution is localCheckpoint'ed so the assembled plan stays shallow.
+    */
+  def markovAttribution(
+      events: DataFrame,
+      removable: Seq[String] = Seq("view", "click", "signup", "error"),
+      iters: Int = 16): DataFrame = {
+    val E9 = 1000000000L
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seqW))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .localCheckpoint()
+    val tEdges = pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("t_e9",
+        Cols.floorDiv(col("__n") * E9, sum(col("__n")).over(Window.partitionBy(col("from_type")))))
+      .filter(col("from_type") =!= "purchase")
+      .select(col("from_type"), col("to_type"), col("t_e9"))
+      .localCheckpoint()
+    val states = pairs.select(col("from_type").as("state"))
+      .union(pairs.select(col("to_type").as("state")))
+      .distinct()
+      .localCheckpoint()
+    // start distribution: each user's first event type, e9 shares
+    val firstTypes = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("__rn", row_number().over(seqW))
+      .filter(col("__rn") === 1)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("__nf"))
+    val start = firstTypes
+      .withColumn("pi_e9", Cols.floorDiv(col("__nf") * E9,
+        sum(col("__nf")).over(Window.partitionBy())))
+      .select(col("state"), col("pi_e9"))
+      .localCheckpoint()
+
+    def overall(dead: Option[String]): DataFrame = {
+      def rebuild(contrib: DataFrame): DataFrame =
+        states.join(contrib, Seq("state"), "left")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(E9))
+              .when(dead.map(col("state") === _).getOrElse(lit(false)), lit(0L))
+              .otherwise(coalesce(col("__v"), lit(0L))).as("p"))
+      var p = rebuild(states.select(col("state"), lit(0L).as("__v")))
+      for (_ <- 1 to iters) {
+        val contrib = tEdges
+          .join(p.withColumnRenamed("state", "to_type").withColumnRenamed("p", "__p"), "to_type")
+          .groupBy(col("from_type").as("state"))
+          .agg(sum(Cols.floorDiv(col("t_e9") * col("__p"), E9)).as("__v"))
+        p = rebuild(contrib)
+      }
+      start.join(p, "state")
+        .agg(sum(Cols.floorDiv(col("pi_e9") * col("p"), E9)).as("p_e9"))
+        .localCheckpoint()
+    }
+
+    val base = overall(None)
+    val runs = removable.map { x =>
+      overall(Some(x)).select(lit(x).as("removed_state"), col("p_e9").as("p_removed_e9"))
+    }.reduce(_.union(_))
+    val scored = runs
+      .crossJoin(broadcast(base.select(col("p_e9").as("p_base_e9"))))
+      .select(col("removed_state"), col("p_base_e9"), col("p_removed_e9"),
+        (col("p_base_e9") - col("p_removed_e9")).as("removal_effect_e9"))
+    scored
+      .withColumn("share_e4",
+        when(sum(col("removal_effect_e9")).over(Window.partitionBy()) > 0,
+          Cols.floorDiv(col("removal_effect_e9") * 10000L,
+            sum(col("removal_effect_e9")).over(Window.partitionBy()))))
+  }
+
   /** Fixed-round k-core peel over an undirected edge table: each round
     * drops nodes of degree < k and their incident edges; after `rounds`
     * iterations the report says how much graph survives — the standard

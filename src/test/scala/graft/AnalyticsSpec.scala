@@ -560,6 +560,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.last._3 === 2L)
   }
 
+  test("markovAttribution: hand-solved absorbing chain, removal effects exact") {
+    import graft.ops.Analytics
+    // u1: view→purchase; u2: view→error(end); u3: click→view→purchase
+    // T: view→{purchase ⌊2/3⌋e9, error ⌊1/3⌋e9}, click→view 1e9
+    // p(view)=666666666, p(click)=666666666 (two iterations to converge)
+    // π: view ⌊2/3⌋e9, click ⌊1/3⌋e9 → base = 444444443+222222221 = 666666664
+    val rows = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "purchase", 2000L),
+      (3L, 2L, "view", 1000L), (4L, 2L, "error", 2000L),
+      (5L, 3L, "click", 1000L), (6L, 3L, "view", 2000L), (7L, 3L, "purchase", 3000L)
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = Analytics.markovAttribution(rows)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("view").getLong(1) === 666666664L)
+    assert(got("view").getLong(2) === 0L)            // paths die without view
+    assert(got("view").getLong(3) === 666666664L)
+    assert(got("click").getLong(2) === 444444443L)   // only the view-starters convert
+    assert(got("click").getLong(3) === 222222221L)
+    assert(got("error").getLong(3) === 0L)           // error carried no conversion mass
+    assert(got("signup").getLong(3) === 0L)          // absent state: no-op removal
+    assert(got("view").getLong(4) === 7500L)         // 666666664e4 // 888888885
+    assert(got("click").getLong(4) === 2499L)
+  }
+
   test("kCore: pendant chain peels away, the clique survives") {
     import graft.ops.Analytics
     // K4 on {1,2,3,4} plus a pendant path 4-5-6: 3-core = exactly the K4

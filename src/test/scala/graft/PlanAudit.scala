@@ -66,7 +66,9 @@ object PlanAudit {
     "txt_source_chi2",
     // r6: inherit coOccurrence's 1-row broadcast group total (and
     // kcore adds its own two 1-row summary aggregates)
-    "li_label_prop_step", "li_kcore", "cs_dept_pairs")
+    "li_label_prop_step", "li_kcore", "cs_dept_pairs",
+    // r6: 1-row broadcast of the base-run conversion probability
+    "cs_markov_attribution")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
