@@ -560,6 +560,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.last._3 === 2L)
   }
 
+  test("kCore: 5 rounds reach the fixpoint on the real basket graph") {
+    import graft.ops.Analytics
+    val edges = Analytics.coOccurrence(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_orderkey", "l_partkey")
+      .select($"item_a".as("src"), $"item_b".as("dst"))
+    val at5 = Analytics.kCore(edges, k = 3, rounds = 5)
+      .select($"n_core_nodes", $"n_core_edges").as[(Long, Long)].collect().head
+    val at6 = Analytics.kCore(edges, k = 3, rounds = 6)
+      .select($"n_core_nodes", $"n_core_edges").as[(Long, Long)].collect().head
+    assert(at5 === at6, "registered rounds=5 must already be the fixpoint")
+  }
+
   test("markovAttribution: hand-solved absorbing chain, removal effects exact") {
     import graft.ops.Analytics
     // u1: view→purchase; u2: view→error(end); u3: click→view→purchase
