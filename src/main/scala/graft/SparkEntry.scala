@@ -763,6 +763,10 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
       graft.ops.Analytics.recommendFromCoOccurrence(userItems, pairs)
     }),
+    // temporal recommender backtest: train on the early calendar half,
+    // precision@3 against what users actually bought later
+    "li_recommend_eval" -> ((s, dir) =>
+      graft.ops.Analytics.recommendEval(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // RFM quintile segmentation via broadcast percentile cuts (no global
     // ntile window — the cuts comparison is map-only)
     "cust_rfm" -> ((s, dir) =>
@@ -2792,6 +2796,66 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT usr, cand, score_e4, n_paths, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // the li_recommend CTEs rebuilt on the train half only; midpoint-day
+    // split broadcast in-plan; hits scored against test-half purchases
+    "li_recommend_eval" ->
+      """WITH od AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 86400000 AS day
+        |  FROM orders
+        |), cut AS MATERIALIZED (
+        |  SELECT (min(day) + max(day)) // 2 AS cut_day FROM od
+        |), tr AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey FROM od CROSS JOIN cut WHERE day <= cut_day
+        |), te AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey FROM od CROSS JOIN cut WHERE day > cut_day
+        |), gi AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_orderkey AS grp, l.l_partkey AS item
+        |  FROM lineitem l JOIN tr ON tr.o_orderkey = l.l_orderkey
+        |), ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), pairs AS (
+        |  SELECT item_a, item_b,
+        |    ((n_ab::HUGEINT * tot.ng * 10000) // (ia.n::HUGEINT * ib.n))::BIGINT AS lift_e4
+        |  FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item
+        |  CROSS JOIN tot
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS cand, lift_e4 FROM pairs
+        |  UNION ALL SELECT item_b, item_a, lift_e4 FROM pairs
+        |), owned AS MATERIALIZED (
+        |  SELECT DISTINCT tr.o_custkey AS usr, l.l_partkey AS item
+        |  FROM tr JOIN lineitem l ON tr.o_orderkey = l.l_orderkey
+        |), scored AS (
+        |  SELECT ow.usr, s.cand, max(s.lift_e4) AS score_e4
+        |  FROM owned ow JOIN sym s USING (item)
+        |  LEFT JOIN owned ob ON ob.usr = ow.usr AND ob.item = s.cand
+        |  WHERE ob.usr IS NULL
+        |  GROUP BY 1, 2
+        |), recs AS MATERIALIZED (
+        |  SELECT usr, cand FROM (
+        |    SELECT usr, cand,
+        |      row_number() OVER (PARTITION BY usr ORDER BY score_e4 DESC, cand) AS rank
+        |    FROM scored) r
+        |  WHERE rank <= 3
+        |), future AS MATERIALIZED (
+        |  SELECT DISTINCT te.o_custkey AS usr, l.l_partkey AS cand
+        |  FROM te JOIN lineitem l ON te.o_orderkey = l.l_orderkey
+        |), h AS (
+        |  SELECT recs.usr, recs.cand, f.usr AS hit_usr
+        |  FROM recs LEFT JOIN future f ON f.usr = recs.usr AND f.cand = recs.cand
+        |)
+        |SELECT cut.cut_day::BIGINT AS cut_day,
+        |  count(DISTINCT usr)::BIGINT AS n_users,
+        |  count(*)::BIGINT AS n_recs,
+        |  count(hit_usr)::BIGINT AS n_hits,
+        |  CASE WHEN count(*) > 0 THEN (count(hit_usr) * 10000 // count(*))::BIGINT END
+        |    AS precision_e4,
+        |  count(DISTINCT CASE WHEN hit_usr IS NOT NULL THEN usr END)::BIGINT AS n_hit_users
+        |FROM h CROSS JOIN cut
+        |GROUP BY 1""".stripMargin,
     // quantile_cont ≡ Spark's percentile (exact interpolation, pinned by
     // ev_value_quantiles); ties land in the lower bucket on both engines
     "cust_rfm" ->

@@ -332,6 +332,57 @@ object Analytics {
       .select(col("usr"), col("cand"), col("score_e4"), col("n_paths"), col("rank"))
   }
 
+  /** Temporal backtest of the co-occurrence recommender — the honest
+    * eval every "also bought" deployment needs: orders split at the
+    * calendar MIDPOINT day (an exact integer `⌊(min+max)/2⌋` broadcast
+    * in-plan — deterministic, no percentile), the pair table and user
+    * assortments are built from the TRAIN half only, top-k
+    * recommendations are scored against what users actually bought in
+    * the TEST half. One row: the split day, users scored, recs issued,
+    * hits, precision@k in e4, and distinct users with ≥1 hit. Guards
+    * leakage by construction — test purchases never touch the pair
+    * table, the eval twin of [[recommendFromCoOccurrence]].
+    *
+    * Scale: two date-filtered passes over the same join lineage as the
+    * production recommender; scoring is a membership join on (user,
+    * item) over the k·|users| rec table.
+    */
+  def recommendEval(orders: DataFrame, lineitem: DataFrame, k: Int = 3): DataFrame = {
+    val withDay = orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), TimeSeries.DayMs)
+        .as("__day"))
+    val cut = broadcast(withDay.agg(
+      Cols.floorDiv(min(col("__day")) + max(col("__day")), 2L).as("cut_day")))
+    val dated = withDay.crossJoin(cut)
+    val trainOrders = dated.filter(col("__day") <= col("cut_day"))
+    val testOrders = dated.filter(col("__day") > col("cut_day"))
+    val trainLi = lineitem.join(
+      trainOrders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey", "left_semi")
+    val trainUserItems = trainOrders
+      .join(lineitem, trainOrders("o_orderkey") === lineitem("l_orderkey"))
+      .select(col("o_custkey").as("usr"), col("l_partkey").as("item"))
+    val recs = recommendFromCoOccurrence(
+      trainUserItems, coOccurrence(trainLi, "l_orderkey", "l_partkey"), k)
+    val future = testOrders
+      .join(lineitem, testOrders("o_orderkey") === lineitem("l_orderkey"))
+      .select(col("o_custkey").as("usr"), col("l_partkey").as("cand"))
+      .distinct()
+    recs
+      .join(future.withColumn("__hit", lit(1L)), Seq("usr", "cand"), "left")
+      .agg(
+        count_distinct(col("usr")).as("n_users"),
+        count(lit(1)).as("n_recs"),
+        count(col("__hit")).as("n_hits"),
+        count_distinct(when(col("__hit").isNotNull, col("usr"))).as("n_hit_users"))
+      .crossJoin(cut)
+      .select(
+        col("cut_day"), col("n_users"), col("n_recs"), col("n_hits"),
+        when(col("n_recs") > 0,
+          Cols.floorDiv(col("n_hits") * 10000L, col("n_recs"))).as("precision_e4"),
+        col("n_hit_users"))
+  }
+
   /** RFM segmentation over an order history: per customer, recency (last
     * order day), frequency (order count), monetary (rounded spend), each
     * bucketed into quintiles 1..5 by comparison against the four 20/40/

@@ -68,7 +68,9 @@ object PlanAudit {
     // kcore adds its own two 1-row summary aggregates)
     "li_label_prop_step", "li_kcore", "cs_dept_pairs",
     // r6: 1-row broadcast of the base-run conversion probability
-    "cs_markov_attribution")
+    "cs_markov_attribution",
+    // r6: 1-row broadcast midpoint-day split + coOccurrence's total
+    "li_recommend_eval")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
