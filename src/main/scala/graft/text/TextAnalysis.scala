@@ -916,6 +916,44 @@ object TextAnalysis {
         sum(term).as("entropy_rate_e4"))
   }
 
+  /** Per-document character entropy — the repetitive-junk screen that
+    * catches what token-level filters miss (`aaaa…`, boilerplate runs,
+    * base64 walls all have distinctive char distributions): Shannon
+    * entropy in nats over the normalized text's character frequencies,
+    * each term e4-quantized BEFORE summing ([[entropyRate]]'s
+    * order-independence discipline), plus a low-entropy flag at
+    * `lowE4`. Empty-after-normalization docs have no distribution and
+    * are absent (the screen's job is scoring content, not finding
+    * blanks — [[docStats]] reports those).
+    *
+    * Scale: one char explode (corpus chars, same order as the winnow
+    * scan) into a map-side-combined (doc, char) aggregate; everything
+    * after is |docs|·|alphabet| rows.
+    */
+  def charEntropy(docs: DataFrame, lowE4: Long = 20000L): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), Cols.normalizeText(col("text")).as("__n"))
+      .filter(length(col("__n")) > 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(__n)), i -> substring(__n, i, 1))"))
+          .as("ch"))
+    val c = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct_chars"))
+    val term = round(
+      -(col("c").cast("double") / col("n_chars").cast("double")) *
+        log(col("c").cast("double") / col("n_chars").cast("double")) * 10000)
+      .cast("long")
+    c.join(t, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n_chars")).as("n_chars"),
+        first(col("n_distinct_chars")).as("n_distinct_chars"),
+        sum(term).as("char_entropy_e4"))
+      .withColumn("low_entropy",
+        when(col("char_entropy_e4") < lowE4, 1L).otherwise(0L))
+  }
+
   def noveltyCurve(docs: DataFrame): DataFrame = {
     val sh = graft.dedup.Dedup.shingleRows(docs)
     val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("__first"))
@@ -1145,6 +1183,8 @@ object TextAnalysis {
     "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
     // per-source vocabulary-divergence screen over the top-50 terms
     "txt_source_chi2" -> ((s, d) => sourceChi2(Tables.documents(s, d))),
+    // per-doc character entropy: the repetitive-junk / base64-wall screen
+    "txt_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "txt_surprisal_deciles" -> ((s, d) => surprisalDeciles(Tables.documents(s, d))),
     "txt_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
@@ -1467,6 +1507,30 @@ object TextAnalysis {
         |)
         |SELECT source, sum(o)::BIGINT AS n_tokens, sum(term_e4)::BIGINT AS chi2_e4
         |FROM t GROUP BY 1""".stripMargin,
+    // per-char-term round-then-sum, mirroring the Spark aggregation
+    "txt_char_entropy" ->
+      """WITH nm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, unnest([substr(n, i, 1) for i in generate_series(1, length(n))]) AS ch
+        |  FROM nm WHERE length(n) > 0
+        |), c AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2
+        |), t AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct_chars
+        |  FROM c GROUP BY 1
+        |), s AS (
+        |  SELECT c.doc_id, t.n_chars, t.n_distinct_chars,
+        |    sum(round(-(c.c::DOUBLE / t.n_chars::DOUBLE)
+        |              * ln(c.c::DOUBLE / t.n_chars::DOUBLE) * 10000)::BIGINT)::BIGINT
+        |      AS char_entropy_e4
+        |  FROM c JOIN t USING (doc_id)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n_chars, n_distinct_chars, char_entropy_e4,
+        |  CASE WHEN char_entropy_e4 < 20000 THEN 1 ELSE 0 END::BIGINT AS low_entropy
+        |FROM s""".stripMargin,
     "txt_surprisal_deciles" ->
       s"""$tokCte, terms AS (
          |  SELECT doc_id, unnest(toks) AS term FROM t

@@ -467,6 +467,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(skew("spam") > 0L && skew("web") > 0L)
   }
 
+  test("charEntropy: constant text scores zero, uniform alphabet hand-computed") {
+    val out = TextAnalysis.charEntropy(docs(
+      (1L, "aaaaaaaa"),                      // one symbol → H = 0, low
+      (2L, "abcdefghijklmnopqrstuvwxyz"),    // 26 uniform → 26·round(ln26/26·1e4)
+      (3L, "")))                             // empty after normalize → absent
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 2, "empty doc must be absent")
+    assert(out(0) === ((1L, 8L, 1L, 0L, 1L)))
+    assert(out(1) === ((2L, 26L, 26L, 26L * 1253L, 0L)))
+  }
+
   test("chunk: windows cover every token with the declared overlap") {
     val words = (1 to 200).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunk(docs((1L, words)), chunkTokens = 64, stride = 48)
