@@ -763,6 +763,10 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
       graft.ops.Analytics.recommendFromCoOccurrence(userItems, pairs)
     }),
+    // MinHash audience-overlap sketch + exact-vs-estimate accuracy
+    // readout per segment pair (deterministic seeded hashes → oracled)
+    "ev_segment_minhash" -> ((s, dir) =>
+      graft.ops.Analytics.segmentMinhash(Tables.events(s, dir))),
     // temporal recommender backtest: train on the early calendar half,
     // precision@3 against what users actually bought later
     "li_recommend_eval" -> ((s, dir) =>
@@ -2796,6 +2800,39 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT usr, cand, score_e4, n_paths, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // positional mins over seeded md5 hashes; match count via list
+    // comprehension; exact side = the ev_segment_overlap CTEs
+    "ev_segment_minhash" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT epoch_ms(ts::TIMESTAMP) // 86400000 AS seg, user_id AS id
+        |  FROM events
+        |), sg AS (
+        |  SELECT seg, ii.i,
+        |    min(('0x' || substr(md5(ii.i || ':' || id), 1, 15))::BIGINT) AS m
+        |  FROM tu CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  GROUP BY 1, 2
+        |), sigl AS (
+        |  SELECT seg, list(m ORDER BY i) AS sig FROM sg GROUP BY 1
+        |), pr AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |              for i in generate_series(1, 64)])::BIGINT AS n_match
+        |  FROM sigl a JOIN sigl b ON a.seg < b.seg
+        |), s AS (SELECT seg, count(*) AS n FROM tu GROUP BY 1),
+        |p AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.id = b.id AND a.seg < b.seg
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT seg_a, seg_b,
+        |    ((n_common * 10000) // (sa.n + sb.n - n_common))::BIGINT AS exact_e4
+        |  FROM p JOIN s sa ON p.seg_a = sa.seg JOIN s sb ON p.seg_b = sb.seg
+        |)
+        |SELECT pr.seg_a, pr.seg_b, pr.n_match,
+        |  (pr.n_match * 10000 // 64)::BIGINT AS est_jaccard_e4,
+        |  coalesce(ex.exact_e4, 0)::BIGINT AS exact_jaccard_e4,
+        |  ((pr.n_match * 10000 // 64) - coalesce(ex.exact_e4, 0))::BIGINT AS err_e4
+        |FROM pr LEFT JOIN ex ON ex.seg_a = pr.seg_a AND ex.seg_b = pr.seg_b""".stripMargin,
     // the li_recommend CTEs rebuilt on the train half only; midpoint-day
     // split broadcast in-plan; hits scored against test-half purchases
     "li_recommend_eval" ->

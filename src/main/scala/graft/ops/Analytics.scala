@@ -258,6 +258,50 @@ object Analytics {
           .as("jaccard_e4"))
   }
 
+  /** MinHash audience-overlap sketch with its accuracy readout — the
+    * sketch that answers [[segmentOverlap]]'s question at 100 TB without
+    * ever joining user sets: per segment a k-position signature
+    * (positional mins of seeded md5 hashes — deterministic, so unlike
+    * production MinHash this one is fully oracled), estimated Jaccard =
+    * matching positions / k, reported NEXT TO the exact Jaccard so the
+    * error is visible per pair (the Count-Min discipline applied to set
+    * overlap; expected |err| ≈ 1/√k ≈ 0.125 e0 at k=64).
+    *
+    * Scale: signatures are ONE map-side-combined aggregate (k scalar
+    * mins — the [[graft.dedup.Dedup.minhashSignatures]] shape, never an
+    * array re-evaluated per position) to |segments| rows; the pair join
+    * runs on signatures alone. The exact side exists here only as the
+    * diagnostic; production drops it and keeps the k-long sketch.
+    */
+  def segmentMinhash(events: DataFrame, k: Int = 64): DataFrame = {
+    // daily audiences as the segments: day-over-day Jaccard is the
+    // returning-audience readout (event-type segments fully overlap on
+    // this corpus — every user does every type — a degenerate diagnostic)
+    val withSeg = events.withColumn(
+      "__seg", Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs))
+    val tu = withSeg
+      .select(col("__seg").as("seg"), col("user_id").as("id")).distinct()
+    val mins = (0 until k).map(i => min(Cols.hash60(i, col("id"))).as(s"m$i"))
+    val sig = tu.groupBy(col("seg"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("seg"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint() // referenced twice by the pair join below
+    val est = sig.as("a").join(sig.as("b"), col("a.seg") < col("b.seg"))
+      .select(
+        col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("n_match"))
+      .withColumn("est_jaccard_e4", Cols.floorDiv(col("n_match") * 10000L, k.toLong))
+    est
+      .join(segmentOverlap(withSeg, "__seg", "user_id").select(
+        col("seg_a"), col("seg_b"), col("jaccard_e4").as("__exact")),
+        Seq("seg_a", "seg_b"), "left")
+      .select(
+        col("seg_a"), col("seg_b"), col("n_match"), col("est_jaccard_e4"),
+        coalesce(col("__exact"), lit(0L)).as("exact_jaccard_e4"),
+        (col("est_jaccard_e4") - coalesce(col("__exact"), lit(0L))).as("err_e4"))
+  }
+
   /** Generic co-occurrence mining (market-basket pairs): for every pair
     * of distinct items sharing a group (an order, a session, a document),
     * the pair count, each item's group count, and the exact integer-e4

@@ -90,4 +90,17 @@ class ApproxSpec extends SparkSpec {
     // gate at 0.75 to absorb testdata regeneration
     assert(recall >= 0.75, s"recall = $recall < 0.75")
   }
+
+  test("MinHash audience sketch: mean |error| within the 1/sqrt(k) envelope") {
+    // k=64 → per-pair std ≈ 0.125; the MEAN absolute error across pairs
+    // sits well under it. Measured mean 421 e4 / max 1546 e4 at sf0.01;
+    // gate the mean at 1250 e4 (the single-pair sigma) — loose enough to
+    // absorb testdata regeneration, tight enough to catch a broken hash
+    val rows = graft.ops.Analytics.segmentMinhash(
+      Tables.events(spark, "/root/testdata/sf0.01"))
+      .select($"err_e4").as[Long].collect()
+    assert(rows.nonEmpty)
+    val meanAbs = rows.map(math.abs).sum.toDouble / rows.length
+    assert(meanAbs <= 1250.0, s"mean |err| = $meanAbs e4 exceeds the sketch envelope")
+  }
 }
