@@ -70,7 +70,10 @@ object PlanAudit {
     // r6: 1-row broadcast of the base-run conversion probability
     "cs_markov_attribution",
     // r6: 1-row broadcast midpoint-day split + coOccurrence's total
-    "li_recommend_eval")
+    "li_recommend_eval",
+    // r6: the signature pair join is |segments|² over a |days|-row
+    // sketch table (k longs per row) — bounded by the calendar, not data
+    "ev_segment_minhash")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
