@@ -494,6 +494,31 @@ object Multimodal {
       (bestLag, rBest, r0)
     }
 
+    /** 4-bin gray histogram + exact integer mean over a binary PPM's
+      * full pixel plane — the exposure/contrast QA probe (everything in
+      * bin 0 = black frame, everything in one bin = flat/synthetic
+      * image). Bins are gray>>6 (0–63, 64–127, 128–191, 192–255);
+      * gray = (r+g+b)/3 integer, same as the hash codecs.
+      */
+    def grayHistPpm(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      val (w, h, _, off) = ppmHeader(bytes)
+      val n = (w * h).toInt
+      val bins = new Array[Long](4)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val o = off + i * 3
+        val g =
+          if (o + 2 < bytes.length)
+            ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+          else 0 // truncated payloads read as black, like resizePpm
+        bins(g >> 6) += 1
+        sum += g
+        i += 1
+      }
+      (bins(0), bins(1), bins(2), bins(3), if (n == 0) 0L else sum / n)
+    }
+
     /** DC-removed zero-crossing and quiet-fraction probe for 16-bit PCM
       * WAV — the container walk of [[fingerprintWav]], then over the n
       * samples the CENTERED signal `s'ᵢ = n·sᵢ − Σs` (scaling by n keeps
@@ -829,6 +854,23 @@ object Multimodal {
         .as("n_same_hash"))
   }
 
+  /** Gray-histogram table over the real PPM path: per image the 4-bin
+    * brightness distribution and exact integer mean gray — the
+    * exposure/contrast QA screen (black frames, blown highlights, flat
+    * synthetic fills all show as mass collapsing into one bin). Same
+    * mapPartitions codec tier and map-only shape as [[phash]].
+    */
+  def grayHist(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (b0, b1, b2, b3, mean) = Codecs.grayHistPpm(bytes)
+        (id, b0, b1, b2, b3, mean)
+      })
+      .toDF("doc_id", "bin0", "bin1", "bin2", "bin3", "mean_gray")
+  }
+
   /** Zero-crossing / quiet-fraction table over the real WAV path: per
     * clip the sample count, DC-removed adjacent sign flips, the e4
     * crossing rate (per adjacent pair), and the below-10%-of-peak quiet
@@ -864,6 +906,7 @@ object Multimodal {
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
+    "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -1076,5 +1119,25 @@ object Multimodal {
         |  (n_crossings * 10000 // (n_samples - 1))::BIGINT AS zcr_e4,
         |  n_quiet, (n_quiet * 10000 // n_samples)::BIGINT AS quiet_e4
         |FROM agg""".stripMargin,
+    // full 256-pixel plane in char arithmetic; bins by gray >> 6
+    "mm_gray_hist" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [(ord(substr(pix, i * 3 + 1, 1)) + ord(substr(pix, i * 3 + 2, 1)) +
+        |      ord(substr(pix, i * 3 + 3, 1))) // 3
+        |     for i in range(0, 256)] AS grays
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  list_sum([CASE WHEN x // 64 = 0 THEN 1 ELSE 0 END for x in grays])::BIGINT AS bin0,
+        |  list_sum([CASE WHEN x // 64 = 1 THEN 1 ELSE 0 END for x in grays])::BIGINT AS bin1,
+        |  list_sum([CASE WHEN x // 64 = 2 THEN 1 ELSE 0 END for x in grays])::BIGINT AS bin2,
+        |  list_sum([CASE WHEN x // 64 = 3 THEN 1 ELSE 0 END for x in grays])::BIGINT AS bin3,
+        |  (list_sum(grays) // 256)::BIGINT AS mean_gray
+        |FROM g""".stripMargin,
   )
 }

@@ -196,6 +196,18 @@ class MultimodalSpec extends SparkSpec {
     assert(d >= 1 && d <= 4, s"one-pixel edit should flip few bits, flipped $d")
   }
 
+  test("grayHist: quadrant image lands one quadrant per bin; mean exact") {
+    // 2x2 gray quadrants 10/70/140/210 → one pixel in each bin;
+    // mean = (10+70+140+210)/4 = 107 (integer floor)
+    def gray(g: Int) = Seq(g.toByte, g.toByte, g.toByte)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      (gray(10) ++ gray(70) ++ gray(140) ++ gray(210)).toArray
+    assert(Multimodal.Codecs.grayHistPpm(img) === ((1L, 1L, 1L, 1L, 107L)))
+    // truncated payload: missing pixels read black (bin 0), no crash
+    val cut = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ gray(210).toArray
+    assert(Multimodal.Codecs.grayHistPpm(cut) === ((3L, 0L, 0L, 1L, 52L)))
+  }
+
   test("dHash: gradient direction sets bits; invariant to brightness shift") {
     // 9x8 source resizes to 9x8 identically; a left-to-right DECREASING
     // gradient sets every bit, increasing sets none
