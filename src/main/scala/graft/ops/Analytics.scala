@@ -844,19 +844,19 @@ object Analytics {
     * Ties rank by partkey, so the classing is deterministic.
     *
     * Scale: the fact table collapses to |parts| rows in one map-side
-    * combined aggregate; the ranking window and cumulative sum run over
-    * that DIMENSION-sized table, and the grand total folds in as a 1-row
-    * broadcast — nothing data-sized is sorted.
+    * combined aggregate; the global cumulative-revenue prefix comes from
+    * [[Sharded.rankAndPrefix]] — range-sharded partial sums plus broadcast
+    * shard offsets — so even a 10⁹-part catalog never sorts through one
+    * partition; the grand total folds in as a 1-row broadcast.
     */
   def abcClass(lineitem: DataFrame): DataFrame = {
     val rev = lineitem
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
     val total = broadcast(rev.agg(sum(col("rev_cents")).as("__total")))
-    val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    rev.crossJoin(total)
-      .withColumn("__cum_before", coalesce(sum(col("rev_cents")).over(byRev), lit(0L)))
+    Sharded.rankAndPrefix(
+        rev, Seq(col("rev_cents").desc, col("l_partkey")), col("rev_cents"))
+      .crossJoin(total)
       .select(
         col("l_partkey"), col("rev_cents"),
         Cols.floorDiv(col("__cum_before") * 10000, col("__total")).as("cum_before_e4"))

@@ -78,9 +78,10 @@ object Scale {
     * (the count at rank ceil(0.99·n_keys) in ascending order) — all
     * integer, so the report hashes identically on any engine; an
     * interpolated `percentile()` double would not. One hash aggregate to
-    * |keys| rows, then a |keys|-row rank pass and two 1-row broadcast
-    * joins; at 100 TB this is the cheap probe you run on a sample or on
-    * the full table overnight, not a per-query cost.
+    * |keys| rows, then a rank pass via
+    * [[graft.ops.Sharded.rankAndPrefix]] — range-sharded so even a
+    * billion-key table never sorts through one window partition — and
+    * two 1-row broadcast joins.
     */
   def keySkew(df: DataFrame, key: String): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
@@ -88,12 +89,12 @@ object Scale {
       sum(col("__c")).as("n_rows"),
       count(lit(1)).as("n_keys"),
       max(col("__c")).as("max_key_rows"))
-    // rank statistic over the |keys|-row count table; the single-partition
-    // window is bounded by n_keys (the already-aggregated side), never n_rows
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__c"))
-    val ranked = counts.select(
-      col("__c").as("p99_key_rows"),
-      row_number().over(w).cast("long").as("__rn"))
+    // rank statistic over the |keys|-row count table, distributed: the
+    // rank VALUE at the target is identical for any tie order, and the
+    // key tiebreak keeps the shard sort total
+    val ranked = graft.ops.Sharded
+      .rankAndPrefix(counts, Seq(col("__c"), col(key)), lit(0L))
+      .select(col("__c").as("p99_key_rows"), col("__i").as("__rn"))
     val target = stats.select(
       graft.Cols.floorDiv(col("n_keys") * 99L + 99L, lit(100L)).as("__target"))
     val p99 = ranked

@@ -102,24 +102,24 @@ object Stats {
     * `g_e4 = ⌊(2·Σ(i·xᵢ) − (n+1)·Σx)·10⁴ / (n·Σx)⌋` with spend ranked
     * ascending, ties broken by customer key — the standard rank-covariance
     * form, exact in int64 at dollar granularity up to ~10⁹ customer-dollars
-    * of Σ(i·x) headroom (document: at 100 TB shard the rank pass by spend
-    * decile and merge, same as any global-rank statistic).
+    * of Σ(i·x) headroom.
     *
     * Output is one row: n_customers, total_spend, gini_e4 (0 = perfectly
     * equal, → 10⁴ as one customer takes everything).
     *
-    * Scale: one hash aggregate to |customers| rows, a single rank window
-    * over that aggregated table (the bounded rank-pass posture), one
-    * 1-row reduce.
+    * Scale: one hash aggregate to |customers| rows, then the global rank
+    * comes from [[Sharded.rankAndPrefix]] — range-partitioned shards rank
+    * independently and broadcast shard offsets reassemble the global `i`,
+    * so no single-partition sort appears even at 10⁹ customers; one
+    * 1-row reduce at the end.
     */
   def gini(orders: DataFrame): DataFrame = {
     val spend = orders
       .groupBy(col("o_custkey"))
       .agg(Cols.floorDiv(
         sum(round(col("o_totalprice") * 100).cast("long")), 100L).as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    Sharded.rankAndPrefix(spend, Seq(col("x"), col("o_custkey")), col("x"))
+      .withColumn("i", col("__i"))
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("x")).as("total_spend"),
@@ -184,7 +184,10 @@ object Stats {
     * reduce state is 1024 cells regardless of key cardinality), then the
     * tiny sketch broadcasts into the topK keys' estimate join. The exact
     * top-K pass exists only because this is a *diagnostic* of the
-    * sketch; production reads the sketch alone.
+    * sketch; production reads the sketch alone. The heaviest keys come
+    * from `orderBy().limit(topK)` — TakeOrderedAndProject, per-partition
+    * heaps — and the rank VALUE is recomputed by a window over the
+    * already-limited topK rows, never over the full key table.
     */
   def countMinEstimates(
       events: DataFrame,
@@ -202,9 +205,10 @@ object Stats {
     val top = events
       .groupBy(col(key))
       .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col(key))
+      .limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("exact_n").desc, col(key))).cast("long"))
-      .filter(col("rank") <= topK)
     top
       .select(col(key), col("exact_n"), col("rank"),
         posexplode(buckets).as(Seq("r", "bucket")))

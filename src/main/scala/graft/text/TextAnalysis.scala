@@ -231,23 +231,22 @@ object TextAnalysis {
     * tokenizer ([[Cols.tokens]]); everything is integer-exact.
     *
     * Scale: token scan → hash agg to |distinct train terms| rows; the
-    * top-V rank runs on that aggregated table (at 100 TB pre-filter
-    * `freq >= minFreq` so the rank pass sees the head, not the long
-    * tail — the cutoff can only exclude terms that could never make the
-    * top V). The held-out probe joins against the broadcast V-row vocab —
-    * bounded by V, never by the corpus.
+    * top-V cut is `orderBy().limit(V)` — TakeOrderedAndProject,
+    * per-partition heaps, never a global sort of the vocabulary (a 100 TB
+    * corpus has billions of distinct terms; funneling them through one
+    * window partition is the anti-pattern WindowGuardSpec bans). The
+    * held-out probe joins against the broadcast V-row vocab — bounded by
+    * V, never by the corpus.
     */
   def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val sp = splitAssign(docs).select(col("doc_id"), col("split"))
     val toks = docs
       .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
       .join(sp, "doc_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("term"))
     val vocab = toks.filter(col("split") === "train")
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= vocabSize)
+      .orderBy(col("freq").desc, col("term"))
+      .limit(vocabSize)
       .select(col("term"), lit(1L).as("__in_vocab"))
     toks.filter(col("split") =!= "train")
       .join(broadcast(vocab), Seq("term"), "left_outer")
@@ -270,10 +269,11 @@ object TextAnalysis {
     * token joins to its term's rank and the per-cutoff counts are
     * conditional aggregates over that single joined table.
     *
-    * Scale: identical posture to [[oovRate]] — the rank pass runs on the
-    * aggregated distinct-term table and the probe joins a broadcast
-    * max(cutoffs)-row vocab. One extra constant-size explode unpivots the
-    * cutoff columns into rows.
+    * Scale: identical posture to [[oovRate]] — TakeOrdered top-max(cutoffs)
+    * over the aggregated distinct-term table, rank values recomputed on
+    * the bounded result, and the probe joins a broadcast max(cutoffs)-row
+    * vocab. One extra constant-size explode unpivots the cutoff columns
+    * into rows.
     */
   def vocabCoverage(
       docs: DataFrame,
@@ -284,10 +284,13 @@ object TextAnalysis {
       .join(sp, "doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("term"))
+    // top-max(cutoffs) via TakeOrdered, then re-rank the bounded result:
+    // the window sorts cutoffs.max rows, not the train vocabulary
     val vocab = toks.filter(col("split") === "train")
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(cutoffs.max)
       .withColumn("term_rank", row_number().over(w).cast("long"))
-      .filter(col("term_rank") <= cutoffs.max)
       .select(col("term"), col("term_rank"))
     val counts = toks.filter(col("split") =!= "train")
       .join(broadcast(vocab), Seq("term"), "left_outer")
@@ -552,17 +555,17 @@ object TextAnalysis {
     * count and the χ² divergence e4 — rank sources by it to find the
     * outlier slice before it trains.
     *
-    * Scale: one token scan → map-side-combined term agg; the top-V rank
-    * runs on the aggregated vocabulary; cells join the broadcast V-row
-    * vocab. Nothing pairs docs or sources; grid is sources × V rows.
+    * Scale: one token scan → map-side-combined term agg; the top-V cut is
+    * TakeOrdered (per-partition heaps — membership only, no rank value
+    * needed); cells join the broadcast V-row vocab. Nothing pairs docs or
+    * sources; grid is sources × V rows.
     */
   def sourceChi2(docs: DataFrame, topTerms: Int = 50): DataFrame = {
     val terms = docs.select(col("source"),
       explode(Cols.tokens(col("text"))).as("term"))
     val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("__f"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__f").desc, col("term"))))
-      .filter(col("__rk") <= topTerms)
+      .orderBy(col("__f").desc, col("term"))
+      .limit(topTerms)
       .select(col("term"))
     val cells = terms.join(broadcast(vocab), "term")
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__o"))

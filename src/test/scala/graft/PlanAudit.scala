@@ -73,7 +73,31 @@ object PlanAudit {
     "li_recommend_eval",
     // r6: the signature pair join is |segments|² over a |days|-row
     // sketch table (k longs per row) — bounded by the calendar, not data
-    "ev_segment_minhash")
+    "ev_segment_minhash",
+    // r7: Sharded.rankAndPrefix shard offsets — an nShards²-pair (32×32)
+    // broadcast self-join over the nShards-row shard-total table
+    "cust_gini")
+
+  // Queries allowed an unpartitioned window (single-partition sort) whose
+  // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
+  // structurally. Every entry documents its bound; anything else with an
+  // empty-partition-spec window over un-limited input fails
+  // PlanSpec's registry sweep — the 100 TB scale-killer class VERDICT r6
+  // flagged (a billion-term vocabulary through one WindowExec partition).
+  val BoundedGlobalWindow: Set[String] = Set(
+    // running / rolling windows over the |days|-row daily aggregate —
+    // bounded by the calendar, not the data
+    "ev_error_budget", "ord_open_orders", "ev_concurrency",
+    // rank windows over the 24-row hour-of-day domain
+    "ev_hour_spearman",
+    // next-fit packing window over the nBuckets-row (64) file table
+    "tbl_compaction_plan",
+    // share-of-total windows over |event_type|-row Markov state tables
+    "cs_markov_attribution",
+    // share-of-total window over the 5-row lateness-band aggregate
+    "ev_lateness_profile",
+    // largest-remainder rank over the |groups|-row (language) quota table
+    "txt_quota_alloc")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

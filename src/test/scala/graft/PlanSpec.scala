@@ -33,6 +33,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("registry sweep: no unpartitioned window over unbounded input") {
+    // an empty-partition-spec Window is a single-partition sort of its
+    // whole input — fine under a Limit (TakeOrdered feeds it ≤ n rows)
+    // or over a bounded-by-construction table (documented allowlist),
+    // fatal over a data-sized one (a 100 TB corpus has billions of
+    // distinct terms; one WindowExec partition cannot rank them). The
+    // guard reads the optimized LOGICAL plan: structural boundedness =
+    // a GlobalLimit somewhere below the window.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      if (PlanAudit.BoundedGlobalWindow(name)) Nil
+      else {
+        val plan = q(spark, dir).queryExecution.optimizedPlan
+        val bad = plan.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case _: GlobalLimit => () }.isEmpty => w
+        }
+        if (bad.nonEmpty) Seq(name) else Nil
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned global-sort window over un-limited input in: ${offenders.mkString(", ")}")
+  }
+
   test("q1: shipdate filter pushed to parquet scan; columns pruned") {
     val plan = planOf(RelationalQueries.q1Pricing(spark, dir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
