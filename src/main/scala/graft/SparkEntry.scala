@@ -2066,7 +2066,9 @@ object SparkEntry {
         |FROM l""".stripMargin,
     // basket-pair edges + ordered triangle chain; wedges from degrees
     "li_graph_stats" ->
-      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
         |e AS (
         |  SELECT a.item AS src, b.item AS dst
         |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
@@ -2563,7 +2565,9 @@ object SparkEntry {
         |SELECT path, count(*) AS n_paths FROM p WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "li_basket_pairs" ->
-      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
         |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
         |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
         |p AS (
@@ -2663,7 +2667,9 @@ object SparkEntry {
       // whole peel pyramid exponentially (the same hazard the Spark side
       // solves with localCheckpoint)
       val base =
-        """WITH gi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
           |e0 AS MATERIALIZED (
           |  SELECT a.item AS src, b.item AS dst
           |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
@@ -2690,13 +2696,15 @@ object SparkEntry {
     },
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
-      s"""$sessionsCte, gi AS (
+      s"""$sessionsCte, gi0 AS (
          |  SELECT DISTINCT user_id || ':' || win_begin_ms AS grp, department AS item
          |  FROM (
          |    SELECT user_id, win_begin_ms,
          |      unnest(string_split(dept_list, ',')) AS department
          |    FROM sessions) t
          |  WHERE department <> ''
+         |), gi AS (SELECT grp, item FROM gi0
+         |          QUALIFY count(*) OVER (PARTITION BY grp) <= 1000
          |), ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
          |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
          |p AS (
@@ -2713,10 +2721,12 @@ object SparkEntry {
     // first-date dedupe before the self-join; strict < drops same-day
     // ties on both sides, so direction is never ambiguous within a day
     "ord_seq_pairs" ->
-      """WITH fb AS (
+      """WITH fb0 AS (
         |  SELECT o.o_custkey AS cust, l.l_partkey AS item, min(o.o_orderdate) AS d
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |  GROUP BY 1, 2
+        |), fb AS (SELECT cust, item, d FROM fb0
+        |          QUALIFY count(*) OVER (PARTITION BY cust) <= 1000
         |), buyers AS (
         |  SELECT item, count(*)::BIGINT AS n FROM fb GROUP BY 1
         |), p AS (
@@ -2729,7 +2739,9 @@ object SparkEntry {
         |FROM p JOIN buyers ON buyers.item = p.item_a""".stripMargin,
     // the basket-pairs CTEs + symmetric expansion + heaviest-edge window
     "li_label_prop_step" ->
-      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
         |p AS (
         |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
         |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
@@ -2770,7 +2782,9 @@ object SparkEntry {
     // the basket-pairs CTEs + symmetric expansion + owned anti-join +
     // per-user top-3 window, mirroring recommendFromCoOccurrence
     "li_recommend" ->
-      """WITH gi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
         |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
         |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
         |p AS (
@@ -2845,9 +2859,11 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey FROM od CROSS JOIN cut WHERE day <= cut_day
         |), te AS MATERIALIZED (
         |  SELECT o_orderkey, o_custkey FROM od CROSS JOIN cut WHERE day > cut_day
-        |), gi AS MATERIALIZED (
+        |), gi0 AS MATERIALIZED (
         |  SELECT DISTINCT l.l_orderkey AS grp, l.l_partkey AS item
         |  FROM lineitem l JOIN tr ON tr.o_orderkey = l.l_orderkey
+        |), gi AS MATERIALIZED (SELECT grp, item FROM gi0
+        |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000
         |), ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
         |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
         |p AS (

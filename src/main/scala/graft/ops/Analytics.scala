@@ -310,19 +310,28 @@ object Analytics {
     * noise and would dominate the output.
     *
     * Scale: the distinct (group, item) table shuffles once on group; the
-    * per-group fan-out is C(basket, 2), so a df-cap on pathological
-    * baskets (cap or sample groups above ~10³ items, the same guard as
-    * the shingle posting lists) is the 100 TB hardening. The item-count
-    * table is vocabulary-sized, so it joins PLAIN (AQE broadcasts it
-    * exactly when it fits — a hard hint here would OOM on a 10⁷-item
-    * vocabulary); only the 1-row group total carries a broadcast hint.
-    * Lift arithmetic runs in 38-digit decimals: `n_ab · N · 10⁴` exceeds
-    * 2⁶³ once groups reach ~10¹⁰, where a silent Long wrap would emit
-    * garbage AND diverge from the oracle's HUGEINT.
+    * per-group fan-out is C(basket, 2), so `maxGroupSize` DROPS groups
+    * above the cap (one 10⁵-item reseller basket is a 10¹⁰-row explode)
+    * BEFORE any counting — item counts, the group total, and the pair
+    * counts all see the same capped universe, and every oracle mirrors
+    * the cap (the `maxShingleDf` discipline). The cap rides a window
+    * partitioned by group on the same shuffle the pair join needs — no
+    * extra pass. The item-count table is vocabulary-sized, so it joins
+    * PLAIN (AQE broadcasts it exactly when it fits — a hard hint here
+    * would OOM on a 10⁷-item vocabulary); only the 1-row group total
+    * carries a broadcast hint. Lift arithmetic runs in 38-digit decimals:
+    * `n_ab · N · 10⁴` exceeds 2⁶³ once groups reach ~10¹⁰, where a
+    * silent Long wrap would emit garbage AND diverge from the oracle's
+    * HUGEINT.
     */
   def coOccurrence(
-      df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L): DataFrame = {
+      df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L,
+      maxGroupSize: Int = 1000): DataFrame = {
     val gi = df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
+      .withColumn("__gsz",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("__gsz") <= maxGroupSize)
+      .drop("__gsz")
     val itemCounts = gi.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val total = gi.agg(count_distinct(col("grp")).as("__n_groups"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -574,15 +583,22 @@ object Analytics {
     * because the item vocabulary grows with the data (verified at sf0.01
     * vs sf0.1 — max support 6 vs 4) — so the threshold keeps binding at
     * any scale, and the output stays sparse. The lever that DOES need
-    * attention at 100 TB is per-customer assortment size: cap reseller
-    * accounts before the self-join.
+    * attention at 100 TB is per-customer assortment size: `maxAssortment`
+    * DROPS reseller-sized accounts before the self-join (a 10⁵-item
+    * account is a 10¹⁰-row pair explode), buyers counts included, and
+    * the oracle mirrors the cap — the [[coOccurrence]] `maxGroupSize`
+    * discipline one key up.
     */
   def seqPairs(orders: DataFrame, lineitem: DataFrame,
-               minPairCount: Long = 3L): DataFrame = {
+               minPairCount: Long = 3L, maxAssortment: Int = 1000): DataFrame = {
     val firstBuy = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
       .agg(min(col("o_orderdate")).as("d"))
+      .withColumn("__asz",
+        count(lit(1)).over(Window.partitionBy(col("cust"))))
+      .filter(col("__asz") <= maxAssortment)
+      .drop("__asz")
     val buyers = firstBuy.groupBy(col("item")).agg(count(lit(1)).as("n"))
     firstBuy.select(col("cust"), col("item").as("item_a"), col("d").as("d_a"))
       .join(firstBuy.select(col("cust"), col("item").as("item_b"), col("d").as("d_b")), "cust")

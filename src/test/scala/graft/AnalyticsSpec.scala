@@ -114,6 +114,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List(("a", "b", 2L, 3L, 2L, 10000L)))
   }
 
+  test("co-occurrence: a pathological 10³-item basket is dropped by the fan-out cap") {
+    // one 1001-item basket (alone worth C(1001,2) ≈ 500k pairs) plus two
+    // normal baskets; with the default cap the big group vanishes BEFORE
+    // the self-join and the group total reflects the capped universe
+    val big = (1 to 1001).map(i => ("big", f"i$i%05d"))
+    val small = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+    val df = (big ++ small).toDF("grp", "item")
+    val got = Analytics.coOccurrence(df, "grp", "item", minPairCount = 1)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // only (a,b) survives; N = 2 capped groups, lift = 2·2/(2·2) → 10000
+    assert(got === List(("a", "b", 2L, 2L, 2L, 10000L)))
+    // raising the cap above the basket size readmits the explosion —
+    // the assertion that proves the cap (not the fixture) was the bound
+    val uncapped = Analytics.coOccurrence(df, "grp", "item", 1, maxGroupSize = 2000)
+    assert(uncapped.count() === 1001L * 1000L / 2 + 1)
+  }
+
   test("recommender: max-lift over owned items, owned candidates excluded") {
     val userItems = Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("usr", "item")
     val pairs = Seq(

@@ -190,6 +190,34 @@ class StatsSpec extends SparkSpec {
     assert(out.toList === List((10L, 20L, 4L, 6L, 6666L)))
   }
 
+  test("seqPairs: a reseller-sized assortment is dropped by the fan-out cap") {
+    import graft.ops.Analytics
+    import java.sql.Date
+    // customer 99 "buys" 1001 distinct parts on consecutive days — alone
+    // worth ~500k ordered pairs; three normal customers share 10 → 20
+    val reseller = (1 to 1001).map(i =>
+      (1000L + i, 99L, Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))))
+    val normal = Seq(
+      (101L, 1L, Date.valueOf("2024-01-01")), (102L, 1L, Date.valueOf("2024-02-01")),
+      (103L, 2L, Date.valueOf("2024-01-01")), (104L, 2L, Date.valueOf("2024-02-01")),
+      (105L, 3L, Date.valueOf("2024-01-01")), (106L, 3L, Date.valueOf("2024-02-01")))
+    val orders = (reseller ++ normal).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val resellerItems = (1 to 1001).map(i => (1000L + i, 5000L + i))
+    val normalItems = Seq(
+      (101L, 10L), (102L, 20L), (103L, 10L), (104L, 20L), (105L, 10L), (106L, 20L))
+    val lineitem = (resellerItems ++ normalItems).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.seqPairs(orders, lineitem)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // the reseller is dropped pre-join: only 10 → 20 survives, and n_a
+    // counts the 3 capped buyers of part 10, not the reseller's copies
+    assert(out === List((10L, 20L, 3L, 3L, 10000L)))
+    // cap above the assortment → the pair explosion is back (support 1
+    // pairs admitted to make the fan-out visible)
+    val uncapped = Analytics.seqPairs(orders, lineitem,
+      minPairCount = 1L, maxAssortment = 2000)
+    assert(uncapped.count() === 1001L * 1000L / 2 + 1)
+  }
+
   test("compactionPlan: bins respect the target and partition the files") {
     val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("user_id")
     val plan = Stats.compactionPlan(df, "user_id", nBuckets = 32, targetRows = 1000L)
