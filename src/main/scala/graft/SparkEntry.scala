@@ -584,11 +584,13 @@ object SparkEntry {
     // journey graph, exact e9 fixed-point iteration
     "cs_markov_attribution" -> ((s, dir) =>
       graft.ops.Analytics.markovAttribution(Tables.events(s, dir))),
-    // 3-core of the co-purchase graph: fixed-round degree peel, one plan
+    // 3-core of the co-purchase graph: fixed-round degree peel, one plan.
+    // rounds=10 is the measured sf0.01 fixpoint (AnalyticsSpec pins
+    // rounds=10 ≡ rounds=11; 5 rounds stopped 30 nodes short)
     "li_kcore" -> ((s, dir) =>
       graft.ops.Analytics.kCore(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+          .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 10)),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -749,6 +751,14 @@ object SparkEntry {
       graft.ops.Analytics.labelPropStep(
         graft.ops.Analytics.coOccurrence(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+    // LPA iteration 2: the step's labels fed back through the general
+    // weighted-majority iterate — the composition the step documents
+    "li_label_prop2" -> ((s, dir) => {
+      val pairs = graft.ops.Analytics.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.ops.Analytics.labelPropIterate(
+        pairs, graft.ops.Analytics.labelPropStep(pairs))
+    }),
     // Count-Min sketch heavy hitters: exact vs estimate overcount
     // diagnostic over a deterministic md5-row sketch
     "ev_countmin_est" -> ((s, dir) =>
@@ -2675,7 +2685,7 @@ object SparkEntry {
           |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
           |  GROUP BY 1, 2 HAVING count(*) >= 2
           |)""".stripMargin
-      val peels = (1 to 5).map { i =>
+      val peels = (1 to 10).map { i =>
         s""", d$i AS MATERIALIZED (
            |  SELECT node, count(*) AS d FROM (
            |    SELECT src AS node FROM e${i - 1}
@@ -2688,11 +2698,11 @@ object SparkEntry {
       }.mkString
       base + peels +
         """
-          |SELECT 3::BIGINT AS k, 5::BIGINT AS rounds,
+          |SELECT 3::BIGINT AS k, 10::BIGINT AS rounds,
           |  (SELECT count(*) FROM (SELECT DISTINCT node FROM (
-          |     SELECT src AS node FROM e5 UNION ALL SELECT dst FROM e5) x) y)::BIGINT
+          |     SELECT src AS node FROM e10 UNION ALL SELECT dst FROM e10) x) y)::BIGINT
           |    AS n_core_nodes,
-          |  (SELECT count(*) FROM e5)::BIGINT AS n_core_edges""".stripMargin
+          |  (SELECT count(*) FROM e10)::BIGINT AS n_core_edges""".stripMargin
     },
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
@@ -2754,6 +2764,33 @@ object SparkEntry {
         |  SELECT item, nbr, n_ab,
         |    row_number() OVER (PARTITION BY item ORDER BY n_ab DESC, nbr) AS rn
         |  FROM sym) t
+        |WHERE rn = 1""".stripMargin,
+    // the step's CTEs + the labels joined back on the neighbor side:
+    // iteration 2 takes the label with the largest incident weight SUM
+    "li_label_prop2" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS nbr, n_ab FROM p
+        |  UNION ALL SELECT item_b, item_a, n_ab FROM p
+        |), l1 AS (
+        |  SELECT item, nbr AS label FROM (
+        |    SELECT item, nbr,
+        |      row_number() OVER (PARTITION BY item ORDER BY n_ab DESC, nbr) AS rn
+        |    FROM sym) t
+        |  WHERE rn = 1
+        |)
+        |SELECT item, label, label_weight FROM (
+        |  SELECT s.item, l.label, sum(s.n_ab)::BIGINT AS label_weight,
+        |    row_number() OVER (
+        |      PARTITION BY s.item ORDER BY sum(s.n_ab) DESC, l.label) AS rn
+        |  FROM sym s JOIN l1 l ON l.item = s.nbr
+        |  GROUP BY s.item, l.label) t
         |WHERE rn = 1""".stripMargin,
     // deterministic md5 hash rows make the CM sketch fully oracled;
     // estimate = min over the key's depth cells

@@ -309,6 +309,29 @@ object Multimodal {
       sb.toString
     }
 
+    /** Shared RIFF chunk walk: yields (chunk id, body offset, body
+      * length) with the declared 32-bit length CLAMPED to the bytes that
+      * actually exist. The clamp is the corrupt-input guard every walker
+      * needs: a chunk length ≥ 2³¹ turns `len.toInt` negative and steps
+      * the cursor BACKWARDS (an executor spinning forever on one
+      * record), and an over-claiming length walks reads past the buffer
+      * — both violate the "one corrupt record must never fail the job"
+      * rule [[resizePpm]] follows. Clamped, the cursor advances ≥ 8
+      * bytes per chunk, so the walk always terminates.
+      */
+    private def walkRiff(bytes: Array[Byte])(f: (String, Int, Long) => Unit): Unit = {
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val len = math.min(le32(o + 4), (bytes.length - o - 8).toLong)
+        f(id, o + 8, len)
+        o += 8 + len.toInt + (len.toInt & 1)
+      }
+    }
+
     /** REAL frame sampling for 16-bit PCM WAV — keeps every `everyK`-th
       * frame (all channels) and re-emits a valid minimal RIFF/WAVE
       * container with patched sizes. The frame-sample stage of an
@@ -323,16 +346,8 @@ object Multimodal {
       // the LAST data chunk, since that is the one n_frames was sized
       // from (stopping at the first would copy from the wrong offset when
       // a stray/empty data chunk precedes the real one)
-      def le32(o: Int): Long =
-        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-      var dataOff = -1; var o = 12
-      while (o + 8 <= bytes.length) {
-        val id = new String(bytes, o, 4, "US-ASCII")
-        val len = le32(o + 4)
-        if (id == "data") dataOff = o + 8
-        o += 8 + len.toInt + (len.toInt & 1)
-      }
+      var dataOff = -1
+      walkRiff(bytes) { (id, off, _) => if (id == "data") dataOff = off }
       val frameBytes = channels * 2
       // keep only frames whose bytes actually exist: a missing data chunk
       // (dataOff = -1) or a header that over-claims yields an empty/short
@@ -366,14 +381,10 @@ object Multimodal {
           ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       var channels = 0L; var rate = 0L; var bits = 16
       var dataOff = -1; var dataLen = 0L
-      var o = 12
-      while (o + 8 <= bytes.length) {
-        val id = new String(bytes, o, 4, "US-ASCII")
-        val len = le32(o + 4)
-        if (id == "fmt ") {
-          channels = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22)
-        } else if (id == "data") { dataOff = o + 8; dataLen = len }
-        o += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) {
+          channels = le16(off + 2); rate = le32(off + 4); bits = le16(off + 14)
+        } else if (id == "data") { dataOff = off; dataLen = len }
       }
       val bytesPerSample = bits / 8
       val nSamples = if (dataOff < 0 || bytesPerSample == 0) 0L else dataLen / bytesPerSample
@@ -402,18 +413,11 @@ object Multimodal {
       */
     def fingerprintWav(bytes: Array[Byte], windows: Int = 64): String = {
       def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-      def le32(o: Int): Long =
-        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       var bits16 = 16
       var dataOff = -1; var dataLen = 0L
-      var o = 12
-      while (o + 8 <= bytes.length) {
-        val id = new String(bytes, o, 4, "US-ASCII")
-        val len = le32(o + 4)
-        if (id == "fmt ") bits16 = le16(o + 22)
-        else if (id == "data") { dataOff = o + 8; dataLen = len }
-        o += 8 + len.toInt + (len.toInt & 1)
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) bits16 = le16(off + 14)
+        else if (id == "data") { dataOff = off; dataLen = len }
       }
       val nSamples =
         if (dataOff < 0 || bits16 != 16) 0L
@@ -459,18 +463,11 @@ object Multimodal {
       */
     def autocorrWav(bytes: Array[Byte], maxLag: Int = 32): (Int, Long, Long) = {
       def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-      def le32(o: Int): Long =
-        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       var bits16 = 16
       var dataOff = -1; var dataLen = 0L
-      var o = 12
-      while (o + 8 <= bytes.length) {
-        val id = new String(bytes, o, 4, "US-ASCII")
-        val len = le32(o + 4)
-        if (id == "fmt ") bits16 = le16(o + 22)
-        else if (id == "data") { dataOff = o + 8; dataLen = len }
-        o += 8 + len.toInt + (len.toInt & 1)
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) bits16 = le16(off + 14)
+        else if (id == "data") { dataOff = off; dataLen = len }
       }
       val n =
         if (dataOff < 0 || bits16 != 16) 0
@@ -531,18 +528,11 @@ object Multimodal {
       */
     def zcrWav(bytes: Array[Byte]): (Long, Long, Long) = {
       def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-      def le32(o: Int): Long =
-        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       var bits16 = 16
       var dataOff = -1; var dataLen = 0L
-      var o = 12
-      while (o + 8 <= bytes.length) {
-        val id = new String(bytes, o, 4, "US-ASCII")
-        val len = le32(o + 4)
-        if (id == "fmt ") bits16 = le16(o + 22)
-        else if (id == "data") { dataOff = o + 8; dataLen = len }
-        o += 8 + len.toInt + (len.toInt & 1)
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) bits16 = le16(off + 14)
+        else if (id == "data") { dataOff = off; dataLen = len }
       }
       val n =
         if (dataOff < 0 || bits16 != 16) 0L

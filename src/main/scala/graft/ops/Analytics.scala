@@ -638,6 +638,36 @@ object Analytics {
       .select(col("item"), col("nbr").as("label"), col("n_ab").as("label_weight"))
   }
 
+  /** The general LPA iteration [[labelPropStep]]'s scaladoc promises:
+    * given the current (item, label) assignment, each node adopts the
+    * label with the greatest total incident edge weight among its
+    * neighbors' labels (ties: smallest label id). `labelPropStep` is
+    * exactly this with singleton labels (every label group is one
+    * neighbor); composing `labelPropIterate(pairs, labelPropStep(pairs))`
+    * runs iteration 2, and so on — each round one join + one aggregate +
+    * one per-node window, the same shapes the step already has.
+    *
+    * Scale: the join key is the neighbor id against a |nodes|-row label
+    * table — vocabulary-sized, joins PLAIN (AQE broadcasts when it
+    * fits); the window is per-node over its label groups, bounded by
+    * degree, which the [[coOccurrence]] caps already bound.
+    */
+  def labelPropIterate(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("nbr"), col("n_ab"))
+      .union(pairs
+        .select(col("item_b").as("item"), col("item_a").as("nbr"), col("n_ab")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("label_weight").desc, col("label"))
+    sym
+      .join(labels.select(col("item").as("nbr"), col("label")), "nbr")
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("n_ab")).as("label_weight"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("item"), col("label"), col("label_weight"))
+  }
+
   /** Fixed-iteration weighted PageRank in EXACT INTEGER e9 arithmetic —
     * graph centrality as a deterministic dataflow: every step is a
     * floor-divided integer, so any engine (and any aggregation order)
@@ -1286,10 +1316,11 @@ object Analytics {
     * dense-substructure screen (spam rings, power-user cliques) and the
     * preprocessing cut before any expensive community algorithm. Fixed
     * iteration count keeps it ONE lazy plan (the [[pageRank]]
-    * discipline); geometric shrinkage means 5 rounds reach the fixpoint
-    * on all but adversarial graphs — compare two `rounds` settings (the
-    * same one-row report twice) to confirm convergence, rerun deeper if
-    * they differ.
+    * discipline); shrinkage slows near the fixpoint, so the depth must
+    * be MEASURED, not assumed — the sf0.01 basket graph needs 10 rounds
+    * (5 left it 30 nodes short), and AnalyticsSpec pins
+    * rounds = registered ≡ registered+1 so an unconverged peel fails a
+    * test instead of silently agreeing with an equally-unrolled oracle.
     *
     * Scale: per round one degree aggregate + two semi-joins, each
     * bounded by the shrinking edge table. Each round's survivor edges
@@ -1325,10 +1356,15 @@ object Analytics {
   /** Rolling 7-day distinct users per day from the SAME 63-bit word
     * bitmaps as [[bitmapRetention]] — exact windowed distinct WITHOUT
     * re-scanning events per window: the per-(day, word) bitmap table is
-    * built once, a RANGE frame bit_or's each word over the trailing week
-    * (gap days age out arithmetically), and popcounts sum per day. The
-    * WAU-per-day series every growth dashboard wants, where the naive
-    * `count_distinct` over a 7-day self-join re-shuffles user ids 7×.
+    * built once, each word-day fans out to the `windowDays` target days
+    * it covers, and the words OR-combine and popcount per target day.
+    * (NOT a per-word RANGE window over the trailing week: that frame
+    * only sees (day, word) rows that EXIST, so a word with no activity
+    * on the target day itself silently drops its whole history — the
+    * sparse-day bug PARITY.md pins this fan-out formulation against.)
+    * The WAU-per-day series every growth dashboard wants, where the
+    * naive `count_distinct` over a 7-day self-join re-shuffles user
+    * ids 7×.
     *
     * Scale: the distinct collapses to (day, word) — |users|/63 longs per
     * day; each word-day then fans out to the `windowDays` target days it

@@ -36,6 +36,14 @@ object Stats {
     * `auc_e4 = ⌊u2_a·10⁴ / (2·n_a·n_b)⌋` is the common-language effect
     * size P(A > B) + ½P(A = B) in e4 — 5000 means "no shift".
     *
+    * Integer ranges (the [[hhi]]/[[gini]] discipline): the numerator
+    * `u2_a·10⁴ ≈ 2·n_a·n_b·10⁴` fits int64 only while `n_a·n_b ≲ 4.6·10¹⁴`
+    * — roughly 2·10⁷ events per arm per type. Beyond that Spark wraps
+    * silently while DuckDB raises, so the engines would diverge; at that
+    * scale compute auc from per-arm MEAN doubled ranks
+    * (`(r2_a/n_a − n_a − 1)·10⁴ / (2·n_b)`, floored once) — same
+    * statistic, n_b-sized numerator.
+    *
     * Scale: one hash aggregate to |event_type × distinct value| rows
     * (map-side combined), then a per-type running-sum window over that
     * already-aggregated table — the same bounded rank-pass posture as

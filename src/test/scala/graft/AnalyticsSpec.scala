@@ -577,16 +577,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.last._3 === 2L)
   }
 
-  test("kCore: 5 rounds reach the fixpoint on the real basket graph") {
+  test("kCore: 5 rounds reach the fixpoint on the sf0.01 basket graph") {
     import graft.ops.Analytics
+    // the registered li_kcore grain: if a fixture change ever leaves the
+    // peel unconverged at the registered depth, this fails before the
+    // oracle (which unrolls the same depth) can silently agree on a
+    // non-fixpoint. This guard is what exposed rounds=5 as 30 nodes
+    // short on sf0.01 — the peel sequence there is
+    // 965/954/946/940/936 → 935 nodes, flat from round 10.
     val edges = Analytics.coOccurrence(
-      Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_orderkey", "l_partkey")
+      Tables.lineitem(spark, "/root/testdata/sf0.01"), "l_orderkey", "l_partkey")
       .select($"item_a".as("src"), $"item_b".as("dst"))
-    val at5 = Analytics.kCore(edges, k = 3, rounds = 5)
+      .localCheckpoint()
+    val at10 = Analytics.kCore(edges, k = 3, rounds = 10)
       .select($"n_core_nodes", $"n_core_edges").as[(Long, Long)].collect().head
-    val at6 = Analytics.kCore(edges, k = 3, rounds = 6)
+    val at11 = Analytics.kCore(edges, k = 3, rounds = 11)
       .select($"n_core_nodes", $"n_core_edges").as[(Long, Long)].collect().head
-    assert(at5 === at6, "registered rounds=5 must already be the fixpoint")
+    assert(at10 === at11, "registered rounds=10 must already be the fixpoint")
+    assert(at10 === ((935L, 1970L)))
+  }
+
+  test("labelPropIterate: weighted-majority adoption, singleton step is its special case") {
+    import graft.ops.Analytics
+    // square 1-2-3-4-1 with a heavy 1-2 edge plus pendant 5 on 3:
+    // step 1 (heaviest neighbor): 1→2? no — node 1's edges: (1,2,w5),(1,4,w1)
+    val pairs = Seq(
+      (1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L), (3L, 5L, 2L))
+      .toDF("item_a", "item_b", "n_ab")
+    val l1 = Analytics.labelPropStep(pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // 1 adopts 2 (w5); 2 adopts 1 (w5); 3 adopts 5 (w2); 4 adopts 1 (tie w1,
+    // min id); 5 adopts 3 (w2)
+    assert(l1 === List((1L, 2L, 5L), (2L, 1L, 5L), (3L, 5L, 2L), (4L, 1L, 1L), (5L, 3L, 2L)))
+    val l2 = Analytics.labelPropIterate(pairs, Analytics.labelPropStep(pairs))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // iteration 2 sums weight per neighbor LABEL: node 3 sees labels
+    // {1(via 2,w1), 1(via 4,w1) → 2, 3(via 5,w2)} — tie 2 vs 2 → label 1
+    assert(l2.find(_._1 == 3L).get._2 === 1L)
+  }
+
+  test("labelPropIterate: fed back once on the sf0.01 basket graph, label mass converges") {
+    import graft.ops.Analytics
+    val pairs = Analytics.coOccurrence(
+      Tables.lineitem(spark, "/root/testdata/sf0.01"), "l_orderkey", "l_partkey")
+      .localCheckpoint()
+    val l1 = Analytics.labelPropStep(pairs).localCheckpoint()
+    val l2 = Analytics.labelPropIterate(pairs, l1).localCheckpoint()
+    val l3 = Analytics.labelPropIterate(pairs, l2).localCheckpoint()
+    def nLabels(df: org.apache.spark.sql.DataFrame): Long =
+      df.select($"label").distinct().count()
+    val (n1, n2, n3) = (nLabels(l1), nLabels(l2), nLabels(l3))
+    // propagation can only merge communities from singleton init: the
+    // distinct-label count must not grow as iterations feed back
+    assert(n2 <= n1, s"iteration 2 grew the label space: $n1 -> $n2")
+    assert(n3 <= n2, s"iteration 3 grew the label space: $n2 -> $n3")
+    // and the assignment must be deterministic run-to-run
+    val again = Analytics.labelPropIterate(pairs, l1)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    assert(again === l2.as[(Long, Long, Long)].collect().sorted.toList)
   }
 
   test("markovAttribution: hand-solved absorbing chain, removal effects exact") {

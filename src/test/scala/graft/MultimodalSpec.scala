@@ -70,6 +70,43 @@ class MultimodalSpec extends SparkSpec {
     assert(d.mean_value === (100 - 100 + 300 + 500) / 4.0)
   }
 
+  test("RIFF walk survives corrupt chunk lengths: terminates, never reads out of bounds") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a chunk claiming length 0xFFFFFFF0: the unclamped walk turned
+    // len.toInt negative and stepped the cursor BACKWARDS — an
+    // executor-pinning infinite loop on one corrupt record
+    val poison = {
+      val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF0)
+        .put("data".getBytes("US-ASCII")).putInt(4).putInt(0x11223344)
+      bb.array()
+    }
+    // the poisoned chunk clamps to the rest of the file, so the buried
+    // data chunk is unreachable — every probe reports the safe default
+    assert(Multimodal.Codecs.decodeWav(1L, poison).n_frames === 0L)
+    assert(Multimodal.Codecs.zcrWav(poison) === ((0L, 0L, 0L)))
+    assert(Multimodal.Codecs.autocorrWav(poison) === ((0, 0L, 0L)))
+    assert(Multimodal.Codecs.fingerprintWav(poison).forall(_ == '0'))
+    assert(Multimodal.Codecs.sampleWavFrames(poison, 2).length >= 44)
+    // an over-claiming data length (says 2^31-8 bytes, has 4): the clamp
+    // reads only the samples that exist instead of throwing
+    val overClaim = {
+      val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(Int.MaxValue - 7)
+        .putShort(100).putShort(-100)
+      bb.array()
+    }
+    val d = Multimodal.Codecs.decodeWav(2L, overClaim)
+    assert(d.channels === 1L && d.sample_rate === 8000L)
+    assert(d.n_frames === 2L && d.mean_value === 0.0)
+  }
+
   /** Minimal bottom-up 24-bit BI_RGB BMP; `rows` are VISUAL rows (top
     * first), each a seq of (b, g, r) triples.
     */

@@ -65,8 +65,9 @@ object PlanAudit {
     // chi2 queries; both sides bounded by construction
     "txt_source_chi2",
     // r6: inherit coOccurrence's 1-row broadcast group total (and
-    // kcore adds its own two 1-row summary aggregates)
-    "li_label_prop_step", "li_kcore", "cs_dept_pairs",
+    // kcore adds its own two 1-row summary aggregates); r7: the fed-back
+    // LPA iteration composes the same pair table twice
+    "li_label_prop_step", "li_label_prop2", "li_kcore", "cs_dept_pairs",
     // r6: 1-row broadcast of the base-run conversion probability
     "cs_markov_attribution",
     // r6: 1-row broadcast midpoint-day split + coOccurrence's total

@@ -15,11 +15,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  /** ClickEvent fixture row (FIXTURES.md §1). */
-  private case class CE(
-      ip: String, eventtimestamp: Long, devicetype: String,
-      event_type: String, product_type: String, userid: Int,
-      globalseq: Long, prevglobalseq: Long)
 
   private def ce(user: Int, ts: Long, eventType: String, productType: String): CE =
     CE("10.0.0.1", ts, "mobile", eventType, productType, user, 0L, 0L)

@@ -26,10 +26,6 @@ class TimerSessionizerSpec extends SparkSpec {
     }
   }
 
-  private case class CE(
-      ip: String, eventtimestamp: Long, devicetype: String,
-      event_type: String, product_type: String, userid: Int,
-      globalseq: Long, prevglobalseq: Long)
 
   private def ce(user: Int, ts: Long, eventType: String, productType: String): CE =
     CE("ip", ts, "web", eventType, productType, user, 0L, 0L)
