@@ -486,6 +486,16 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")),
     // key-uniqueness audit across the star schema + events
+    // per-column shape drift between the early/late calendar halves of
+    // orders: null rate + exact distinct drift in signed e4 — the feed
+    // health screen run before a new partition is trusted
+    "tbl_stats_drift" -> ((s, dir) =>
+      graft.ops.Profile.statsDrift(
+        Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"),
+        graft.Cols.floorDiv(
+          unix_millis(col("o_orderdate").cast("timestamp")),
+          graft.ops.TimeSeries.DayMs))),
     "tbl_pk_audit" -> ((s, dir) =>
       graft.ops.Profile.pkAudit(Seq(
         ("orders", Tables.orders(s, dir), "o_orderkey"),
@@ -589,6 +599,13 @@ object SparkEntry {
     // rounds=10 ≡ rounds=11; 5 rounds stopped 30 nodes short)
     "li_kcore" -> ((s, dir) =>
       graft.ops.Analytics.kCore(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 10)),
+    // connected components of the basket graph: fixed-round HashMin
+    // flooding; rounds=10 is the measured sf0.01 fixpoint (spec pins
+    // rounds=10 ≡ rounds=11 — 9 components, largest 1860 nodes)
+    "li_components" -> ((s, dir) =>
+      graft.ops.Analytics.components(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 10)),
     // departments browsed together within one session — the clickstream
@@ -1427,6 +1444,44 @@ object SparkEntry {
         |  (CASE WHEN coalesce(sum(p), 0) > 0
         |        THEN (max(p) * 10000) // sum(p) ELSE 0 END)::BIGINT AS top_share_e4
         |FROM j""".stripMargin,
+    // one arm per profiled column over the half-tagged table; signed
+    // distinct drift uses the remainder-corrected floor (DuckDB '//'
+    // is not trusted on negative numerators, same as ev_profile_drift)
+    "tbl_stats_drift" -> {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+      val arms = cols.map { c =>
+        s"""  SELECT '$c' AS column_name,
+           |    (count(*) FILTER (WHERE half = 0))::BIGINT AS n_rows_a,
+           |    (count(*) FILTER (WHERE half = 1))::BIGINT AS n_rows_b,
+           |    (count(*) FILTER (WHERE half = 0)
+           |     - count($c) FILTER (WHERE half = 0))::BIGINT AS n_null_a,
+           |    (count(*) FILTER (WHERE half = 1)
+           |     - count($c) FILTER (WHERE half = 1))::BIGINT AS n_null_b,
+           |    (count(DISTINCT $c) FILTER (WHERE half = 0))::BIGINT AS n_distinct_a,
+           |    (count(DISTINCT $c) FILTER (WHERE half = 1))::BIGINT AS n_distinct_b
+           |  FROM t""".stripMargin
+      }.mkString("", "\n  UNION ALL\n", "")
+      s"""WITH o AS MATERIALIZED (
+         |  SELECT o_orderstatus, o_orderpriority, o_custkey, o_totalprice,
+         |    epoch_ms(o_orderdate::TIMESTAMP) // 86400000 AS day
+         |  FROM orders
+         |), cut AS (SELECT (min(day) + max(day)) // 2 AS c FROM o),
+         |t AS MATERIALIZED (
+         |  SELECT o.*, CASE WHEN day <= c THEN 0 ELSE 1 END AS half
+         |  FROM o CROSS JOIN cut
+         |), s AS (
+         |$arms
+         |)
+         |SELECT column_name, n_rows_a, n_rows_b, n_null_a, n_null_b,
+         |  n_distinct_a, n_distinct_b,
+         |  ((n_null_b * 10000) // greatest(n_rows_b, 1)
+         |   - (n_null_a * 10000) // greatest(n_rows_a, 1))::BIGINT AS null_rate_drift_e4,
+         |  (((n_distinct_b - n_distinct_a) * 10000
+         |    - ((((n_distinct_b - n_distinct_a) * 10000 % greatest(n_distinct_a, 1))
+         |        + greatest(n_distinct_a, 1)) % greatest(n_distinct_a, 1)))
+         |   // greatest(n_distinct_a, 1))::BIGINT AS distinct_drift_e4
+         |FROM s""".stripMargin
+    },
     "tbl_pk_audit" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,
         |  count(DISTINCT o_orderkey) AS n_distinct,
@@ -2671,6 +2726,35 @@ object SparkEntry {
     },
     // the basket-pairs edge CTE + five unrolled degree-peel layers
     // (fixed-round, mirroring the one-plan Spark loop exactly)
+    // basket-pair edges + 10 unrolled HashMin layers (MATERIALIZED for
+    // the same planner-pyramid reason as li_kcore); min over self ∪
+    // neighbor labels per layer, then component sizes from layer 10
+    "li_components" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym AS MATERIALIZED (
+          |  SELECT item_a AS a, item_b AS b FROM p
+          |  UNION ALL SELECT item_b, item_a FROM p
+          |), l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)""".stripMargin
+      val layers = (1 to 10).map { i =>
+        s""", l$i AS MATERIALIZED (
+           |  SELECT node, min(label) AS label FROM (
+           |    SELECT s.a AS node, l.label FROM sym s JOIN l${i - 1} l ON l.node = s.b
+           |    UNION ALL SELECT node, label FROM l${i - 1}) u
+           |  GROUP BY node
+           |)""".stripMargin
+      }.mkString
+      base + layers +
+        """
+          |SELECT label AS component, count(*)::BIGINT AS n_nodes
+          |FROM l10 GROUP BY 1""".stripMargin
+    },
     "li_kcore" -> {
       // AS MATERIALIZED is load-bearing: every e_{i-1} is referenced
       // three times per round, and an inlining planner re-evaluates the

@@ -1353,6 +1353,53 @@ object Analytics {
         col("n_core_nodes"), col("n_core_edges"))
   }
 
+  /** Connected components of an undirected edge table by fixed-round
+    * HashMin label flooding: every node starts labeled with its own id,
+    * and each round takes the min over itself and its neighbors' labels
+    * — after `rounds` ≥ the graph diameter every component carries its
+    * smallest node id. Output: one row per component (root label, node
+    * count), the "how fragmented is this graph" table that seeds any
+    * per-component processing. The graph family's missing quadrant next
+    * to [[pageRank]] (centrality), [[kCore]] (density), and
+    * [[labelPropStep]] (communities).
+    *
+    * `rounds` is MEASURED, not assumed, exactly like the k-core depth:
+    * AnalyticsSpec pins registered ≡ registered+1 on the sf0.01 basket
+    * graph, so a fixture change that stretches the diameter fails a
+    * test instead of silently shipping split components.
+    *
+    * Scale: per round one neighbor-label join (edge-sized, keyed by
+    * node) + one min-aggregate; each round's label table is
+    * `localCheckpoint`ed and the retired one freed — the [[kCore]]
+    * lineage discipline. HashMin rounds scale with diameter; real
+    * co-occurrence graphs are shallow (the sf0.01 basket graph floods
+    * in a handful of rounds), and a deliberately long chain would call
+    * for the pointer-jumping variant instead.
+    */
+  def components(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    val sym = edges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = sym
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .select(col("a").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(labels)
+      labels = next
+    }
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Rolling 7-day distinct users per day from the SAME 63-bit word
     * bitmaps as [[bitmapRetention]] — exact windowed distinct WITHOUT
     * re-scanning events per window: the per-(day, word) bitmap table is

@@ -34,6 +34,66 @@ object Profile {
       .select(col("p.column_name"), col("p.n_rows"), col("p.n_null"), col("p.n_distinct"))
   }
 
+  /** Column-stats drift between the early and late calendar halves of a
+    * table — the "did the feed change shape" screen a pipeline runs
+    * before trusting a new partition: per column, each half's row count,
+    * null count, and exact distinct count, plus the signed e4 drift of
+    * the distinct count and of the null RATE (nulls per 10⁴ rows). A
+    * sudden distinct-count collapse (upstream started sending a constant)
+    * or null-rate jump (a join started missing) shows up here before it
+    * poisons anything downstream. The split day is the in-plan midpoint
+    * of the observed calendar — the same 1-row broadcast discipline as
+    * the recommender backtest.
+    *
+    * Scale: ONE aggregate pass in the [[profile]] shape — per column,
+    * half-conditional counts and distincts (Spark's multi-distinct
+    * expand, ×2 per column vs [[profile]]) — then a constant-size
+    * explode into the per-column report. No per-column jobs, nothing
+    * re-scanned per half.
+    */
+  def statsDrift(
+      df: DataFrame, columns: Seq[String], dayExpr: org.apache.spark.sql.Column): DataFrame = {
+    require(columns.nonEmpty, "statsDrift needs at least one column")
+    val cut = broadcast(
+      df.agg(graft.Cols
+        .floorDiv(min(dayExpr) + max(dayExpr), 2L).as("__cut")))
+    val tagged = df.crossJoin(cut)
+      .withColumn("__half", when(dayExpr <= col("__cut"), 0L).otherwise(1L))
+    def half(h: Int, c: org.apache.spark.sql.Column) = when(col("__half") === h, c)
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(half(0, col(c))).as(s"__nn0_$c"),
+        count(half(1, col(c))).as(s"__nn1_$c"),
+        count_distinct(half(0, col(c))).as(s"__nd0_$c"),
+        count_distinct(half(1, col(c))).as(s"__nd1_$c"))
+    }
+    val row = tagged.agg(
+      sum(when(col("__half") === 0, 1L).otherwise(0L)).as("__n0"),
+      sum(when(col("__half") === 1, 1L).otherwise(0L)).as("__n1") +: aggs: _*)
+    def rate(nulls: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      graft.Cols.floorDiv(nulls * 10000L, greatest(n, lit(1L)))
+    row
+      .select(explode(array(columns.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("__n0").as("n_rows_a"), col("__n1").as("n_rows_b"),
+          (col("__n0") - col(s"__nn0_$c")).as("n_null_a"),
+          (col("__n1") - col(s"__nn1_$c")).as("n_null_b"),
+          col(s"__nd0_$c").as("n_distinct_a"),
+          col(s"__nd1_$c").as("n_distinct_b"))
+      }: _*)).as("p"))
+      .select(
+        col("p.column_name"),
+        col("p.n_rows_a"), col("p.n_rows_b"),
+        col("p.n_null_a"), col("p.n_null_b"),
+        col("p.n_distinct_a"), col("p.n_distinct_b"),
+        (rate(col("p.n_null_b"), col("p.n_rows_b"))
+          - rate(col("p.n_null_a"), col("p.n_rows_a"))).as("null_rate_drift_e4"),
+        graft.Cols.floorDiv(
+          (col("p.n_distinct_b") - col("p.n_distinct_a")) * 10000L,
+          greatest(col("p.n_distinct_a"), lit(1L))).as("distinct_drift_e4"))
+  }
+
   /** Equi-width histogram of `valueCol` per `groupCol`: `bins` buckets
     * over the GLOBAL [min, max] (shared bin edges make the per-group
     * histograms comparable), top edge closed — the max value lands in the

@@ -803,12 +803,29 @@ object Similarity {
     * dim positional sums. No pair joins, nothing quadratic in the corpus.
     */
   def kmeansStep(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
-    val v = Dedup.quantized(embeddings)
+    val v = quantizedVecs(embeddings)
+    stringifyCentroid(lloydRound(v, seedCentroids(v, k), dim), dim)
+  }
+
+  /** The quantized (vec_id, qv, __vn) working set every Lloyd round
+    * scores against. */
+  private def quantizedVecs(embeddings: DataFrame): DataFrame =
+    Dedup.quantized(embeddings)
       .select(col("vec_id"), col("qv"), col("norm2").as("__vn"))
-    val init = v.filter(col("vec_id") < k)
+
+  /** Deterministic seeds: the quantized vectors of the k smallest
+    * vec_ids, in centroid shape (__cid, __cqv, __cn). */
+  private def seedCentroids(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") < k)
       .select(col("vec_id").as("__cid"), col("qv").as("__cqv"), col("__vn").as("__cn"))
+
+  /** One exact Lloyd round against the given centroid table: nearest
+    * assignment by integer squared distance (ties → smallest centroid
+    * id), then per-cluster integer floor centroids + inertia, emitted as
+    * (cluster_id, n_vecs, inertia, __cv array). */
+  private def lloydRound(v: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
     val d2 = col("__vn") - lit(2L) * Dedup.longDot(col("qv"), col("__cqv")) + col("__cn")
-    val assigned = v.crossJoin(broadcast(init))
+    val assigned = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), struct(d2.as("d2"), col("__cid").as("cid")).as("__dc"))
       .groupBy(col("vec_id"))
       .agg(min(col("__dc")).as("__best"), first(col("qv")).as("qv"))
@@ -822,10 +839,52 @@ object Similarity {
         (sums.tail ++ Seq(count(lit(1)).as("n_vecs"), sum(col("__d2")).as("inertia"))): _*)
       .select(
         col("cluster_id"), col("n_vecs"), col("inertia"),
-        concat_ws(",", (0 until dim).map(i =>
+        array((0 until dim).map(i =>
           call_function("div",
-            col(s"__s$i") - pmod(col(s"__s$i"), col("n_vecs")), col("n_vecs"))
-            .cast("string")): _*).as("centroid_milli"))
+            col(s"__s$i") - pmod(col(s"__s$i"), col("n_vecs")), col("n_vecs"))): _*)
+          .as("__cv"))
+  }
+
+  private def stringifyCentroid(round: DataFrame, dim: Int): DataFrame =
+    round.select(
+      col("cluster_id"), col("n_vecs"), col("inertia"),
+      concat_ws(",", (0 until dim).map(i =>
+        element_at(col("__cv"), i + 1).cast("string")): _*).as("centroid_milli"))
+
+  /** Second exact Lloyd iteration + convergence readout: re-assign every
+    * vector against [[kmeansStep]]'s floor centroids, re-emit per-cluster
+    * stats, and report each centroid's squared displacement
+    * (`shift2_milli`, exact integer) — the is-it-converging monitor a
+    * clustering loop watches per round. Lloyd's descent property holds
+    * here too (SimilaritySpec pins total inertia non-increasing across
+    * the two steps, floor-quantization included), so one verified
+    * step-pair pins the loop's invariant, not just its body.
+    *
+    * Scale: both rounds broadcast a k-row centroid table; the step-1
+    * round feeds step 2's broadcast directly — everything else is the
+    * [[kmeansStep]] shape twice. A cluster that goes empty in round 2
+    * disappears from the output (and reports no shift), exactly like
+    * the SQL formulation.
+    */
+  def kmeansStep2(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+    val v = quantizedVecs(embeddings)
+    // the k-row round-1 result feeds BOTH round 2's broadcast and the
+    // shift join; checkpointing it pins one corpus scan per round
+    val round1 = lloydRound(v, seedCentroids(v, k), dim).localCheckpoint()
+    val cents1 = round1.select(
+      col("cluster_id").as("__cid"), col("__cv").as("__cqv"),
+      aggregate(transform(col("__cv"), x => x * x), lit(0L), _ + _).as("__cn"))
+    lloydRound(v, cents1, dim)
+      .join(
+        broadcast(round1.select(col("cluster_id"), col("__cv").as("__cv1"))),
+        "cluster_id")
+      .select(
+        col("cluster_id"), col("n_vecs"), col("inertia"),
+        aggregate(
+          zip_with(col("__cv1"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("shift2_milli"),
+        concat_ws(",", (0 until dim).map(i =>
+          element_at(col("__cv"), i + 1).cast("string")): _*).as("centroid_milli"))
   }
 
   /** IVF recall readout: per query, how many of the exact top-k
@@ -1074,6 +1133,7 @@ object Similarity {
     "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
     "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
     "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
+    "emb_kmeans_step2" -> ((s, d) => kmeansStep2(Tables.embeddings(s, d))),
     "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
@@ -1258,6 +1318,75 @@ object Similarity {
         |SELECT cent.cluster_id, n_vecs, inertia,
         |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli
         |FROM cent JOIN inert USING (cluster_id)""".stripMargin,
+    // the step-1 CTEs verbatim, then a second assignment round against
+    // the floor centroids + the squared centroid displacement readout
+    "emb_kmeans_step2" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), init AS (
+        |  SELECT vec_id AS cid, qv AS cqv, norm2 AS cn FROM n WHERE vec_id < 8
+        |), d AS (
+        |  SELECT n.vec_id, init.cid,
+        |    (n.norm2
+        |     - 2 * list_sum([n.qv[i] * init.cqv[i] for i in generate_series(1, len(n.qv))])::BIGINT
+        |     + init.cn)::BIGINT AS d2
+        |  FROM n CROSS JOIN init
+        |), m AS (
+        |  SELECT vec_id, min(d2) AS md FROM d GROUP BY 1
+        |), asg AS (
+        |  SELECT d.vec_id, min(d.cid) AS cluster_id, min(d.d2) AS d2
+        |  FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.md
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT cluster_id, ii.i AS i, sum(q.qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM asg JOIN q ON q.vec_id = asg.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY cluster_id, ii.i
+        |), cent AS MATERIALIZED (
+        |  SELECT cluster_id, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cells GROUP BY cluster_id
+        |), c1 AS (
+        |  SELECT cluster_id AS cid, cv,
+        |    list_sum(list_transform(cv, x -> x * x))::BIGINT AS cn
+        |  FROM cent
+        |), d_2 AS (
+        |  SELECT n.vec_id, c1.cid,
+        |    (n.norm2
+        |     - 2 * list_sum([n.qv[i] * c1.cv[i] for i in generate_series(1, len(n.qv))])::BIGINT
+        |     + c1.cn)::BIGINT AS d2
+        |  FROM n CROSS JOIN c1
+        |), m_2 AS (
+        |  SELECT vec_id, min(d2) AS md FROM d_2 GROUP BY 1
+        |), asg_2 AS (
+        |  SELECT d_2.vec_id, min(d_2.cid) AS cluster_id, min(d_2.d2) AS d2
+        |  FROM d_2 JOIN m_2 ON d_2.vec_id = m_2.vec_id AND d_2.d2 = m_2.md
+        |  GROUP BY 1
+        |), cells_2 AS (
+        |  SELECT cluster_id, ii.i AS i, sum(q.qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM asg_2 JOIN q ON q.vec_id = asg_2.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY cluster_id, ii.i
+        |), cent_2 AS (
+        |  SELECT cluster_id, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cells_2 GROUP BY cluster_id
+        |), inert_2 AS (
+        |  SELECT cluster_id, sum(d2)::BIGINT AS inertia FROM asg_2 GROUP BY 1
+        |)
+        |SELECT cent_2.cluster_id, cent_2.n_vecs, inertia,
+        |  list_sum([(cent.cv[i] - cent_2.cv[i]) * (cent.cv[i] - cent_2.cv[i])
+        |            for i in generate_series(1, 64)])::BIGINT AS shift2_milli,
+        |  array_to_string(list_transform(cent_2.cv, x -> x::VARCHAR), ',') AS centroid_milli
+        |FROM cent_2
+        |JOIN inert_2 USING (cluster_id)
+        |JOIN cent ON cent.cluster_id = cent_2.cluster_id""".stripMargin,
     "emb_outliers" ->
       """WITH q AS (
         |  SELECT vec_id, label,

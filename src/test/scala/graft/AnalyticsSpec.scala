@@ -597,6 +597,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(at10 === ((935L, 1970L)))
   }
 
+  test("components: labels flood to the component minimum on a hand graph") {
+    import graft.ops.Analytics
+    // path 1-2-3-4 (diameter 3) + disjoint pair 5-6
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Analytics.components(edges, rounds = 4)
+      .as[(Long, Long)].collect().sorted.toList
+    assert(got === List((1L, 4L), (5L, 2L)))
+    // one round short of the diameter: node 4 has not yet heard from 1
+    val short = Analytics.components(edges, rounds = 2)
+      .as[(Long, Long)].collect().sorted.toList
+    assert(short !== got, "2 rounds must NOT cover a diameter-3 path")
+  }
+
+  test("components: HashMin reaches the fixpoint at the registered depth on sf0.01") {
+    import graft.ops.Analytics
+    val edges = Analytics.coOccurrence(
+      Tables.lineitem(spark, "/root/testdata/sf0.01"), "l_orderkey", "l_partkey")
+      .select($"item_a".as("src"), $"item_b".as("dst"))
+      .localCheckpoint()
+    def comp(r: Int) = Analytics.components(edges, r)
+      .as[(Long, Long)].collect().sorted.toList
+    val at10 = comp(10)
+    assert(at10 === comp(11), "registered rounds=10 must already be the fixpoint")
+    // flood sequence on this graph: 186/93/49/24/16/12/11/9 components —
+    // counts alone stop moving before labels do, hence the full-table pin
+    assert(at10.length === 9)
+    assert(at10.map(_._2).max === 1860L)
+  }
+
   test("labelPropIterate: weighted-majority adoption, singleton step is its special case") {
     import graft.ops.Analytics
     // square 1-2-3-4-1 with a heavy 1-2 edge plus pendant 5 on 3:

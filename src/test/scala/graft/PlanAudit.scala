@@ -50,7 +50,7 @@ object PlanAudit {
     // |labels|-row broadcast (bounded by label cardinality, not data size)
     "emb_silhouette",
     // k-row broadcast centroid table (bounded by k, not data size)
-    "emb_kmeans_step",
+    "emb_kmeans_step", "emb_kmeans_step2",
     // k-row broadcast PQ codebook (bounded by k, not data size)
     "emb_pq",
     // same k-row codebook broadcast for encode + the per-query ADC table
@@ -77,7 +77,9 @@ object PlanAudit {
     "ev_segment_minhash",
     // r7: Sharded.rankAndPrefix shard offsets — an nShards²-pair (32×32)
     // broadcast self-join over the nShards-row shard-total table
-    "cust_gini")
+    "cust_gini",
+    // r7: 1-row broadcast calendar-midpoint split (recommendEval shape)
+    "tbl_stats_drift")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

@@ -17,6 +17,26 @@ class ProfileSpec extends SparkSpec {
       ("tag", 4L, 1L, 2L))) // one null, distincts {a, b}
   }
 
+  test("statsDrift: null-rate jump and distinct collapse report in signed e4") {
+    import org.apache.spark.sql.functions.col
+    // days 1..4, in-plan cut = (1+4)//2 = 2 → half A = days 1-2 (3 rows),
+    // half B = days 3-4 (3 rows). In B, c1 goes 2/3 null and both
+    // columns collapse to one distinct value — the two failure shapes
+    // the screen exists to catch.
+    val df = Seq(
+      (1L, Option("a"), "x"), (1L, Option("b"), "y"), (2L, Option("c"), "z"),
+      (3L, Option.empty[String], "x"), (3L, Option("a"), "x"),
+      (4L, Option.empty[String], "x"))
+      .toDF("day", "c1", "c2")
+    val got = Profile.statsDrift(df, Seq("c1", "c2"), col("day"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      // null rate 0 → 6666 e4; distinct 3 → 1 = floor(-20000/3) = -6667
+      ("c1", 3L, 3L, 0L, 2L, 3L, 1L, 6666L, -6667L),
+      ("c2", 3L, 3L, 0L, 0L, 3L, 1L, 0L, -6667L)))
+  }
+
   test("one pass: a single Spark job profiles every column") {
     val df = (1 to 1000).map(i => (i.toLong, i % 7, s"s${i % 13}"))
       .toDF("a", "b", "c")

@@ -237,6 +237,44 @@ class SimilaritySpec extends SparkSpec {
       (1L, 2L, 20000L, "50,950")))
   }
 
+  test("kmeans step 2: reassignment against floor centroids, descent holds, shift exact") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // seed centroid 0
+      (1L, Seq(0.0f, 1.0f), 0), // seed centroid 1
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.1f, 0.9f), 0),
+      (4L, Seq(0.5f, 0.5f), 0)) // step 1: tie → c0; step 2 centroids moved
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansStep2(d, k = 2, dim = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toList
+    // step-1 centroids: c0=(800,200), c1=(50,950). Every vector keeps
+    // its cluster (e.g. v4=(500,500): d²(c0)=180000 < d²(c1)=405000), so
+    // the recomputed centroids are unchanged and every shift is 0 — the
+    // fixture converges in one step. Step-2 inertia is measured against
+    // the step-1 centroids: c0 = 80000+20000+180000, c1 = 5000+5000.
+    assert(got === List(
+      (0L, 3L, 280000L, 0L, "800,200"),
+      (1L, 2L, 10000L, 0L, "50,950")))
+    // the Lloyd descent invariant the operator exists to monitor:
+    // total inertia must not increase from step 1 to step 2
+    val inertia1 = Similarity.kmeansStep(d, k = 2, dim = 2)
+      .agg(org.apache.spark.sql.functions.sum($"inertia")).as[Long].head()
+    assert(got.map(_._3).sum <= inertia1)
+  }
+
+  test("kmeans step 2: descent + pinned shift on the real embeddings fixture") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val s1 = Similarity.kmeansStep(emb)
+      .agg(org.apache.spark.sql.functions.sum($"inertia")).as[Long].head()
+    val s2rows = Similarity.kmeansStep2(emb)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(s2rows.map(_._3).sum <= s1,
+      s"Lloyd descent violated: step1 total ${s1}, step2 ${s2rows.map(_._3).sum}")
+    // at least one centroid must actually have moved between the steps
+    // (otherwise the fixture converged at step 1 and the monitor is blind)
+    assert(s2rows.exists(_._4 > 0L), "expected a nonzero centroid shift")
+  }
+
   test("dim fences: quarter-unit quartiles, 1.5·IQR outlier counts") {
     val d = Seq(
       (0L, Seq(0.0f, 0.0f), 0),
