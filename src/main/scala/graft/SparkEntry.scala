@@ -256,6 +256,15 @@ object SparkEntry {
     // distribution between the same hash arms, integer doubled midranks
     "ev_mann_whitney" -> ((s, dir) =>
       graft.ops.Stats.mannWhitney(Tables.events(s, dir))),
+    // CUPED: pre-period spend covariate, pooled theta, per-arm adjusted
+    // means — 38-digit decimal moments, exact signed e4/e6 floors
+    "ev_cuped" -> ((s, dir) =>
+      graft.ops.Analytics.cuped(Tables.events(s, dir))),
+    // exact rank-statistic p50/p90/p99 of the raw event value: the
+    // range-sharded rank pass over DATA-sized input (ev_value_quantiles
+    // is the interpolated percentile() twin)
+    "ev_exact_value_ranks" -> ((s, dir) =>
+      graft.ops.Stats.exactValueRanks(Tables.events(s, dir))),
     // whole-distribution concentration (HHI + effective users) per type —
     // the partner of ev_key_skew's single-hottest-key share
     "ev_hhi" -> ((s, dir) =>
@@ -1817,6 +1826,68 @@ object SparkEntry {
         |  END AS z2_e4
         |FROM k CROSS JOIN t""".stripMargin,
     // doubled midranks keep tie handling integer; u2_a ≥ 0 so // == floor
+    // ceil-rank targets from the in-plan count; (value, event_id) total
+    // order makes the statistic tie-proof
+    "ev_exact_value_ranks" ->
+      """WITH v AS (
+        |  SELECT round(value * 100)::BIGINT AS cents, event_id FROM events
+        |), n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (
+        |  SELECT cents, (row_number() OVER (ORDER BY cents, event_id))::BIGINT AS i
+        |  FROM v
+        |), t AS (
+        |  SELECT p::BIGINT AS pct, ((p * n + 99) // 100)::BIGINT AS target
+        |  FROM n CROSS JOIN (VALUES (50), (90), (99)) pp(p)
+        |)
+        |SELECT pct, target AS rank, cents AS value_cents
+        |FROM r JOIN t ON r.i = t.target""".stripMargin,
+    // per-user pre/post dollar sums around the in-plan midpoint day,
+    // HUGEINT moments, remainder-corrected floors for every signed ratio
+    "ev_cuped" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events
+        |), cut AS (SELECT (min(day) + max(day)) // 2 AS c FROM e),
+        |u AS MATERIALIZED (
+        |  SELECT user_id,
+        |    (sum(CASE WHEN day <= c THEN cents ELSE 0 END) // 100)::BIGINT AS x,
+        |    (sum(CASE WHEN day > c THEN cents ELSE 0 END) // 100)::BIGINT AS y,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |  FROM e CROSS JOIN cut GROUP BY user_id
+        |), g AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM u
+        |), th AS (
+        |  SELECT n, sx,
+        |    CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx <> 0 THEN
+        |      (((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |        - ((((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |             % (n::HUGEINT * sxx - sx::HUGEINT * sx))
+        |            + (n::HUGEINT * sxx - sx::HUGEINT * sx))
+        |           % (n::HUGEINT * sxx - sx::HUGEINT * sx)))
+        |       // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT
+        |    END AS theta_e6
+        |  FROM g
+        |), a AS (
+        |  SELECT arm, count(*)::BIGINT AS n_users,
+        |    sum(x)::BIGINT AS sxa, sum(y)::BIGINT AS sya
+        |  FROM u GROUP BY arm
+        |), r AS (
+        |  SELECT arm, n_users,
+        |    (sxa * 10000 // n_users)::BIGINT AS x_mean_e4,
+        |    (sya * 10000 // n_users)::BIGINT AS y_mean_e4,
+        |    theta_e6,
+        |    ((sxa * 10000 // n_users) - (sx * 10000 // n))::BIGINT AS dx_e4
+        |  FROM a CROSS JOIN th
+        |)
+        |SELECT arm, n_users, x_mean_e4, y_mean_e4, theta_e6,
+        |  (y_mean_e4
+        |   - ((theta_e6::HUGEINT * dx_e4
+        |       - ((((theta_e6::HUGEINT * dx_e4) % 1000000) + 1000000) % 1000000))
+        |      // 1000000))::BIGINT AS adj_mean_e4
+        |FROM r""".stripMargin,
     "ev_mann_whitney" ->
       """WITH ua AS (
         |  SELECT user_id, ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm

@@ -156,6 +156,74 @@ object Analytics {
         when(den =!= 0, Cols.floorDiv(num, den).cast("long")).as("z2_e4"))
   }
 
+  /** CUPED variance-reduced experiment means — the third member of the
+    * experimentation family after [[abLift]] (rates) and
+    * [[Stats.mannWhitney]] (distributions): each user's PRE-period spend
+    * (whole dollars before the in-plan midpoint day, the
+    * [[recommendEval]] split) is the covariate x, the POST-period spend
+    * the outcome y, and the pooled regression slope
+    * `θ_e6 = ⌊(n·Σxy − Σx·Σy)·10⁶ / (n·Σx² − (Σx)²)⌋` adjusts each
+    * arm's mean: `adj = ȳ_arm − θ(x̄_arm − x̄)`. Pre-period behavior is
+    * orthogonal to treatment by construction, so the adjustment removes
+    * covariate imbalance without bias — the standard sensitivity boost
+    * every experimentation platform applies before reading a revenue
+    * metric. All moments run in 38-digit decimals (the [[abLift]]
+    * discipline — Σxy at 10⁹ users of 10⁴ dollars wraps int64), floors
+    * are exact, outputs are signed e4/e6 longs.
+    *
+    * Scale: one pass to per-user (x, y) — a hash aggregate on the user
+    * key — then a 1-row global moment aggregate (broadcast) and a 2-row
+    * per-arm aggregate; nothing beyond the user collapse touches data
+    * size.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val day = Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs)
+    val cut = broadcast(events.agg(
+      Cols.floorDiv(min(day) + max(day), 2L).as("__cut")))
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val ux = events
+      .crossJoin(cut)
+      .select(
+        col("user_id"),
+        when(day <= col("__cut"), round(col("value") * 100).cast("long"))
+          .otherwise(0L).as("__xc"),
+        when(day > col("__cut"), round(col("value") * 100).cast("long"))
+          .otherwise(0L).as("__yc"))
+      .groupBy(col("user_id"))
+      .agg(
+        Cols.floorDiv(sum(col("__xc")), 100L).as("x"),
+        Cols.floorDiv(sum(col("__yc")), 100L).as("y"))
+      .select(arm.as("__arm"), col("x"), col("y"))
+    val g = broadcast(ux.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx")))
+    val sxxc = d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx"))
+    val thetaE6 = when(sxxc =!= 0,
+      Cols.floorDiv(
+        (d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy"))) * d(lit(1000000L)),
+        sxxc).cast("long"))
+    val xMeanE4 = Cols.floorDiv(col("sxa") * 10000L, col("n_users"))
+    val dxE4 = xMeanE4 - Cols.floorDiv(col("sx") * 10000L, col("n"))
+    ux.groupBy(col("__arm").as("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+      .crossJoin(g)
+      .select(
+        col("arm"), col("n_users"),
+        xMeanE4.as("x_mean_e4"),
+        Cols.floorDiv(col("sya") * 10000L, col("n_users")).as("y_mean_e4"),
+        thetaE6.as("theta_e6"),
+        (Cols.floorDiv(col("sya") * 10000L, col("n_users"))
+          - Cols.floorDiv(thetaE6 * dxE4, 1000000L)).as("adj_mean_e4"))
+  }
+
   /** Cohort retention: users grouped by the day of their first-ever event
     * (the cohort), counted on each subsequent day they were active.
     * Output: (cohort_day, day_offset, n_users) — the classic retention

@@ -139,6 +139,35 @@ object Stats {
           col("n_customers") * col("total_spend")).as("gini_e4"))
   }
 
+  /** Exact rank-statistic percentiles of the event value in cents — the
+    * value at rank ⌈p·n/100⌉ in (value, event_id) ascending order, NOT an
+    * interpolated `percentile()` double — over the FULL event grain.
+    * Where [[graft.ops.Scale.keySkew]] ranks the aggregated key table,
+    * this ranks raw data: [[Sharded.rankAndPrefix]] range-partitions the
+    * event-grain rows so even a trillion-row table never sorts through
+    * one window partition, and the ⌈p·n⌉ target ranks fold in as a
+    * broadcast |pcts|-row table derived from an in-plan count. The
+    * rank VALUE at each target is identical for any shard-boundary
+    * placement, so the report hashes identically on any engine.
+    */
+  def exactValueRanks(events: DataFrame, pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val vals = events.select(
+      round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val ranked = Sharded.rankAndPrefix(
+      vals, Seq(col("cents"), col("event_id")), lit(0L))
+    val targets = broadcast(
+      vals.agg(count(lit(1)).as("__n"))
+        .select(explode(array(pcts.map(p =>
+          struct(
+            lit(p.toLong).as("pct"),
+            Cols.floorDiv(lit(p.toLong) * col("__n") + 99L, 100L).as("__target"))): _*))
+          .as("t"))
+        .select(col("t.pct"), col("t.__target")))
+    ranked
+      .join(targets, col("__i") === col("__target"))
+      .select(col("pct"), col("__target").as("rank"), col("cents").as("value_cents"))
+  }
+
   /** Spearman rank correlation between hourly total activity and hourly
     * purchase activity over the 24-row hour-of-day domain — "do busy
     * hours buy". Midranks are doubled to stay integer (ties in hourly

@@ -597,6 +597,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(at10 === ((935L, 1970L)))
   }
 
+  test("cuped: pooled theta exact, per-arm adjustment self-consistent") {
+    import graft.ops.Analytics
+    val DayMs = 86400000L
+    // 4 users, days 1-4 (cut = 2): pre dollars x = {10,20,30,0},
+    // post y = {20,35,50,10} → theta = (4·2400 − 60·115)/(4·1400 − 60²)
+    // = 2700/2000 = 1.35 → theta_e6 = 1350000, whatever the arm split
+    val rows = Seq(
+      (1L, 10L, 1L, 10.0), (2L, 10L, 3L, 20.0),
+      (3L, 20L, 1L, 20.0), (4L, 20L, 3L, 35.0),
+      (5L, 30L, 2L, 30.0), (6L, 30L, 4L, 50.0),
+      (7L, 40L, 4L, 10.0))
+      .map { case (id, u, day, v) => (id, u, "purchase", day * DayMs, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val got = Analytics.cuped(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._2).sum === 4L, "every user lands in exactly one arm")
+    assert(got.forall(_._5 === 1350000L), s"pooled theta wrong: $got")
+    // the adjustment must be exactly adj = ȳ − ⌊θ·(x̄_arm − x̄_global)/10⁶⌋
+    // recomputed from the report's own means (global x̄ e4 = 60e4/4)
+    got.foreach { case (_, _, xM, yM, th, adj) =>
+      val dx = xM - 150000L
+      assert(adj === yM - Math.floorDiv(th * dx, 1000000L))
+    }
+  }
+
   test("components: labels flood to the component minimum on a hand graph") {
     import graft.ops.Analytics
     // path 1-2-3-4 (diameter 3) + disjoint pair 5-6

@@ -78,8 +78,11 @@ object PlanAudit {
     // r7: Sharded.rankAndPrefix shard offsets — an nShards²-pair (32×32)
     // broadcast self-join over the nShards-row shard-total table
     "cust_gini",
-    // r7: 1-row broadcast calendar-midpoint split (recommendEval shape)
-    "tbl_stats_drift")
+    // r7: 1-row broadcast calendar-midpoint split (recommendEval shape);
+    // ev_cuped adds the 1-row global-moment broadcast on top
+    "tbl_stats_drift", "ev_cuped",
+    // r7: Sharded offsets (32×32) + the |pcts|-row broadcast target table
+    "ev_exact_value_ranks")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

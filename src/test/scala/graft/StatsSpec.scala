@@ -218,6 +218,29 @@ class StatsSpec extends SparkSpec {
     assert(uncapped.count() === 1001L * 1000L / 2 + 1)
   }
 
+  test("exactValueRanks: ceil-rank statistics, sharded rank equals the naive sort") {
+    // 10 values $1..$10 scattered across ids: p50 → rank 5 → $5,
+    // p90 → rank 9 → $9, p99 → rank ⌈9.9⌉ = 10 → $10
+    val rows = (1 to 10).map(i => ((11 - i).toLong, 0L, "e", 0L, i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val got = Stats.exactValueRanks(rows)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((50L, 5L, 500L), (90L, 9L, 900L), (99L, 10L, 1000L)))
+    // tie-heavy fixture: the sharded rank must agree with a naive
+    // single-partition sort rank (same ceil targets) value-for-value
+    val ties = (1 to 500).map(i => (i.toLong, 0L, "e", 0L, (i % 7).toDouble))
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val sharded = Stats.exactValueRanks(ties)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    val naive = ties
+      .select(org.apache.spark.sql.functions.round($"value" * 100).cast("long").as("c"),
+        $"event_id")
+      .orderBy($"c", $"event_id").as[(Long, Long)].collect().map(_._1)
+    val expect = List(50L, 90L, 99L).map(p =>
+      (p, (p * 500 + 99) / 100, naive(((p * 500 + 99) / 100).toInt - 1)))
+    assert(sharded === expect)
+  }
+
   test("compactionPlan: bins respect the target and partition the files") {
     val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("user_id")
     val plan = Stats.compactionPlan(df, "user_id", nBuckets = 32, targetRows = 1000L)
