@@ -395,6 +395,12 @@ object Analytics {
   def coOccurrence(
       df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L,
       maxGroupSize: Int = 1000): DataFrame = {
+    // the capped distinct table feeds four plan references (both pair-join
+    // sides, the item counts, the group total); exchange reuse shares the
+    // distinct+cap shuffles between them. A checkpoint-once variant was
+    // measured at sf0.1 and is a wash for these consumers while adding a
+    // hard materialization barrier for single-reference ones (kCore,
+    // components) — so the table stays a lazy plan.
     val gi = df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
       .withColumn("__gsz",
         count(lit(1)).over(Window.partitionBy(col("grp"))))
