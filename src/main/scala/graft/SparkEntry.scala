@@ -610,13 +610,14 @@ object SparkEntry {
       graft.ops.Analytics.kCore(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 10)),
-    // connected components of the basket graph: fixed-round HashMin
-    // flooding; rounds=10 is the measured sf0.01 fixpoint (spec pins
-    // rounds=10 ≡ rounds=11 — 9 components, largest 1860 nodes)
+    // connected components of the basket graph: fixed-round HashMin with
+    // pointer jumping; rounds=6 is the measured fixpoint at BOTH sf0.01
+    // and sf0.1 (plain flooding needed 10) — spec pins rounds=6 ≡ 7
+    // (sf0.01: 9 components, largest 1860 nodes)
     "li_components" -> ((s, dir) =>
       graft.ops.Analytics.components(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-          .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 10)),
+          .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 6)),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -2813,18 +2814,21 @@ object SparkEntry {
           |  SELECT item_a AS a, item_b AS b FROM p
           |  UNION ALL SELECT item_b, item_a FROM p
           |), l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)""".stripMargin
-      val layers = (1 to 10).map { i =>
-        s""", l$i AS MATERIALIZED (
+      val layers = (1 to 6).map { i =>
+        s""", m$i AS MATERIALIZED (
            |  SELECT node, min(label) AS label FROM (
            |    SELECT s.a AS node, l.label FROM sym s JOIN l${i - 1} l ON l.node = s.b
            |    UNION ALL SELECT node, label FROM l${i - 1}) u
            |  GROUP BY node
+           |), l$i AS MATERIALIZED (
+           |  SELECT m.node, j.label AS label
+           |  FROM m$i m JOIN m$i j ON j.node = m.label
            |)""".stripMargin
       }.mkString
       base + layers +
         """
           |SELECT label AS component, count(*)::BIGINT AS n_nodes
-          |FROM l10 GROUP BY 1""".stripMargin
+          |FROM l6 GROUP BY 1""".stripMargin
     },
     "li_kcore" -> {
       // AS MATERIALIZED is load-bearing: every e_{i-1} is referenced

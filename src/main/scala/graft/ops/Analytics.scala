@@ -1428,29 +1428,31 @@ object Analytics {
   }
 
   /** Connected components of an undirected edge table by fixed-round
-    * HashMin label flooding: every node starts labeled with its own id,
-    * and each round takes the min over itself and its neighbors' labels
-    * — after `rounds` ≥ the graph diameter every component carries its
-    * smallest node id. Output: one row per component (root label, node
-    * count), the "how fragmented is this graph" table that seeds any
-    * per-component processing. The graph family's missing quadrant next
-    * to [[pageRank]] (centrality), [[kCore]] (density), and
-    * [[labelPropStep]] (communities).
+    * HashMin flooding WITH pointer jumping: every node starts labeled
+    * with its own id, and each round (a) takes the min over itself and
+    * its neighbors' labels, then (b) shortcuts through the label table
+    * (`label ← label(label)` — labels are always live node ids, so the
+    * jump join is total). The jump makes convergence logarithmic in the
+    * diameter instead of linear — the difference between "a handful of
+    * rounds" and "rounds = longest path" on chain-shaped graphs, which
+    * is what makes fixed-round CC safe to ship at 100 TB. Output: one
+    * row per component (root label, node count) — the graph family's
+    * missing quadrant next to [[pageRank]] (centrality), [[kCore]]
+    * (density), and [[labelPropStep]] (communities).
     *
     * `rounds` is MEASURED, not assumed, exactly like the k-core depth:
     * AnalyticsSpec pins registered ≡ registered+1 on the sf0.01 basket
-    * graph, so a fixture change that stretches the diameter fails a
-    * test instead of silently shipping split components.
+    * graph (full-table compare), so a fixture change that stretches the
+    * diameter fails a test instead of silently shipping split
+    * components.
     *
     * Scale: per round one neighbor-label join (edge-sized, keyed by
-    * node) + one min-aggregate; each round's label table is
-    * `localCheckpoint`ed and the retired one freed — the [[kCore]]
-    * lineage discipline. HashMin rounds scale with diameter; real
-    * co-occurrence graphs are shallow (the sf0.01 basket graph floods
-    * in a handful of rounds), and a deliberately long chain would call
-    * for the pointer-jumping variant instead.
+    * node) + one min-aggregate + one node-sized jump join; every
+    * intermediate is `localCheckpoint`ed and the retired one freed —
+    * the [[kCore]] lineage discipline. On a real cluster swap in
+    * reliable `checkpoint`.
     */
-  def components(edges: DataFrame, rounds: Int = 8): DataFrame = {
+  def components(edges: DataFrame, rounds: Int = 5): DataFrame = {
     val sym = edges
       .select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -1459,14 +1461,19 @@ object Analytics {
       .withColumn("label", col("node"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val next = sym
+      val m = sym
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .select(col("a").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
+      val next = m
+        .join(m.select(col("node").as("label"), col("label").as("__jl")), "label")
+        .select(col("node"), col("__jl").as("label"))
+        .localCheckpoint()
       graft.LocalCheckpoints.free(labels)
+      graft.LocalCheckpoints.free(m)
       labels = next
     }
     labels

@@ -624,18 +624,20 @@ class AnalyticsSpec extends SparkSpec {
 
   test("components: labels flood to the component minimum on a hand graph") {
     import graft.ops.Analytics
-    // path 1-2-3-4 (diameter 3) + disjoint pair 5-6
+    // path 1-2-3-4 (diameter 3) + disjoint pair 5-6: with pointer
+    // jumping the path closes in 2 rounds (node 4 reaches 1 through
+    // the shortcut), where plain flooding would need 3
     val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
-    val got = Analytics.components(edges, rounds = 4)
+    val got = Analytics.components(edges, rounds = 2)
       .as[(Long, Long)].collect().sorted.toList
     assert(got === List((1L, 4L), (5L, 2L)))
-    // one round short of the diameter: node 4 has not yet heard from 1
-    val short = Analytics.components(edges, rounds = 2)
+    // one round is not enough even with the jump: 4 only reaches 2
+    val short = Analytics.components(edges, rounds = 1)
       .as[(Long, Long)].collect().sorted.toList
-    assert(short !== got, "2 rounds must NOT cover a diameter-3 path")
+    assert(short !== got, "1 round must NOT cover the diameter-3 path")
   }
 
-  test("components: HashMin reaches the fixpoint at the registered depth on sf0.01") {
+  test("components: HashMin+jump reaches the fixpoint at the registered depth on sf0.01") {
     import graft.ops.Analytics
     val edges = Analytics.coOccurrence(
       Tables.lineitem(spark, "/root/testdata/sf0.01"), "l_orderkey", "l_partkey")
@@ -643,12 +645,13 @@ class AnalyticsSpec extends SparkSpec {
       .localCheckpoint()
     def comp(r: Int) = Analytics.components(edges, r)
       .as[(Long, Long)].collect().sorted.toList
-    val at10 = comp(10)
-    assert(at10 === comp(11), "registered rounds=10 must already be the fixpoint")
-    // flood sequence on this graph: 186/93/49/24/16/12/11/9 components —
-    // counts alone stop moving before labels do, hence the full-table pin
-    assert(at10.length === 9)
-    assert(at10.map(_._2).max === 1860L)
+    val at6 = comp(6)
+    assert(at6 === comp(7), "registered rounds=6 must already be the fixpoint")
+    // convergence: 182/61/25/10/9 components by round — counts alone can
+    // stop moving before labels do, hence the full-table pin (plain
+    // flooding without the jump took 10 rounds to the same 9/1860)
+    assert(at6.length === 9)
+    assert(at6.map(_._2).max === 1860L)
   }
 
   test("labelPropIterate: weighted-majority adoption, singleton step is its special case") {
