@@ -772,6 +772,10 @@ object SparkEntry {
     // first-buy-of-B per customer, with directional confidence
     "ord_seq_pairs" -> ((s, dir) =>
       graft.ops.Analytics.seqPairs(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // substitutes: many shared buyers, never co-purchased in one order —
+    // the anti-occurrence complement of the basket-pair complements
+    "li_substitutes" -> ((s, dir) =>
+      graft.ops.Analytics.substitutes(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // one LPA step over the basket graph: heaviest-neighbor label from
     // singleton init, the community seed for basket clustering
     "li_label_prop_step" -> ((s, dir) =>
@@ -2906,6 +2910,33 @@ object SparkEntry {
         |SELECT item_a, item_b, n_ab, buyers.n AS n_a,
         |  (n_ab * 10000 // buyers.n)::BIGINT AS conf_e4
         |FROM p JOIN buyers ON buyers.item = p.item_a""".stripMargin,
+    // customer-grain common-buyer pairs (assortment-capped) anti-joined
+    // against the distinct order-grain pair set (group-capped)
+    "li_substitutes" ->
+      """WITH ow0 AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), ow AS MATERIALIZED (SELECT cust, item FROM ow0
+        |  QUALIFY count(*) OVER (PARTITION BY cust) <= 1000
+        |), buyers AS (SELECT item, count(*)::BIGINT AS n FROM ow GROUP BY 1),
+        |cp AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_common
+        |  FROM ow a JOIN ow b ON a.cust = b.cust AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |tg AS (
+        |  SELECT DISTINCT a.item AS item_a, b.item AS item_b
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |)
+        |SELECT cp.item_a, cp.item_b, n_common, ba.n AS n_a, bb.n AS n_b,
+        |  (n_common * 10000 // (ba.n + bb.n - n_common))::BIGINT AS buyer_jaccard_e4
+        |FROM cp
+        |LEFT JOIN tg ON tg.item_a = cp.item_a AND tg.item_b = cp.item_b
+        |JOIN buyers ba ON ba.item = cp.item_a
+        |JOIN buyers bb ON bb.item = cp.item_b
+        |WHERE tg.item_a IS NULL""".stripMargin,
     // the basket-pairs CTEs + symmetric expansion + heaviest-edge window
     "li_label_prop_step" ->
       """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

@@ -686,6 +686,63 @@ object Analytics {
         Cols.floorDiv(col("n_ab") * 10000L, col("n_a")).as("conf_e4"))
   }
 
+  /** Substitutable-products screen — the complement of [[coOccurrence]]:
+    * pairs of items bought by MANY of the same customers but NEVER
+    * together in one order. High buyer overlap means the items serve the
+    * same need; zero basket co-occurrence means customers choose one
+    * INSTEAD of the other — the substitution signal assortment planning
+    * and price-response models start from (complements co-occur,
+    * substitutes anti-occur). Output per surviving pair: both buyer
+    * counts, the common-buyer count, and the exact-e4 Jaccard of the
+    * buyer sets; `minCommon` keeps the random-overlap tail out.
+    *
+    * Scale: the customer-grain pair table carries [[seqPairs]]'
+    * assortment cap (fan-out = capped assortment² per customer), the
+    * never-together discharge is an anti-join against the DISTINCT
+    * order-grain pair set (its groups carry [[coOccurrence]]'s cap),
+    * and buyer counts join plain (vocabulary-sized). The oracle mirrors
+    * both caps and the threshold.
+    */
+  def substitutes(orders: DataFrame, lineitem: DataFrame,
+                  minCommon: Long = 3L, maxAssortment: Int = 1000): DataFrame = {
+    val owned = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+      .withColumn("__asz",
+        count(lit(1)).over(Window.partitionBy(col("cust"))))
+      .filter(col("__asz") <= maxAssortment)
+      .drop("__asz")
+    val buyers = owned.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val commonBuyers = owned.select(col("cust"), col("item").as("item_a"))
+      .join(owned.select(col("cust"), col("item").as("item_b")), "cust")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val gi = lineitem
+      .select(col("l_orderkey").as("grp"), col("l_partkey").as("item"))
+      .distinct()
+      .withColumn("__gsz",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("__gsz") <= 1000)
+      .drop("__gsz")
+    val together = gi.select(col("grp"), col("item").as("item_a"))
+      .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
+      .filter(col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"))
+      .distinct()
+    commonBuyers
+      .join(together, Seq("item_a", "item_b"), "left_anti")
+      .join(buyers.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(buyers.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .select(
+        col("item_a"), col("item_b"), col("n_common"), col("n_a"), col("n_b"),
+        Cols.floorDiv(
+          col("n_common") * 10000L,
+          col("n_a") + col("n_b") - col("n_common")).as("buyer_jaccard_e4"))
+  }
+
   /** One label-propagation step over a weighted undirected pair table
     * (item_a, item_b, n_ab) from singleton initialization: each node
     * adopts the label of its heaviest incident edge's neighbor

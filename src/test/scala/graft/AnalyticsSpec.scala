@@ -597,6 +597,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(at10 === ((935L, 1970L)))
   }
 
+  test("substitutes: shared buyers without co-purchase; complements excluded") {
+    import graft.ops.Analytics
+    import java.sql.Date
+    val d = Date.valueOf("2024-01-01")
+    // customers 1-3 each buy item 10 and item 20 in SEPARATE orders
+    // (substitutes) and items 10+30 TOGETHER in one order (complements)
+    val orders = Seq(
+      (101L, 1L), (102L, 1L), (103L, 2L), (104L, 2L), (105L, 3L), (106L, 3L))
+      .map { case (ok, ck) => (ok, ck, d) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      // odd orders: {10, 30} together; even orders: {20} alone
+      (101L, 10L), (101L, 30L), (102L, 20L),
+      (103L, 10L), (103L, 30L), (104L, 20L),
+      (105L, 10L), (105L, 30L), (106L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.substitutes(orders, lineitem)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toList
+    // (10,30) co-occurs → excluded; (10,20) and (20,30) never share an
+    // order, 3 common buyers each, jaccard 3/(3+3-3) = 10000
+    assert(got === List(
+      (10L, 20L, 3L, 3L, 3L, 10000L),
+      (20L, 30L, 3L, 3L, 3L, 10000L)))
+  }
+
   test("cuped: pooled theta exact, per-arm adjustment self-consistent") {
     import graft.ops.Analytics
     val DayMs = 86400000L
