@@ -776,6 +776,10 @@ object SparkEntry {
     // the anti-occurrence complement of the basket-pair complements
     "li_substitutes" -> ((s, dir) =>
       graft.ops.Analytics.substitutes(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // ABC class transition matrix between shipment-calendar halves —
+    // the sharded classing composed twice around an in-plan midpoint
+    "li_abc_migration" -> ((s, dir) =>
+      graft.ops.Analytics.abcMigration(Tables.lineitem(s, dir))),
     // one LPA step over the basket graph: heaviest-neighbor label from
     // singleton init, the community seed for basket clustering
     "li_label_prop_step" -> ((s, dir) =>
@@ -1581,6 +1585,40 @@ object SparkEntry {
         |       WHEN (cum_before * 10000) // total < 9500 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM c""".stripMargin,
+    // the abc CTE stack twice (ship-day midpoint halves) + full outer on
+    // the part key; absent halves class as 'N'
+    "li_abc_migration" -> {
+      def abcCte(tag: String, cond: String) =
+        s"""rev_$tag AS (
+           |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents
+           |  FROM li CROSS JOIN cut WHERE $cond GROUP BY 1
+           |), t_$tag AS (SELECT sum(rev_cents)::BIGINT AS total FROM rev_$tag
+           |), c_$tag AS (
+           |  SELECT l_partkey,
+           |    CASE WHEN (coalesce(sum(rev_cents) OVER (
+           |           ORDER BY rev_cents DESC, l_partkey
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           |         * 10000) // total < 8000 THEN 'A'
+           |         WHEN (coalesce(sum(rev_cents) OVER (
+           |           ORDER BY rev_cents DESC, l_partkey
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           |         * 10000) // total < 9500 THEN 'B'
+           |         ELSE 'C' END AS abc_class
+           |  FROM rev_$tag CROSS JOIN t_$tag
+           |)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_partkey, l_extendedprice,
+         |    epoch_ms(l_shipdate::TIMESTAMP) // 86400000 AS day
+         |  FROM lineitem
+         |), cut AS (SELECT (min(day) + max(day)) // 2 AS c FROM li),
+         |${abcCte("e", "day <= c")},
+         |${abcCte("l", "day > c")}
+         |SELECT coalesce(e.abc_class, 'N') AS class_early,
+         |  coalesce(l.abc_class, 'N') AS class_late,
+         |  count(*)::BIGINT AS n_parts
+         |FROM c_e e FULL OUTER JOIN c_l l USING (l_partkey)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "cs_time_to_purchase" ->
       """WITH u AS (
         |  SELECT user_id, min(epoch_ms(ts::TIMESTAMP)) AS first_ms,

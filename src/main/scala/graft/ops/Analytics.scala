@@ -1043,6 +1043,40 @@ object Analytics {
           .otherwise(lit("C")))
   }
 
+  /** ABC class migration: [[abcClass]] computed independently on the
+    * early and late calendar halves of the shipment history (in-plan
+    * midpoint split on ship day), then the 4×4 transition matrix of
+    * (early class → late class) with 'N' for parts absent from a half —
+    * "which A-parts are decaying, which C-parts are breaking out", the
+    * assortment-review view a stocking policy is re-cut from. Composes
+    * the sharded-prefix classing twice rather than re-deriving it.
+    *
+    * Scale: two [[abcClass]] passes over half the rows each (same
+    * range-sharded rank posture, no single-partition sort), one
+    * dimension-sized full-outer join on the part key, one 16-row
+    * aggregate.
+    */
+  def abcMigration(lineitem: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
+    val cut = broadcast(lineitem.agg(
+      Cols.floorDiv(min(day) + max(day), 2L).as("__cut")))
+    val tagged = lineitem.crossJoin(cut)
+    def half(cond: Column) =
+      abcClass(tagged.filter(cond))
+    half(day <= col("__cut"))
+      .select(col("l_partkey"), col("abc_class").as("class_early"))
+      .join(
+        half(day > col("__cut"))
+          .select(col("l_partkey"), col("abc_class").as("class_late")),
+        Seq("l_partkey"), "full_outer")
+      .select(
+        coalesce(col("class_early"), lit("N")).as("class_early"),
+        coalesce(col("class_late"), lit("N")).as("class_late"))
+      .groupBy(col("class_early"), col("class_late"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
   /** Time-to-first-purchase by signup cohort: per first-seen day, how
     * many users ever purchased and the median / max days from first
     * event to first purchase — the activation-latency report behind

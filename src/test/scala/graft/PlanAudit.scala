@@ -82,7 +82,10 @@ object PlanAudit {
     // ev_cuped adds the 1-row global-moment broadcast on top
     "tbl_stats_drift", "ev_cuped",
     // r7: Sharded offsets (32×32) + the |pcts|-row broadcast target table
-    "ev_exact_value_ranks")
+    "ev_exact_value_ranks",
+    // r7: midpoint cut + two abcClass passes (each with its 1-row total
+    // broadcast and Sharded's 32×32 offset self-join)
+    "li_abc_migration")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
