@@ -763,6 +763,12 @@ object SparkEntry {
       graft.ops.TimeSeries.scd2(
         Tables.events(s, dir).filter(col("event_type").isin("signup", "error")),
         "user_id", "event_type", "ts_ms", "event_id")),
+    // point-in-time read of the SCD2 dimension at the in-plan midpoint:
+    // closed-start/open-end interval semantics oracle-checked end to end
+    "ev_scd2_asof" -> ((s, dir) =>
+      graft.ops.TimeSeries.scd2AsOf(
+        Tables.events(s, dir).filter(col("event_type").isin("signup", "error")),
+        "user_id", "event_type", "ts_ms", "event_id")),
     // market-basket co-occurrence over order line items: pair counts and
     // exact-integer lift, group total and item counts broadcast
     "li_basket_pairs" -> ((s, dir) =>
@@ -2722,6 +2728,30 @@ object SparkEntry {
         |SELECT user_id, event_type, valid_from_ms,
         |  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_ms
         |FROM iv""".stripMargin,
+    // the scd2 CTEs + the midpoint probe: valid_from <= T < valid_to
+    "ev_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |), cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), r AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS run
+        |  FROM f
+        |), iv AS (
+        |  SELECT user_id, run, min(ts_ms) AS valid_from_ms, min(event_type) AS event_type
+        |  FROM r GROUP BY 1, 2
+        |), dim AS (
+        |  SELECT user_id, event_type, valid_from_ms,
+        |    lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_ms
+        |  FROM iv
+        |)
+        |SELECT user_id, event_type AS status_at_t, valid_from_ms AS since_ms, t AS probe_ms
+        |FROM dim CROSS JOIN cut
+        |WHERE valid_from_ms <= t AND (valid_to_ms IS NULL OR valid_to_ms > t)""".stripMargin,
     "ev_dau" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events

@@ -393,6 +393,36 @@ object TimeSeries {
       .select(col(keyCol), col(statusCol), col("valid_from_ms"), col("valid_to_ms"))
   }
 
+  /** Point-in-time (AS OF) read of the [[scd2]] dimension: each key's
+    * status valid at the probe instant T — the query that makes an SCD2
+    * table worth building, pinned here as a registered composition so
+    * the interval semantics (closed start, open end, NULL = current)
+    * are oracle-checked end to end. T is the in-plan midpoint of the
+    * observed stream (1-row broadcast — no driver-side timestamp), and
+    * a row qualifies when `valid_from ≤ T < coalesce(valid_to, ∞)`:
+    * exactly one row per key that existed by T, zero for keys born
+    * later.
+    *
+    * Scale: the dimension build is [[scd2]] (one shuffle on the key);
+    * the AS OF filter is map-only on the interval table. A production
+    * reader probes a MATERIALIZED scd2 table the same way — this
+    * composition just keeps the whole path in one checked plan.
+    */
+  def scd2AsOf(
+      events: DataFrame, keyCol: String, statusCol: String, tsMsCol: String,
+      orderTieCol: String): DataFrame = {
+    val t = org.apache.spark.sql.functions.broadcast(
+      events.agg(Cols.floorDiv(
+        min(col(tsMsCol)) + max(col(tsMsCol)), 2L).as("__t")))
+    scd2(events, keyCol, statusCol, tsMsCol, orderTieCol)
+      .crossJoin(t)
+      .filter(col("valid_from_ms") <= col("__t") &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > col("__t")))
+      .select(
+        col(keyCol), col(statusCol).as("status_at_t"),
+        col("valid_from_ms").as("since_ms"), col("__t").as("probe_ms"))
+  }
+
   /** Per-key linear trend over the daily count series: the least-squares
     * slope of `n_events` against the day index, in exact integer
     * ten-thousandths per day. Day indexes are rebased to the GLOBAL min

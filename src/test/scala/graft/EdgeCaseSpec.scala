@@ -66,6 +66,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Analytics.labelPropStep(
       Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "n_ab")).count() === 0L)
     assert(Analytics.rollingDistinct(emptyEvents).count() === 0L)
+    // r7 additions: empty inputs flow through the new operators too
+    assert(Analytics.components(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), rounds = 2).count() === 0L)
+    assert(Analytics.substitutes(
+      Seq.empty[(Long, Long, java.sql.Date)].toDF("o_orderkey", "o_custkey", "o_orderdate"),
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")).count() === 0L)
+    assert(Analytics.abcMigration(
+      Seq.empty[(Long, Double, java.sql.Date)]
+        .toDF("l_partkey", "l_extendedprice", "l_shipdate")).count() === 0L)
+    assert(Stats.exactValueRanks(emptyEvents).count() === 0L,
+      "ceil-rank targets over n=0 must match nothing, not crash")
+    // cuped on a single-day stream with IDENTICAL pre-spend: everything
+    // lands pre-cut and the covariate has zero variance, so Sxx = 0 →
+    // theta and the adjusted mean must be NULL (the oracle's CASE does
+    // the same), never a divide-by-zero
+    val oneDay = Seq((1L, 1L, "purchase", 1000L, 10.0), (2L, 2L, "purchase", 2000L, 10.0))
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val cu = Analytics.cuped(oneDay).collect()
+    assert(cu.nonEmpty && cu.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    assert(graft.ops.TimeSeries.scd2AsOf(
+      emptyEvents, "user_id", "event_type", "ts_ms", "event_id").count() === 0L)
+    // single-day calendar: the midpoint equals the only day, half B is
+    // EMPTY — drift rates must report 0 against greatest(n, 1), no crash
+    val drift = graft.ops.Profile.statsDrift(
+      oneDay, Seq("event_type"),
+      Cols.floorDiv(org.apache.spark.sql.functions.col("ts_ms"), graft.ops.TimeSeries.DayMs))
+      .collect().head
+    assert(drift.getLong(2) === 0L && drift.getLong(8) === -10000L,
+      s"half B must be empty and distinct drift -10000: $drift")
     val core = Analytics.kCore(
       Seq.empty[(Long, Long)].toDF("src", "dst"), k = 3, rounds = 2)
       .as[(Long, Long, Long, Long)].collect().head

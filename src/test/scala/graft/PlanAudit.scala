@@ -85,7 +85,9 @@ object PlanAudit {
     "ev_exact_value_ranks",
     // r7: midpoint cut + two abcClass passes (each with its 1-row total
     // broadcast and Sharded's 32×32 offset self-join)
-    "li_abc_migration")
+    "li_abc_migration",
+    // r7: 1-row broadcast midpoint probe instant into the SCD2 intervals
+    "ev_scd2_asof")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
