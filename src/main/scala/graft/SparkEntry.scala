@@ -256,6 +256,10 @@ object SparkEntry {
     // distribution between the same hash arms, integer doubled midranks
     "ev_mann_whitney" -> ((s, dir) =>
       graft.ops.Stats.mannWhitney(Tables.events(s, dir))),
+    // lead-lag cross-correlation purchase×error at ±3 days: exact decimal
+    // moments, one rounded-double division (the cosine discipline)
+    "ev_xcorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.xcorrDaily(Tables.events(s, dir), "purchase", "error")),
     // CUPED: pre-period spend covariate, pooled theta, per-arm adjusted
     // means — 38-digit decimal moments, exact signed e4/e6 floors
     "ev_cuped" -> ((s, dir) =>
@@ -1875,6 +1879,53 @@ object SparkEntry {
         |  END AS z2_e4
         |FROM k CROSS JOIN t""".stripMargin,
     // doubled midranks keep tie handling integer; u2_a ≥ 0 so // == floor
+    // dense day grid + HUGEINT lag moments; the unpivot is 7 UNION arms
+    "ev_xcorr" -> {
+      val lags = (-3 to 3).toSeq
+      def nm(k: Int) = if (k < 0) s"numm${-k}" else s"nump$k"
+      val shifts = lags.filter(_ != 0).map { k =>
+        if (k > 0) s"lead(db, $k) OVER w AS dbs_p$k"
+        else s"lag(db, ${-k}) OVER w AS dbs_m${-k}"
+      }.mkString(",\n        |    ")
+      def sref(k: Int) = if (k == 0) "db" else if (k > 0) s"dbs_p$k" else s"dbs_m${-k}"
+      val nums = lags.map(k => s"sum(da::HUGEINT * ${sref(k)}) AS ${nm(k)}")
+        .mkString(",\n        |    ")
+      val arms = lags.map(k =>
+        s"""SELECT ${k}::BIGINT AS lag, n_days,
+           |  CASE WHEN dena <> 0 AND denb <> 0 THEN
+           |    round(${nm(k)}::DOUBLE / sqrt(dena::DOUBLE * denb::DOUBLE), 6)
+           |  END AS r FROM m""".stripMargin)
+        .mkString("\n        |UNION ALL\n        |")
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |daily AS (
+        |  SELECT day,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM e WHERE event_type IN ('purchase', 'error') GROUP BY 1
+        |), grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.day, coalesce(ca, 0)::BIGINT AS ca, coalesce(cb, 0)::BIGINT AS cb
+        |  FROM grid g LEFT JOIN daily USING (day)
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(ca)::BIGINT AS sa, sum(cb)::BIGINT AS sb
+        |  FROM dense
+        |), dev AS (
+        |  SELECT day, (n * ca - sa)::BIGINT AS da, (n * cb - sb)::BIGINT AS db
+        |  FROM dense CROSS JOIN st
+        |), sh AS (
+        |  SELECT da, db,
+        |    $shifts
+        |  FROM dev WINDOW w AS (ORDER BY day)
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n_days,
+        |    sum(da::HUGEINT * da) AS dena, sum(db::HUGEINT * db) AS denb,
+        |    $nums
+        |  FROM sh
+        |)
+        |$arms""".stripMargin
+    },
     // ceil-rank targets from the in-plan count; (value, event_id) total
     // order makes the statistic tie-proof
     "ev_exact_value_ranks" ->

@@ -640,6 +640,78 @@ object TimeSeries {
       .select(col(keyCol), col("__x.lag"), col("n_days"), col("__x.r_e4"))
   }
 
+  /** Lead–lag cross-correlation between two event types' daily series —
+    * the pairwise partner of [[autocorrDaily]]: for lags −maxLag..maxLag,
+    * the Pearson correlation of series A against series B shifted k days
+    * (positive k: A leads B; negative: B leads A) — "do errors predict
+    * next-day purchases, or follow them". Deviations are the exact
+    * mean-scaled integers `n·c − Σc` per series, the lag products and
+    * denominators accumulate in 38-digit decimals, and ONLY the final
+    * division runs in doubles (rounded to 6, the cosine discipline), so
+    * both engines agree bit-for-bit. Gap days count as zero activity via
+    * the same broadcast-bounds day grid [[autocorrDaily]] uses; a
+    * constant series (zero variance) yields NULL, not a crash.
+    *
+    * Scale: one map-side-combined aggregate to 2·|days| rows, the lag
+    * window over the |days|-row dense grid (calendar-bounded — the
+    * documented [[graft.PlanAudit.BoundedGlobalWindow]] class), one
+    * 1-row moment reduce, and a (2·maxLag+1)-row explode.
+    */
+  def xcorrDaily(
+      events: DataFrame, typeA: String, typeB: String,
+      tsMsCol: String = "ts_ms", maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1)
+    val dec = "decimal(38,0)"
+    val day = Cols.floorDiv(col(tsMsCol), DayMs)
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(day.as("day"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("__cb"))
+    val bounds = events.agg(min(day).as("__d0"), max(day).as("__d1"))
+    val dense = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val stats = broadcast(dense.agg(
+      count(lit(1)).as("__n"), sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb")))
+    val w = Window.orderBy(col("day"))
+    val withDev = dense.crossJoin(stats)
+      .withColumn("__da", col("__n") * col("__ca") - col("__sa"))
+      .withColumn("__db", col("__n") * col("__cb") - col("__sb"))
+    val lags = (-maxLag to maxLag).toSeq
+    def shifted(k: Int) =
+      if (k >= 0) lead(col("__db"), k).over(w) else lag(col("__db"), -k).over(w)
+    val withLeads = withDev.select(
+      Seq(col("__n"), col("__da"), col("__db")) ++
+        lags.map(k => shifted(k).as(s"__dbs$k")): _*)
+    val aggs =
+      Seq(
+        first(col("__n")).as("n_days"),
+        sum(col("__da").cast(dec) * col("__da").cast(dec)).as("__dena"),
+        sum(col("__db").cast(dec) * col("__db").cast(dec)).as("__denb")) ++
+        lags.map(k =>
+          sum(col("__da").cast(dec) * col(s"__dbs$k").cast(dec)).as(s"__num$k"))
+    val moments = withLeads.agg(aggs.head, aggs.tail: _*)
+    moments
+      .select(
+        col("n_days"),
+        explode(array(lags.map(k =>
+          struct(
+            lit(k.toLong).as("lag"),
+            when(
+              col("__dena") =!= 0 && col("__denb") =!= 0,
+              round(
+                col(s"__num$k").cast("double") /
+                  sqrt(col("__dena").cast("double") * col("__denb").cast("double")),
+                6)).as("r"))): _*)).as("__x"))
+      .select(col("__x.lag"), col("n_days"), col("__x.r"))
+  }
+
   /** Time-in-status report composed on [[scd2]]: per status value, the
     * interval count, total dwell milliseconds, and exact-e4 share of all
     * observed dwell time — "how long do users sit in each state", the

@@ -87,7 +87,9 @@ object PlanAudit {
     // broadcast and Sharded's 32×32 offset self-join)
     "li_abc_migration",
     // r7: 1-row broadcast midpoint probe instant into the SCD2 intervals
-    "ev_scd2_asof")
+    "ev_scd2_asof",
+    // r7: 1-row broadcast day bounds + series-moment table
+    "ev_xcorr")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
@@ -108,7 +110,9 @@ object PlanAudit {
     // share-of-total window over the 5-row lateness-band aggregate
     "ev_lateness_profile",
     // largest-remainder rank over the |groups|-row (language) quota table
-    "txt_quota_alloc")
+    "txt_quota_alloc",
+    // r7: ±3-day lag window over the |days|-row dense grid (calendar)
+    "ev_xcorr")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

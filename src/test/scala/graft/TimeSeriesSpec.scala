@@ -182,6 +182,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.forall(_._4.isEmpty), s"den=0 must yield null r_e4: $got")
   }
 
+  test("xcorr: errors echo purchases one day later — peak at lag +1, full lag grid") {
+    // purchases on days 0/2/4 with rising intensity (1,2,3); errors copy
+    // the same pattern shifted one day later (days 1/3/5). With the
+    // convention r(k) = corr(devA_t, devB_{t+k}), "A leads B by one day"
+    // must peak at k = +1 — the assertion that pins the lead DIRECTION,
+    // the easiest thing to wire backwards.
+    def ev(tpe: String, day: Long, n: Int) =
+      (0 until n).map(i => (day * 100 + i, 1L, tpe, day * Day + i, 1.0))
+    val rows = (ev("purchase", 0, 1) ++ ev("purchase", 2, 2) ++ ev("purchase", 4, 3) ++
+      ev("error", 1, 1) ++ ev("error", 3, 2) ++ ev("error", 5, 3))
+      .toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+    val got = TimeSeries.xcorrDaily(rows, "purchase", "error")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === (-3L to 3L).toList)
+    assert(got.forall(_._2 === 6L))
+    val r = got.map(g => g._1 -> g._3.get).toMap
+    assert(r(1L) === got.flatMap(_._3).max, s"peak must sit at lag +1: $got")
+    // 0.875 exactly: the t=5 boundary pair is truncated from the
+    // numerator while the denominators see the full series
+    assert(r(1L) === 0.875, s"echo at +1: $got")
+    assert(r(-1L) < r(1L) && r(0L) < r(1L))
+  }
+
   test("status time share: dwell-weighted, open intervals capped at max ts") {
     val ev = Seq(
       // user 1: status a for [0,100), then b open at 100 → 0 dwell at cap
