@@ -392,6 +392,18 @@ object Analytics {
     * silent Long wrap would emit garbage AND diverge from the oracle's
     * HUGEINT.
     */
+  /** Drops rows of groups whose row count exceeds `maxSize` — the shared
+    * fan-out cap of the basket/sequence family ([[coOccurrence]],
+    * [[seqPairs]], [[substitutes]]): one 10⁵-member group is a 10¹⁰-row
+    * pair explode. The count window rides the group-keyed shuffle the
+    * downstream pair self-joins need anyway; every registered caller
+    * mirrors the cap in its oracle as a QUALIFY filter.
+    */
+  private[ops] def capGroups(df: DataFrame, group: Column, maxSize: Int): DataFrame =
+    df.withColumn("__gsz", count(lit(1)).over(Window.partitionBy(group)))
+      .filter(col("__gsz") <= maxSize)
+      .drop("__gsz")
+
   def coOccurrence(
       df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L,
       maxGroupSize: Int = 1000): DataFrame = {
@@ -401,11 +413,9 @@ object Analytics {
     // measured at sf0.1 and is a wash for these consumers while adding a
     // hard materialization barrier for single-reference ones (kCore,
     // components) — so the table stays a lazy plan.
-    val gi = df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
-      .withColumn("__gsz",
-        count(lit(1)).over(Window.partitionBy(col("grp"))))
-      .filter(col("__gsz") <= maxGroupSize)
-      .drop("__gsz")
+    val gi = capGroups(
+      df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct(),
+      col("grp"), maxGroupSize)
     val itemCounts = gi.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val total = gi.agg(count_distinct(col("grp")).as("__n_groups"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -665,14 +675,12 @@ object Analytics {
     */
   def seqPairs(orders: DataFrame, lineitem: DataFrame,
                minPairCount: Long = 3L, maxAssortment: Int = 1000): DataFrame = {
-    val firstBuy = orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .agg(min(col("o_orderdate")).as("d"))
-      .withColumn("__asz",
-        count(lit(1)).over(Window.partitionBy(col("cust"))))
-      .filter(col("__asz") <= maxAssortment)
-      .drop("__asz")
+    val firstBuy = capGroups(
+      orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .agg(min(col("o_orderdate")).as("d")),
+      col("cust"), maxAssortment)
     val buyers = firstBuy.groupBy(col("item")).agg(count(lit(1)).as("n"))
     firstBuy.select(col("cust"), col("item").as("item_a"), col("d").as("d_a"))
       .join(firstBuy.select(col("cust"), col("item").as("item_b"), col("d").as("d_b")), "cust")
@@ -704,15 +712,14 @@ object Analytics {
     * both caps and the threshold.
     */
   def substitutes(orders: DataFrame, lineitem: DataFrame,
-                  minCommon: Long = 3L, maxAssortment: Int = 1000): DataFrame = {
-    val owned = orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .distinct()
-      .withColumn("__asz",
-        count(lit(1)).over(Window.partitionBy(col("cust"))))
-      .filter(col("__asz") <= maxAssortment)
-      .drop("__asz")
+                  minCommon: Long = 3L, maxAssortment: Int = 1000,
+                  maxGroupSize: Int = 1000): DataFrame = {
+    val owned = capGroups(
+      orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct(),
+      col("cust"), maxAssortment)
     val buyers = owned.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val commonBuyers = owned.select(col("cust"), col("item").as("item_a"))
       .join(owned.select(col("cust"), col("item").as("item_b")), "cust")
@@ -720,13 +727,11 @@ object Analytics {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
-    val gi = lineitem
-      .select(col("l_orderkey").as("grp"), col("l_partkey").as("item"))
-      .distinct()
-      .withColumn("__gsz",
-        count(lit(1)).over(Window.partitionBy(col("grp"))))
-      .filter(col("__gsz") <= 1000)
-      .drop("__gsz")
+    val gi = capGroups(
+      lineitem
+        .select(col("l_orderkey").as("grp"), col("l_partkey").as("item"))
+        .distinct(),
+      col("grp"), maxGroupSize)
     val together = gi.select(col("grp"), col("item").as("item_a"))
       .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
       .filter(col("item_a") < col("item_b"))
@@ -1567,6 +1572,10 @@ object Analytics {
       graft.LocalCheckpoints.free(m)
       labels = next
     }
+    // every round is already materialized, so the edge-sized sym block —
+    // the largest intermediate — can be released; only the final label
+    // table backs the returned plan
+    graft.LocalCheckpoints.free(sym)
     labels
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"))

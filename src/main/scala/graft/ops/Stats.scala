@@ -126,7 +126,9 @@ object Stats {
       .groupBy(col("o_custkey"))
       .agg(Cols.floorDiv(
         sum(round(col("o_totalprice") * 100).cast("long")), 100L).as("x"))
-    Sharded.rankAndPrefix(spend, Seq(col("x"), col("o_custkey")), col("x"))
+    // value = lit(0): gini reads only the global rank __i, so the
+    // per-shard running sum and value-mass offsets would be dead work
+    Sharded.rankAndPrefix(spend, Seq(col("x"), col("o_custkey")), lit(0L))
       .withColumn("i", col("__i"))
       .agg(
         count(lit(1)).as("n_customers"),

@@ -691,7 +691,10 @@ object TimeSeries {
         lags.map(k => shifted(k).as(s"__dbs$k")): _*)
     val aggs =
       Seq(
-        first(col("__n")).as("n_days"),
+        // count, not first(__n): over an empty grid the global aggregate
+        // still emits one row, and the oracle's count(*) says 0 there —
+        // first() would say NULL and diverge
+        count(lit(1)).as("n_days"),
         sum(col("__da").cast(dec) * col("__da").cast(dec)).as("__dena"),
         sum(col("__db").cast(dec) * col("__db").cast(dec)).as("__denb")) ++
         lags.map(k =>

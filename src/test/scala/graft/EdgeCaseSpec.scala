@@ -87,6 +87,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cu.nonEmpty && cu.forall(r => r.isNullAt(4) && r.isNullAt(5)))
     assert(graft.ops.TimeSeries.scd2AsOf(
       emptyEvents, "user_id", "event_type", "ts_ms", "event_id").count() === 0L)
+    // xcorr over no events: the moments aggregate still emits one row,
+    // and n_days must be 0 (count, matching the oracle's count(*)) with
+    // every correlation NULL — first(__n) would have said NULL and
+    // diverged from DuckDB
+    val xc = graft.ops.TimeSeries.xcorrDaily(emptyEvents, "purchase", "error")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toList
+    assert(xc.map(_._1) === (-3L to 3L).toList)
+    assert(xc.forall(r => r._2 === 0L && r._3.isEmpty), s"empty xcorr: $xc")
     // single-day calendar: the midpoint equals the only day, half B is
     // EMPTY — drift rates must report 0 against greatest(n, 1), no crash
     val drift = graft.ops.Profile.statsDrift(
