@@ -887,6 +887,30 @@ object Similarity {
           element_at(col("__cv"), i + 1).cast("string")): _*).as("centroid_milli"))
   }
 
+  /** Per-source embedding-norm profile — the cross-modal health monitor
+    * that joins the DOCUMENT dimension onto the vectors (vec_id = doc_id,
+    * the chunk/vector lineage key every RAG pipeline carries): per crawl
+    * source, the vector count and the min / max / floor-mean of the
+    * exact integer milli² norms. A source whose norms collapse toward 0
+    * (dead encoder, empty text) or blow out (un-normalized batch) shows
+    * up here before it poisons the ANN index — the embedding-side twin
+    * of the text-side per-source χ² drift screen.
+    *
+    * Scale: one quantized scan, one |sources|-sized hash aggregate; the
+    * doc dimension joins on the lineage key (Spark broadcasts it when it
+    * fits). All integer-exact.
+    */
+  def sourceNorms(embeddings: DataFrame, docs: DataFrame): DataFrame =
+    Dedup.quantized(embeddings)
+      .select(col("vec_id"), col("norm2"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        graft.Cols.floorDiv(sum(col("norm2")), count(lit(1))).as("mean_norm2"))
+
   /** IVF recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
     * quantitative answer to "is nprobe high enough", as a REGISTERED
@@ -1134,6 +1158,8 @@ object Similarity {
     "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
     "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
     "emb_kmeans_step2" -> ((s, d) => kmeansStep2(Tables.embeddings(s, d))),
+    "emb_source_norms" -> ((s, d) =>
+      sourceNorms(Tables.embeddings(s, d), Tables.documents(s, d))),
     "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
@@ -1318,6 +1344,20 @@ object Similarity {
         |SELECT cent.cluster_id, n_vecs, inertia,
         |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli
         |FROM cent JOIN inert USING (cluster_id)""".stripMargin,
+    // vec_id = doc_id lineage join onto the document source dimension
+    "emb_source_norms" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(
+        |      list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT),
+        |      x -> x * x))::BIGINT AS norm2
+        |  FROM embeddings
+        |)
+        |SELECT d.source, count(*)::BIGINT AS n_vecs,
+        |  min(norm2)::BIGINT AS min_norm2, max(norm2)::BIGINT AS max_norm2,
+        |  (sum(norm2) // count(*))::BIGINT AS mean_norm2
+        |FROM q JOIN documents d ON d.doc_id = q.vec_id
+        |GROUP BY 1""".stripMargin,
     // the step-1 CTEs verbatim, then a second assignment round against
     // the floor centroids + the squared centroid displacement readout
     "emb_kmeans_step2" ->
