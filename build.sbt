@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/test logging config (WindowExec warning demotion) stays a
+  // harness concern: passed to the forked JVMs here rather than shipped
+  // in the library jar where it would override downstream logging.
+  s"-Dlog4j2.configurationFile=${(ThisBuild / baseDirectory).value / "conf" / "log4j2.properties"}",
 )

@@ -1949,12 +1949,18 @@ object SparkEntry {
         |    round(value * 100)::BIGINT AS cents
         |  FROM events
         |), cut AS (SELECT (min(day) + max(day)) // 2 AS c FROM e),
-        |u AS MATERIALIZED (
+        |u0 AS (
         |  SELECT user_id,
-        |    (sum(CASE WHEN day <= c THEN cents ELSE 0 END) // 100)::BIGINT AS x,
-        |    (sum(CASE WHEN day > c THEN cents ELSE 0 END) // 100)::BIGINT AS y,
+        |    sum(CASE WHEN day <= c THEN cents ELSE 0 END)::BIGINT AS xc,
+        |    sum(CASE WHEN day > c THEN cents ELSE 0 END)::BIGINT AS yc,
         |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
         |  FROM e CROSS JOIN cut GROUP BY user_id
+        |), u AS MATERIALIZED (
+        |  SELECT user_id,
+        |    ((xc - (((xc % 100) + 100) % 100)) // 100)::BIGINT AS x,
+        |    ((yc - (((yc % 100) + 100) % 100)) // 100)::BIGINT AS y,
+        |    arm
+        |  FROM u0
         |), g AS (
         |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
         |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
@@ -1976,10 +1982,14 @@ object SparkEntry {
         |  FROM u GROUP BY arm
         |), r AS (
         |  SELECT arm, n_users,
-        |    (sxa * 10000 // n_users)::BIGINT AS x_mean_e4,
-        |    (sya * 10000 // n_users)::BIGINT AS y_mean_e4,
+        |    ((sxa * 10000 - ((((sxa * 10000) % n_users) + n_users) % n_users))
+        |     // n_users)::BIGINT AS x_mean_e4,
+        |    ((sya * 10000 - ((((sya * 10000) % n_users) + n_users) % n_users))
+        |     // n_users)::BIGINT AS y_mean_e4,
         |    theta_e6,
-        |    ((sxa * 10000 // n_users) - (sx * 10000 // n))::BIGINT AS dx_e4
+        |    (((sxa * 10000 - ((((sxa * 10000) % n_users) + n_users) % n_users))
+        |      // n_users)
+        |     - ((sx * 10000 - ((((sx * 10000) % n) + n) % n)) // n))::BIGINT AS dx_e4
         |  FROM a CROSS JOIN th
         |)
         |SELECT arm, n_users, x_mean_e4, y_mean_e4, theta_e6,

@@ -221,7 +221,10 @@ object Analytics {
         Cols.floorDiv(col("sya") * 10000L, col("n_users")).as("y_mean_e4"),
         thetaE6.as("theta_e6"),
         (Cols.floorDiv(col("sya") * 10000L, col("n_users"))
-          - Cols.floorDiv(thetaE6 * dxE4, 1000000L)).as("adj_mean_e4"))
+          // theta_e6 * dx_e4 can exceed int64 for a pathological slope
+          // (tiny Sxx under a large Sxy): widen to decimal(38,0) like the
+          // moment sums so the product can't wrap before the final floor.
+          - Cols.floorDiv(d(thetaE6) * d(dxE4), d(lit(1000000L)))).as("adj_mean_e4"))
   }
 
   /** Cohort retention: users grouped by the day of their first-ever event

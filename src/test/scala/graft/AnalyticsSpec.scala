@@ -577,7 +577,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.last._3 === 2L)
   }
 
-  test("kCore: 5 rounds reach the fixpoint on the sf0.01 basket graph") {
+  test("kCore: 10 rounds reach the fixpoint on the sf0.01 basket graph") {
     import graft.ops.Analytics
     // the registered li_kcore grain: if a fixture change ever leaves the
     // peel unconverged at the registered depth, this fails before the
