@@ -256,6 +256,10 @@ object SparkEntry {
     // distribution between the same hash arms, integer doubled midranks
     "ev_mann_whitney" -> ((s, dir) =>
       graft.ops.Stats.mannWhitney(Tables.events(s, dir))),
+    // parametric partner of ev_mann_whitney: quantized Welch t² on the
+    // same arms — mean shift weighted by per-arm variance, exact e4
+    "ev_welch_screen" -> ((s, dir) =>
+      graft.ops.Stats.welchScreen(Tables.events(s, dir))),
     // lead-lag cross-correlation purchase×error at ±3 days: exact decimal
     // moments, one rounded-double division (the cosine discipline)
     "ev_xcorr" -> ((s, dir) =>
@@ -573,6 +577,11 @@ object SparkEntry {
     // peaks, integer statistic (multiplied through by the day count)
     "ev_cusum" -> ((s, dir) =>
       graft.ops.TimeSeries.cusumChangePoint(Tables.events(s, dir), "event_type", "ts_ms")),
+    // binary-segmentation changepoint: per type, the day split with the
+    // largest exact between-segment SSE gain (WHEN the level shifted —
+    // the argmax partner of ev_cusum's threshold crossing)
+    "ev_changepoint" -> ((s, dir) =>
+      graft.ops.TimeSeries.changepoint(Tables.events(s, dir), "event_type")),
     // robust per-type outlier screen: median/MAD with a 3×MAD flag count
     "ev_mad_outliers" -> ((s, dir) =>
       graft.ops.Profile.madOutliers(Tables.events(s, dir), "event_type", "value")),
@@ -622,6 +631,12 @@ object SparkEntry {
       graft.ops.Analytics.components(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")), rounds = 6)),
+    // common-neighbor link prediction: top distance-2 non-edges of the
+    // basket graph, hub centers capped before the wedge join
+    "li_link_pred" -> ((s, dir) =>
+      graft.ops.Analytics.linkPrediction(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -2022,6 +2037,49 @@ object SparkEntry {
         |  CASE WHEN n_a * n_b > 0 THEN
         |    ((r2_a - n_a * (n_a + 1)) * 10000 // (2 * n_a * n_b))::BIGINT END AS auc_e4
         |FROM a""".stripMargin,
+    // quantized Welch on the same hash arms: HUGEINT moments; the mean
+    // floors are remainder-corrected (cent sums are signed); the variance
+    // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
+    // is exact floor as-is
+    "ev_welch_screen" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN arm = 0 THEN c::HUGEINT * c ELSE 0 END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN c::HUGEINT * c ELSE 0 END) AS q1
+        |  FROM e GROUP BY 1
+        |), v AS (
+        |  SELECT event_type, n0, n1,
+        |    ((s0 * 10000 - ((((s0 * 10000) % n0) + n0) % n0)) // n0)::BIGINT AS mean0_e4,
+        |    ((s1 * 10000 - ((((s1 * 10000) % n1) + n1) % n1)) // n1)::BIGINT AS mean1_e4,
+        |    ((n0::HUGEINT * q0 - s0::HUGEINT * s0)
+        |      // (n0::HUGEINT * (n0 - 1)))::BIGINT AS v0,
+        |    ((n1::HUGEINT * q1 - s1::HUGEINT * s1)
+        |      // (n1::HUGEINT * (n1 - 1)))::BIGINT AS v1
+        |  FROM g WHERE n0 > 1 AND n1 > 1
+        |), s AS (
+        |  SELECT event_type, n0, n1, mean0_e4, mean1_e4,
+        |    ((v0::HUGEINT * 100000000 // n0)
+        |      + (v1::HUGEINT * 100000000 // n1))::BIGINT AS se2_e8
+        |  FROM v
+        |)
+        |SELECT event_type, n0, n1, mean0_e4, mean1_e4, se2_e8,
+        |  CASE WHEN se2_e8 > 0 THEN
+        |    (((mean0_e4 - mean1_e4)::HUGEINT * (mean0_e4 - mean1_e4) * 10000)
+        |      // se2_e8)::BIGINT END AS t2_e4,
+        |  (CASE WHEN se2_e8 > 0 AND
+        |    (((mean0_e4 - mean1_e4)::HUGEINT * (mean0_e4 - mean1_e4) * 10000)
+        |      // se2_e8) > 38416
+        |    THEN 1 ELSE 0 END)::BIGINT AS significant
+        |FROM s""".stripMargin,
     // all quantities non-negative: // is exact floor on both sides
     "ev_hhi" ->
       """WITH c AS (
@@ -2690,6 +2748,40 @@ object SparkEntry {
         |  FROM r
         |)
         |SELECT event_type, n_days, change_day, cusum_scaled FROM k WHERE rk = 1""".stripMargin,
+    // binary-segmentation twin of ev_cusum: prefix sums over the bounded
+    // day domain, HUGEINT squared gain numerator (≥ 0, like the divisor
+    // and the count prefix sums — every // here is exact floor)
+    "ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT event_type, day,
+        |    (row_number() OVER (PARTITION BY event_type ORDER BY day))::BIGINT AS n1,
+        |    (sum(y) OVER (PARTITION BY event_type ORDER BY day))::BIGINT AS s1,
+        |    (count(*) OVER (PARTITION BY event_type))::BIGINT AS n,
+        |    (sum(y) OVER (PARTITION BY event_type))::BIGINT AS s
+        |  FROM daily
+        |), sc AS (
+        |  SELECT event_type, day, n1, n - n1 AS n2, s1, s - s1 AS s2, n
+        |  FROM pre WHERE n1 < n
+        |), g AS (
+        |  SELECT event_type, day, n1, n2, s1, s2,
+        |    (((n2::HUGEINT * s1 - n1::HUGEINT * s2)
+        |       * (n2::HUGEINT * s1 - n1::HUGEINT * s2) * 10000)
+        |      // (n1::HUGEINT * n2 * n))::BIGINT AS gain_e4
+        |  FROM sc
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain_e4 DESC, day) AS rk
+        |  FROM g
+        |)
+        |SELECT event_type, day AS split_day, n1 AS n_days_before,
+        |  n2 AS n_days_after,
+        |  (s1 * 10000 // n1)::BIGINT AS mean_before_e4,
+        |  (s2 * 10000 // n2)::BIGINT AS mean_after_e4, gain_e4
+        |FROM r WHERE rk = 1""".stripMargin,
     // median/MAD rounded to 4 decimals BEFORE the flag predicate so both
     // engines compare identical doubles (quantile_cont ≡ Spark percentile)
     "ev_mad_outliers" ->
@@ -2996,6 +3088,40 @@ object SparkEntry {
           |    AS n_core_nodes,
           |  (SELECT count(*) FROM e10)::BIGINT AS n_core_edges""".stripMargin
     },
+    // distance-2 link prediction on the same basket edges: hub centers
+    // capped (QUALIFY ≡ Spark's capGroups), candidates anti-joined
+    // against existing edges; cn and the union-size divisor are positive,
+    // so the Jaccard // is exact floor
+    "li_link_pred" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS MATERIALIZED (
+        |  SELECT src AS node, dst AS nbr FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), deg AS (SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT node, nbr FROM adj
+        |        QUALIFY count(*) OVER (PARTITION BY node) <= 200),
+        |cand AS (
+        |  SELECT a.nbr AS item_a, b.nbr AS item_b, count(*)::BIGINT AS cn
+        |  FROM ctr a JOIN ctr b ON a.node = b.node AND a.nbr < b.nbr
+        |  GROUP BY 1, 2
+        |), nc AS (
+        |  SELECT item_a, item_b, cn FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.src = c.item_a AND e.dst = c.item_b)
+        |)
+        |SELECT item_a, item_b, cn, da.d AS deg_a, db.d AS deg_b,
+        |  (cn * 10000 // (da.d + db.d - cn))::BIGINT AS jaccard_e4
+        |FROM nc
+        |JOIN deg da ON da.node = nc.item_a
+        |JOIN deg db ON db.node = nc.item_b
+        |ORDER BY cn DESC, jaccard_e4 DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
       s"""$sessionsCte, gi0 AS (

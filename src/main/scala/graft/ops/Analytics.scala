@@ -1584,6 +1584,59 @@ object Analytics {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Common-neighbor link prediction over an undirected edge table: the
+    * top-`k` NON-adjacent pairs ranked by how many neighbors they share
+    * — the "customers who bought these also bought..." candidate
+    * generator, and the missing-edge quadrant next to [[components]]
+    * (existing structure) and [[coOccurrence]] (observed pairs). Each
+    * candidate also reports its neighborhood Jaccard in exact e4:
+    * `⌊cn·10⁴ / (deg_a + deg_b − cn)⌋`.
+    *
+    * Candidates are exactly the distance-2 pairs: both neighbors of some
+    * shared wedge center. Centers with degree > `maxDeg` are dropped
+    * BEFORE the wedge self-join (the [[capGroups]] idiom) — a super-hub
+    * contributes deg² candidate pairs while carrying almost no linkage
+    * evidence (everything is 2 hops through it), so the cap is both the
+    * fan-out bound AND standard link-prediction practice. Degrees in the
+    * Jaccard stay UNcapped, so the score is a documented lower bound of
+    * true common-neighbor Jaccard.
+    *
+    * Scale: wedge fan-out is Σ deg(c)² over KEPT centers — bounded by
+    * maxDeg·|E| no matter how skewed the graph; the pair aggregate
+    * map-side combines; the existing-edge screen is a left-anti join on
+    * the canonical (a<b) pair key; the final top-k is
+    * `orderBy().limit(k)` → TakeOrderedAndProject, never a
+    * single-partition window.
+    */
+  def linkPrediction(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val centers = capGroups(adj, col("node"), maxDeg)
+    val cand = centers.select(col("node"), col("nbr").as("item_a"))
+      .join(centers.select(col("node"), col("nbr").as("item_b")), "node")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cn"))
+    cand
+      .join(
+        e.select(col("src").as("item_a"), col("dst").as("item_b")),
+        Seq("item_a", "item_b"), "left_anti")
+      .join(deg.select(col("node").as("item_a"), col("d").as("deg_a")), "item_a")
+      .join(deg.select(col("node").as("item_b"), col("d").as("deg_b")), "item_b")
+      // cn ≥ 1 and deg_a + deg_b − cn ≥ cn > 0: numerator and divisor are
+      // both positive, so integer division is exact floor in any engine
+      .withColumn("jaccard_e4",
+        Cols.floorDiv(col("cn") * 10000L, col("deg_a") + col("deg_b") - col("cn")))
+      .select(
+        col("item_a"), col("item_b"), col("cn"),
+        col("deg_a"), col("deg_b"), col("jaccard_e4"))
+      .orderBy(
+        col("cn").desc, col("jaccard_e4").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   /** Rolling 7-day distinct users per day from the SAME 63-bit word
     * bitmaps as [[bitmapRetention]] — exact windowed distinct WITHOUT
     * re-scanning events per window: the per-(day, word) bitmap table is

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -293,5 +293,67 @@ object Stats {
         sum(col("n_rows")).as("total_rows"),
         min(col("bucket")).as("first_bucket"),
         max(col("bucket")).as("last_bucket"))
+  }
+
+  /** Welch's unequal-variance t² screen between the two deterministic
+    * experiment arms (`hash60('ab:'||user_id) % 2`, the [[mannWhitney]]
+    * split), per event type — the parametric partner of the rank-sum
+    * test: does the mean VALUE differ, weighted by how noisy each arm is.
+    *
+    * Quantized-Welch, the [[graft.text.TextAnalysis]] unigram discipline:
+    * each stage floors ONCE into a declared integer scale, so both
+    * engines run the identical pipeline instead of chasing float
+    * rounding. On per-arm cent sums S, squared-cent sums Q, counts n:
+    * `var_i = ⌊(nᵢQᵢ − Sᵢ²) / (nᵢ(nᵢ−1))⌋` (numerator ≥ 0 by
+    * Cauchy–Schwarz, so the floor is exact), `se2_e8 = ⌊var₀·10⁸/n₀⌋ +
+    * ⌊var₁·10⁸/n₁⌋`, `t2_e4 = ⌊(m₀ₑ₄−m₁ₑ₄)²·10⁴ / se2_e8⌋` with the
+    * squared-difference product widened to decimal(38,0). The flag
+    * compares t2_e4 against 1.96²·10⁴ = 38416 (the z≈1.96 two-sided 5%
+    * line — Welch df is large here). Degenerate groups (an arm with < 2
+    * observations, or zero pooled variance) report a null t² and flag 0.
+    *
+    * Scale: ONE map-side-combined aggregate per event type computes all
+    * six conditional moments — no pivot, no self-join; output is
+    * |event_type| rows. `nᵢQᵢ` is widened to decimal(38,0): cents⁴-scale
+    * products pass int64 around 10⁸ rows per type.
+    */
+  def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val cents = round(col("value") * 100).cast("long")
+    val g = events
+      .select(col("event_type"), arm.as("__arm"), cents.as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__arm") === 0, col("__c")).otherwise(0L)).as("s0"),
+        sum(when(col("__arm") === 1, col("__c")).otherwise(0L)).as("s1"),
+        sum(when(col("__arm") === 0, d(col("__c")) * d(col("__c"))).otherwise(d(lit(0L)))).as("q0"),
+        sum(when(col("__arm") === 1, d(col("__c")) * d(col("__c"))).otherwise(d(lit(0L)))).as("q1"))
+    def varOf(n: Column, s: Column, q: Column): Column =
+      Cols.floorDiv(d(n) * q - d(s) * d(s), d(n) * d(n - 1L)).cast("long")
+    val withVar = g
+      .filter(col("n0") > 1 && col("n1") > 1)
+      .select(
+        col("event_type"), col("n0"), col("n1"),
+        Cols.floorDiv(col("s0") * 10000L, col("n0")).as("mean0_e4"),
+        Cols.floorDiv(col("s1") * 10000L, col("n1")).as("mean1_e4"),
+        varOf(col("n0"), col("s0"), col("q0")).as("__v0"),
+        varOf(col("n1"), col("s1"), col("q1")).as("__v1"))
+      .withColumn("se2_e8",
+        // var·10⁸ widened to decimal(38,0): a cents² variance near 10¹⁰
+        // would put the int64 product within a factor of 10 of wrapping
+        Cols.floorDiv(d(col("__v0")) * d(lit(100000000L)), d(col("n0")))
+          + Cols.floorDiv(d(col("__v1")) * d(lit(100000000L)), d(col("n1"))))
+    val dd = col("mean0_e4") - col("mean1_e4")
+    val t2 = when(col("se2_e8") > 0,
+      Cols.floorDiv(d(dd) * d(dd) * d(lit(10000L)), d(col("se2_e8"))).cast("long"))
+    withVar.select(
+      col("event_type"), col("n0"), col("n1"),
+      col("mean0_e4"), col("mean1_e4"), col("se2_e8"),
+      t2.as("t2_e4"),
+      when(t2.isNotNull && t2 > t2E4Threshold, 1L).otherwise(0L).as("significant"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Cols
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -914,5 +914,66 @@ object TimeSeries {
     daily.select(
       col("day"), col("n_placed"),
       sum(col("__net")).over(byDay).as("open_eod"))
+  }
+
+  /** Single-changepoint detection per key (binary segmentation, one
+    * split): over each key's daily-count series, the day boundary whose
+    * pre/post split removes the most sum-of-squares — the exact
+    * between-segment SSE gain `n₁n₂(m₁−m₂)² / n = (n₂S₁ − n₁S₂)² /
+    * (n₁n₂n)`, floored once into integer e4. The argmax day is the
+    * level-shift detector that complements [[graft.ops.Stats]]'s
+    * drift screens ("IS there a shift" → "WHEN did it happen"); ties
+    * break on the earlier day.
+    *
+    * Every quantity is a prefix sum over the bounded calendar-day
+    * domain: n₁ is the candidate's day index, S₁ its running count sum,
+    * totals come from the frame-to-end of the same window. The gain
+    * numerator `(n₂S₁ − n₁S₂)²` is computed in decimal(38,0) (HUGEINT
+    * on the oracle side) — at 10⁵ daily events × 366 days it reaches
+    * ~10¹⁵ squared, far past int64 — then floored to a long e4.
+    *
+    * Scale: one map-side-combined daily aggregate to |keys|·|days| rows;
+    * both windows partition BY KEY over the ≤366-day domain (never a
+    * global sort), and the per-key argmax is a 1-row window filter on
+    * that same bounded partition.
+    */
+  def changepoint(events: DataFrame, keyCol: String, tsMsCol: String = "ts_ms"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val daily = events
+      .groupBy(col(keyCol), Cols.floorDiv(col(tsMsCol), DayMs).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byDay = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val all = Window.partitionBy(col(keyCol))
+    val scored = daily
+      .select(
+        col(keyCol), col("day"), col("y"),
+        row_number().over(byDay).cast("long").as("n1"),
+        sum(col("y")).over(byDay).as("s1"),
+        count(lit(1)).over(all).as("n"),
+        sum(col("y")).over(all).as("s"))
+      // the last day has no "after" segment — it is not a split candidate
+      .filter(col("n1") < col("n"))
+      .select(
+        col(keyCol), col("day"), col("n1"),
+        (col("n") - col("n1")).as("n2"),
+        col("s1"), (col("s") - col("s1")).as("s2"), col("n"))
+    val num = d((d(col("n2")) * d(col("s1")) - d(col("n1")) * d(col("s2"))))
+    val gain = Cols.floorDiv(
+      num * num * d(lit(10000L)),
+      d(col("n1")) * d(col("n2")) * d(col("n"))).cast("long")
+    val ranked = scored
+      .withColumn("gain_e4", gain)
+      .withColumn("__rk",
+        row_number().over(
+          Window.partitionBy(col(keyCol)).orderBy(col("gain_e4").desc, col("day"))))
+      .filter(col("__rk") === 1)
+    ranked.select(
+      col(keyCol), col("day").as("split_day"),
+      col("n1").as("n_days_before"), col("n2").as("n_days_after"),
+      // counts are non-negative, so both mean floors are exact in any engine
+      Cols.floorDiv(col("s1") * 10000L, col("n1")).as("mean_before_e4"),
+      Cols.floorDiv(col("s2") * 10000L, col("n2")).as("mean_after_e4"),
+      col("gain_e4"))
   }
 }

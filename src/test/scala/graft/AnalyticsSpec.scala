@@ -763,4 +763,28 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(got3._3 === 0L && got3._4 === 0L)
   }
+
+  test("linkPrediction: distance-2 non-edges ranked by common neighbors") {
+    // square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4. The only
+    // non-adjacent distance-2 pair is (1,4), reachable through BOTH 2 and
+    // 3 → cn = 2; deg(1) = deg(4) = 2, so Jaccard = 2/(2+2−2) = 1.0
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Analytics.linkPrediction(edges)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 4L, 2L, 2L, 2L, 10000L)))
+  }
+
+  test("linkPrediction: hub centers above maxDeg generate no candidates") {
+    // star: center 0 joined to 1..5. Every leaf pair is distance 2
+    // through the hub; capping the hub out (maxDeg < 5) must leave
+    // nothing — the fan-out bound is the correctness of the cap
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Analytics.linkPrediction(star, maxDeg = 4).count() === 0L)
+    // uncapped, the 10 leaf pairs all appear with cn = 1 and
+    // jaccard = 1·10⁴/(1+1−1) = 10000
+    val full = Analytics.linkPrediction(star, maxDeg = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(full.size === 10 && full.forall(r => r._3 == 1L && r._6 == 10000L))
+  }
 }

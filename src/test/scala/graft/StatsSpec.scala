@@ -261,4 +261,51 @@ class StatsSpec extends SparkSpec {
       assert(bin._3 <= 1000L + maxFile, s"bin over target+maxFile: $bin")
     }
   }
+
+  test("welchScreen matches the quantized-Welch pipeline computed by hand") {
+    // 300 users, one value each; replicate the salted arm split, then run
+    // the declared integer pipeline (floor at each declared scale) in
+    // plain Scala and require bit equality
+    val rows = (1 to 300).map(i => (i.toLong, "t", (i % 11).toDouble + (i % 4) * 0.25))
+    val df = rows.toDF("user_id", "event_type", "value")
+    val out = Stats.welchScreen(df)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Long)].collect().head
+
+    val armOf = df.select($"user_id",
+      pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val cents = rows.map { case (u, _, v) => (armOf(u), Math.round(v * 100)) }
+    def moments(arm: Long) = {
+      val xs = cents.collect { case (a, c) if a == arm => c }
+      (xs.size.toLong, xs.sum, xs.map(c => BigInt(c) * c).sum)
+    }
+    val (n0, s0, q0) = moments(0L); val (n1, s1, q1) = moments(1L)
+    def vOf(n: Long, s: Long, q: BigInt): Long =
+      ((BigInt(n) * q - BigInt(s) * s) / (BigInt(n) * (n - 1))).toLong
+    val (v0, v1) = (vOf(n0, s0, q0), vOf(n1, s1, q1))
+    val se2 = Math.floorDiv(v0 * 100000000L, n0) + Math.floorDiv(v1 * 100000000L, n1)
+    val d = Math.floorDiv(s0 * 10000L, n0) - Math.floorDiv(s1 * 10000L, n1)
+    val t2 = (BigInt(d) * d * 10000 / BigInt(se2)).toLong
+    assert(out === (("t", n0, n1,
+      Math.floorDiv(s0 * 10000L, n0), Math.floorDiv(s1 * 10000L, n1),
+      se2, Some(t2), if (t2 > 38416L) 1L else 0L)))
+  }
+
+  test("welchScreen: degenerate arms are excluded, zero variance gives null t²") {
+    // "tiny" has 1 user in one arm → the n>1 filter drops the whole type;
+    // "flat" has identical values everywhere → se2_e8 = 0 → null t², flag 0
+    val flat = (1 to 100).map(i => (i.toLong, "flat", 5.0))
+    val armOf = flat.toDF("user_id", "event_type", "value")
+      .select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val loneUser = armOf.collectFirst { case (u, 0L) => u }.get
+    val tiny = Seq((loneUser, "tiny", 1.0), (loneUser, "tiny", 2.0),
+      (armOf.collectFirst { case (u, 1L) => u }.get, "tiny", 3.0))
+    val got = Stats.welchScreen((flat ++ tiny).toDF("user_id", "event_type", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toList
+    assert(got.map(_._1) === List("flat"), "single-observation arm must drop the type")
+    assert(got.head._7 === None && got.head._8 === 0L)
+  }
 }

@@ -457,4 +457,30 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got === List((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 1L), (3L, 0L, 0L)))
   }
+
+  test("changepoint: finds the planted level shift at the exact boundary") {
+    // 10 days per key: "shift" jumps 2/day → 8/day after day 4; "flat" is
+    // constant (every split gains 0, tie-break must pick the FIRST day)
+    val rows =
+      (0 until 10).flatMap(d => (0 until (if (d <= 4) 2 else 8)).map(i =>
+        ("shift", d * TimeSeries.DayMs + i))) ++
+        (0 until 10).flatMap(d => (0 until 3).map(i =>
+          ("flat", d * TimeSeries.DayMs + i)))
+    val got = TimeSeries.changepoint(
+      rows.toDF("event_type", "ts_ms"), "event_type")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toList
+    // shift: n1=5 days at mean 2, n2=5 days at mean 8; gain =
+    // (n2·S1 − n1·S2)²·10⁴ / (n1·n2·n) = (5·10 − 5·40)²·10⁴ / 250
+    assert(got(1) === (("shift", 4L, 5L, 5L, 20000L, 80000L,
+      Math.floorDiv(150L * 150L * 10000L, 250L))))
+    assert(got(0) === (("flat", 0L, 1L, 9L, 30000L, 30000L, 0L)),
+      "all-zero gains must tie-break to the earliest day")
+  }
+
+  test("changepoint: a single-day series has no split candidate") {
+    val got = TimeSeries.changepoint(
+      Seq(("x", 0L), ("x", 1L)).toDF("event_type", "ts_ms"), "event_type")
+    assert(got.count() === 0L)
+  }
 }
