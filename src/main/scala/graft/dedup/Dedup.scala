@@ -801,6 +801,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic deduplication (the SemDeDup recipe: Abbas et al. 2023,
+    * arXiv:2303.09540): exact cosine comparison WITHIN each coarse
+    * cluster only — here the embedding table's `label` cells, the same
+    * coarse quantizer the IVF index probes. A vector is removed when a
+    * LOWER-id vector in its cell sits above the cosine threshold
+    * (keep-first, fully deterministic), and the readout is the per-cell
+    * dedup ledger: size, removed, kept.
+    *
+    * This is the scale path the all-pairs [[embeddingNearDups]] baseline
+    * exists to validate: the pair join is label-equality (hash join, no
+    * BNLJ), so the quadratic is bounded per cell — |cell|² instead of
+    * |corpus|². Cells larger than `maxCellSize` are dropped in-plan (the
+    * capGroups idiom, mirrored in the oracle): at 100 TB an oversized
+    * cell means the coarse quantizer needs more centroids, not a bigger
+    * join. Cross-cluster near-dups are by construction the quantizer's
+    * misses — the SemDeDup contract.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, threshold: Double = CosineThreshold,
+      maxCellSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val cell = quantized(embeddings)
+      .withColumn("__csz", count(lit(1)).over(w))
+      .filter(col("__csz") <= maxCellSize)
+      .drop("__csz")
+    val removed = cell.as("a")
+      .join(cell.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        cosineQ(col("a.qv"), col("a.norm2"), col("b.qv"), col("b.norm2"))
+          >= threshold)
+      .select(col("b.label").as("label"), col("b.vec_id").as("vec_id"))
+      .distinct()
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("__removed"))
+    cell.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(removed, Seq("label"), "left")
+      .select(
+        col("label"), col("n_vecs"),
+        coalesce(col("__removed"), lit(0L)).as("n_removed"),
+        (col("n_vecs") - coalesce(col("__removed"), lit(0L))).as("n_kept"))
+  }
+
   /** Hyperplane-LSH table/bit geometry for [[embeddingNearDupsLsh]].
     * 8 tables × 4 bits is tuned for the testdata's unusually *low* near-dup
     * threshold (0.4 cosine ≈ 66°, where any LSH prunes weakly): measured
@@ -1026,6 +1069,7 @@ object Dedup {
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
     "dedup_impact" -> ((s, d) => dedupImpact(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1612,6 +1656,31 @@ object Dedup {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
          |            / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) >= $CosineThreshold""".stripMargin,
+    // SemDeDup: the dedup_embedding scoring restricted to label cells
+    // (QUALIFY ≡ the Spark-side maxCellSize cap), keep-first removal,
+    // per-cell ledger
+    "dedup_semantic" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label::BIGINT AS label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv,
+         |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |  QUALIFY count(*) OVER (PARTITION BY label) <= 1000
+         |), r AS (
+         |  SELECT DISTINCT b.label, b.vec_id
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
+         |              / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6)
+         |        >= $CosineThreshold
+         |), c AS (SELECT label, count(*)::BIGINT AS n_vecs FROM n GROUP BY 1),
+         |rc AS (SELECT label, count(*)::BIGINT AS n_removed FROM r GROUP BY 1)
+         |SELECT c.label, n_vecs,
+         |  coalesce(n_removed, 0)::BIGINT AS n_removed,
+         |  (n_vecs - coalesce(n_removed, 0))::BIGINT AS n_kept
+         |FROM c LEFT JOIN rc USING (label)""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id,

@@ -278,19 +278,85 @@ object Similarity {
     * Map-only: one narrow scan, no shuffle; the int8 codes are emitted
     * as a canonical comma-joined string (the cross-engine array form).
     */
-  def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val q = Dedup.quantized(embeddings)
-    val scale = greatest(array_max(transform(col("qv"), x => abs(x))), lit(1L))
-    q.select(col("vec_id"), col("qv"), scale.as("scale_milli"))
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    int8Codes(embeddings)
       .select(
         col("vec_id"),
         col("scale_milli"),
-        concat_ws(",",
-          transform(col("qv"),
-            x => graft.Cols.floorDiv(x * 127, col("scale_milli")).cast("string")))
-          .as("q8"),
+        concat_ws(",", transform(col("c8"), _.cast("string"))).as("q8"),
+        col("max_err"))
+
+  /** Shared int8 code table for [[quantizeInt8]] (the readout) and
+    * [[sqTopK]] (the search path): per vector, the exact-floor int8 code
+    * array, its scale, code norm², and the worst floor remainder.
+    */
+  private[graft] def int8Codes(embeddings: DataFrame): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val scale = greatest(array_max(transform(col("qv"), x => abs(x))), lit(1L))
+    q.select(col("vec_id"), col("label"), col("qv"), scale.as("scale_milli"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("scale_milli"),
+        transform(col("qv"),
+          x => graft.Cols.floorDiv(x * 127, col("scale_milli"))).as("c8"),
         array_max(transform(col("qv"), x => pmod(x * 127, col("scale_milli"))))
           .as("max_err"))
+      .withColumn("cnorm2_8", Dedup.longDot(col("c8"), col("c8")))
+  }
+
+  /** Scalar-quantized (int8-code) ANN top-k — the 4×-compressed serving
+    * path next to [[bruteForceTopK]] (float-exact), [[adcTopK]] (PQ
+    * codes), and [[lshTopK]] (buckets): every similarity is computed ON
+    * THE CODES (`cos₈ = dot(c8ₐ, c8_b)/(‖c8ₐ‖‖c8_b‖)`), never on the
+    * original vectors — exactly what an index serving int8 does. The
+    * code construction is exact-floor integer math ([[quantizeInt8]]),
+    * so the whole ranking is deterministic and oracle-checkable;
+    * [[sqRecall]] quantifies what the 4× compression costs against the
+    * exact ranking.
+    *
+    * Scale: the query subset is broadcast (corpus never shuffles), the
+    * int64 code dot runs through the codegen'd `graft_long_dot`
+    * expression, and the per-query top-k window partitions by query id.
+    * At 100 TB the 4× memory cut IS the point: an int8 corpus fits where
+    * float32 doesn't, and the scan stays bandwidth-bound.
+    */
+  def sqTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val c = int8Codes(embeddings)
+    val queries = broadcast(
+      c.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(
+          col("vec_id").as("query_id"),
+          col("c8").as("q_c8"),
+          col("cnorm2_8").as("q_cnorm2")))
+    val scored = c.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_c8"), col("q_cnorm2"), col("c8"), col("cnorm2_8"))
+          .as("cosine8"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine8").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of the int8-code ranking [[sqTopK]] against the exact
+    * [[bruteForceTopK]] — the [[ivfRecall]] readout for the scalar
+    * quantizer: how much ranking fidelity the 4× compression costs.
+    * Both constituents are deterministic, so fully oracled.
+    */
+  def sqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val sq = sqTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(sq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("k"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
   /** Product quantization (PQ): the 64-dim milli-quantized vector splits
@@ -1149,6 +1215,8 @@ object Similarity {
     "ann_topk_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
     "ann_topk_rerank" -> ((s, d) => adcRerank(Tables.embeddings(s, d))),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "ann_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
+    "ann_recall_sq" -> ((s, d) => sqRecall(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
@@ -1540,6 +1608,86 @@ object Similarity {
         |  list_max(list_transform(qv,
         |    x -> (((x * 127) % scale_milli) + scale_milli) % scale_milli))::BIGINT AS max_err
         |FROM s""".stripMargin,
+    // the emb_quantize_int8 code construction (remainder-corrected floor
+    // — components are signed) feeding the ann_topk_brute ranking shape,
+    // scored ON THE CODES
+    "ann_topk_sq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, qv,
+         |    greatest(list_max(list_transform(qv, x -> abs(x))), 1)::BIGINT AS sc
+         |  FROM q
+         |), n AS (
+         |  SELECT vec_id,
+         |    list_transform(qv,
+         |      x -> ((x * 127) - ((((x * 127) % sc) + sc) % sc)) // sc) AS c8
+         |  FROM s
+         |), m AS (
+         |  SELECT vec_id, c8, list_sum(list_transform(c8, x -> x * x))::BIGINT AS cn2
+         |  FROM n
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |    round(list_sum([qq.c8[i] * cc.c8[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.cn2::DOUBLE) * sqrt(cc.cn2::DOUBLE)), 6) AS cosine8
+         |  FROM m qq JOIN m cc ON cc.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine8,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine8 DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // brute (float-exact) and int8-code rankings rebuilt side by side,
+    // scored by the ann_recall_ivf membership join
+    "ann_recall_sq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), b_scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), b_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM b_scored
+         |), cod AS (
+         |  SELECT vec_id,
+         |    list_transform(qv,
+         |      x -> ((x * 127) - ((((x * 127) % sc) + sc) % sc)) // sc) AS c8
+         |  FROM (SELECT vec_id, qv,
+         |          greatest(list_max(list_transform(qv, x -> abs(x))), 1)::BIGINT AS sc
+         |        FROM q) t
+         |), m AS (
+         |  SELECT vec_id, c8, list_sum(list_transform(c8, x -> x * x))::BIGINT AS cn2
+         |  FROM cod
+         |), s_scored AS (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |    round(list_sum([qq.c8[i] * cc.c8[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.cn2::DOUBLE) * sqrt(cc.cn2::DOUBLE)), 6) AS cosine8
+         |  FROM m qq JOIN m cc ON cc.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), s_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine8 DESC, neighbor_id) AS rank
+         |  FROM s_scored
+         |)
+         |SELECT b.query_id, count(*) AS k, count(h.hit) AS n_hit,
+         |  (count(h.hit) * 10000) // count(*) AS recall_e4
+         |FROM (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $TopK) b
+         |LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit
+         |           FROM s_ranked WHERE rank <= $TopK) h
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     // replays PQ: codebook = subvectors of vec_ids < 8, exact integer
     // squared-L2 per 16-dim subspace, ties to the smallest centroid id
     "emb_pq" ->

@@ -444,4 +444,22 @@ class DedupSpec extends SparkSpec {
       (3L, "dup_near", Some(2L)),
       (5L, "new", None)))
   }
+
+  test("semanticDedup: keep-first within cells, no cross-cell removal, cap drops oversized cells") {
+    import graft.dedup.Dedup
+    // cell 0: 0 and 1 are copies (cos 1.0) and 2 is orthogonal → only 1
+    // removed; cell 1: 3 duplicates 0's DIRECTION but sits in another
+    // cell → SemDeDup must NOT remove it (the quantizer's miss)
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.5f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.semanticDedup(rows, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 3L, 1L, 2L), (1L, 2L, 0L, 2L)))
+    // an oversized cell disappears from the ledger entirely
+    val capped = Dedup.semanticDedup(rows, threshold = 0.9, maxCellSize = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(capped === List((1L, 2L, 0L, 2L)))
+  }
 }

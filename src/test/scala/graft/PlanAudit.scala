@@ -22,6 +22,11 @@ object PlanAudit {
       "ann_recall_pq",
       // r6: the recall@k curve embeds the same brute ground-truth side
       "ann_recall_curve",
+      // r8: int8-code search scans the corpus against the broadcast query
+      // subset (the ann_topk_brute shape, on codes)
+      "ann_topk_sq",
+      // r8: scores that int8 ranking against the brute ground-truth side
+      "ann_recall_sq",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins
@@ -68,6 +73,9 @@ object PlanAudit {
     // kcore adds its own two 1-row summary aggregates); r7: the fed-back
     // LPA iteration composes the same pair table twice
     "li_label_prop_step", "li_label_prop2", "li_kcore", "cs_dept_pairs",
+    // r8: inherits coOccurrence's 1-row broadcast group total on the edge
+    // input; the link-prediction stages themselves are all equi-joins
+    "li_link_pred",
     // r6: 1-row broadcast of the base-run conversion probability
     "cs_markov_attribution",
     // r6: 1-row broadcast midpoint-day split + coOccurrence's total

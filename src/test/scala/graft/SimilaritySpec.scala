@@ -384,4 +384,38 @@ class SimilaritySpec extends SparkSpec {
     val all = Similarity.lshRangeSearch(spark, emb, minCosine = -1.0).count()
     assert(hist.map(_._4).sum === all)
   }
+
+  test("sqTopK: int8-code ranking preserves the axis-aligned neighbor order") {
+    // axis-aligned fixture: codes are ±127 on one axis, so the code-space
+    // cosine ranks exactly like the float cosine here
+    val got = Similarity.sqTopK(embs, k = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (0L, 1L, 2L), (0L, 2L, 4L),
+      (50L, 1L, 3L), (50L, 2L, 4L)))
+  }
+
+  test("sqTopK: a scaled copy of the query gets code cosine 1.0") {
+    // int8 codes are scale-invariant: v and 0.31·v share one code vector
+    val d = Seq(
+      (0L, Seq(0.8f, -0.4f, 0.2f), 0),
+      (1L, Seq(0.248f, -0.124f, 0.062f), 0), // 0.31 × the query
+      (2L, Seq(-0.8f, 0.4f, -0.2f), 0)) // antipode → cosine −1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.sqTopK(d, k = 2)
+      .select("rank", "neighbor_id", "cosine8")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got.map(r => (r._1, r._2)) === List((1L, 1L), (2L, 2L)))
+    assert(got.head._3 === 1.0, "identical codes must score exactly 1.0")
+    // the antipode's code is NOT the exact negation (floor is asymmetric
+    // around zero), but it must still land deep in negative territory
+    assert(got(1)._3 < -0.999)
+  }
+
+  test("sqRecall: perfect agreement on the fixture reports 10000 e4 per query") {
+    val got = Similarity.sqRecall(embs, k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 2L, 2L, 10000L), (50L, 2L, 2L, 10000L)))
+  }
 }
