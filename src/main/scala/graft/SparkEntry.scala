@@ -112,6 +112,14 @@ object SparkEntry {
         Tables.customer(s, dir)
           .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
         Seq("c_nationkey"), "c_mktsegment")),
+    // third leg of the privacy trio: t-closeness of each nation's
+    // balance distribution vs the global one — exact-integer EMD on a
+    // 16-bucket cent grid
+    "cust_t_closeness" -> ((s, dir) =>
+      graft.ops.Scale.tCloseness(
+        Tables.customer(s, dir)
+          .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
+        Seq("c_nationkey"), "c_acctbal")),
     // HLL sketch distinct counting — the approximate path for distincts at
     // 100 TB (exact count_distinct shuffles every key; the sketch merges).
     // Engine sketches differ, so no cross-engine oracle: driver records a
@@ -260,6 +268,21 @@ object SparkEntry {
     // same arms — mean shift weighted by per-arm variance, exact e4
     "ev_welch_screen" -> ((s, dir) =>
       graft.ops.Stats.welchScreen(Tables.events(s, dir))),
+    // distribution-SHAPE member of the arm-test family: exact-integer
+    // two-sample Kolmogorov–Smirnov sup statistic in e6
+    "ev_ks_test" -> ((s, dir) =>
+      graft.ops.Stats.ksTest(Tables.events(s, dir))),
+    // discrete-time customer-churn hazard life table with explicit right
+    // censoring (1-year repurchase horizon over the order calendar) —
+    // the survival-analysis readout
+    "ord_hazard" -> ((s, dir) =>
+      graft.ops.Stats.hazardCurve(
+        Tables.orders(s, dir), "o_custkey",
+        graft.Cols.floorDiv(
+          org.apache.spark.sql.functions.unix_millis(
+            col("o_orderdate").cast("timestamp")),
+          graft.ops.TimeSeries.DayMs),
+        horizonDays = 365)),
     // lead-lag cross-correlation purchase×error at ±3 days: exact decimal
     // moments, one rounded-double division (the cosine discipline)
     "ev_xcorr" -> ((s, dir) =>
@@ -287,6 +310,10 @@ object SparkEntry {
     // "files" into target-size compaction bins, contiguous ranges
     "tbl_compaction_plan" -> ((s, dir) =>
       graft.ops.Stats.compactionPlan(Tables.events(s, dir), "user_id")),
+    // grow-the-cluster data-movement quote: naive modulo placement vs
+    // rendezvous hashing when 5 nodes become 6
+    "tbl_rebalance_plan" -> ((s, dir) =>
+      graft.ops.Scale.rebalancePlan(Tables.events(s, dir), "user_id")),
     // stage-to-stage funnel latency over the cs_funnel stage chain
     "ev_funnel_latency" -> ((s, dir) =>
       graft.ops.Analytics.funnelLatency(
@@ -610,6 +637,13 @@ object SparkEntry {
     // over the basket-pair edges (canonical a<b<c join chain)
     "li_graph_stats" -> ((s, dir) =>
       graft.ops.Analytics.triangleStats(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // do hub parts co-purchase with hub parts: Newman degree
+    // assortativity over the same basket-pair edges, exact decimal
+    // moments, one rounded-double division
+    "li_assortativity" -> ((s, dir) =>
+      graft.ops.Analytics.assortativity(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // absorbing-chain removal-effect attribution over the event-type
@@ -1283,6 +1317,49 @@ object SparkEntry {
       """SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
         |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    // ordered-value EMD on the 16-bucket cent grid; every cum product is
+    // an integer (HUGEINT internals), numerators ≥ 0 → // is floor; the
+    // dense grid join makes empty buckets still step the global CDF
+    "cust_t_closeness" ->
+      """WITH c AS (
+        |  SELECT c_nationkey::BIGINT AS c_nationkey,
+        |    round(c_acctbal * 100)::BIGINT AS cents
+        |  FROM customer
+        |), bounds AS (
+        |  SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS w FROM c
+        |), b AS (
+        |  SELECT c_nationkey, ((cents - lo) * 16) // w AS bkt FROM c, bounds
+        |), cells AS (SELECT c_nationkey, count(*)::BIGINT AS n_rows FROM b GROUP BY 1),
+        |cb AS (SELECT c_nationkey, bkt, count(*)::BIGINT AS cg FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bkt, count(*)::BIGINT AS cglob FROM b GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM b),
+        |grid AS (
+        |  SELECT cells.c_nationkey, cells.n_rows, g.bkt
+        |  FROM cells CROSS JOIN (SELECT unnest(generate_series(0, 15))::BIGINT AS bkt) g
+        |), dense AS (
+        |  SELECT grid.c_nationkey, grid.n_rows, grid.bkt,
+        |    coalesce(cb.cg, 0) AS cg, coalesce(gb.cglob, 0) AS cglob
+        |  FROM grid
+        |  LEFT JOIN cb ON cb.c_nationkey = grid.c_nationkey AND cb.bkt = grid.bkt
+        |  LEFT JOIN gb ON gb.bkt = grid.bkt
+        |), cum AS (
+        |  SELECT c_nationkey, n_rows, bkt,
+        |    sum(cg) OVER (PARTITION BY c_nationkey ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+        |    sum(cglob) OVER (PARTITION BY c_nationkey ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense
+        |), s AS (
+        |  SELECT c_nationkey, n_rows,
+        |    sum(abs(n::HUGEINT * cumg - n_rows::HUGEINT * cum)) AS sd,
+        |    max(n) AS n
+        |  FROM cum, tot WHERE bkt < 15 GROUP BY 1, 2
+        |)
+        |SELECT c_nationkey, n_rows,
+        |  ((sd * 1000000) // (n_rows::HUGEINT * n * 15))::BIGINT AS t_e6,
+        |  (CASE WHEN (sd * 1000000) // (n_rows::HUGEINT * n * 15) > 200000
+        |        THEN 1 ELSE 0 END)::BIGINT AS not_close
+        |FROM s""".stripMargin,
     "cs_bounce_rate" ->
       s"""$sessionsCte
          |SELECT win_begin_ms // 86400000 AS day,
@@ -2080,6 +2157,69 @@ object SparkEntry {
         |      // se2_e8) > 38416
         |    THEN 1 ELSE 0 END)::BIGINT AS significant
         |FROM s""".stripMargin,
+    // the arm split and cent grid of ev_welch_screen; the CDF gap is
+    // cleared of denominators (all integers, |…| ≥ 0 → // is floor);
+    // windows run over the per-(type, cent) grid only
+    "ev_ks_test" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events
+        |), pv AS (
+        |  SELECT event_type, v,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS na,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pv
+        |), a AS (
+        |  SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |    max(abs(cuma::HUGEINT * nb - cumb::HUGEINT * na)) AS dn
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a * n_b > 0 THEN
+        |    ((dn * 1000000) // (n_a::HUGEINT * n_b))::BIGINT END AS d_e6
+        |FROM a""".stripMargin,
+    // right-censored life table: censor day = max order day − 365;
+    // churned ⇔ no order after it; censored spans run first→censor; the
+    // at-risk column is a suffix sum over the |span-length| histogram
+    "ord_hazard" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS user_id,
+        |    epoch_ms(o_orderdate::TIMESTAMP) // 86400000 AS day
+        |  FROM orders
+        |), cz AS (SELECT max(day) - 365 AS censor FROM e
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN day <= censor THEN day END) AS fd,
+        |    max(CASE WHEN day <= censor THEN day END) AS ld,
+        |    max(CASE WHEN day > censor THEN 1 ELSE 0 END) AS after,
+        |    max(censor) AS censor
+        |  FROM e, cz GROUP BY 1
+        |), sp AS (
+        |  SELECT CASE WHEN after = 1 THEN censor - fd ELSE ld - fd END AS day_offset,
+        |    (1 - after)::BIGINT AS churn
+        |  FROM u WHERE fd IS NOT NULL
+        |), h AS (
+        |  SELECT day_offset, count(*)::BIGINT AS n_obs, sum(churn)::BIGINT AS n_churned
+        |  FROM sp GROUP BY 1
+        |)
+        |SELECT day_offset,
+        |  sum(n_obs) OVER (ORDER BY day_offset DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_risk,
+        |  n_churned,
+        |  ((n_churned * 10000) // sum(n_obs) OVER (ORDER BY day_offset DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS hazard_e4
+        |FROM h""".stripMargin,
     // all quantities non-negative: // is exact floor on both sides
     "ev_hhi" ->
       """WITH c AS (
@@ -2148,6 +2288,34 @@ object SparkEntry {
         |  sum(n_rows)::BIGINT AS total_rows,
         |  min(bucket)::BIGINT AS first_bucket, max(bucket)::BIGINT AS last_bucket
         |FROM w GROUP BY 1""".stripMargin,
+    // rendezvous placement = lexicographic max of (score, node) structs —
+    // list_max mirrors Spark's array_max struct ordering; scores are the
+    // shared md5-based h60
+    "tbl_rebalance_plan" ->
+      """WITH f AS (
+        |  SELECT ('0x' || substr(md5('shard:' || user_id), 1, 15))::BIGINT % 1024 AS bkt
+        |  FROM events
+        |), c AS (
+        |  SELECT bkt, count(*)::BIGINT AS n_rows FROM f GROUP BY 1
+        |), placed AS (
+        |  SELECT n_rows,
+        |    (bkt % 5 <> bkt % 6) AS mod_moved,
+        |    (list_max([{'s': ('0x' || substr(md5(bkt::VARCHAR || ':n' || i), 1, 15))::BIGINT,
+        |                'node': i} for i in [0, 1, 2, 3, 4]])['node']
+        |     <> list_max([{'s': ('0x' || substr(md5(bkt::VARCHAR || ':n' || i), 1, 15))::BIGINT,
+        |                   'node': i} for i in [0, 1, 2, 3, 4, 5]])['node']) AS hrw_moved
+        |  FROM c
+        |), x AS (
+        |  SELECT 'mod' AS strategy, mod_moved AS moved, n_rows FROM placed
+        |  UNION ALL
+        |  SELECT 'rendezvous', hrw_moved, n_rows FROM placed
+        |)
+        |SELECT strategy,
+        |  sum(CASE WHEN moved THEN 1 ELSE 0 END)::BIGINT AS n_buckets_moved,
+        |  sum(CASE WHEN moved THEN n_rows ELSE 0 END)::BIGINT AS n_rows_moved,
+        |  ((sum(CASE WHEN moved THEN n_rows ELSE 0 END) * 10000)
+        |    // sum(n_rows))::BIGINT AS moved_share_e4
+        |FROM x GROUP BY 1""".stripMargin,
     // the cs_funnel stage chain, joined pairwise for entry-time gaps
     "ev_funnel_latency" ->
       """WITH e AS (
@@ -2394,6 +2562,35 @@ object SparkEntry {
         |  CASE WHEN n_wedges > 0 THEN (n_triangles * 30000) // n_wedges
         |       ELSE 0 END::BIGINT AS closure_e4
         |FROM w CROSS JOIN ne CROSS JOIN tr""".stripMargin,
+    // same capped basket-pair edge CTE as li_graph_stats; both
+    // orientations enter the moments (Σx = Σy), HUGEINT internals, one
+    // rounded-double division (Newman's r)
+    "li_assortativity" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS m,
+        |    sum(dx.d::HUGEINT) AS sx,
+        |    sum(dx.d::HUGEINT * dx.d) AS sxx,
+        |    sum(dx.d::HUGEINT * dy.d) AS sxy
+        |  FROM o JOIN deg dx ON dx.node = o.src JOIN deg dy ON dy.node = o.dst
+        |), nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+        |SELECT n_nodes, (m // 2)::BIGINT AS n_edges,
+        |  CASE WHEN m::HUGEINT * sxx - sx * sx <> 0 THEN
+        |    round((m::HUGEINT * sxy - sx * sx)::DOUBLE
+        |          / (m::HUGEINT * sxx - sx * sx)::DOUBLE, 6) END AS r
+        |FROM m CROSS JOIN nn""".stripMargin,
     // weekday = epoch-day mod 7 — pure integer, no calendar functions
     // same per-user running-high-watermark window over the planted
     // arrival order (every 13th event 40 slots late); totals cast down

@@ -844,6 +844,39 @@ object Dedup {
         (col("n_vecs") - coalesce(col("__removed"), lit(0L))).as("n_kept"))
   }
 
+  /** Train/val/test split-leakage audit: near-duplicate pairs that
+    * STRADDLE a split boundary — the classic eval-contamination bug
+    * where a test document's near-copy sits in train and the benchmark
+    * silently measures memorization. Composes the [[simhashNearDups]]
+    * pair table with the content-free hash split
+    * ([[graft.text.TextAnalysis.splitAssign]]); each unordered split
+    * pair reports its near-dup pair count and a `leak` flag (1 when the
+    * splits differ). A clean pipeline wants every `leak = 1` row at 0 —
+    * or runs dedup BEFORE splitting, which this audit verifies.
+    *
+    * Scale: the pair table is the banded simhash path (never all-pairs);
+    * the split columns attach through two equi-joins on doc id and the
+    * rollup is a hash aggregate to ≤ C(|splits|+1, 2) rows.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val sp = graft.text.TextAnalysis.splitAssign(docs)
+      .select(col("doc_id"), col("split"))
+    simhashNearDups(docs)
+      .join(
+        sp.select(col("doc_id").as("doc_id_1"), col("split").as("__sa")),
+        Seq("doc_id_1"))
+      .join(
+        sp.select(col("doc_id").as("doc_id_2"), col("split").as("__sb")),
+        Seq("doc_id_2"))
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("split_1"),
+        greatest(col("__sa"), col("__sb")).as("split_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(
+        col("split_1"), col("split_2"), col("n_pairs"),
+        when(col("split_1") =!= col("split_2"), 1L).otherwise(0L).as("leak"))
+  }
+
   /** Hyperplane-LSH table/bit geometry for [[embeddingNearDupsLsh]].
     * 8 tables × 4 bits is tuned for the testdata's unusually *low* near-dup
     * threshold (0.4 cosine ≈ 66°, where any LSH prunes weakly): measured
@@ -1067,6 +1100,7 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
+    "dedup_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "dedup_impact" -> ((s, d) => dedupImpact(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
@@ -1639,6 +1673,29 @@ object Dedup {
          |FROM pr
          |JOIN documents da ON da.doc_id = pr.d1
          |JOIN documents db ON db.doc_id = pr.d2
+         |GROUP BY 1, 2""".stripMargin,
+    // the simhash-pairs oracle rolled up by unordered SPLIT pair (the
+    // txt_split_assign md5 bucketing), leak = the splits differ
+    "dedup_split_leakage" ->
+      s"""$simhashCte, pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT least(sa.split, sb.split) AS split_1,
+         |       greatest(sa.split, sb.split) AS split_2,
+         |       count(*) AS n_pairs,
+         |       (CASE WHEN least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+         |             THEN 1 ELSE 0 END)::BIGINT AS leak
+         |FROM pr
+         |JOIN sp sa ON sa.doc_id = pr.d1
+         |JOIN sp sb ON sb.doc_id = pr.d2
          |GROUP BY 1, 2""".stripMargin,
     "dedup_embedding" ->
       s"""WITH q AS (

@@ -651,6 +651,55 @@ object Analytics {
           .otherwise(lit(0L)).as("closure_e4"))
   }
 
+  /** Degree assortativity of the undirected graph — "do hubs attach to
+    * hubs" (r > 0, social-network shape) or "hubs to leaves" (r < 0,
+    * hub-and-spoke), [[triangleStats]]'s mixing-pattern partner. Both
+    * orientations of every canonical edge enter the Pearson correlation
+    * of endpoint degrees, which makes the two marginals identical
+    * (Σx = Σy, Σx² = Σy²), so `r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)`
+    * over m = 2·|E| oriented edges — Newman's form, every moment an
+    * exact integer in decimal(38,0) and ONE rounded-double division at
+    * the end (the [[TimeSeries.xcorrDaily]] discipline). A degree-regular
+    * graph has zero denominator → null r.
+    *
+    * Scale: degree table from one hash aggregate; each oriented edge
+    * picks up its endpoint degrees through two equi-joins (hash joins on
+    * node id — no broadcast assumption, degrees shuffle-join at |E|);
+    * moments reduce in one map-side-combined aggregate; node count rides
+    * in as a broadcast 1-row scalar. Output is one row.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val e = edges
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") < col("dst")).distinct()
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val oriented = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val moments = oriented
+      .join(deg.select(col("node").as("src"), col("__d").as("__dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("__d").as("__dy")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(d(col("__dx"))).as("__sx"),
+        sum(d(col("__dx")) * d(col("__dx"))).as("__sxx"),
+        sum(d(col("__dx")) * d(col("__dy"))).as("__sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = d(col("m")) * col("__sxy") - col("__sx") * col("__sx")
+    val den = d(col("m")) * col("__sxx") - col("__sx") * col("__sx")
+    moments
+      .crossJoin(broadcast(nodes))
+      .select(
+        col("n_nodes"),
+        graft.Cols.floorDiv(col("m"), 2L).as("n_edges"),
+        when(den =!= 0,
+          round(num.cast("double") / den.cast("double"), 6)).as("r"))
+  }
+
   /** Directed purchase-sequence mining — [[coOccurrence]]'s temporal
     * partner: for each customer, part A at a strictly earlier FIRST
     * purchase date than part B yields the ordered pair (A → B); pairs

@@ -342,4 +342,124 @@ object Scale {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** t-closeness audit — the third leg of the release-privacy trio
+    * ([[kAnonymity]]: cells big enough; [[lDiversity]]: cells varied
+    * enough; this: cell value distributions CLOSE enough to the global
+    * one). A cell can be k-anonymous and l-diverse yet still leak —
+    * "this nation's balances are all in the top bucket" — which only a
+    * distribution distance catches (Li et al., ICDE 2007).
+    *
+    * The sensitive numeric attribute quantizes to `nBuckets` equal-width
+    * cent buckets between the global min/max (broadcast 1-row bounds —
+    * the declared grid that bounds everything downstream), and the
+    * distance is the ordered-value EMD on that grid:
+    * `t = (1/(m−1)) Σ_{i<m−1} |cumP(i) − cumQ(i)|` with P the cell's
+    * bucket distribution, Q the global one. Clearing denominators keeps
+    * it exact: `t_e6 = ⌊Σ|N·cumgᵢ − n_g·cumᵢ|·10⁶ / (n_g·N·(m−1))⌋`,
+    * every term an integer (widened to decimal(38,0): the summed product
+    * reaches m·N·n_g·10⁶). Cells with `t_e6 > tE6Threshold` flag
+    * `not_close`.
+    *
+    * Scale: two hash aggregates (cell×bucket counts, global bucket
+    * counts), a bounded ×`nBuckets` grid fan-out per cell so EMPTY
+    * buckets still step the global CDF, per-cell running sums over that
+    * nBuckets-row partition, and broadcast 1-row bounds/total scalars.
+    * Output is |cells| rows; nothing scales past |cells|·nBuckets.
+    */
+  def tCloseness(
+      df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      nBuckets: Int = 16, tE6Threshold: Long = 200000L): DataFrame = {
+    require(nBuckets >= 2, "EMD needs at least two grid points")
+    val dec = "decimal(38,0)"
+    val cents = round(col(sensitive) * 100).cast("long")
+    val bounds = broadcast(df.agg(
+      min(cents).as("__lo"), (max(cents) - min(cents) + 1L).as("__w")))
+    val bucketed = df
+      .select(quasiIds.map(col) :+ cents.as("__c"): _*)
+      .crossJoin(bounds)
+      .select(quasiIds.map(col) :+
+        graft.Cols.floorDiv((col("__c") - col("__lo")) * nBuckets, col("__w")).as("__b"): _*)
+    val cellBucket = bucketed
+      .groupBy(quasiIds.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__cg"))
+    val globalBucket = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__cglob"))
+    val cells = bucketed.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = broadcast(bucketed.agg(count(lit(1)).as("__n")))
+    val dense = cells
+      .select(quasiIds.map(col) :+ col("n_rows") :+
+        explode(sequence(lit(0L), lit((nBuckets - 1).toLong))).as("__b"): _*)
+      .join(cellBucket, quasiIds :+ "__b", "left")
+      .join(globalBucket, Seq("__b"), "left")
+      .crossJoin(total)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiIds.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val summed = dense
+      .withColumn("__cumg", sum(coalesce(col("__cg"), lit(0L))).over(w))
+      .withColumn("__cum", sum(coalesce(col("__cglob"), lit(0L))).over(w))
+      .filter(col("__b") < nBuckets - 1)
+      .groupBy(quasiIds.map(col) :+ col("n_rows") :+ col("__n"): _*)
+      .agg(sum(abs(
+        col("__n").cast(dec) * col("__cumg").cast(dec)
+          - col("n_rows").cast(dec) * col("__cum").cast(dec))).as("__s"))
+    val tE6 = graft.Cols.floorDiv(
+      col("__s") * lit(1000000L).cast(dec),
+      (col("n_rows") * col("__n") * (nBuckets - 1L)).cast(dec)).cast("long")
+    summed.select(quasiIds.map(col) :+ col("n_rows") :+ tE6.as("t_e6") :+
+      when(tE6 > tE6Threshold, 1L).otherwise(0L).as("not_close"): _*)
+  }
+
+  /** Shard rebalancing plan: when the cluster grows `nodesBefore` →
+    * `nodesBefore + 1`, how much data moves under (a) naive modulo
+    * placement — `bucket % n`, which reshuffles almost everything — vs
+    * (b) rendezvous/HRW hashing — each bucket lives on
+    * `argmax_node hash(bucket, node)`, so ONLY buckets whose argmax is
+    * the new node move (expected 1/(n+1) of the data). The two-row
+    * readout (strategy, buckets moved, rows moved, moved share e4) is
+    * the capacity-planning number a storage migration quotes.
+    *
+    * Deterministic: placement scores are the library [[graft.Cols.hash60]]
+    * (ties broken toward the larger node id by the lexicographic
+    * struct max — unreachable with 60-bit scores, but defined).
+    *
+    * Scale: one hash aggregate to the `nBuckets`-row bucket table
+    * (map-side combined — raw keys never leave their partitions), then
+    * per-bucket placement is a pure ×(2n+1)-hash expression and the
+    * summary is one tiny aggregate over `nBuckets` rows.
+    */
+  def rebalancePlan(
+      df: DataFrame, keyCol: String,
+      nBuckets: Int = 1024, nodesBefore: Int = 5): DataFrame = {
+    require(nodesBefore >= 1)
+    val bkt = pmod(
+      graft.Cols.hash60(concat(lit("shard:"), col(keyCol).cast("string"))),
+      lit(nBuckets.toLong))
+    val counts = df.select(bkt.as("__bkt")).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__rows"))
+    def hrwNode(n: Int): Column =
+      array_max(array((0 until n).map(i =>
+        struct(
+          graft.Cols.hash60(concat(col("__bkt").cast("string"), lit(s":n$i"))).as("s"),
+          lit(i.toLong).as("node"))): _*)).getField("node")
+    val flagged = counts.select(
+      col("__rows"),
+      (pmod(col("__bkt"), lit(nodesBefore.toLong))
+        =!= pmod(col("__bkt"), lit(nodesBefore + 1L))).as("__mod_moved"),
+      (hrwNode(nodesBefore) =!= hrwNode(nodesBefore + 1)).as("__hrw_moved"))
+    flagged
+      .select(
+        col("__rows"),
+        explode(array(
+          struct(lit("mod").as("strategy"), col("__mod_moved").as("moved")),
+          struct(lit("rendezvous").as("strategy"), col("__hrw_moved").as("moved"))))
+          .as("__s"))
+      .groupBy(col("__s.strategy").as("strategy"))
+      .agg(
+        sum(when(col("__s.moved"), 1L).otherwise(0L)).as("n_buckets_moved"),
+        sum(when(col("__s.moved"), col("__rows")).otherwise(0L)).as("n_rows_moved"),
+        graft.Cols.floorDiv(
+          sum(when(col("__s.moved"), col("__rows")).otherwise(0L)) * 10000L,
+          sum(col("__rows"))).as("moved_share_e4"))
+  }
 }

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *   series over the 24-row hour-of-day domain.
   * - [[compactionPlan]]: next-fit small-file bin packing — the layout
   *   maintenance planner a 100 TB table runs nightly.
+  * - [[ksTest]]: two-sample Kolmogorov–Smirnov D between the hash arms —
+  *   the distribution-shape screen beside [[mannWhitney]] (location) and
+  *   [[welchScreen]] (mean).
+  * - [[hazardCurve]]: discrete-time churn hazard with explicit right
+  *   censoring — the survival-analysis life table.
   */
 object Stats {
 
@@ -355,5 +360,114 @@ object Stats {
       col("mean0_e4"), col("mean1_e4"), col("se2_e8"),
       t2.as("t2_e4"),
       when(t2.isNotNull && t2 > t2E4Threshold, 1L).otherwise(0L).as("significant"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D between the deterministic hash
+    * arms (the [[mannWhitney]]/[[welchScreen]] split), per event type —
+    * the distribution-SHAPE member of the experimentation family:
+    * Mann–Whitney detects a location shift, Welch a mean shift, KS any
+    * CDF divergence (variance, bimodality, tail weight).
+    *
+    * Exact integers end-to-end: on the per-(type, cent-value) count
+    * table, the empirical-CDF gap at value v is
+    * `|n_b·cumA(v) − n_a·cumB(v)|` (both CDFs cleared of their 1/n
+    * denominators), and `d_e6 = ⌊max_v |…|·10⁶ / (n_a·n_b)⌋` — the sup
+    * statistic in e6 without a single intermediate double. The max over
+    * v only needs CDF steps, so the aggregated value grid suffices.
+    * The gap product is widened to decimal(38,0): int64 would wrap once
+    * `n_a·n_b·10⁶` passes 9.2·10¹⁸ (≈ 3·10⁶ events per arm per type).
+    *
+    * Scale: one hash aggregate to the |type × cent-value| grid (map-side
+    * combined — quantizing to cents bounds the grid by the value range,
+    * not the row count, unlike a raw-double grain), then per-type
+    * running-sum windows over that aggregated table — the [[mannWhitney]]
+    * rank-pass posture. Output is |event_type| rows.
+    */
+  def ksTest(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val perValue = events
+      .select(
+        col("event_type"), arm.as("__arm"),
+        round(col("value") * 100).cast("long").as("__v"))
+      .groupBy(col("event_type"), col("__v"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    perValue
+      .withColumn("__cuma", sum(col("ca")).over(run))
+      .withColumn("__cumb", sum(col("cb")).over(run))
+      .withColumn("__na", sum(col("ca")).over(tot))
+      .withColumn("__nb", sum(col("cb")).over(tot))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(
+          col("__cuma").cast(dec) * col("__nb").cast(dec)
+            - col("__cumb").cast(dec) * col("__na").cast(dec))).as("__dn"))
+      .select(
+        col("event_type"), col("n_a"), col("n_b"),
+        when(
+          col("n_a") * col("n_b") > 0,
+          Cols.floorDiv(
+            col("__dn") * lit(1000000L).cast(dec),
+            (col("n_a") * col("n_b")).cast(dec)).cast("long")).as("d_e6"))
+  }
+
+  /** Discrete-time churn hazard curve — the survival-analysis readout
+    * (a Kaplan–Meier life table without the cumulative-survival column,
+    * which would need a cross-engine product of rationals): per
+    * active-span length t in days, how many users were still observable
+    * at t (`n_risk`), how many churned exactly there (`n_churned`), and
+    * the hazard `⌊n_churned·10⁴ / n_risk⌋`.
+    *
+    * Right-censoring is explicit: the observation window ends
+    * `horizonDays` before the last event day (the censor day), a user
+    * counts as CHURNED only when they have no activity after it, and a
+    * still-active user contributes a censored span `censor − first_day`
+    * (alive through the whole observable window) — without this, every
+    * user "churns" at their last event and the tail hazard reads 100 %.
+    *
+    * Scale: one hash aggregate to |users| conditional min/max spans
+    * (map-side combined; the censor day rides along as a broadcast 1-row
+    * scalar), a second to the |span-length| histogram — bounded by the
+    * CALENDAR, not the data — and the at-risk suffix sum is one window
+    * over that calendar-sized table.
+    */
+  def hazardCurve(
+      events: DataFrame, userCol: String, day: Column,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, "a zero horizon makes every user churn at its last event")
+    val censor = broadcast(
+      events.agg((max(day) - horizonDays).as("__censor")))
+    val spans = events
+      .select(col(userCol).as("user_id"), day.as("__day"))
+      .crossJoin(censor)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("__day") <= col("__censor"), col("__day"))).as("__first"),
+        max(when(col("__day") <= col("__censor"), col("__day"))).as("__last"),
+        max(when(col("__day") > col("__censor"), 1L).otherwise(0L)).as("__after"),
+        max(col("__censor")).as("__cens"))
+      .filter(col("__first").isNotNull)
+      .select(
+        when(col("__after") === 1L, col("__cens") - col("__first"))
+          .otherwise(col("__last") - col("__first")).as("day_offset"),
+        (lit(1L) - col("__after")).as("__churn"))
+    val hist = spans.groupBy(col("day_offset"))
+      .agg(count(lit(1)).as("__n_obs"), sum(col("__churn")).as("n_churned"))
+    // suffix sum over the |span-length| histogram: bounded by calendar
+    // days by construction (PlanAudit.BoundedGlobalWindow)
+    val w = Window.orderBy(col("day_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_risk", sum(col("__n_obs")).over(w))
+      .select(
+        col("day_offset"), col("n_risk"), col("n_churned"),
+        Cols.floorDiv(col("n_churned") * 10000L, col("n_risk")).as("hazard_e4"))
   }
 }

@@ -787,4 +787,30 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toList
     assert(full.size === 10 && full.forall(r => r._3 == 1L && r._6 == 10000L))
   }
+
+  test("assortativity: a star is perfectly disassortative, a cycle degenerate") {
+    import graft.ops.Analytics
+    // K1,3: every oriented edge pairs degree 3 with degree 1 →
+    // m=6, Σx=12, Σx²=30, Σxy=18 → r = (6·18−144)/(6·30−144) = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val (n, e, r) =
+      Analytics.assortativity(star).as[(Long, Long, Option[Double])].collect().head
+    assert((n, e) === ((4L, 3L)))
+    assert(r === Some(-1.0))
+    // 4-cycle: degree-regular → zero variance → null r, counts intact
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val (nc, ec, rc) =
+      Analytics.assortativity(cycle).as[(Long, Long, Option[Double])].collect().head
+    assert((nc, ec, rc) === ((4L, 4L, None)))
+  }
+
+  test("assortativity: duplicate and reversed input edges collapse before the moments") {
+    import graft.ops.Analytics
+    // same star fed with duplicates and flipped orientation — canonical
+    // dedup must make it identical to the clean star
+    val messy = Seq((1L, 0L), (0L, 1L), (2L, 0L), (0L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val got = Analytics.assortativity(messy).as[(Long, Long, Option[Double])].collect().head
+    assert(got === ((4L, 3L, Some(-1.0))))
+  }
 }

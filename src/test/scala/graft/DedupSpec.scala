@@ -445,6 +445,32 @@ class DedupSpec extends SparkSpec {
       (5L, "new", None)))
   }
 
+  test("splitLeakage: the simhash pair mass rolls up by split pair, leak ⇔ boundary crossed") {
+    import graft.dedup.Dedup
+    // 20 planted near-dup pairs: docs (10k, 10k+1) share a token set.
+    // Hash splits are content-free, so SOME pairs will straddle splits.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = docs((0 until 20).flatMap(i =>
+      Seq((i * 10000L, s"$base word$i"), (i * 10000L + 1, s"$base word$i"))): _*)
+    val got = Dedup.splitLeakage(rows)
+      .as[(String, String, Long, Long)].collect().toList
+    // independent recomputation from the pair table + the split assigner
+    val splitOf = graft.text.TextAnalysis.splitAssign(rows)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = Dedup.simhashNearDups(rows)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+      .groupBy { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .map { case ((s1, s2), ps) =>
+        (s1, s2, ps.length.toLong, if (s1 != s2) 1L else 0L)
+      }.toList
+    assert(got.toSet === expected.toSet)
+    assert(got.map(_._3).sum === Dedup.simhashNearDups(rows).count())
+    assert(got.exists(_._4 == 1L), "fixture must actually exhibit leakage")
+  }
+
   test("semanticDedup: keep-first within cells, no cross-cell removal, cap drops oversized cells") {
     import graft.dedup.Dedup
     // cell 0: 0 and 1 are copies (cos 1.0) and 2 is orthogonal → only 1

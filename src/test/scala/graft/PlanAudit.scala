@@ -97,7 +97,13 @@ object PlanAudit {
     // r7: 1-row broadcast midpoint probe instant into the SCD2 intervals
     "ev_scd2_asof",
     // r7: 1-row broadcast day bounds + series-moment table
-    "ev_xcorr")
+    "ev_xcorr",
+    // r8: 1-row broadcast censor day riding the span aggregate
+    "ord_hazard",
+    // r8: 1-row broadcast cent-grid bounds + global row total
+    "cust_t_closeness",
+    // r8: 1-row broadcast node count beside the moment aggregate
+    "li_assortativity")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
@@ -120,7 +126,10 @@ object PlanAudit {
     // largest-remainder rank over the |groups|-row (language) quota table
     "txt_quota_alloc",
     // r7: ±3-day lag window over the |days|-row dense grid (calendar)
-    "ev_xcorr")
+    "ev_xcorr",
+    // r8: at-risk suffix sum over the |span-length| histogram — bounded
+    // by calendar days (spans live inside the observation window)
+    "ord_hazard")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

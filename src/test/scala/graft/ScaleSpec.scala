@@ -295,4 +295,57 @@ class ScaleSpec extends SparkSpec {
       .select(graft.Cols.hash60(col("s"))).as[Long].head()
     assert(one === (("t", 1L, h, h >> 30, h & 0x3FFFFFFFL, h, h)))
   }
+
+  test("tCloseness: matching cells score 0, polarized cells score 500000") {
+    // group 1 all at the min, group 2 all at the max, equal sizes: the
+    // global distribution is half bucket 0 / half bucket 15, each cell
+    // is a point mass → every one of the 15 prefix gaps is n_g·N/2 →
+    // t = 1/2 exactly (500000 e6), flagged at the 0.2 threshold
+    val polar = ((1 to 10).map(_ => (1L, 0.0)) ++ (1 to 10).map(_ => (2L, 10.0)))
+      .toDF("grp", "bal")
+    val got = Scale.tCloseness(polar, Seq("grp"), "bal")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 10L, 500000L, 1L), (2L, 10L, 500000L, 1L)))
+    // two cells with IDENTICAL distributions → both match the global → 0
+    val same = ((1 to 8).map(i => (1L, (i % 4).toDouble)) ++
+      (1 to 8).map(i => (2L, (i % 4).toDouble))).toDF("grp", "bal")
+    val gotSame = Scale.tCloseness(same, Seq("grp"), "bal")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(gotSame === List((1L, 8L, 0L, 0L), (2L, 8L, 0L, 0L)))
+  }
+
+  test("rebalancePlan: rendezvous movers go to the new node; mod reshuffles more") {
+    val df = (1 to 3000).map(i => (i.toLong, "x")).toDF("user_id", "pad")
+    val got = Scale.rebalancePlan(df, "user_id", nBuckets = 64, nodesBefore = 5)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // independent recomputation of the HRW movers through a different
+    // formulation: explode the node list, rank scores per (bucket, era)
+    val bkt = pmod(
+      graft.Cols.hash60(concat(lit("shard:"), col("user_id").cast("string"))),
+      lit(64L))
+    val buckets = df.select(bkt.as("b")).distinct()
+    val scored = buckets
+      .select(col("b"), explode(sequence(lit(0L), lit(5L))).as("node"))
+      .select(col("b"), col("node"),
+        graft.Cols.hash60(concat(col("b").cast("string"), lit(":n"), col("node")))
+          .as("s"))
+    val winner = scored
+      .groupBy(col("b"))
+      .agg(max_by(col("node"), struct(col("s"), col("node"))).as("after"))
+      .join(
+        scored.filter(col("node") < 5)
+          .groupBy(col("b"))
+          .agg(max_by(col("node"), struct(col("s"), col("node"))).as("before")),
+        Seq("b"))
+    val expectedMoved = winner.filter(col("after") =!= col("before")).count()
+    assert(got("rendezvous")._2 === expectedMoved)
+    // every rendezvous mover lands on the NEW node — that is the point
+    assert(winner
+      .filter(col("after") =!= col("before") && col("after") =!= 5L)
+      .count() === 0L)
+    // naive modulo moves buckets where b%5 ≠ b%6 — the vast majority
+    assert(got("mod")._2 > got("rendezvous")._2)
+    // shares are exact floors of rows-moved over total rows
+    assert(got("mod")._4 === Math.floorDiv(got("mod")._3 * 10000L, 3000L))
+  }
 }

@@ -308,4 +308,67 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._1) === List("flat"), "single-observation arm must drop the type")
     assert(got.head._7 === None && got.head._8 === 0L)
   }
+
+  test("ksTest matches brute-force sup |F_a − F_b| on the cent grid") {
+    val rows = (1 to 240).map { i =>
+      (i.toLong % 50, "t", (i % 9).toDouble + (i % 4) * 0.25)
+    }
+    val df = rows.toDF("user_id", "event_type", "value")
+    val (_, nA, nB, dE6) =
+      Stats.ksTest(df).as[(String, Long, Long, Option[Long])].collect().head
+    val armOf = df.select($"user_id",
+      pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val (as, bs) = rows.partition { case (u, _, _) => armOf(u) == 0L }
+    val centsA = as.map(r => Math.round(r._3 * 100)).sorted
+    val centsB = bs.map(r => Math.round(r._3 * 100)).sorted
+    val grid = (centsA ++ centsB).distinct.sorted
+    val dn = grid.map { v =>
+      val cumA = centsA.count(_ <= v).toLong
+      val cumB = centsB.count(_ <= v).toLong
+      Math.abs(cumA * centsB.size - cumB * centsA.size)
+    }.max
+    assert(nA === as.size.toLong && nB === bs.size.toLong)
+    assert(dE6 === Some(Math.floorDiv(dn * 1000000L, nA * nB)))
+  }
+
+  test("ksTest: identical distributions give d_e6 = 0; disjoint supports give 10⁶") {
+    // "same": every user contributes the one value → both CDFs jump
+    // together → D = 0. "split": arm decides the value exactly → at the
+    // lower value one CDF is 1 and the other 0 → D = 1
+    val same = (1 to 100).map(i => (i.toLong, "same", 2.5))
+    val armOf = same.toDF("user_id", "event_type", "value")
+      .select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val split = (1 to 100).map(i =>
+      (i.toLong, "split", if (armOf(i.toLong) == 0L) 1.0 else 9.0))
+    val got = Stats.ksTest((same ++ split).toDF("user_id", "event_type", "value"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got("same") === Some(0L))
+    assert(got("split") === Some(1000000L))
+  }
+
+  test("hazardCurve: hand-built life table with right censoring") {
+    // max day = 10, horizon 2 → censor day 8.
+    //  u1 days {0,1,2}  → churned at offset 2
+    //  u2 days {0..10}  → active past censor → censored at offset 8
+    //  u3 day  {5}      → churned at offset 0
+    //  u4 days {9,10}   → first activity after censor → excluded
+    //  u5 days {3,6}    → churned at offset 3
+    val rows =
+      Seq(0, 1, 2).map(d => (1L, d.toLong)) ++
+        (0 to 10).map(d => (2L, d.toLong)) ++
+        Seq((3L, 5L)) ++ Seq((4L, 9L), (4L, 10L)) ++
+        Seq((5L, 3L), (5L, 6L))
+    val got = Stats
+      .hazardCurve(rows.toDF("user_id", "day"), "user_id", col("day"), horizonDays = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 4L, 1L, 2500L),
+      (2L, 3L, 1L, 3333L),
+      (3L, 2L, 1L, 5000L),
+      (8L, 1L, 0L, 0L)))
+  }
 }
