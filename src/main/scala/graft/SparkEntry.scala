@@ -272,6 +272,14 @@ object SparkEntry {
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
       graft.ops.Stats.ksTest(Tables.events(s, dir))),
+    // sample-ratio-mismatch guard: distinct exposed users per arm,
+    // equal-expected χ² vs the declared 50/50 split
+    "ev_srm_check" -> ((s, dir) =>
+      graft.ops.Stats.srmCheck(Tables.events(s, dir))),
+    // experiment design: pooled variance → squared MDE at 80%/5% and
+    // the users-per-arm needed to detect a 5% mean shift
+    "ev_power_mde" -> ((s, dir) =>
+      graft.ops.Stats.powerMde(Tables.events(s, dir))),
     // discrete-time customer-churn hazard life table with explicit right
     // censoring (1-year repurchase horizon over the order calendar) —
     // the survival-analysis readout
@@ -2189,6 +2197,69 @@ object SparkEntry {
         |  CASE WHEN n_a * n_b > 0 THEN
         |    ((dn * 1000000) // (n_a::HUGEINT * n_b))::BIGINT END AS d_e6
         |FROM a""".stripMargin,
+    // distinct exposed users per arm; (n_a−n_b)²·10⁴ ≥ 0 → // is floor
+    "ev_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  ((n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b))::BIGINT AS chi2_e4,
+        |  (CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b) > 38416
+        |        THEN 1 ELSE 0 END)::BIGINT AS srm_flag
+        |FROM a""".stripMargin,
+    // the welch moment CTE; pooled variance and mde² in HUGEINT; the one
+    // double is √ of the already-agreed integer; n-per-arm uses the
+    // strictly-above floor (+1), never a raw-double ceil
+    "ev_power_mde" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN arm = 0 THEN c::HUGEINT * c ELSE 0 END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN c::HUGEINT * c ELSE 0 END) AS q1
+        |  FROM e GROUP BY 1
+        |), v AS (
+        |  SELECT event_type, n0, n1, s0, s1,
+        |    ((n0::HUGEINT * q0 - s0::HUGEINT * s0)
+        |      // (n0::HUGEINT * (n0 - 1)))::BIGINT AS v0,
+        |    ((n1::HUGEINT * q1 - s1::HUGEINT * s1)
+        |      // (n1::HUGEINT * (n1 - 1)))::BIGINT AS v1
+        |  FROM g WHERE n0 > 1 AND n1 > 1
+        |), p AS (
+        |  SELECT event_type, n0, n1,
+        |    (((n0 - 1)::HUGEINT * v0 + (n1 - 1)::HUGEINT * v1)
+        |      // (n0 + n1 - 2)::HUGEINT)::BIGINT AS var_pooled,
+        |    ((s0 + s1) - (((s0 + s1) % (n0 + n1)) + (n0 + n1)) % (n0 + n1))
+        |      // (n0 + n1) AS mean_c
+        |  FROM v
+        |), m AS (
+        |  SELECT event_type, n0, n1, var_pooled, mean_c,
+        |    ((78490::HUGEINT * var_pooled * (n0 + n1))
+        |      // (n0::HUGEINT * n1))::BIGINT AS mde2
+        |  FROM p
+        |)
+        |SELECT event_type, n0, n1, var_pooled,
+        |  mde2 AS mde2_cents2_e4,
+        |  round(sqrt(mde2::DOUBLE / 10000), 4) AS mde_cents,
+        |  CASE WHEN mean_c <> 0 THEN
+        |    ((2::HUGEINT * var_pooled * 78490 * 400)
+        |      // (mean_c::HUGEINT * mean_c * 10000) + 1)::BIGINT
+        |  END AS n_per_arm_5pct
+        |FROM m""".stripMargin,
     // right-censored life table: censor day = max order day − 365;
     // churned ⇔ no order after it; censored spans run first→censor; the
     // at-risk column is a suffix sum over the |span-length| histogram

@@ -362,6 +362,102 @@ object Stats {
       when(t2.isNotNull && t2 > t2E4Threshold, 1L).otherwise(0L).as("significant"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guard — the sanity check an experiment
+    * platform runs BEFORE reading any treatment effect: with a 50/50
+    * split, are the realized arm sizes consistent with fair
+    * randomization? Per event type, distinct exposed users per arm and
+    * the 1-df equal-expected χ² `⌊(n_a − n_b)²·10⁴ / (n_a + n_b)⌋`,
+    * flagged above `chi2E4Threshold` (default 1.96² — a flagged row
+    * means the assignment itself is broken and every downstream readout
+    * ([[mannWhitney]], [[welchScreen]], [[ksTest]], abLift) is suspect.
+    *
+    * Integer range: the numerator fits int64 to ~10⁷ users per arm;
+    * beyond that widen to decimal — same note as [[mannWhitney]].
+    *
+    * Scale: one distinct-aggregate to (type, user) grain — map-side
+    * combined — then a hash aggregate to |event_type| rows.
+    */
+  def srmCheck(events: DataFrame, chi2E4Threshold: Long = 38416L): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val diff = col("n_a") - col("n_b")
+    events
+      .select(col("event_type"), col("user_id"), arm.as("__arm"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(
+        col("event_type"), col("n_a"), col("n_b"),
+        Cols.floorDiv(diff * diff * 10000L, col("n_a") + col("n_b")).as("chi2_e4"))
+      .withColumn("srm_flag",
+        when(col("chi2_e4") > chi2E4Threshold, 1L).otherwise(0L))
+  }
+
+  /** (z₀.₉₇₅ + z₀.₈₀)² in e4 — the 5 %-two-sided / 80 %-power design
+    * constant (2.8016² = 7.84896…), declared once so both engines use
+    * the identical rational.
+    */
+  val PowerZ2E4 = 78490L
+
+  /** Experiment DESIGN readout — what effect could this traffic even
+    * detect: per event type, the pooled value variance (cents²), the
+    * squared minimum detectable effect at 80 % power / 5 % significance
+    * `mde2 = ⌊z²·σ²·(n₀+n₁) / (n₀·n₁)⌋` (e4, exact integers; the one
+    * human-readable `mde_cents` double is `round(√(mde2/10⁴), 4)` — a
+    * sqrt of an already-agreed integer, bit-identical cross-engine),
+    * and the required users PER ARM to detect a 5 % shift of the pooled
+    * mean: `⌊2σ²z²·400 / (μ²·10⁴)⌋ + 1` (strictly-above floor — no
+    * cross-engine ceil on a raw double). Completes the experimentation
+    * lifecycle: design (this) → assignment sanity ([[srmCheck]]) →
+    * effect readout ([[welchScreen]]/[[mannWhitney]]/[[ksTest]]/CUPED).
+    *
+    * Scale: the same ONE map-side-combined moment aggregate as
+    * [[welchScreen]]; output is |event_type| rows.
+    */
+  def powerMde(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val cents = round(col("value") * 100).cast("long")
+    val g = events
+      .select(col("event_type"), arm.as("__arm"), cents.as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__arm") === 0, col("__c")).otherwise(0L)).as("s0"),
+        sum(when(col("__arm") === 1, col("__c")).otherwise(0L)).as("s1"),
+        sum(when(col("__arm") === 0, d(col("__c")) * d(col("__c"))).otherwise(d(lit(0L)))).as("q0"),
+        sum(when(col("__arm") === 1, d(col("__c")) * d(col("__c"))).otherwise(d(lit(0L)))).as("q1"))
+    def varOf(n: Column, s: Column, q: Column): Column =
+      Cols.floorDiv(d(n) * q - d(s) * d(s), d(n) * d(n - 1L)).cast("long")
+    val withVar = g
+      .filter(col("n0") > 1 && col("n1") > 1)
+      .select(
+        col("event_type"), col("n0"), col("n1"), col("s0"), col("s1"),
+        varOf(col("n0"), col("s0"), col("q0")).as("__v0"),
+        varOf(col("n1"), col("s1"), col("q1")).as("__v1"))
+      .withColumn("var_pooled",
+        Cols.floorDiv(
+          d(col("n0") - 1L) * d(col("__v0")) + d(col("n1") - 1L) * d(col("__v1")),
+          d(col("n0") + col("n1") - 2L)).cast("long"))
+      .withColumn("__mean",
+        Cols.floorDiv(col("s0") + col("s1"), col("n0") + col("n1")))
+    val mde2 = Cols.floorDiv(
+      d(lit(PowerZ2E4)) * d(col("var_pooled")) * d(col("n0") + col("n1")),
+      d(col("n0")) * d(col("n1"))).cast("long")
+    withVar.select(
+      col("event_type"), col("n0"), col("n1"), col("var_pooled"),
+      mde2.as("mde2_cents2_e4"),
+      round(sqrt(mde2.cast("double") / 10000.0), 4).as("mde_cents"),
+      when(col("__mean") =!= 0,
+        (Cols.floorDiv(
+          d(lit(2L)) * d(col("var_pooled")) * d(lit(PowerZ2E4)) * d(lit(400L)),
+          d(col("__mean")) * d(col("__mean")) * d(lit(10000L))).cast("long")
+          + 1L)).as("n_per_arm_5pct"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D between the deterministic hash
     * arms (the [[mannWhitney]]/[[welchScreen]] split), per event type —
     * the distribution-SHAPE member of the experimentation family:

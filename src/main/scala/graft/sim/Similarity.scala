@@ -359,6 +359,46 @@ object Similarity {
         graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim top-k: every vector is
+    * treated as FOUR 16-dim "token" subvectors, and the query–document
+    * score is `Σ_{q-subvec} max_{d-subvec} dot(q, d)` — each query token
+    * matches its best document token, summed. This is the multi-vector
+    * retrieval family the single-dot rankers ([[bruteForceTopK]],
+    * [[sqTopK]], the PQ/IVF paths) cannot express: a document strong on
+    * ONE facet of the query scores on that facet even when the pooled
+    * single-vector cosine dilutes it. Dots run on the milli-quantized
+    * integer subvectors (no normalization — MaxSim is conventionally on
+    * raw token embeddings), so the ranking is exact and oracle-checkable.
+    *
+    * Scale: the query subset is broadcast (corpus never shuffles); the
+    * 16 subvector dots per pair are codegen'd `graft_long_dot` calls
+    * inside one projection; per-query ranking partitions by query id.
+    * At 100 TB the MaxSim scan is the RERANK stage over an ANN
+    * shortlist ([[adcRerank]]'s composition), not the full corpus.
+    */
+  def maxSimTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val sub = Dedup.quantized(embeddings).select(
+      col("vec_id"),
+      array((0 until 4).map(t => slice(col("qv"), t * 16 + 1, 16)): _*).as("subs"))
+    val queries = broadcast(
+      sub.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+        .select(col("vec_id").as("query_id"), col("subs").as("q_subs")))
+    val maxsim = (0 until 4).map(qt =>
+      greatest((0 until 4).map(dt =>
+        Dedup.longDot(
+          element_at(col("q_subs"), qt + 1),
+          element_at(col("subs"), dt + 1))): _*))
+      .reduce(_ + _)
+    val scored = sub.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), maxsim.as("maxsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Product quantization (PQ): the 64-dim milli-quantized vector splits
     * into `subspaces` contiguous 16-dim subvectors; each is assigned to
     * its nearest codebook centroid by EXACT integer squared-L2, with
@@ -1217,6 +1257,7 @@ object Similarity {
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "ann_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_recall_sq" -> ((s, d) => sqRecall(Tables.embeddings(s, d))),
+    "ann_topk_maxsim" -> ((s, d) => maxSimTopK(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
@@ -1688,6 +1729,33 @@ object Similarity {
          |           FROM s_ranked WHERE rank <= $TopK) h
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+    // ColBERT-style MaxSim on 4×16 milli-quantized subvectors: Σ over
+    // query subvecs of the max doc-subvec dot, all exact integers
+    "ann_topk_maxsim" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, [qv[1 + t * 16:16 + t * 16] for t in [0, 1, 2, 3]] AS subs
+         |  FROM q
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, dd.vec_id AS neighbor_id,
+         |    list_sum([
+         |      list_max([
+         |        list_sum([qq.subs[qt][i] * dd.subs[dt][i]
+         |                  for i in generate_series(1, 16)])
+         |        for dt in [1, 2, 3, 4]])
+         |      for qt in [1, 2, 3, 4]])::BIGINT AS maxsim
+         |  FROM s qq JOIN s dd ON dd.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, maxsim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
     // replays PQ: codebook = subvectors of vec_ids < 8, exact integer
     // squared-L2 per 16-dim subspace, ties to the smallest centroid id
     "emb_pq" ->

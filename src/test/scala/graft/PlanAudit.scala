@@ -27,6 +27,10 @@ object PlanAudit {
       "ann_topk_sq",
       // r8: scores that int8 ranking against the brute ground-truth side
       "ann_recall_sq",
+      // r8: MaxSim late interaction scans the corpus against the
+      // broadcast query subset (the ann_topk_brute shape, on subvectors);
+      // at 100 TB it composes as the rerank stage over an ANN shortlist
+      "ann_topk_maxsim",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen")
   // queries whose only nested loops are 1-row broadcast scalar joins

@@ -413,6 +413,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 < -0.999)
   }
 
+  test("maxSimTopK: a facet moved to another token slot still matches at full strength") {
+    // the late-interaction property the pooled single-dot rankers lack:
+    // the query's only active subvector (block 0 = A, sixteen 1.0s) finds
+    // A wherever it sits in the document
+    def vec(blocks: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      blocks.foreach { case (b, x) => (0 until 16).foreach(i => v(b * 16 + i) = x) }
+      v.toSeq
+    }
+    val a = 16L * 1000L * 1000L // dot(A, A) on milli-quantized 1.0s
+    val d = Seq(
+      (0L, vec(0 -> 1.0f), 0), // the query
+      (1L, vec(1 -> 1.0f), 0), // A in block 1 → full-strength match
+      (2L, vec(0 -> -1.0f), 0), // antipodal A → best dot is an empty block's 0
+      (3L, vec(0 -> 0.5f, 1 -> 0.5f), 0)) // half-strength everywhere
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimTopK(d, k = 3)
+      .select("rank", "neighbor_id", "maxsim")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 1L, a), (2L, 3L, a / 2), (3L, 2L, 0L)))
+  }
+
   test("sqRecall: perfect agreement on the fixture reports 10000 e4 per query") {
     val got = Similarity.sqRecall(embs, k = 2)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList

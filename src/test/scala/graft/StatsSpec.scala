@@ -350,6 +350,65 @@ class StatsSpec extends SparkSpec {
     assert(got("split") === Some(1000000L))
   }
 
+  test("srmCheck: a one-armed type flags, counts match the recomputed arms") {
+    val df = (1 to 100).map(i => (i.toLong, "good", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val armOf = df.select($"user_id",
+      pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val armZero = armOf.collect { case (u, 0L) => u }.toList
+    // "bad" sees only arm-0 users (a broken exposure filter) — SRM must fire
+    val bad = armZero.flatMap(u => Seq((u, "bad", 1.0), (u, "bad", 2.0)))
+    val got = graft.ops.Stats.srmCheck((df.as[(Long, String, Double)].collect() ++ bad)
+        .toSeq.toDF("user_id", "event_type", "value"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (nA, nB) = (armZero.size.toLong, (armOf.size - armZero.size).toLong)
+    assert(got("good")._2 === nA && got("good")._3 === nB)
+    assert(got("good")._4 ===
+      Math.floorDiv((nA - nB) * (nA - nB) * 10000L, nA + nB))
+    // duplicate events must not double-count exposed users
+    assert(got("bad")._2 === nA && got("bad")._3 === 0L)
+    assert(got("bad")._4 === nA * 10000L && got("bad")._5 === 1L)
+  }
+
+  test("powerMde: hand-computed design numbers on a two-point distribution") {
+    // force exact moments: every user emits one value, arm decides it —
+    // arm 0 → $1.00, arm 1 → $3.00 (cents 100 / 300)
+    val users = (1 to 80).map(_.toLong)
+    val armOf = users.toDF("user_id")
+      .select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    // two values per arm so the variance is non-degenerate and exact:
+    // arm 0 ∈ {100, 300} cents alternating, arm 1 ∈ {100, 300} too →
+    // both arms share variance; alternation by user index keeps it exact
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      (u, "t", if (i % 2 == 0) 1.0 else 3.0)
+    }
+    val got = graft.ops.Stats.powerMde(rows.toDF("user_id", "event_type", "value"))
+      .as[(String, Long, Long, Long, Long, Double, Option[Long])].collect().head
+    // independent reference with BigInt floors
+    val (a, b) = rows.partition { case (u, _, _) => armOf(u) == 0L }
+    def moments(xs: Seq[Double]) = {
+      val c = xs.map(x => BigInt(Math.round(x * 100)))
+      (BigInt(c.size), c.sum, c.map(x => x * x).sum)
+    }
+    val (n0, s0, q0) = moments(a.map(_._3)); val (n1, s1, q1) = moments(b.map(_._3))
+    def fd(x: BigInt, y: BigInt) = { val q = x / y; if (x % y < 0) q - 1 else q }
+    val v0 = fd(n0 * q0 - s0 * s0, n0 * (n0 - 1))
+    val v1 = fd(n1 * q1 - s1 * s1, n1 * (n1 - 1))
+    val vp = fd((n0 - 1) * v0 + (n1 - 1) * v1, n0 + n1 - 2)
+    val mde2 = fd(BigInt(78490) * vp * (n0 + n1), n0 * n1)
+    val mean = fd(s0 + s1, n0 + n1)
+    val nReq = fd(BigInt(2) * vp * 78490 * 400, mean * mean * 10000) + 1
+    assert((got._2, got._3) === ((n0.toLong, n1.toLong)))
+    assert(got._4 === vp.toLong)
+    assert(got._5 === mde2.toLong)
+    assert(got._6 === BigDecimal(Math.sqrt(mde2.toDouble / 10000.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._7 === Some(nReq.toLong))
+  }
+
   test("hazardCurve: hand-built life table with right censoring") {
     // max day = 10, horizon 2 → censor day 8.
     //  u1 days {0,1,2}  → churned at offset 2
