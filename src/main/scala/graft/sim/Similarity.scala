@@ -359,6 +359,33 @@ object Similarity {
         graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
+  /** IVF quantizer health: the cell-size balance of the coarse partition
+    * every `ann_topk_ivf*` probe depends on. One row: cell/vector
+    * counts, min/max cell, `imbalance_e4 = ⌊max·n_cells·10⁴ / n⌋` (the
+    * worst-case probe-cost blowup vs a perfectly balanced quantizer —
+    * 10⁴ = balanced) and the inverse-Simpson `effective_cells =
+    * ⌊n² / Σc²⌋` (the [[graft.ops.Stats.hhi]] idiom). An imbalanced
+    * quantizer is how IVF quietly degrades to a near-full scan on hot
+    * cells; this is the readout that catches it before latency does.
+    *
+    * Scale: one hash aggregate to |cells| rows, one 1-row reduce.
+    */
+  def ivfBalance(embeddings: DataFrame): DataFrame =
+    Dedup.quantized(embeddings)
+      .groupBy(col("label")).agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("__c")).as("n_vecs"),
+        min(col("__c")).as("min_cell"),
+        max(col("__c")).as("max_cell"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .select(
+        col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        graft.Cols.floorDiv(col("max_cell") * col("n_cells") * 10000L, col("n_vecs"))
+          .as("imbalance_e4"),
+        graft.Cols.floorDiv(col("n_vecs") * col("n_vecs"), col("__s2"))
+          .as("effective_cells"))
+
   /** Late-interaction (ColBERT-style) MaxSim top-k: every vector is
     * treated as FOUR 16-dim "token" subvectors, and the query–document
     * score is `Σ_{q-subvec} max_{d-subvec} dot(q, d)` — each query token
@@ -1258,6 +1285,7 @@ object Similarity {
     "ann_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_recall_sq" -> ((s, d) => sqRecall(Tables.embeddings(s, d))),
     "ann_topk_maxsim" -> ((s, d) => maxSimTopK(Tables.embeddings(s, d))),
+    "emb_ivf_balance" -> ((s, d) => ivfBalance(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
@@ -1729,6 +1757,18 @@ object Similarity {
          |           FROM s_ranked WHERE rank <= $TopK) h
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+    // one aggregate over the |cells| table; all counts non-negative →
+    // // is floor
+    "emb_ivf_balance" ->
+      """WITH c AS (
+        |  SELECT label::BIGINT AS label, count(*)::BIGINT AS c
+        |  FROM embeddings GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_cells, sum(c)::BIGINT AS n_vecs,
+        |  min(c)::BIGINT AS min_cell, max(c)::BIGINT AS max_cell,
+        |  ((max(c) * count(*) * 10000) // sum(c))::BIGINT AS imbalance_e4,
+        |  ((sum(c)::HUGEINT * sum(c)) // sum(c * c))::BIGINT AS effective_cells
+        |FROM c""".stripMargin,
     // ColBERT-style MaxSim on 4×16 milli-quantized subvectors: Σ over
     // query subvecs of the max doc-subvec dot, all exact integers
     "ann_topk_maxsim" ->

@@ -24,6 +24,32 @@ object TextAnalysis {
 
   private def stopwordArray: Column = array(Stopwords.map(lit): _*)
 
+  /** Tokenizer fertility by (source, lang): total tokens against the raw
+    * character budget — `tokens_per_char_e6` and its reciprocal
+    * `chars_per_token_e4` — the numbers a token-budgeted training run
+    * quotes per corpus slice ("this source yields N tokens per GB").
+    * Uses the shared whitespace tokenizer ([[graft.Cols.tokens]]) over
+    * normalized text and the table's declared `n_chars` as the budget,
+    * so the ratio is storage-cost-per-token, not normalized-length.
+    *
+    * Scale: one map-side token count per document (the array is sized,
+    * never exploded), one hash aggregate to |source × lang| rows.
+    */
+  def fertility(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("source"), col("lang"), col("n_chars"),
+        size(Cols.tokens(col("text"))).cast("long").as("__toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        Cols.floorDiv(sum(col("__toks")) * 1000000L, sum(col("n_chars")))
+          .as("tokens_per_char_e6"),
+        Cols.floorDiv(sum(col("n_chars")) * 10000L, sum(col("__toks")))
+          .as("chars_per_token_e4"))
+
   /** Per-document stats: exact lengths, token counts, type-token ratio,
     * stopword ratio, and average token length.
     *
@@ -1232,6 +1258,7 @@ object TextAnalysis {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
+    "txt_fertility" -> ((s, d) => fertility(Tables.documents(s, d))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1842,6 +1869,17 @@ object TextAnalysis {
       """SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |  ((sum(n_chars) * 10000) // count(*))::BIGINT AS avg_chars_e4
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // shared tokenizer CTE; all sums non-negative → // is floor
+    "txt_fertility" ->
+      s"""$tokCte, f AS (
+         |  SELECT d.source, d.lang, d.n_chars, len(t.toks)::BIGINT AS toks
+         |  FROM t JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |  sum(toks)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
+         |  ((sum(toks) * 1000000) // sum(n_chars))::BIGINT AS tokens_per_char_e6,
+         |  ((sum(n_chars) * 10000) // sum(toks))::BIGINT AS chars_per_token_e4
+         |FROM f GROUP BY 1, 2""".stripMargin,
     // ALL bigrams (duplicates preserved — occurrence counts, not df);
     // both engines order by (count desc, ngram) so the limit-50 set is
     // deterministic including at the boundary

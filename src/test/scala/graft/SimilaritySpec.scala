@@ -413,6 +413,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 < -0.999)
   }
 
+  test("ivfBalance: exact cell accounting on a skewed quantizer") {
+    // cells: label 0 holds 6 vectors, label 1 holds 2 → max/mean = 1.5,
+    // effective cells = 8²/(36+4) = 1 (floor of 1.6)
+    val d = ((0 until 6).map(i => (i.toLong, Seq(1.0f), 0)) ++
+      Seq((6L, Seq(1.0f), 1), (7L, Seq(1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfBalance(d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((2L, 8L, 2L, 6L, 15000L, 1L)))
+  }
+
   test("maxSimTopK: a facet moved to another token slot still matches at full strength") {
     // the late-interaction property the pooled single-dot rankers lack:
     // the query's only active subvector (block 0 = A, sixteen 1.0s) finds

@@ -505,4 +505,20 @@ class TextAnalysisSpec extends SparkSpec {
     // tokCte convention everywhere else
     assert(out(1)._2 === 0L && out(1)._4 === 1L)
   }
+
+  test("fertility: exact token/char budget per (source, lang) slice") {
+    val d = Seq(
+      (1L, "one two three", "en", "web", 13L),
+      (2L, "four five", "en", "web", 9L),
+      (3L, "sechs", "de", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.fertility(d)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2).toList
+    // de: 1 token / 5 chars → 200000 e6; en: 5 tokens / 22 chars
+    assert(got === List(
+      ("web", "de", 1L, 1L, 5L, 200000L, 50000L),
+      ("web", "en", 2L, 5L, 22L,
+        Math.floorDiv(5L * 1000000L, 22L), Math.floorDiv(22L * 10000L, 5L))))
+  }
 }
