@@ -654,6 +654,12 @@ object SparkEntry {
       graft.ops.Analytics.assortativity(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // power-law screen: log2-bucketed degree distribution of the same
+    // basket-pair graph, integer bit-length buckets
+    "li_degree_hist" -> ((s, dir) =>
+      graft.ops.Analytics.degreeHistogram(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // absorbing-chain removal-effect attribution over the event-type
     // journey graph, exact e9 fixed-point iteration
     "cs_markov_attribution" -> ((s, dir) =>
@@ -2633,6 +2639,24 @@ object SparkEntry {
         |  CASE WHEN n_wedges > 0 THEN (n_triangles * 30000) // n_wedges
         |       ELSE 0 END::BIGINT AS closure_e4
         |FROM w CROSS JOIN ne CROSS JOIN tr""".stripMargin,
+    // same edge CTE; bucket = bit length − 1 (integer, no float log2)
+    "li_degree_hist" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+        |  GROUP BY 1
+        |)
+        |SELECT (length(bin(d)) - 1)::BIGINT AS log2_degree,
+        |  count(*)::BIGINT AS n_nodes, min(d)::BIGINT AS min_degree,
+        |  max(d)::BIGINT AS max_degree, sum(d)::BIGINT AS degree_mass
+        |FROM deg GROUP BY 1""".stripMargin,
     // same capped basket-pair edge CTE as li_graph_stats; both
     // orientations enter the moments (Σx = Σy), HUGEINT internals, one
     // rounded-double division (Newman's r)

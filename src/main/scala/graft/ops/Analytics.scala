@@ -700,6 +700,33 @@ object Analytics {
           round(num.cast("double") / den.cast("double"), 6)).as("r"))
   }
 
+  /** Log₂-bucketed degree distribution — the "is this graph power-law"
+    * readout beside [[triangleStats]] (clumpiness) and [[assortativity]]
+    * (mixing): per bucket ⌊log₂ d⌋, the node count and the exact
+    * min/max/total degree mass. The bucket is `length(bin(d)) − 1` —
+    * integer bit-length, never a floating log₂ that lands on 2.9999…
+    * at an exact power of two and diverges between engines.
+    *
+    * Scale: one hash aggregate to |nodes| degrees, a second to ≤ 63
+    * buckets. Nothing sorts; nothing exceeds the degree table.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") < col("dst")).distinct()
+    e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      .groupBy((length(bin(col("__d"))) - 1).cast("long").as("log2_degree"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("__d")).as("min_degree"),
+        max(col("__d")).as("max_degree"),
+        sum(col("__d")).as("degree_mass"))
+  }
+
   /** Directed purchase-sequence mining — [[coOccurrence]]'s temporal
     * partner: for each customer, part A at a strictly earlier FIRST
     * purchase date than part B yields the ordered pair (A → B); pairs

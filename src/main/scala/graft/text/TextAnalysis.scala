@@ -1061,6 +1061,55 @@ object TextAnalysis {
         Cols.floorDiv(col("sum_surprisal_e4"), col("n_bigrams")))
   }
 
+  /** Interpolated Kneser–Ney bigram estimates — the smoothed language
+    * model a corpus-quality filter actually scores with (raw MLE gives
+    * unseen continuations zero mass; KN backs off to "how many contexts
+    * does w₂ complete"). With absolute discount d = ¾ the whole estimate
+    * is RATIONAL, so multiplying through by 4 keeps it exact:
+    * `P = [max(4·c₁₂ − 3, 0)·D + 3·f₁·n₂] / (4·c₁·D)` where c₁₂ is the
+    * bigram count, c₁ = Σ_w c₁w (the left-context mass), f₁ = distinct
+    * continuations of w₁ (the discount mass donors), n₂ = distinct left
+    * contexts of w₂ (the continuation count), D = distinct bigram types.
+    * `p_kn_e9` floors that rational once in decimal(38,0); `p_mle_e9`
+    * rides along as the unsmoothed comparison. Emits the `topN` most
+    * frequent bigrams (count desc, words asc — deterministic boundary).
+    *
+    * Scale: bigram/left/right tables are hash aggregates to vocabulary
+    * grain; D is a broadcast 1-row scalar; the top-N cut is
+    * `orderBy().limit` — TakeOrderedAndProject per-partition heaps, the
+    * [[zipfFit]] discipline (never a global window over the bigram
+    * vocabulary). `c₁₂·10⁹` bounds the MLE numerator: exact to ~9·10⁹
+    * occurrences of one bigram; the KN numerator is decimal-widened.
+    */
+  def knBigram(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column): Column = c.cast(dec)
+    val toksDf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(Cols.tokens(col("text")).as("toks"))
+    val b = toksDf
+      .select(explode(Cols.ngramsOfTokens(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    val left = b.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("f1"))
+    val right = b.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+    val dTypes = broadcast(b.agg(count(lit(1)).as("__d")))
+    b.join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(dTypes)
+      .select(
+        col("w1"), col("w2"), col("c12"), col("c1"),
+        Cols.floorDiv(col("c12") * 1000000000L, col("c1")).as("p_mle_e9"),
+        Cols.floorDiv(
+          (dd(greatest(lit(4L) * col("c12") - 3L, lit(0L))) * dd(col("__d"))
+            + dd(lit(3L)) * dd(col("f1")) * dd(col("n2"))) * dd(lit(1000000000L)),
+          dd(lit(4L)) * dd(col("c1")) * dd(col("__d"))).cast("long").as("p_kn_e9"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Zipf-law fit over the corpus vocabulary: the least-squares slope of
     * quantized ln(frequency) against quantized ln(rank) for the top
     * `topN` terms — natural-language corpora sit near slope −1; a corpus
@@ -1259,6 +1308,8 @@ object TextAnalysis {
           sum(col("n_chars")).as("sum_chars"),
           Cols.floorDiv(sum(col("n_chars")) * 10000, count(lit(1))).as("avg_chars_e4"))),
     "txt_fertility" -> ((s, d) => fertility(Tables.documents(s, d))),
+    // interpolated Kneser–Ney bigram table (d = 3/4 in exact quarters)
+    "txt_kn_bigram" -> ((s, d) => knBigram(Tables.documents(s, d))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1869,6 +1920,30 @@ object TextAnalysis {
       """SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |  ((sum(n_chars) * 10000) // count(*))::BIGINT AS avg_chars_e4
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the collocations bigram CTE; KN numerator in HUGEINT (max(4c−3,0)
+    // and every count ≥ 0, so // is floor); ties at the top-50 boundary
+    // break on (c desc, w1, w2) in both engines
+    "txt_kn_bigram" ->
+      s"""$tokCte, g2 AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |                 for i in generate_series(1, len(toks) - 1)]) AS gram
+         |  FROM t
+         |), b AS (
+         |  SELECT gram, string_split(gram, ' ')[1] AS w1,
+         |    string_split(gram, ' ')[2] AS w2, count(*)::BIGINT AS c12
+         |  FROM g2 GROUP BY 1
+         |), l AS (
+         |  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS f1
+         |  FROM b GROUP BY 1
+         |), r AS (
+         |  SELECT w2, count(*)::BIGINT AS n2 FROM b GROUP BY 1
+         |), dt AS (SELECT count(*)::BIGINT AS d FROM b)
+         |SELECT w1, w2, c12, c1,
+         |  ((c12 * 1000000000) // c1)::BIGINT AS p_mle_e9,
+         |  (((greatest(4 * c12 - 3, 0)::HUGEINT * d + 3::HUGEINT * f1 * n2)
+         |     * 1000000000) // (4::HUGEINT * c1 * d))::BIGINT AS p_kn_e9
+         |FROM b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN dt
+         |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
     // shared tokenizer CTE; all sums non-negative → // is floor
     "txt_fertility" ->
       s"""$tokCte, f AS (

@@ -804,6 +804,21 @@ class AnalyticsSpec extends SparkSpec {
     assert((nc, ec, rc) === ((4L, 4L, None)))
   }
 
+  test("degreeHistogram: bit-length buckets split the star's hub from its leaves") {
+    import graft.ops.Analytics
+    // K1,3: hub degree 3 → bucket ⌊log₂3⌋ = 1; three degree-1 leaves → bucket 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Analytics.degreeHistogram(star)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((0L, 3L, 1L, 1L, 3L), (1L, 1L, 3L, 3L, 3L)))
+    // exact power of two lands in ITS OWN bucket (the float-log2 trap):
+    // a hub of degree 4 must bucket at 2, not 1
+    val star4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val hub = Analytics.degreeHistogram(star4)
+      .as[(Long, Long, Long, Long, Long)].collect().filter(_._3 == 4L)
+    assert(hub.map(_._1).toList === List(2L))
+  }
+
   test("assortativity: duplicate and reversed input edges collapse before the moments") {
     import graft.ops.Analytics
     // same star fed with duplicates and flipped orientation — canonical

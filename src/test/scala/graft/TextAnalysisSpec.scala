@@ -506,6 +506,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._2 === 0L && out(1)._4 === 1L)
   }
 
+  test("knBigram: hand-computed Kneser–Ney quarters on a two-bigram corpus") {
+    // corpus: "a b a b" + "b a" → c("a b") = 2, c("b a") = 2,
+    // c1(a) = c1(b) = 2, f1 = 1 each, n2 = 1 each, D = 2.
+    // P_KN = [max(4·2−3,0)·2 + 3·1·1] / (4·2·2) = 13/16 = 0.8125
+    val d = docs((1L, "a b a b"), (2L, "b a"))
+    val got = TextAnalysis.knBigram(d)
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", "b", 2L, 2L, 1000000000L, 812500000L),
+      ("b", "a", 2L, 2L, 1000000000L, 812500000L)))
+  }
+
+  test("knBigram: unseen-side mass — a hapax bigram keeps the continuation floor") {
+    // "x y" appears once: max(4−3,0) = 1 quarter survives the discount,
+    // plus the continuation term — strictly between 0 and the MLE
+    val d = docs((1L, "x y"), (2L, "p q p q p q"))
+    val got = TextAnalysis.knBigram(d)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val hapax = got(("x", "y"))
+    assert(hapax._5 === 1000000000L) // MLE says certainty
+    assert(hapax._6 > 0L && hapax._6 < hapax._5, "KN must discount the hapax below MLE")
+  }
+
   test("fertility: exact token/char budget per (source, lang) slice") {
     val d = Seq(
       (1L, "one two three", "en", "web", 13L),
