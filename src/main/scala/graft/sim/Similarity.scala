@@ -404,24 +404,64 @@ object Similarity {
     * shortlist ([[adcRerank]]'s composition), not the full corpus.
     */
   def maxSimTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val sub = Dedup.quantized(embeddings).select(
-      col("vec_id"),
-      array((0 until 4).map(t => slice(col("qv"), t * 16 + 1, 16)): _*).as("subs"))
+    val sub = subvectors(embeddings)
     val queries = broadcast(
       sub.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
         .select(col("vec_id").as("query_id"), col("subs").as("q_subs")))
-    val maxsim = (0 until 4).map(qt =>
-      greatest((0 until 4).map(dt =>
-        Dedup.longDot(
-          element_at(col("q_subs"), qt + 1),
-          element_at(col("subs"), dt + 1))): _*))
-      .reduce(_ + _)
     val scored = sub.join(queries, col("vec_id") =!= col("query_id"))
       .select(
-        col("query_id"), col("vec_id").as("neighbor_id"), maxsim.as("maxsim"))
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        maxSimScore(col("q_subs"), col("subs")).as("maxsim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("maxsim").desc, col("neighbor_id"))
     scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The 4×16 milli-quantized "token" subvector table shared by
+    * [[maxSimTopK]] and [[maxSimRerank]]. */
+  private def subvectors(embeddings: DataFrame): DataFrame =
+    Dedup.quantized(embeddings).select(
+      col("vec_id"),
+      array((0 until 4).map(t => slice(col("qv"), t * 16 + 1, 16)): _*).as("subs"))
+
+  /** `Σ_{q-subvec} max_{d-subvec} dot(q, d)` over two 4-element
+    * subvector arrays — sixteen codegen'd `graft_long_dot` calls. */
+  private def maxSimScore(qSubs: Column, dSubs: Column): Column =
+    (0 until 4).map(qt =>
+      greatest((0 until 4).map(dt =>
+        Dedup.longDot(element_at(qSubs, qt + 1), element_at(dSubs, dt + 1))): _*))
+      .reduce(_ + _)
+
+  /** The production MaxSim shape: [[adcTopK]]'s code-only ADC scan
+    * shortlists `shortlist` candidates per query, and ONLY those pairs
+    * pay the 16-dot MaxSim rescoring — [[adcRerank]]'s two-stage
+    * pattern with a late-interaction second stage. This is the
+    * registered 100 TB path for [[maxSimTopK]] (its all-pairs scan is
+    * the declared baseline): the expensive scoring runs on
+    * |queries|·shortlist rows, never |queries|·|corpus|.
+    *
+    * Scale: stage 1 is the bounded-broadcast ADC index (codebook and
+    * per-query distance tables are k·subspaces rows); stage 2 joins the
+    * shortlist pair list back to the subvector table by id — hash
+    * joins, corpus scanned once per stage.
+    */
+  def maxSimRerank(embeddings: DataFrame, k: Int = TopK, shortlist: Int = 25): DataFrame = {
+    val sub = subvectors(embeddings)
+    val short = adcTopK(embeddings, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = broadcast(
+      sub.select(col("vec_id").as("query_id"), col("subs").as("q_subs")))
+    val rescored = short
+      .join(queries, "query_id")
+      .join(sub.select(col("vec_id").as("neighbor_id"), col("subs")), "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        maxSimScore(col("q_subs"), col("subs")).as("maxsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id"))
+    rescored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -1285,6 +1325,7 @@ object Similarity {
     "ann_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_recall_sq" -> ((s, d) => sqRecall(Tables.embeddings(s, d))),
     "ann_topk_maxsim" -> ((s, d) => maxSimTopK(Tables.embeddings(s, d))),
+    "ann_topk_maxsim_rerank" -> ((s, d) => maxSimRerank(Tables.embeddings(s, d))),
     "emb_ivf_balance" -> ((s, d) => ivfBalance(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -1769,6 +1810,60 @@ object Similarity {
         |  ((max(c) * count(*) * 10000) // sum(c))::BIGINT AS imbalance_e4,
         |  ((sum(c)::HUGEINT * sum(c)) // sum(c * c))::BIGINT AS effective_cells
         |FROM c""".stripMargin,
+    // the ann_topk_rerank ADC-shortlist CTEs verbatim, with the MaxSim
+    // rescoring from ann_topk_maxsim as the second stage
+    "ann_topk_maxsim_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c JOIN adc a ON a.j = c.j AND a.cid = c.code
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |    FROM s
+         |  ) WHERE rank <= 25
+         |), sub AS (
+         |  SELECT vec_id, [qv[1 + t * 16:16 + t * 16] for t in [0, 1, 2, 3]] AS subs
+         |  FROM q
+         |), rescored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_sum([
+         |      list_max([
+         |        list_sum([qq.subs[qt][i] * nn.subs[dt][i]
+         |                  for i in generate_series(1, 16)])
+         |        for dt in [1, 2, 3, 4]])
+         |      for qt in [1, 2, 3, 4]])::BIGINT AS maxsim
+         |  FROM short sh
+         |  JOIN sub qq ON qq.vec_id = sh.query_id
+         |  JOIN sub nn ON nn.vec_id = sh.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, maxsim, rank FROM (
+         |  SELECT query_id, neighbor_id, maxsim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id) AS rank
+         |  FROM rescored
+         |) WHERE rank <= $TopK""".stripMargin,
     // ColBERT-style MaxSim on 4×16 milli-quantized subvectors: Σ over
     // query subvecs of the max doc-subvec dot, all exact integers
     "ann_topk_maxsim" ->

@@ -68,6 +68,8 @@ object PlanAudit {
     "ann_topk_ivfpq",
     // ADC shortlist stage reuses the codebook broadcasts; rerank joins by id
     "ann_topk_rerank",
+    // r8: same ADC shortlist stage, MaxSim second stage joins by id
+    "ann_topk_maxsim_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
     "dedup_threshold_sweep",
     // r6: |sources| × top-50 grid + 1-row total — same shape as the

@@ -446,6 +446,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got === List((1L, 1L, a), (2L, 3L, a / 2), (3L, 2L, 0L)))
   }
 
+  test("maxSimRerank: a corpus-covering shortlist reproduces the exact MaxSim ranking") {
+    def vec(blocks: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      blocks.foreach { case (b, x) => (0 until 16).foreach(i => v(b * 16 + i) = x) }
+      v.toSeq
+    }
+    val d = Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(1 -> 1.0f), 0),
+      (2L, vec(0 -> -1.0f), 0),
+      (3L, vec(0 -> 0.5f, 1 -> 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // shortlist 25 ≥ corpus → stage 1 prunes nothing; stage 2 must equal
+    // the all-pairs MaxSim ranking bit for bit
+    val rerank = Similarity.maxSimRerank(d, k = 3, shortlist = 25)
+      .select("query_id", "rank", "neighbor_id", "maxsim")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    val full = Similarity.maxSimTopK(d, k = 3)
+      .select("query_id", "rank", "neighbor_id", "maxsim")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(rerank === full)
+  }
+
   test("sqRecall: perfect agreement on the fixture reports 10000 e4 per query") {
     val got = Similarity.sqRecall(embs, k = 2)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
