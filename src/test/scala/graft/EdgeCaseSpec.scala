@@ -325,6 +325,97 @@ class EdgeCaseSpec extends SparkSpec {
       "one aggregate row explodes to one pair row even on empty input (NaN corr)")
   }
 
+  test("round-8 operators tolerate empty and degenerate inputs") {
+    import graft.ops.{Analytics, Scale, Stats}
+    import graft.sim.Similarity
+    assert(Stats.ksTest(emptyEvents).count() === 0L)
+    assert(Stats.srmCheck(emptyEvents).count() === 0L)
+    assert(Stats.powerMde(emptyEvents).count() === 0L)
+    assert(Stats.hazardCurve(emptyEvents, "user_id", col("ts_ms"), 7).count() === 0L)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // keyless moment agg emits one row: zero nodes, null edges/r
+    val a = Analytics.assortativity(emptyEdges).collect().head
+    assert(a.getLong(0) === 0L && a.isNullAt(2))
+    assert(Analytics.degreeHistogram(emptyEdges).count() === 0L)
+    assert(Scale.tCloseness(
+      Seq.empty[(Long, Double)].toDF("grp", "bal"), Seq("grp"), "bal").count() === 0L)
+    assert(Scale.rebalancePlan(emptyEvents, "user_id").count() === 0L)
+    assert(Dedup.splitLeakage(emptyDocs).count() === 0L)
+    assert(Dedup.semanticDedup(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0L)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.maxSimTopK(emptyEmb).count() === 0L)
+    assert(Similarity.maxSimRerank(emptyEmb).count() === 0L)
+    assert(Similarity.sqTopK(emptyEmb).count() === 0L)
+    assert(TextAnalysis.knBigram(emptyDocs).count() === 0L)
+    assert(TextAnalysis.fertility(
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).count() === 0L)
+  }
+
+  test("ksTest property: d_e6 equals brute-force sup |F_a − F_b| on random draws") {
+    import graft.ops.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(5, 80)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 30L)
+        tpe <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-6, 6)
+      } yield (user, tpe, v.toDouble / 4.0))
+    } yield rows
+    val draws = (0 until 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(4200L + i)).toList)
+    draws.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("user_id", "event_type", "value")
+      val armOf = df.select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+        .distinct().as[(Long, Long)].collect().toMap
+      val got = Stats.ksTest(df)
+        .as[(String, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> r).toMap
+      rows.groupBy(_._2).foreach { case (tpe, tRows) =>
+        val (as, bs) = tRows.partition { case (u, _, _) => armOf(u) == 0L }
+        val ca = as.map(r => Math.round(r._3 * 100))
+        val cb = bs.map(r => Math.round(r._3 * 100))
+        val expected =
+          if (ca.isEmpty || cb.isEmpty) None
+          else Some {
+            val dn = (ca ++ cb).distinct.map { v =>
+              Math.abs(
+                ca.count(_ <= v).toLong * cb.size - cb.count(_ <= v).toLong * ca.size)
+            }.max
+            Math.floorDiv(dn * 1000000L, ca.size.toLong * cb.size)
+          }
+        assert(got(tpe)._4 === expected, s"draw $i type $tpe")
+      }
+    }
+  }
+
+  test("knBigram property: KN mass over observed continuations stays below 1") {
+    // Σ_w2 P_KN(w2|w1) over OBSERVED bigrams ≤ 1 with the shortfall =
+    // the mass reserved for unseen continuations — the smoothing
+    // invariant MLE violates the moment a continuation is missing
+    import graft.text.TextAnalysis
+    val d = docsFix(
+      (1L, "a b c a b d a c"), (2L, "b a c b d"), (3L, "c a b a"))
+    val rows = TextAnalysis.knBigram(d, topN = 1000)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (w1, grp) =>
+      val knMass = grp.map(_._6).sum
+      val mleMass = grp.map(_._5).sum
+      assert(knMass <= 1000000000L + grp.size, s"KN mass for '$w1' exceeds 1")
+      assert(knMass < mleMass || grp.forall(_._3 * 4 <= 3),
+        s"smoothing must shave observed mass for '$w1'")
+    }
+  }
+
+  private def docsFix(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+
   test("histogram + rolling invariants on real data: counts conserved, bins bounded") {
     import graft.ops.{Profile, TimeSeries}
     val events = Tables.events(spark, "/root/testdata/sf0.001")
