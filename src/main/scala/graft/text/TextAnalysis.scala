@@ -1018,6 +1018,99 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Term burstiness (Church & Gale): for the `topTerms` highest-mass
+    * vocabulary terms, the variance-to-mean ratio of the per-document
+    * count — INCLUDING the zero-count documents, which is what separates
+    * a bursty topic word (appears many times in few documents, VMR ≫ 1)
+    * from a dispersed function word (VMR ≈ 1, Poisson-like). Corpus
+    * mixing and stopword policies key off exactly this split.
+    *
+    * Population VMR over all N docs collapses to one exact integer
+    * rational: `VMR = (N·Σc² − T²) / (N·T)` with `T = Σc` — zero-count
+    * docs never materialize. The numerator is ≥ 0 by the power-mean
+    * inequality (N·Σc² ≥ T²), so the e4 quantization is a plain
+    * non-negative floor. Moments widen to decimal(38,0) before the cross
+    * products: at corpus scale N·Σc² and T² overflow int64 long before
+    * they overflow 38 digits (the CUPED discipline).
+    *
+    * Scale: explode → (term, doc) hash-agg → term-moment hash-agg (both
+    * map-side combined), TakeOrderedAndProject for the top-`topTerms`
+    * cut, and the corpus size N joins as a broadcast 1-row scalar — no
+    * window over the unbounded vocabulary, no driver-side count.
+    */
+  def burstiness(docs: DataFrame, topTerms: Int = 50): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val perDoc = docs
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("__c"))
+    val moments = perDoc
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("doc_freq"),
+        sum(col("__c")).as("total_tf"),
+        sum(d(col("__c")) * d(col("__c"))).as("__s2"))
+      .orderBy(col("total_tf").desc, col("term"))
+      .limit(topTerms)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    moments
+      .crossJoin(broadcast(n))
+      .select(
+        col("term"),
+        col("total_tf"),
+        col("doc_freq"),
+        // exact decimal numerator/denominator; one rounded-double division
+        // at the very end (the assortativity discipline)
+        round((d(col("__n")) * col("__s2") - d(col("total_tf")) * d(col("total_tf")))
+          .cast("double") /
+          (d(col("__n")) * d(col("total_tf"))).cast("double"), 4).as("vmr"),
+        Cols.floorDiv(col("doc_freq") * 10000L, col("__n")).as("doc_frac_e4"))
+      .orderBy(col("total_tf").desc, col("term"))
+  }
+
+  /** Corpus duplication profile: for each n-gram order in `ns`, the
+    * share of the corpus's n-gram VOCABULARY that repeats (`dup_type
+    * _frac_e4`) and the share of total n-gram MASS carried by repeated
+    * grams (`dup_mass_frac_e4`). The curve across n is the standard
+    * dedup-tuning readout: unigram mass always repeats, and where the
+    * curve collapses toward zero tells you the n at which exact
+    * substring dedup stops finding anything — i.e. how aggressive a
+    * span-dedup pass ([[dedupSpans]]) can afford to be.
+    *
+    * Scale: one explode + map-side-combined hash aggregate per n-gram
+    * order onto that order's vocabulary, each collapsing to a 1-row
+    * moment before the bounded |ns|-row union — no cross-order state and
+    * no window. Grams group by their strings (exact counts; a 60-bit
+    * hash would silently merge colliding grams into wrong distinct
+    * counts — at production scale swap in a 120-bit hash pair, never a
+    * single word).
+    */
+  def dupProfile(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3, 5, 8)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be positive")
+    val toks = docs.select(Cols.tokens(col("text")).as("toks"))
+    val frames = ns.map { n =>
+      toks
+        .select(explode(Cols.ngramsOfTokens(col("toks"), n)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+        .agg(
+          count(lit(1)).as("distinct_ngrams"),
+          coalesce(sum(col("__c")), lit(0L)).as("total_ngrams"),
+          count(when(col("__c") > 1, 1)).as("dup_ngrams"),
+          coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L)).as("dup_mass"))
+        .select(
+          lit(n.toLong).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          col("dup_ngrams"), col("dup_mass"),
+          when(col("distinct_ngrams") > 0,
+            Cols.floorDiv(col("dup_ngrams") * 10000L, col("distinct_ngrams")))
+            .otherwise(0L).as("dup_type_frac_e4"),
+          when(col("total_ngrams") > 0,
+            Cols.floorDiv(col("dup_mass") * 10000L, col("total_ngrams")))
+            .otherwise(0L).as("dup_mass_frac_e4"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("n"))
+  }
+
   /** Bigram conditional surprisal per document: the add-one-smoothed
     * bigram language model `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)` scored
     * over each document's bigrams, quantized to integer e4 PER BIGRAM
@@ -1298,6 +1391,8 @@ object TextAnalysis {
     "txt_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "txt_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "txt_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
+    "txt_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
+    "txt_dup_profile" -> ((s, d) => dupProfile(Tables.documents(s, d))),
     // corpus composition profile: doc counts and size by (source, lang) —
     // the mixture dashboard behind mixtureSample's budgets
     "txt_source_stats" -> ((s, d) =>
@@ -1958,6 +2053,55 @@ object TextAnalysis {
     // ALL bigrams (duplicates preserved — occurrence counts, not df);
     // both engines order by (count desc, ngram) so the limit-50 set is
     // deterministic including at the boundary
+    // burstiness: VMR numerator N·Σc² − T² ≥ 0 (power-mean inequality) and
+    // doc_freq ≥ 0, so DuckDB's truncating `//` is exact floor here; the
+    // cross products run in HUGEINT mirroring Spark's decimal(38,0)
+    "txt_burstiness" ->
+      s"""$tokCte, pd AS (
+         |  SELECT term, doc_id, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |  GROUP BY 1, 2
+         |), m AS (
+         |  SELECT term,
+         |    count(*)::BIGINT AS doc_freq,
+         |    sum(c)::BIGINT AS total_tf,
+         |    sum(c::HUGEINT * c::HUGEINT) AS s2
+         |  FROM pd GROUP BY 1
+         |  ORDER BY total_tf DESC, term LIMIT 50
+         |), nn AS (SELECT count(*)::BIGINT AS n FROM t)
+         |SELECT term, total_tf, doc_freq,
+         |  round(((nn.n::HUGEINT * s2 - total_tf::HUGEINT * total_tf))::DOUBLE
+         |        / ((nn.n::HUGEINT * total_tf))::DOUBLE, 4) AS vmr,
+         |  (doc_freq * 10000) // nn.n AS doc_frac_e4
+         |FROM m, nn
+         |ORDER BY total_tf DESC, term""".stripMargin,
+    // dup profile: all fraction numerators/denominators are non-negative
+    // counts, so `//` is exact floor
+    "txt_dup_profile" -> {
+      val per = Seq(1, 2, 3, 5, 8).map { n =>
+        s"""SELECT $n::BIGINT AS n,
+           |  coalesce(sum(c), 0)::BIGINT AS total_ngrams,
+           |  count(*)::BIGINT AS distinct_ngrams,
+           |  coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0)::BIGINT AS dup_ngrams,
+           |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS dup_mass,
+           |  CASE WHEN count(*) > 0
+           |       THEN (coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) * 10000) // count(*)
+           |       ELSE 0 END::BIGINT AS dup_type_frac_e4,
+           |  CASE WHEN coalesce(sum(c), 0) > 0
+           |       THEN (coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 10000) // sum(c)
+           |       ELSE 0 END::BIGINT AS dup_mass_frac_e4
+           |FROM (
+           |  SELECT gram, count(*) AS c FROM (
+           |    SELECT unnest([array_to_string(toks[i:i+${n - 1}], ' ')
+           |                   for i in generate_series(1, len(toks) - ${n - 1})]) AS gram
+           |    FROM t WHERE len(toks) >= $n
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      }
+      s"""$tokCte
+         |${per.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY n""".stripMargin
+    },
     "txt_top_ngrams" ->
       s"""$tokCte, g AS (
          |  SELECT unnest([toks[i] || ' ' || toks[i+1]

@@ -109,7 +109,15 @@ object PlanAudit {
     // r8: 1-row broadcast cent-grid bounds + global row total
     "cust_t_closeness",
     // r8: 1-row broadcast node count beside the moment aggregate
-    "li_assortativity")
+    "li_assortativity",
+    // r8: inherits coOccurrence's 1-row broadcast group total on the
+    // basket-pair edge input (the li_graph_stats shape)
+    "li_degree_hist",
+    // r8: 1-row broadcast discount denominator (total distinct bigram
+    // types) riding the bigram/unigram equi-joins
+    "txt_kn_bigram",
+    // r8: 1-row broadcast corpus size N beside the term-moment TakeOrdered
+    "txt_burstiness")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

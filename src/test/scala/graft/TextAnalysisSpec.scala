@@ -545,4 +545,36 @@ class TextAnalysisSpec extends SparkSpec {
       ("web", "en", 2L, 5L, 22L,
         Math.floorDiv(5L * 1000000L, 22L), Math.floorDiv(22L * 10000L, 5L))))
   }
+
+  test("burstiness: bursty term scores VMR above the evenly-dispersed term") {
+    // "a" once in each of 4 docs (VMR 0: zero variance); "b" 4× in one doc
+    // (VMR (N·Σc²−T²)/(N·T) = (64−16)/16 = 3); both have total_tf 4
+    val r = TextAnalysis.burstiness(docs(
+      (1L, "a b b b b"), (2L, "a"), (3L, "a"), (4L, "a")))
+      .as[(String, Long, Long, Double, Long)].collect().toList
+    assert(r === List(
+      ("a", 4L, 4L, 0.0, 10000L),
+      ("b", 4L, 1L, 3.0, 2500L)))
+  }
+
+  test("burstiness: topTerms cut keeps the highest-mass terms only") {
+    val r = TextAnalysis.burstiness(
+      docs((1L, "x x x y y z")), topTerms = 2)
+      .as[(String, Long, Long, Double, Long)].collect().map(_._1).toList
+    assert(r === List("x", "y"))
+  }
+
+  test("dupProfile: type and mass fractions are exact per n-gram order") {
+    // unigrams: {x:4, y:1} → 5 total / 2 distinct / 1 dup type / mass 4
+    // bigrams:  {"x x":2, "x y":1} → 3 / 2 / 1 / 2
+    // n=3: {"x x x":1, "x x y":1} → no dups; n≥5: no grams at all
+    val r = TextAnalysis.dupProfile(
+      docs((1L, "x x x y"), (2L, "x")), ns = Seq(1, 2, 3, 5))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(r === List(
+      (1L, 5L, 2L, 1L, 4L, 5000L, 8000L),
+      (2L, 3L, 2L, 1L, 2L, 5000L, 6666L),
+      (3L, 2L, 2L, 0L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
