@@ -50,6 +50,75 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Metadata-filtered vector search, and the price of post-filtering: for
+    * each query, exact top-`k` cosine neighbors WITHIN the query's own
+    * label (pre-filtered search — the label predicate is an equi-join key,
+    * so the filtered scan is a hash join, not a scan of the corpus), vs
+    * the production shortcut of taking the UNfiltered global top
+    * `overfetch·k` and filtering it afterwards. `recall_e4` is the share
+    * of the true filtered top-k the post-filter shortlist retains — the
+    * number that collapses when the predicate is selective, which is
+    * exactly why vector stores grow filter-aware indexes.
+    *
+    * Every query keeps a row even when post-filter recall is zero (the
+    * left joins below); `n_eligible` sizes the filtered pool so the
+    * readout separates "filter too selective" from "shortlist too small".
+    *
+    * Scale: the pre-filtered path shuffles on the label key (or reads a
+    * label-partitioned index) — corpus-sized but equi-keyed; the
+    * post-filter path reuses the [[bruteForceTopK]] broadcast shape and at
+    * 100 TB its shortlist stage is served by any of the ANN indexes here
+    * ([[lshTopK]]/[[ivfTopK]]/ADC) — the recall readout is index-agnostic.
+    */
+  def filteredTopK(embeddings: DataFrame, k: Int = TopK,
+                   overfetch: Int = 4): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val qrows = q.filter(pmod(col("vec_id"), lit(QueryStride)) === 0)
+      .select(
+        col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+    val queries = broadcast(qrows)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    // pre-filtered exact search: label equality is the join key
+    val exactTop = q
+      .join(queries, col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    // post-filter path: global shortlist of overfetch·k, THEN the predicate
+    val shortlist = q.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("q_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .filter(col("grank") <= k * overfetch && col("label") === col("q_label"))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exactTop.select(col("query_id"), col("neighbor_id"))
+      .join(shortlist, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    val exactAgg = exactTop.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_exact"),
+      max(when(col("rank") === 1, col("neighbor_id"))).as("top1_id"))
+    val labelCounts = q.groupBy(col("label")).agg(count(lit(1)).as("__lc"))
+    qrows.select(col("query_id"), col("q_label"))
+      .join(broadcast(labelCounts), col("q_label") === col("label"))
+      .join(exactAgg, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("q_label").as("label"),
+        (col("__lc") - 1L).as("n_eligible"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("top1_id"),
+        coalesce(col("__hits"), lit(0L)).as("post_hits"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0,
+          Cols.floorDiv(coalesce(col("__hits"), lit(0L)) * 10000L, col("n_exact")))
+          .otherwise(lit(null).cast("long")).as("recall_e4"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic hyperplane component for (plane p, dimension i):
     * pseudo-random in [-1000, 1000] derived from md5 — reproducible in any
     * engine, no RNG state. DuckDB mirror:
@@ -1311,6 +1380,8 @@ object Similarity {
     "emb_trunc_agreement" -> ((s, d) => truncationAgreement(Tables.embeddings(s, d), dims = 40)),
     "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    // label-scoped exact search + the post-filter recall penalty readout
+    "ann_topk_filtered" -> ((s, d) => filteredTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_range_lsh" -> ((s, d) => lshRangeSearch(s, Tables.embeddings(s, d))),
     "ann_recall_curve" -> ((s, d) => lshRecallCurve(s, Tables.embeddings(s, d))),

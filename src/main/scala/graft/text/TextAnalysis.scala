@@ -824,6 +824,119 @@ object TextAnalysis {
           .as("quota"))
   }
 
+  /** Exact integer floor square root: `floor(sqrt(n))` computed in double
+    * precision, then corrected by integer comparison so the result is the
+    * TRUE isqrt even where the double rounds across the boundary (for
+    * token masses up to 2⁶² the double estimate is off by at most 1).
+    * DuckDB mirror is the same CASE correction on `floor(sqrt(n))`.
+    */
+  private def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-scaled language sampling (the multilingual-pretraining
+    * rebalance rule: sample language g with probability ∝ n_g^α, α = 1/2
+    * here): high-resource languages are damped, low-resource ones boosted,
+    * without ever inverting the order. Emits per language the raw token
+    * mass and share, the √-scaled share, the boost factor the temperature
+    * applies, and a hard token quota that sums EXACTLY to `budgetTokens`
+    * (largest-remainder apportionment, the [[quotaAlloc]] discipline — a
+    * trainer's sampler needs integer budgets, not fractions).
+    *
+    * All arithmetic is exact: √n via [[isqrt]] (integer-corrected), shares
+    * as e6 floor fractions, remainders ranked over the |langs|-row table.
+    *
+    * Scale: one map-side-combined token-mass aggregate to |langs| rows;
+    * the totals crossJoin is a 1-row broadcast and the remainder-rank
+    * window runs on the language table (bounded by |langs|, never data).
+    */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long = 100000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val mass = docs
+      .select(col("lang"), size(Cols.tokens(col("text"))).cast("long").as("__t"))
+      .groupBy(col("lang")).agg(sum(col("__t")).as("n_tokens"))
+      .withColumn("sqrt_tokens", isqrt(col("n_tokens")))
+    val based = mass
+      .crossJoin(broadcast(mass.agg(
+        sum(col("n_tokens")).as("__nt"), sum(col("sqrt_tokens")).as("__st"))))
+      .select(
+        col("lang"), col("n_tokens"), col("sqrt_tokens"),
+        Cols.floorDiv(col("n_tokens") * 1000000L, col("__nt")).as("raw_share_e6"),
+        Cols.floorDiv(col("sqrt_tokens") * 1000000L, col("__st")).as("temp_share_e6"),
+        Cols.floorDiv(lit(budgetTokens) * col("sqrt_tokens"), col("__st")).as("__base"),
+        ((lit(budgetTokens) * col("sqrt_tokens")) % col("__st")).as("__rem"))
+    based
+      .crossJoin(broadcast(
+        based.agg((lit(budgetTokens) - sum(col("__base"))).as("__deficit"))))
+      .withColumn("__rk", row_number().over(w.orderBy(col("__rem").desc, col("lang"))))
+      .select(
+        col("lang"), col("n_tokens"), col("raw_share_e6"),
+        col("sqrt_tokens"), col("temp_share_e6"),
+        (col("__base") + when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
+          .as("quota_tokens"),
+        // the temperature's effect in one number: scaled share ÷ raw share
+        when(col("raw_share_e6") > 0,
+          Cols.floorDiv(col("temp_share_e6") * 10000L, col("raw_share_e6")))
+          .otherwise(lit(null).cast("long")).as("boost_e4"))
+      .orderBy(col("lang"))
+  }
+
+  /** DSIR-style importance weights (hashed n-gram importance resampling,
+    * Xie et al. 2023): score every document by how much more likely its
+    * tokens are under a TARGET distribution (here the `targetLang` slice —
+    * the curated-set stand-in) than under the raw corpus. Features are
+    * unigrams hashed into `buckets` buckets; each bucket's weight is the
+    * add-one-smoothed log-likelihood ratio
+    * `ln((ct+1)/(Tt+B)) − ln((cr+1)/(Tr+B))`, quantized to integer e4 at
+    * the BUCKET grain, and a document's weight is the exact integer sum of
+    * its token occurrences' bucket weights (quantize-then-sum — engines
+    * agree bit-for-bit regardless of summation order). High-weight docs
+    * are the ones importance resampling would keep.
+    *
+    * Output: the top-`k` documents by per-token weight (ties by doc_id) —
+    * a TakeOrdered cut, never a global sort.
+    *
+    * Scale: the corpus explodes once to token occurrences, aggregates to
+    * the FIXED `buckets`-row feature table (map-side combined), and joins
+    * that table back as a bounded broadcast — corpus-sized data only ever
+    * flows through map-local hashing and one per-doc aggregate. The two
+    * totals are 1-row in-plan broadcasts (no driver count).
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 1024, k: Int = 50): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(Cols.tokens(col("text"))).as("__t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(Cols.hash60(concat(lit("dsir:"), col("__t"))), lit(buckets.toLong)).as("__b"))
+    val bucketCounts = occ.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      count(when(col("lang") === targetLang, 1)).as("__ct"))
+    val ratios = bucketCounts
+      .crossJoin(broadcast(bucketCounts.agg(
+        sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))))
+      .select(
+        col("__b"),
+        round(log(
+          (col("__ct") + 1).cast("double") * (col("__tr") + buckets) /
+            ((col("__cr") + 1).cast("double") * (col("__tt") + buckets))) * 10000)
+          .cast("long").as("__lr_e4"))
+    occ.join(broadcast(ratios), "__b")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_e4")).as("dsir_sum_e4"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("dsir_sum_e4"),
+        // per-token normalization so length doesn't dominate; Cols.floorDiv
+        // is a TRUE floor, safe on the negative sums off-target docs get
+        Cols.floorDiv(col("dsir_sum_e4"), col("n_tokens")).as("dsir_avg_e4"))
+      .orderBy(col("dsir_avg_e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Decile bucketing of the unigram-surprisal quality signal — the
     * "prune the worst decile / oversample the best" knob of a quality-
     * curriculum pipeline. Deliberately NOT `ntile()`: a global ntile is a
@@ -1393,6 +1506,10 @@ object TextAnalysis {
     "txt_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "txt_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
     "txt_dup_profile" -> ((s, d) => dupProfile(Tables.documents(s, d))),
+    // temperature-scaled (α=1/2) language sampling shares + exact quotas
+    "txt_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
+    // DSIR hashed-unigram importance weights vs the `en` target slice
+    "txt_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
     // corpus composition profile: doc counts and size by (source, lang) —
     // the mixture dashboard behind mixtureSample's budgets
     "txt_source_stats" -> ((s, d) =>
@@ -2053,6 +2170,71 @@ object TextAnalysis {
     // ALL bigrams (duplicates preserved — occurrence counts, not df);
     // both engines order by (count desc, ngram) so the limit-50 set is
     // deterministic including at the boundary
+    // temperature mix: all share/quota numerators are non-negative token
+    // masses, so `//` is exact floor; isqrt mirrors Spark's CASE-corrected
+    // floor(sqrt(n)) so both engines hold the TRUE integer square root
+    "txt_temperature_mix" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    sum(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), sq AS (
+        |  SELECT lang, n_tokens, floor(sqrt(n_tokens::DOUBLE))::BIGINT AS s0 FROM m
+        |), s AS (
+        |  SELECT lang, n_tokens,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |         WHEN s0 * s0 > n_tokens THEN s0 - 1
+        |         ELSE s0 END AS sqrt_tokens
+        |  FROM sq
+        |), t AS (SELECT sum(n_tokens) AS nt, sum(sqrt_tokens) AS st FROM s),
+        |b AS (
+        |  SELECT lang, n_tokens, sqrt_tokens,
+        |    (n_tokens * 1000000) // nt AS raw_share_e6,
+        |    (sqrt_tokens * 1000000) // st AS temp_share_e6,
+        |    (100000 * sqrt_tokens) // st AS base,
+        |    (100000 * sqrt_tokens) % st AS rem
+        |  FROM s, t
+        |), d AS (SELECT 100000 - sum(base) AS deficit FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+        |SELECT lang, n_tokens, raw_share_e6::BIGINT AS raw_share_e6,
+        |  sqrt_tokens, temp_share_e6::BIGINT AS temp_share_e6,
+        |  (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota_tokens,
+        |  CASE WHEN raw_share_e6 > 0
+        |       THEN (temp_share_e6 * 10000) // raw_share_e6 END::BIGINT AS boost_e4
+        |FROM r, d ORDER BY lang""".stripMargin,
+    // DSIR weights: the bucket log-ratio runs on identical integer inputs
+    // in both engines (the unigram_logprob ln() discipline); the per-token
+    // average uses the remainder-corrected floor because off-target docs
+    // carry NEGATIVE sums (DuckDB `//` truncates toward zero there)
+    "txt_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5('dsir:' || t), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, lang, source, unnest(toks) AS t FROM d)
+        |), bc AS (
+        |  SELECT b, count(*)::BIGINT AS cr,
+        |    coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0)::BIGINT AS ct
+        |  FROM occ GROUP BY 1
+        |), tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bc),
+        |lr AS (
+        |  SELECT b,
+        |    round(ln((ct + 1)::DOUBLE * (tr + 1024)
+        |             / ((cr + 1)::DOUBLE * (tt + 1024))) * 10000)::BIGINT AS lr_e4
+        |  FROM bc, tot
+        |), ds AS (
+        |  SELECT doc_id, lang, source, count(*)::BIGINT AS n_tokens,
+        |    sum(lr_e4)::BIGINT AS s
+        |  FROM occ JOIN lr USING (b) GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, lang, source, n_tokens, s AS dsir_sum_e4,
+        |  (s - ((s % n_tokens) + n_tokens) % n_tokens) // n_tokens AS dsir_avg_e4
+        |FROM ds
+        |ORDER BY dsir_avg_e4 DESC, doc_id LIMIT 50""".stripMargin,
     // burstiness: VMR numerator N·Σc² − T² ≥ 0 (power-mean inequality) and
     // doc_freq ≥ 0, so DuckDB's truncating `//` is exact floor here; the
     // cross products run in HUGEINT mirroring Spark's decimal(38,0)
