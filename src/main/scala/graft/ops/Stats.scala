@@ -314,8 +314,12 @@ object Stats {
     * ⌊var₁·10⁸/n₁⌋`, `t2_e4 = ⌊(m₀ₑ₄−m₁ₑ₄)²·10⁴ / se2_e8⌋` with the
     * squared-difference product widened to decimal(38,0). The flag
     * compares t2_e4 against 1.96²·10⁴ = 38416 (the z≈1.96 two-sided 5%
-    * line — Welch df is large here). Degenerate groups (an arm with < 2
-    * observations, or zero pooled variance) report a null t² and flag 0.
+    * line — Welch df is large here). Degenerate inputs: an event type
+    * where either arm has < 2 observations is DROPPED from the output
+    * (no variance is defined, so no screen verdict exists — the
+    * `n0 > 1 && n1 > 1` filter below, pinned by the oracle and
+    * StatsSpec); a type that survives with zero pooled variance keeps
+    * its row with a null t² and flag 0.
     *
     * Scale: ONE map-side-combined aggregate per event type computes all
     * six conditional moments — no pivot, no self-join; output is

@@ -1,0 +1,69 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+/** Broadcast-side boundedness sweep over the similarity/embedding family —
+  * the guard for the scale-killer class PlanSpec's red-flag sweep cannot
+  * see (VERDICT r8 #3): a corpus-sized BROADCAST build side plans as a
+  * perfectly legitimate BroadcastHashJoin, returns correct rows (the join
+  * keys prune it), and still OOMs every executor at 100 TB because the
+  * whole corpus materializes in each JVM before the join runs.
+  *
+  * Every explicit `broadcast(...)` hint in a registered `ann_*`/`emb_*`
+  * plan must therefore be bounded BY CONSTRUCTION, provable from the
+  * broadcast subtree itself:
+  *  - the strided query batch ([[Similarity.queryBatch]] — the
+  *    `pmod(vec_id, QueryStride) = 0` filter survives into the subtree);
+  *  - an aggregated table (centroids, label counts, 1-row totals — a
+  *    HashAggregate/SortAggregate sits in the subtree, output bounded by
+  *    group-key cardinality, never raw data size); or
+  *  - the literal id-capped codebook prefix (`vec_id < codebookK`).
+  * A broadcast of the raw corpus matches none of these and fails here —
+  * exactly the lshScored/adcRerank/maxSimRerank defect of round 8.
+  *
+  * AQE and auto-broadcast are disabled for the sweep so the physical plan
+  * contains exactly the HINTED broadcasts — the design decisions — and
+  * none of the fixture-size-dependent planner choices that would both
+  * mask design errors and flake with statistics.
+  */
+class BroadcastBoundSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every sim/emb broadcast build side is strided, aggregated, or id-capped") {
+    val names = SparkEntry.queries.keys
+      .filter(n => n.startsWith("ann_") || n.startsWith("emb_")).toSeq.sorted
+    assert(names.nonEmpty)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // kmeans_step2 broadcasts the round-1 centroid table (k rows, bounded
+    // by k) whose aggregate lineage localCheckpoint truncates to a Scan
+    // ExistingRDD — the one bounded shape the subtree cannot prove itself;
+    // the exception is keyed to that exact scan node, nothing wider
+    val checkpointedBounded = Set("emb_kmeans_step2")
+    try {
+      val idCap = "vec_id < \\d+".r
+      names.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+        broadcasts.foreach { b =>
+          val sub = b.child.toString.replaceAll("#\\d+L?", "")
+          val strided = sub.contains(s"pmod(vec_id, ${Similarity.QueryStride})")
+          val aggregated = sub.contains("Aggregate")
+          val capped = idCap.findFirstIn(sub).isDefined
+          val checkpointed = checkpointedBounded(name) && sub.contains("Scan ExistingRDD")
+          assert(strided || aggregated || capped || checkpointed,
+            s"$name broadcasts a build side that is neither the strided query " +
+              s"batch, an aggregated table, nor an id-capped codebook — a " +
+              s"corpus-sized broadcast at scale:\n$sub")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+}

@@ -117,7 +117,16 @@ object PlanAudit {
     // types) riding the bigram/unigram equi-joins
     "txt_kn_bigram",
     // r8: 1-row broadcast corpus size N beside the term-moment TakeOrdered
-    "txt_burstiness")
+    "txt_burstiness",
+    // r8 (allowlisted r9): two 1-row broadcasts — the token/√token totals
+    // and the largest-remainder deficit — riding the |langs|-row quota table
+    "txt_temperature_mix",
+    // r8 (allowlisted r9): 1-row broadcasts of the corpus/target token
+    // totals beside the fixed 1024-row hashed-feature table
+    "txt_dsir_weights",
+    // r9: embeds adcTopK's k-row codebook crossJoins for the post-filter
+    // shortlist stage (the ann_topk_pq shape); exact arm is an equi-join
+    "ann_topk_filtered")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
@@ -143,7 +152,10 @@ object PlanAudit {
     "ev_xcorr",
     // r8: at-risk suffix sum over the |span-length| histogram — bounded
     // by calendar days (spans live inside the observation window)
-    "ord_hazard")
+    "ord_hazard",
+    // r8 (allowlisted r9): largest-remainder rank over the |langs|-row
+    // quota table — the txt_quota_alloc bound
+    "txt_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -474,4 +474,28 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got === List((0L, 2L, 2L, 10000L), (50L, 2L, 2L, 10000L)))
   }
+
+  test("filteredTopK: post-filter ADC shortlist collapses on the selective label") {
+    // every vec_id < 8 is its own codebook centroid, so the ADC shortlist
+    // ranks by EXACT squared L2. query 0 (label 0): its exact top-1 (vec 2)
+    // survives the unfiltered top-2 shortlist → recall 10000. query 50
+    // (label 1): its only same-label neighbor (vec 5) is L2-far, so the
+    // shortlist is all label-0 and post-filtering empties it → recall 0 —
+    // the selective-predicate collapse this readout exists to expose, while
+    // the pre-filtered arm still finds vec 5 via the label equi-join.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (50L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(1.0f, -1.0f), 1),
+      (6L, Seq(0.0f, 0.95f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredTopK(e, k = 1, overfetch = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 0L, 3L, 1L, 2L, 1L, 10000L),
+      (50L, 1L, 1L, 1L, 5L, 0L, 0L)))
+  }
 }
