@@ -650,6 +650,81 @@ object Dedup {
       .withColumn("err_e4", col("est_e4") - col("exact_e4"))
   }
 
+  /** MinHash-LSH dedup-gate calibration: precision/recall of the banded
+    * LSH candidate set, cut at each estimate threshold, against the EXACT
+    * ground-truth pair table (df-capped shingle Jaccard ≥ `truthThetaE4`)
+    * — the curve a dedup rollout reads before committing to an
+    * `est_jaccard` gate. [[thresholdSweep]] says how much each θ removes;
+    * this says how much of it is RIGHT: `fp` counts bucket collisions the
+    * estimate keeps that aren't true dups, and `fn` counts BOTH failure
+    * modes at once — true pairs the banding never surfaced AND surfaced
+    * pairs the estimate cut drops (est of a never-surfaced pair reads as
+    * −1, below every threshold).
+    *
+    * est_e4 = 625·(matching permutations) is exact (k/16 is a binary
+    * fraction); the truth side is the identical integer floor Jaccard as
+    * [[thresholdSweep]]; precision/recall are floor e4 with null on an
+    * empty denominator (no predictions / no truth).
+    *
+    * Scale: two blocking-bounded pair tables (LSH buckets / df-capped
+    * posting lists — never doc×doc), one pair-keyed full-outer join, a
+    * |thresholds|-row broadcast fan-out, one hash agg: the
+    * [[thresholdSweep]] posture with a ground-truth second input.
+    */
+  def lshPrCurve(
+      docs: DataFrame,
+      thresholdsE4: Seq[Long] = Seq(2500L, 3750L, 5000L, 6250L, 7500L, 8750L),
+      truthThetaE4: Long = 5000L,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    import docs.sparkSession.implicits._
+    // every LSH candidate with its estimate — threshold 0 disables the gate
+    val pred = minhashLsh(docs, estThreshold = 0.0)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
+    val sh0 = shingleRows(docs)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select(col("shingle"))
+    val sh = sh0.join(rare, "shingle")
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .filter(Cols.floorDiv(col("n_common") * 10000L,
+        col("ca.n_shingles") + col("cb.n_shingles") - col("n_common")) >= truthThetaE4)
+      .select(col("doc_id_1"), col("doc_id_2"), lit(1L).as("__true"))
+    val joined = pred
+      .join(truth, Seq("doc_id_1", "doc_id_2"), "full_outer")
+      .select(
+        coalesce(col("est_e4"), lit(-1L)).as("est_e4"),
+        coalesce(col("__true"), lit(0L)).as("__true"))
+    val thetas = thresholdsE4.toDF("theta_e4")
+    val agg = joined.crossJoin(broadcast(thetas))
+      .groupBy(col("theta_e4"))
+      .agg(
+        count(when(col("est_e4") >= col("theta_e4") && col("__true") === 1L, 1)).as("tp"),
+        count(when(col("est_e4") >= col("theta_e4") && col("__true") === 0L, 1)).as("fp"),
+        count(when(col("est_e4") < col("theta_e4") && col("__true") === 1L, 1)).as("fn"))
+    thetas.join(agg, Seq("theta_e4"), "left_outer")
+      .select(
+        col("theta_e4"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .select(
+        col("theta_e4"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          Cols.floorDiv(col("tp") * 10000L, col("tp") + col("fp")))
+          .otherwise(lit(null).cast("long")).as("precision_e4"),
+        when(col("tp") + col("fn") > 0,
+          Cols.floorDiv(col("tp") * 10000L, col("tp") + col("fn")))
+          .otherwise(lit(null).cast("long")).as("recall_e4"))
+      .orderBy(col("theta_e4"))
+  }
+
   /** Near-dup METHOD agreement matrix: the pairwise overlap of the pair
     * sets flagged by the three blocking families — MinHash LSH
     * (probabilistic sketch), SimHash Hamming ≤ 3 (exact pigeonhole), and
@@ -1095,6 +1170,7 @@ object Dedup {
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
+    "dedup_lsh_pr_curve" -> ((s, d) => lshPrCurve(Tables.documents(s, d))),
     "dedup_recall_harness" -> ((s, d) => recallHarness(Tables.documents(s, d))),
     "dedup_method_agreement" -> ((s, d) => methodAgreement(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
@@ -1488,6 +1564,71 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_id_1
          |JOIN cnt cb ON cb.doc_id = doc_id_2
          |WHERE mh.est_e4 >= ${(EstThreshold * 10000).toLong}""".stripMargin,
+    // the dedup_minhash_quality candidate/estimate CTEs (ungated) full-
+    // outer-joined against the df-capped exact pair table at truth θ =
+    // 5000, swept over the |thresholds| grid with count FILTER (BIGINT,
+    // never a HUGEINT sum) and zero-filled arms like dedup_threshold_sweep
+    "dedup_lsh_pr_curve" ->
+      s"""$tokCte, h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT doc_id_1, doc_id_2,
+         |    len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                    x -> x))::BIGINT * 625 AS est_e4
+         |  FROM cand
+         |), rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT doc_id_1, doc_id_2, 1 AS tt
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_id_1
+         |  JOIN cnt cb ON cb.doc_id = doc_id_2
+         |  WHERE (n_common * 10000) // (ca.n_shingles + cb.n_shingles - n_common) >= 5000
+         |), j AS (
+         |  SELECT coalesce(mh.est_e4, -1) AS est_e4, coalesce(t.tt, 0) AS is_true
+         |  FROM mh FULL JOIN truth t USING (doc_id_1, doc_id_2)
+         |), th AS (
+         |  SELECT unnest([2500, 3750, 5000, 6250, 7500, 8750])::BIGINT AS theta_e4
+         |), a AS (
+         |  SELECT th.theta_e4,
+         |    count(*) FILTER (WHERE j.est_e4 >= th.theta_e4 AND j.is_true = 1)::BIGINT AS tp,
+         |    count(*) FILTER (WHERE j.est_e4 >= th.theta_e4 AND j.is_true = 0)::BIGINT AS fp,
+         |    count(*) FILTER (WHERE j.est_e4 < th.theta_e4 AND j.is_true = 1)::BIGINT AS fn
+         |  FROM th CROSS JOIN j GROUP BY 1
+         |)
+         |SELECT th.theta_e4,
+         |  coalesce(a.tp, 0)::BIGINT AS tp,
+         |  coalesce(a.fp, 0)::BIGINT AS fp,
+         |  coalesce(a.fn, 0)::BIGINT AS fn,
+         |  (CASE WHEN coalesce(a.tp, 0) + coalesce(a.fp, 0) > 0
+         |    THEN (coalesce(a.tp, 0) * 10000) // (coalesce(a.tp, 0) + coalesce(a.fp, 0))
+         |    END)::BIGINT AS precision_e4,
+         |  (CASE WHEN coalesce(a.tp, 0) + coalesce(a.fn, 0) > 0
+         |    THEN (coalesce(a.tp, 0) * 10000) // (coalesce(a.tp, 0) + coalesce(a.fn, 0))
+         |    END)::BIGINT AS recall_e4
+         |FROM th LEFT JOIN a USING (theta_e4)
+         |ORDER BY theta_e4""".stripMargin,
     // clone = last token dropped; LSH pair set rebuilt over the union
     "dedup_recall_harness" ->
       s"""WITH t0 AS (

@@ -1270,6 +1270,50 @@ object Similarity {
         graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
+  /** IVF-PQ recall@k vs nprobe — the [[lshRecallCurve]] readout for the
+    * composed production index ([[ivfPqTopK]]): one row per probe width,
+    * scoring the cell-pruned, code-only ranking against the exact
+    * [[bruteForceTopK]] truth. This is THE latency/recall dial of an IVF
+    * deployment — the curve that answers "how many cells must I probe
+    * before recall plateaus" before anyone buys the scan cost. Both
+    * constituents are deterministic (integer floor centroids, fixed
+    * codebook, fixed tie rules), so the whole curve is fully oracled.
+    *
+    * The curve is NOT guaranteed monotone in nprobe: the candidate set
+    * only grows, but ADC distances are approximate, so a newly-probed
+    * cell can contribute code-close impostors that push true neighbors
+    * out of the ranked top-k (observed on the sf0.01 fixture: 600 →
+    * 1000 → 800 e4 across probes 1/2/4). A descending segment is the
+    * signal that the CODEBOOK, not the probe width, is the recall
+    * bottleneck — probe wider and you buy scan cost for nothing.
+    *
+    * Scale: the truth side is the declared all-pairs baseline (at 100 TB
+    * a sampled query panel); each nprobe arm keeps ivfPqTopK's own
+    * bounded-broadcast plan, and scoring is a membership join on
+    * (query, neighbor) over query-sized tables — the [[pqRecall]] shape
+    * per arm, |nprobes|-row bounded union.
+    */
+  def ivfPqRecallCurve(embeddings: DataFrame, k: Int = TopK,
+      nprobes: Seq[Int] = Seq(1, 2, 4), dim: Int = 64): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be positive")
+    val truth = bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val frames = nprobes.map { np =>
+      val approx = ivfPqTopK(embeddings, k, nprobe = np, dim = dim)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      truth
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hit"))
+        .select(
+          lit(np.toLong).as("nprobe"),
+          col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            graft.Cols.floorDiv(col("n_hit") * 10000, col("n_truth")))
+            .otherwise(lit(null).cast("long")).as("recall_e4"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
   /** One EXACT power-iteration step toward the corpus' dominant principal
     * direction: `v₁ = Xᵀ(X·1)` over the milli-quantized integer matrix —
     * per row one dot with the ones vector (the row sum), then per
@@ -1449,6 +1493,7 @@ object Similarity {
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
     "ann_recall_pq" -> ((s, d) => pqRecall(Tables.embeddings(s, d))),
+    "ann_recall_nprobe" -> ((s, d) => ivfPqRecallCurve(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -2730,5 +2775,92 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
          |  FROM s
          |) WHERE rank <= $TopK""".stripMargin,
+    // the ann_topk_ivfpq CTE chain shared across |nprobes| arms (each arm
+    // re-ranks with its own cell_rank cut), scored against the brute
+    // ground-truth side (bt) by membership join — the ann_recall_pq shape
+    "ann_recall_nprobe" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np::BIGINT AS nprobe,
+           |  count(*)::BIGINT AS n_truth,
+           |  count(h.query_id)::BIGINT AS n_hit,
+           |  (CASE WHEN count(*) > 0
+           |    THEN (count(h.query_id) * 10000) // count(*) END)::BIGINT AS recall_e4
+           |FROM bt
+           |LEFT JOIN (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT s.query_id, s.neighbor_id,
+           |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.adc_d2, s.neighbor_id) AS rank
+           |    FROM (
+           |      SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+           |      FROM codes c
+           |      JOIN (
+           |        SELECT query_id, label FROM (
+           |          SELECT query_id, c2.label,
+           |            row_number() OVER (PARTITION BY query_id ORDER BY
+           |              round(list_sum([q_qv[i] * c2.cv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+           |                    / (sqrt(q_norm2::DOUBLE) * sqrt(c2.cnorm2::DOUBLE)), 6) DESC,
+           |              c2.label) AS cell_rank
+           |          FROM queries CROSS JOIN cent2 c2) tt
+           |        WHERE cell_rank <= $np
+           |      ) p ON p.label = c.label
+           |      JOIN adc a ON a.j = c.j AND a.cid = c.code AND a.query_id = p.query_id
+           |      WHERE c.vec_id <> a.query_id
+           |      GROUP BY 1, 2
+           |    ) s
+           |  ) WHERE rank <= $TopK
+           |) h ON h.query_id = bt.query_id AND h.neighbor_id = bt.neighbor_id""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), cell_sums AS (
+         |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+         |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY label, ii.i
+         |), cent AS (
+         |  SELECT label,
+         |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+         |  FROM cell_sums GROUP BY label
+         |), cent2 AS (
+         |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent
+         |), queries AS (
+         |  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2
+         |  FROM n WHERE vec_id % $QueryStride = 0
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, q.label, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, label, j, cid AS code FROM (
+         |    SELECT vec_id, label, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), bs AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), bt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM bs
+         |  ) WHERE rank <= $TopK
+         |)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY nprobe""".stripMargin
+    },
   )
 }

@@ -1224,6 +1224,60 @@ object TextAnalysis {
     frames.reduce(_ unionAll _).orderBy(col("n"))
   }
 
+  /** CROSS-document span duplication profile: chunk every document into
+    * the non-overlapping `span`-token grid of [[dedupSpans]] and report,
+    * per span length, how much of the corpus's span VOCABULARY
+    * (`crossdoc_type_frac_e4`) and span MASS (`crossdoc_mass_frac_e4`)
+    * appears in MORE THAN ONE document. This is [[dupProfile]] re-asked
+    * at the grain an exact span-dedup pass actually removes, split by
+    * removability: dupProfile says repeated n-grams exist, this says
+    * whether they repeat ACROSS documents (what cross-doc span dedup /
+    * [[hotPassages]] can reclaim) or only within one (what the map-only
+    * [[dedupSpans]] already handles). Where the curve collapses across
+    * span lengths is the longest span worth deduping globally.
+    *
+    * All counts are exact integers over exact chunk strings (the
+    * [[dupProfile]] rationale: a hashed chunk key would silently merge
+    * collisions into wrong distinct counts).
+    *
+    * Scale: per span length, one explode to the chunk grid (≤ tokens/span
+    * rows — STRICTLY less fan-out than dupProfile's sliding n-grams),
+    * one map-side-combined aggregate onto the chunk vocabulary carrying
+    * both the occurrence count and the distinct-doc count, then a 1-row
+    * moment — no window, no pair join, |spans|-row bounded union.
+    */
+  def spanDupProfile(docs: DataFrame, spans: Seq[Int] = Seq(2, 3, 5, 10)): DataFrame = {
+    require(spans.nonEmpty && spans.forall(_ >= 1), "span lengths must be positive")
+    val toks = docs.select(col("doc_id"), Cols.tokens(col("text")).as("__toks"))
+    val frames = spans.map { s =>
+      toks
+        // tokens() of any text is ≥ 1 element (empty text → [""]), so the
+        // ceil-division chunk count is ≥ 1 and the sequence never descends
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, cast((size(__toks) + ${s - 1}) / $s as int) - 1),
+             |  i -> array_join(slice(__toks, i * $s + 1, $s), ' '))""".stripMargin))
+          .as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("__c"), count_distinct(col("doc_id")).as("__d"))
+        .agg(
+          coalesce(sum(col("__c")), lit(0L)).as("total_spans"),
+          count(lit(1)).as("distinct_spans"),
+          count(when(col("__d") > 1, 1)).as("crossdoc_types"),
+          coalesce(sum(when(col("__d") > 1, col("__c"))), lit(0L)).as("crossdoc_mass"))
+        .select(
+          lit(s.toLong).as("span"),
+          col("total_spans"), col("distinct_spans"),
+          col("crossdoc_types"), col("crossdoc_mass"),
+          when(col("distinct_spans") > 0,
+            Cols.floorDiv(col("crossdoc_types") * 10000L, col("distinct_spans")))
+            .otherwise(0L).as("crossdoc_type_frac_e4"),
+          when(col("total_spans") > 0,
+            Cols.floorDiv(col("crossdoc_mass") * 10000L, col("total_spans")))
+            .otherwise(0L).as("crossdoc_mass_frac_e4"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("span"))
+  }
+
   /** Bigram conditional surprisal per document: the add-one-smoothed
     * bigram language model `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)` scored
     * over each document's bigrams, quantized to integer e4 PER BIGRAM
@@ -1506,6 +1560,7 @@ object TextAnalysis {
     "txt_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "txt_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
     "txt_dup_profile" -> ((s, d) => dupProfile(Tables.documents(s, d))),
+    "txt_span_dup_profile" -> ((s, d) => spanDupProfile(Tables.documents(s, d))),
     // temperature-scaled (α=1/2) language sampling shares + exact quotas
     "txt_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     // DSIR hashed-unigram importance weights vs the `en` target slice
@@ -2283,6 +2338,35 @@ object TextAnalysis {
       s"""$tokCte
          |${per.mkString("", "\nUNION ALL\n", "")}
          |ORDER BY n""".stripMargin
+    },
+    // per-span arms over the non-overlapping chunk grid (the dedup_spans
+    // chunking), each an independent vocabulary aggregate — mirrors the
+    // txt_dup_profile arm generator with the doc-distinct count added
+    "txt_span_dup_profile" -> {
+      val per = Seq(2, 3, 5, 10).map { s =>
+        s"""SELECT $s::BIGINT AS span,
+           |  coalesce(sum(c), 0)::BIGINT AS total_spans,
+           |  count(*)::BIGINT AS distinct_spans,
+           |  coalesce(sum(CASE WHEN d > 1 THEN 1 END), 0)::BIGINT AS crossdoc_types,
+           |  coalesce(sum(CASE WHEN d > 1 THEN c END), 0)::BIGINT AS crossdoc_mass,
+           |  CASE WHEN count(*) > 0
+           |       THEN (coalesce(sum(CASE WHEN d > 1 THEN 1 END), 0) * 10000) // count(*)
+           |       ELSE 0 END::BIGINT AS crossdoc_type_frac_e4,
+           |  CASE WHEN coalesce(sum(c), 0) > 0
+           |       THEN (coalesce(sum(CASE WHEN d > 1 THEN c END), 0) * 10000) // sum(c)
+           |       ELSE 0 END::BIGINT AS crossdoc_mass_frac_e4
+           |FROM (
+           |  SELECT chunk, count(*) AS c, count(DISTINCT doc_id) AS d FROM (
+           |    SELECT doc_id,
+           |      unnest([array_to_string(toks[(i-1)*$s+1:(i-1)*$s+$s], ' ')
+           |              for i in range(1, ((len(toks) + ${s - 1}) // $s) + 1)]) AS chunk
+           |    FROM t
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      }
+      s"""$tokCte
+         |${per.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY span""".stripMargin
     },
     "txt_top_ngrams" ->
       s"""$tokCte, g AS (

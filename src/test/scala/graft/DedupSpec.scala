@@ -488,4 +488,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(capped === List((1L, 2L, 0L, 2L)))
   }
+
+  test("lshPrCurve: a certain true pair scores perfect P/R at every threshold") {
+    // identical docs (1,2): equal signatures → every band collides, est
+    // 10000, exact jaccard 10000 ≥ truth θ — a tp at every threshold.
+    // doc 3 shares no shingle with them: no truth pair, and no band
+    // collision (equal band buckets would need equal min-hashes over
+    // disjoint shingle sets) → fp = fn = 0 across the curve.
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.lshPrCurve(docs((1L, a), (2L, a), (3L, b)))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toList
+    val thetas = List(2500L, 3750L, 5000L, 6250L, 7500L, 8750L)
+    assert(got === thetas.map(t => (t, 1L, 0L, 0L, Some(10000L), Some(10000L))))
+  }
+
+  test("lshPrCurve: empty input keeps every threshold row with null P/R") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.lshPrCurve(empty)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toList
+    val thetas = List(2500L, 3750L, 5000L, 6250L, 7500L, 8750L)
+    assert(got === thetas.map(t => (t, 0L, 0L, 0L, None, None)))
+  }
 }

@@ -32,7 +32,10 @@ object PlanAudit {
       // at 100 TB it composes as the rerank stage over an ANN shortlist
       "ann_topk_maxsim",
       // all-pairs on the |days|-row calendar series (bounded), not on data
-      "ev_theil_sen")
+      "ev_theil_sen",
+      // r9: each nprobe arm scores IVF-PQ against the same brute
+      // ground-truth side (the ann_recall_pq shape, |nprobes| arms)
+      "ann_recall_nprobe")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)
@@ -126,7 +129,10 @@ object PlanAudit {
     "txt_dsir_weights",
     // r9: embeds adcTopK's k-row codebook crossJoins for the post-filter
     // shortlist stage (the ann_topk_pq shape); exact arm is an equi-join
-    "ann_topk_filtered")
+    "ann_topk_filtered",
+    // r9: |thresholds|-row (6) broadcast fan-out over the joined pair
+    // table — the dedup_threshold_sweep shape with a ground-truth input
+    "dedup_lsh_pr_curve")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

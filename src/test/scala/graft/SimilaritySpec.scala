@@ -475,6 +475,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got === List((0L, 2L, 2L, 10000L), (50L, 2L, 2L, 10000L)))
   }
 
+  test("ivfPqRecallCurve: all-cells probe equals pure ADC recall; probe widening is monotone") {
+    val curve = Similarity.ivfPqRecallCurve(embs, k = 2, nprobes = Seq(1, 2), dim = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toList
+    assert(curve.map(_._1) === List(1L, 2L))
+    // the fixture has 2 labels, so nprobe = 2 probes every cell: the
+    // coarse stage prunes nothing and the arm must match the plain ADC
+    // ranking scored against the same brute truth (pqRecall's totals)
+    val pq = Similarity.pqRecall(embs, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(curve(1)._2 === pq.map(_._2).sum)
+    assert(curve(1)._3 === pq.map(_._3).sum)
+    // both arms score against the same truth (equal n_truth); on THIS
+    // fixture widening the probe gains hits — not a theorem (ADC
+    // impostors from a new cell can evict true neighbors; the scaladoc's
+    // non-monotone caveat), but pinned here as the fixture's behavior
+    assert(curve(0)._2 === curve(1)._2)
+    assert(curve(0)._3 <= curve(1)._3)
+  }
+
   test("filteredTopK: post-filter ADC shortlist collapses on the selective label") {
     // every vec_id < 8 is its own codebook centroid, so the ADC shortlist
     // ranks by EXACT squared L2. query 0 (label 0): its exact top-1 (vec 2)

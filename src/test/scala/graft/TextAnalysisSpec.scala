@@ -577,4 +577,21 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 2L, 0L, 0L, 0L, 0L),
       (5L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("spanDupProfile: cross-doc repeats count, within-doc-only repeats don't") {
+    // span 2 chunk grid: d1 {a b, c d}, d2 {a b, x y}, d3 {zz ww},
+    // d4 {p q, p q}. "a b" spans two docs (crossdoc type, mass 2);
+    // "p q" repeats but only INSIDE d4 — excluded by the d > 1 cut, the
+    // whole point of the cross-doc readout. total 7, distinct 5 →
+    // type_frac ⌊1·10⁴/5⌋ = 2000, mass_frac ⌊2·10⁴/7⌋ = 2857.
+    // span 4 grid: one chunk per doc ("zz ww" is a short remainder
+    // chunk), all distinct → zero crossdoc everywhere.
+    val r = TextAnalysis.spanDupProfile(
+      docs((1L, "a b c d"), (2L, "a b x y"), (3L, "zz ww"), (4L, "p q p q")),
+      spans = Seq(2, 4))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(r === List(
+      (2L, 7L, 5L, 1L, 2L, 2000L, 2857L),
+      (4L, 4L, 4L, 0L, 0L, 0L, 0L)))
+  }
 }
