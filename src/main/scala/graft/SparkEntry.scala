@@ -322,6 +322,10 @@ object SparkEntry {
     // rendezvous hashing when 5 nodes become 6
     "tbl_rebalance_plan" -> ((s, dir) =>
       graft.ops.Scale.rebalancePlan(Tables.events(s, dir), "user_id")),
+    // OPTIMIZE-ZORDER dry run: Morton layout vs date clustering, summed
+    // per-file min/max spans = the data-skipping readout
+    "tbl_zorder_plan" -> ((s, dir) =>
+      graft.ops.Scale.zorderPlan(Tables.orders(s, dir))),
     // stage-to-stage funnel latency over the cs_funnel stage chain
     "ev_funnel_latency" -> ((s, dir) =>
       graft.ops.Analytics.funnelLatency(
@@ -2393,6 +2397,41 @@ object SparkEntry {
         |  ((sum(CASE WHEN moved THEN n_rows ELSE 0 END) * 10000)
         |    // sum(n_rows))::BIGINT AS moved_share_e4
         |FROM x GROUP BY 1""".stripMargin,
+    // 16-bit grid normalization against the 1-row bounds, bit-interleave
+    // via a list comprehension, per-(layout, file) spans, 2-row rollup
+    "tbl_zorder_plan" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS x,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS y
+        |  FROM orders
+        |), bounds AS (
+        |  SELECT min(x) AS xlo, greatest(max(x) - min(x), 1) AS xw,
+        |         min(y) AS ylo, greatest(max(y) - min(y), 1) AS yw
+        |  FROM b
+        |), g AS (
+        |  SELECT x, y,
+        |    ((x - xlo) * 65535) // xw AS xn,
+        |    ((y - ylo) * 65535) // yw AS yn
+        |  FROM b CROSS JOIN bounds
+        |), m AS (
+        |  SELECT x, y, yn,
+        |    list_sum([((xn >> i) & 1) * (1::BIGINT << (2 * i))
+        |              + ((yn >> i) & 1) * (1::BIGINT << (2 * i + 1))
+        |              for i in generate_series(0, 15)])::BIGINT AS morton
+        |  FROM g
+        |), a AS (
+        |  SELECT x, y, 'zorder' AS layout, morton >> 26 AS file FROM m
+        |  UNION ALL
+        |  SELECT x, y, 'bydate', yn >> 10 FROM m
+        |), pf AS (
+        |  SELECT layout, file, count(*) AS nr,
+        |    max(x) - min(x) AS xspan, max(y) - min(y) AS yspan
+        |  FROM a GROUP BY 1, 2
+        |)
+        |SELECT layout, count(*)::BIGINT AS n_files, sum(nr)::BIGINT AS n_rows,
+        |  sum(xspan)::BIGINT AS sum_custkey_span, sum(yspan)::BIGINT AS sum_day_span
+        |FROM pf GROUP BY 1
+        |ORDER BY layout""".stripMargin,
     // the cs_funnel stage chain, joined pairwise for entry-time gaps
     "ev_funnel_latency" ->
       """WITH e AS (

@@ -737,17 +737,67 @@ object Dedup {
     * below the corpus; the agreement join is keyed by the pair itself.
     */
   def methodAgreement(docs: DataFrame): DataFrame = {
-    val tagged =
-      minhashLsh(docs).select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
-        .unionAll(simhashNearDups(docs)
-          .select(lit("simhash").as("method"), col("doc_id_1"), col("doc_id_2")))
-        .unionAll(ngramJaccard(docs)
-          .select(lit("ngram").as("method"), col("doc_id_1"), col("doc_id_2")))
+    val tagged = taggedMethodPairs(docs)
     tagged.as("a")
       .join(tagged.as("b"),
         col("a.doc_id_1") === col("b.doc_id_1") && col("a.doc_id_2") === col("b.doc_id_2"))
       .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The (method, pair) union of the three blocking families, shared by
+    * [[methodAgreement]] and [[ensembleImpact]]. */
+  private def taggedMethodPairs(docs: DataFrame): DataFrame =
+    minhashLsh(docs).select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
+      .unionAll(simhashNearDups(docs)
+        .select(lit("simhash").as("method"), col("doc_id_1"), col("doc_id_2")))
+      .unionAll(ngramJaccard(docs)
+        .select(lit("ngram").as("method"), col("doc_id_1"), col("doc_id_2")))
+
+  /** Ensemble dedup impact: the three blocking families' pair sets
+    * combined under the three standard voting rules — union (any method
+    * flags), majority (≥ 2 agree), intersection (all 3 agree) — with,
+    * per rule, the surviving pair count, the documents touched, and the
+    * documents that a keep-lowest-id pair rule would drop (distinct
+    * higher ids; transitive-closure removal is [[nearDupClusters]]' job).
+    * [[methodAgreement]] reports how much the methods overlap; this is
+    * the decision readout on top of it — what each voting rule would
+    * actually DO to the corpus, the number a precision-vs-recall dedup
+    * rollout argues about.
+    *
+    * Scale: the three pair inputs are each blocking-bounded (buckets /
+    * pigeonhole bands / df-capped posting lists — never doc×doc); voting
+    * is one hash agg on the pair key; the rule fan-out is a 3-row
+    * broadcast; distinct-doc counting explodes each pair to its two
+    * endpoints — all work ∝ candidate pairs.
+    */
+  def ensembleImpact(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val votes = taggedMethodPairs(docs)
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count_distinct(col("method")).as("__votes"))
+    val modes = Seq(("union", 1L), ("majority", 2L), ("intersection", 3L))
+      .toDF("mode", "min_votes")
+    val exploded = votes.crossJoin(broadcast(modes))
+      .filter(col("__votes") >= col("min_votes"))
+      .select(col("mode"), col("min_votes"),
+        explode(array(
+          struct(col("doc_id_1").as("id"), lit(0L).as("hi")),
+          struct(col("doc_id_2").as("id"), lit(1L).as("hi")))).as("__e"))
+    val agg = exploded
+      .groupBy(col("mode"), col("min_votes"))
+      .agg(
+        // each surviving pair contributes exactly its two endpoints
+        Cols.floorDiv(count(lit(1)), lit(2L)).as("n_pairs"),
+        count_distinct(col("__e.id")).as("n_docs"),
+        count_distinct(when(col("__e.hi") === 1L, col("__e.id"))).as("n_drop_candidates"))
+    modes.join(agg, Seq("mode", "min_votes"), "left_outer")
+      .select(
+        col("mode"), col("min_votes"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_drop_candidates"), lit(0L)).as("n_drop_candidates"))
+      .orderBy(col("min_votes"))
   }
 
   /** Planted-duplicate recall harness: every corpus document is cloned
@@ -1173,6 +1223,7 @@ object Dedup {
     "dedup_lsh_pr_curve" -> ((s, d) => lshPrCurve(Tables.documents(s, d))),
     "dedup_recall_harness" -> ((s, d) => recallHarness(Tables.documents(s, d))),
     "dedup_method_agreement" -> ((s, d) => methodAgreement(Tables.documents(s, d))),
+    "dedup_ensemble" -> ((s, d) => ensembleImpact(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => simhashNearDups(Tables.documents(s, d))),
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
@@ -1726,6 +1777,86 @@ object Dedup {
          |FROM tagged a JOIN tagged b
          |  ON a.doc_id_1 = b.doc_id_1 AND a.doc_id_2 = b.doc_id_2
          |GROUP BY 1, 2""".stripMargin,
+    // the method_agreement pair CTEs + per-pair vote counts, joined to
+    // the 3-row voting-rule table with zero-filled arms
+    "dedup_ensemble" ->
+      s"""$simhashCte, sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                          for i in generate_series(1, len(toks) - 2)])) AS shingle
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         a.sig AS sig1, b.sig AS sig2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  WHERE len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                        x -> x)) * 625 >= ${(EstThreshold * 10000).toLong}
+         |), shp AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), ng AS (
+         |  SELECT doc_id_1, doc_id_2
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_id_1
+         |  JOIN cnt cb ON cb.doc_id = doc_id_2
+         |  WHERE round(c::DOUBLE / (ca.n + cb.n - c), 4) >= $JaccardThreshold
+         |), tagged AS (
+         |  SELECT 'minhash' AS method, doc_id_1, doc_id_2 FROM mh
+         |  UNION ALL SELECT 'simhash', doc_id_1, doc_id_2 FROM shp
+         |  UNION ALL SELECT 'ngram', doc_id_1, doc_id_2 FROM ng
+         |), votes AS (
+         |  SELECT doc_id_1, doc_id_2, count(DISTINCT method) AS v
+         |  FROM tagged GROUP BY 1, 2
+         |), modes AS (
+         |  SELECT * FROM (VALUES ('union', 1), ('majority', 2), ('intersection', 3))
+         |    m(mode, min_votes)
+         |), surv AS (
+         |  SELECT m.mode, m.min_votes, v.doc_id_1, v.doc_id_2
+         |  FROM votes v JOIN modes m ON v.v >= m.min_votes
+         |), np AS (
+         |  SELECT mode, min_votes, count(*)::BIGINT AS n_pairs FROM surv GROUP BY 1, 2
+         |), nd AS (
+         |  SELECT mode, min_votes, count(DISTINCT id)::BIGINT AS n_docs FROM (
+         |    SELECT mode, min_votes, doc_id_1 AS id FROM surv
+         |    UNION ALL SELECT mode, min_votes, doc_id_2 FROM surv
+         |  ) GROUP BY 1, 2
+         |), dr AS (
+         |  SELECT mode, min_votes, count(DISTINCT doc_id_2)::BIGINT AS n_drop_candidates
+         |  FROM surv GROUP BY 1, 2
+         |)
+         |SELECT m.mode, m.min_votes::BIGINT AS min_votes,
+         |  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(nd.n_docs, 0)::BIGINT AS n_docs,
+         |  coalesce(dr.n_drop_candidates, 0)::BIGINT AS n_drop_candidates
+         |FROM modes m
+         |LEFT JOIN np USING (mode, min_votes)
+         |LEFT JOIN nd USING (mode, min_votes)
+         |LEFT JOIN dr USING (mode, min_votes)
+         |ORDER BY min_votes""".stripMargin,
     // connected components as a transitive-closure recursive CTE — exact
     // but O(Σ|component|²) rows, fine as a small-scale oracle for the
     // iterative min-propagation the Spark side runs

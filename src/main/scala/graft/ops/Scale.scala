@@ -462,4 +462,66 @@ object Scale {
           sum(when(col("__s.moved"), col("__rows")).otherwise(0L)) * 10000L,
           sum(col("__rows"))).as("moved_share_e4"))
   }
+
+  /** Z-order layout dry run over the orders table: Morton-interleave the
+    * two hot predicate columns (custkey, order day) and compare per-file
+    * min/max spans against the naive date-clustered layout — the
+    * data-skipping readout an OPTIMIZE-ZORDER decision is based on.
+    *
+    * Each row's keys normalize to a 16-bit grid cell against the in-plan
+    * min/max (a 1-row broadcast; production reads the table's range
+    * metadata — at 100 TB use range-rank quantiles instead of min/max if
+    * the keys are heavy-tailed), the two cells interleave bit by bit
+    * into a 32-bit Morton code, and rows land in `nFiles` target files
+    * by the code's top bits; the naive layout buckets by the date cell
+    * alone. Per layout, the summed per-file key spans ARE the expected
+    * scan amplification under file-level min/max skipping (a file
+    * matches a point predicate iff the point falls inside its span):
+    * date clustering gives perfect day spans and useless custkey spans;
+    * z-order trades slightly wider day spans for custkey spans orders
+    * of magnitude narrower — skipping works on BOTH predicates.
+    *
+    * Scale: map-only normalize + interleave (pure bit arithmetic,
+    * codegen'd), one hash agg to ≤ 2·nFiles (layout, file) cells, one
+    * 2-row rollup. Nothing data-sized ever sorts or broadcasts.
+    */
+  def zorderPlan(orders: DataFrame, nFiles: Int = 64): DataFrame = {
+    require(nFiles >= 2 && (nFiles & (nFiles - 1)) == 0 && nFiles <= 65536,
+      "nFiles must be a power of two (file id = top Morton bits)")
+    val fileBits = Integer.numberOfTrailingZeros(nFiles)
+    val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long")
+    val base = orders.select(col("o_custkey").as("__x"), day.as("__y"))
+    val bounds = broadcast(base.agg(
+      min(col("__x")).as("__xlo"),
+      greatest(max(col("__x")) - min(col("__x")), lit(1L)).as("__xw"),
+      min(col("__y")).as("__ylo"),
+      greatest(max(col("__y")) - min(col("__y")), lit(1L)).as("__yw")))
+    val g = base.crossJoin(bounds).select(
+      col("__x"), col("__y"),
+      graft.Cols.floorDiv((col("__x") - col("__xlo")) * 65535L, col("__xw")).as("__xn"),
+      graft.Cols.floorDiv((col("__y") - col("__ylo")) * 65535L, col("__yw")).as("__yn"))
+    val morton = (0 until 16).map { i =>
+      shiftright(col("__xn"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("__yn"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val perFile = g
+      .select(col("__x"), col("__y"),
+        explode(array(
+          struct(lit("zorder").as("layout"),
+            shiftright(morton, 32 - fileBits).as("file")),
+          struct(lit("bydate").as("layout"),
+            shiftright(col("__yn"), 16 - fileBits).as("file")))).as("__f"))
+      .groupBy(col("__f.layout").as("layout"), col("__f.file").as("file"))
+      .agg(
+        count(lit(1)).as("__rows"),
+        (max(col("__x")) - min(col("__x"))).as("__xspan"),
+        (max(col("__y")) - min(col("__y"))).as("__yspan"))
+    perFile.groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("__rows")).as("n_rows"),
+        sum(col("__xspan")).as("sum_custkey_span"),
+        sum(col("__yspan")).as("sum_day_span"))
+      .orderBy(col("layout"))
+  }
 }

@@ -1085,6 +1085,53 @@ object Similarity {
     stringifyCentroid(lloydRound(v, seedCentroids(v, k), dim), dim)
   }
 
+  /** Unsupervised-vs-supervised agreement: assign every vector to its
+    * nearest seed centroid (the [[kmeansStep]] assignment rule — exact
+    * integer squared distance, ties to the smallest centroid id) and
+    * report, per cluster, its size, how many distinct labels it mixes,
+    * the majority label (ties to the smallest label) and its share
+    * (`purity_e4`). This is the eval a labeled-corpus clustering run
+    * reads next to [[silhouette]]: silhouette scores geometric cohesion,
+    * purity scores agreement with the labels you already paid for — a
+    * geometrically tight cluster with purity 5 000 means the embedding,
+    * not the quantizer, is confusing two classes.
+    *
+    * Scale: the k-row centroid table broadcasts (bounded by k, never
+    * data); assignment is a map-side n × k scoring; then two hash aggs —
+    * (cluster, label) contingency (≤ k·|labels| rows) and the k-row
+    * majority fold. No windows, nothing quadratic in the corpus.
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val v = Dedup.quantized(embeddings)
+      .select(col("vec_id"), col("label"), col("qv"), col("norm2").as("__vn"))
+    val cents = broadcast(v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("__cid"), col("qv").as("__cqv"), col("__vn").as("__cn")))
+    val d2 = col("__vn") - lit(2L) * Dedup.longDot(col("qv"), col("__cqv")) + col("__cn")
+    val assigned = v.crossJoin(cents)
+      .select(col("vec_id"), col("label"),
+        struct(d2.as("d2"), col("__cid").as("cid")).as("__dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__dc")).as("__best"), first(col("label")).as("label"))
+      .select(col("__best.cid").as("cluster_id"), col("label").cast("long").as("label"))
+    val contingency = assigned
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("__n"))
+    contingency
+      .groupBy(col("cluster_id"))
+      .agg(
+        sum(col("__n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        // majority = largest count, ties to the SMALLEST label (negate
+        // the label inside the max-struct, un-negate on the way out)
+        max(struct(col("__n").as("n"), (-col("label")).as("negl"))).as("__m"))
+      .select(
+        col("cluster_id"), col("n_vecs"), col("n_labels"),
+        (-col("__m.negl")).as("majority_label"),
+        col("__m.n").as("majority_n"),
+        graft.Cols.floorDiv(col("__m.n") * 10000L, col("n_vecs")).as("purity_e4"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** The quantized (vec_id, qv, __vn) working set every Lloyd round
     * scores against. */
   private def quantizedVecs(embeddings: DataFrame): DataFrame =
@@ -1486,6 +1533,7 @@ object Similarity {
     "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
     "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
     "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
+    "emb_cluster_purity" -> ((s, d) => clusterPurity(Tables.embeddings(s, d))),
     "emb_kmeans_step2" -> ((s, d) => kmeansStep2(Tables.embeddings(s, d))),
     "emb_source_norms" -> ((s, d) =>
       sourceNorms(Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -2775,6 +2823,48 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
          |  FROM s
          |) WHERE rank <= $TopK""".stripMargin,
+    // the kmeansStep seed/assignment CTEs (d2 argmin, ties to smaller
+    // cid), a (cluster, label) contingency, and a ranked majority pick
+    "emb_cluster_purity" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), cents AS (
+        |  SELECT vec_id AS cid, qv AS cqv, norm2 AS cn FROM n WHERE vec_id < 8
+        |), a AS (
+        |  SELECT v.vec_id, v.label, c.cid,
+        |    v.norm2
+        |      - 2 * list_sum([v.qv[i] * c.cqv[i] for i in generate_series(1, 64)])::BIGINT
+        |      + c.cn AS d2
+        |  FROM n v CROSS JOIN cents c
+        |), best AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT vec_id, label, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a
+        |  ) WHERE rn = 1
+        |), cl AS (
+        |  SELECT cid AS cluster_id, label, count(*) AS cnt FROM best GROUP BY 1, 2
+        |), m AS (
+        |  SELECT cluster_id, label AS majority_label, cnt AS majority_n FROM (
+        |    SELECT cluster_id, label, cnt,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label) AS rn
+        |    FROM cl
+        |  ) WHERE rn = 1
+        |), t AS (
+        |  SELECT cluster_id, sum(cnt)::BIGINT AS n_vecs, count(*)::BIGINT AS n_labels
+        |  FROM cl GROUP BY 1
+        |)
+        |SELECT t.cluster_id, t.n_vecs, t.n_labels,
+        |  m.majority_label::BIGINT AS majority_label,
+        |  m.majority_n::BIGINT AS majority_n,
+        |  ((m.majority_n * 10000) // t.n_vecs)::BIGINT AS purity_e4
+        |FROM t JOIN m USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin,
     // the ann_topk_ivfpq CTE chain shared across |nprobes| arms (each arm
     // re-ranks with its own cell_rank cut), scored against the brute
     // ground-truth side (bt) by membership join — the ann_recall_pq shape

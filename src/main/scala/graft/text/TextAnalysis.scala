@@ -461,6 +461,46 @@ object TextAnalysis {
         round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
   }
 
+  /** Split-leakage audit at WINNOW-FINGERPRINT grain: for each held-out
+    * (valid/test) document, how many of its selected char-gram winnow
+    * fingerprints also appear in ANY train-split document. The char-gram
+    * twin of [[contamination]]: token-3-gram probes miss duplication that
+    * is not token-aligned (whitespace edits, punctuation splices,
+    * mid-word overlap), while winnowing guarantees any exact char match
+    * of length ≥ k+w−1 (7 here) shares a selected fingerprint — so this
+    * catches the contamination the token probe structurally cannot, at
+    * ~2/(w+1) of the all-grams index size. Docs shorter than one gram
+    * window have no leakage surface and are absent by construction (the
+    * [[winnowFingerprints]] length filter).
+    *
+    * The train vocabulary is df-capped: fingerprints in more than
+    * `maxTrainDf` train documents are boilerplate — they carry no
+    * leakage signal and dominate probe cost ([[contamination]]'s cap at
+    * the fingerprint grain).
+    *
+    * Scale: the winnow index is map-only; train df is one hash agg; the
+    * probe is a posting-list membership join (|held-out fingerprints| ×
+    * lookup, never doc×doc) — bloom-prefilter it at 100 TB exactly as
+    * [[contamination]]'s scaladoc prescribes.
+    */
+  def winnowLeakage(docs: DataFrame, maxTrainDf: Long = 50L): DataFrame = {
+    val split = splitAssign(docs).select(col("doc_id"), col("split"))
+    val fp = winnowFingerprints(docs).join(split, "doc_id")
+    val trainFps = fp.filter(col("split") === "train")
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTrainDf)
+      .select(col("fingerprint"), lit(1L).as("__hit"))
+    fp.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fingerprint"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        count(col("__hit")).as("n_leaked"))
+      .select(
+        col("doc_id"), col("split"), col("n_fp"), col("n_leaked"),
+        Cols.floorDiv(col("n_leaked") * 10000L, col("n_fp")).as("leak_frac_e4"))
+  }
+
   /** Gopher/MassiveText-style repetition signals per document (Rae et al.
     * 2021 §A1.1: "fraction of characters in the most common n-gram" /
     * "fraction of characters in duplicated n-grams"): the
@@ -1552,6 +1592,8 @@ object TextAnalysis {
     "txt_winnow_fp" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     // df-capped overlap pairs over the winnowed index (≥8 shared)
     "txt_winnow_overlap" -> ((s, d) => winnowOverlap(Tables.documents(s, d))),
+    // char-gram-grain split contamination over the winnowed index
+    "txt_winnow_leakage" -> ((s, d) => winnowLeakage(Tables.documents(s, d))),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -2082,6 +2124,40 @@ object TextAnalysis {
         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 8""".stripMargin,
+    // the winnow CTEs + the split-hash CTE; held-out fingerprints probe
+    // the df-capped train vocabulary with a left join (count of matches)
+    "txt_winnow_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(substr(norm, i, 4)), 1, 15))::BIGINT
+        |     for i in generate_series(1, length(norm) - 3)] AS h
+        |  FROM t WHERE length(norm) >= 7
+        |), sel AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([list_min(h[i:i+3])
+        |                          for i in generate_series(1, len(h) - 3)])) AS fp
+        |  FROM f
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), trainfp AS (
+        |  SELECT fp FROM sel JOIN sp USING (doc_id)
+        |  WHERE split = 'train' GROUP BY fp HAVING count(*) <= 50
+        |)
+        |SELECT s.doc_id, p.split, count(*)::BIGINT AS n_fp,
+        |  count(tf.fp)::BIGINT AS n_leaked,
+        |  ((count(tf.fp) * 10000) // count(*))::BIGINT AS leak_frac_e4
+        |FROM sel s
+        |JOIN sp p ON p.doc_id = s.doc_id
+        |LEFT JOIN trainfp tf ON tf.fp = s.fp
+        |WHERE p.split <> 'train'
+        |GROUP BY 1, 2""".stripMargin,
     // same split + tokenizer + ranked-vocab CTEs as txt_oov_rate, one
     // UNION ALL arm per cutoff over the shared conditional aggregate
     "txt_vocab_coverage" -> {

@@ -504,6 +504,21 @@ class DedupSpec extends SparkSpec {
     assert(got === thetas.map(t => (t, 1L, 0L, 0L, Some(10000L), Some(10000L))))
   }
 
+  test("ensembleImpact: a unanimous pair survives every voting rule") {
+    // identical docs (1,2): minhash est 1.0, simhash distance 0, exact
+    // jaccard 1.0 — all three methods flag it, so it survives union,
+    // majority, AND intersection; doc 3 is disjoint and appears nowhere.
+    // n_docs = both endpoints, n_drop_candidates = the higher id only.
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.ensembleImpact(docs((1L, a), (2L, a), (3L, b)))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2).toList
+    assert(got === List(
+      ("union", 1L, 1L, 2L, 1L),
+      ("majority", 2L, 1L, 2L, 1L),
+      ("intersection", 3L, 1L, 2L, 1L)))
+  }
+
   test("lshPrCurve: empty input keeps every threshold row with null P/R") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val got = Dedup.lshPrCurve(empty)

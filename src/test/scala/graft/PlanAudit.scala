@@ -132,7 +132,13 @@ object PlanAudit {
     "ann_topk_filtered",
     // r9: |thresholds|-row (6) broadcast fan-out over the joined pair
     // table — the dedup_threshold_sweep shape with a ground-truth input
-    "dedup_lsh_pr_curve")
+    "dedup_lsh_pr_curve",
+    // r9: 3-row voting-rule broadcast fan-out over the pair-vote table
+    "dedup_ensemble",
+    // r9: k-row broadcast seed-centroid table (the emb_kmeans_step class)
+    "emb_cluster_purity",
+    // r9: 1-row broadcast min/max bounds for the 16-bit grid normalize
+    "tbl_zorder_plan")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

@@ -348,4 +348,22 @@ class ScaleSpec extends SparkSpec {
     // shares are exact floors of rows-moved over total rows
     assert(got("mod")._4 === Math.floorDiv(got("mod")._3 * 10000L, 3000L))
   }
+
+  test("zorderPlan: a 4×4 grid splits into quadrants; date layout leaves custkey wide") {
+    // 4 custkeys × 4 days, nFiles = 4. The 16-bit normalized cells are
+    // {0, 21845, 43690, 65535}; only the top bit reaches the 2-bit file
+    // id, so z-order assigns exact QUADRANTS (file = y-high bit ·2 +
+    // x-high bit): each file holds a 2×2 block with raw spans (1, 1) →
+    // sums (4, 4). The date layout buckets by the day cell alone: per
+    // file one day (span 0) and the full custkey range (span 3) → sums
+    // (12, 0). Both layouts place all 16 rows in 4 files.
+    val rows = for { x <- 0 to 3; y <- 0 to 3 } yield
+      (x.toLong, java.sql.Timestamp.valueOf(s"1992-01-0${y + 1} 00:00:00"))
+    val df = rows.toDF("o_custkey", "o_orderdate")
+    val got = Scale.zorderPlan(df, nFiles = 4)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("bydate", 4L, 16L, 12L, 0L),
+      ("zorder", 4L, 16L, 4L, 4L)))
+  }
 }

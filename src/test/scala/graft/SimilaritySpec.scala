@@ -475,6 +475,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got === List((0L, 2L, 2L, 10000L), (50L, 2L, 2L, 10000L)))
   }
 
+  test("clusterPurity: singleton clusters are pure; a mixed cluster ties to the smaller label") {
+    // seeds = vec_ids < 8 → {0, 2, 3, 4} are their own centroids; vec 50
+    // lands on centroid 3 (nearest by squared distance). cluster 3 then
+    // mixes label 1 (vec 3) and label 0 (vec 50) one apiece — the
+    // majority tie must resolve to the SMALLER label with purity 5000.
+    val got = Similarity.clusterPurity(embs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 1L, 0L, 1L, 10000L),
+      (2L, 1L, 1L, 0L, 1L, 10000L),
+      (3L, 2L, 2L, 0L, 1L, 5000L),
+      (4L, 1L, 1L, 1L, 1L, 10000L)))
+  }
+
   test("ivfPqRecallCurve: all-cells probe equals pure ADC recall; probe widening is monotone") {
     val curve = Similarity.ivfPqRecallCurve(embs, k = 2, nprobes = Seq(1, 2), dim = 3)
       .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toList

@@ -578,6 +578,24 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("winnowLeakage: a held-out copy of a train doc leaks fully; unique text doesn't") {
+    // split hash: doc 1 → train (bucket 23), doc 2 → valid (88),
+    // doc 25 → test (96). doc 2 duplicates doc 1's text, so every one
+    // of its winnow fingerprints sits in the train index; doc 25 shares
+    // no 4-char substring with doc 1, so nothing leaks. Train docs
+    // themselves never appear in the output.
+    val leak = TextAnalysis.winnowLeakage(docs(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "the quick brown fox jumps over dog"),
+      (25L, "zz yy kk mm vv pp qq rr")))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(leak.map(r => (r._1, r._2)) === List((2L, "valid"), (25L, "test")))
+    val d2 = leak(0)
+    assert(d2._3 > 0 && d2._4 === d2._3 && d2._5 === 10000L)
+    val d25 = leak(1)
+    assert(d25._3 > 0 && d25._4 === 0L && d25._5 === 0L)
+  }
+
   test("spanDupProfile: cross-doc repeats count, within-doc-only repeats don't") {
     // span 2 chunk grid: d1 {a b, c d}, d2 {a b, x y}, d3 {zz ww},
     // d4 {p q, p q}. "a b" spans two docs (crossdoc type, mass 2);
