@@ -887,11 +887,29 @@ object Multimodal {
           .otherwise(lit(0L)).as("quiet_e4"))
   }
 
+  /** Image near-dup CLUSTERS: connected components over the
+    * [[imageNearDups]] pair set via the shared dedup machinery
+    * ([[graft.dedup.Dedup.nearDupClusters]] — distributed min-label
+    * propagation with pointer jumping, never a driver-side union-find):
+    * every image gets its cluster id (= smallest reachable doc_id), a
+    * canonical flag, and the cluster size. This is the step that turns
+    * pairwise phash hits into an actionable keep/drop ledger — the
+    * image twin of `dedup_clusters`, closing the multimodal dedup
+    * story end to end (signature → pairs → clusters).
+    *
+    * Scale: inherits both constituents' postures — pigeonhole-blocked
+    * pair generation (never |images|²) and O(log n)-round component
+    * labeling with localCheckpoint discipline.
+    */
+  def imageNearDupClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.dedup.Dedup.nearDupClusters(docs, imageNearDups(spark, docs))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
     "mm_phash_pairs" -> ((s, d) => imageNearDups(s, Tables.documents(s, d))),
+    "mm_phash_clusters" -> ((s, d) => imageNearDupClusters(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
@@ -999,6 +1017,64 @@ object Multimodal {
          |)
          |SELECT DISTINCT doc_id_1, doc_id_2, hamming
          |FROM hits WHERE hamming <= 12""".stripMargin
+    },
+    // the mm_phash_pairs chain + the dedup_clusters recursive transitive
+    // closure (exact at oracle scale; Spark runs min-label propagation)
+    "mm_phash_clusters" -> {
+      val chunks = 13
+      val chunkStructs = (0 until chunks).map { c =>
+        val s0 = c * 64 / chunks
+        val e0 = (c + 1) * 64 / chunks
+        s"{'c': $c, 'chunk': substr(phash, ${s0 + 1}, ${e0 - s0})}"
+      }
+      s"""WITH RECURSIVE px AS (
+         |  SELECT doc_id,
+         |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    [(ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 1, 1)) +
+         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 2, 1)) +
+         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 3, 1))) // 3
+         |     for i in range(0, 64)] AS grays
+         |  FROM px
+         |), s AS (
+         |  SELECT doc_id, grays, list_sum(grays) AS tot FROM g
+         |), h AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      [CASE WHEN 64 * grays[i] > tot THEN '1' ELSE '0' END
+         |       for i in range(1, 65)], '') AS phash
+         |  FROM s
+         |), ch0 AS (
+         |  SELECT doc_id, phash,
+         |    unnest([${chunkStructs.mkString(",\n      ")}]) AS u
+         |  FROM h
+         |), ch AS (
+         |  SELECT doc_id, phash, u.c AS c, u.chunk AS chunk FROM ch0
+         |), hits AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    list_sum([CASE WHEN substr(a.phash, i, 1) <> substr(b.phash, i, 1)
+         |              THEN 1 ELSE 0 END
+         |              for i in generate_series(1, 64)])::BIGINT AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT DISTINCT doc_id_1 AS d1, doc_id_2 AS d2
+         |  FROM hits WHERE hamming <= 12
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |)
+         |SELECT doc_id, cluster_id,
+         |  (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS is_canonical,
+         |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+         |FROM cl""".stripMargin
     },
     // replays the WAV energy signature: little-endian 16-bit samples from
     // ASCII chars (lo + 256*hi, never >= 32768 on ASCII so no sign branch),

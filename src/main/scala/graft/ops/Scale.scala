@@ -467,6 +467,10 @@ object Scale {
     * two hot predicate columns (custkey, order day) and compare per-file
     * min/max spans against the naive date-clustered layout — the
     * data-skipping readout an OPTIMIZE-ZORDER decision is based on.
+    * The DECISION partner of [[zorderLayout]]: that one audits the
+    * bucket rectangles of a layout already chosen (mod-256 grid); this
+    * one quotes, on the real key ranges, what switching WOULD buy
+    * against the incumbent single-column clustering.
     *
     * Each row's keys normalize to a 16-bit grid cell against the in-plan
     * min/max (a 1-row broadcast; production reads the table's range

@@ -1500,6 +1500,56 @@ object Similarity {
         when(col("full_top1") === col("trunc_top1"), lit(1L)).otherwise(lit(0L)).as("agree"))
   }
 
+  /** Matryoshka (MRL) recall curve: top-k search on PREFIX slices of the
+    * embedding (dims 8 → 16 → 32 → 64), each scored against the full-
+    * dimension exact top-k — the readout behind the "store the first d
+    * dims, rerank with the rest" serving pattern of matryoshka-trained
+    * embeddings. [[truncationAgreement]] asks whether ONE winner flips
+    * at ONE cut; this is the full dial: where the curve plateaus is the
+    * prefix length worth paying index bytes for (the d = full arm is
+    * recall 10000 by construction — the curve's anchor). For embeddings
+    * NOT trained matryoshka-style the curve collapsing early is itself
+    * the finding: prefix dims carry no privileged information.
+    *
+    * Scale: each arm is the [[bruteForceTopK]] broadcast-query-batch
+    * shape on a d-wide slice (declared all-pairs baseline; at 100 TB the
+    * prefix index arm is served by an ANN index over the sliced
+    * vectors); scoring is a membership join on (query, neighbor) over
+    * query-sized tables, |dims|-row bounded union.
+    */
+  def mrlRecallCurve(embeddings: DataFrame, k: Int = TopK,
+      dimsList: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(dimsList.nonEmpty && dimsList.forall(_ >= 1), "prefix dims must be positive")
+    val q = Dedup.quantized(embeddings)
+    def topK(vecs: DataFrame, vCol: String, nCol: String): DataFrame = {
+      val queries = broadcast(queryBatch(vecs)
+        .select(col("vec_id").as("query_id"), col(vCol).as("__q_v"), col(nCol).as("__q_n")))
+      val scored = vecs.join(queries, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Dedup.cosineQ(col("__q_v"), col("__q_n"), col(vCol), col(nCol)).as("__cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
+      scored.withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val truth = topK(q.select(col("vec_id"), col("qv"), col("norm2")), "qv", "norm2")
+    val frames = dimsList.map { d =>
+      val tq = q.select(col("vec_id"), slice(col("qv"), 1, d).as("tv"))
+        .withColumn("tn", Dedup.longDot(col("tv"), col("tv")))
+      val approx = topK(tq, "tv", "tn").withColumn("__hit", lit(1))
+      truth
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hit"))
+        .select(
+          lit(d.toLong).as("dims"),
+          col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            graft.Cols.floorDiv(col("n_hit") * 10000, col("n_truth")))
+            .otherwise(lit(null).cast("long")).as("recall_e4"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("dims"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_dim_stats" -> ((s, d) => dimStats(Tables.embeddings(s, d))),
     // dims=40: mixed outcome on the fixtures (2/10 agree at sf0.01), so
@@ -1542,6 +1592,7 @@ object Similarity {
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
     "ann_recall_pq" -> ((s, d) => pqRecall(Tables.embeddings(s, d))),
     "ann_recall_nprobe" -> ((s, d) => ivfPqRecallCurve(Tables.embeddings(s, d))),
+    "emb_mrl_curve" -> ((s, d) => mrlRecallCurve(Tables.embeddings(s, d))),
   )
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
@@ -2823,6 +2874,52 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
          |  FROM s
          |) WHERE rank <= $TopK""".stripMargin,
+    // per-dims arms: prefix-sliced cosine ranking (norms inlined on the
+    // slice) scored against the shared full-dim brute truth (bt)
+    "emb_mrl_curve" -> {
+      val arms = Seq(8, 16, 32, 64).map { d =>
+        s"""SELECT $d::BIGINT AS dims, count(*)::BIGINT AS n_truth,
+           |  count(h.query_id)::BIGINT AS n_hit,
+           |  (CASE WHEN count(*) > 0
+           |    THEN (count(h.query_id) * 10000) // count(*) END)::BIGINT AS recall_e4
+           |FROM bt
+           |LEFT JOIN (
+           |  SELECT query_id, nid FROM (
+           |    SELECT qq.vec_id AS query_id, c.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+           |        round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, $d)])::BIGINT::DOUBLE
+           |              / (sqrt(list_sum(list_transform(qq.qv[1:$d], x -> x * x))::BIGINT::DOUBLE)
+           |                 * sqrt(list_sum(list_transform(c.qv[1:$d], x -> x * x))::BIGINT::DOUBLE)),
+           |              6) DESC,
+           |        c.vec_id) AS r
+           |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+           |    WHERE qq.vec_id % $QueryStride = 0
+           |  ) WHERE r <= $TopK
+           |) h ON h.query_id = bt.query_id AND h.nid = bt.neighbor_id""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), bs AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), bt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM bs
+         |  ) WHERE rank <= $TopK
+         |)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY dims""".stripMargin
+    },
     // the kmeansStep seed/assignment CTEs (d2 argmin, ties to smaller
     // cid), a (cluster, label) contingency, and a ranked majority pick
     "emb_cluster_purity" ->

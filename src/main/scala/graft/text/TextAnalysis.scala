@@ -1517,6 +1517,57 @@ object TextAnalysis {
         (col("reason") === "pass").cast("long").as("keep"),
         col("reason"))
 
+  /** Corpus-level quality-filter FUNNEL over [[filterPipeline]]'s rule
+    * chain: one row per rule, in the chain's order, carrying three
+    * different counts a filter rollout needs to tell apart —
+    * `n_flagged` (docs the rule hits standalone, order-independent),
+    * `n_marginal` (docs KILLED at this stage: flagged here and passed by
+    * every earlier rule — [[filterPipeline]]'s first-fail attribution,
+    * aggregated), and `n_surviving` (docs alive after this stage). The
+    * gap between flagged and marginal is rule OVERLAP — a rule whose
+    * standalone count is large but marginal count is ~0 is redundant
+    * with the rules before it and can be dropped from the hot path.
+    *
+    * Scale: one [[docStats]] scan folds to a single row of conditional
+    * counts (map-side combined), then a bounded |rules|-row explode.
+    * No joins, no windows, nothing data-sized past the first aggregate.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val flags = docStats(docs).select(
+      (col("n_tokens") < 20).cast("long").as("f1"),
+      (col("n_tokens") > 90).cast("long").as("f2"),
+      (col("stopword_ratio") < 0.02).cast("long").as("f3"),
+      (col("type_token_ratio") < 0.35).cast("long").as("f4"))
+    val agg = flags.agg(
+      count(lit(1)).as("__n"),
+      sum(col("f1")).as("__s1"), sum(col("f2")).as("__s2"),
+      sum(col("f3")).as("__s3"), sum(col("f4")).as("__s4"),
+      count(when(col("f1") === 1, 1)).as("__m1"),
+      count(when(col("f1") === 0 && col("f2") === 1, 1)).as("__m2"),
+      count(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 1, 1)).as("__m3"),
+      count(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 0 && col("f4") === 1, 1))
+        .as("__m4"))
+    val rules = Seq(
+      (1L, "too_short", "__s1", "__m1"),
+      (2L, "too_long", "__s2", "__m2"),
+      (3L, "low_stopword", "__s3", "__m3"),
+      (4L, "low_diversity", "__s4", "__m4"))
+    val cumKilled = Map(
+      1 -> col("__m1"),
+      2 -> (col("__m1") + col("__m2")),
+      3 -> (col("__m1") + col("__m2") + col("__m3")),
+      4 -> (col("__m1") + col("__m2") + col("__m3") + col("__m4")))
+    agg.select(explode(array(rules.map { case (seq, name, s, m) =>
+      struct(
+        lit(seq).as("rule_seq"), lit(name).as("rule"),
+        coalesce(col(s), lit(0L)).as("n_flagged"),
+        col(m).as("n_marginal"),
+        (col("__n") - cumKilled(seq.toInt)).as("n_surviving"))
+    }: _*)).as("__r"))
+      .select(col("__r.*"))
+      .orderBy(col("rule_seq"))
+  }
+
   /** The composed training-data prep pipeline — exact dedup → quality
     * filter chain → deterministic split — as ONE lazy plan, per document:
     * `(doc_id, canonical, reason, split)`. Non-canonical duplicates carry
@@ -1624,6 +1675,7 @@ object TextAnalysis {
     "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
     "txt_langid_eval" -> ((s, d) => langIdEval(Tables.documents(s, d))),
     "txt_filter_pipeline" -> ((s, d) => filterPipeline(Tables.documents(s, d))),
+    "txt_filter_funnel" -> ((s, d) => filterFunnel(Tables.documents(s, d))),
     "txt_prep_pipeline" -> ((s, d) => prepPipeline(Tables.documents(s, d))),
   )
 
@@ -2535,6 +2587,40 @@ object TextAnalysis {
          |  FROM st
          |)
          |SELECT doc_id, (reason = 'pass')::BIGINT AS keep, reason FROM r""".stripMargin,
+    // the filter_pipeline stat CTEs folded to one conditional-count row,
+    // then one UNION ALL arm per rule (standalone / marginal / surviving)
+    "txt_filter_funnel" ->
+      s"""$tokCte, st AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+         |  FROM t
+         |), fl AS (
+         |  SELECT
+         |    (n_tokens < 20)::INT AS f1,
+         |    (n_tokens > 90)::INT AS f2,
+         |    (stopword_ratio < 0.02)::INT AS f3,
+         |    (type_token_ratio < 0.35)::INT AS f4
+         |  FROM st
+         |), a AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    count(*) FILTER (WHERE f1 = 1)::BIGINT AS s1,
+         |    count(*) FILTER (WHERE f2 = 1)::BIGINT AS s2,
+         |    count(*) FILTER (WHERE f3 = 1)::BIGINT AS s3,
+         |    count(*) FILTER (WHERE f4 = 1)::BIGINT AS s4,
+         |    count(*) FILTER (WHERE f1 = 1)::BIGINT AS m1,
+         |    count(*) FILTER (WHERE f1 = 0 AND f2 = 1)::BIGINT AS m2,
+         |    count(*) FILTER (WHERE f1 = 0 AND f2 = 0 AND f3 = 1)::BIGINT AS m3,
+         |    count(*) FILTER (WHERE f1 = 0 AND f2 = 0 AND f3 = 0 AND f4 = 1)::BIGINT AS m4
+         |  FROM fl
+         |)
+         |SELECT 1::BIGINT AS rule_seq, 'too_short' AS rule, s1 AS n_flagged,
+         |  m1 AS n_marginal, (n - m1)::BIGINT AS n_surviving FROM a
+         |UNION ALL SELECT 2, 'too_long', s2, m2, (n - m1 - m2)::BIGINT FROM a
+         |UNION ALL SELECT 3, 'low_stopword', s3, m3, (n - m1 - m2 - m3)::BIGINT FROM a
+         |UNION ALL SELECT 4, 'low_diversity', s4, m4, (n - m1 - m2 - m3 - m4)::BIGINT FROM a
+         |ORDER BY rule_seq""".stripMargin,
     // dedup (min doc_id per normalized text) + the filter CTEs + the
     // split hash, composed exactly like prepPipeline
     "txt_prep_pipeline" ->

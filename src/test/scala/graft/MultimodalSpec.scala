@@ -418,4 +418,20 @@ class MultimodalSpec extends SparkSpec {
     val rerun = Multimodal.decodeFeatures(spark, Multimodal.asMediaRecords(docs)).collect().head
     assert(f === rerun)
   }
+
+  test("imageNearDupClusters: identical texts hash to one cluster, distinct text stays canonical") {
+    // same text → byte-identical PPM → hamming 0 pair (1,2); doc 3's
+    // image is far from both, so it remains its own singleton cluster
+    val docs = Seq(
+      (1L, "repeated payload text"),
+      (2L, "repeated payload text"),
+      (3L, "zq zq zq zq zq zq zq zq zq"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.imageNearDupClusters(spark, docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 1L, 1L, 2L),
+      (2L, 1L, 0L, 2L),
+      (3L, 3L, 1L, 1L)))
+  }
 }

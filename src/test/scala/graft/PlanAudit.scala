@@ -35,7 +35,10 @@ object PlanAudit {
       "ev_theil_sen",
       // r9: each nprobe arm scores IVF-PQ against the same brute
       // ground-truth side (the ann_recall_pq shape, |nprobes| arms)
-      "ann_recall_nprobe")
+      "ann_recall_nprobe",
+      // r9: per-prefix-dims arms each run the brute broadcast ranking
+      // (the emb_trunc_agreement shape, |dims| arms + the truth side)
+      "emb_mrl_curve")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)

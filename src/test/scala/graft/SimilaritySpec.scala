@@ -475,6 +475,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got === List((0L, 2L, 2L, 10000L), (50L, 2L, 2L, 10000L)))
   }
 
+  test("mrlRecallCurve: prefix-2 tie flips a winner; full-dim anchor is recall 10000") {
+    // query 0's true top-1 is vec 2 (full cosine ~0.999 vs 0.577 for
+    // vec 1), but on the 2-dim prefix both score cosine 1.0 and the
+    // neighbor-id tie-break hands the slot to vec 1 — a lost hit. query
+    // 50 is orthogonal to everything (all cosines 0), so its top-1 is
+    // the id tie-break (vec 0) at every prefix — a kept hit. The d=4
+    // arm must anchor at exactly 10000.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f), 0),
+      (50L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.0f, 1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mrlRecallCurve(e, k = 1, dimsList = Seq(2, 4))
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toList
+    assert(got === List(
+      (2L, 2L, 1L, Some(5000L)),
+      (4L, 2L, 2L, Some(10000L))))
+  }
+
   test("clusterPurity: singleton clusters are pure; a mixed cluster ties to the smaller label") {
     // seeds = vec_ids < 8 → {0, 2, 3, 4} are their own centroids; vec 50
     // lands on centroid 3 (nearest by squared distance). cluster 3 then

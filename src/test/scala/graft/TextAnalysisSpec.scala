@@ -578,6 +578,24 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("filterFunnel: marginal attribution follows rule order; overlap shows in flagged-vs-marginal") {
+    // d1 (3 toks) dies at too_short; d2 (95 distinct toks) dies at
+    // too_long but ALSO flags low_stopword standalone — the overlap the
+    // funnel separates (s3 = 2 but m3 = 1); d3 (30× same token) dies at
+    // low_stopword and flags low_diversity standalone; d4 survives all.
+    val d2txt = (1 to 95).map(i => s"w$i").mkString(" ")
+    val d3txt = Seq.fill(30)("x").mkString(" ")
+    val d4txt = ("the the " + (1 to 28).map(i => s"w$i").mkString(" "))
+    val got = TextAnalysis.filterFunnel(docs(
+      (1L, "a b c"), (2L, d2txt), (3L, d3txt), (4L, d4txt)))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "too_short", 1L, 1L, 3L),
+      (2L, "too_long", 1L, 1L, 2L),
+      (3L, "low_stopword", 2L, 1L, 1L),
+      (4L, "low_diversity", 1L, 0L, 1L)))
+  }
+
   test("winnowLeakage: a held-out copy of a train doc leaks fully; unique text doesn't") {
     // split hash: doc 1 → train (bucket 23), doc 2 → valid (88),
     // doc 25 → test (96). doc 2 duplicates doc 1's text, so every one
