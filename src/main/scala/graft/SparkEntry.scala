@@ -280,6 +280,10 @@ object SparkEntry {
     // the users-per-arm needed to detect a 5% mean shift
     "ev_power_mde" -> ((s, dir) =>
       graft.ops.Stats.powerMde(Tables.events(s, dir))),
+    // difference-in-differences on the hash arms across the in-plan
+    // calendar midpoint — the time-trend-robust effect readout
+    "ev_did" -> ((s, dir) =>
+      graft.ops.Stats.didScreen(Tables.events(s, dir))),
     // discrete-time customer-churn hazard life table with explicit right
     // censoring (1-year repurchase horizon over the order calendar) —
     // the survival-analysis readout
@@ -2224,6 +2228,46 @@ object SparkEntry {
         |  (CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b) > 38416
         |        THEN 1 ELSE 0 END)::BIGINT AS srm_flag
         |FROM a""".stripMargin,
+    // the welch arm/cent grid plus the epoch-ms calendar midpoint CTE;
+    // cell means via the remainder-corrected floor (sums can be negative)
+    "ev_did" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm,
+        |    epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), mid AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e
+        |), g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 AND ts_ms <= mid THEN 1 ELSE 0 END)::BIGINT AS n0_pre,
+        |    sum(CASE WHEN arm = 0 AND ts_ms > mid THEN 1 ELSE 0 END)::BIGINT AS n0_post,
+        |    sum(CASE WHEN arm = 1 AND ts_ms <= mid THEN 1 ELSE 0 END)::BIGINT AS n1_pre,
+        |    sum(CASE WHEN arm = 1 AND ts_ms > mid THEN 1 ELSE 0 END)::BIGINT AS n1_post,
+        |    sum(CASE WHEN arm = 0 AND ts_ms <= mid THEN c ELSE 0 END)::BIGINT AS s00,
+        |    sum(CASE WHEN arm = 0 AND ts_ms > mid THEN c ELSE 0 END)::BIGINT AS s01,
+        |    sum(CASE WHEN arm = 1 AND ts_ms <= mid THEN c ELSE 0 END)::BIGINT AS s10,
+        |    sum(CASE WHEN arm = 1 AND ts_ms > mid THEN c ELSE 0 END)::BIGINT AS s11
+        |  FROM e, mid GROUP BY 1
+        |), v AS (
+        |  SELECT event_type, n0_pre, n0_post, n1_pre, n1_post,
+        |    ((s00 * 10000 - ((((s00 * 10000) % n0_pre) + n0_pre) % n0_pre))
+        |      // n0_pre)::BIGINT AS mean0_pre_e4,
+        |    ((s01 * 10000 - ((((s01 * 10000) % n0_post) + n0_post) % n0_post))
+        |      // n0_post)::BIGINT AS mean0_post_e4,
+        |    ((s10 * 10000 - ((((s10 * 10000) % n1_pre) + n1_pre) % n1_pre))
+        |      // n1_pre)::BIGINT AS mean1_pre_e4,
+        |    ((s11 * 10000 - ((((s11 * 10000) % n1_post) + n1_post) % n1_post))
+        |      // n1_post)::BIGINT AS mean1_post_e4
+        |  FROM g
+        |  WHERE n0_pre > 0 AND n0_post > 0 AND n1_pre > 0 AND n1_post > 0
+        |)
+        |SELECT event_type, n0_pre, n0_post, n1_pre, n1_post,
+        |  mean0_pre_e4, mean0_post_e4, mean1_pre_e4, mean1_post_e4,
+        |  ((mean1_post_e4 - mean1_pre_e4)
+        |    - (mean0_post_e4 - mean0_pre_e4))::BIGINT AS did_e4
+        |FROM v""".stripMargin,
     // the welch moment CTE; pooled variance and mde² in HUGEINT; the one
     // double is √ of the already-agreed integer; n-per-arm uses the
     // strictly-above floor (+1), never a raw-double ceil

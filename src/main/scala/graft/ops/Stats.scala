@@ -462,6 +462,62 @@ object Stats {
           + 1L)).as("n_per_arm_5pct"))
   }
 
+  /** Difference-in-differences screen between the deterministic hash
+    * arms (the [[welchScreen]] split), per event type: the corpus
+    * calendar is cut at its in-plan midpoint (`⌊(min+max)/2⌋` epoch ms,
+    * a 1-row broadcast — pre ≤ mid < post), and the estimator is the
+    * classic 2×2 `(m̄₁ᵖᵒˢᵗ − m̄₁ᵖʳᵉ) − (m̄₀ᵖᵒˢᵗ − m̄₀ᵖʳᵉ)` on e4 cent
+    * means — the treatment-effect readout that differences OUT any
+    * shared time trend the raw post-period comparison ([[welchScreen]])
+    * would absorb into its effect. With a hash-random split the two
+    * diffs should agree; a DiD far from the Welch mean gap flags a
+    * time-confounded metric. An event type missing ANY of the four
+    * cells is dropped (no trend to difference — same contract as
+    * [[welchScreen]]'s under-populated-arm drop); all four cell means
+    * are exact `⌊s·10⁴/n⌋` rationals, so did_e4 is integer-exact.
+    *
+    * Scale: one map-side-combined aggregate computes all eight cell
+    * moments per event type (no pivot, no self-join); the midpoint is a
+    * 1-row aggregate crossJoined in-plan (never a driver-side collect).
+    * Output is |event_type| rows.
+    */
+  def didScreen(events: DataFrame): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val cents = round(col("value") * 100).cast("long")
+    val mid = events.agg(
+      Cols.floorDiv(min(col("ts_ms")) + max(col("ts_ms")), lit(2L)).as("__mid"))
+    val cells = events
+      .crossJoin(broadcast(mid))
+      .select(
+        col("event_type"), arm.as("__arm"),
+        (col("ts_ms") > col("__mid")).cast("long").as("__post"),
+        cents.as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__arm") === 0 && col("__post") === 0, 1L).otherwise(0L)).as("n0_pre"),
+        sum(when(col("__arm") === 0 && col("__post") === 1, 1L).otherwise(0L)).as("n0_post"),
+        sum(when(col("__arm") === 1 && col("__post") === 0, 1L).otherwise(0L)).as("n1_pre"),
+        sum(when(col("__arm") === 1 && col("__post") === 1, 1L).otherwise(0L)).as("n1_post"),
+        sum(when(col("__arm") === 0 && col("__post") === 0, col("__c")).otherwise(0L)).as("__s00"),
+        sum(when(col("__arm") === 0 && col("__post") === 1, col("__c")).otherwise(0L)).as("__s01"),
+        sum(when(col("__arm") === 1 && col("__post") === 0, col("__c")).otherwise(0L)).as("__s10"),
+        sum(when(col("__arm") === 1 && col("__post") === 1, col("__c")).otherwise(0L)).as("__s11"))
+    def m(s: Column, n: Column): Column = Cols.floorDiv(s * 10000L, n)
+    cells
+      .filter(col("n0_pre") > 0 && col("n0_post") > 0 &&
+        col("n1_pre") > 0 && col("n1_post") > 0)
+      .select(
+        col("event_type"),
+        col("n0_pre"), col("n0_post"), col("n1_pre"), col("n1_post"),
+        m(col("__s00"), col("n0_pre")).as("mean0_pre_e4"),
+        m(col("__s01"), col("n0_post")).as("mean0_post_e4"),
+        m(col("__s10"), col("n1_pre")).as("mean1_pre_e4"),
+        m(col("__s11"), col("n1_post")).as("mean1_post_e4"))
+      .withColumn("did_e4",
+        (col("mean1_post_e4") - col("mean1_pre_e4"))
+          - (col("mean0_post_e4") - col("mean0_pre_e4")))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D between the deterministic hash
     * arms (the [[mannWhitney]]/[[welchScreen]] split), per event type —
     * the distribution-SHAPE member of the experimentation family:

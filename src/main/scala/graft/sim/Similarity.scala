@@ -1550,6 +1550,104 @@ object Similarity {
     frames.reduce(_ unionAll _).orderBy(col("dims"))
   }
 
+  /** 1-bit (binary) quantization of the corpus: each quantized vector's
+    * sign pattern packed into two 32-bit words (`mask_lo` dims 1–32,
+    * `mask_hi` dims 33–64) — 64 dims in 8 bytes, the 32× compression tier
+    * below int8 SQ ([[sqTopK]]). Two words rather than one 64-bit mask so
+    * neither engine touches the sign bit (bit 63 of a packed BIGINT would
+    * overflow DuckDB's `1::BIGINT << 63`). Signs are taken on the
+    * QUANTIZED value (`qv > 0`), so the mask is a pure function of the
+    * same integer vector both engines already share; a dim beyond the
+    * embedding width contributes 0 (try_element_at past the end is null,
+    * and null > 0 is not true).
+    */
+  private def signMasks(q: DataFrame): DataFrame = {
+    def mask(base: Int): Column =
+      (0 until 32).map { i =>
+        when(try_element_at(col("qv"), lit(base + i + 1)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    q.select(col("vec_id"), col("qv"), col("norm2"),
+      mask(0).as("mask_lo"), mask(32).as("mask_hi"))
+  }
+
+  /** Binary-quantized ANN — the code-SCAN serving path of binary
+    * quantization: every corpus code (8 bytes/vector) is scanned against
+    * the broadcast query codes with integer Hamming distance (XOR +
+    * popcount — the [[sqTopK]] declared-baseline shape, on a
+    * 32×-smaller scan than the raw floats), the `overfetch·k` Hamming
+    * shortlist per query is kept, and only the shortlist touches full
+    * int8 vectors for the cosine rerank. This is how production vector
+    * stores serve binary quantization: the full scan IS the index (8
+    * bytes/vector streams at memory bandwidth with SIMD popcount), and
+    * full-precision reads are bounded by |queries|·overfetch·k.
+    * Deterministic end to end (sign masks from the shared integer
+    * quantization, integer Hamming, quantized cosine, fixed tie-breaks)
+    * — fully oracled despite being an approximate index.
+    *
+    * Exact-band blocking (multi-index hashing) was measured and
+    * rejected for this corpus: random sign codes agree on a 16-bit band
+    * with p ≈ 4·2⁻¹⁶, so the pigeonhole index returns ~no candidates —
+    * it fits Hamming-RADIUS retrieval over near-duplicate codes (the
+    * phash-chunk trick in [[graft.multimodal.Multimodal]]), not top-k
+    * over a spread-out corpus.
+    *
+    * Scale: corpus scanned once against the broadcast strided query
+    * batch ([[queryBatch]]); rerank lookups are id-keyed equi-joins on
+    * the bounded shortlist. Recall is the [[binaryRecall]] readout; the
+    * miss mode is sign-blind similarity (high cosine with disagreeing
+    * signs on low-magnitude dims), which overfetch absorbs.
+    */
+  def binaryTopK(embeddings: DataFrame, k: Int = TopK,
+                 overfetch: Int = 4): DataFrame = {
+    val m = signMasks(Dedup.quantized(embeddings))
+    // stage 1: Hamming shortlist from the code scan (codes only)
+    val qCodes = broadcast(queryBatch(m)
+      .select(col("vec_id").as("query_id"),
+        col("mask_lo").as("q_lo"), col("mask_hi").as("q_hi")))
+    val hw = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = m.select(col("vec_id").as("neighbor_id"), col("mask_lo"), col("mask_hi"))
+      .join(qCodes, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("mask_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("mask_hi").bitwiseXOR(col("q_hi")))).cast("long").as("hamming"))
+      .withColumn("__hr", row_number().over(hw))
+      .filter(col("__hr") <= k * overfetch)
+    // stage 2: full-vector rerank on the bounded shortlist
+    val qVecs = broadcast(queryBatch(m)
+      .select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("norm2").as("q_norm2")))
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(m.select(col("vec_id").as("neighbor_id"), col("qv"), col("norm2")),
+        Seq("neighbor_id"))
+      .join(qVecs, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall@k of the binary multi-index path ([[binaryTopK]]) against the
+    * exact ranking ([[bruteForceTopK]]), per query — the quantitative
+    * answer to "what does 32× compression cost on THIS corpus", next to
+    * [[sqRecall]] (int8) and [[pqRecall]] (ADC) on the same dial. Both
+    * constituents deterministic → fully oracled.
+    */
+  def binaryRecall(embeddings: DataFrame, k: Int = TopK,
+                   overfetch: Int = 4): DataFrame = {
+    val bin = binaryTopK(embeddings, k, overfetch)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(bin, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("k"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_dim_stats" -> ((s, d) => dimStats(Tables.embeddings(s, d))),
     // dims=40: mixed outcome on the fixtures (2/10 agree at sf0.01), so
@@ -1572,6 +1670,8 @@ object Similarity {
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "ann_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "ann_recall_sq" -> ((s, d) => sqRecall(Tables.embeddings(s, d))),
+    "ann_topk_binary" -> ((s, d) => binaryTopK(Tables.embeddings(s, d))),
+    "ann_recall_binary" -> ((s, d) => binaryRecall(Tables.embeddings(s, d))),
     "ann_topk_maxsim" -> ((s, d) => maxSimTopK(Tables.embeddings(s, d))),
     "ann_topk_maxsim_rerank" -> ((s, d) => maxSimRerank(Tables.embeddings(s, d))),
     "emb_ivf_balance" -> ((s, d) => ivfBalance(Tables.embeddings(s, d))),
@@ -2047,6 +2147,104 @@ object Similarity {
          |FROM (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $TopK) b
          |LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit
          |           FROM s_ranked WHERE rank <= $TopK) h
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
+    // sign masks as two 32-bit words (bit 63 of one packed BIGINT would
+    // overflow the shift), all-pairs code scan for Hamming, shortlist,
+    // then the brute cosine rerank on the shortlist
+    "ann_topk_binary" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), m AS (
+         |  SELECT vec_id, qv, norm2,
+         |    list_sum([CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |              for i in range(0, 32)])::BIGINT AS lo,
+         |    list_sum([CASE WHEN qv[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |              for i in range(0, 32)])::BIGINT AS hi
+         |  FROM n
+         |), ham AS (
+         |  SELECT qm.vec_id AS query_id, cm.vec_id AS neighbor_id,
+         |    (bit_count(xor(cm.lo, qm.lo)) + bit_count(xor(cm.hi, qm.hi)))::BIGINT AS hamming
+         |  FROM m qm JOIN m cm ON cm.vec_id <> qm.vec_id
+         |  WHERE qm.vec_id % $QueryStride = 0
+         |), sl AS (
+         |  SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+         |  FROM ham
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id, s.hamming,
+         |    round(list_sum([qm.qv[i] * cm.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qm.norm2::DOUBLE) * sqrt(cm.norm2::DOUBLE)), 6) AS cosine
+         |  FROM sl s
+         |  JOIN m cm ON cm.vec_id = s.neighbor_id
+         |  JOIN m qm ON qm.vec_id = s.query_id
+         |  WHERE s.hr <= ${TopK * 4}
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, hamming, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rr
+         |)
+         |SELECT query_id, neighbor_id, hamming, cosine, rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // the binary pipeline above vs the brute ranking, scored by the
+    // ann_recall_ivf membership join
+    "ann_recall_binary" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), b_scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) AS cosine
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), b_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM b_scored
+         |), m AS (
+         |  SELECT vec_id, qv, norm2,
+         |    list_sum([CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |              for i in range(0, 32)])::BIGINT AS lo,
+         |    list_sum([CASE WHEN qv[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |              for i in range(0, 32)])::BIGINT AS hi
+         |  FROM n
+         |), ham AS (
+         |  SELECT qm.vec_id AS query_id, cm.vec_id AS neighbor_id,
+         |    (bit_count(xor(cm.lo, qm.lo)) + bit_count(xor(cm.hi, qm.hi)))::BIGINT AS hamming
+         |  FROM m qm JOIN m cm ON cm.vec_id <> qm.vec_id
+         |  WHERE qm.vec_id % $QueryStride = 0
+         |), sl AS (
+         |  SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+         |  FROM ham
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round(list_sum([qm.qv[i] * cm.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qm.norm2::DOUBLE) * sqrt(cm.norm2::DOUBLE)), 6) AS cosine
+         |  FROM sl s
+         |  JOIN m cm ON cm.vec_id = s.neighbor_id
+         |  JOIN m qm ON qm.vec_id = s.query_id
+         |  WHERE s.hr <= ${TopK * 4}
+         |), bin_ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rr
+         |)
+         |SELECT b.query_id, count(*) AS k, count(h.hit) AS n_hit,
+         |  (count(h.hit) * 10000) // count(*) AS recall_e4
+         |FROM (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $TopK) b
+         |LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit
+         |           FROM bin_ranked WHERE rank <= $TopK) h
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
     // one aggregate over the |cells| table; all counts non-negative →

@@ -335,6 +335,64 @@ object TextAnalysis {
         Cols.floorDiv(col("__c.n_covered") * 10000L, col("n_tokens")).as("coverage_e4"))
   }
 
+  /** Heaps-law vocabulary-GROWTH curve: the corpus is cut into `buckets`
+    * equal doc-id spans against the in-plan max id (a 1-row broadcast —
+    * id-ordered ingestion order, the curve a crawler would see), and each
+    * row carries the cumulative doc/token/vocabulary counts after that
+    * span plus the span's own `new_terms` and its marginal type yield
+    * `⌊new_terms·10⁴ / span_tokens⌋`. The declining yield across buckets
+    * IS the Heaps sublinearity readout — "how much new vocabulary does
+    * the next tenth of the corpus still buy" — kept as an exact integer
+    * rational instead of a float log-log slope, the repo's
+    * quantize-don't-chase-doubles discipline. The sizing question it
+    * answers: where token-count-based vocab budgets (BPE size, hash
+    * widths like [[featureHashing]]'s) stop growing usefully.
+    *
+    * Scale: first-occurrence is ONE `min(doc_id)` aggregate at token
+    * grain (map-side combined, |vocab| rows) folded straight to
+    * `buckets` groups; token mass and doc counts aggregate by bucket
+    * directly. Cumulative sums run over the |buckets|-row grid only —
+    * nothing data-sized is ever sorted or windowed.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val md = docs.agg(max(col("doc_id")).as("__md"))
+    def bucketOf(d: Column): Column =
+      least(lit(buckets.toLong), Cols.floorDiv(d * buckets, col("__md")) + 1L)
+    val toks = docs.select(col("doc_id"), explode(Cols.tokens(col("text"))).as("tok"))
+    val newTerms = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
+      .crossJoin(broadcast(md))
+      .groupBy(bucketOf(col("__first")).as("bucket"))
+      .agg(count(lit(1)).as("__nt"))
+    val tokMass = toks.crossJoin(broadcast(md))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("__tk"))
+    val docCount = docs.crossJoin(broadcast(md))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("__dn"))
+    val grid = docs.sparkSession.range(1, buckets + 1).select(col("id").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid
+      .join(newTerms, Seq("bucket"), "left")
+      .join(tokMass, Seq("bucket"), "left")
+      .join(docCount, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__dn"), lit(0L)).as("__dn"),
+        coalesce(col("__tk"), lit(0L)).as("__tk"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+      .select(
+        col("bucket"),
+        sum(col("__dn")).over(w).as("n_docs"),
+        sum(col("__tk")).over(w).as("n_tokens"),
+        sum(col("__nt")).over(w).as("vocab"),
+        col("__nt").as("new_terms"),
+        when(col("__tk") > 0, Cols.floorDiv(col("__nt") * 10000L, col("__tk")))
+          .as("yield_e4"))
+      .orderBy(col("bucket"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS selection rule): hash every char `k`-gram of the normalized
     * text, slide a window of `w` consecutive hashes, and keep each
@@ -1639,6 +1697,7 @@ object TextAnalysis {
     "txt_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     // coverage at 4 binding vocab cutoffs — the tokenizer-sizing sweep
     "txt_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
+    "txt_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
     // winnowed (MOSS-style) local fingerprints, k=4 char grams, w=4
     "txt_winnow_fp" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     // df-capped overlap pairs over the winnowed index (≥8 shared)
@@ -2249,6 +2308,42 @@ object TextAnalysis {
          |)
          |${arms.mkString("\nUNION ALL ")}""".stripMargin
     },
+    // first-occurrence min(doc_id) per token folded to the bucket grid;
+    // cumulative sums window over the 10-row grid only
+    "txt_vocab_growth" ->
+      s"""$tokCte, mx AS (
+         |  SELECT max(doc_id) AS md FROM documents
+         |), tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM t
+         |), fs AS (
+         |  SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1
+         |), nv AS (
+         |  SELECT least(10, (fd * 10) // md + 1) AS bucket, count(*)::BIGINT AS nt
+         |  FROM fs, mx GROUP BY 1
+         |), tm AS (
+         |  SELECT least(10, (doc_id * 10) // md + 1) AS bucket, count(*)::BIGINT AS tc
+         |  FROM tk, mx GROUP BY 1
+         |), dc AS (
+         |  SELECT least(10, (doc_id * 10) // md + 1) AS bucket, count(*)::BIGINT AS dn
+         |  FROM documents, mx GROUP BY 1
+         |), g AS (
+         |  SELECT unnest(generate_series(1, 10)) AS bucket
+         |), j AS (
+         |  SELECT g.bucket,
+         |    coalesce(dc.dn, 0) AS dn, coalesce(tm.tc, 0) AS tc,
+         |    coalesce(nv.nt, 0) AS nt
+         |  FROM g LEFT JOIN dc USING (bucket) LEFT JOIN tm USING (bucket)
+         |  LEFT JOIN nv USING (bucket)
+         |)
+         |SELECT bucket::BIGINT AS bucket,
+         |  (sum(dn) OVER w)::BIGINT AS n_docs,
+         |  (sum(tc) OVER w)::BIGINT AS n_tokens,
+         |  (sum(nt) OVER w)::BIGINT AS vocab,
+         |  nt::BIGINT AS new_terms,
+         |  (CASE WHEN tc > 0 THEN (nt * 10000) // tc END)::BIGINT AS yield_e4
+         |FROM j
+         |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY bucket""".stripMargin,
     "txt_doc_stats" ->
       s"""$tokCte
          |SELECT doc_id,

@@ -38,7 +38,12 @@ object PlanAudit {
       "ann_recall_nprobe",
       // r9: per-prefix-dims arms each run the brute broadcast ranking
       // (the emb_trunc_agreement shape, |dims| arms + the truth side)
-      "emb_mrl_curve")
+      "emb_mrl_curve",
+      // r9: binary-code Hamming scan against the broadcast query subset
+      // (the ann_topk_sq shape, on 8-byte sign codes)
+      "ann_topk_binary",
+      // r9: scores that binary ranking against the brute ground-truth side
+      "ann_recall_binary")
   // queries whose only nested loops are 1-row broadcast scalar joins
   // (corpus totals / thresholds / IDF constants computed in-plan — the
   // no-driver-count discipline; build side is a single-row aggregate)
@@ -60,6 +65,10 @@ object PlanAudit {
     "tbl_join_card", "txt_quota_alloc",
     // global-max freshness reference is a 1-row aggregate
     "ev_freshness",
+    // r9: the calendar midpoint is a 1-row min/max aggregate
+    "ev_did",
+    // r9: the corpus max doc_id is a 1-row aggregate
+    "txt_vocab_growth",
     // r6: exact-rank p99 joins the 1-row stats/target aggregates back in
     "ev_key_skew",
     // |labels|-row broadcast (bounded by label cardinality, not data size)
@@ -170,7 +179,9 @@ object PlanAudit {
     "ord_hazard",
     // r8 (allowlisted r9): largest-remainder rank over the |langs|-row
     // quota table — the txt_quota_alloc bound
-    "txt_temperature_mix")
+    "txt_temperature_mix",
+    // r9: cumulative sums over the |buckets|-row (10) growth grid
+    "txt_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -495,6 +495,30 @@ class SimilaritySpec extends SparkSpec {
       (4L, 2L, 2L, Some(10000L))))
   }
 
+  test("binaryTopK/binaryRecall: sign-blind decoy wins the Hamming shortlist; sign-aligned truth survives") {
+    // masks (4 live dims): v0=0011₂=3, v1=0111₂=7, v2=3, v3=1111₂=15,
+    // v50=15. query 0's TRUE top-1 is v1 (cosine 0.9997) at Hamming 1,
+    // but the decoy v2 (cosine 0.116) shares v0's exact sign pattern —
+    // with overfetch·k = 1 the Hamming shortlist admits only v2, so the
+    // rerank never sees v1: a pinned sign-blind miss (recall 0). query
+    // 50's true top-1 v3 is also its unique Hamming-0 code, so the
+    // shortlist keeps it: recall 10000.
+    val e = Seq(
+      (0L, Seq(0.6f, 0.6f, -0.01f, -0.01f), 0),
+      (1L, Seq(0.6f, 0.6f, 0.01f, -0.01f), 0),
+      (2L, Seq(0.1f, 0.1f, -1.0f, -1.0f), 0),
+      (3L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),
+      (50L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.binaryTopK(e, k = 1, overfetch = 1)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(top === List((0L, 2L, 0L, 1L), (50L, 3L, 0L, 1L)))
+    val rec = Similarity.binaryRecall(e, k = 1, overfetch = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(rec === List((0L, 1L, 0L, 0L), (50L, 1L, 1L, 10000L)))
+  }
+
   test("clusterPurity: singleton clusters are pure; a mixed cluster ties to the smaller label") {
     // seeds = vec_ids < 8 → {0, 2, 3, 4} are their own centroids; vec 50
     // lands on centroid 3 (nearest by squared distance). cluster 3 then

@@ -309,6 +309,29 @@ class StatsSpec extends SparkSpec {
     assert(got.head._7 === None && got.head._8 === 0L)
   }
 
+  test("didScreen: differences out the shared trend; a missing cell drops the type") {
+    // one user per arm, one event per (arm, period) at the midpoint cut
+    // (mid = ⌊(0+100)/2⌋ = 50, pre ≤ 50 < post): control climbs 1.00 →
+    // 2.00 (the shared trend), treatment 1.00 → 5.00, so the DiD is the
+    // extra 3.00 = 3,000,000 e4 — not treatment's raw 4.00 climb. "solo"
+    // has no post-period rows → all-cells filter drops it.
+    val armOf = (1 to 50).map(i => Tuple1(i.toLong)).toDF("user_id")
+      .select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val u0 = armOf.collectFirst { case (u, 0L) => u }.get
+    val u1 = armOf.collectFirst { case (u, 1L) => u }.get
+    val rows = Seq(
+      (u0, "t", 0L, 1.0), (u0, "t", 100L, 2.0),
+      (u1, "t", 0L, 1.0), (u1, "t", 100L, 5.0),
+      (u0, "solo", 0L, 1.0), (u1, "solo", 40L, 1.0))
+    val got = Stats.didScreen(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got === List(("t", 1L, 1L, 1L, 1L,
+      1000000L, 2000000L, 1000000L, 5000000L, 3000000L)))
+  }
+
   test("ksTest matches brute-force sup |F_a − F_b| on the cent grid") {
     val rows = (1 to 240).map { i =>
       (i.toLong % 50, "t", (i % 9).toDouble + (i % 4) * 0.25)

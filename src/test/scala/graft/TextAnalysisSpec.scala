@@ -596,6 +596,18 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "low_diversity", 1L, 0L, 1L)))
   }
 
+  test("vocabGrowth: cumulative curve and marginal yield, position buckets against the max id") {
+    // md = 4, buckets = 2 → bucket(d) = least(2, ⌊2d/4⌋+1): doc 1 →
+    // bucket 1, docs 2-4 → bucket 2. bucket 1 mints {a, b} over 2
+    // tokens (yield 10000); bucket 2 mints {c, d} over 5 (yield 4000).
+    val got = TextAnalysis.vocabGrowth(
+      docs((1L, "a b"), (2L, "b c"), (3L, "a"), (4L, "c d")), buckets = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toList
+    assert(got === List(
+      (1L, 1L, 2L, 2L, 2L, Some(10000L)),
+      (2L, 4L, 7L, 4L, 2L, Some(4000L))))
+  }
+
   test("winnowLeakage: a held-out copy of a train doc leaks fully; unique text doesn't") {
     // split hash: doc 1 → train (bucket 23), doc 2 → valid (88),
     // doc 25 → test (96). doc 2 duplicates doc 1's text, so every one
