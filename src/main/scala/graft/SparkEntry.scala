@@ -284,6 +284,19 @@ object SparkEntry {
     // calendar midpoint — the time-trend-robust effect readout
     "ev_did" -> ((s, dir) =>
       graft.ops.Stats.didScreen(Tables.events(s, dir))),
+    // Poisson-bootstrap CI band per event type: 32 hash-deterministic
+    // Poisson(1)-weighted replicates in ONE scan (bounded ×32 explode,
+    // map-side combined) — the resampling method that runs at 100 TB
+    "ev_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Stats.bootstrapCi(Tables.events(s, dir))),
+    // population-stability-index drift screen: reference-half equal-width
+    // cent bins, Laplace-smoothed shares, e4 quantize-then-sum ln terms
+    "ev_psi" -> ((s, dir) =>
+      graft.ops.Stats.psi(Tables.events(s, dir))),
+    // can a 1% deterministic hash sample profile this table: exact vs
+    // scaled sample count/mean per type, one conditional-sum aggregate
+    "tbl_sample_accuracy" -> ((s, dir) =>
+      graft.ops.Scale.sampleAccuracy(Tables.events(s, dir))),
     // discrete-time customer-churn hazard life table with explicit right
     // censoring (1-year repurchase horizon over the order calendar) —
     // the survival-analysis readout
@@ -691,6 +704,12 @@ object SparkEntry {
     // basket graph, hub centers capped before the wedge join
     "li_link_pred" -> ((s, dir) =>
       graft.ops.Analytics.linkPrediction(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // per-node local clustering coefficient distribution: exact triangle
+    // credit via degree orientation (fan-out O(|E|^1.5), no caps)
+    "li_local_cc" -> ((s, dir) =>
+      graft.ops.Analytics.localClustering(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
@@ -2268,6 +2287,129 @@ object SparkEntry {
         |  ((mean1_post_e4 - mean1_pre_e4)
         |    - (mean0_post_e4 - mean0_pre_e4))::BIGINT AS did_e4
         |FROM v""".stripMargin,
+    // Poisson(1) weights drawn from the same 60-bit md5 hash as Spark
+    // against the shared BootCdf60 thresholds; replicate means are the
+    // remainder-corrected floor rationals; variance of the 32 e4 means
+    // in HUGEINT; the band is the nearest-rank min/max at B=32
+    "ev_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), pt AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    ((sum(c) * 10000
+        |      - ((((sum(c) * 10000) % count(*)) + count(*)) % count(*)))
+        |      // count(*))::BIGINT AS mean_e4
+        |  FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT e.event_type, e.c, t.b,
+        |    ('0x' || substr(md5('boot:' || e.event_id || ':' || t.b), 1, 15))::BIGINT AS h
+        |  FROM e, range(32) t(b)
+        |), wt AS (
+        |  SELECT event_type, b, c,
+        |    ((h >= 424136118829305344)::INT + (h >= 848272237658610688)::INT
+        |     + (h >= 1060340297073263360)::INT + (h >= 1131029650211480960)::INT
+        |     + (h >= 1148701988496035328)::INT + (h >= 1152236456152946176)::INT
+        |     + (h >= 1152825534095764608)::INT)::BIGINT AS w
+        |  FROM r
+        |), g AS (
+        |  SELECT event_type, b, sum(w)::BIGINT AS nb, sum(w * c)::BIGINT AS sb
+        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+        |), m AS (
+        |  SELECT event_type,
+        |    ((sb * 10000 - ((((sb * 10000) % nb) + nb) % nb)) // nb)::BIGINT AS m
+        |  FROM g
+        |)
+        |SELECT pt.event_type, pt.n, pt.mean_e4,
+        |  count(*)::BIGINT AS replicates,
+        |  min(m)::BIGINT AS boot_lo_e4,
+        |  max(m)::BIGINT AS boot_hi_e4,
+        |  CASE WHEN count(*) > 1 THEN
+        |    ((count(*)::HUGEINT * sum(m::HUGEINT * m) - sum(m)::HUGEINT * sum(m))
+        |      // (count(*)::HUGEINT * (count(*) - 1)))::BIGINT END AS boot_var_e8
+        |FROM m JOIN pt USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // one conditional-sum pass; the sample predicate is the same md5
+    // hash; remainder-corrected floors on both means; empty-sample
+    // types keep their row with null estimates
+    "tbl_sample_accuracy" ->
+      """WITH e AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS c,
+        |    CASE WHEN ('0x' || substr(md5('smp:' || event_id), 1, 15))::BIGINT % 100 = 0
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+        |    sum(s)::BIGINT AS ns, sum(s * c)::BIGINT AS scs
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  ((sc * 10000 - ((((sc * 10000) % n) + n) % n)) // n)::BIGINT AS mean_e4,
+        |  ns AS n_sampled,
+        |  (CASE WHEN ns > 0 THEN ns * 100 END)::BIGINT AS est_n,
+        |  (CASE WHEN ns > 0 THEN
+        |    ((scs * 10000 - ((((scs * 10000) % ns) + ns) % ns)) // ns) END)::BIGINT
+        |    AS sample_mean_e4,
+        |  (CASE WHEN ns > 0 THEN (abs(ns * 100 - n) * 10000) // n END)::BIGINT AS n_err_e4,
+        |  (CASE WHEN ns > 0 THEN
+        |    abs(((scs * 10000 - ((((scs * 10000) % ns) + ns) % ns)) // ns)
+        |        - ((sc * 10000 - ((((sc * 10000) % n) + n) % n)) // n)) END)::BIGINT
+        |    AS mean_err_e4
+        |FROM g""".stripMargin,
+    // the did midpoint cut; reference-half min/max bins with edge
+    // clamping; Laplace-smoothed shares; per-bin (p-q)·ln(p/q) rounded
+    // to e4 then summed — the charEntropy quantize-then-sum discipline
+    "ev_psi" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), mid AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e
+        |), b AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts_ms > mid THEN 1 ELSE 0 END AS cur, c
+        |  FROM e, mid
+        |), rng AS (
+        |  SELECT event_type, min(c) AS lo, max(c) AS hi
+        |  FROM b WHERE cur = 0 GROUP BY 1
+        |), binned AS (
+        |  SELECT b.event_type, b.cur,
+        |    least(greatest(
+        |      (((b.c - rng.lo) * 10
+        |        - (((((b.c - rng.lo) * 10) % (rng.hi - rng.lo + 1))
+        |            + (rng.hi - rng.lo + 1)) % (rng.hi - rng.lo + 1)))
+        |        // (rng.hi - rng.lo + 1)), 0), 9)::BIGINT AS bin
+        |  FROM b JOIN rng USING (event_type)
+        |), cnt AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+        |    sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+        |  FROM binned GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT rng.event_type, t.bin FROM rng, range(10) t(bin)
+        |), filled AS (
+        |  SELECT grid.event_type, grid.bin,
+        |    coalesce(cnt.nr, 0) AS nr, coalesce(cnt.nc, 0) AS nc
+        |  FROM grid LEFT JOIN cnt
+        |    ON grid.event_type = cnt.event_type AND grid.bin = cnt.bin
+        |), tot AS (
+        |  SELECT event_type, sum(nr)::BIGINT AS n_ref, sum(nc)::BIGINT AS n_cur
+        |  FROM filled GROUP BY 1
+        |)
+        |SELECT f.event_type, t.n_ref, t.n_cur,
+        |  sum(round(((f.nr + 1.0) / (t.n_ref + 10.0)
+        |             - (f.nc + 1.0) / (t.n_cur + 10.0))
+        |    * ln(((f.nr + 1.0) / (t.n_ref + 10.0))
+        |         / ((f.nc + 1.0) / (t.n_cur + 10.0))) * 10000))::BIGINT AS psi_e4,
+        |  (CASE WHEN sum(round(((f.nr + 1.0) / (t.n_ref + 10.0)
+        |             - (f.nc + 1.0) / (t.n_cur + 10.0))
+        |    * ln(((f.nr + 1.0) / (t.n_ref + 10.0))
+        |         / ((f.nc + 1.0) / (t.n_cur + 10.0))) * 10000)) > 2000
+        |    THEN 1 ELSE 0 END)::BIGINT AS drift_flag
+        |FROM filled f JOIN tot t USING (event_type)
+        |WHERE t.n_ref > 0 AND t.n_cur > 0
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the welch moment CTE; pooled variance and mde² in HUGEINT; the one
     // double is √ of the already-agreed integer; n-per-arm uses the
     // strictly-above floor (+1), never a raw-double ceil
@@ -3497,6 +3639,49 @@ object SparkEntry {
         |JOIN deg db ON db.node = nc.item_b
         |ORDER BY cn DESC, jaccard_e4 DESC, item_a, item_b
         |LIMIT 20""".stripMargin,
+    // same basket edges; degree orientation makes each triangle one
+    // ordered (u, v, w) row, unnest credits the three corners; every
+    // quantity is positive so // is exact floor throughout
+    "li_local_cc" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS (
+        |  SELECT src AS node, dst AS nbr FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), deg AS MATERIALIZED (
+        |  SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1
+        |), o AS MATERIALIZED (
+        |  SELECT adj.node AS u, adj.nbr AS v, dv.d AS dv
+        |  FROM adj
+        |  JOIN deg du ON du.node = adj.node
+        |  JOIN deg dv ON dv.node = adj.nbr
+        |  WHERE du.d < dv.d OR (du.d = dv.d AND adj.node < adj.nbr)
+        |), tri AS (
+        |  SELECT o1.u, o1.v, o2.v AS w
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |  WHERE (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        |    AND EXISTS (SELECT 1 FROM o o3 WHERE o3.u = o1.v AND o3.v = o2.v)
+        |), corner AS (
+        |  SELECT unnest([u, v, w]) AS node FROM tri
+        |), t AS (
+        |  SELECT node, count(*)::BIGINT AS t FROM corner GROUP BY 1
+        |), cc AS (
+        |  SELECT deg.d, coalesce(t.t, 0)::BIGINT AS t,
+        |    ((coalesce(t.t, 0) * 20000) // (deg.d * (deg.d - 1)))::BIGINT AS cc_e4
+        |  FROM deg LEFT JOIN t ON t.node = deg.node
+        |  WHERE deg.d >= 2
+        |)
+        |SELECT (cc_e4 // 1000)::BIGINT AS cc_bucket,
+        |  count(*)::BIGINT AS n_nodes,
+        |  sum(t)::BIGINT AS sum_triangles,
+        |  sum(d)::BIGINT AS sum_deg,
+        |  sum(cc_e4)::BIGINT AS sum_cc_e4
+        |FROM cc GROUP BY 1""".stripMargin,
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
       s"""$sessionsCte, gi0 AS (

@@ -565,6 +565,61 @@ object Multimodal {
       (n, crossings, quiet)
     }
 
+    /** Silence-run segmentation over the real WAV path — the same
+      * DC-removed quiet test as [[zcrWav]] (10·|n·x − Σx| < peak), read
+      * as RUNS: (n_samples, n_quiet, n_runs, longest_run, lead_quiet,
+      * tail_quiet). lead/tail are the head/trail quiet sample counts —
+      * exactly what a silence-trim stage would cut; n_runs vs n_quiet
+      * separates "one long dropout" from "choppy dropouts".
+      */
+    def silenceWav(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      var bits16 = 16
+      var dataOff = -1; var dataLen = 0L
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) bits16 = le16(off + 14)
+        else if (id == "data") { dataOff = off; dataLen = len }
+      }
+      val n =
+        if (dataOff < 0 || bits16 != 16) 0L
+        else math.min(dataLen / 2, (bytes.length - dataOff) / 2)
+      if (n == 0) return (0L, 0L, 0L, 0L, 0L, 0L)
+      val s = new Array[Long](n.toInt)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        s(i) = le16(dataOff + i * 2).toShort.toLong
+        sum += s(i)
+        i += 1
+      }
+      var peak = 0L
+      i = 0
+      while (i < n) {
+        val c = math.abs(n * s(i) - sum)
+        if (c > peak) peak = c
+        i += 1
+      }
+      var nQuiet = 0L; var nRuns = 0L; var longest = 0L; var cur = 0L
+      var firstLoud = -1L; var lastLoud = -1L
+      i = 0
+      while (i < n) {
+        if (10L * math.abs(n * s(i) - sum) < peak) {
+          cur += 1
+          if (cur == 1) nRuns += 1
+          if (cur > longest) longest = cur
+          nQuiet += 1
+        } else {
+          cur = 0
+          if (firstLoud < 0) firstLoud = i
+          lastLoud = i
+        }
+        i += 1
+      }
+      val lead = if (firstLoud < 0) n else firstLoud
+      val tail = if (lastLoud < 0) n else n - 1 - lastLoud
+      (n, nQuiet, nRuns, longest, lead, tail)
+    }
+
     def decode(doc_id: Long, payload: Array[Byte]): Option[DecodedMedia] =
       sniff(payload) match {
         case "ppm" => Some(decodePpm(doc_id, payload))
@@ -887,6 +942,27 @@ object Multimodal {
           .otherwise(lit(0L)).as("quiet_e4"))
   }
 
+  /** Silence-segmentation table over the real WAV path: per clip the
+    * quiet-sample mass read as RUNS — run count, longest run, and the
+    * head/trail trim sizes a silence-trim preprocessing stage would cut
+    * ([[Codecs.silenceWav]]; same DC-removed 10 %-of-peak quiet test as
+    * [[audioZcr]]). Separates "one long dropout" (one run, long) from
+    * "choppy audio" (many short runs) — the segmentation QA screen next
+    * to audioZcr's aggregate quiet fraction. Same mapPartitions codec
+    * tier and map-only shape as [[audioFingerprint]].
+    */
+  def audioSilence(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (n, q, r, lg, ld, tl) = Codecs.silenceWav(bytes)
+        (id, n, q, r, lg, ld, tl)
+      })
+      .toDF("doc_id", "n_samples", "n_quiet", "n_runs", "longest_run",
+        "lead_quiet", "tail_quiet")
+  }
+
   /** Image near-dup CLUSTERS: connected components over the
     * [[imageNearDups]] pair set via the shared dedup machinery
     * ([[graft.dedup.Dedup.nearDupClusters]] — distributed min-label
@@ -914,6 +990,7 @@ object Multimodal {
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
+    "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
   )
 
@@ -1185,6 +1262,52 @@ object Multimodal {
         |  (n_crossings * 10000 // (n_samples - 1))::BIGINT AS zcr_e4,
         |  n_quiet, (n_quiet * 10000 // n_samples)::BIGINT AS quiet_e4
         |FROM agg""".stripMargin,
+    // the zcr synth/centering CTEs; quiet runs via gaps-and-islands
+    // (i − row_number over quiet rows), lead/tail from the first/last
+    // loud index; every quantity positive → // and coalesce are exact
+    "mm_audio_silence" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+        |     for i in range(0, 512)] AS v
+        |  FROM px
+        |), ctr AS (
+        |  SELECT doc_id, [512 * x - list_sum(v) for x in v] AS c FROM smp
+        |), m AS (
+        |  SELECT doc_id, c,
+        |    list_max(list_transform(c, x -> abs(x)))::BIGINT AS peak
+        |  FROM ctr
+        |), qi AS (
+        |  SELECT m.doc_id, t.i,
+        |    CASE WHEN 10 * abs(c[t.i]) < peak THEN 1 ELSE 0 END AS q
+        |  FROM m, range(1, 513) t(i)
+        |), runs AS (
+        |  SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM qi WHERE q = 1
+        |), rstat AS (
+        |  SELECT doc_id, count(*)::BIGINT AS run_len FROM runs GROUP BY doc_id, grp
+        |), agg AS (
+        |  SELECT doc_id, sum(run_len)::BIGINT AS n_quiet,
+        |    count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS longest_run
+        |  FROM rstat GROUP BY 1
+        |), edges AS (
+        |  SELECT doc_id,
+        |    coalesce(min(CASE WHEN q = 0 THEN i END) - 1, 512)::BIGINT AS lead_quiet,
+        |    coalesce(512 - max(CASE WHEN q = 0 THEN i END), 512)::BIGINT AS tail_quiet
+        |  FROM qi GROUP BY 1
+        |)
+        |SELECT m.doc_id, 512::BIGINT AS n_samples,
+        |  coalesce(agg.n_quiet, 0)::BIGINT AS n_quiet,
+        |  coalesce(agg.n_runs, 0)::BIGINT AS n_runs,
+        |  coalesce(agg.longest_run, 0)::BIGINT AS longest_run,
+        |  edges.lead_quiet, edges.tail_quiet
+        |FROM m
+        |LEFT JOIN agg ON agg.doc_id = m.doc_id
+        |JOIN edges ON edges.doc_id = m.doc_id""".stripMargin,
     // full 256-pixel plane in char arithmetic; bins by gray >> 6
     "mm_gray_hist" ->
       """WITH px AS (

@@ -528,4 +528,47 @@ object Scale {
         sum(col("__yspan")).as("sum_day_span"))
       .orderBy(col("layout"))
   }
+
+  /** Sampling-based profile accuracy readout — the question a 100 TB
+    * table forces before every stats job: can a deterministic 1-in-`rate`
+    * hash sample stand in for the full scan? Per event type, the EXACT
+    * row count and e4 cent mean beside the sample's scaled-up estimates,
+    * with the errors in e4 (`n_err_e4` relative on count, `mean_err_e4`
+    * absolute on the mean). The sample membership is a pure hash
+    * predicate (`hash60("smp:"+event_id) % rate = 0`) — reproducible by
+    * any engine, no RNG, and at 100 TB it pushes into the scan as a
+    * cheap filter, so the "estimate" column really does cost ~1/rate of
+    * the exact one. A type whose sample is EMPTY keeps its row with null
+    * estimates — the readout that says "this stratum needs a bigger
+    * rate", which is precisely what the query exists to surface.
+    *
+    * Scale: ONE map-side-combined aggregate computes both arms
+    * (conditional sums — no join, no second scan); output is
+    * |event_type| rows.
+    */
+  def sampleAccuracy(events: DataFrame, rate: Int = 100): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val inSample =
+      pmod(graft.Cols.hash60(concat(lit("smp:"), col("event_id"))), lit(rate.toLong)) === 0
+    val g = events
+      .select(col("event_type"), cents.as("__c"),
+        inSample.cast("long").as("__s"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__c")).as("__sc"),
+        sum(col("__s")).as("__ns"),
+        sum(col("__s") * col("__c")).as("__scs"))
+    val meanE4 = graft.Cols.floorDiv(col("__sc") * 10000L, col("n"))
+    val sMeanE4 = graft.Cols.floorDiv(col("__scs") * 10000L, col("__ns"))
+    g.select(
+      col("event_type"), col("n"), meanE4.as("mean_e4"),
+      col("__ns").as("n_sampled"),
+      when(col("__ns") > 0, col("__ns") * rate).as("est_n"),
+      when(col("__ns") > 0, sMeanE4).as("sample_mean_e4"),
+      when(col("__ns") > 0,
+        graft.Cols.floorDiv(
+          abs(col("__ns") * rate - col("n")) * 10000L, col("n"))).as("n_err_e4"),
+      when(col("__ns") > 0, abs(sMeanE4 - meanE4)).as("mean_err_e4"))
+  }
 }

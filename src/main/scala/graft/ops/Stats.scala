@@ -518,6 +518,137 @@ object Stats {
           - (col("mean0_post_e4") - col("mean0_pre_e4")))
   }
 
+  /** Poisson(1) bootstrap CDF thresholds `⌊P(X ≤ k)·2⁶⁰⌋` for k = 0..6,
+    * declared once so both engines draw the identical weight from a
+    * 60-bit hash: a row's replicate weight is the COUNT of thresholds at
+    * or below its hash (h < T₀ → 0, T₀ ≤ h < T₁ → 1, …, ≥ T₆ → 7; the
+    * truncated tail mass P(X ≥ 8) ≈ 10⁻⁵ lands on weight 7 identically
+    * in both engines).
+    */
+  val BootCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L)
+
+  /** Poisson-bootstrap confidence band per event type — the resampling
+    * method that actually runs at 100 TB: classical bootstrap needs n
+    * draws WITH replacement per replicate (a shuffle per replicate, or
+    * a global sort), while the Poisson approximation gives every row an
+    * independent Poisson(1) weight per replicate, so ALL `reps`
+    * replicates ride one scan. Weights are deterministic (60-bit hash of
+    * `boot:<event_id>:<replicate>` against [[BootCdf60]] — no RNG state,
+    * bit-identical in the oracle), replicate means are exact
+    * `⌊s·10⁴/n⌋` cent rationals, and the band is the nearest-rank
+    * 2.5 %/97.5 % order statistic, which at B = 32 is exactly the
+    * replicate min/max; `boot_var_e8` is the exact integer variance of
+    * the replicate means (decimal(38,0) moments — 32 squared e4 means
+    * overflow int64). Replicates with zero total weight are dropped
+    * (P ≈ e⁻ⁿ — only an effectively empty type can produce one; the
+    * `replicates` column makes any drop visible).
+    *
+    * Scale: one scan with a bounded ×`reps` explode feeding a map-side
+    * combined aggregate — shuffle traffic is |event_type|·reps rows, not
+    * |events|·reps; then a |event_type|-row join of two tiny aggregates.
+    * No per-replicate pass, no driver-side RNG, no collect.
+    */
+  def bootstrapCi(events: DataFrame, reps: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val cents = round(col("value") * 100).cast("long")
+    val point = events
+      .select(col("event_type"), cents.as("__c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__s"))
+      .select(col("event_type"), col("n"),
+        Cols.floorDiv(col("__s") * 10000L, col("n")).as("mean_e4"))
+    val h = Cols.hash60(
+      concat_ws(":", lit("boot"), col("event_id"), col("__b")))
+    val w = BootCdf60.map(t => (h >= t).cast("long")).reduce(_ + _)
+    val repMeans = events
+      .select(col("event_type"), col("event_id"), cents.as("__c"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .select(col("event_type"), col("__b"), col("__c"), w.as("__w"))
+      .groupBy(col("event_type"), col("__b"))
+      .agg(sum(col("__w")).as("__nb"),
+        sum(col("__w") * col("__c")).as("__sb"))
+      .filter(col("__nb") > 0)
+      .select(col("event_type"),
+        Cols.floorDiv(col("__sb") * 10000L, col("__nb")).as("__m"))
+    val boot = repMeans
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("replicates"),
+        min(col("__m")).as("boot_lo_e4"),
+        max(col("__m")).as("boot_hi_e4"),
+        sum(col("__m")).as("__sm"),
+        sum(d(col("__m")) * d(col("__m"))).as("__qm"))
+      .select(col("event_type"), col("replicates"),
+        col("boot_lo_e4"), col("boot_hi_e4"),
+        when(col("replicates") > 1,
+          Cols.floorDiv(
+            d(col("replicates")) * col("__qm") - d(col("__sm")) * d(col("__sm")),
+            d(col("replicates")) * d(col("replicates") - 1L)).cast("long"))
+          .as("boot_var_e8"))
+    point.join(boot, Seq("event_type"))
+  }
+
+  /** Population-stability-index drift screen per event type — the
+    * model-monitoring standard for "has this feature's distribution
+    * moved": the corpus calendar is cut at its in-plan midpoint (the
+    * [[didScreen]] cut), the REFERENCE half's cent-value range defines
+    * `bins` equal-width buckets (current-half outliers clamp into the
+    * edge buckets — the production convention, nothing is dropped), and
+    * `psi = Σ_bins (p − q)·ln(p/q)` over Laplace-smoothed shares
+    * `p = (n_bin + 1)/(n_half + bins)` (smoothing keeps every log finite
+    * on empty cells, which the zero-filled grid makes explicit). Each
+    * bin's term is rounded to e4 then summed — the [[graft.text.TextAnalysis.charEntropy]]
+    * quantize-then-sum discipline that keeps the one transcendental
+    * (`ln`) cross-engine stable. Flag above `alertE4` (0.2 — the
+    * conventional "significant shift" line).
+    *
+    * Scale: a 1-row midpoint broadcast, a |event_type|-row broadcast of
+    * the reference ranges, ONE map-side-combined count to the
+    * |event_type|·bins grid, and bounded ×bins grid fill — no window, no
+    * sort, no second scan of the raw events.
+    */
+  def psi(events: DataFrame, bins: Int = 10, alertE4: Long = 2000L): DataFrame = {
+    val mid = events.agg(
+      Cols.floorDiv(min(col("ts_ms")) + max(col("ts_ms")), lit(2L)).as("__mid"))
+    val base = events.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (col("ts_ms") > col("__mid")).cast("long").as("__cur"),
+        round(col("value") * 100).cast("long").as("__c"))
+    val range = base.filter(col("__cur") === 0)
+      .groupBy(col("event_type"))
+      .agg(min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+    val rawBin = Cols.floorDiv(
+      (col("__c") - col("__lo")) * bins, col("__hi") - col("__lo") + 1L)
+    val bin = least(greatest(rawBin, lit(0L)), lit((bins - 1).toLong))
+    val counts = base.join(broadcast(range), "event_type")
+      .select(col("event_type"), col("__cur"), bin.as("__bin"))
+      .groupBy(col("event_type"), col("__bin"))
+      .agg(
+        sum(when(col("__cur") === 0, 1L).otherwise(0L)).as("__nr"),
+        sum(when(col("__cur") === 1, 1L).otherwise(0L)).as("__nc"))
+    val grid = range.select(col("event_type"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__bin"))
+    val filled = grid.join(counts, Seq("event_type", "__bin"), "left")
+      .na.fill(0L, Seq("__nr", "__nc"))
+    val tot = filled.groupBy(col("event_type"))
+      .agg(sum(col("__nr")).as("n_ref"), sum(col("__nc")).as("n_cur"))
+    val p = (col("__nr").cast("double") + 1.0) /
+      (col("n_ref").cast("double") + bins)
+    val q = (col("__nc").cast("double") + 1.0) /
+      (col("n_cur").cast("double") + bins)
+    val term = round((p - q) * log(p / q) * 10000).cast("long")
+    filled.join(tot, "event_type")
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(sum(term).as("psi_e4"))
+      .withColumn("drift_flag",
+        when(col("psi_e4") > alertE4, 1L).otherwise(0L))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D between the deterministic hash
     * arms (the [[mannWhitney]]/[[welchScreen]] split), per event type —
     * the distribution-SHAPE member of the experimentation family:

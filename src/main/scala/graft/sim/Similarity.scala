@@ -146,6 +146,67 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Contrastive hard-negative mining — the training-data query a
+    * retrieval/embedding pipeline runs before every contrastive epoch:
+    * for each query, the `k` most-similar corpus vectors whose LABEL
+    * DIFFERS (the negatives the model currently confuses), served by the
+    * production two-stage sandwich: the code-only ADC index
+    * ([[adcTopK]]) returns an unfiltered `overfetch·k` shortlist, the
+    * label lookup prunes same-label rows, and exact quantized cosine
+    * re-ranks the survivors. A label-≠ predicate can never be an
+    * equi-join key (the [[filteredTopK]] pre-filter trick is
+    * unavailable), but it is also never selective — it keeps
+    * (1 − 1/|labels|) of any shortlist — so the overfetch path is the
+    * RIGHT production shape here, not a fallback. Each negative carries
+    * the query's exact same-label top-1 cosine (`pos_top1_cosine`, an
+    * equi-keyed join) and `harder_than_pos` = 1 when the negative
+    * outscores the best positive — the rows a triplet loss actually
+    * learns from; a query whose label has no other member keeps its
+    * negatives with a null anchor. All stages deterministic (integer
+    * ADC distances, e6 cosines, fixed ties) — fully oracled.
+    *
+    * Scale: code scan + two broadcast point-lookups bounded by
+    * |queries|·overfetch·k, one label-equi-keyed join for the anchor;
+    * the corpus is never broadcast and never pairwise-joined.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = TopK,
+                    overfetch: Int = 4): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val qrows = queryBatch(q)
+      .select(
+        col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+    val shortIds = adcTopK(embeddings, k = k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val negs = broadcast(shortIds)
+      .join(q.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("qv").as("n_qv"),
+        col("norm2").as("n_norm2")), "neighbor_id")
+      .join(broadcast(qrows), "query_id")
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("n_label").cast("long").as("neg_label"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"),
+          col("n_qv"), col("n_norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+    val posTop = q
+      .join(broadcast(qrows),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(max(Dedup.cosineQ(col("q_qv"), col("q_norm2"),
+        col("qv"), col("norm2"))).as("pos_top1_cosine"))
+    negs.join(posTop, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("rank"), col("neighbor_id"), col("neg_label"),
+        col("cosine"), col("pos_top1_cosine"),
+        when(col("pos_top1_cosine").isNotNull,
+          (col("cosine") >= col("pos_top1_cosine")).cast("long"))
+          .as("harder_than_pos"))
+  }
+
   /** Deterministic hyperplane component for (plane p, dimension i):
     * pseudo-random in [-1000, 1000] derived from md5 — reproducible in any
     * engine, no RNG state. DuckDB mirror:
@@ -1657,6 +1718,7 @@ object Similarity {
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     // label-scoped exact search + the post-filter recall penalty readout
     "ann_topk_filtered" -> ((s, d) => filteredTopK(Tables.embeddings(s, d))),
+    "emb_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "ann_topk_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "ann_range_lsh" -> ((s, d) => lshRangeSearch(s, Tables.embeddings(s, d))),
     "ann_recall_curve" -> ((s, d) => lshRecallCurve(s, Tables.embeddings(s, d))),
@@ -2929,6 +2991,71 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM rescored
          |) WHERE rank <= $TopK""".stripMargin,
+    // hard negatives: the ann_topk_rerank ADC shortlist CTEs at
+    // overfetch·k = 20, pruned to label <> query label, exact-cosine
+    // re-ranked; the positive anchor is the label-equality max cosine
+    "emb_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), cb AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.vec_id, cb.cid, r.j,
+         |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+         |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+         |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+         |), codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), adc AS (
+         |  SELECT vec_id AS query_id, cid, j, dist AS d2 FROM d
+         |  WHERE vec_id % $QueryStride = 0
+         |), s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.d2)::BIGINT AS adc_d2
+         |  FROM codes c JOIN adc a ON a.j = c.j AND a.cid = c.code
+         |  WHERE c.vec_id <> a.query_id
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+         |    FROM s
+         |  ) WHERE rank <= 20
+         |), rescored AS (
+         |  SELECT sh.query_id, sh.neighbor_id, nn.label AS neg_label,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM short sh
+         |  JOIN n qq ON qq.vec_id = sh.query_id
+         |  JOIN n nn ON nn.vec_id = sh.neighbor_id
+         |  WHERE nn.label <> qq.label
+         |), negs AS (
+         |  SELECT query_id, rank, neighbor_id, neg_label::BIGINT AS neg_label, cosine FROM (
+         |    SELECT query_id, neighbor_id, neg_label, cosine,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM rescored
+         |  ) WHERE rank <= $TopK
+         |), pos AS (
+         |  SELECT qq.vec_id AS query_id,
+         |    max(round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6)) AS pos_top1_cosine
+         |  FROM n qq JOIN n c ON c.label = qq.label AND c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |  GROUP BY 1
+         |)
+         |SELECT negs.query_id, negs.rank, negs.neighbor_id, negs.neg_label,
+         |  negs.cosine, pos.pos_top1_cosine,
+         |  (CASE WHEN pos.pos_top1_cosine IS NULL THEN NULL
+         |        WHEN negs.cosine >= pos.pos_top1_cosine THEN 1 ELSE 0 END)::BIGINT AS harder_than_pos
+         |FROM negs LEFT JOIN pos USING (query_id)""".stripMargin,
     // filtered search: the exact arm is the label-equality join; the
     // post-filter arm rebuilds the ann_topk_rerank ADC shortlist CTEs
     // (rank <= overfetch·k = 20) and prunes by label; recall is a

@@ -775,6 +775,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 4L, 2L, 2L, 2L, 10000L)))
   }
 
+  test("localClustering: exact per-node triangle credit, deg-1 dropped") {
+    // triangle {1,2,3} + pendant 4 on 3 + isolated edge (5,6).
+    // cc(1) = cc(2) = 2·1/(2·1) = 1 → bucket 10; cc(3) = 2·1/(3·2) →
+    // 3333 e4 → bucket 3; degree-1 nodes (4, 5, 6) drop
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Analytics.localClustering(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (3L, 1L, 1L, 3L, 3333L),
+      (10L, 2L, 2L, 4L, 20000L)))
+  }
+
+  test("localClustering: a 4-clique is all bucket 10; a path is all zero") {
+    // K4: every node has deg 3 and sits on 3 triangles → cc = 1 exactly.
+    // Path 10-11-12: node 11 has deg 2, no triangle → cc 0, bucket 0
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)) ++ Seq((10L, 11L), (11L, 12L))
+    val got = Analytics.localClustering(k4.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // K4 has 4 triangles total, each node on C(3,2) = 3 of them → 12 credits
+    assert(got === List(
+      (0L, 1L, 0L, 2L, 0L),
+      (10L, 4L, 12L, 12L, 40000L)))
+  }
+
   test("linkPrediction: hub centers above maxDeg generate no candidates") {
     // star: center 0 joined to 1..5. Every leaf pair is distance 2
     // through the hub; capping the hub out (maxDeg < 5) must leave

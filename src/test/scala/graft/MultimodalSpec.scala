@@ -290,6 +290,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.zcrWav(wav(Seq.empty)) === ((0L, 0L, 0L)))
   }
 
+  test("silenceWav: run segmentation, lead/tail trims, degenerate clips") {
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    // zero-mean clip: c = 8·s, peak 8000, quiet = |s| < 100. Quiet runs:
+    // head {0,0}, middle {10,-10}, tail {0,0} → 3 runs, longest 2,
+    // lead 2, tail 2; six quiet samples total
+    val clip = Seq[Short](0, 0, 1000, 10, -10, -1000, 0, 0)
+    assert(Multimodal.Codecs.silenceWav(wav(clip)) ===
+      ((8L, 6L, 3L, 2L, 2L, 2L)))
+    // all-loud alternating wave: no quiet anywhere, zero trims
+    assert(Multimodal.Codecs.silenceWav(wav(Seq[Short](10, -10, 10, -10))) ===
+      ((4L, 0L, 0L, 0L, 0L, 0L)))
+    // constant clip: peak 0, the strict < keeps every sample LOUD (the
+    // zcrWav quiet convention) → no runs, no trims
+    assert(Multimodal.Codecs.silenceWav(wav(Seq[Short](5, 5, 5, 5))) ===
+      ((4L, 0L, 0L, 0L, 0L, 0L)))
+    // empty data chunk: all-zero report, no crash
+    assert(Multimodal.Codecs.silenceWav(wav(Seq.empty)) ===
+      ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("phash pipeline: duplicate texts cluster, distinct text stands alone") {
     val docs = Seq(
       (1L, "same words here all along the row"),

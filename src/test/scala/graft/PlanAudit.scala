@@ -67,6 +67,8 @@ object PlanAudit {
     "ev_freshness",
     // r9: the calendar midpoint is a 1-row min/max aggregate
     "ev_did",
+    // r9: the same 1-row calendar-midpoint broadcast (the did cut)
+    "ev_psi",
     // r9: the corpus max doc_id is a 1-row aggregate
     "txt_vocab_growth",
     // r6: exact-rank p99 joins the 1-row stats/target aggregates back in
@@ -83,6 +85,8 @@ object PlanAudit {
     "ann_topk_ivfpq",
     // ADC shortlist stage reuses the codebook broadcasts; rerank joins by id
     "ann_topk_rerank",
+    // r9: same ADC shortlist codebook broadcasts; negatives join by id
+    "emb_hard_negatives",
     // r8: same ADC shortlist stage, MaxSim second stage joins by id
     "ann_topk_maxsim_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
@@ -97,6 +101,9 @@ object PlanAudit {
     // r8: inherits coOccurrence's 1-row broadcast group total on the edge
     // input; the link-prediction stages themselves are all equi-joins
     "li_link_pred",
+    // r9: same inherited coOccurrence 1-row total; the orientation,
+    // wedge, and closing-edge stages are all equi-joins
+    "li_local_cc",
     // r6: 1-row broadcast of the base-run conversion probability
     "cs_markov_attribution",
     // r6: 1-row broadcast midpoint-day split + coOccurrence's total

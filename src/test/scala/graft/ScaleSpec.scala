@@ -366,4 +366,39 @@ class ScaleSpec extends SparkSpec {
       ("bydate", 4L, 16L, 12L, 0L),
       ("zorder", 4L, 16L, 4L, 4L)))
   }
+
+  test("sampleAccuracy: brute-force recomputation of both arms; empty sample stays null") {
+    // rate = 2 keeps the fixture sample non-trivial; replicate the hash
+    // membership row by row and recompute every column independently
+    val rows = (1 to 60).map(i => (i.toLong, "t", (i % 9).toDouble + 0.25)) ++
+      Seq((1000L, "solo", 4.0)) // a 1-row type: sample almost surely empty or full
+    val df = rows.toDF("event_id", "event_type", "value")
+    val member = df.select($"event_id",
+      (pmod(Cols.hash60(concat(lit("smp:"), $"event_id")), lit(2L)) === 0)
+        .as("s"))
+      .as[(Long, Boolean)].collect().toMap
+    val got = Scale.sampleAccuracy(df, rate = 2)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+
+    for (tpe <- Seq("t", "solo")) {
+      val grp = rows.filter(_._2 == tpe)
+      val cents = grp.map(r => r._1 -> math.round(r._3 * 100)).toMap
+      val n = grp.size.toLong
+      val meanE4 = Math.floorDiv(cents.values.sum * 10000L, n)
+      val smp = grp.filter(r => member(r._1))
+      val ns = smp.size.toLong
+      val r = got(tpe)
+      assert(r._2 === n && r._3 === meanE4 && r._4 === ns)
+      if (ns == 0) {
+        assert(r._5.isEmpty && r._6.isEmpty && r._7.isEmpty && r._8.isEmpty)
+      } else {
+        val sMean = Math.floorDiv(smp.map(x => cents(x._1)).sum * 10000L, ns)
+        assert(r._5 === Some(ns * 2))
+        assert(r._6 === Some(sMean))
+        assert(r._7 === Some(Math.floorDiv(math.abs(ns * 2 - n) * 10000L, n)))
+        assert(r._8 === Some(math.abs(sMean - meanE4)))
+      }
+    }
+  }
 }

@@ -575,4 +575,28 @@ class SimilaritySpec extends SparkSpec {
       (0L, 0L, 3L, 1L, 2L, 1L, 10000L),
       (50L, 1L, 1L, 1L, 5L, 0L, 0L)))
   }
+
+  test("hardNegatives: shortlist prunes to cross-label; anchor flags the confusable negative") {
+    // codebook = every vec (< 8), so the ADC shortlist ranks by exact L2.
+    // query 0 (label 0, no other label-0 vector): top-2 shortlist {2, 3}
+    // are both cross-label → best negative is vec 2 by cosine; the anchor
+    // is null (no positive exists). query 50 (label 1): shortlist {6, 5},
+    // the same-label vec 5 is pruned, and the surviving negative vec 6
+    // outscores the best positive (vec 5) → harder_than_pos = 1 — the
+    // triplet-loss row this mining query exists to surface.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (50L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(0.9f, 0.1f), 2),
+      (3L, Seq(0.8f, 0.2f), 1),
+      (5L, Seq(0.1f, 0.9f), 1),
+      (6L, Seq(0.05f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, k = 1, overfetch = 2)
+      .as[(Long, Long, Long, Long, Double, Option[Double], Option[Long])]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 2L, 2L, 0.993884, None, None),
+      (50L, 1L, 6L, 2L, 0.998752, Some(0.993884), Some(1L))))
+  }
 }

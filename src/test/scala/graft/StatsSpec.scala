@@ -453,4 +453,72 @@ class StatsSpec extends SparkSpec {
       (3L, 2L, 1L, 5000L),
       (8L, 1L, 0L, 0L)))
   }
+
+  test("bootstrapCi matches a brute-force replicate computation") {
+    // independent reference: draw the same hash weights row by row, then
+    // compute every replicate mean and the band/variance in BigInt —
+    // the operator's one-scan aggregate must agree exactly
+    val rows = (1 to 100).map { i =>
+      (i.toLong, "t", (i % 7).toDouble + (i % 3) * 0.5)
+    }
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Stats.bootstrapCi(df)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // (event_type, n, mean_e4, replicates, boot_lo_e4, boot_hi_e4, boot_var_e8)
+
+    val wOf = df.select($"event_id").distinct()
+      .crossJoin((0 until 32).toDF("b"))
+      .select($"event_id", $"b",
+        Stats.BootCdf60
+          .map(t => (Cols.hash60(
+            concat_ws(":", lit("boot"), $"event_id", $"b")) >= t).cast("long"))
+          .reduce(_ + _).as("w"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, b, w) => (id, b) -> w }.toMap
+    val cents = rows.map { case (id, _, v) => id -> math.round(v * 100) }.toMap
+    val ms = (0 until 32).flatMap { b =>
+      val nb = rows.map { case (id, _, _) => wOf((id, b)) }.sum
+      val sb = rows.map { case (id, _, _) => wOf((id, b)) * cents(id) }.sum
+      if (nb > 0) Some(Math.floorDiv(sb * 10000L, nb)) else None
+    }
+    val bCount = ms.size.toLong
+    val sm = ms.map(BigInt(_)).sum
+    val qm = ms.map(m => BigInt(m) * BigInt(m)).sum
+    val varE8 = ((BigInt(bCount) * qm - sm * sm) /
+      (BigInt(bCount) * BigInt(bCount - 1))).toLong
+    assert(got._2 === 100L)
+    assert(got._3 === Math.floorDiv(rows.map(r => cents(r._1)).sum * 10000L, 100L))
+    assert(got._4 === bCount)
+    assert(got._5 === ms.min)
+    assert(got._6 === ms.max)
+    assert(got._7 === varE8)
+    assert(got._5 <= got._3 && got._3 <= got._6,
+      "point estimate outside the bootstrap band")
+  }
+
+  test("psi: identical halves read zero; a shifted half clamps and flags") {
+    // mid = ⌊(0+100)/2⌋ = 50. Type "t": both halves are one event per
+    // cent value {0,100,…,900} — every bin has p = q, psi exactly 0.
+    // Type "s": same reference half, but the current half piles 10
+    // events on value 20.00 → clamps into the top bin; expected psi is
+    // recomputed here from the smoothed-share formula term by term.
+    val ref = (0 to 9).map(v => ("t", 0L, v.toDouble)) ++
+      (0 to 9).map(v => ("s", 0L, v.toDouble))
+    val cur = (0 to 9).map(v => ("t", 100L, v.toDouble)) ++
+      (1 to 10).map(_ => ("s", 100L, 20.0))
+    val got = Stats.psi((ref ++ cur).toDF("event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("t") === ("t", 10L, 10L, 0L, 0L))
+
+    def term(nr: Long, nc: Long): Long = {
+      val p = (nr + 1.0) / 20.0
+      val q = (nc + 1.0) / 20.0
+      BigDecimal((p - q) * math.log(p / q) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = (0 until 9).map(_ => term(1L, 0L)).sum + term(1L, 10L)
+    assert(got("s") === ("s", 10L, 10L, expected, 1L))
+    assert(expected > 2000L, "shifted half must cross the 0.2 alert line")
+  }
 }
