@@ -807,8 +807,18 @@ object Analytics {
         .distinct(),
       col("cust"), maxAssortment)
     val buyers = owned.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val commonBuyers = owned.select(col("cust"), col("item").as("item_a"))
-      .join(owned.select(col("cust"), col("item").as("item_b")), "cust")
+    // an item with fewer than minCommon buyers can never reach
+    // n_common ≥ minCommon with ANY partner, so it is pruned BEFORE the
+    // customer-grain pair fan-out — result-identical (the n_common
+    // filter below would drop every such pair anyway), but at catalog
+    // scale the long tail of rarely-bought items is most of the
+    // assortment mass, so this is the difference between fanning out
+    // Σ|assortment|² over the full catalog and over the frequently
+    // bought core. n_a/n_b still report the UNfiltered buyer counts.
+    val frequent = owned.join(
+      buyers.filter(col("n") >= minCommon).select(col("item")), "item")
+    val commonBuyers = frequent.select(col("cust"), col("item").as("item_a"))
+      .join(frequent.select(col("cust"), col("item").as("item_b")), "cust")
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_common"))
