@@ -725,6 +725,107 @@ object Dedup {
       .orderBy(col("theta_e4"))
   }
 
+  /** LSH band-GEOMETRY design table — the question [[lshPrCurve]] leaves
+    * open: the estimate threshold tunes the gate AFTER candidates exist,
+    * but (bands × rows-per-band) decides which pairs become candidates
+    * at all. For every split of the 16-permutation signature —
+    * (16×1), (8×2), (4×4), (2×8), (1×16) — the banding self-join runs
+    * for real and is scored against the exact df-capped shingle-Jaccard
+    * ground truth (the [[lshPrCurve]] truth): candidate volume (the
+    * index COST — each candidate is a verify-stage pair), tp/fp/fn,
+    * precision, recall. `threshold_e4` is the config's S-curve midpoint
+    * (1/b)^(1/r), declared as a literal in both engines (625, 3536,
+    * 7071, 9170, 10000) so no cross-engine pow. Read before committing
+    * to a band layout: wide-band configs (16×1) recall everything and
+    * drown in false candidates; tall ones (1×16) are near-exact-match.
+    *
+    * Buckets above `maxBucket` members are dropped WHOLE (the capGroups
+    * convention, mirrored in the oracle's QUALIFY): a bucket at that
+    * size carries no discriminative value and its |bucket|² pair fan-out
+    * is exactly what a production index refuses to enumerate.
+    *
+    * Scale: one cached signature table (16 longs/doc) feeds all five
+    * configs; the config fan-out is Σb = 31 bands per doc; every
+    * self-join is bucket-equi-keyed and cap-bounded; the truth table is
+    * df-capped posting joins; the final rollup is 5 rows against a
+    * 1-row broadcast truth count.
+    */
+  def lshBandDesign(
+      docs: DataFrame,
+      truthThetaE4: Long = 5000L,
+      maxShingleDf: Int = MaxShingleDf,
+      maxBucket: Int = 1000): DataFrame = {
+    import docs.sparkSession.implicits._
+    // (bands, rowsPerBand, s-curve midpoint e4 as a shared literal)
+    val configs = Seq((16, 1, 625L), (8, 2, 3536L), (4, 4, 7071L),
+      (2, 8, 9170L), (1, 16, 10000L))
+    val sigs = minhashSignatures(docs).cache()
+    val cand = configs.map { case (nb, r, thr) =>
+      val bands0 = sigs
+        .select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(nb - 1))).as("band"))
+        .select(col("doc_id"), col("band"),
+          md5(concat_ws(",",
+            slice(col("sig"), col("band") * r + 1, lit(r)).cast("array<string>")))
+            .as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      val bands = bands0
+        .withColumn("__bs", count(lit(1)).over(w))
+        .filter(col("__bs") <= maxBucket)
+        .drop("__bs")
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+        .distinct()
+        .select(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(thr).as("threshold_e4"), col("doc_id_1"), col("doc_id_2"))
+    }.reduce(_ unionAll _)
+    // exact ground truth: df-capped shingle Jaccard ≥ truthThetaE4
+    val sh0 = shingleRows(docs)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select(col("shingle"))
+    val sh = sh0.join(rare, "shingle")
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.as("ca"), col("doc_id_1") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_id_2") === col("cb.doc_id"))
+      .filter(Cols.floorDiv(col("n_common") * 10000L,
+        col("ca.n_shingles") + col("cb.n_shingles") - col("n_common")) >= truthThetaE4)
+      .select(col("doc_id_1"), col("doc_id_2"), lit(1L).as("__t"))
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("__nt")))
+    val cfgDf = configs
+      .map { case (nb, r, thr) => (nb.toLong, r.toLong, thr) }
+      .toDF("bands", "rows_per_band", "threshold_e4")
+    val perCfg = cand
+      .join(truth, Seq("doc_id_1", "doc_id_2"), "left")
+      .groupBy(col("bands"), col("rows_per_band"), col("threshold_e4"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("__t"), lit(0L))).as("tp"))
+    cfgDf
+      .join(perCfg, Seq("bands", "rows_per_band", "threshold_e4"), "left")
+      .na.fill(0L, Seq("n_candidates", "tp"))
+      .crossJoin(nTruth)
+      .select(
+        col("bands"), col("rows_per_band"), col("threshold_e4"),
+        col("n_candidates"), col("tp"),
+        (col("n_candidates") - col("tp")).as("fp"),
+        (col("__nt") - col("tp")).as("fn"),
+        when(col("n_candidates") > 0,
+          Cols.floorDiv(col("tp") * 10000L, col("n_candidates")))
+          .otherwise(lit(null).cast("long")).as("precision_e4"),
+        when(col("__nt") > 0,
+          Cols.floorDiv(col("tp") * 10000L, col("__nt")))
+          .otherwise(lit(null).cast("long")).as("recall_e4"))
+      .orderBy(col("bands").desc)
+  }
+
   /** Near-dup METHOD agreement matrix: the pairwise overlap of the pair
     * sets flagged by the three blocking families — MinHash LSH
     * (probabilistic sketch), SimHash Hamming ≤ 3 (exact pigeonhole), and
@@ -1221,6 +1322,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
     "dedup_lsh_pr_curve" -> ((s, d) => lshPrCurve(Tables.documents(s, d))),
+    "dedup_lsh_band_design" -> ((s, d) => lshBandDesign(Tables.documents(s, d))),
     "dedup_recall_harness" -> ((s, d) => recallHarness(Tables.documents(s, d))),
     "dedup_method_agreement" -> ((s, d) => methodAgreement(Tables.documents(s, d))),
     "dedup_ensemble" -> ((s, d) => ensembleImpact(Tables.documents(s, d))),
@@ -1680,6 +1782,76 @@ object Dedup {
          |    END)::BIGINT AS recall_e4
          |FROM th LEFT JOIN a USING (theta_e4)
          |ORDER BY theta_e4""".stripMargin,
+    // the pr_curve signature/truth CTEs, banding parametrized by the
+    // 5-row config table; oversized buckets dropped whole via QUALIFY
+    // (the capGroups convention); thresholds are shared literals
+    "dedup_lsh_band_design" ->
+      s"""$tokCte, h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), cfg AS (
+         |  SELECT * FROM (VALUES (16::BIGINT, 1::BIGINT, 625::BIGINT),
+         |    (8, 2, 3536), (4, 4, 7071), (2, 8, 9170), (1, 16, 10000))
+         |    t(bands, rows_per_band, threshold_e4)
+         |), bands AS (
+         |  SELECT cfg.bands, cfg.rows_per_band, sig.doc_id, bb.band,
+         |    md5(array_to_string(
+         |      sig.sig[(bb.band * cfg.rows_per_band + 1)::INT :
+         |              (bb.band * cfg.rows_per_band + cfg.rows_per_band)::INT], ',')) AS bucket
+         |  FROM sig
+         |  CROSS JOIN cfg
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, (cfg.bands - 1)::INT)) AS band) bb
+         |  QUALIFY count(*) OVER (PARTITION BY cfg.bands, cfg.rows_per_band, bb.band,
+         |    md5(array_to_string(
+         |      sig.sig[(bb.band * cfg.rows_per_band + 1)::INT :
+         |              (bb.band * cfg.rows_per_band + cfg.rows_per_band)::INT], ','))) <= 1000
+         |), cand AS (
+         |  SELECT DISTINCT a.bands, a.rows_per_band,
+         |    a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |  FROM bands a JOIN bands b
+         |    ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+         |    AND a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), rare AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS MATERIALIZED (
+         |  SELECT doc_id_1, doc_id_2
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_id_1
+         |  JOIN cnt cb ON cb.doc_id = doc_id_2
+         |  WHERE (n_common * 10000) // (ca.n_shingles + cb.n_shingles - n_common) >= 5000
+         |), nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+         |agg AS (
+         |  SELECT cand.bands, cand.rows_per_band,
+         |    count(*)::BIGINT AS n_candidates,
+         |    count(truth.doc_id_1)::BIGINT AS tp
+         |  FROM cand LEFT JOIN truth USING (doc_id_1, doc_id_2)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cfg.bands, cfg.rows_per_band, cfg.threshold_e4,
+         |  coalesce(agg.n_candidates, 0)::BIGINT AS n_candidates,
+         |  coalesce(agg.tp, 0)::BIGINT AS tp,
+         |  (coalesce(agg.n_candidates, 0) - coalesce(agg.tp, 0))::BIGINT AS fp,
+         |  (nt.n_truth - coalesce(agg.tp, 0))::BIGINT AS fn,
+         |  (CASE WHEN coalesce(agg.n_candidates, 0) > 0
+         |    THEN (coalesce(agg.tp, 0) * 10000) // agg.n_candidates END)::BIGINT
+         |    AS precision_e4,
+         |  (CASE WHEN nt.n_truth > 0
+         |    THEN (coalesce(agg.tp, 0) * 10000) // nt.n_truth END)::BIGINT AS recall_e4
+         |FROM cfg
+         |LEFT JOIN agg ON agg.bands = cfg.bands AND agg.rows_per_band = cfg.rows_per_band
+         |CROSS JOIN nt
+         |ORDER BY cfg.bands DESC""".stripMargin,
     // clone = last token dropped; LSH pair set rebuilt over the union
     "dedup_recall_harness" ->
       s"""WITH t0 AS (

@@ -519,6 +519,35 @@ class DedupSpec extends SparkSpec {
       ("intersection", 3L, 1L, 2L, 1L)))
   }
 
+  test("lshBandDesign: identical docs are candidates in every config; disjoint docs in none") {
+    // identical docs (1,2): equal signatures collide in every band of
+    // every (b, r) split → one candidate, one truth pair → P = R = 10000
+    // in all five configs. doc 3 is shingle-disjoint: its min-hashes
+    // can't equal theirs, so even the (16 × 1) single-hash bands stay
+    // clean on this fixture — n_candidates = 1 everywhere.
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated to anything else here now"
+    val got = Dedup.lshBandDesign(docs((1L, a), (2L, a), (3L, b)))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    val expected = List(
+      (16L, 1L, 625L), (8L, 2L, 3536L), (4L, 4L, 7071L),
+      (2L, 8L, 9170L), (1L, 16L, 10000L))
+      .map { case (nb, r, thr) =>
+        (nb, r, thr, 1L, 1L, 0L, 0L, Some(10000L), Some(10000L)) }
+    assert(got === expected)
+  }
+
+  test("lshBandDesign: empty input keeps all five config rows with null P/R") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.lshBandDesign(empty)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    assert(got.size === 5)
+    assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0L && r._7 == 0L
+      && r._8.isEmpty && r._9.isEmpty))
+  }
+
   test("lshPrCurve: empty input keeps every threshold row with null P/R") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val got = Dedup.lshPrCurve(empty)

@@ -91,6 +91,8 @@ object PlanAudit {
     "ann_topk_maxsim_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
     "dedup_threshold_sweep",
+    // r9: 1-row broadcast truth count scoring the 5-config band sweep
+    "dedup_lsh_band_design",
     // r6: |sources| × top-50 grid + 1-row total — same shape as the
     // chi2 queries; both sides bounded by construction
     "txt_source_chi2",
