@@ -297,6 +297,10 @@ object SparkEntry {
     // scaled sample count/mean per type, one conditional-sum aggregate
     "tbl_sample_accuracy" -> ((s, dir) =>
       graft.ops.Scale.sampleAccuracy(Tables.events(s, dir))),
+    // how weekly is each metric: day-of-week variance share (exact-
+    // integer eta-squared) + peak/trough weekdays with e4 means
+    "ev_seasonality_strength" -> ((s, dir) =>
+      graft.ops.Stats.seasonalityStrength(Tables.events(s, dir))),
     // discrete-time customer-churn hazard life table with explicit right
     // censoring (1-year repurchase horizon over the order calendar) —
     // the survival-analysis readout
@@ -2356,6 +2360,51 @@ object SparkEntry {
         |        - ((sc * 10000 - ((((sc * 10000) % n) + n) % n)) // n)) END)::BIGINT
         |    AS mean_err_e4
         |FROM g""".stripMargin,
+    // daily grain -> dow rollup; SS identities in HUGEINT; the one
+    // per-group division quantized e6 then summed; numerator clamped
+    // at 0 so // stays positive-floor in both engines
+    "ev_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT event_type, day % 7 AS dow,
+        |    count(*)::BIGINT AS ng, sum(x)::BIGINT AS sg
+        |  FROM daily GROUP BY 1, 2
+        |), pm AS (
+        |  SELECT event_type, dow, ng, sg,
+        |    ((sg * 10000) // ng)::BIGINT AS mean_e4
+        |  FROM per
+        |), pk AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rp = 1 THEN dow END)::BIGINT AS peak_dow,
+        |    max(CASE WHEN rp = 1 THEN mean_e4 END)::BIGINT AS peak_mean_e4,
+        |    max(CASE WHEN rt = 1 THEN dow END)::BIGINT AS trough_dow,
+        |    max(CASE WHEN rt = 1 THEN mean_e4 END)::BIGINT AS trough_mean_e4
+        |  FROM (
+        |    SELECT *,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY mean_e4 DESC, dow) AS rp,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY mean_e4, dow) AS rt
+        |    FROM pm) GROUP BY 1
+        |), mom AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days, sum(x)::BIGINT AS s,
+        |    sum(x::HUGEINT * x) AS q
+        |  FROM daily GROUP BY 1
+        |), gt AS (
+        |  SELECT event_type,
+        |    sum((sg::HUGEINT * sg * 1000000) // ng) AS a
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT mom.event_type, mom.n_days,
+        |  (CASE WHEN (mom.n_days::HUGEINT * mom.q - mom.s::HUGEINT * mom.s) > 0 THEN
+        |    (greatest(gt.a * mom.n_days - mom.s::HUGEINT * mom.s * 1000000, 0) * 10000)
+        |      // ((mom.n_days::HUGEINT * mom.q - mom.s::HUGEINT * mom.s) * 1000000)
+        |  END)::BIGINT AS eta2_e4,
+        |  pk.peak_dow, pk.peak_mean_e4, pk.trough_dow, pk.trough_mean_e4
+        |FROM mom
+        |JOIN gt USING (event_type)
+        |JOIN pk USING (event_type)""".stripMargin,
     // the did midpoint cut; reference-half min/max bins with edge
     // clamping; Laplace-smoothed shares; per-bin (p-q)·ln(p/q) rounded
     // to e4 then summed — the charEntropy quantize-then-sum discipline

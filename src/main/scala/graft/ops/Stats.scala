@@ -649,6 +649,71 @@ object Stats {
         when(col("psi_e4") > alertE4, 1L).otherwise(0L))
   }
 
+  /** Seasonality-STRENGTH readout per event type — one number for "how
+    * weekly is this metric": the share of daily-count variance explained
+    * by day-of-week means, `η² = SS_between / SS_total` over the daily
+    * series, in e4. Uses the computational identities
+    * `SS_t·N = N·Σx² − S²` and `SS_b·N = N·Σ_g S_g²/n_g − S²`; the one
+    * per-group division is quantized once (`⌊S_g²·10⁶/n_g⌋`,
+    * quantize-then-sum) and everything else is exact decimal(38,0).
+    * Alongside it the peak and trough weekdays with their exact e4 mean
+    * daily counts (ties: higher mean, then smaller weekday — pinned).
+    * [[graft.ops.TimeSeries.seasonalResiduals]] flags individual
+    * anomalous days; this grades whether the weekly model is worth
+    * fitting at all (η² near 0 → `ev_chi2_hour`-style profiles are
+    * noise; near 1 → gap-fill and forecasts MUST be dow-aware).
+    *
+    * Scale: one aggregate to the (type, day) grain — bounded by the
+    * calendar, not the row count — then a ≤ 7-row-per-type rollup;
+    * windows only over the 7-row weekday grid.
+    */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val daily = events
+      .groupBy(col("event_type"),
+        Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("__day"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__dow", pmod(col("__day"), lit(7L)))
+    val perDow = daily.groupBy(col("event_type"), col("__dow"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"))
+      .withColumn("__mean_e4", Cols.floorDiv(col("__sg") * 10000L, col("__ng")))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(col("__mean_e4").desc, col("__dow"))
+    val wTrough = Window.partitionBy(col("event_type"))
+      .orderBy(col("__mean_e4"), col("__dow"))
+    val peaks = perDow
+      .withColumn("__rp", row_number().over(wPeak))
+      .withColumn("__rt", row_number().over(wTrough))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("__rp") === 1, col("__dow"))).as("peak_dow"),
+        max(when(col("__rp") === 1, col("__mean_e4"))).as("peak_mean_e4"),
+        max(when(col("__rt") === 1, col("__dow"))).as("trough_dow"),
+        max(when(col("__rt") === 1, col("__mean_e4"))).as("trough_mean_e4"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("__s"),
+        sum(d(col("__x")) * d(col("__x"))).as("__q"))
+    val groupTerm = perDow.groupBy(col("event_type"))
+      .agg(sum(Cols.floorDiv(
+        d(col("__sg")) * d(col("__sg")) * d(lit(1000000L)), d(col("__ng"))))
+        .as("__a"))
+    val num = col("__a") * d(col("n_days")) - d(col("__s")) * d(col("__s")) * d(lit(1000000L))
+    val den = (d(col("n_days")) * col("__q") - d(col("__s")) * d(col("__s"))) * d(lit(1000000L))
+    moments.join(groupTerm, "event_type").join(peaks, "event_type")
+      .select(
+        col("event_type"), col("n_days"),
+        // the quantized group term can undershoot by < 1 per group, so a
+        // truly flat series may go fractionally negative; clamping the
+        // NUMERATOR keeps the division positive (plain floor in any
+        // engine — no negative-// mirror hazard)
+        when(den > 0,
+          Cols.floorDiv(greatest(num, d(lit(0L))) * d(lit(10000L)), den)
+            .cast("long")).as("eta2_e4"),
+        col("peak_dow"), col("peak_mean_e4"),
+        col("trough_dow"), col("trough_mean_e4"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D between the deterministic hash
     * arms (the [[mannWhitney]]/[[welchScreen]] split), per event type —
     * the distribution-SHAPE member of the experimentation family:

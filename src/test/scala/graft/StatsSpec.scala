@@ -454,6 +454,31 @@ class StatsSpec extends SparkSpec {
       (8L, 1L, 0L, 0L)))
   }
 
+  test("seasonalityStrength: pure weekly pattern reads 10000; mixed reads the exact ratio") {
+    val DayMs = 86400000L
+    // "t": two weeks, dow-0 days carry 3 events, every other day 1 —
+    // within every dow group the daily counts are constant, so ALL
+    // variance is between-dow: eta2 = 10000 exactly. peak dow 0 (mean
+    // 3.0), trough ties at mean 1.0 -> smallest dow = 1.
+    val t = (0 until 14).flatMap { day =>
+      val n = if (day % 7 == 0) 3 else 1
+      Seq.fill(n)(("t", day * DayMs))
+    }
+    // "u": day 0 has 1 event, day 7 has 3, every other day 1. By the SS
+    // identities: N=14, S=16, Σx²=22 → den=(14·22−256)·10⁶; group term
+    // A = ⌊16·10⁶/2⌋ + 6·⌊4·10⁶/2⌋ = 20·10⁶ → num = 24·10⁶ →
+    // eta2 = ⌊24·10⁴/52⌋ = 4615
+    val u = (0 until 14).flatMap { day =>
+      val n = if (day == 7) 3 else 1
+      Seq.fill(n)(("u", day * DayMs))
+    }
+    val got = Stats.seasonalityStrength((t ++ u).toDF("event_type", "ts_ms"))
+      .as[(String, Long, Option[Long], Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("t") === ("t", 14L, Some(10000L), 0L, 30000L, 1L, 10000L))
+    assert(got("u") === ("u", 14L, Some(4615L), 0L, 20000L, 1L, 10000L))
+  }
+
   test("bootstrapCi matches a brute-force replicate computation") {
     // independent reference: draw the same hash weights row by row, then
     // compute every replicate mean and the band/variance in BigInt —
