@@ -803,6 +803,76 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
 
+  /** Token-pair merge separator — U+2581 (the sentencepiece convention);
+    * raw tokens never contain it, so merged tokens are unambiguous
+    * across rounds.
+    */
+  private[text] val MergeSep = "▁"
+
+  /** BPE merge TRAINING loop at word-token grain — the actual iterative
+    * algorithm, not a one-pass pair count ([[bpePairs]] is the char-
+    * bigram screen): `rounds` unrolled iterations of count-all-adjacent-
+    * pairs → pick the global top pair (count desc, then lexicographic —
+    * pinned) → greedily merge its non-overlapping occurrences left to
+    * right in every document. Returns the learned merge table: one row
+    * per round with the merged pair, its pre-merge adjacency count, and
+    * the corpus token count after the merge (the compression curve a
+    * tokenizer build watches). Later rounds can and do pick pairs
+    * containing earlier merges — the defining BPE behavior.
+    *
+    * The greedy left-to-right merge is a per-document `aggregate` fold:
+    * merge at position i iff (tᵢ₋₁, tᵢ) = (a, b) and position i−1 was
+    * not itself consumed — for a = b runs this is exactly odd-rank-in-
+    * run parity, which is how the oracle mirrors it (gaps-and-islands +
+    * rank parity; the fold and the parity formulation are provably the
+    * same recurrence).
+    *
+    * Scale: each round is one map-side-combined pair count, a 1-row
+    * TakeOrdered top pair (broadcast), and a MAP-ONLY remerge fold — no
+    * shuffle touches the token arrays; rounds are localCheckpointed (the
+    * [[graft.ops.Analytics.kCore]] lineage discipline) so round r+1
+    * never recomputes rounds 1..r. The fold rebuilds each doc's array
+    * (O(tokens²) element copies per doc) — bounded here by the corpus's
+    * short docs; for book-length inputs compose with [[chunk]] first,
+    * which is how production BPE trainers bound merge-window cost
+    * anyway.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    var toks = docs
+      .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val mergeExpr =
+      "aggregate(toks, cast(array() as array<string>), (acc, x) -> " +
+        "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b " +
+        s"THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, '$MergeSep', b))) " +
+        "ELSE concat(acc, array(x)) END)"
+    val roundRows = (1 to rounds).map { r =>
+      val pairs = toks
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      val next = toks.crossJoin(broadcast(top))
+        .select(col("doc_id"), expr(mergeExpr).as("toks"))
+        .localCheckpoint()
+      val nAfter = next.agg(sum(size(col("toks"))).as("__na")).localCheckpoint()
+      graft.LocalCheckpoints.free(toks)
+      toks = next
+      top.crossJoin(broadcast(nAfter)).select(
+        lit(r.toLong).as("round"),
+        col("a").as("lhs"), col("b").as("rhs"),
+        col("cnt").as("pair_count"),
+        col("__na").as("n_tokens_after"))
+    }
+    graft.LocalCheckpoints.free(toks)
+    roundRows.reduce(_ unionAll _)
+  }
+
   /** Hashing-trick featurizer: each document as a sparse bag-of-words
     * vector in a fixed `dim`-bucket space — (doc_id, bucket, count)
     * posting rows, bucket = hash60(token) mod dim. No vocabulary table,
@@ -1679,6 +1749,7 @@ object TextAnalysis {
     "txt_quota_alloc" -> ((s, d) => quotaAlloc(Tables.documents(s, d))),
     // BPE tokenizer-training counting step: top char pairs
     "txt_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "txt_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     // hashing-trick sparse featurizer, 64 buckets on the fixtures
     "txt_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d), dim = 64)),
     // within-doc repeated-span removal (the cross-doc twin is hot_passages);
@@ -1741,6 +1812,51 @@ object TextAnalysis {
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Shared DuckDB normalization/token CTE (mirrors Cols.normalizeText/tokens). */
+  /** One generated DuckDB merge-round layer for the [[bpeMerges]] oracle:
+    * pair counts → top-1 → position marks → island parity → rebuilt
+    * token lists (MATERIALIZED — each layer is consumed by two readers).
+    */
+  private def bpeRoundCte(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s""", p$i AS (
+       |  SELECT pr['a'] AS a, pr['b'] AS b, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest([{'a': toks[j], 'b': toks[j + 1]}
+       |                       for j in generate_series(1, len(toks) - 1)]) AS pr
+       |        FROM $prev)
+       |  GROUP BY 1, 2
+       |), top$i AS (
+       |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+       |), pos$i AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, unnest(toks) AS tok
+       |  FROM $prev
+       |), mk$i AS (
+       |  SELECT doc_id, p, tok,
+       |    CASE WHEN tok = (SELECT a FROM top$i)
+       |          AND lead(tok) OVER (PARTITION BY doc_id ORDER BY p) = (SELECT b FROM top$i)
+       |         THEN 1 ELSE 0 END AS marked
+       |  FROM pos$i
+       |), mg$i AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM mk$i WHERE marked = 1
+       |), mrg$i AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id, grp ORDER BY p) AS rn
+       |    FROM mg$i) WHERE rn % 2 = 1
+       |), t$i AS MATERIALIZED (
+       |  SELECT doc_id, list(newtok ORDER BY p) AS toks FROM (
+       |    SELECT k.doc_id, k.p,
+       |      CASE WHEN m.p IS NOT NULL
+       |           THEN (SELECT a FROM top$i) || '$MergeSep' || (SELECT b FROM top$i)
+       |           ELSE k.tok END AS newtok
+       |    FROM mk$i k
+       |    LEFT JOIN mrg$i m ON m.doc_id = k.doc_id AND m.p = k.p
+       |    LEFT JOIN mrg$i q ON q.doc_id = k.doc_id AND q.p = k.p - 1
+       |    WHERE q.p IS NULL
+       |  ) GROUP BY doc_id
+       |), n$i AS (SELECT sum(len(toks))::BIGINT AS n_after FROM t$i)""".stripMargin
+  }
+
   private val tokCte =
     """WITH t AS (
       |  SELECT doc_id, lang,
@@ -2097,6 +2213,25 @@ object TextAnalysis {
         |)
         |SELECT pair, count(*)::BIGINT AS n_occurrences FROM p GROUP BY 1
         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    // three generated merge-round layers; the greedy left-to-right merge
+    // is gaps-and-islands + odd-rank parity (same recurrence as the
+    // Spark fold — consecutive marks only occur when lhs = rhs)
+    "txt_bpe_merges" ->
+      ("""WITH t0 AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)""".stripMargin
+        + (1 to 3).map(bpeRoundCte).mkString
+        + "\n" +
+        """SELECT * FROM (
+        |  SELECT 1::BIGINT AS round, a AS lhs, b AS rhs, cnt AS pair_count,
+        |    (SELECT n_after FROM n1) AS n_tokens_after FROM top1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, a, b, cnt, (SELECT n_after FROM n2) FROM top2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, a, b, cnt, (SELECT n_after FROM n3) FROM top3
+        |) ORDER BY round""".stripMargin),
     "txt_feature_hashing" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -71,6 +71,9 @@ object PlanAudit {
     "ev_psi",
     // r9: the corpus max doc_id is a 1-row aggregate
     "txt_vocab_growth",
+    // r9: per round, the 1-row top-pair and 1-row post-merge-count
+    // broadcasts (both TakeOrdered/aggregate outputs)
+    "txt_bpe_merges",
     // r6: exact-rank p99 joins the 1-row stats/target aggregates back in
     "ev_key_skew",
     // |labels|-row broadcast (bounded by label cardinality, not data size)

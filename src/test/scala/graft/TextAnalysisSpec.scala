@@ -228,6 +228,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === List(("ab", 3L), ("ba", 1L)))
   }
 
+  test("bpeMerges: three rounds learn chained merges with exact counts") {
+    // round 1: (a,b) dominates with count 3 → docs become
+    //   [a▁b, a▁b, c] and [a▁b, c, c, c] (10 → 7 tokens).
+    // round 2: (a▁b,c) and (c,c) tie at 2; lexicographic pins (a▁b,c) →
+    //   [a▁b, a▁b▁c] and [a▁b▁c, c, c] (5 tokens).
+    // round 3: all pairs count 1; smallest lhs wins → (a▁b, a▁b▁c) →
+    //   doc 1 collapses to one token (4 total). Chained merges across
+    //   rounds are the defining BPE behavior this pins.
+    val d = docs((1L, "a b a b c"), (2L, "a b c c c"))
+    val got = TextAnalysis.bpeMerges(d)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "a", "b", 3L, 7L),
+      (2L, "a▁b", "c", 2L, 5L),
+      (3L, "a▁b", "a▁b▁c", 1L, 4L)))
+  }
+
+  test("bpeMerges: an equal-token run merges greedily left to right (odd parity)") {
+    // "x x x x x": round 1 marks every adjacent (x,x) pair; the greedy
+    // fold merges positions 1 and 3 only → [x▁x, x▁x, x]
+    val got = TextAnalysis.bpeMerges(docs((1L, "x x x x x")))
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "x", "x", 4L, 3L),
+      (2L, "x▁x", "x", 1L, 2L),
+      (3L, "x▁x", "x▁x▁x", 1L, 1L)))
+  }
+
+  test("bpeMerges: empty corpus yields no merge rows") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.bpeMerges(empty).count() === 0L)
+  }
+
   test("feature hashing: bucket counts are deterministic and bounded by dim") {
     val docs = Seq((1L, "w1 w2 w1"), (2L, "w2")).toDF("doc_id", "text")
     val got = graft.text.TextAnalysis.featureHashing(docs, dim = 8)
