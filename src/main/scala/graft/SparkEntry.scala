@@ -898,6 +898,16 @@ object SparkEntry {
       graft.ops.Analytics.labelPropIterate(
         pairs, graft.ops.Analytics.labelPropStep(pairs))
     }),
+    // Newman modularity of the li_label_prop2 partition — exact-integer
+    // Q·4m² numerators, one decimal floor; the ship/iterate gate on LPA
+    "li_modularity" -> ((s, dir) => {
+      val pairs = graft.ops.Analytics.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.ops.Analytics.modularity(
+        pairs,
+        graft.ops.Analytics.labelPropIterate(
+          pairs, graft.ops.Analytics.labelPropStep(pairs)))
+    }),
     // Count-Min sketch heavy hitters: exact vs estimate overcount
     // diagnostic over a deterministic md5-row sketch
     "ev_countmin_est" -> ((s, dir) =>
@@ -3846,6 +3856,69 @@ object SparkEntry {
         |  FROM sym s JOIN l1 l ON l.item = s.nbr
         |  GROUP BY s.item, l.label) t
         |WHERE rn = 1""".stripMargin,
+    // the label_prop2 CTEs produce the partition; Q cleared to integer
+    // numerators 4mL_c − D_c² per community, one remainder-corrected
+    // floor at the end (Σ can be negative on a bad partition)
+    "li_modularity" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |p AS MATERIALIZED (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS nbr, n_ab FROM p
+        |  UNION ALL SELECT item_b, item_a, n_ab FROM p
+        |), l1 AS (
+        |  SELECT item, nbr AS label FROM (
+        |    SELECT item, nbr,
+        |      row_number() OVER (PARTITION BY item ORDER BY n_ab DESC, nbr) AS rn
+        |    FROM sym) t
+        |  WHERE rn = 1
+        |), lab AS MATERIALIZED (
+        |  SELECT item, label FROM (
+        |    SELECT s.item, l.label,
+        |      row_number() OVER (
+        |        PARTITION BY s.item ORDER BY sum(s.n_ab) DESC, l.label) AS rn
+        |    FROM sym s JOIN l1 l ON l.item = s.nbr
+        |    GROUP BY s.item, l.label) t
+        |  WHERE rn = 1
+        |), m AS (SELECT count(*)::BIGINT AS m FROM p),
+        |deg AS (
+        |  SELECT item, count(*)::BIGINT AS d FROM (
+        |    SELECT item_a AS item FROM p UNION ALL SELECT item_b FROM p) u
+        |  GROUP BY 1
+        |), within AS (
+        |  SELECT la.label, count(*)::BIGINT AS lc
+        |  FROM p
+        |  JOIN lab la ON la.item = p.item_a
+        |  JOIN lab lb ON lb.item = p.item_b
+        |  WHERE la.label = lb.label
+        |  GROUP BY 1
+        |), pc0 AS (
+        |  SELECT lab.label, sum(deg.d)::BIGINT AS dc, count(*)::BIGINT AS nc
+        |  FROM deg JOIN lab USING (item)
+        |  GROUP BY 1
+        |), pc AS (
+        |  SELECT pc0.label, pc0.dc, pc0.nc, coalesce(within.lc, 0)::BIGINT AS lc
+        |  FROM pc0 LEFT JOIN within USING (label)
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_communities,
+        |    sum(4::HUGEINT * m.m * pc.lc - pc.dc::HUGEINT * pc.dc) AS sn,
+        |    max(pc.nc)::BIGINT AS largest_community
+        |  FROM pc CROSS JOIN m
+        |)
+        |SELECT agg.n_communities,
+        |  (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  m.m AS n_edges,
+        |  (CASE WHEN m.m > 0 THEN
+        |    (sn * 1000000 - (((sn * 1000000) % (4::HUGEINT * m.m * m.m)
+        |       + 4::HUGEINT * m.m * m.m) % (4::HUGEINT * m.m * m.m)))
+        |      // (4::HUGEINT * m.m * m.m)
+        |  END)::BIGINT AS q_e6,
+        |  agg.largest_community
+        |FROM agg CROSS JOIN m""".stripMargin,
     // deterministic md5 hash rows make the CM sketch fully oracled;
     // estimate = min over the key's depth cells
     "ev_countmin_est" ->

@@ -900,6 +900,61 @@ object Analytics {
       .select(col("item"), col("label"), col("label_weight"))
   }
 
+  /** Newman modularity of a node partition over an undirected edge
+    * table — the one-number GRADE of a community assignment (here the
+    * [[labelPropStep]]∘[[labelPropIterate]] labels the registry already
+    * computes): `Q = Σ_c [L_c/m − (D_c/2m)²]`, where L_c counts
+    * within-community edges and D_c sums member degrees. Clearing
+    * denominators makes it exact: `Q·4m² = Σ_c (4·m·L_c − D_c²)` — one
+    * integer numerator per community, one decimal(38,0) floor at the
+    * end (`q_e6`). Q ≈ 0 means the labels explain nothing beyond random
+    * wiring (stop trusting the communities); Q ≳ 0.3 is real structure
+    * — the readout that decides whether to run LPA another round or
+    * ship the labels. Unweighted, matching [[triangleStats]]'s and
+    * [[assortativity]]'s treatment of the same basket edges.
+    *
+    * Scale: two label lookups joined by node id onto the edge list, a
+    * |communities|-row rollup, and 1-row broadcast totals; nothing
+    * exceeds the edge table itself.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val e = pairs.select(col("item_a"), col("item_b"))
+    val m = broadcast(e.agg(count(lit(1)).as("__m")))
+    val deg = e.select(col("item_a").as("item"))
+      .union(e.select(col("item_b").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("__d"))
+    val lab = labels.select(col("item"), col("label"))
+    val within = e
+      .join(lab.select(col("item").as("item_a"), col("label").as("__la")), "item_a")
+      .join(lab.select(col("item").as("item_b"), col("label").as("__lb")), "item_b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__lc"))
+    val perComm = deg.join(lab, "item")
+      .groupBy(col("label"))
+      .agg(sum(col("__d")).as("__dc"), count(lit(1)).as("__nc"))
+      .join(within, Seq("label"), "left")
+      .na.fill(0L, Seq("__lc"))
+    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    perComm.crossJoin(m)
+      .select(
+        (d(lit(4L)) * d(col("__m")) * d(col("__lc"))
+          - d(col("__dc")) * d(col("__dc"))).as("__num"),
+        col("__nc"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("__num")).as("__sn"),
+        max(col("__nc")).as("largest_community"))
+      .crossJoin(m).crossJoin(nNodes)
+      .select(
+        col("n_communities"), col("n_nodes"), col("__m").as("n_edges"),
+        when(col("__m") > 0,
+          Cols.floorDiv(col("__sn") * d(lit(1000000L)),
+            d(lit(4L)) * d(col("__m")) * d(col("__m"))).cast("long")).as("q_e6"),
+        col("largest_community"))
+  }
+
   /** Fixed-iteration weighted PageRank in EXACT INTEGER e9 arithmetic —
     * graph centrality as a deterministic dataflow: every step is a
     * floor-divided integer, so any engine (and any aggregation order)

@@ -775,6 +775,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 4L, 2L, 2L, 2L, 10000L)))
   }
 
+  test("modularity: two triangles with one bridge score the textbook 70/196") {
+    // communities {1,2,3} and {4,5,6}, bridge (3,4): m = 7,
+    // L_c = 3 each, D_c = 7 each → Q·4m² = 2·(4·7·3 − 49) = 70 →
+    // q_e6 = ⌊70·10⁶/196⌋ = 357142
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).map { case (a, b) => (a, b, 1L) }
+      .toDF("item_a", "item_b", "n_ab")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("item", "label")
+    val got = Analytics.modularity(pairs, labels)
+      .as[(Long, Long, Long, Option[Long], Long)].collect().head
+    assert(got === ((2L, 6L, 7L, Some(357142L), 3L)))
+  }
+
+  test("modularity: everything in one community scores exactly zero") {
+    // one community: L = m and D = 2m → Q·4m² = 4m² − 4m² = 0
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).map { case (a, b) => (a, b, 1L) }
+      .toDF("item_a", "item_b", "n_ab")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("item", "label")
+    val got = Analytics.modularity(pairs, labels)
+      .as[(Long, Long, Long, Option[Long], Long)].collect().head
+    assert(got === ((1L, 3L, 3L, Some(0L), 3L)))
+  }
+
   test("localClustering: exact per-node triangle credit, deg-1 dropped") {
     // triangle {1,2,3} + pendant 4 on 3 + isolated edge (5,6).
     // cc(1) = cc(2) = 2·1/(2·1) = 1 → bucket 10; cc(3) = 2·1/(3·2) →

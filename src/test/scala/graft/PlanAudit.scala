@@ -109,6 +109,9 @@ object PlanAudit {
     // r9: same inherited coOccurrence 1-row total; the orientation,
     // wedge, and closing-edge stages are all equi-joins
     "li_local_cc",
+    // r9: inherited coOccurrence total + the 1-row m / node-count
+    // broadcasts closing the modularity rollup
+    "li_modularity",
     // r6: 1-row broadcast of the base-run conversion probability
     "cs_markov_attribution",
     // r6: 1-row broadcast midpoint-day split + coOccurrence's total
