@@ -105,6 +105,10 @@ object SparkEntry {
         Tables.customer(s, dir)
           .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
         Seq("c_nationkey", "c_mktsegment"))),
+    // the step before the k-anon audit: walk the balance generalization
+    // ladder, price each rung, flag the first fully-k-anonymous one
+    "cust_anon_plan" -> ((s, dir) =>
+      graft.ops.Scale.anonymizationPlan(Tables.customer(s, dir))),
     // the k-anonymity partner: large cells can still leak when every row
     // shares one sensitive value — flag cells with < 2 distinct segments
     "cust_l_diversity" -> ((s, dir) =>
@@ -301,6 +305,14 @@ object SparkEntry {
     // integer eta-squared) + peak/trough weekdays with e4 means
     "ev_seasonality_strength" -> ((s, dir) =>
       graft.ops.Stats.seasonalityStrength(Tables.events(s, dir))),
+    // why did the metric move: delta split into volume effect (count
+    // change at the reference mean) + exact-complement rate effect
+    "ev_growth_decomposition" -> ((s, dir) =>
+      graft.ops.Stats.growthDecomposition(Tables.events(s, dir))),
+    // weekly new/retained/resurrected/churned user ledger — churn only
+    // counted through the last observed week (1-row broadcast max)
+    "ev_lifecycle_matrix" -> ((s, dir) =>
+      graft.ops.TimeSeries.lifecycleMatrix(Tables.events(s, dir))),
     // discrete-time customer-churn hazard life table with explicit right
     // censoring (1-year repurchase horizon over the order calendar) —
     // the survival-analysis readout
@@ -899,10 +911,13 @@ object SparkEntry {
         pairs, graft.ops.Analytics.labelPropStep(pairs))
     }),
     // Newman modularity of the li_label_prop2 partition — exact-integer
-    // Q·4m² numerators, one decimal floor; the ship/iterate gate on LPA
+    // Q·4m² numerators, one decimal floor; the ship/iterate gate on LPA.
+    // The pair table feeds SEVEN plan references here (2× per LPA round's
+    // sym + modularity's edges/degrees/within), past the break-even the
+    // coOccurrence design note measured for its usual 4 — checkpoint it
     "li_modularity" -> ((s, dir) => {
       val pairs = graft.ops.Analytics.coOccurrence(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       graft.ops.Analytics.modularity(
         pairs,
         graft.ops.Analytics.labelPropIterate(
@@ -941,6 +956,10 @@ object SparkEntry {
     // preceding non-purchase event within 24 h, else 'direct'
     "cs_attribution" -> ((s, dir) =>
       graft.ops.Analytics.lastTouchAttribution(Tables.events(s, dir))),
+    // first/last/linear/U-shaped credit side by side over the same
+    // in-window journeys — e4 credit conserved per purchase, exactly
+    "cs_attribution_rules" -> ((s, dir) =>
+      graft.ops.Analytics.attributionRules(Tables.events(s, dir))),
     // bloom-prefiltered semi join: events of heavy-hitter users. The hot
     // user set folds into an in-plan bloom filter probed BEFORE the exact
     // semi join — at 100 TB the big side drops most rows pre-shuffle
@@ -1368,6 +1387,45 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment)::BIGINT AS n_sensitive,
         |  (CASE WHEN count(DISTINCT c_mktsegment) < 2 THEN 1 ELSE 0 END)::BIGINT AS not_diverse
         |FROM customer GROUP BY 1""".stripMargin,
+    // one x5 level fan-out to the (level x cells) grain; the remainder-
+    // corrected floors handle negative balances; chosen = min meets_k
+    "cust_anon_plan" ->
+      """WITH c AS (
+        |  SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+        |    round(c_acctbal * 100)::BIGINT AS cents
+        |  FROM customer
+        |), lv AS (
+        |  SELECT nat, seg, t.level,
+        |    CASE t.level
+        |      WHEN 0 THEN cents
+        |      WHEN 1 THEN ((cents - ((((cents % 1000) + 1000) % 1000))) // 1000)
+        |      WHEN 2 THEN ((cents - ((((cents % 10000) + 10000) % 10000))) // 10000)
+        |      WHEN 3 THEN ((cents - ((((cents % 100000) + 100000) % 100000))) // 100000)
+        |      ELSE 0 END::BIGINT AS bucket
+        |  FROM c, range(0, 5) t(level)
+        |), cells AS (
+        |  SELECT level, nat, seg, bucket, count(*)::BIGINT AS n
+        |  FROM lv GROUP BY 1, 2, 3, 4
+        |), per AS (
+        |  SELECT level::BIGINT AS level,
+        |    count(*)::BIGINT AS n_cells,
+        |    min(n)::BIGINT AS min_cell,
+        |    sum(CASE WHEN n < 8 THEN 1 ELSE 0 END)::BIGINT AS n_violating_cells,
+        |    sum(CASE WHEN n < 8 THEN n ELSE 0 END)::BIGINT AS n_suppressed_rows,
+        |    (CASE WHEN sum(CASE WHEN n < 8 THEN 1 ELSE 0 END) = 0
+        |          THEN 1 ELSE 0 END)::BIGINT AS meets_k
+        |  FROM cells GROUP BY 1
+        |), ch AS (
+        |  SELECT min(CASE WHEN meets_k = 1 THEN level END) AS chosen_level FROM per
+        |)
+        |SELECT per.level,
+        |  ['cent', '10_dollar', '100_dollar', '1000_dollar', 'dropped'][per.level::INT + 1]
+        |    AS balance_bucket,
+        |  per.n_cells, per.min_cell, per.n_violating_cells,
+        |  per.n_suppressed_rows, per.meets_k,
+        |  (CASE WHEN ch.chosen_level IS NOT NULL AND per.level = ch.chosen_level
+        |        THEN 1 ELSE 0 END)::BIGINT AS chosen
+        |FROM per CROSS JOIN ch""".stripMargin,
     "cust_k_anon" ->
       """SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows,
         |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS suppress
@@ -2370,6 +2428,71 @@ object SparkEntry {
         |        - ((sc * 10000 - ((((sc * 10000) % n) + n) % n)) // n)) END)::BIGINT
         |    AS mean_err_e4
         |FROM g""".stripMargin,
+    // per-user lag/lead/min windows on the (user, week) grain; churn
+    // bounded by the observed max week; n_active = new + ret + res
+    "ev_lifecycle_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ms(ts::TIMESTAMP) // 86400000) // 7 AS week
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt,
+        |    min(week) OVER (PARTITION BY user_id) AS firstw
+        |  FROM uw
+        |), mx AS (SELECT max(week) AS maxw FROM uw),
+        |act AS (
+        |  SELECT week,
+        |    sum(CASE WHEN week = firstw THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |    sum(CASE WHEN week <> firstw AND prev = week - 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_retained,
+        |    sum(CASE WHEN week <> firstw AND prev < week - 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_resurrected
+        |  FROM st GROUP BY 1
+        |), ch AS (
+        |  SELECT week + 1 AS week, count(*)::BIGINT AS n_churned
+        |  FROM st, mx
+        |  WHERE (nxt IS NULL OR nxt > week + 1) AND week + 1 <= mx.maxw
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(act.week, ch.week)::BIGINT AS week,
+        |  coalesce(act.n_new, 0)::BIGINT AS n_new,
+        |  coalesce(act.n_retained, 0)::BIGINT AS n_retained,
+        |  coalesce(act.n_resurrected, 0)::BIGINT AS n_resurrected,
+        |  (coalesce(act.n_new, 0) + coalesce(act.n_retained, 0)
+        |    + coalesce(act.n_resurrected, 0))::BIGINT AS n_active,
+        |  coalesce(ch.n_churned, 0)::BIGINT AS n_churned
+        |FROM act FULL JOIN ch ON act.week = ch.week""".stripMargin,
+    // the did midpoint split; the one volume floor remainder-corrected
+    // (the count delta can be negative); rate = exact complement
+    "ev_growth_decomposition" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |), mid AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e
+        |), g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN ts_ms <= mid THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN ts_ms > mid THEN 1 ELSE 0 END)::BIGINT AS n_cur,
+        |    sum(CASE WHEN ts_ms <= mid THEN c ELSE 0 END)::BIGINT AS sum_ref_cents,
+        |    sum(CASE WHEN ts_ms > mid THEN c ELSE 0 END)::BIGINT AS sum_cur_cents
+        |  FROM e, mid GROUP BY 1
+        |), v AS (
+        |  SELECT *,
+        |    ((n_cur - n_ref)::HUGEINT * sum_ref_cents * 10000) AS vnum
+        |  FROM g WHERE n_ref > 0 AND n_cur > 0
+        |)
+        |SELECT event_type, n_ref, n_cur, sum_ref_cents, sum_cur_cents,
+        |  (sum_cur_cents - sum_ref_cents)::BIGINT AS delta_cents,
+        |  ((vnum - (((vnum % n_ref) + n_ref) % n_ref)) // n_ref)::BIGINT
+        |    AS volume_effect_e4,
+        |  ((sum_cur_cents - sum_ref_cents)::HUGEINT * 10000
+        |    - ((vnum - (((vnum % n_ref) + n_ref) % n_ref)) // n_ref))::BIGINT
+        |    AS rate_effect_e4
+        |FROM v""".stripMargin,
     // daily grain -> dow rollup; SS identities in HUGEINT; the one
     // per-group division quantized e6 then summed; numerator clamped
     // at 0 so // stays positive-floor in both engines
@@ -4112,6 +4235,61 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS ltv
         |FROM e GROUP BY 1""".stripMargin,
+    // the four rules unpivoted from one ranked journey table; floor
+    // shares with pinned remainder placement; untouched purchases fold
+    // to 'direct' at full credit; zero-credit rows dropped both sides
+    "cs_attribution_rules" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS pid, ts_ms AS pts
+        |  FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_id AS tid, ts_ms AS tts, event_type AS channel
+        |  FROM e WHERE event_type <> 'purchase'
+        |), j AS (
+        |  SELECT p.pid, t.channel, t.tts, t.tid
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.tts < p.pts AND t.tts >= p.pts - 86400000
+        |), r AS (
+        |  SELECT pid, channel,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid)::BIGINT AS k,
+        |    count(*) OVER (PARTITION BY pid)::BIGINT AS n
+        |  FROM j
+        |), c AS (
+        |  SELECT 'first' AS rule, channel,
+        |    (CASE WHEN k = 1 THEN 10000 ELSE 0 END)::BIGINT AS credit FROM r
+        |  UNION ALL
+        |  SELECT 'last', channel,
+        |    (CASE WHEN k = n THEN 10000 ELSE 0 END)::BIGINT FROM r
+        |  UNION ALL
+        |  SELECT 'linear', channel,
+        |    ((10000 // n)
+        |      + CASE WHEN k = n THEN 10000 - n * (10000 // n) ELSE 0 END)::BIGINT
+        |  FROM r
+        |  UNION ALL
+        |  SELECT 'ushaped', channel,
+        |    (CASE WHEN n = 1 THEN 10000
+        |          WHEN n = 2 THEN 5000
+        |          WHEN k = 1 THEN 4000
+        |          WHEN k = n THEN 4000
+        |          ELSE (2000 // (n - 2))
+        |            + CASE WHEN k = n - 1
+        |                   THEN 2000 - (n - 2) * (2000 // (n - 2)) ELSE 0 END
+        |     END)::BIGINT
+        |  FROM r
+        |), d AS (
+        |  SELECT count(*)::BIGINT AS nd FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+        |), dc AS (
+        |  SELECT rule, 'direct' AS channel, ((SELECT nd FROM d) * 10000)::BIGINT AS credit
+        |  FROM (SELECT unnest(['first', 'last', 'linear', 'ushaped']) AS rule)
+        |)
+        |SELECT rule, channel, sum(credit)::BIGINT AS credit_e4
+        |FROM (SELECT * FROM c UNION ALL SELECT * FROM dc)
+        |GROUP BY 1, 2 HAVING sum(credit) > 0""".stripMargin,
     // NULL last_touch_ts (no preceding touch) falls through to 'direct',
     // matching Spark's when().otherwise() null semantics
     "cs_attribution" ->

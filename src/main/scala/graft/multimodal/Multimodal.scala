@@ -620,6 +620,52 @@ object Multimodal {
       (n, nQuiet, nRuns, longest, lead, tail)
     }
 
+    /** Letterbox/border detection over a binary PPM — the image twin of
+      * [[silenceWav]]: a row is DARK when its mean gray is under half the
+      * global mean (`2·H·row_sum < total`, integer-exact; columns
+      * symmetric with `2·W·col_sum < total`), and the readout is the
+      * head/tail dark-row and dark-column counts — exactly what a
+      * letterbox-trim preprocessing stage would crop. Relative threshold
+      * (not absolute black) so synthetic and low-contrast planes still
+      * rank their darkest margins. Returns (w, h, lead_rows, tail_rows,
+      * lead_cols, tail_cols); an all-dark plane (total = 0 → nothing is
+      * strictly darker) reports zero trims, like [[zcrWav]]'s quiet rule.
+      */
+    def bordersPpm(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+      val (w0, h0, _, off) = ppmHeader(bytes)
+      val w = w0.toInt; val h = h0.toInt
+      if (w <= 0 || h <= 0) return (w0, h0, 0L, 0L, 0L, 0L)
+      val rowSum = new Array[Long](h)
+      val colSum = new Array[Long](w)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = off + (y * w + x) * 3
+          val g =
+            if (o + 2 < bytes.length)
+              ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+            else 0
+          rowSum(y) += g; colSum(x) += g; total += g
+          x += 1
+        }
+        y += 1
+      }
+      def trims(sums: Array[Long], cross: Int): (Long, Long) = {
+        def dark(s: Long): Boolean = 2L * cross * s < total
+        var lead = 0
+        while (lead < sums.length && dark(sums(lead))) lead += 1
+        if (lead == sums.length) return (lead.toLong, 0L)
+        var tail = 0
+        while (tail < sums.length && dark(sums(sums.length - 1 - tail))) tail += 1
+        (lead.toLong, tail.toLong)
+      }
+      val (lr, tr) = trims(rowSum, h)
+      val (lc, tc) = trims(colSum, w)
+      (w0, h0, lr, tr, lc, tc)
+    }
+
     def decode(doc_id: Long, payload: Array[Byte]): Option[DecodedMedia] =
       sniff(payload) match {
         case "ppm" => Some(decodePpm(doc_id, payload))
@@ -963,6 +1009,25 @@ object Multimodal {
         "lead_quiet", "tail_quiet")
   }
 
+  /** Letterbox/border-trim table over the real PPM path: per image the
+    * head/tail dark-row and dark-column counts under the relative
+    * half-of-global-mean threshold ([[Codecs.bordersPpm]]) — what a
+    * letterbox-crop preprocessing stage would cut, the image twin of
+    * [[audioSilence]]'s lead/tail quiet trims. Same mapPartitions codec
+    * tier and map-only shape as [[phash]].
+    */
+  def imageBorders(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (w, h, lr, tr, lc, tc) = Codecs.bordersPpm(bytes)
+        (id, w, h, lr, tr, lc, tc)
+      })
+      .toDF("doc_id", "w", "h", "lead_rows", "tail_rows",
+        "lead_cols", "tail_cols")
+  }
+
   /** Image near-dup CLUSTERS: connected components over the
     * [[imageNearDups]] pair set via the shared dedup machinery
     * ([[graft.dedup.Dedup.nearDupClusters]] — distributed min-label
@@ -991,6 +1056,7 @@ object Multimodal {
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
+    "mm_image_borders" -> ((s, d) => imageBorders(s, Tables.documents(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
   )
 
@@ -1308,6 +1374,51 @@ object Multimodal {
         |FROM m
         |LEFT JOIN agg ON agg.doc_id = m.doc_id
         |JOIN edges ON edges.doc_id = m.doc_id""".stripMargin,
+    // the gray_hist 16x16 plane; dark ⟺ 2·16·line_sum < total (integer);
+    // lead = first not-dark index (16 when all dark → tail 0), tail =
+    // 15 − last not-dark index — the bordersPpm trim semantics exactly
+    "mm_image_borders" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [(ord(substr(pix, i * 3 + 1, 1)) + ord(substr(pix, i * 3 + 2, 1)) +
+        |      ord(substr(pix, i * 3 + 3, 1))) // 3
+        |     for i in range(0, 256)] AS grays
+        |  FROM px
+        |), t AS (
+        |  SELECT doc_id, grays, list_sum(grays)::BIGINT AS total FROM g
+        |), rs AS (
+        |  SELECT doc_id, rr.r,
+        |    list_sum(grays[rr.r * 16 + 1 : rr.r * 16 + 16])::BIGINT AS s, total
+        |  FROM t, range(0, 16) rr(r)
+        |), cs AS (
+        |  SELECT doc_id, cc.c,
+        |    list_sum([grays[r * 16 + cc.c + 1] for r in range(0, 16)])::BIGINT AS s,
+        |    total
+        |  FROM t, range(0, 16) cc(c)
+        |), re AS (
+        |  SELECT doc_id,
+        |    coalesce(min(CASE WHEN NOT (32 * s < total) THEN r END), 16)::BIGINT
+        |      AS lead_rows,
+        |    (CASE WHEN max(CASE WHEN NOT (32 * s < total) THEN r END) IS NULL THEN 0
+        |          ELSE 15 - max(CASE WHEN NOT (32 * s < total) THEN r END)
+        |     END)::BIGINT AS tail_rows
+        |  FROM rs GROUP BY 1
+        |), ce AS (
+        |  SELECT doc_id,
+        |    coalesce(min(CASE WHEN NOT (32 * s < total) THEN c END), 16)::BIGINT
+        |      AS lead_cols,
+        |    (CASE WHEN max(CASE WHEN NOT (32 * s < total) THEN c END) IS NULL THEN 0
+        |          ELSE 15 - max(CASE WHEN NOT (32 * s < total) THEN c END)
+        |     END)::BIGINT AS tail_cols
+        |  FROM cs GROUP BY 1
+        |)
+        |SELECT re.doc_id, 16::BIGINT AS w, 16::BIGINT AS h,
+        |  re.lead_rows, re.tail_rows, ce.lead_cols, ce.tail_cols
+        |FROM re JOIN ce USING (doc_id)""".stripMargin,
     // full 256-pixel plane in char arithmetic; bins by gray >> 6
     "mm_gray_hist" ->
       """WITH px AS (

@@ -900,6 +900,74 @@ object Analytics {
       .select(col("item"), col("label"), col("label_weight"))
   }
 
+  /** Multi-rule attribution comparison — the table a marketing review
+    * actually argues over: every purchase's credit (10000 e4 units per
+    * purchase, conserved exactly) split across its in-window touch
+    * journey under the four standard rules side by side — first-touch,
+    * last-touch, linear (floor share, remainder to the last touch —
+    * pinned), and U-shaped (40/20/40; n = 1 → all, n = 2 → 5000/5000,
+    * middles split the 2000 evenly with the remainder on the last
+    * middle — pinned). Journeys are the same construction as
+    * [[lastTouchAttribution]] (non-purchase events of the same user,
+    * strictly before the purchase, within `windowMs`; no touch →
+    * 'direct' under every rule), so last-touch here reconciles with the
+    * single-rule operator while first/linear/U expose how much of its
+    * story is just "last click gets everything". The credit unit is
+    * integer e4 throughout — Σ credit_e4 = 10⁴ · purchases under every
+    * rule, an invariant the spec pins.
+    *
+    * Scale: one user-equi-keyed range join (touch fan-out bounded by a
+    * user's events inside one attribution window), per-purchase rank
+    * windows over that bounded journey, a ×4 rule explode, and a
+    * |channels|·4-row rollup.
+    */
+  def attributionRules(events: DataFrame, windowMs: Long = 86400000L): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("__pid"), col("ts_ms").as("__pts"))
+    val t = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("__tid"),
+        col("ts_ms").as("__tts"), col("event_type").as("channel"))
+    val j = p.join(t, Seq("user_id"))
+      .filter(col("__tts") < col("__pts") && col("__tts") >= col("__pts") - windowMs)
+    val w = Window.partitionBy(col("__pid"))
+    val wk = w.orderBy(col("__tts"), col("__tid"))
+    val ranked = j
+      .withColumn("__k", row_number().over(wk).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+    val linBase = Cols.floorDiv(lit(10000L), col("__n"))
+    val linear = linBase +
+      when(col("__k") === col("__n"), lit(10000L) - col("__n") * linBase)
+        .otherwise(lit(0L))
+    val midBase = Cols.floorDiv(lit(2000L), col("__n") - 2L)
+    val ushape = when(col("__n") === 1L, lit(10000L))
+      .when(col("__n") === 2L, lit(5000L))
+      .when(col("__k") === 1L, lit(4000L))
+      .when(col("__k") === col("__n"), lit(4000L))
+      .otherwise(midBase +
+        when(col("__k") === col("__n") - 1L,
+          lit(2000L) - (col("__n") - 2L) * midBase).otherwise(lit(0L)))
+    val touched = ranked.select(col("channel"),
+      explode(array(
+        struct(lit("first").as("rule"),
+          when(col("__k") === 1L, lit(10000L)).otherwise(lit(0L)).as("credit")),
+        struct(lit("last").as("rule"),
+          when(col("__k") === col("__n"), lit(10000L)).otherwise(lit(0L)).as("credit")),
+        struct(lit("linear").as("rule"), linear.as("credit")),
+        struct(lit("ushaped").as("rule"), ushape.as("credit")))).as("rc"))
+      .select(col("rc.rule").as("rule"), col("channel"), col("rc.credit").as("credit"))
+    val direct = p
+      .join(ranked.select(col("__pid")).distinct(), Seq("__pid"), "left_anti")
+      .agg(count(lit(1)).as("__d"))
+      .select(explode(array(
+        Seq("first", "last", "linear", "ushaped").map(lit): _*)).as("rule"),
+        lit("direct").as("channel"),
+        (col("__d") * 10000L).as("credit"))
+    touched.unionAll(direct)
+      .groupBy(col("rule"), col("channel"))
+      .agg(sum(col("credit")).as("credit_e4"))
+      .filter(col("credit_e4") > 0)
+  }
+
   /** Newman modularity of a node partition over an undirected edge
     * table — the one-number GRADE of a community assignment (here the
     * [[labelPropStep]]∘[[labelPropIterate]] labels the registry already

@@ -529,6 +529,63 @@ object Scale {
       .orderBy(col("layout"))
   }
 
+  /** k-anonymity GENERALIZATION planner — the step BEFORE
+    * [[kAnonymity]]'s audit: that audit reports which cells violate k at
+    * one quasi-identifier precision; this one walks the numeric
+    * generalization ladder and prices each rung. The account balance is
+    * coarsened through cent buckets of $1 → $10 → $100 → $1000 → dropped
+    * entirely (levels 0–4), and each level reports its cell count, minimum
+    * cell, violating-cell count, rows a suppress-release would redact
+    * (`n_suppressed_rows` — the utility COST of stopping at that rung),
+    * a `meets_k` flag, and `chosen` = 1 on the first level that fully
+    * satisfies k — the minimal-generalization answer a release process
+    * actually needs. Monotonicity (coarser never increases violations'
+    * row mass... not guaranteed in general for cell COUNTS, which is
+    * why every rung is measured rather than assumed).
+    *
+    * Scale: a bounded ×5 level explode feeding ONE map-side-combined
+    * aggregate to the (level × cells) grain, a 5-row per-level rollup,
+    * and a 1-row broadcast of the chosen level.
+    */
+  def anonymizationPlan(customer: DataFrame, k: Long = 8L): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val leveled = customer
+      .select(col("c_nationkey").cast("long").as("__nat"),
+        col("c_mktsegment").as("__seg"), cents.as("__c"))
+      .select(col("__nat"), col("__seg"), col("__c"),
+        explode(sequence(lit(0L), lit(4L))).as("level"))
+      .withColumn("__bucket",
+        when(col("level") === 0L, col("__c"))
+          .when(col("level") === 1L, graft.Cols.floorDiv(col("__c"), lit(1000L)))
+          .when(col("level") === 2L, graft.Cols.floorDiv(col("__c"), lit(10000L)))
+          .when(col("level") === 3L, graft.Cols.floorDiv(col("__c"), lit(100000L)))
+          .otherwise(lit(0L)))
+    val cells = leveled
+      .groupBy(col("level"), col("__nat"), col("__seg"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val perLevel = cells.groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        min(col("__n")).as("min_cell"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_cells"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_suppressed_rows"))
+      .withColumn("meets_k",
+        when(col("n_violating_cells") === 0L, 1L).otherwise(0L))
+    val chosen = broadcast(perLevel.agg(
+      min(when(col("meets_k") === 1L, col("level"))).as("__chosen")))
+    perLevel.crossJoin(chosen)
+      .select(
+        col("level"),
+        element_at(
+          array(lit("cent"), lit("10_dollar"), lit("100_dollar"),
+            lit("1000_dollar"), lit("dropped")),
+          (col("level") + 1L).cast("int")).as("balance_bucket"),
+        col("n_cells"), col("min_cell"), col("n_violating_cells"),
+        col("n_suppressed_rows"), col("meets_k"),
+        when(col("__chosen").isNotNull && col("level") === col("__chosen"), 1L)
+          .otherwise(0L).as("chosen"))
+  }
+
   /** Sampling-based profile accuracy readout — the question a 100 TB
     * table forces before every stats job: can a deterministic 1-in-`rate`
     * hash sample stand in for the full scan? Per event type, the EXACT

@@ -649,6 +649,51 @@ object Stats {
         when(col("psi_e4") > alertE4, 1L).otherwise(0L))
   }
 
+  /** Growth-accounting decomposition per event type — the "WHY did the
+    * metric move" readout between the calendar halves (the [[didScreen]]
+    * cut): `Δtotal = volume effect + rate effect`, where the volume
+    * effect prices the count change at the REFERENCE mean
+    * (`⌊(n₁−n₀)·s₀·10⁴/n₀⌋`, one decimal-widened floor) and the rate
+    * effect is the exact complement (`Δ·10⁴ − volume` — the standard
+    * remainder convention, so the identity holds to the unit instead of
+    * accumulating two floors' residue). A type missing either half drops
+    * (nothing to decompose — the [[welchScreen]] convention). This is
+    * the first question every metrics review asks of a moved KPI: more
+    * events, or bigger ones?
+    *
+    * Scale: the same ONE map-side-combined half-split aggregate as
+    * [[didScreen]]; output is |event_type| rows.
+    */
+  def growthDecomposition(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val cents = round(col("value") * 100).cast("long")
+    val mid = events.agg(
+      Cols.floorDiv(min(col("ts_ms")) + max(col("ts_ms")), lit(2L)).as("__mid"))
+    val g = events
+      .crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (col("ts_ms") > col("__mid")).cast("long").as("__cur"),
+        cents.as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__cur") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__cur") === 1, 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("__cur") === 0, col("__c")).otherwise(0L)).as("sum_ref_cents"),
+        sum(when(col("__cur") === 1, col("__c")).otherwise(0L)).as("sum_cur_cents"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    val deltaE4 = d(col("sum_cur_cents") - col("sum_ref_cents")) * d(lit(10000L))
+    val volE4 = Cols.floorDiv(
+      d(col("n_cur") - col("n_ref")) * d(col("sum_ref_cents")) * d(lit(10000L)),
+      d(col("n_ref")))
+    g.select(
+      col("event_type"), col("n_ref"), col("n_cur"),
+      col("sum_ref_cents"), col("sum_cur_cents"),
+      (col("sum_cur_cents") - col("sum_ref_cents")).as("delta_cents"),
+      volE4.cast("long").as("volume_effect_e4"),
+      (deltaE4 - volE4).cast("long").as("rate_effect_e4"))
+  }
+
   /** Seasonality-STRENGTH readout per event type — one number for "how
     * weekly is this metric": the share of daily-count variance explained
     * by day-of-week means, `η² = SS_between / SS_total` over the daily

@@ -130,6 +130,52 @@ object TimeSeries {
     * Scale: one lag window on the user key (the shared sessionization
     * clustering), then a hash agg onto |days| rows.
     */
+  /** Weekly user-lifecycle matrix — the growth-accounting state table
+    * every DAU/WAU dashboard decomposes into: per week, users who are
+    * NEW (first-ever activity), RETAINED (also active the prior week),
+    * RESURRECTED (active before, but not the prior week), and CHURNED
+    * (active the prior week, silent this week). Churn is only counted
+    * through the last observed week (a 1-row broadcast max — the data
+    * ending is not everyone churning), and a week nobody was active
+    * still appears when users churned INTO it. Complements
+    * [[reactivations]] (gap-defined, day grain) and the bitmap
+    * retention triangle: this is the net-growth ledger
+    * (new + resurrected − churned = Δactive, which the spec pins).
+    *
+    * Scale: one distinct to the (user, week) grain, per-user
+    * lag/lead/min windows over that bounded-by-calendar grain, two
+    * |weeks|-row rollups full-outer joined. No self-join over users.
+    */
+  def lifecycleMatrix(events: DataFrame): DataFrame = {
+    val week = Cols.floorDiv(Cols.floorDiv(col("ts_ms"), DayMs), 7L)
+    val uw = events.select(col("user_id"), week.as("week")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val state = uw
+      .withColumn("__prev", lag(col("week"), 1).over(byUser))
+      .withColumn("__next", lead(col("week"), 1).over(byUser))
+      .withColumn("__first",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+    val act = state.groupBy(col("week"))
+      .agg(
+        sum(when(col("week") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("week") =!= col("__first") && col("__prev") === col("week") - 1L,
+          1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("week") =!= col("__first") && col("__prev") < col("week") - 1L,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val maxW = broadcast(uw.agg(max(col("week")).as("__maxw")))
+    val churn = state.crossJoin(maxW)
+      .filter((col("__next").isNull || col("__next") > col("week") + 1L) &&
+        col("week") + 1L <= col("__maxw"))
+      .groupBy((col("week") + 1L).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("week"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .select(col("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (col("n_new") + col("n_retained") + col("n_resurrected")).as("n_active"),
+        col("n_churned"))
+  }
+
   def reactivations(events: DataFrame, inactiveDays: Long = 14L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
     events

@@ -838,6 +838,17 @@ object TextAnalysis {
     * anyway.
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (roundRows, finalToks) = bpeTrain(docs, rounds)
+    graft.LocalCheckpoints.free(finalToks)
+    roundRows
+  }
+
+  /** The merge loop shared by [[bpeMerges]] (the merge table) and
+    * [[bpeCompression]] (the applied corpus): returns the per-round rows
+    * AND the final merged token table. The caller owns freeing the
+    * returned checkpoint.
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var toks = docs
       .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
       .localCheckpoint()
@@ -869,8 +880,46 @@ object TextAnalysis {
         col("cnt").as("pair_count"),
         col("__na").as("n_tokens_after"))
     }
-    graft.LocalCheckpoints.free(toks)
-    roundRows.reduce(_ unionAll _)
+    (roundRows.reduce(_ unionAll _), toks)
+  }
+
+  /** The learned merges APPLIED, read per source — the tokenizer-eval
+    * readout on top of [[bpeMerges]]'s training loop: after the `rounds`
+    * merges, each source's document count, pre/post token mass, exact
+    * e4 tokens-per-doc before and after, and the e4 compression share
+    * `⌊(before − after)·10⁴ / before⌋`. Uneven compression across
+    * sources is the signal that the merge table overfits one source's
+    * phrasing — the [[fertility]] concern, measured against the actual
+    * learned tokenizer instead of a fixed one.
+    *
+    * Scale: the [[bpeTrain]] loop's postures, then one |sources|-row
+    * rollup of the final token table joined back to the source column
+    * by doc id.
+    */
+  def bpeCompression(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    // the returned plan reads the loop's final checkpointed token table
+    // (checkpoints have no lineage to recompute), so it stays resident
+    // until the session drops it — the price of reusing the trained
+    // state; the per-round 1-row checkpoints are negligible
+    val (_, finalToks) = bpeTrain(docs, rounds)
+    val before = docs.select(col("doc_id"), col("source"),
+      size(Cols.tokens(col("text"))).cast("long").as("__nb"))
+    val out = before
+      .join(finalToks.select(col("doc_id"), size(col("toks")).cast("long").as("__na")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nb")).as("tokens_before"),
+        sum(col("__na")).as("tokens_after"))
+      .select(
+        col("source"), col("n_docs"), col("tokens_before"), col("tokens_after"),
+        Cols.floorDiv(col("tokens_before") * 10000L, col("n_docs")).as("per_doc_before_e4"),
+        Cols.floorDiv(col("tokens_after") * 10000L, col("n_docs")).as("per_doc_after_e4"),
+        when(col("tokens_before") > 0,
+          Cols.floorDiv((col("tokens_before") - col("tokens_after")) * 10000L,
+            col("tokens_before"))).as("compression_e4"))
+    out
   }
 
   /** Hashing-trick featurizer: each document as a sparse bag-of-words
@@ -1750,6 +1799,7 @@ object TextAnalysis {
     // BPE tokenizer-training counting step: top char pairs
     "txt_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "txt_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+    "txt_bpe_compression" -> ((s, d) => bpeCompression(Tables.documents(s, d))),
     // hashing-trick sparse featurizer, 64 buckets on the fixtures
     "txt_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d), dim = 64)),
     // within-doc repeated-span removal (the cross-doc twin is hot_passages);
@@ -2213,6 +2263,34 @@ object TextAnalysis {
         |)
         |SELECT pair, count(*)::BIGINT AS n_occurrences FROM p GROUP BY 1
         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    // the same three generated merge layers, rolled up per source from
+    // the final token table joined back on doc_id
+    "txt_bpe_compression" ->
+      ("""WITH t0 AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)""".stripMargin
+        + (1 to 3).map(bpeRoundCte).mkString
+        + "\n" +
+        """, nb AS (SELECT doc_id, len(toks)::BIGINT AS nb FROM t0),
+        |fin AS (SELECT doc_id, len(toks)::BIGINT AS na FROM t3),
+        |agg AS (
+        |  SELECT d.source, count(*)::BIGINT AS n_docs,
+        |    sum(nb.nb)::BIGINT AS tokens_before,
+        |    sum(fin.na)::BIGINT AS tokens_after
+        |  FROM documents d
+        |  JOIN nb ON nb.doc_id = d.doc_id
+        |  JOIN fin ON fin.doc_id = d.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT source, n_docs, tokens_before, tokens_after,
+        |  ((tokens_before * 10000) // n_docs)::BIGINT AS per_doc_before_e4,
+        |  ((tokens_after * 10000) // n_docs)::BIGINT AS per_doc_after_e4,
+        |  (CASE WHEN tokens_before > 0 THEN
+        |    ((tokens_before - tokens_after) * 10000) // tokens_before
+        |   END)::BIGINT AS compression_e4
+        |FROM agg""".stripMargin),
     // three generated merge-round layers; the greedy left-to-right merge
     // is gaps-and-islands + odd-rank parity (same recurrence as the
     // Spark fold — consecutive marks only occur when lhs = rhs)

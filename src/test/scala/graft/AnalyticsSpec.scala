@@ -775,6 +775,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 4L, 2L, 2L, 2L, 10000L)))
   }
 
+  test("attributionRules: four rules split a 3-touch journey as pinned; credit conserves") {
+    // user 1: a→b→c→purchase (n=3); user 2: a→purchase (n=1);
+    // user 3: purchase with no touch → 'direct' everywhere.
+    // linear remainder (10000 − 3·3333 = 1) lands on the LAST touch;
+    // U-shaped middle pot is 2000 for the single middle.
+    val rows = Seq(
+      (1L, 1L, "a", 1L), (2L, 1L, "b", 2L), (3L, 1L, "c", 3L),
+      (4L, 1L, "purchase", 4L),
+      (5L, 2L, "a", 1L), (6L, 2L, "purchase", 2L),
+      (7L, 3L, "purchase", 5L))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = Analytics.attributionRules(rows)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      ("first", "a") -> 20000L, ("first", "direct") -> 10000L,
+      ("last", "a") -> 10000L, ("last", "c") -> 10000L,
+      ("last", "direct") -> 10000L,
+      ("linear", "a") -> 13333L, ("linear", "b") -> 3333L,
+      ("linear", "c") -> 3334L, ("linear", "direct") -> 10000L,
+      ("ushaped", "a") -> 14000L, ("ushaped", "b") -> 2000L,
+      ("ushaped", "c") -> 4000L, ("ushaped", "direct") -> 10000L))
+    // conservation: every rule distributes exactly 10⁴ per purchase
+    Seq("first", "last", "linear", "ushaped").foreach { r =>
+      assert(got.collect { case ((`r`, _), c) => c }.sum === 30000L, r)
+    }
+  }
+
   test("modularity: two triangles with one bridge score the textbook 70/196") {
     // communities {1,2,3} and {4,5,6}, bridge (3,4): m = 7,
     // L_c = 3 each, D_c = 7 each → Q·4m² = 2·(4·7·3 − 49) = 70 →

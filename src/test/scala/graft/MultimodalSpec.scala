@@ -290,6 +290,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.zcrWav(wav(Seq.empty)) === ((0L, 0L, 0L)))
   }
 
+  test("bordersPpm: letterbox trims under the relative threshold; flat plane trims nothing") {
+    def img(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        (0 until h).flatMap(y => (0 until w).flatMap { x =>
+          val v = g(x, y).toByte; Seq(v, v, v)
+        }).toArray
+    // 6×5: first/last rows and first two cols are black, interior 200 —
+    // row-dark ⟺ 10·s < 2400, col-dark ⟺ 12·s < 2400 (hand-checked)
+    val boxed = img(6, 5)((x, y) =>
+      if (y == 0 || y == 4 || x < 2) 0 else 200)
+    assert(Multimodal.Codecs.bordersPpm(boxed) === ((6L, 5L, 1L, 1L, 2L, 0L)))
+    // flat plane: no line is strictly below half the mean → zero trims
+    assert(Multimodal.Codecs.bordersPpm(img(6, 5)((_, _) => 50)) ===
+      ((6L, 5L, 0L, 0L, 0L, 0L)))
+  }
+
   test("silenceWav: run segmentation, lead/tail trims, degenerate clips") {
     def wav(samples: Seq[Short]): Array[Byte] = {
       val dataLen = samples.length * 2

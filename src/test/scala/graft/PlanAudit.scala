@@ -68,12 +68,14 @@ object PlanAudit {
     // r9: the calendar midpoint is a 1-row min/max aggregate
     "ev_did",
     // r9: the same 1-row calendar-midpoint broadcast (the did cut)
-    "ev_psi",
+    "ev_psi", "ev_growth_decomposition",
     // r9: the corpus max doc_id is a 1-row aggregate
     "txt_vocab_growth",
+    // r9: the 1-row observed-max-week broadcast bounding churn
+    "ev_lifecycle_matrix",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
-    "txt_bpe_merges",
+    "txt_bpe_merges", "txt_bpe_compression",
     // r6: exact-rank p99 joins the 1-row stats/target aggregates back in
     "ev_key_skew",
     // |labels|-row broadcast (bounded by label cardinality, not data size)
@@ -96,6 +98,8 @@ object PlanAudit {
     "dedup_threshold_sweep",
     // r9: 1-row broadcast truth count scoring the 5-config band sweep
     "dedup_lsh_band_design",
+    // r9: 1-row broadcast of the chosen generalization level
+    "cust_anon_plan",
     // r6: |sources| × top-50 grid + 1-row total — same shape as the
     // chi2 queries; both sides bounded by construction
     "txt_source_chi2",

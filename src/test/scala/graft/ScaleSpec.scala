@@ -367,6 +367,37 @@ class ScaleSpec extends SparkSpec {
       ("zorder", 4L, 16L, 4L, 4L)))
   }
 
+  test("anonymizationPlan: the ladder coarsens to k; chosen flags the first safe rung") {
+    // 16 customers, one (nation, segment) cell, balances 0.01..0.16 —
+    // every cent bucket is a singleton (16 violating cells), the $10
+    // bucket (cents // 1000 = 0) holds all 16 ≥ k → level 1 is chosen
+    // and every coarser rung also passes
+    val rows = (1 to 16).map(i => (0, "SEG", i * 0.01))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Scale.anonymizationPlan(rows, k = 8L)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, "cent", 16L, 1L, 16L, 16L, 0L, 0L),
+      (1L, "10_dollar", 1L, 16L, 0L, 0L, 1L, 1L),
+      (2L, "100_dollar", 1L, 16L, 0L, 0L, 1L, 0L),
+      (3L, "1000_dollar", 1L, 16L, 0L, 0L, 1L, 0L),
+      (4L, "dropped", 1L, 16L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("anonymizationPlan: nothing meets k → no rung chosen") {
+    // two distinct (nation, segment) cells of 3 rows each: even dropping
+    // the balance leaves cells below k = 8, chosen stays 0 everywhere
+    val rows = (1 to 3).map(i => (0, "A", i * 1.0)) ++
+      (1 to 3).map(i => (1, "B", i * 1.0))
+    val got = Scale.anonymizationPlan(
+      rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal"), k = 8L)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got.forall(r => r._7 == 0L && r._8 == 0L))
+    assert(got.map(_._1) === List(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("sampleAccuracy: brute-force recomputation of both arms; empty sample stays null") {
     // rate = 2 keeps the fixture sample non-trivial; replicate the hash
     // membership row by row and recompute every column independently

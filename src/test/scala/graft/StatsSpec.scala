@@ -454,6 +454,22 @@ class StatsSpec extends SparkSpec {
       (8L, 1L, 0L, 0L)))
   }
 
+  test("growthDecomposition: volume priced at the reference mean, rate is the complement") {
+    // mid = 50. "t": ref {1.00, 2.00} (n=2, 300c), cur {2.00, 3.00,
+    // 4.00} (n=3, 900c) → Δ = 600c; volume = +1 event at mean 150c =
+    // 1.5e6 e4; rate = 3·(300−150) = 450c = 4.5e6 e4 (exact here).
+    // "solo" has no current-half rows → dropped.
+    val rows = Seq(
+      ("t", 0L, 1.0), ("t", 0L, 2.0),
+      ("t", 100L, 2.0), ("t", 100L, 3.0), ("t", 100L, 4.0),
+      ("solo", 0L, 9.0))
+    val got = Stats.growthDecomposition(rows.toDF("event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got === List(
+      ("t", 2L, 3L, 300L, 900L, 600L, 1500000L, 4500000L)))
+  }
+
   test("seasonalityStrength: pure weekly pattern reads 10000; mixed reads the exact ratio") {
     val DayMs = 86400000L
     // "t": two weeks, dow-0 days carry 3 events, every other day 1 —

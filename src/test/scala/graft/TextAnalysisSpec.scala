@@ -256,6 +256,22 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "x▁x", "x▁x▁x", 1L, 1L)))
   }
 
+  test("bpeCompression: per-source token mass before/after the learned merges") {
+    // same corpus as the 3-round merge spec, split across two sources:
+    // doc 1 (srcA) 5 → 1 tokens, doc 2 (srcB) 5 → 3 tokens (the merge
+    // chain computed there) — exact per-source masses and e4 shares
+    val d = Seq(
+      (1L, "a b a b c", "en", "srcA"),
+      (2L, "a b c c c", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bpeCompression(d)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      ("srcA", 1L, 5L, 1L, 50000L, 10000L, Some(8000L)),
+      ("srcB", 1L, 5L, 3L, 50000L, 30000L, Some(4000L))))
+  }
+
   test("bpeMerges: empty corpus yields no merge rows") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     assert(TextAnalysis.bpeMerges(empty).count() === 0L)

@@ -483,4 +483,26 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(("x", 0L), ("x", 1L)).toDF("event_type", "ts_ms"), "event_type")
     assert(got.count() === 0L)
   }
+
+  test("lifecycleMatrix: new/retained/resurrected/churned ledger balances") {
+    val W = 7L * 86400000L
+    // u1 weeks {0,1,3}: new@0, retained@1, resurrected@3, churn INTO 2;
+    // u2 week {1}: new@1, churn INTO 2; u3 week {3}: new@3. Max
+    // observed week = 3, so nobody churns into week 4 (data end ≠ churn)
+    val rows = Seq(
+      (1L, 0L * W), (1L, 1L * W), (1L, 3L * W),
+      (2L, 1L * W),
+      (3L, 3L * W))
+    val got = TimeSeries.lifecycleMatrix(rows.toDF("user_id", "ts_ms"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 0L, 0L, 1L, 0L),
+      (1L, 1L, 1L, 0L, 2L, 0L),
+      (2L, 0L, 0L, 0L, 0L, 2L),
+      (3L, 1L, 0L, 1L, 2L, 0L)))
+    // net-growth identity: Δactive(w) = new + resurrected − churned
+    got.sliding(2).foreach { case List(a, b) =>
+      assert(b._5 - a._5 === b._2 + b._4 - b._6)
+    }
+  }
 }
