@@ -620,6 +620,51 @@ object Multimodal {
       (n, nQuiet, nRuns, longest, lead, tail)
     }
 
+    /** REAL multi-frame walk over a concatenated-PPM "video" container:
+      * parse each frame's P6 header, step over its plane, keep every
+      * `everyK`-th frame — the frame-sampling stage
+      * [[sampleWavFrames]]'s scaladoc promises for video, on an actual
+      * frame container instead of by analogy. Returns (n_frames,
+      * frames_kept, kept_gray_sum, bytes_total, bytes_kept); a malformed
+      * header stops the walk at the frames parsed so far (the clamped
+      * RIFF-walk discipline — never an out-of-bounds read). Truncated
+      * final planes read as black, like [[grayHistPpm]].
+      */
+    def videoFrameStats(bytes: Array[Byte], everyK: Int): (Long, Long, Long, Long, Long) = {
+      var pos = 0
+      var f = 0L
+      var kept = 0L
+      var keptGray = 0L
+      var keptBytes = 0L
+      while (pos + 2 <= bytes.length &&
+        bytes(pos) == 'P'.toByte && bytes(pos + 1) == '6'.toByte) {
+        val slice = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+        val (w, h, _, off) = ppmHeader(slice)
+        if (w <= 0 || h <= 0) {
+          pos = bytes.length // malformed dimensions: stop the walk
+        } else {
+          val frameLen = off + (w * h * 3).toInt
+          if (f % everyK == 0) {
+            kept += 1
+            keptBytes += math.min(frameLen.toLong, (bytes.length - pos).toLong)
+            var i = 0
+            val n = (w * h).toInt
+            while (i < n) {
+              val o = pos + off + i * 3
+              keptGray +=
+                (if (o + 2 < bytes.length)
+                  ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+                else 0)
+              i += 1
+            }
+          }
+          f += 1
+          pos += frameLen
+        }
+      }
+      (f, kept, keptGray, bytes.length.toLong, keptBytes)
+    }
+
     /** Letterbox/border detection over a binary PPM — the image twin of
       * [[silenceWav]]: a row is DARK when its mean gray is under half the
       * global mean (`2·H·row_sum < total`, integer-exact; columns
@@ -740,6 +785,43 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Documents as 4-frame concatenated-PPM "video" clips: frame f's
+    * 16×16 plane reads the repeated text stream at a 37-byte stride, so
+    * consecutive frames differ but overlap (video-like). Same
+    * expression-level synth as [[asPpmImages]] — every frame is a VALID
+    * P6 the real codecs parse.
+    */
+  def asVideoClips(docs: DataFrame, frames: Int = 4): DataFrame = {
+    val stream = expr(
+      s"substring(repeat(text, cast(${768 + (frames - 1) * 37} / length(text) as int) + 1), " +
+        s"1, ${768 + (frames - 1) * 37})")
+    val frameCols = (0 until frames).map { f =>
+      concat(lit("P6\n16 16\n255\n"), substring(stream, 1 + f * 37, 768))
+    }
+    docs.select(
+      col("doc_id"),
+      encode(concat(frameCols: _*), "UTF-8").as("payload"))
+  }
+
+  /** Frame-sampled video stats over the real multi-frame walk
+    * ([[Codecs.videoFrameStats]]): per clip the frame count, frames kept
+    * at stride `everyK`, the kept frames' exact floor mean gray, and the
+    * byte savings — the frame-sample + cheap-feature stage of a video
+    * ingest pipeline, with the same mapPartitions codec tier and
+    * map-only shape as [[phash]].
+    */
+  def videoFrames(spark: SparkSession, docs: DataFrame, everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    asVideoClips(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (n, k, g, bt, bk) = Codecs.videoFrameStats(bytes, everyK)
+        (id, n, k, if (k > 0) g / (k * 256L) else 0L, bt, bk)
+      })
+      .toDF("doc_id", "n_frames", "frames_kept", "kept_mean_gray",
+        "bytes_total", "bytes_kept")
   }
 
   /** Documents as media records: the UTF-8 text bytes stand in for a real
@@ -1057,6 +1139,7 @@ object Multimodal {
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
     "mm_image_borders" -> ((s, d) => imageBorders(s, Tables.documents(s, d))),
+    "mm_video_frames" -> ((s, d) => videoFrames(s, Tables.documents(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
   )
 
@@ -1374,6 +1457,26 @@ object Multimodal {
         |FROM m
         |LEFT JOIN agg ON agg.doc_id = m.doc_id
         |JOIN edges ON edges.doc_id = m.doc_id""".stripMargin,
+    // the 4-frame 37-byte-stride synth recomputed straight from text
+    // (byte = char on the ASCII corpus); kept frames {0, 2}; container
+    // byte sizes are the synth constants 4·781 / 2·781
+    "mm_video_frames" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (879 // length(text))::INT + 1), 1, 879) AS s
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_sum(flatten([[(ord(substr(s, f * 37 + i * 3 + 1, 1))
+        |               + ord(substr(s, f * 37 + i * 3 + 2, 1))
+        |               + ord(substr(s, f * 37 + i * 3 + 3, 1))) // 3
+        |              for i in range(0, 256)] for f in [0, 2]]))::BIGINT AS kept_sum
+        |  FROM px
+        |)
+        |SELECT doc_id, 4::BIGINT AS n_frames, 2::BIGINT AS frames_kept,
+        |  (kept_sum // 512)::BIGINT AS kept_mean_gray,
+        |  3124::BIGINT AS bytes_total, 1562::BIGINT AS bytes_kept
+        |FROM g""".stripMargin,
     // the gray_hist 16x16 plane; dark ⟺ 2·16·line_sum < total (integer);
     // lead = first not-dark index (16 when all dark → tail 0), tail =
     // 15 − last not-dark index — the bordersPpm trim semantics exactly

@@ -290,6 +290,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.zcrWav(wav(Seq.empty)) === ((0L, 0L, 0L)))
   }
 
+  test("videoFrameStats: real frame walk, stride sampling, garbage tail stops the walk") {
+    def frame(gray: Int): Array[Byte] =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(gray.toByte)
+    val clip = frame(10) ++ frame(30)
+    // stride 1 keeps both frames: kept gray sum = 4·10 + 4·30 = 160
+    assert(Multimodal.Codecs.videoFrameStats(clip, 1) ===
+      ((2L, 2L, 160L, 46L, 46L)))
+    // stride 2 keeps frame 0 only; bytes_kept = one 23-byte frame
+    assert(Multimodal.Codecs.videoFrameStats(clip, 2) ===
+      ((2L, 1L, 40L, 46L, 23L)))
+    // a garbage tail is not a P6 header → the walk stops cleanly
+    val withTail = clip ++ "XX".getBytes("US-ASCII")
+    assert(Multimodal.Codecs.videoFrameStats(withTail, 1) ===
+      ((2L, 2L, 160L, 48L, 46L)))
+    // empty payload: nothing to walk
+    assert(Multimodal.Codecs.videoFrameStats(Array.empty[Byte], 1) ===
+      ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("bordersPpm: letterbox trims under the relative threshold; flat plane trims nothing") {
     def img(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
