@@ -495,6 +495,22 @@ class StatsSpec extends SparkSpec {
     assert(got("u") === ("u", 14L, Some(4615L), 0L, 20000L, 1L, 10000L))
   }
 
+  test("BootCdf60 equals the Poisson(1) CDF floors recomputed from scratch") {
+    // the shared constants are load-bearing in BOTH engines (the oracle
+    // embeds them as literals) — pin them against an independent
+    // recomputation so a typo cannot silently skew every weight
+    var cdf = 0.0
+    var p = math.exp(-1.0)
+    val expected = (0 until 7).map { k =>
+      cdf += p; p /= (k + 1)
+      math.floor(cdf * math.pow(2, 60)).toLong
+    }
+    assert(Stats.BootCdf60 === expected)
+    // and the thresholds are strictly increasing, all below 2^60
+    assert(Stats.BootCdf60 === Stats.BootCdf60.sorted)
+    assert(Stats.BootCdf60.last < (1L << 60))
+  }
+
   test("bootstrapCi matches a brute-force replicate computation") {
     // independent reference: draw the same hash weights row by row, then
     // compute every replicate mean and the band/variance in BigInt —
