@@ -69,11 +69,18 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    subset = os.environ.get("SPARK_GRAFT_ONLY", "")
     for name, sql in sorted(oracle.items()):
         # subset runs (SPARK_GRAFT_ONLY) dump only some queries; an oracle
-        # with no dumped result is "not run", not a failure
+        # with no dumped result is "not run" there — but in a FULL run a
+        # missing dump means the query crashed before writing, which must
+        # count as FAIL, not slip through as a skip
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if subset:
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: no dumped result (query crashed before write?)")
+                n_fail += 1
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

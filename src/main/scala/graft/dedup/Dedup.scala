@@ -759,7 +759,13 @@ object Dedup {
     // (bands, rowsPerBand, s-curve midpoint e4 as a shared literal)
     val configs = Seq((16, 1, 625L), (8, 2, 3536L), (4, 4, 7071L),
       (2, 8, 9170L), (1, 16, 10000L))
-    val sigs = minhashSignatures(docs).cache()
+    // localCheckpoint, not cache: the signature table is purely
+    // invocation-scoped here (unlike the documented persistent index in
+    // [[minhashLsh]]), so the 5-row readout is materialized eagerly below
+    // and the signatures are freed before returning — the bpeTrain
+    // discipline; a .cache() leaked one corpus-sized signature table into
+    // session storage per invocation (ADVICE r9).
+    val sigs = minhashSignatures(docs).localCheckpoint()
     val cand = configs.map { case (nb, r, thr) =>
       val bands0 = sigs
         .select(col("doc_id"), col("sig"),
@@ -808,7 +814,7 @@ object Dedup {
       .groupBy(col("bands"), col("rows_per_band"), col("threshold_e4"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("__t"), lit(0L))).as("tp"))
-    cfgDf
+    val out = cfgDf
       .join(perCfg, Seq("bands", "rows_per_band", "threshold_e4"), "left")
       .na.fill(0L, Seq("n_candidates", "tp"))
       .crossJoin(nTruth)
@@ -824,6 +830,10 @@ object Dedup {
           Cols.floorDiv(col("tp") * 10000L, col("__nt")))
           .otherwise(lit(null).cast("long")).as("recall_e4"))
       .orderBy(col("bands").desc)
+      // 5-row readout: materialize it, then free the signature table
+      .localCheckpoint()
+    graft.LocalCheckpoints.free(sigs)
+    out
   }
 
   /** Near-dup METHOD agreement matrix: the pairwise overlap of the pair

@@ -640,15 +640,23 @@ object Multimodal {
         bytes(pos) == 'P'.toByte && bytes(pos + 1) == '6'.toByte) {
         val slice = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
         val (w, h, _, off) = ppmHeader(slice)
-        if (w <= 0 || h <= 0) {
+        // dims above the payload length are unconditionally crafted (a real
+        // frame needs ≥3 bytes/pixel), and bounding them here keeps
+        // w*h*3 inside Long — the unchecked Int cast used to wrap a
+        // "46341 46341" header negative and stall or crash the walk
+        if (w <= 0 || h <= 0 || w > bytes.length || h > bytes.length) {
           pos = bytes.length // malformed dimensions: stop the walk
         } else {
-          val frameLen = off + (w * h * 3).toInt
+          val frameLen = off.toLong + w * h * 3L
+          val remain = (bytes.length - pos).toLong
           if (f % everyK == 0) {
             kept += 1
-            keptBytes += math.min(frameLen.toLong, (bytes.length - pos).toLong)
+            keptBytes += math.min(frameLen, remain)
+            // pixels past the payload read as black and contribute 0, so
+            // the scan is bounded by what the payload can back, not by the
+            // header's declared plane size
+            val n = math.min(w * h, math.max(0L, remain - off + 2) / 3).toInt
             var i = 0
-            val n = (w * h).toInt
             while (i < n) {
               val o = pos + off + i * 3
               keptGray +=
@@ -659,7 +667,7 @@ object Multimodal {
             }
           }
           f += 1
-          pos += frameLen
+          if (frameLen >= remain) pos = bytes.length else pos += frameLen.toInt
         }
       }
       (f, kept, keptGray, bytes.length.toLong, keptBytes)
@@ -678,8 +686,17 @@ object Multimodal {
       */
     def bordersPpm(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
       val (w0, h0, _, off) = ppmHeader(bytes)
-      val w = w0.toInt; val h = h0.toInt
-      if (w <= 0 || h <= 0) return (w0, h0, 0L, 0L, 0L, 0L)
+      if (w0 <= 0 || h0 <= 0) return (w0, h0, 0L, 0L, 0L, 0L)
+      // clamp the scan dims to what the payload can actually back (3
+      // bytes/pixel): for a well-formed plane cap = w0·h0 so nothing
+      // changes, while a crafted "46341 46341" header can no longer
+      // request a ~2^31-entry sum array or wrap negative. Exact division
+      // for legit payloads keeps (cap+w-1)/w ≡ h0.
+      val cap = math.max(0L, (bytes.length - off).toLong) / 3
+      val wl = math.min(w0, cap)
+      val hl = math.min(h0, if (wl > 0) (cap + wl - 1) / wl else 0L)
+      if (wl <= 0 || hl <= 0) return (w0, h0, 0L, 0L, 0L, 0L)
+      val w = wl.toInt; val h = hl.toInt
       val rowSum = new Array[Long](h)
       val colSum = new Array[Long](w)
       var total = 0L

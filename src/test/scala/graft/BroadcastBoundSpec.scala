@@ -44,6 +44,16 @@ class BroadcastBoundSpec extends SparkSpec {
     // ExistingRDD — the one bounded shape the subtree cannot prove itself;
     // the exception is keyed to that exact scan node, nothing wider
     val checkpointedBounded = Set("emb_kmeans_step2")
+    // grouping keys whose cardinality is bounded by construction, not by
+    // the data: cluster/centroid ids (≤ k), class labels, codebook
+    // subspace ids. An aggregate grouped on a corpus-grain key (doc ids,
+    // candidate pairs, vec_id) is still data-sized and must NOT count as
+    // bounded (ADVICE r9: the old substring-"Aggregate" check would have
+    // passed a distinct-over-pairs broadcast).
+    val boundedGroupKeys = Set("label", "cid", "centroid_id", "cluster",
+      "sub", "subspace", "code", "probe_cid",
+      // per-dimension stats (emb_dim_fences): ≤ embedding dims rows
+      "dim")
     try {
       val idCap = "vec_id < \\d+".r
       names.foreach { name =>
@@ -52,12 +62,24 @@ class BroadcastBoundSpec extends SparkSpec {
         broadcasts.foreach { b =>
           val sub = b.child.toString.replaceAll("#\\d+L?", "")
           val strided = sub.contains(s"pmod(vec_id, ${Similarity.QueryStride})")
-          val aggregated = sub.contains("Aggregate")
+          // topmost aggregate in the subtree (collect is preorder):
+          // bounded iff it is a 1-row global aggregate or every grouping
+          // key is a bounded-cardinality id — the broadcast's output size
+          // is this aggregate's group count
+          val topAgg = b.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }
+          val aggregated = topAgg.exists { a =>
+            a.groupingExpressions.isEmpty ||
+              a.groupingExpressions.forall(g =>
+                boundedGroupKeys(g.name) ||
+                  g.references.forall(r => boundedGroupKeys(r.name)))
+          }
           val capped = idCap.findFirstIn(sub).isDefined
           val checkpointed = checkpointedBounded(name) && sub.contains("Scan ExistingRDD")
           assert(strided || aggregated || capped || checkpointed,
             s"$name broadcasts a build side that is neither the strided query " +
-              s"batch, an aggregated table, nor an id-capped codebook — a " +
+              s"batch, a bounded-key aggregate, nor an id-capped codebook — a " +
               s"corpus-sized broadcast at scale:\n$sub")
         }
       }
