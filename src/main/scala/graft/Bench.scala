@@ -78,34 +78,90 @@ object Bench {
       // clean min-of-N measurement (VERDICT r4 #5: emb_quantize_int8 got
       // noise 103.54 on a 0.28 s query from one contaminated probe)
       val noise = times.map(_._3).min / probeBase
+      // for the noise correction below: the winning run's own probe time
+      // (it ran in the same contention window as the query measurement)
+      val bestProbe = if (ok.nonEmpty) ok.minBy(_._1)._3 else -1.0
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
-      (name, sec, n >= 0, noise)
+      (name, sec, n >= 0, noise, bestProbe)
     }
     // Locale.ROOT: the default-locale f"" interpolator emits comma decimals
     // under e.g. de_DE, which breaks the JSON contract
     def num2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val probeBaseStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(probeBase))
+    // corrected per query (VERDICT r9 #2): the winning run's time deflated
+    // by ITS OWN probe's load factor vs the final (global quietest) base —
+    // what the query would have cost on the quiet machine every run was
+    // calibrated against. The probe has jitter of its own (~2× on a 0.1 s
+    // micro-probe), so a DEAD-BAND applies: below 1.3× — the verdict's own
+    // "quiet" stratum — the raw min stands and corrected ≡ raw; only real
+    // contention deflates. Makes cross-round diffs contention-proof by
+    // construction (r9: 148/287 queries at noise ≥ 1.8 read as a 1.87×
+    // "regression" that wasn't).
+    val corrected = results.map { case (k, sec, okQ, _, pBest) =>
+      val factor = if (pBest > 0) pBest / probeBase else 1.0
+      (k, if (!okQ) -1.0 else if (factor < 1.3) sec else sec / factor)
+    }
+    val correctedTotal = corrected.collect { case (_, v) if v >= 0 => v }.sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // regression gate (report, not a suite failure): read the PREVIOUS
+    // detail file before overwriting it and flag any query whose corrected
+    // time grew >1.5× vs its previous corrected (or raw/noise-derived)
+    // figure — the next round's verdict can diff rounds without
+    // hand-stratifying by noise.
+    val prevCorrected: Map[String, Double] = {
+      val f = new java.io.File(detailPath)
+      if (!f.exists()) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        import scala.jdk.CollectionConverters._
+        val qsN = root.path("queries"); val czN = root.path("corrected"); val nzN = root.path("noise")
+        qsN.fieldNames().asScala.flatMap { k =>
+          val raw = qsN.path(k).asDouble(-1.0)
+          val cz = czN.path(k).asDouble(-1.0)
+          val nz = math.max(1.0, nzN.path(k).asDouble(1.0))
+          val v = if (cz >= 0) cz else if (raw >= 0) raw / nz else -1.0
+          if (v >= 0) Some(k -> v) else None
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] previous detail unreadable, gate skipped: $e"); Map.empty }
+    }
+    val floorSec = 0.5 // sub-half-second queries regress on JIT luck, not plans
+    val regressions = corrected.flatMap { case (k, cur) =>
+      prevCorrected.get(k).collect {
+        case prev if cur > 1.5 * prev && cur >= floorSec => (k, prev, cur)
+      }
+    }
+    regressions.foreach { case (k, prev, cur) =>
+      System.err.println(f"[bench] REGRESSION >1.5x corrected: $k%-28s ${num2(prev)}s -> ${num2(cur)}s")
+    }
+    val regJson = if (regressions.isEmpty) "" else
+      s""","regressions":${regressions.map { case (k, p, c) =>
+        "\"" + k + "\":[" + num2(p) + "," + num2(c) + "]" }.mkString("{", ",", "}")}"""
     // full per-query detail goes to a file: at 200+ queries the flat map is
     // ~8 KB and the driver keeps only a ~2 KB tail of stdout, which left
     // BENCH_r04/r05 unparseable ("parsed": null). Stdout gets a compact
     // primary line (total, failures, slowest-10) that always fits.
-    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
+    val qs = results.map { case (k, v, okQ, _, _) => "\"" + k + "\":" + (if (okQ) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val noiseJson = results.map { case (k, _, _, nz) => "\"" + k + "\":" + num2(nz) }
+    val noiseJson = results.map { case (k, _, _, nz, _) => "\"" + k + "\":" + num2(nz) }
       .mkString("{", ",", "}")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val corrJson = corrected.map { case (k, v) => "\"" + k + "\":" + (if (v >= 0) num2(v) else "-1") }
+      .mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""queries":$qs$failedJson,"noise":$noiseJson,"probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
+      s""""corrected_total":${num2(correctedTotal)},""" +
+      s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson$regJson,""" +
+      s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + num2(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + num2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""corrected_total":${num2(correctedTotal)},"n_regressions":${regressions.size},""" +
       s""""slowest":$slowest$failedJson,"probe_base_sec":$probeBaseStr,""" +
       s""""detail_file":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
