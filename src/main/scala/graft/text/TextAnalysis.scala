@@ -559,6 +559,94 @@ object TextAnalysis {
         Cols.floorDiv(col("n_leaked") * 10000L, col("n_fp")).as("leak_frac_e4"))
   }
 
+  /** Benchmark-decontamination screen — the pre-ship audit every
+    * training-data pipeline runs against held-out evaluation suites:
+    * winnowing-fingerprint overlap of a TRAINING CORPUS against a
+    * separate BENCHMARK table, reported per benchmark document with
+    * contamination SPANS, not just counts. [[winnowLeakage]] answers
+    * "how much of my held-out split leaks from train" at set grain;
+    * this answers the release question — "which benchmark documents
+    * does my corpus contain, and how long are the contaminated
+    * stretches" — the readout that decides whether an eval score is
+    * trustworthy.
+    *
+    * Mechanism: the benchmark side is fingerprinted POSITIONALLY (same
+    * k=4/w=4 winnow selection as [[winnowFingerprints]], but every
+    * window keeps its character position — spans need positions, the
+    * distinct-set view cannot produce them). The corpus side is the
+    * standard distinct-per-doc winnow index, df-capped at `maxCorpusDf`
+    * corpus documents (boilerplate fingerprints carry no contamination
+    * signal — the [[winnowLeakage]] cap). A benchmark window is
+    * CONTAMINATED when its selected fingerprint exists in the capped
+    * corpus vocabulary; maximal runs of contaminated windows are the
+    * spans (gaps-and-islands per doc: island = pos − row_number), and a
+    * run of R windows covers R + k + w − 2 = R + 6 characters — any
+    * exact char match of length ≥ 7 is guaranteed caught (the winnow
+    * coverage theorem), so `max_span_chars` is a LOWER bound on the
+    * longest verbatim overlap.
+    *
+    * Output per benchmark doc (≥ 1 window): n_windows, n_hit,
+    * leak_frac_e4 (exact floor), n_spans, max_span_windows,
+    * max_span_chars (0s when clean).
+    *
+    * Scale: the benchmark side is tiny by definition (eval suites are
+    * thousands of docs, the corpus is the 100 TB side) — its positional
+    * index is map-only and is re-evaluated twice (hit probe + distinct
+    * fingerprint set) rather than checkpointed, because two evaluations
+    * of a small side beat pinning blocks. The corpus index is pruned by
+    * a semi-join against the benchmark's distinct fingerprints BEFORE
+    * the df aggregate (per-fingerprint counts are unchanged by a
+    * fingerprint-keyed prune, and only fingerprints the benchmark
+    * contains can ever matter) — so the heavy side collapses to
+    * |benchmark fingerprints| keys as early as possible, and the hit
+    * probe is a fingerprint-bucketed equi-join, never doc×doc. The span
+    * window partitions by benchmark doc_id — bounded by a single doc's
+    * hit count.
+    */
+  def decontaminationScreen(
+      corpus: DataFrame, benchmark: DataFrame, maxCorpusDf: Long = 50L): DataFrame = {
+    val k = 4; val w = 4
+    val pos = benchmark
+      .select(col("doc_id"), Cols.normalizeText(col("text")).as("__norm"))
+      .filter(length(col("__norm")) >= k + w - 1)
+      .withColumn(
+        "__h",
+        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> graft_hash60(substr(__norm, i, $k)))"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +
+          s"i -> array_min(slice(__h, i, $w)))")))
+      .select(
+        col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("fingerprint"))
+    val vocab = winnowFingerprints(corpus)
+      .join(pos.select(col("fingerprint")).distinct(), Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxCorpusDf)
+      .select(col("fingerprint"), lit(1L).as("__hit"))
+    val marked = pos.join(vocab, Seq("fingerprint"), "left")
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("__hit")).as("n_hit"))
+    val runs = marked.filter(col("__hit").isNotNull)
+      .withColumn(
+        "__isl",
+        col("pos") - row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+    val spans = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("__run")).as("__maxrun"))
+    perDoc
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_windows"), col("n_hit"),
+        Cols.floorDiv(col("n_hit") * 10000L, col("n_windows")).as("leak_frac_e4"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__maxrun"), lit(0L)).as("max_span_windows"),
+        when(col("__maxrun").isNull, lit(0L))
+          .otherwise(col("__maxrun") + lit((k + w - 2).toLong)).as("max_span_chars"))
+  }
+
   /** Gopher/MassiveText-style repetition signals per document (Rae et al.
     * 2021 §A1.1: "fraction of characters in the most common n-gram" /
     * "fraction of characters in duplicated n-grams"): the
@@ -1825,6 +1913,16 @@ object TextAnalysis {
     "txt_winnow_overlap" -> ((s, d) => winnowOverlap(Tables.documents(s, d))),
     // char-gram-grain split contamination over the winnowed index
     "txt_winnow_leakage" -> ((s, d) => winnowLeakage(Tables.documents(s, d))),
+    // benchmark-decontamination screen: train-split corpus vs the test
+    // split standing in for a held-out benchmark suite; per-benchmark-doc
+    // contamination spans over the positional winnow index
+    "txt_decontamination" -> ((s, d) => {
+      val sp = splitAssign(Tables.documents(s, d)).select(col("doc_id"), col("split"))
+      val tagged = Tables.documents(s, d).join(sp, "doc_id")
+      decontaminationScreen(
+        tagged.filter(col("split") === "train"),
+        tagged.filter(col("split") === "test"))
+    }),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -2482,6 +2580,59 @@ object TextAnalysis {
         |LEFT JOIN trainfp tf ON tf.fp = s.fp
         |WHERE p.split <> 'train'
         |GROUP BY 1, 2""".stripMargin,
+    // the winnow + split CTEs, POSITIONAL window list on the test
+    // (benchmark) side — two same-length unnests zip in DuckDB — a
+    // df-capped train vocabulary, and gaps-and-islands span detection
+    // (pos − row_number per doc) mirroring the Spark window exactly
+    "txt_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), f AS (
+        |  SELECT t.doc_id, sp.split,
+        |    [('0x' || substr(md5(substr(norm, i, 4)), 1, 15))::BIGINT
+        |     for i in generate_series(1, length(norm) - 3)] AS h
+        |  FROM t JOIN sp USING (doc_id) WHERE length(norm) >= 7
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(h) - 3)) AS pos,
+        |    unnest([list_min(h[i:i+3]) for i in generate_series(1, len(h) - 3)]) AS fp
+        |  FROM f WHERE split = 'test'
+        |), vocab AS (
+        |  SELECT fp FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct([list_min(h[i:i+3])
+        |                            for i in generate_series(1, len(h) - 3)])) AS fp
+        |    FROM f WHERE split = 'train'
+        |  ) GROUP BY fp HAVING count(*) <= 50
+        |), marked AS (
+        |  SELECT p.doc_id, p.pos, v.fp AS hit
+        |  FROM pos p LEFT JOIN vocab v ON v.fp = p.fp
+        |), per_doc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_windows, count(hit)::BIGINT AS n_hit
+        |  FROM marked GROUP BY 1
+        |), runs AS (
+        |  SELECT doc_id, isl, count(*) AS run FROM (
+        |    SELECT doc_id, pos,
+        |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |    FROM marked WHERE hit IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_spans, max(run)::BIGINT AS maxrun
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.n_windows, d.n_hit,
+        |  ((d.n_hit * 10000) // d.n_windows)::BIGINT AS leak_frac_e4,
+        |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(s.maxrun, 0)::BIGINT AS max_span_windows,
+        |  (CASE WHEN s.maxrun IS NULL THEN 0 ELSE s.maxrun + 6 END)::BIGINT AS max_span_chars
+        |FROM per_doc d LEFT JOIN spans s USING (doc_id)""".stripMargin,
     // same split + tokenizer + ranked-vocab CTEs as txt_oov_rate, one
     // UNION ALL arm per cutoff over the shared conditional aggregate
     "txt_vocab_coverage" -> {

@@ -675,6 +675,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d25._3 > 0 && d25._4 === 0L && d25._5 === 0L)
   }
 
+  test("decontaminationScreen: full copy spans the whole doc, partial copy a partial span, clean stays clean, df-cap mutes boilerplate") {
+    val corpus = docs((1L, "the quick brown fox jumps over the lazy dog"))
+    val bench = docs(
+      (100L, "the quick brown fox jumps over the lazy dog"), // verbatim copy
+      (101L, "xq1z quick brown fox 9vv7"), // 15-char verbatim chunk inside unique text
+      (102L, "purely 8martian 55text")) // shares no 4-gram with the corpus
+    val r = TextAnalysis.decontaminationScreen(corpus, bench)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // 43 norm chars → 40 gram hashes → 37 windows; the verbatim copy has
+    // an identical hash array, so EVERY positional window's fingerprint
+    // sits in the corpus set: one span covering the entire document, and
+    // max_span_chars = 37 + 6 = 43 = the doc length
+    val full = r(100L)
+    assert(full === ((100L, 37L, 37L, 10000L, 1L, 37L, 43L)))
+    // partial copy: some but not all windows hit, at least one span whose
+    // char bound honors the ≥ 7-char winnow guarantee
+    val part = r(101L)
+    assert(part._3 >= 1L && part._3 < part._2)
+    assert(part._4 > 0L && part._4 < 10000L)
+    assert(part._5 >= 1L && part._7 >= 7L)
+    // clean doc: present in the report, all-zero contamination
+    assert(r(102L)._3 === 0L && r(102L)._5 === 0L && r(102L)._6 === 0L && r(102L)._7 === 0L)
+    // df-cap: with the shared chunk in MORE corpus docs than the cap its
+    // fingerprints are boilerplate and stop counting — the verbatim copy
+    // can no longer report a full-document span
+    val capped = TextAnalysis.decontaminationScreen(
+      docs(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "zz the quick brown fox jumps over the lazy dog")),
+      bench, maxCorpusDf = 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(capped(100L)._3 < 37L)
+  }
+
   test("spanDupProfile: cross-doc repeats count, within-doc-only repeats don't") {
     // span 2 chunk grid: d1 {a b, c d}, d2 {a b, x y}, d3 {zz ww},
     // d4 {p q, p q}. "a b" spans two docs (crossdoc type, mass 2);
