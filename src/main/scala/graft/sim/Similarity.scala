@@ -1485,6 +1485,70 @@ object Similarity {
           .as("n_high"))
   }
 
+  /** Per-dimension PSI drift monitor over the embedding space — the
+    * vector-side twin of [[graft.ops.Stats.psi]], completing the
+    * model-monitoring story: "has the embedding DISTRIBUTION moved
+    * between batches", per dimension, as one stability index each. The
+    * corpus is cut into reference/current halves by a content-free hash
+    * of `vec_id` (the old-batch/new-batch stand-in — the vectors fixture
+    * carries no ingest timestamp; swap the predicate for a batch column
+    * in production). Per dimension the REFERENCE half's milli-quantized
+    * value range defines `bins` equal-width buckets (current outliers
+    * clamp into the edge buckets — nothing dropped), shares are
+    * Laplace-smoothed `(n+1)/(N+bins)`, and each bin's
+    * `(p−q)·ln(p/q)` term is e4-quantized THEN summed — the
+    * quantize-then-sum discipline that keeps the one transcendental
+    * cross-engine exact. `drift_flag` above 0.2 (the conventional
+    * significant-shift line). A collapsed reference dimension
+    * (`hi = lo`) still bins everything into bucket 0 and flags if the
+    * current half spreads — exactly the failure mode an embedding
+    * monitor exists to catch.
+    *
+    * Scale: one rows×dim posexplode feeding a map-side-combined count to
+    * the |dim|·bins grid, one |dim|-row broadcast of reference ranges,
+    * bounded grid fill — no window, no sort, no second scan; output is
+    * |dim| rows. The explode shuffles dim× the corpus row count but only
+    * (dim, cur, value) triples — at 100 TB prefer [[dimStats]]' no-
+    * explode positional-aggregate shape if dim·bins fits one aggregate
+    * row; this formulation keeps the grid sparse-safe at any dim.
+    */
+  def embPsi(embeddings: DataFrame, bins: Int = 10, alertE4: Long = 2000L): DataFrame = {
+    val cur = pmod(
+      Cols.hash60(concat(lit("embhalf:"), col("vec_id").cast("string"))), lit(2L))
+    val base = Dedup.quantized(embeddings)
+      .select(cur.as("__cur"), posexplode(col("qv")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("__cur"), col("col").as("__c"))
+    val range = base.filter(col("__cur") === 0)
+      .groupBy(col("dim"))
+      .agg(min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+    val rawBin = Cols.floorDiv(
+      (col("__c") - col("__lo")) * bins, col("__hi") - col("__lo") + 1L)
+    val bin = least(greatest(rawBin, lit(0L)), lit((bins - 1).toLong))
+    val counts = base.join(broadcast(range), "dim")
+      .select(col("dim"), col("__cur"), bin.as("__bin"))
+      .groupBy(col("dim"), col("__bin"))
+      .agg(
+        sum(when(col("__cur") === 0, 1L).otherwise(0L)).as("__nr"),
+        sum(when(col("__cur") === 1, 1L).otherwise(0L)).as("__nc"))
+    val grid = range.select(col("dim"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__bin"))
+    val filled = grid.join(counts, Seq("dim", "__bin"), "left")
+      .na.fill(0L, Seq("__nr", "__nc"))
+    val tot = filled.groupBy(col("dim"))
+      .agg(sum(col("__nr")).as("n_ref"), sum(col("__nc")).as("n_cur"))
+    val p = (col("__nr").cast("double") + 1.0) /
+      (col("n_ref").cast("double") + bins)
+    val q = (col("__nc").cast("double") + 1.0) /
+      (col("n_cur").cast("double") + bins)
+    val term = round((p - q) * log(p / q) * 10000).cast("long")
+    filled.join(tot, "dim")
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .groupBy(col("dim"), col("n_ref"), col("n_cur"))
+      .agg(sum(term).as("psi_e4"))
+      .withColumn("drift_flag",
+        when(col("psi_e4") > alertE4, 1L).otherwise(0L))
+  }
+
   /** Per-dimension embedding statistics — the drift/health monitor an
     * embedding pipeline runs on every new batch (a collapsed dimension,
     * a mean shift, or an exploding scale shows up here before it poisons
@@ -1750,6 +1814,9 @@ object Similarity {
     "emb_source_norms" -> ((s, d) =>
       sourceNorms(Tables.embeddings(s, d), Tables.documents(s, d))),
     "emb_dim_fences" -> ((s, d) => dimFences(Tables.embeddings(s, d))),
+    // per-dimension PSI between hash-split halves — the embedding-drift
+    // monitor (ev_psi lifted to vector space), bounded by dims × bins
+    "emb_psi" -> ((s, d) => embPsi(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
     "ann_recall_pq" -> ((s, d) => pqRecall(Tables.embeddings(s, d))),
@@ -1894,6 +1961,57 @@ object Similarity {
         |  count(CASE WHEN val * 8 > 5 * q3_4 - 3 * q1_4 THEN 1 END)::BIGINT AS n_high
         |FROM v JOIN qs USING (dim)
         |GROUP BY 1""".stripMargin,
+    // the ev_psi oracle shape with event_type → dim and the calendar
+    // midpoint → vec_id hash parity; remainder-corrected floor division
+    // for the bin (the quantized value minus the reference lo can be
+    // negative for current-half outliers)
+    "emb_psi" ->
+      """WITH q AS (
+        |  SELECT ('0x' || substr(md5('embhalf:' || vec_id), 1, 15))::BIGINT % 2 AS cur,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT ii.i::BIGINT AS dim, cur, qv[ii.i] AS c
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |), rng AS (
+        |  SELECT dim, min(c) AS lo, max(c) AS hi FROM b WHERE cur = 0 GROUP BY 1
+        |), binned AS (
+        |  SELECT b.dim, b.cur,
+        |    least(greatest(
+        |      (((b.c - rng.lo) * 10
+        |        - (((((b.c - rng.lo) * 10) % (rng.hi - rng.lo + 1))
+        |            + (rng.hi - rng.lo + 1)) % (rng.hi - rng.lo + 1)))
+        |        / (rng.hi - rng.lo + 1)), 0), 9)::BIGINT AS bin
+        |  FROM b JOIN rng USING (dim)
+        |), cnt AS (
+        |  SELECT dim, bin,
+        |    sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+        |    sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+        |  FROM binned GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT rng.dim, t.bin FROM rng, range(10) t(bin)
+        |), filled AS (
+        |  SELECT grid.dim, grid.bin,
+        |    coalesce(cnt.nr, 0) AS nr, coalesce(cnt.nc, 0) AS nc
+        |  FROM grid LEFT JOIN cnt
+        |    ON grid.dim = cnt.dim AND grid.bin = cnt.bin
+        |), tot AS (
+        |  SELECT dim, sum(nr)::BIGINT AS n_ref, sum(nc)::BIGINT AS n_cur
+        |  FROM filled GROUP BY 1
+        |)
+        |SELECT f.dim, t.n_ref, t.n_cur,
+        |  sum(round(((f.nr + 1.0) / (t.n_ref + 10.0)
+        |             - (f.nc + 1.0) / (t.n_cur + 10.0))
+        |    * ln(((f.nr + 1.0) / (t.n_ref + 10.0))
+        |         / ((f.nc + 1.0) / (t.n_cur + 10.0))) * 10000))::BIGINT AS psi_e4,
+        |  (CASE WHEN sum(round(((f.nr + 1.0) / (t.n_ref + 10.0)
+        |             - (f.nc + 1.0) / (t.n_cur + 10.0))
+        |    * ln(((f.nr + 1.0) / (t.n_ref + 10.0))
+        |         / ((f.nc + 1.0) / (t.n_cur + 10.0))) * 10000)) > 2000
+        |   THEN 1 ELSE 0 END)::BIGINT AS drift_flag
+        |FROM filled f JOIN tot t USING (dim)
+        |WHERE t.n_ref > 0 AND t.n_cur > 0
+        |GROUP BY 1, 2, 3""".stripMargin,
     // deterministic k-seed Lloyd step: nearest centroid by exact integer
     // d², tie → smallest centroid id (min over equal-d² rows), then the
     // same integer floor-centroid construction as emb_centroids

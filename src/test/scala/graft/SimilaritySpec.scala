@@ -599,4 +599,38 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L, 2L, 2L, 0.993884, None, None),
       (50L, 1L, 6L, 2L, 0.998752, Some(0.993884), Some(1L))))
   }
+
+  test("embPsi: identical halves score zero, a shifted dimension flags drift") {
+    // replicate the operator's content-free half assignment so the
+    // fixture can place values per half deterministically
+    def half(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"embhalf:$id".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    // EQUAL half sizes: Laplace smoothing (n+1)/(N+bins) makes the
+    // smoothed shares of even identical distributions differ when the
+    // halves differ in size (a ~0 bias at real corpus sizes, visible at
+    // n=20) — 10 ids per half keeps the p = q identity exact
+    val pool = (0L until 200L)
+    val ids = pool.filter(half(_) == 0L).take(10) ++ pool.filter(half(_) == 1L).take(10)
+    // dim 1 stable everywhere; dim 2 shifts 0.0 → 0.9 in the current half
+    val e = ids.map { id =>
+      (id, Seq(0.1f, if (half(id) == 1) 0.9f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embPsi(e)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    val nRef = ids.count(half(_) == 0).toLong
+    val nCur = ids.size.toLong - nRef
+    // dim 1: every value in both halves is the same constant → all rows
+    // land in bin 0, p = q in every bin, PSI exactly 0, no flag
+    assert(got.head === ((1L, nRef, nCur, 0L, 0L)))
+    // dim 2: reference is the collapsed range {0}, current all clamps to
+    // the top bin — the distribution moved wholesale, PSI far over the
+    // 0.2 alert line
+    val d2 = got(1)
+    assert(d2._1 === 2L && d2._2 === nRef && d2._3 === nCur)
+    assert(d2._4 > 2000L && d2._5 === 1L)
+  }
 }
