@@ -571,14 +571,14 @@ object Dedup {
     * as the fraction of matching signature positions. Only bucket
     * collisions are ever paired — the whole point of LSH at scale.
     */
-  def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
-    // The signature table is the MinHash index: tiny (16 longs per doc) and
-    // referenced four times below (bands ×2 via the self-join, est ×2) —
-    // cache it instead of recomputing the shingle explosion each time.
-    // At scale this is exactly the index you'd persist.
-    val sigs = minhashSignatures(docs).cache()
+  /** (doc_id, sig, band, bucket) rows for a signature table — the LSH
+    * bucket index grain shared by [[minhashLsh]] (self-join within one
+    * corpus) and [[ledgerFlags]]/the streaming ledger (probe of incoming
+    * docs against the persisted historical index).
+    */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
     val nBands = NumPerms / BandRows
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       col("sig"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"))
@@ -590,6 +590,15 @@ object Dedup {
           ",",
           slice(col("sig"), col("band") * BandRows + 1, lit(BandRows)).cast("array<string>")))
           .as("bucket"))
+  }
+
+  def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
+    // The signature table is the MinHash index: tiny (16 longs per doc) and
+    // referenced four times below (bands ×2 via the self-join, est ×2) —
+    // cache it instead of recomputing the shingle explosion each time.
+    // At scale this is exactly the index you'd persist.
+    val sigs = minhashSignatures(docs).cache()
+    val bands = bandRows(sigs)
     val cand = bands.as("a")
       .join(
         bands.as("b"),
@@ -611,6 +620,58 @@ object Dedup {
           4).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
   }
+
+  /** Flag incoming band rows against a HISTORICAL band ledger: bucket
+    * collisions become (new, old) candidate pairs, scored by the same
+    * matching-position Jaccard estimate as [[minhashLsh]]. No doc-id
+    * inequality — the sides are disjoint corpora by construction, and a
+    * re-ingested doc_id flagging its own previous version is precisely
+    * the ledger's job. Shared by the batch twin [[ledgerFlags]] and the
+    * streaming [[graft.streaming.DedupLedger]] foreachBatch step.
+    *
+    * Scale: work ∝ bucket collisions between the BATCH and the ledger —
+    * the batch side is a micro-batch (orders below the ledger), so this
+    * is a posting-probe of the persisted index, never corpus×corpus.
+    */
+  private[graft] def flagAgainstBands(
+      newBands: DataFrame, ledger: DataFrame, estThreshold: Double): DataFrame = {
+    val cand = newBands.as("a")
+      .join(
+        ledger.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(
+        col("a.doc_id").as("doc_id_new"),
+        col("b.doc_id").as("doc_id_old"),
+        col("a.sig").as("sig1"),
+        col("b.sig").as("sig2"))
+      .distinct()
+    cand
+      .select(
+        col("doc_id_new"),
+        col("doc_id_old"),
+        round(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+            .cast("double") / lit(NumPerms.toDouble),
+          4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Incremental-dedup LEDGER, batch twin: near-dups of `newDocs`
+    * (today's ingest) against `oldDocs` (the already-ingested corpus),
+    * scored exactly like [[minhashLsh]] but joining ONLY across the two
+    * corpora — the production shape for continuously-ingested corpora,
+    * where each increment probes the persisted bucket index instead of
+    * re-pairing the whole corpus. The streaming formulation with an
+    * on-disk ledger is [[graft.streaming.DedupLedger]]; this twin is the
+    * oracle surface proving the flag semantics.
+    */
+  def ledgerFlags(
+      newDocs: DataFrame, oldDocs: DataFrame,
+      estThreshold: Double = EstThreshold): DataFrame =
+    flagAgainstBands(
+      bandRows(minhashSignatures(newDocs)),
+      bandRows(minhashSignatures(oldDocs)),
+      estThreshold)
 
   /** Distinct shingle set per doc as a sorted array + its size — the
     * exact-verification side table candidate-pair operators join against.
@@ -1330,6 +1391,17 @@ object Dedup {
     "dedup_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "part_fuzzy_names" -> ((s, d) => charGramNamePairs(Tables.part(s, d), "p_name")),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    // incremental-dedup ledger, batch twin: hash-split "today's ingest"
+    // probes the "already-ingested" half's bucket index — cross-corpus
+    // pairs only (the streaming foreachBatch ledger's oracle surface)
+    "dedup_ledger" -> ((s, d) => {
+      val b = pmod(
+        Cols.hash60(concat(lit("batch:"), col("doc_id").cast("string"))), lit(2L))
+      val tagged = Tables.documents(s, d).withColumn("__batch", b)
+      ledgerFlags(
+        tagged.filter(col("__batch") === 1).drop("__batch"),
+        tagged.filter(col("__batch") === 0).drop("__batch"))
+    }),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
     "dedup_lsh_pr_curve" -> ((s, d) => lshPrCurve(Tables.documents(s, d))),
     "dedup_lsh_band_design" -> ((s, d) => lshBandDesign(Tables.documents(s, d))),
@@ -1683,6 +1755,35 @@ object Dedup {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |)
          |SELECT doc_id_1, doc_id_2,
+         |       round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                             x -> x))::DOUBLE / $NumPerms, 4) AS est_jaccard
+         |FROM cand
+         |WHERE round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
+         |                            x -> x))::DOUBLE / $NumPerms, 4) >= $EstThreshold""".stripMargin,
+    // the dedup_minhash_lsh CTEs with the self-join replaced by the
+    // cross-corpus probe: batch-1 (new) bands join batch-0 (old) bands,
+    // no doc-id inequality
+    "dedup_ledger" ->
+      s"""$tokCte, bt AS (
+         |  SELECT doc_id, ${h60("'batch:' || doc_id")} % 2 AS b FROM documents
+         |), h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_new, o.doc_id AS doc_id_old,
+         |         a.sig AS sig1, o.sig AS sig2
+         |  FROM bands a JOIN bt ba ON ba.doc_id = a.doc_id AND ba.b = 1
+         |       JOIN bands o ON a.band = o.band AND a.bucket = o.bucket
+         |       JOIN bt bo ON bo.doc_id = o.doc_id AND bo.b = 0
+         |)
+         |SELECT doc_id_new, doc_id_old,
          |       round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
          |                             x -> x))::DOUBLE / $NumPerms, 4) AS est_jaccard
          |FROM cand

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming incremental MinHash dedup ledger: batch-2 dups against
+  * batch-1 are caught, batches never pair against themselves, and a
+  * replayed batch cannot see its own previous attempt.
+  */
+class DedupLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val original = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val unrelated = "completely different words about database engines and shuffle plans"
+  private val unique = "yet another disjoint text mentioning volcanoes glaciers and tundra biomes"
+
+  test("two-batch replay: cross-batch dup flagged, intra-batch and unique docs are not") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = DedupLedger.attach(
+        input.toDF().toDF("doc_id", "text"), ledgerDir, dupsDir, ckpt)
+      try {
+        // batch 0: the ledger is empty — nothing can flag, even though
+        // docs 1 and 2 arrive together (the ledger is cross-batch only;
+        // intra-batch dedup composes with the batch minhashLsh operator)
+        input.addData((1L, original), (2L, unrelated))
+        q.processAllAvailable()
+        // batch 1: doc 3 is a verbatim copy of batch-0's doc 1; doc 4 is
+        // unique — exactly one flag, est 1.0, attributed old → new
+        input.addData((3L, original), (4L, unique))
+        q.processAllAvailable()
+        val dups = DedupLedger.readDups(spark, dupsDir)
+          .as[(Long, Long, Long, Double)].collect().toList
+        assert(dups === List((1L, 3L, 1L, 1.0)))
+        // the ledger now holds both batches' band rows (4 bands per doc)
+        val ledger = spark.read.parquet(ledgerDir)
+        assert(ledger.select("doc_id").distinct().as[Long].collect().toSet
+          === Set(1L, 2L, 3L, 4L))
+        assert(ledger.count() === 16L)
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  test("processBatch replay overwrites its own partition and never self-pairs") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger_replay")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    try {
+      val b0 = Seq((1L, original), (2L, unrelated)).toDF("doc_id", "text")
+      DedupLedger.processBatch(b0, 0L, ledgerDir, dupsDir)
+      // at-least-once replay of the SAME batch id: the probe reads only
+      // batch < 0 (nothing), so doc 1 must not flag against its own
+      // previous attempt, and the partition is rewritten, not doubled
+      DedupLedger.processBatch(b0, 0L, ledgerDir, dupsDir)
+      assert(DedupLedger.readDups(spark, dupsDir).count() === 0L)
+      assert(spark.read.parquet(ledgerDir).count() === 8L)
+      // the next batch still sees the replayed ledger exactly once
+      DedupLedger.processBatch(
+        Seq((9L, original)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
+      val dups = DedupLedger.readDups(spark, dupsDir)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(dups === List((1L, 9L, 1L, 1.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+}
