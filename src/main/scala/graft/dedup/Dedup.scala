@@ -117,8 +117,15 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double = JaccardThreshold,
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardFrom(shingleRows(docs), threshold, maxShingleDf)
+
+  /** [[ngramJaccard]] over an already-built shingle table (the
+    * [[taggedMethodPairs]] shared-index seam). */
+  private[graft] def ngramJaccardFrom(
+      sh0: DataFrame,
+      threshold: Double = JaccardThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
-    val sh0 = shingleRows(docs)
     val sh =
       if (maxShingleDf == Int.MaxValue) sh0
       else {
@@ -549,7 +556,14 @@ object Dedup {
     * shuffle is |docs| rows of 16 longs (vs shuffling |shingles|×16 rows
     * with an explode + re-collect formulation).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingleRows(docs))
+
+  /** [[minhashSignatures]] over an already-built shingle table — the
+    * seam that lets a caller share ONE materialized shingle index across
+    * blocking families ([[taggedMethodPairs]]).
+    */
+  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     // Each permutation's hash is its own scalar aggregate input — NOT an
     // element_at() into a 16-element array column. The array formulation
     // reads nicely but costs 16× the hashing: aggregate input expressions
@@ -558,7 +572,7 @@ object Dedup {
     // interpreted — measured 218s at sf0.1 vs ~5s for this shape).
     val mins = (0 until NumPerms)
       .map(i => min(Cols.hash60(i, col("shingle"))).as(s"m$i"))
-    shingleRows(docs)
+    sh
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(
@@ -566,11 +580,6 @@ object Dedup {
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH near-dup candidates: band the signature (4 bands × 4
-    * rows), bucket-join on (band, md5(band values)), then estimate Jaccard
-    * as the fraction of matching signature positions. Only bucket
-    * collisions are ever paired — the whole point of LSH at scale.
-    */
   /** (doc_id, sig, band, bucket) rows for a signature table — the LSH
     * bucket index grain shared by [[minhashLsh]] (self-join within one
     * corpus) and [[ledgerFlags]]/the streaming ledger (probe of incoming
@@ -592,12 +601,21 @@ object Dedup {
           .as("bucket"))
   }
 
-  def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame = {
+  /** MinHash + LSH near-dup candidates: band the signature (4 bands × 4
+    * rows), bucket-join on (band, md5(band values)), then estimate Jaccard
+    * as the fraction of matching signature positions. Only bucket
+    * collisions are ever paired — the whole point of LSH at scale.
+    */
+  def minhashLsh(docs: DataFrame, estThreshold: Double = EstThreshold): DataFrame =
     // The signature table is the MinHash index: tiny (16 longs per doc) and
     // referenced four times below (bands ×2 via the self-join, est ×2) —
     // cache it instead of recomputing the shingle explosion each time.
     // At scale this is exactly the index you'd persist.
-    val sigs = minhashSignatures(docs).cache()
+    lshFromSigs(minhashSignatures(docs).cache(), estThreshold)
+
+  /** [[minhashLsh]] over an already-built (cached/checkpointed)
+    * signature table. */
+  private def lshFromSigs(sigs: DataFrame, estThreshold: Double): DataFrame = {
     val bands = bandRows(sigs)
     val cand = bands.as("a")
       .join(
@@ -919,12 +937,24 @@ object Dedup {
 
   /** The (method, pair) union of the three blocking families, shared by
     * [[methodAgreement]] and [[ensembleImpact]]. */
-  private def taggedMethodPairs(docs: DataFrame): DataFrame =
-    minhashLsh(docs).select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
+  private def taggedMethodPairs(docs: DataFrame): DataFrame = {
+    // ONE materialized shingle index for the two shingle-grain families:
+    // the minhash signatures and the n-gram posting join would otherwise
+    // evaluate the normalize+tokenize+explode scan ~5× between them.
+    // localCheckpoint (row blocks), NOT cache() — the columnar encode of
+    // an exploded string table costs more than it saves here (all at
+    // sf0.1, noise ≤ 1.1: baseline 7.9/6.0 s ensemble/agreement, cache()
+    // 8.1/12.7 s, localCheckpoint 5.2/3.7 s). The retained blocks are
+    // the persisted-index artifact, the [[winnowOverlap]] precedent.
+    val sh = shingleRows(docs).localCheckpoint()
+    val sigs = minhashSignaturesFrom(sh).localCheckpoint()
+    lshFromSigs(sigs, EstThreshold)
+      .select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
       .unionAll(simhashNearDups(docs)
         .select(lit("simhash").as("method"), col("doc_id_1"), col("doc_id_2")))
-      .unionAll(ngramJaccard(docs)
+      .unionAll(ngramJaccardFrom(sh)
         .select(lit("ngram").as("method"), col("doc_id_1"), col("doc_id_2")))
+  }
 
   /** Ensemble dedup impact: the three blocking families' pair sets
     * combined under the three standard voting rules — union (any method
