@@ -756,11 +756,15 @@ object Dedup {
       truthThetaE4: Long = 5000L,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
     import docs.sparkSession.implicits._
+    // ONE materialized shingle index feeds the prediction side's minhash
+    // signatures AND the truth side's df-cap + posting join + counts —
+    // otherwise shingleRows evaluates ~5× in this plan (the
+    // taggedMethodPairs discipline; measured 4.4 → 3.0 s at sf0.1)
+    val sh0 = shingleRows(docs).localCheckpoint()
     // every LSH candidate with its estimate — threshold 0 disables the gate
-    val pred = minhashLsh(docs, estThreshold = 0.0)
+    val pred = lshFromSigs(minhashSignaturesFrom(sh0).localCheckpoint(), 0.0)
       .select(col("doc_id_1"), col("doc_id_2"),
         round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
-    val sh0 = shingleRows(docs)
     val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select(col("shingle"))
     val sh = sh0.join(rare, "shingle")
@@ -843,8 +847,11 @@ object Dedup {
     // [[minhashLsh]]), so the 5-row readout is materialized eagerly below
     // and the signatures are freed before returning — the bpeTrain
     // discipline; a .cache() leaked one corpus-sized signature table into
-    // session storage per invocation (ADVICE r9).
-    val sigs = minhashSignatures(docs).localCheckpoint()
+    // session storage per invocation (ADVICE r9). The shingle index is
+    // shared between the signature build and the truth side's df-cap +
+    // posting join (the taggedMethodPairs discipline) and freed with it.
+    val sh0 = shingleRows(docs).localCheckpoint()
+    val sigs = minhashSignaturesFrom(sh0).localCheckpoint()
     val cand = configs.map { case (nb, r, thr) =>
       val bands0 = sigs
         .select(col("doc_id"), col("sig"),
@@ -869,7 +876,6 @@ object Dedup {
           lit(thr).as("threshold_e4"), col("doc_id_1"), col("doc_id_2"))
     }.reduce(_ unionAll _)
     // exact ground truth: df-capped shingle Jaccard ≥ truthThetaE4
-    val sh0 = shingleRows(docs)
     val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select(col("shingle"))
     val sh = sh0.join(rare, "shingle")
@@ -909,9 +915,11 @@ object Dedup {
           Cols.floorDiv(col("tp") * 10000L, col("__nt")))
           .otherwise(lit(null).cast("long")).as("recall_e4"))
       .orderBy(col("bands").desc)
-      // 5-row readout: materialize it, then free the signature table
+      // 5-row readout: materialize it, then free the invocation-scoped
+      // shingle and signature indexes
       .localCheckpoint()
     graft.LocalCheckpoints.free(sigs)
+    graft.LocalCheckpoints.free(sh0)
     out
   }
 
