@@ -2,6 +2,55 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Pure regression-gate math, factored out of [[Bench]] so the baseline
+  * policy is spec-testable without a Spark run ([[BenchGateSpec]]).
+  *
+  * Round-10 lesson: gating against the previous round's CORRECTED figures
+  * (raw ÷ probe noise) produced 8 flags and all 8 were phantom — linear
+  * probe-deflation overcorrects contended measurements 2–4×, so a
+  * contended round plants an impossibly-fast baseline that the next quiet
+  * round "regresses" against. The fix is a per-query TRUSTED baseline:
+  * updated only when the measurement itself was quiet (probe factor
+  * inside the dead-band), carried forward unchanged through contended
+  * rounds, and compared only against quiet current measurements. A
+  * contended round followed by a quiet round then flags zero unchanged
+  * queries by construction.
+  */
+object BenchGate {
+  /** Probe-load factor below which a measurement counts as quiet — the
+    * same dead-band stratum the corrected figures use (probe self-jitter
+    * on a 0.1 s micro-probe is ~1.2–1.3×). */
+  val QuietFactor = 1.3
+  val RegressionRatio = 1.5
+  /** Sub-half-second queries regress on JIT luck, not plans. */
+  val FloorSec = 0.5
+
+  /** Baseline seed when the previous detail file predates the `trusted`
+    * field: the corrected figure if recorded, else raw with the SAME
+    * dead-band the live correction applies — raw stands when the noise
+    * was inside the band, raw ÷ noise only above it. (Deflating a
+    * noise-1.2 raw would bias the very first gated round toward false
+    * flags, the r10 ADVICE fallback hole.) */
+  def seedFallback(raw: Double, corrected: Double, noise: Double): Option[Double] =
+    if (corrected >= 0) Some(corrected)
+    else if (raw < 0) None
+    else if (noise < QuietFactor) Some(raw)
+    else Some(raw / math.max(1.0, noise))
+
+  /** Next trusted figure: a quiet successful measurement replaces it;
+    * anything else (contended run, failed query) carries the previous
+    * trusted value forward untouched. */
+  def nextTrusted(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[Double] =
+    if (ok && quiet && cur >= 0) Some(cur) else prevTrusted
+
+  /** Flag only quiet-vs-trusted comparisons: a contended current
+    * measurement is not evidence of anything (its corrected figure is a
+    * deflation estimate, not a measurement). */
+  def regression(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[(Double, Double)] =
+    prevTrusted.filter(prev =>
+      ok && quiet && cur >= FloorSec && cur > RegressionRatio * prev).map(prev => (prev, cur))
+}
+
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract). Per-query progress goes to
   * stderr so slow queries are identifiable while the run is live.
@@ -107,35 +156,45 @@ object Bench {
     val correctedTotal = corrected.collect { case (_, v) if v >= 0 => v }.sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     // regression gate (report, not a suite failure): read the PREVIOUS
-    // detail file before overwriting it and flag any query whose corrected
-    // time grew >1.5× vs its previous corrected (or raw/noise-derived)
-    // figure — the next round's verdict can diff rounds without
-    // hand-stratifying by noise.
-    val prevCorrected: Map[String, Double] = {
+    // detail file before overwriting it and flag any query whose QUIET
+    // current measurement grew >1.5× vs its per-query TRUSTED baseline
+    // (BenchGate scaladoc has the r10 phantom-flag story). Pre-`trusted`
+    // detail files seed via the dead-band-mirrored fallback.
+    val prevTrusted: Map[String, Double] = {
       val f = new java.io.File(detailPath)
       if (!f.exists()) Map.empty
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         import scala.jdk.CollectionConverters._
-        val qsN = root.path("queries"); val czN = root.path("corrected"); val nzN = root.path("noise")
-        qsN.fieldNames().asScala.flatMap { k =>
-          val raw = qsN.path(k).asDouble(-1.0)
-          val cz = czN.path(k).asDouble(-1.0)
-          val nz = math.max(1.0, nzN.path(k).asDouble(1.0))
-          val v = if (cz >= 0) cz else if (raw >= 0) raw / nz else -1.0
-          if (v >= 0) Some(k -> v) else None
+        val qsN = root.path("queries"); val czN = root.path("corrected")
+        val nzN = root.path("noise"); val trN = root.path("trusted")
+        (qsN.fieldNames().asScala ++ trN.fieldNames().asScala).toSet.flatMap { (k: String) =>
+          val tr = trN.path(k).asDouble(-1.0)
+          val seed =
+            if (tr >= 0) Some(tr)
+            else BenchGate.seedFallback(
+              qsN.path(k).asDouble(-1.0), czN.path(k).asDouble(-1.0), nzN.path(k).asDouble(1.0))
+          seed.map(k -> _)
         }.toMap
       } catch { case e: Throwable =>
         System.err.println(s"[bench] previous detail unreadable, gate skipped: $e"); Map.empty }
     }
-    val floorSec = 0.5 // sub-half-second queries regress on JIT luck, not plans
+    // per-query quietness of the WINNING run (its own probe vs global base)
+    val quietByQuery = results.map { case (k, _, okQ, _, pBest) =>
+      k -> (okQ && pBest > 0 && pBest / probeBase < BenchGate.QuietFactor)
+    }.toMap
+    val okByQuery = results.map { case (k, _, okQ, _, _) => k -> okQ }.toMap
     val regressions = corrected.flatMap { case (k, cur) =>
-      prevCorrected.get(k).collect {
-        case prev if cur > 1.5 * prev && cur >= floorSec => (k, prev, cur)
-      }
+      BenchGate.regression(prevTrusted.get(k), cur, quietByQuery(k), okByQuery(k))
+        .map { case (prev, c) => (k, prev, c) }
+    }
+    // union with prev: a SPARK_GRAFT_ONLY subset run must not wipe the
+    // baselines of unselected queries when it overwrites the detail file
+    val trustedNow: Map[String, Double] = prevTrusted ++ corrected.flatMap { case (k, cur) =>
+      BenchGate.nextTrusted(prevTrusted.get(k), cur, quietByQuery(k), okByQuery(k)).map(k -> _)
     }
     regressions.foreach { case (k, prev, cur) =>
-      System.err.println(f"[bench] REGRESSION >1.5x corrected: $k%-28s ${num2(prev)}s -> ${num2(cur)}s")
+      System.err.println(f"[bench] REGRESSION >1.5x vs trusted: $k%-28s ${num2(prev)}s -> ${num2(cur)}s")
     }
     val regJson = if (regressions.isEmpty) "" else
       s""","regressions":${regressions.map { case (k, p, c) =>
@@ -150,9 +209,12 @@ object Bench {
       .mkString("{", ",", "}")
     val corrJson = corrected.map { case (k, v) => "\"" + k + "\":" + (if (v >= 0) num2(v) else "-1") }
       .mkString("{", ",", "}")
+    val trustedJson = trustedNow.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""corrected_total":${num2(correctedTotal)},""" +
-      s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson$regJson,""" +
+      s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson,""" +
+      s""""trusted":$trustedJson$regJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
@@ -162,6 +224,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""corrected_total":${num2(correctedTotal)},"n_regressions":${regressions.size},""" +
+      s""""n_trusted":${trustedNow.size},""" +
       s""""slowest":$slowest$failedJson,"probe_base_sec":$probeBaseStr,""" +
       s""""detail_file":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The regression-gate policy ([[BenchGate]]) — pure math, no Spark.
+  *
+  * Round-10 ground truth this spec encodes: the gate's first outing
+  * flagged 8 queries and quiet-machine A/Bs showed all 8 were phantom —
+  * artifacts of comparing against noise-DEFLATED contended baselines.
+  * The trusted-baseline policy must make that whole failure class
+  * impossible: a contended round followed by a quiet round flags zero
+  * unchanged queries.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("seedFallback: corrected figure wins when present") {
+    assert(BenchGate.seedFallback(raw = 2.0, corrected = 1.8, noise = 1.1).contains(1.8))
+  }
+
+  test("seedFallback: dead-band — raw stands unchanged when noise is inside the band") {
+    // the r10 ADVICE hole: prev = raw/noise with no dead-band deflated a
+    // noise-1.2 baseline ~17% against an undeflated current figure
+    assert(BenchGate.seedFallback(raw = 1.0, corrected = -1.0, noise = 1.2).contains(1.0))
+    assert(BenchGate.seedFallback(raw = 1.0, corrected = -1.0, noise = 1.29).contains(1.0))
+  }
+
+  test("seedFallback: raw deflates by noise only above the band") {
+    assert(BenchGate.seedFallback(raw = 2.0, corrected = -1.0, noise = 2.0).contains(1.0))
+  }
+
+  test("seedFallback: failed query seeds nothing") {
+    assert(BenchGate.seedFallback(raw = -1.0, corrected = -1.0, noise = 1.0).isEmpty)
+  }
+
+  test("nextTrusted: a quiet successful measurement replaces the baseline") {
+    assert(BenchGate.nextTrusted(Some(2.0), cur = 1.5, quiet = true, ok = true).contains(1.5))
+    assert(BenchGate.nextTrusted(None, cur = 1.5, quiet = true, ok = true).contains(1.5))
+  }
+
+  test("nextTrusted: a contended measurement carries the previous trusted forward untouched") {
+    assert(BenchGate.nextTrusted(Some(2.0), cur = 0.5, quiet = false, ok = true).contains(2.0))
+    assert(BenchGate.nextTrusted(None, cur = 0.5, quiet = false, ok = true).isEmpty)
+  }
+
+  test("nextTrusted: a failed query never updates the baseline") {
+    assert(BenchGate.nextTrusted(Some(2.0), cur = -1.0, quiet = true, ok = false).contains(2.0))
+  }
+
+  test("regression: quiet growth beyond 1.5x trusted is flagged") {
+    assert(BenchGate.regression(Some(1.0), cur = 2.0, quiet = true, ok = true).contains((1.0, 2.0)))
+  }
+
+  test("regression: growth below ratio, below floor, or without a baseline is not flagged") {
+    assert(BenchGate.regression(Some(1.0), cur = 1.4, quiet = true, ok = true).isEmpty)
+    assert(BenchGate.regression(Some(0.2), cur = 0.4, quiet = true, ok = true).isEmpty)
+    assert(BenchGate.regression(None, cur = 9.0, quiet = true, ok = true).isEmpty)
+  }
+
+  test("regression: a contended current measurement never flags") {
+    assert(BenchGate.regression(Some(1.0), cur = 9.0, quiet = false, ok = true).isEmpty)
+  }
+
+  test("the r10 phantom-flag class is impossible: contended round then quiet round, unchanged query") {
+    // round A (quiet): true capability 1.94 s → trusted = 1.94
+    val afterQuiet = BenchGate.nextTrusted(None, cur = 1.94, quiet = true, ok = true)
+    assert(afterQuiet.contains(1.94))
+    // round B (contended, probe factor ~3.6): raw 1.94 deflates to a
+    // phantom 0.54 "corrected" figure — the baseline must NOT absorb it
+    val afterContended = BenchGate.nextTrusted(afterQuiet, cur = 0.54, quiet = false, ok = true)
+    assert(afterContended.contains(1.94))
+    // and the contended figure itself flags nothing
+    assert(BenchGate.regression(afterQuiet, cur = 0.54, quiet = false, ok = true).isEmpty)
+    // round C (quiet again): the unchanged 1.94 s query vs trusted 1.94 — zero flags
+    assert(BenchGate.regression(afterContended, cur = 1.94, quiet = true, ok = true).isEmpty)
+    // whereas the old corrected-basis gate WOULD have flagged it: 1.94 > 1.5 × 0.54
+    assert(1.94 > BenchGate.RegressionRatio * 0.54)
+  }
+
+  test("a real quiet-vs-quiet regression still surfaces after a contended interlude") {
+    val t = BenchGate.nextTrusted(None, cur = 1.0, quiet = true, ok = true)
+    val carried = BenchGate.nextTrusted(t, cur = 0.3, quiet = false, ok = true)
+    assert(BenchGate.regression(carried, cur = 2.0, quiet = true, ok = true).contains((1.0, 2.0)))
+  }
+}
