@@ -69,14 +69,25 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # Verify writes manifest.json (the names it ATTEMPTED, before running
+    # any of them): a manifest-listed query with no dump crashed before
+    # writing → FAIL; a query absent from the manifest was filtered out of
+    # that Verify run → skip. This keys the decision on how the dump was
+    # actually produced, not on check.py's own environment (a full-run
+    # check over a subset dump used to FAIL every undumped query, and
+    # SPARK_GRAFT_ONLY set during a full-run check reverted crashes to
+    # silent skips). Pre-manifest dumps fall back to the old env heuristic.
+    manifest_path = f"{out_dir}/manifest.json"
+    if os.path.exists(manifest_path):
+        attempted = set(json.load(open(manifest_path)))
+    else:
+        attempted = None  # legacy dump: fall back to the env heuristic
     subset = os.environ.get("SPARK_GRAFT_ONLY", "")
     for name, sql in sorted(oracle.items()):
-        # subset runs (SPARK_GRAFT_ONLY) dump only some queries; an oracle
-        # with no dumped result is "not run" there — but in a FULL run a
-        # missing dump means the query crashed before writing, which must
-        # count as FAIL, not slip through as a skip
         if not os.path.isdir(f"{out_dir}/{name}"):
-            if subset:
+            not_attempted = (name not in attempted) if attempted is not None \
+                else bool(subset)
+            if not_attempted:
                 n_skip += 1
             else:
                 print(f"FAIL {name}: no dumped result (query crashed before write?)")

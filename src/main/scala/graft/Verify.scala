@@ -17,9 +17,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev filter (same contract as Bench): SPARK_GRAFT_ONLY=a,b,c
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // manifest FIRST, before any query runs: check.py fails exactly the
+    // queries this run attempted but never dumped (crash before write),
+    // independent of how check.py itself is invoked — keying the skip
+    // decision on check.py's own SPARK_GRAFT_ONLY value let a full-run
+    // check silently skip crashes and a subset check FAIL undumped
+    // non-subset queries (r10 ADVICE).
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    attempted.foreach { name =>
+      val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
