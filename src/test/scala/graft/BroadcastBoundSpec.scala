@@ -62,19 +62,29 @@ class BroadcastBoundSpec extends SparkSpec {
         broadcasts.foreach { b =>
           val sub = b.child.toString.replaceAll("#\\d+L?", "")
           val strided = sub.contains(s"pmod(vec_id, ${Similarity.QueryStride})")
-          // topmost aggregate in the subtree (collect is preorder):
-          // bounded iff it is a 1-row global aggregate or every grouping
-          // key is a bounded-cardinality id — the broadcast's output size
-          // is this aggregate's group count
-          val topAgg = b.child.collectFirst {
-            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-          }
-          val aggregated = topAgg.exists { a =>
+          // the aggregate must BOUND THE SUBTREE ROOT, not merely appear
+          // somewhere in it: a preorder collectFirst would find a bounded
+          // aggregate below a Join(agg, corpusScan) build side and pass a
+          // corpus-sized broadcast (ADVICE r10 — the narrower cousin of
+          // the r9 substring-"Aggregate" hole). Descend only through
+          // nodes that cannot grow their child's output data-sized:
+          // unary projections/filters/exchanges/sorts (Generate fans out
+          // by array size, excluded), and binary nodes only when BOTH
+          // sides prove bounded — |bounded × bounded| is bounded.
+          def keysBounded(a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec): Boolean =
             a.groupingExpressions.isEmpty ||
               a.groupingExpressions.forall(g =>
                 boundedGroupKeys(g.name) ||
                   g.references.forall(r => boundedGroupKeys(r.name)))
+          def boundedByAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => keysBounded(a)
+            case _: org.apache.spark.sql.execution.GenerateExec => false
+            case u: org.apache.spark.sql.execution.UnaryExecNode => boundedByAgg(u.child)
+            case j: org.apache.spark.sql.execution.BinaryExecNode =>
+              boundedByAgg(j.left) && boundedByAgg(j.right)
+            case _ => false
           }
+          val aggregated = boundedByAgg(b.child)
           val capped = idCap.findFirstIn(sub).isDefined
           val checkpointed = checkpointedBounded(name) && sub.contains("Scan ExistingRDD")
           assert(strided || aggregated || capped || checkpointed,
