@@ -761,8 +761,9 @@ object Dedup {
     // otherwise shingleRows evaluates ~5× in this plan (the
     // taggedMethodPairs discipline; measured 4.4 → 3.0 s at sf0.1)
     val sh0 = shingleRows(docs).localCheckpoint()
+    val sigs = minhashSignaturesFrom(sh0).localCheckpoint()
     // every LSH candidate with its estimate — threshold 0 disables the gate
-    val pred = lshFromSigs(minhashSignaturesFrom(sh0).localCheckpoint(), 0.0)
+    val pred = lshFromSigs(sigs, 0.0)
       .select(col("doc_id_1"), col("doc_id_2"),
         round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
     val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -791,7 +792,7 @@ object Dedup {
         count(when(col("est_e4") >= col("theta_e4") && col("__true") === 1L, 1)).as("tp"),
         count(when(col("est_e4") >= col("theta_e4") && col("__true") === 0L, 1)).as("fp"),
         count(when(col("est_e4") < col("theta_e4") && col("__true") === 1L, 1)).as("fn"))
-    thetas.join(agg, Seq("theta_e4"), "left_outer")
+    val out = thetas.join(agg, Seq("theta_e4"), "left_outer")
       .select(
         col("theta_e4"),
         coalesce(col("tp"), lit(0L)).as("tp"),
@@ -806,6 +807,14 @@ object Dedup {
           Cols.floorDiv(col("tp") * 10000L, col("tp") + col("fn")))
           .otherwise(lit(null).cast("long")).as("recall_e4"))
       .orderBy(col("theta_e4"))
+      // |thresholds|-row readout: materialize it, then free the
+      // invocation-scoped shingle and signature indexes (the
+      // lshBandDesign discipline) — the returned lazy frame must not
+      // keep two corpus-sized block sets pinned across invocations
+      .localCheckpoint()
+    graft.LocalCheckpoints.free(sigs)
+    graft.LocalCheckpoints.free(sh0)
+    out
   }
 
   /** LSH band-GEOMETRY design table — the question [[lshPrCurve]] leaves
@@ -935,17 +944,25 @@ object Dedup {
     * below the corpus; the agreement join is keyed by the pair itself.
     */
   def methodAgreement(docs: DataFrame): DataFrame = {
-    val tagged = taggedMethodPairs(docs)
-    tagged.as("a")
+    val (tagged, freeIndexes) = taggedMethodPairs(docs)
+    val out = tagged.as("a")
       .join(tagged.as("b"),
         col("a.doc_id_1") === col("b.doc_id_1") && col("a.doc_id_2") === col("b.doc_id_2"))
       .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
       .agg(count(lit(1)).as("n_pairs"))
+      // ≤ 9-row readout: materialize, then free the invocation-scoped
+      // shingle/signature indexes (lshBandDesign discipline)
+      .localCheckpoint()
+    freeIndexes()
+    out
   }
 
   /** The (method, pair) union of the three blocking families, shared by
-    * [[methodAgreement]] and [[ensembleImpact]]. */
-  private def taggedMethodPairs(docs: DataFrame): DataFrame = {
+    * [[methodAgreement]] and [[ensembleImpact]]. The second element frees
+    * the invocation-scoped shingle/signature checkpoints — callers
+    * materialize their small readout, then invoke it, so the returned
+    * frame never pins corpus-sized block sets across invocations. */
+  private def taggedMethodPairs(docs: DataFrame): (DataFrame, () => Unit) = {
     // ONE materialized shingle index for the two shingle-grain families:
     // the minhash signatures and the n-gram posting join would otherwise
     // evaluate the normalize+tokenize+explode scan ~5× between them.
@@ -956,12 +973,13 @@ object Dedup {
     // the persisted-index artifact, the [[winnowOverlap]] precedent.
     val sh = shingleRows(docs).localCheckpoint()
     val sigs = minhashSignaturesFrom(sh).localCheckpoint()
-    lshFromSigs(sigs, EstThreshold)
+    val pairs = lshFromSigs(sigs, EstThreshold)
       .select(lit("minhash").as("method"), col("doc_id_1"), col("doc_id_2"))
       .unionAll(simhashNearDups(docs)
         .select(lit("simhash").as("method"), col("doc_id_1"), col("doc_id_2")))
       .unionAll(ngramJaccardFrom(sh)
         .select(lit("ngram").as("method"), col("doc_id_1"), col("doc_id_2")))
+    (pairs, () => { graft.LocalCheckpoints.free(sigs); graft.LocalCheckpoints.free(sh) })
   }
 
   /** Ensemble dedup impact: the three blocking families' pair sets
@@ -983,7 +1001,8 @@ object Dedup {
     */
   def ensembleImpact(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val votes = taggedMethodPairs(docs)
+    val (tagged, freeIndexes) = taggedMethodPairs(docs)
+    val votes = tagged
       .groupBy(col("doc_id_1"), col("doc_id_2"))
       .agg(count_distinct(col("method")).as("__votes"))
     val modes = Seq(("union", 1L), ("majority", 2L), ("intersection", 3L))
@@ -1001,13 +1020,18 @@ object Dedup {
         Cols.floorDiv(count(lit(1)), lit(2L)).as("n_pairs"),
         count_distinct(col("__e.id")).as("n_docs"),
         count_distinct(when(col("__e.hi") === 1L, col("__e.id"))).as("n_drop_candidates"))
-    modes.join(agg, Seq("mode", "min_votes"), "left_outer")
+    val out = modes.join(agg, Seq("mode", "min_votes"), "left_outer")
       .select(
         col("mode"), col("min_votes"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_drop_candidates"), lit(0L)).as("n_drop_candidates"))
       .orderBy(col("min_votes"))
+      // 3-row readout: materialize, then free the invocation-scoped
+      // shingle/signature indexes (lshBandDesign discipline)
+      .localCheckpoint()
+    freeIndexes()
+    out
   }
 
   /** Planted-duplicate recall harness: every corpus document is cloned
