@@ -37,15 +37,31 @@ object BenchGate {
     else if (noise < QuietFactor) Some(raw)
     else Some(raw / math.max(1.0, noise))
 
-  /** Next trusted figure: a quiet successful measurement replaces it;
-    * anything else (contended run, failed query) carries the previous
+  /** Cross-RUN machine comparability: within-run noise factors catch
+    * contention windows, but the probe BASE itself drifts 2–3× between
+    * runs (r7–r10 history 0.044–0.151 s) — a whole run on a 2× slower
+    * machine state measures every query ~2× slower at noise 1.00, and
+    * absolute seconds are simply not comparable to a fast-state
+    * baseline. Trusted figures therefore carry the probe base they were
+    * measured at, and both flagging and updating require the current
+    * base inside the same dead-band of it. (Probe-LINEAR rescaling
+    * across runs is deliberately NOT done — that is the overcorrection
+    * that minted round 10's phantom baselines.) */
+  def comparable(curProbeBase: Double, trustedProbeBase: Double): Boolean =
+    trustedProbeBase > 0 && curProbeBase > 0 &&
+      curProbeBase < QuietFactor * trustedProbeBase
+
+  /** Next trusted figure: a quiet successful measurement on a comparable
+    * (or faster) machine state replaces it; anything else — contended
+    * run, failed query, slow machine state — carries the previous
     * trusted value forward untouched. */
   def nextTrusted(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[Double] =
     if (ok && quiet && cur >= 0) Some(cur) else prevTrusted
 
-  /** Flag only quiet-vs-trusted comparisons: a contended current
-    * measurement is not evidence of anything (its corrected figure is a
-    * deflation estimate, not a measurement). */
+  /** Flag only quiet-vs-trusted comparisons on a comparable machine
+    * state: a contended current measurement is not evidence of anything
+    * (its corrected figure is a deflation estimate, not a measurement),
+    * and neither is a clean measurement on a 2× slower machine. */
   def regression(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[(Double, Double)] =
     prevTrusted.filter(prev =>
       ok && quiet && cur >= FloorSec && cur > RegressionRatio * prev).map(prev => (prev, cur))
@@ -160,15 +176,15 @@ object Bench {
     // current measurement grew >1.5× vs its per-query TRUSTED baseline
     // (BenchGate scaladoc has the r10 phantom-flag story). Pre-`trusted`
     // detail files seed via the dead-band-mirrored fallback.
-    val prevTrusted: Map[String, Double] = {
+    val (prevTrusted: Map[String, Double], prevTpb: Double) = {
       val f = new java.io.File(detailPath)
-      if (!f.exists()) Map.empty
+      if (!f.exists()) (Map.empty[String, Double], -1.0)
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         import scala.jdk.CollectionConverters._
         val qsN = root.path("queries"); val czN = root.path("corrected")
         val nzN = root.path("noise"); val trN = root.path("trusted")
-        (qsN.fieldNames().asScala ++ trN.fieldNames().asScala).toSet.flatMap { (k: String) =>
+        val m = (qsN.fieldNames().asScala ++ trN.fieldNames().asScala).toSet.flatMap { (k: String) =>
           val tr = trN.path(k).asDouble(-1.0)
           val seed =
             if (tr >= 0) Some(tr)
@@ -176,12 +192,23 @@ object Bench {
               qsN.path(k).asDouble(-1.0), czN.path(k).asDouble(-1.0), nzN.path(k).asDouble(1.0))
           seed.map(k -> _)
         }.toMap
+        // baselines carry the machine state they were measured at; a
+        // pre-`trusted_probe_base` file anchors to its own probe base
+        (m, root.path("trusted_probe_base").asDouble(root.path("probe_base_sec").asDouble(-1.0)))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] previous detail unreadable, gate skipped: $e"); Map.empty }
+        System.err.println(s"[bench] previous detail unreadable, gate skipped: $e")
+        (Map.empty[String, Double], -1.0) }
     }
-    // per-query quietness of the WINNING run (its own probe vs global base)
+    // whole-run machine-state comparability vs the baseline's probe base
+    // (first-ever run: nothing to compare against, seed freely)
+    val comparableState = prevTpb <= 0 || BenchGate.comparable(probeBase, prevTpb)
+    if (!comparableState)
+      System.err.println(f"[bench] machine state not comparable to trusted baselines " +
+        f"(probe_base $probeBase%.4f vs trusted $prevTpb%.4f) — gate dormant, baselines carried")
+    // per-query quietness of the WINNING run (its own probe vs global
+    // base), AND the run's machine state comparable to the baselines'
     val quietByQuery = results.map { case (k, _, okQ, _, pBest) =>
-      k -> (okQ && pBest > 0 && pBest / probeBase < BenchGate.QuietFactor)
+      k -> (comparableState && okQ && pBest > 0 && pBest / probeBase < BenchGate.QuietFactor)
     }.toMap
     val okByQuery = results.map { case (k, _, okQ, _, _) => k -> okQ }.toMap
     val regressions = corrected.flatMap { case (k, cur) =>
@@ -211,10 +238,16 @@ object Bench {
       .mkString("{", ",", "}")
     val trustedJson = trustedNow.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
+    // ratchet to the fastest comparable machine state seen
+    val newTpb =
+      if (!comparableState) prevTpb
+      else if (prevTpb > 0) math.min(prevTpb, probeBase)
+      else probeBase
+    val tpbStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(newTpb))
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""corrected_total":${num2(correctedTotal)},""" +
       s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson,""" +
-      s""""trusted":$trustedJson$regJson,""" +
+      s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr$regJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

@@ -76,6 +76,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(1.94 > BenchGate.RegressionRatio * 0.54)
   }
 
+  test("comparable: a probe base inside the dead-band of the trusted base compares; 2x slower does not") {
+    assert(BenchGate.comparable(curProbeBase = 0.055, trustedProbeBase = 0.050))
+    // faster machine states always compare (times can only shrink)
+    assert(BenchGate.comparable(curProbeBase = 0.030, trustedProbeBase = 0.050))
+    // the round-11 near-miss: 0.104 vs 0.050 — a 2x slower machine state
+    // measured an unchanged query 1.38 -> 2.47 s at within-run noise 1.00
+    assert(!BenchGate.comparable(curProbeBase = 0.104, trustedProbeBase = 0.050))
+    assert(!BenchGate.comparable(curProbeBase = 0.050, trustedProbeBase = -1.0))
+  }
+
   test("a real quiet-vs-quiet regression still surfaces after a contended interlude") {
     val t = BenchGate.nextTrusted(None, cur = 1.0, quiet = true, ok = true)
     val carried = BenchGate.nextTrusted(t, cur = 0.3, quiet = false, ok = true)
