@@ -605,8 +605,26 @@ object TextAnalysis {
     */
   def decontaminationScreen(
       corpus: DataFrame, benchmark: DataFrame, maxCorpusDf: Long = 50L): DataFrame = {
+    val pos = benchmarkPositionalIndex(benchmark)
+    val vocab = winnowFingerprints(corpus)
+      .join(pos.select(col("fingerprint")).distinct(), Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxCorpusDf)
+      .select(col("fingerprint"))
+    contaminationReport(pos,
+      pos.join(vocab, Seq("fingerprint"), "leftsemi").select(col("doc_id"), col("pos")))
+  }
+
+  /** The benchmark suite's POSITIONAL winnow index — every k=4/w=4
+    * selected window with its character position (the distinct-set view
+    * of [[winnowFingerprints]] cannot produce spans). Small and static
+    * by definition (eval suites are thousands of docs): this is the
+    * index the streaming screen ([[graft.streaming.DecontamScreen]])
+    * precomputes once and probes every ingest micro-batch against.
+    */
+  private[graft] def benchmarkPositionalIndex(benchmark: DataFrame): DataFrame = {
     val k = 4; val w = 4
-    val pos = benchmark
+    benchmark
       .select(col("doc_id"), Cols.normalizeText(col("text")).as("__norm"))
       .filter(length(col("__norm")) >= k + w - 1)
       .withColumn(
@@ -619,15 +637,23 @@ object TextAnalysis {
           s"i -> array_min(slice(__h, i, $w)))")))
       .select(
         col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("fingerprint"))
-    val vocab = winnowFingerprints(corpus)
-      .join(pos.select(col("fingerprint")).distinct(), Seq("fingerprint"), "leftsemi")
-      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxCorpusDf)
-      .select(col("fingerprint"), lit(1L).as("__hit"))
-    val marked = pos.join(vocab, Seq("fingerprint"), "left")
-    val perDoc = marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"), count(col("__hit")).as("n_hit"))
-    val runs = marked.filter(col("__hit").isNotNull)
+  }
+
+  /** Per-benchmark-doc contamination readout over an already-computed
+    * hit set: `pos` is the full positional index, `hits` the
+    * contaminated (doc_id, pos) subset. Spans are maximal runs of
+    * consecutive contaminated windows (island = pos − row_number per
+    * doc); a run of R windows covers R + 6 characters (k=4, w=4 winnow
+    * coverage), so `max_span_chars` is a lower bound on the longest
+    * verbatim overlap. Shared by the one-shot screen
+    * ([[decontaminationScreen]]), its incremental batch twin
+    * ([[decontaminationIncremental]]), and the streaming report.
+    */
+  private[graft] def contaminationReport(pos: DataFrame, hits: DataFrame): DataFrame = {
+    val perDoc = pos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val hitCounts = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val runs = hits
       .withColumn(
         "__isl",
         col("pos") - row_number().over(org.apache.spark.sql.expressions.Window
@@ -637,14 +663,51 @@ object TextAnalysis {
     val spans = runs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), max(col("__run")).as("__maxrun"))
     perDoc
+      .join(hitCounts, Seq("doc_id"), "left")
       .join(spans, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_windows"), col("n_hit"),
-        Cols.floorDiv(col("n_hit") * 10000L, col("n_windows")).as("leak_frac_e4"),
+        col("doc_id"), col("n_windows"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        Cols.floorDiv(coalesce(col("n_hit"), lit(0L)) * 10000L, col("n_windows"))
+          .as("leak_frac_e4"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("__maxrun"), lit(0L)).as("max_span_windows"),
         when(col("__maxrun").isNull, lit(0L))
-          .otherwise(col("__maxrun") + lit((k + w - 2).toLong)).as("max_span_chars"))
+          .otherwise(col("__maxrun") + lit(6L)).as("max_span_chars"))
+  }
+
+  /** Incremental decontamination — the batch twin of the streaming
+    * screen ([[graft.streaming.DecontamScreen]]), exactly the way
+    * [[graft.dedup.Dedup.ledgerFlags]] twins the dedup ledger: the
+    * corpus arrives as `nBatches` ingest batches (deterministic
+    * pmod(doc_id) assignment here; micro-batches in production), each
+    * batch's fingerprint vocabulary is pruned to the benchmark's
+    * fingerprint set and df-capped WITHIN the batch (a global df is
+    * unknowable mid-stream — the per-batch cap is the declared boundary
+    * semantic, documented to over-flag fingerprints whose corpus-wide
+    * df exceeds the cap only across batches), and a benchmark window is
+    * contaminated once ANY batch's vocabulary contains its fingerprint.
+    * The accumulated hit set feeds the same span readout as the
+    * one-shot screen.
+    *
+    * Scale: per batch the vocabulary collapses to ≤ |benchmark
+    * fingerprints| keys before its df aggregate (the semi-join prune);
+    * the union across batches is a distinct over batch-bounded
+    * fingerprint sets; everything downstream is benchmark-bounded.
+    */
+  def decontaminationIncremental(
+      corpus: DataFrame, benchmark: DataFrame,
+      nBatches: Int = 4, maxBatchDf: Long = 50L): DataFrame = {
+    val pos = benchmarkPositionalIndex(benchmark)
+    val vocab = winnowFingerprints(corpus)
+      .withColumn("__batch", pmod(col("doc_id"), lit(nBatches.toLong)))
+      .join(pos.select(col("fingerprint")).distinct(), Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint"), col("__batch"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBatchDf)
+      .select(col("fingerprint")).distinct()
+    contaminationReport(pos,
+      pos.join(vocab, Seq("fingerprint"), "leftsemi").select(col("doc_id"), col("pos")))
   }
 
   /** Gopher/MassiveText-style repetition signals per document (Rae et al.
@@ -1923,6 +1986,16 @@ object TextAnalysis {
         tagged.filter(col("split") === "train"),
         tagged.filter(col("split") === "test"))
     }),
+    // the incremental (streaming-twin) screen: the train split arriving
+    // as 4 pmod-assigned ingest batches, per-batch df-capped vocabulary,
+    // window contaminated once any batch hits it
+    "txt_decontam_incr" -> ((s, d) => {
+      val sp = splitAssign(Tables.documents(s, d)).select(col("doc_id"), col("split"))
+      val tagged = Tables.documents(s, d).join(sp, "doc_id")
+      decontaminationIncremental(
+        tagged.filter(col("split") === "train"),
+        tagged.filter(col("split") === "test"))
+    }),
     "txt_doc_stats" -> ((s, d) => docStats(Tables.documents(s, d))),
     "txt_quality" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -2611,6 +2684,61 @@ object TextAnalysis {
         |                            for i in generate_series(1, len(h) - 3)])) AS fp
         |    FROM f WHERE split = 'train'
         |  ) GROUP BY fp HAVING count(*) <= 50
+        |), marked AS (
+        |  SELECT p.doc_id, p.pos, v.fp AS hit
+        |  FROM pos p LEFT JOIN vocab v ON v.fp = p.fp
+        |), per_doc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_windows, count(hit)::BIGINT AS n_hit
+        |  FROM marked GROUP BY 1
+        |), runs AS (
+        |  SELECT doc_id, isl, count(*) AS run FROM (
+        |    SELECT doc_id, pos,
+        |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |    FROM marked WHERE hit IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_spans, max(run)::BIGINT AS maxrun
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.n_windows, d.n_hit,
+        |  ((d.n_hit * 10000) // d.n_windows)::BIGINT AS leak_frac_e4,
+        |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(s.maxrun, 0)::BIGINT AS max_span_windows,
+        |  (CASE WHEN s.maxrun IS NULL THEN 0 ELSE s.maxrun + 6 END)::BIGINT AS max_span_chars
+        |FROM per_doc d LEFT JOIN spans s USING (doc_id)""".stripMargin,
+    // the incremental twin: identical CTEs except the train vocabulary is
+    // df-capped PER ingest batch (doc_id % 4) and then distinct-unioned —
+    // a window is contaminated once any batch's capped vocabulary
+    // contains its fingerprint
+    "txt_decontam_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), f AS (
+        |  SELECT t.doc_id, sp.split,
+        |    [('0x' || substr(md5(substr(norm, i, 4)), 1, 15))::BIGINT
+        |     for i in generate_series(1, length(norm) - 3)] AS h
+        |  FROM t JOIN sp USING (doc_id) WHERE length(norm) >= 7
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(h) - 3)) AS pos,
+        |    unnest([list_min(h[i:i+3]) for i in generate_series(1, len(h) - 3)]) AS fp
+        |  FROM f WHERE split = 'test'
+        |), vocab AS (
+        |  SELECT DISTINCT fp FROM (
+        |    SELECT doc_id % 4 AS b, fp, count(*) AS df FROM (
+        |      SELECT doc_id,
+        |        unnest(list_distinct([list_min(h[i:i+3])
+        |                              for i in generate_series(1, len(h) - 3)])) AS fp
+        |      FROM f WHERE split = 'train'
+        |    ) GROUP BY 1, 2 HAVING count(*) <= 50
+        |  )
         |), marked AS (
         |  SELECT p.doc_id, p.pos, v.fp AS hit
         |  FROM pos p LEFT JOIN vocab v ON v.fp = p.fp
