@@ -26,9 +26,9 @@ import org.apache.spark.sql.types._
   *
   * Scale: the ledger is exactly the index a 100 TB incremental pipeline
   * persists anyway (16 longs + 4 bucket hashes per doc); the probe join
-  * is bucket-equi-keyed with the micro-batch as the small side. Compact
-  * old `batch=` partitions offline when they accumulate — the layout is
-  * append-only by construction.
+  * is bucket-equi-keyed with the micro-batch as the small side. When
+  * `batch=` partitions accumulate, [[compact]] folds the finalized ones
+  * into a single partition offline without disturbing the probe cut.
   */
 object DedupLedger {
 
@@ -92,6 +92,49 @@ object DedupLedger {
         processBatch(batch, id, ledgerDir, dupsDir, estThreshold)
       }
       .start()
+
+  /** Compact the ledger's `batch < upTo` partitions into ONE consolidated
+    * partition, keeping the `batch < id` probe cut intact: the
+    * consolidated partition takes the LARGEST compacted batch id, so any
+    * future batch `b ≥ upTo` probes exactly the rows it would have seen
+    * before compaction, and a replayed batch can never see its own rows
+    * (they sit at a partition id ≥ its own — excluded by its `batch < id`
+    * cut, same as before). Returns the number of partitions folded
+    * (0 or 1 = nothing to do).
+    *
+    * Contract: call with `upTo` ≤ the oldest batch id that could still
+    * replay (the stream's committed watermark). A replay of an
+    * already-compacted batch still cannot self-pair — its probe cut
+    * excludes the consolidated partition entirely — but it would probe
+    * against none of the compacted history, so only finalized batches
+    * should be folded. Crash-safety: data is staged to a hidden
+    * `.compact_tmp` dir (invisible to partition discovery) before the
+    * source partitions are deleted, so every row exists somewhere at
+    * every instant; a crash between delete and rename leaves the staged
+    * dir to recover by hand.
+    *
+    * Scale: this is the offline maintenance pass the append-only layout
+    * is designed for — one sequential read of the folded partitions and
+    * one write, no shuffle (parquet-to-parquet), run from a scheduled
+    * batch job while the stream keeps appending `batch ≥ upTo`.
+    */
+  def compact(spark: SparkSession, ledgerDir: String, upTo: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      .filter(_ < upTo).sorted
+    if (parts.length <= 1) return parts.length
+    val target = parts.max
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    spark.read.parquet(parts.map(b => s"$ledgerDir/batch=$b"): _*)
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    parts.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$target"))
+    parts.length
+  }
 
   /** All dup reports so far, with the flagging batch id as a column
     * (partition discovery over the `batch=` layout).

@@ -48,6 +48,50 @@ class DedupLedgerSpec extends SparkSpec {
     }
   }
 
+  test("compact folds old partitions, keeps the probe cut, and a replayed batch cannot self-pair") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger_compact")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    try {
+      DedupLedger.processBatch(
+        Seq((1L, original), (2L, unrelated)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((3L, unique)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((4L, "entirely fresh content about mountain weather stations")
+        ).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
+      val rowsBefore = spark.read.parquet(ledgerDir).count()
+      // fold batches 0 and 1 into one partition (the largest folded id)
+      assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
+      val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toList
+      assert(dirs === List("batch=1", "batch=2"))
+      // no row lost, and rows keep their band/bucket content
+      assert(spark.read.parquet(ledgerDir).count() === rowsBefore)
+      // probe continuity: a new batch still flags against COMPACTED history
+      DedupLedger.processBatch(
+        Seq((9L, original)).toDF("doc_id", "text"), 3L, ledgerDir, dupsDir)
+      val dups = DedupLedger.readDups(spark, dupsDir)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(dups === List((3L, 9L, 1L, 1.0)))
+      // replay of the newest UNcompacted batch: probe cut batch < 2 sees
+      // only the consolidated partition (id 1 < 2) — same data as before
+      // compaction, and never its own rows
+      DedupLedger.processBatch(
+        Seq((4L, "entirely fresh content about mountain weather stations")
+        ).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
+      assert(spark.read.parquet(s"$dupsDir/batch=2").count() === 0L)
+      // replay of an already-COMPACTED batch id: its rows now live at
+      // partition id 1 ≥ 0, outside its own batch < 0 cut — it cannot
+      // self-pair even though doc 1's bands are in the folded history
+      DedupLedger.processBatch(
+        Seq((1L, original)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
+      assert(spark.read.parquet(s"$dupsDir/batch=0").count() === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("processBatch replay overwrites its own partition and never self-pairs") {
     val root = java.nio.file.Files.createTempDirectory("dedup_ledger_replay")
     val ledgerDir = root.resolve("ledger").toString
