@@ -390,18 +390,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, k: Int = TopK, nprobe: Int = 2, dim: Int = 64): DataFrame = {
     val q = Dedup.quantized(embeddings)
-    // exact integer centroids per cell: dim positional sums + count, DIV
-    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-    val centroids = q.groupBy(col("label"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-      .select(
-        col("label"),
-        // exact FLOOR division (DuckDB `//` semantics): sums can be
-        // negative, where Spark's `div` would truncate toward zero instead
-        array((0 until dim).map(i =>
-          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n")), col("n"))): _*)
-          .as("cv"))
-      .withColumn("cnorm2", Dedup.longDot(col("cv"), col("cv")))
+    val centroids = cellCentroids(q, dim)
     val queries = queryBatch(q)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
     // rank cells per query by centroid cosine; deterministic tie-break on label
@@ -423,6 +412,87 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Exact integer centroids per quantizer cell — dim positional sums +
+    * count, then FLOOR division (DuckDB `//` semantics: sums can be
+    * negative, where Spark's `div` would truncate toward zero instead).
+    * Shared by [[ivfTopK]] (probe ranking) and [[ivfAppend]] (frozen-
+    * index assignment); output is |cells| rows, safely broadcastable.
+    */
+  private[graft] def cellCentroids(q: DataFrame, dim: Int): DataFrame = {
+    val sums = (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    q.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(
+        col("label"),
+        array((0 until dim).map(i =>
+          call_function("div", col(s"s$i") - pmod(col(s"s$i"), col("n")), col("n"))): _*)
+          .as("cv"))
+      .withColumn("cnorm2", Dedup.longDot(col("cv"), col("cv")))
+  }
+
+  /** Incremental IVF maintenance — the piece between building the index
+    * ([[ivfTopK]]'s centroids) and trusting it forever: a new-vector
+    * ingest batch (deterministic 1-in-5 hash split standing in for
+    * "today's vectors") is assigned to the FROZEN centroid table built
+    * from the index side only — production appends never re-cluster —
+    * and the readout reports, per cell, how the append shifts the
+    * balance [[ivfBalance]] graded: index/appended/after counts, share
+    * before/after (e4) and the signed drift between them, per-cell
+    * growth, and `n_label_mismatch` — appended vectors whose own label
+    * disagrees with their nearest frozen centroid, the staleness signal
+    * (a fresh quantizer assigns new data to its own cells; a stale one
+    * scatters it). `needs_rebuild` fires on the declared literal rule
+    * mismatch ≥ 50% of the cell's appends OR cell growth ≥ 25% in one
+    * batch — the trigger a scheduled maintenance job alerts on.
+    *
+    * Scale: the append batch is a hash-pruned scan; assignment is one
+    * nested-loop against the broadcast |cells|-row centroid table (the
+    * [[ivfTopK]] probe shape) ranked per vector; everything downstream
+    * is |cells|-row aggregates plus one 1-row totals broadcast. The
+    * corpus-side work is the centroid build the index already owns.
+    */
+  def ivfAppend(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val isApp = pmod(
+      graft.Cols.hash60(concat(lit("ivfappend:"), col("vec_id").cast("string"))), lit(5L)) === 0L
+    val idx = q.filter(!isApp)
+    val app = q.filter(isApp)
+    val cents = cellCentroids(idx, dim)
+      .select(col("label").as("cell"), col("cv"), col("cnorm2"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(Dedup.cosineQ(col("qv"), col("norm2"), col("cv"), col("cnorm2")).desc, col("cell"))
+    val assigned = app.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(assignW))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label").as("own_label"), col("cell"))
+    val before = idx.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_index"))
+    val appAgg = assigned.groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_appended"),
+        count(when(col("own_label") =!= col("cell"), 1)).as("n_label_mismatch"))
+    val totals = broadcast(
+      idx.agg(count(lit(1)).as("__ti")).crossJoin(app.agg(count(lit(1)).as("__ta"))))
+    before
+      .join(appAgg, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_appended", "n_label_mismatch"))
+      .crossJoin(totals)
+      .select(
+        col("cell"), col("n_index"), col("n_appended"),
+        (col("n_index") + col("n_appended")).as("n_after"),
+        col("n_label_mismatch"),
+        graft.Cols.floorDiv(col("n_index") * 10000L, col("__ti")).as("share_before_e4"),
+        graft.Cols.floorDiv((col("n_index") + col("n_appended")) * 10000L,
+          col("__ti") + col("__ta")).as("share_after_e4"),
+        graft.Cols.floorDiv(col("n_appended") * 10000L, col("n_index")).as("growth_e4"),
+        when(col("n_appended") > 0,
+          graft.Cols.floorDiv(col("n_label_mismatch") * 10000L, col("n_appended")))
+          .otherwise(lit(null).cast("long")).as("mismatch_e4"))
+      .withColumn("drift_e4", col("share_after_e4") - col("share_before_e4"))
+      .withColumn("needs_rebuild",
+        when(coalesce(col("mismatch_e4"), lit(0L)) >= 5000L || col("growth_e4") >= 2500L, 1L)
+          .otherwise(0L))
   }
 
   /** Symmetric int8 quantization of the embedding column — the 4×
@@ -1801,6 +1871,9 @@ object Similarity {
     "ann_topk_maxsim" -> ((s, d) => maxSimTopK(Tables.embeddings(s, d))),
     "ann_topk_maxsim_rerank" -> ((s, d) => maxSimRerank(Tables.embeddings(s, d))),
     "emb_ivf_balance" -> ((s, d) => ivfBalance(Tables.embeddings(s, d))),
+    // incremental IVF maintenance: the 1-in-5 hash-split "ingest batch"
+    // assigned to the frozen index-side centroids, per-cell drift readout
+    "emb_ivf_append" -> ((s, d) => ivfAppend(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
@@ -2439,6 +2512,71 @@ object Similarity {
         |  ((max(c) * count(*) * 10000) // sum(c))::BIGINT AS imbalance_e4,
         |  ((sum(c)::HUGEINT * sum(c)) // sum(c * c))::BIGINT AS effective_cells
         |FROM c""".stripMargin,
+    // the ann_recall_ivf centroid CTEs over the INDEX side only; the
+    // append batch ranks the broadcast centroids per vector (same rounded
+    // cosine + label tie-break), then |cells|-row share/drift arithmetic
+    "emb_ivf_append" ->
+      """WITH q AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |    (('0x' || substr(md5('ivfappend:' || vec_id), 1, 15))::BIGINT % 5 = 0) AS is_app
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, qv, is_app,
+        |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), idx AS (SELECT * FROM n WHERE NOT is_app
+        |), app AS (SELECT * FROM n WHERE is_app
+        |), cell_sums AS (
+        |  SELECT label, ii.i AS i, sum(qv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM idx CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY label, ii.i
+        |), cent AS (
+        |  SELECT label,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cell_sums GROUP BY label
+        |), cent2 AS (
+        |  SELECT label, cv, list_sum(list_transform(cv, x -> x * x))::BIGINT AS cnorm2 FROM cent
+        |), assigned AS (
+        |  SELECT vec_id, own_label, cell FROM (
+        |    SELECT a.vec_id, a.label AS own_label, c.label AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        round(list_sum([a.qv[i] * c.cv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+        |              / (sqrt(a.norm2::DOUBLE) * sqrt(c.cnorm2::DOUBLE)), 6) DESC,
+        |        c.label) AS rn
+        |    FROM app a CROSS JOIN cent2 c) t
+        |  WHERE rn = 1
+        |), before AS (
+        |  SELECT label AS cell, count(*)::BIGINT AS n_index FROM idx GROUP BY 1
+        |), aa AS (
+        |  SELECT cell, count(*)::BIGINT AS n_appended,
+        |    count(CASE WHEN own_label <> cell THEN 1 END)::BIGINT AS n_label_mismatch
+        |  FROM assigned GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM idx)::BIGINT AS ti,
+        |         (SELECT count(*) FROM app)::BIGINT AS ta
+        |), j AS (
+        |  SELECT b.cell, b.n_index,
+        |    coalesce(a.n_appended, 0)::BIGINT AS n_appended,
+        |    coalesce(a.n_label_mismatch, 0)::BIGINT AS n_label_mismatch,
+        |    ti, ta
+        |  FROM before b LEFT JOIN aa a USING (cell) CROSS JOIN tot
+        |)
+        |SELECT cell, n_index, n_appended,
+        |  (n_index + n_appended)::BIGINT AS n_after,
+        |  n_label_mismatch,
+        |  ((n_index * 10000) // ti)::BIGINT AS share_before_e4,
+        |  (((n_index + n_appended) * 10000) // (ti + ta))::BIGINT AS share_after_e4,
+        |  ((n_appended * 10000) // n_index)::BIGINT AS growth_e4,
+        |  (CASE WHEN n_appended > 0 THEN (n_label_mismatch * 10000) // n_appended END)::BIGINT
+        |    AS mismatch_e4,
+        |  (((n_index + n_appended) * 10000) // (ti + ta)
+        |    - (n_index * 10000) // ti)::BIGINT AS drift_e4,
+        |  (CASE WHEN coalesce((CASE WHEN n_appended > 0
+        |                       THEN (n_label_mismatch * 10000) // n_appended END), 0) >= 5000
+        |         OR (n_appended * 10000) // n_index >= 2500
+        |        THEN 1 ELSE 0 END)::BIGINT AS needs_rebuild
+        |FROM j""".stripMargin,
     // the ann_topk_rerank ADC-shortlist CTEs verbatim, with the MaxSim
     // rescoring from ann_topk_maxsim as the second stage
     "ann_topk_maxsim_rerank" ->

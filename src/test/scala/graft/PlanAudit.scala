@@ -73,6 +73,9 @@ object PlanAudit {
     "txt_vocab_growth",
     // r9: the 1-row observed-max-week broadcast bounding churn
     "ev_lifecycle_matrix",
+    // r11: frozen |cells|-row centroid broadcast (the ann_topk_ivf probe
+    // shape) + the 1-row index/append totals
+    "emb_ivf_append",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",

@@ -633,4 +633,43 @@ class SimilaritySpec extends SparkSpec {
     assert(d2._1 === 2L && d2._2 === nRef && d2._3 === nCur)
     assert(d2._4 > 2000L && d2._5 === 1L)
   }
+
+  test("ivfAppend: appends assign to the frozen centroids; a mislabeled vector flags mismatch") {
+    // discover the deterministic 1-in-5 ingest split the operator uses
+    def isApp(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ivfappend:$id".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 5 == 0
+    }
+    val pool = (0L until 100L)
+    val idxIds = pool.filterNot(isApp).take(20)
+    val appIds = pool.filter(isApp).take(5)
+    assert(appIds.size === 5)
+    // index side: two clean clusters — label 0 along e1, label 1 along e2
+    val idx = idxIds.zipWithIndex.map { case (id, i) =>
+      val lbl = i % 2
+      (id, if (lbl == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f), lbl)
+    }
+    // append batch: all vectors along e1 (→ frozen cell 0); every label is
+    // 0 except the LAST append id, mislabeled 1 — the staleness signal
+    val app = appIds.zipWithIndex.map { case (id, i) =>
+      (id, Seq(1.0f, 0.0f), if (i == appIds.size - 1) 1 else 0)
+    }
+    val got = Similarity.ivfAppend((idx ++ app).toDF("vec_id", "embedding", "label"), dim = 2)
+      .select("cell", "n_index", "n_appended", "n_after", "n_label_mismatch",
+        "drift_e4", "needs_rebuild")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === List(0L, 1L))
+    val (c0, c1) = (got.head, got(1))
+    // every append lands in cell 0; exactly one disagrees with its label
+    assert(c0._2 === 10L && c0._3 === 5L && c0._4 === 15L && c0._5 === 1L)
+    assert(c1._2 === 10L && c1._3 === 0L && c1._4 === 10L && c1._5 === 0L)
+    // conservation: n_after sums to the whole corpus
+    assert(got.map(_._4).sum === (idx.size + app.size).toLong)
+    // the hot cell drifts up, the starved one down; 5 appends on a
+    // 10-vector cell is 50% growth — over the 25% rebuild line
+    assert(c0._6 > 0L && c1._6 < 0L)
+    assert(c0._7 === 1L && c1._7 === 0L)
+  }
 }
