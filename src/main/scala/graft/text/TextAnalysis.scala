@@ -796,6 +796,59 @@ object TextAnalysis {
         Cols.floorDiv(col("sum_surprisal_e4"), col("n_tokens")))
   }
 
+  /** Reference-LM perplexity filter (the CCNet/Gopher quality gate): a
+    * Laplace-smoothed unigram LM is trained on the TRAIN split only and
+    * every document — train, valid, test — is scored against it:
+    * per-token surprisal ln((N + V + 1)/(c + 1)) in e4 nats (N = train
+    * token count, V = train vocabulary size, c = train count of the
+    * token, 0 when out-of-vocabulary), per-doc token count, OOV count,
+    * average cross-entropy, and the filter verdict against the declared
+    * `thresholdE4` line (36000 e4 nats = 3.6 nats/token, chosen to bind
+    * on the synthetic corpus — production tunes it per reference LM). This is the held-out-reference shape
+    * [[unigramLogprob]] (self-scored corpus LM) cannot express: junk
+    * that dominates the corpus scores LOW under a self-LM but HIGH under
+    * a reference LM trained on the clean split.
+    *
+    * Quantize-then-sum: the only transcendental is ln of a ratio of
+    * identical integers on both engines, rounded to e4 per token before
+    * any aggregation ([[charEntropy]] discipline).
+    *
+    * Scale: token-grain equi-join against the train vocabulary (never a
+    * doc×doc anything), one 1-row (N, V) broadcast, one per-doc hash
+    * aggregate. The train vocabulary join is the standard skew surface —
+    * AQE handles hot terms; the LM itself is the |vocab|-row artifact a
+    * production filter persists and reuses across corpora.
+    */
+  def lmPerplexityFilter(docs: DataFrame, thresholdE4: Long = 36000L): DataFrame = {
+    val sp = splitAssign(docs).select(col("doc_id"), col("split"))
+    val terms = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Cols.tokens(col("text"))).as("term"))
+      .join(sp, "doc_id")
+    val trainCounts = terms.filter(col("split") === "train")
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val scalars = broadcast(
+      trainCounts.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v")))
+    val scored = terms
+      .join(trainCounts, Seq("term"), "left")
+      .crossJoin(scalars)
+      .select(
+        col("doc_id"), col("split"),
+        when(col("__c").isNull, 1L).otherwise(0L).as("__oov"),
+        round(log((col("__n") + col("__v") + 1L).cast("double")
+          / (coalesce(col("__c"), lit(0L)) + 1L).cast("double")) * 10000)
+          .cast("long").as("__q"))
+    scored
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__oov")).as("n_oov"),
+        sum(col("__q")).as("sum_xent_e4"))
+      .withColumn("avg_xent_e4", Cols.floorDiv(col("sum_xent_e4"), col("n_tokens")))
+      .withColumn("would_filter",
+        when(col("avg_xent_e4") > thresholdE4, 1L).otherwise(0L))
+  }
+
   /** Deterministic context-window packing: within each train/valid/test
     * split, documents (in doc_id order) are assigned to fixed-budget
     * packs by cumulative token count — pack_id = floor(tokens_before /
@@ -1935,6 +1988,9 @@ object TextAnalysis {
     "txt_entropy_rate" -> ((s, d) => entropyRate(Tables.documents(s, d))),
     "txt_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "txt_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
+    // reference-LM perplexity filter: Laplace unigram LM trained on the
+    // train split, every doc scored with OOV handling + filter verdict
+    "txt_lm_perplexity" -> ((s, d) => lmPerplexityFilter(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     // overlapping-window RAG chunking: (doc_id, chunk_idx) citation keys
     "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -2277,6 +2333,41 @@ object TextAnalysis {
          |  (sum_surprisal_e4
          |   - (((sum_surprisal_e4 % n_tokens) + n_tokens) % n_tokens)) // n_tokens
          |    AS avg_surprisal_e4
+         |FROM agg""".stripMargin,
+    // Laplace unigram LM on the train split; every doc scored against it
+    // with ln((N+V+1)/(c+1)) per token, e4-quantized before summing
+    "txt_lm_perplexity" ->
+      s"""$tokCte, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), terms AS (
+         |  SELECT t.doc_id, sp.split, unnest(toks) AS term
+         |  FROM t JOIN sp USING (doc_id)
+         |), tc AS (
+         |  SELECT term, count(*)::BIGINT AS c FROM terms WHERE split = 'train' GROUP BY 1
+         |), sc AS (
+         |  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM tc
+         |), scored AS (
+         |  SELECT tm.doc_id, tm.split,
+         |    CASE WHEN tc.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |    round(ln((sc.n + sc.v + 1)::DOUBLE / (coalesce(tc.c, 0) + 1)::DOUBLE)
+         |          * 10000)::BIGINT AS q
+         |  FROM terms tm LEFT JOIN tc USING (term) CROSS JOIN sc
+         |), agg AS (
+         |  SELECT doc_id, split, count(*)::BIGINT AS n_tokens,
+         |    sum(oov)::BIGINT AS n_oov, sum(q)::BIGINT AS sum_xent_e4
+         |  FROM scored GROUP BY 1, 2
+         |)
+         |SELECT doc_id, split, n_tokens, n_oov, sum_xent_e4,
+         |  ((sum_xent_e4
+         |    - (((sum_xent_e4 % n_tokens) + n_tokens) % n_tokens)) // n_tokens)::BIGINT
+         |    AS avg_xent_e4,
+         |  (CASE WHEN (sum_xent_e4
+         |    - (((sum_xent_e4 % n_tokens) + n_tokens) % n_tokens)) // n_tokens > 36000
+         |        THEN 1 ELSE 0 END)::BIGINT AS would_filter
          |FROM agg""".stripMargin,
     "txt_pack_sequences" ->
       s"""$tokCte, sp AS (

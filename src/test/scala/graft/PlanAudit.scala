@@ -76,6 +76,8 @@ object PlanAudit {
     // r11: frozen |cells|-row centroid broadcast (the ann_topk_ivf probe
     // shape) + the 1-row index/append totals
     "emb_ivf_append",
+    // r11: the 1-row (train tokens N, train vocab V) LM scalars
+    "txt_lm_perplexity",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",
