@@ -1619,6 +1619,99 @@ object Similarity {
         when(col("psi_e4") > alertE4, 1L).otherwise(0L))
   }
 
+  /** The three frozen pieces of a PSI reference: per-dim bin ranges,
+    * per-(dim, bin) reference counts, per-dim reference totals — each an
+    * aggregate bounded by dim (≤ 64) × bins (literal ≤ 10), safely
+    * broadcastable. Shared by the incremental batch twin
+    * ([[embPsiIncremental]], in-plan) and the streaming monitor
+    * ([[graft.streaming.DriftMonitor]], checkpointed once).
+    */
+  private[graft] def psiReferenceParts(
+      refQ: DataFrame, bins: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = refQ
+      .select(posexplode(col("qv")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("__c"))
+    val ranges = base.groupBy(col("dim"))
+      .agg(min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+    val refCounts = base.join(broadcast(ranges), "dim")
+      .select(col("dim"), psiBin(bins).as("__bin"))
+      .groupBy(col("dim"), col("__bin")).agg(count(lit(1)).as("__nr"))
+    val refTot = refCounts.groupBy(col("dim")).agg(sum(col("__nr")).as("n_ref"))
+    (ranges, refCounts, refTot)
+  }
+
+  /** Reference-range bin index with edge clamping (the [[embPsi]] bin). */
+  private def psiBin(bins: Int): Column = {
+    val rawBin = graft.Cols.floorDiv(
+      (col("__c") - col("__lo")) * bins, col("__hi") - col("__lo") + 1L)
+    least(greatest(rawBin, lit(0L)), lit((bins - 1).toLong))
+  }
+
+  /** Per-(batch, dim) PSI of current batches against a FROZEN reference
+    * histogram — Laplace-smoothed shares, e4 quantize-then-sum ln terms,
+    * the [[embPsi]] math with the reference side precomputed. `cur`
+    * carries (batch, qv); every aggregate downstream of the bin
+    * assignment is bounded by batches × dim × bins.
+    */
+  private[graft] def psiVsReference(
+      ranges: DataFrame, refCounts: DataFrame, refTot: DataFrame,
+      cur: DataFrame, bins: Int = 10, alertE4: Long = 2000L): DataFrame = {
+    val base = cur
+      .select(col("batch"), posexplode(col("qv")))
+      .select(col("batch"), (col("pos") + 1).cast("long").as("dim"), col("col").as("__c"))
+    val counts = base.join(broadcast(ranges), "dim")
+      .select(col("batch"), col("dim"), psiBin(bins).as("__bin"))
+      .groupBy(col("batch"), col("dim"), col("__bin")).agg(count(lit(1)).as("__nc"))
+    val tot = counts.groupBy(col("batch"), col("dim")).agg(sum(col("__nc")).as("n_cur"))
+    // zero-filled (batch, dim, bin) grid from the totals side — a literal
+    // ≤ bins fan-out, so empty bins still contribute their Laplace term
+    val grid = tot.select(col("batch"), col("dim"), col("n_cur"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__bin"))
+    val filled = grid
+      .join(counts, Seq("batch", "dim", "__bin"), "left")
+      .join(broadcast(refCounts), Seq("dim", "__bin"), "left")
+      .na.fill(0L, Seq("__nc", "__nr"))
+      .join(broadcast(refTot), Seq("dim"))
+    val p = (col("__nr").cast("double") + 1.0) / (col("n_ref").cast("double") + bins)
+    val q = (col("__nc").cast("double") + 1.0) / (col("n_cur").cast("double") + bins)
+    val term = round((p - q) * log(p / q) * 10000).cast("long")
+    filled
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .groupBy(col("batch"), col("dim"), col("n_ref"), col("n_cur"))
+      .agg(sum(term).as("psi_e4"))
+      .withColumn("drift_flag", when(col("psi_e4") > alertE4, 1L).otherwise(0L))
+  }
+
+  /** Incremental PSI drift — the batch twin of the streaming monitor
+    * ([[graft.streaming.DriftMonitor]]), completing the incremental
+    * triple next to the dedup ledger and the decontamination screen:
+    * the reference half's per-dim histogram is FROZEN (ranges, bin
+    * counts, totals — the artifact a production monitor persists once),
+    * and the current half arrives as two hash-assigned ingest batches,
+    * each scored independently against that same frozen reference.
+    * Unlike [[embPsi]] (one pooled current window), the trace shows
+    * drift PER BATCH — the shape that catches a drift that starts
+    * mid-stream and would be diluted in the pooled view.
+    *
+    * Scale: the reference parts are dim×bins aggregates (broadcast);
+    * per batch the only corpus-sized work is the posexplode + bin
+    * assignment feeding a map-side-combined (batch × dim × bins)
+    * aggregate — the [[embPsi]] posture with the reference side
+    * amortized across every batch ever scored.
+    */
+  def embPsiIncremental(
+      embeddings: DataFrame, bins: Int = 10, alertE4: Long = 2000L): DataFrame = {
+    val half = pmod(
+      Cols.hash60(concat(lit("embhalf:"), col("vec_id").cast("string"))), lit(2L))
+    val ingest = pmod(
+      Cols.hash60(concat(lit("psibatch:"), col("vec_id").cast("string"))), lit(2L))
+    val q = Dedup.quantized(embeddings).withColumn("__half", half)
+    val (ranges, refCounts, refTot) =
+      psiReferenceParts(q.filter(col("__half") === 0), bins)
+    val cur = q.filter(col("__half") === 1).withColumn("batch", ingest)
+    psiVsReference(ranges, refCounts, refTot, cur, bins, alertE4)
+  }
+
   /** Per-dimension embedding statistics — the drift/health monitor an
     * embedding pipeline runs on every new batch (a collapsed dimension,
     * a mean shift, or an exploding scale shows up here before it poisons
@@ -1890,6 +1983,9 @@ object Similarity {
     // per-dimension PSI between hash-split halves — the embedding-drift
     // monitor (ev_psi lifted to vector space), bounded by dims × bins
     "emb_psi" -> ((s, d) => embPsi(Tables.embeddings(s, d))),
+    // per-ingest-batch PSI against the frozen reference histogram — the
+    // streaming DriftMonitor's oracle surface
+    "emb_psi_incr" -> ((s, d) => embPsiIncremental(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => powerIterStep(Tables.embeddings(s, d))),
     "ann_recall_ivf" -> ((s, d) => ivfRecall(Tables.embeddings(s, d))),
     "ann_recall_pq" -> ((s, d) => pqRecall(Tables.embeddings(s, d))),
@@ -2085,6 +2181,68 @@ object Similarity {
         |FROM filled f JOIN tot t USING (dim)
         |WHERE t.n_ref > 0 AND t.n_cur > 0
         |GROUP BY 1, 2, 3""".stripMargin,
+    // the emb_psi CTEs with the current half split into two psibatch
+    // ingest batches, each binned against the SAME frozen reference
+    // ranges/counts and scored independently
+    "emb_psi_incr" ->
+      """WITH q AS (
+        |  SELECT ('0x' || substr(md5('embhalf:' || vec_id), 1, 15))::BIGINT % 2 AS half,
+        |    ('0x' || substr(md5('psibatch:' || vec_id), 1, 15))::BIGINT % 2 AS batch,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT ii.i::BIGINT AS dim, half, batch, qv[ii.i] AS c
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |), rng AS (
+        |  SELECT dim, min(c) AS lo, max(c) AS hi FROM b WHERE half = 0 GROUP BY 1
+        |), rbin AS (
+        |  SELECT b.dim,
+        |    least(greatest(
+        |      (((b.c - rng.lo) * 10
+        |        - (((((b.c - rng.lo) * 10) % (rng.hi - rng.lo + 1))
+        |            + (rng.hi - rng.lo + 1)) % (rng.hi - rng.lo + 1)))
+        |        / (rng.hi - rng.lo + 1)), 0), 9)::BIGINT AS bin
+        |  FROM b JOIN rng USING (dim) WHERE b.half = 0
+        |), rcnt AS (
+        |  SELECT dim, bin, count(*)::BIGINT AS nr FROM rbin GROUP BY 1, 2
+        |), rtot AS (
+        |  SELECT dim, sum(nr)::BIGINT AS n_ref FROM rcnt GROUP BY 1
+        |), cbin AS (
+        |  SELECT b.batch, b.dim,
+        |    least(greatest(
+        |      (((b.c - rng.lo) * 10
+        |        - (((((b.c - rng.lo) * 10) % (rng.hi - rng.lo + 1))
+        |            + (rng.hi - rng.lo + 1)) % (rng.hi - rng.lo + 1)))
+        |        / (rng.hi - rng.lo + 1)), 0), 9)::BIGINT AS bin
+        |  FROM b JOIN rng USING (dim) WHERE b.half = 1
+        |), ccnt AS (
+        |  SELECT batch, dim, bin, count(*)::BIGINT AS nc FROM cbin GROUP BY 1, 2, 3
+        |), ctot AS (
+        |  SELECT batch, dim, sum(nc)::BIGINT AS n_cur FROM ccnt GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT ct.batch, ct.dim, ct.n_cur, t.bin
+        |  FROM ctot ct CROSS JOIN range(10) t(bin)
+        |), filled AS (
+        |  SELECT g.batch, g.dim, g.n_cur, g.bin,
+        |    coalesce(cc.nc, 0) AS nc, coalesce(rc.nr, 0) AS nr, rt.n_ref
+        |  FROM grid g
+        |  LEFT JOIN ccnt cc ON cc.batch = g.batch AND cc.dim = g.dim AND cc.bin = g.bin
+        |  LEFT JOIN rcnt rc ON rc.dim = g.dim AND rc.bin = g.bin
+        |  JOIN rtot rt ON rt.dim = g.dim
+        |)
+        |SELECT batch::BIGINT AS batch, dim, n_ref, n_cur,
+        |  sum(round(((nr + 1.0) / (n_ref + 10.0)
+        |             - (nc + 1.0) / (n_cur + 10.0))
+        |    * ln(((nr + 1.0) / (n_ref + 10.0))
+        |         / ((nc + 1.0) / (n_cur + 10.0))) * 10000))::BIGINT AS psi_e4,
+        |  (CASE WHEN sum(round(((nr + 1.0) / (n_ref + 10.0)
+        |             - (nc + 1.0) / (n_cur + 10.0))
+        |    * ln(((nr + 1.0) / (n_ref + 10.0))
+        |         / ((nc + 1.0) / (n_cur + 10.0))) * 10000)) > 2000
+        |   THEN 1 ELSE 0 END)::BIGINT AS drift_flag
+        |FROM filled
+        |WHERE n_ref > 0 AND n_cur > 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // deterministic k-seed Lloyd step: nearest centroid by exact integer
     // d², tie → smallest centroid id (min over equal-d² rows), then the
     // same integer floor-centroid construction as emb_centroids

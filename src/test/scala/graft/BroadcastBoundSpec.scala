@@ -53,7 +53,10 @@ class BroadcastBoundSpec extends SparkSpec {
     val boundedGroupKeys = Set("label", "cid", "centroid_id", "cluster",
       "sub", "subspace", "code", "probe_cid",
       // per-dimension stats (emb_dim_fences): ≤ embedding dims rows
-      "dim")
+      "dim",
+      // histogram bin index (emb_psi_incr reference counts): clamped to
+      // the literal bins-1 ceiling by construction
+      "__bin")
     try {
       val idCap = "vec_id < \\d+".r
       names.foreach { name =>
