@@ -272,6 +272,11 @@ object SparkEntry {
     // same arms — mean shift weighted by per-arm variance, exact e4
     "ev_welch_screen" -> ((s, dir) =>
       graft.ops.Stats.welchScreen(Tables.events(s, dir))),
+    // sequential member of the arm-test family: Wald SPRT daily LLR
+    // trace per (type, arm) with accept/continue verdicts — the test
+    // designed to be peeked at, unlike the fixed-horizon screens
+    "ev_sprt" -> ((s, dir) =>
+      graft.ops.Stats.sprtTrace(Tables.events(s, dir))),
     // distribution-SHAPE member of the arm-test family: exact-integer
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
@@ -2231,6 +2236,34 @@ object SparkEntry {
     // floors are remainder-corrected (cent sums are signed); the variance
     // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
     // is exact floor as-is
+    // Wald SPRT: Bernoulli success at the literal 3500-cent line, daily
+    // cumulative LLR with the e4-quantized ln factors (953 / −1054) and
+    // the ±ln(19) = ±29444 boundaries — all literals, both engines
+    "ev_sprt" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm,
+        |    epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    CASE WHEN round(value * 100)::BIGINT > 3500 THEN 1 ELSE 0 END AS succ
+        |  FROM events
+        |), daily AS (
+        |  SELECT event_type, arm, day,
+        |    count(*)::BIGINT AS n_day, sum(succ)::BIGINT AS s_day
+        |  FROM e GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT event_type, arm, day, n_day, s_day,
+        |    sum(n_day) OVER (PARTITION BY event_type, arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum,
+        |    sum(s_day) OVER (PARTITION BY event_type, arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS s_cum
+        |  FROM daily
+        |)
+        |SELECT event_type, arm, day, n_day, s_day, n_cum, s_cum,
+        |  (s_cum * 953 + (n_cum - s_cum) * -1054)::BIGINT AS llr_e4,
+        |  CASE WHEN s_cum * 953 + (n_cum - s_cum) * -1054 >= 29444 THEN 'accept_h1'
+        |       WHEN s_cum * 953 + (n_cum - s_cum) * -1054 <= -29444 THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM cum""".stripMargin,
     "ev_welch_screen" ->
       """WITH e AS (
         |  SELECT event_type,

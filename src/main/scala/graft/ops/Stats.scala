@@ -326,6 +326,49 @@ object Stats {
     * |event_type| rows. `nᵢQᵢ` is widened to decimal(38,0): cents⁴-scale
     * products pass int64 around 10⁸ rows per type.
     */
+  /** Sequential probability ratio test (Wald SPRT) trace — the
+    * SEQUENTIAL member of the arm-test family ([[welchScreen]] /
+    * [[ksTest]] / [[didScreen]] are fixed-horizon: they assume you look
+    * once; a live experiment dashboard looks every day, and repeated
+    * peeking at a fixed-horizon test inflates false positives — the
+    * SPRT is the test DESIGNED to be peeked at). Per (event_type, arm),
+    * the daily Bernoulli success trace (success = value over the
+    * declared 3500-cent line, ≈ the corpus median, so the H₀ rate is
+    * the literal p₀ = 0.50; H₁: p₁ = 0.55 the minimum detectable
+    * lift): cumulative log-likelihood ratio
+    * `llr = s·ln(p₁/p₀) + (n−s)·ln((1−p₁)/(1−p₀))` with the two ln
+    * factors as e4-quantized literals (953, −1054 — identical in both
+    * engines, no transcendental at query time), against Wald's
+    * α = β = 0.05 boundaries ±ln(19) = ±29444 e4. The decision column
+    * is the dashboard verdict at each day: accept_h1 / accept_h0 /
+    * continue.
+    *
+    * Scale: one map-side-combined aggregate to the (type × arm × day)
+    * grain, then a cumulative window partitioned by (type, arm) over
+    * calendar-bounded days — never the raw event grain.
+    */
+  def sprtTrace(events: DataFrame, successCents: Long = 3500L): DataFrame = {
+    val arm = pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L))
+    val day = Cols.floorDiv(col("ts_ms"), lit(86400000L))
+    val daily = events
+      .select(
+        col("event_type"), arm.as("arm"), day.as("day"),
+        (round(col("value") * 100).cast("long") > successCents).cast("long").as("__succ"))
+      .groupBy(col("event_type"), col("arm"), col("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("__succ")).as("s_day"))
+    val w = Window.partitionBy(col("event_type"), col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_cum", sum(col("n_day")).over(w))
+      .withColumn("s_cum", sum(col("s_day")).over(w))
+      .withColumn("llr_e4",
+        col("s_cum") * lit(953L) + (col("n_cum") - col("s_cum")) * lit(-1054L))
+      .withColumn("decision",
+        when(col("llr_e4") >= 29444L, lit("accept_h1"))
+          .when(col("llr_e4") <= -29444L, lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
   def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)

@@ -578,4 +578,40 @@ class StatsSpec extends SparkSpec {
     assert(got("s") === ("s", 10L, 10L, expected, 1L))
     assert(expected > 2000L, "shifted half must cross the 0.2 alert line")
   }
+
+  test("sprtTrace: winning arm crosses the upper Wald boundary on the right day, losing arm the lower") {
+    // one user per arm (arm = hash of user_id): find one of each
+    def armOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab:$u".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val u0 = (1L to 50L).find(armOf(_) == 0L).get
+    val u1 = (1L to 50L).find(armOf(_) == 1L).get
+    // arm u0: 10 successes/day (value 40 > 35) — llr climbs 9530/day and
+    // must cross +29444 on day 4 (3·9530 = 28590 < 29444 ≤ 4·9530);
+    // arm u1: 10 failures/day (value 30) — llr falls 10540/day, crossing
+    // −29444 on day 3
+    val rows =
+      (for (d <- 0 until 5; i <- 0 until 10) yield
+        (u0, "t", d * 86400000L + i, 40.0)) ++
+      (for (d <- 0 until 5; i <- 0 until 10) yield
+        (u1, "t", d * 86400000L + i, 30.0))
+    val got = Stats.sprtTrace(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .select("arm", "day", "n_cum", "s_cum", "llr_e4", "decision")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    (0 until 5).foreach { d =>
+      val w = got((0L, d.toLong)); val l = got((1L, d.toLong))
+      assert(w._3 === (d + 1) * 10L && w._4 === (d + 1) * 10L)
+      assert(w._5 === (d + 1) * 10L * 953L)
+      assert(w._6 === (if ((d + 1) * 9530L >= 29444L) "accept_h1" else "continue"))
+      assert(l._4 === 0L && l._5 === (d + 1) * 10L * -1054L)
+      assert(l._6 === (if ((d + 1) * 10540L >= 29444L) "accept_h0" else "continue"))
+    }
+    // the crossing days themselves
+    assert(got((0L, 2L))._6 === "continue" && got((0L, 3L))._6 === "accept_h1")
+    assert(got((1L, 1L))._6 === "continue" && got((1L, 2L))._6 === "accept_h0")
+  }
 }
