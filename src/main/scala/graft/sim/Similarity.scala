@@ -744,6 +744,91 @@ object Similarity {
           col("recon_err"): _*)
   }
 
+  /** One Lloyd refinement round for the PQ codebook — the PQ-side index
+    * maintenance next to [[ivfAppend]] (coarse quantizer) and
+    * [[kmeansStep2]] (full-dim clustering): every vector's subspace-j
+    * subvector is assigned to its nearest seed code (the
+    * [[productQuantize]] argmin, ties to the smallest cid), and per
+    * (subspace, code) the readout reports the refit: assignment count,
+    * quantization error under the CURRENT code, the exact integer
+    * centroid the assignments would move the code to, the squared
+    * displacement of that move, and the error AFTER the move. Lloyd
+    * guarantees `err_after ≤ err_before` per cell (spec-pinned) — the
+    * size of the gap is the "how stale is my codebook" number a PQ
+    * deployment reads before deciding to re-train.
+    *
+    * The after-error needs no second corpus pass: with per-dim sums
+    * `sᵢ`, squared sums `Q`, count `n` and the new centroid `cᵢ =
+    * ⌊sᵢ/n⌋, Σ‖x−c‖² = Q − 2Σᵢcᵢsᵢ + nΣᵢcᵢ²` — exact integers off the
+    * SAME aggregate that builds the centroid.
+    *
+    * Scale: one corpus×codebook distance scan (the [[adcTopK]] encode
+    * pass — the codes table the index persists anyway) feeding one
+    * map-side-combined (subspaces × k) aggregate; the readout grid and
+    * the displacement join are |subspaces·k| rows against the broadcast
+    * seed codebook.
+    */
+  def pqTrainStep(embeddings: DataFrame, subspaces: Int = 4,
+      codebookK: Int = 8): DataFrame = {
+    val subLen = 16
+    val q = Dedup.quantized(embeddings)
+    val codebook = broadcast(
+      q.filter(col("vec_id") < codebookK)
+        .select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    def subDists(vCol: Column): Column = array((0 until subspaces).map { j =>
+      aggregate(
+        zip_with(
+          slice(vCol, j * subLen + 1, subLen),
+          slice(col("cqv"), j * subLen + 1, subLen),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+    }: _*)
+    val codes = q.select(col("vec_id"), col("qv"))
+      .crossJoin(codebook)
+      .select(col("vec_id"), col("cid"), posexplode(subDists(col("qv"))).as(Seq("j", "dist")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        col("m.cid").as("code"), col("m.dist").as("dist"))
+    // sub-element i of the assigned subspace: qv[j·16 + i]
+    def el(i: Int): Column = element_at(col("qv"), (col("j") * subLen + i).cast("int"))
+    val aggd = codes.join(q.select(col("vec_id"), col("qv")), "vec_id")
+      .groupBy(col("j"), col("code"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        Seq(sum(col("dist")).as("err_before")) ++
+          (1 to subLen).map(i => sum(el(i)).as(s"__s$i")) ++
+          Seq(sum((1 to subLen).map(i => el(i) * el(i)).reduce(_ + _)).as("__qq")): _*)
+    val withCent = aggd.select(
+      col("j") +: col("code") +: col("n_assigned") +: col("err_before") +: col("__qq") +:
+        (1 to subLen).map(i =>
+          graft.Cols.floorDiv(col(s"__s$i"), col("n_assigned")).as(s"__c$i")) ++:
+        (1 to subLen).map(i => col(s"__s$i")): _*)
+    val errAfter = col("__qq") -
+      (1 to subLen).map(i => lit(2L) * col(s"__c$i") * col(s"__s$i")).reduce(_ + _) +
+      col("n_assigned") * (1 to subLen).map(i => col(s"__c$i") * col(s"__c$i")).reduce(_ + _)
+    val refit = withCent.select(
+      col("j"), col("code"), col("n_assigned"), col("err_before"),
+      errAfter.as("err_after"),
+      array((1 to subLen).map(i => col(s"__c$i")): _*).as("__nc"))
+    // full (subspace, code) grid so starved codes keep a zero row
+    val grid = codebook.select(col("cid").as("code"), col("cqv"))
+      .select(col("code"), col("cqv"),
+        explode(sequence(lit(0L), lit((subspaces - 1).toLong))).as("j"))
+    grid.join(refit, Seq("j", "code"), "left")
+      .select(
+        col("j").as("subspace"), col("code"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        col("err_before"), col("err_after"),
+        when(col("n_assigned").isNotNull,
+          aggregate(
+            zip_with(
+              col("__nc"),
+              slice(col("cqv"), (col("j") * subLen + 1).cast("int"), lit(subLen)),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _)).as("displacement_sq"))
+  }
+
   /** ADC (asymmetric distance computation) top-k over the PQ codes —
     * the search half of the [[productQuantize]] compression: the corpus
     * is represented ONLY by its per-subspace centroid codes (4 small ints
@@ -1968,6 +2053,9 @@ object Similarity {
     // assigned to the frozen index-side centroids, per-cell drift readout
     "emb_ivf_append" -> ((s, d) => ivfAppend(Tables.embeddings(s, d))),
     "emb_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
+    // one Lloyd refinement of the PQ codebook: per (subspace, code)
+    // refit counts, before/after quantization error, displacement
+    "emb_pq_train" -> ((s, d) => pqTrainStep(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -2842,6 +2930,63 @@ object Similarity {
         |  max(CASE WHEN j = 3 THEN cid END)::BIGINT AS code_3,
         |  sum(dist)::BIGINT AS recon_err
         |FROM p WHERE rn = 1 GROUP BY 1""".stripMargin,
+    // the emb_pq assignment CTEs, then the Lloyd refit per (subspace,
+    // code): floor-div integer centroid from per-dim sums, after-error
+    // via Q − 2Σcᵢsᵢ + nΣcᵢ², displacement vs the seed code
+    "emb_pq_train" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.vec_id, cb.cid, r.j,
+        |    list_sum([(q.qv[i] - cb.cqv[i]) * (q.qv[i] - cb.cqv[i])
+        |              for i in range(1 + r.j * 16, 17 + r.j * 16)])::BIGINT AS dist
+        |  FROM q CROSS JOIN cb CROSS JOIN range(0, 4) r(j)
+        |), codes AS (
+        |  SELECT vec_id, j, cid AS code, dist FROM (
+        |    SELECT vec_id, j, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+        |    FROM d
+        |  ) WHERE rn = 1
+        |), ne AS (
+        |  SELECT j, code, count(*)::BIGINT AS n, sum(dist)::BIGINT AS err_before
+        |  FROM codes GROUP BY 1, 2
+        |), sub AS (
+        |  SELECT c.j, c.code, ii.i,
+        |    sum(q.qv[c.j * 16 + ii.i])::BIGINT AS s,
+        |    sum(q.qv[c.j * 16 + ii.i] * q.qv[c.j * 16 + ii.i])::BIGINT AS q2
+        |  FROM codes c JOIN q USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) ii
+        |  GROUP BY 1, 2, 3
+        |), cent AS (
+        |  SELECT s.j, s.code, s.i, s.s, s.q2,
+        |    ((s.s - (((s.s % ne.n) + ne.n) % ne.n)) // ne.n)::BIGINT AS c
+        |  FROM sub s JOIN ne ON ne.j = s.j AND ne.code = s.code
+        |), rf AS (
+        |  SELECT j, code, sum(q2)::BIGINT AS qq,
+        |    sum(2 * c * s)::BIGINT AS crossv, sum(c * c)::BIGINT AS cc
+        |  FROM cent GROUP BY 1, 2
+        |), disp AS (
+        |  SELECT c.j, c.code,
+        |    sum((c.c - cb.cqv[c.j * 16 + c.i]) * (c.c - cb.cqv[c.j * 16 + c.i]))::BIGINT AS dsq
+        |  FROM cent c JOIN cb ON cb.cid = c.code
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT r.j::BIGINT AS subspace, cb.cid AS code
+        |  FROM cb CROSS JOIN range(0, 4) r(j)
+        |)
+        |SELECT g.subspace, g.code,
+        |  coalesce(ne.n, 0)::BIGINT AS n_assigned,
+        |  ne.err_before::BIGINT AS err_before,
+        |  (rf.qq - rf.crossv + ne.n * rf.cc)::BIGINT AS err_after,
+        |  disp.dsq::BIGINT AS displacement_sq
+        |FROM grid g
+        |LEFT JOIN ne ON ne.j = g.subspace AND ne.code = g.code
+        |LEFT JOIN rf ON rf.j = g.subspace AND rf.code = g.code
+        |LEFT JOIN disp ON disp.j = g.subspace AND disp.code = g.code""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id,

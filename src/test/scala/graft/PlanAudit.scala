@@ -89,6 +89,9 @@ object PlanAudit {
     "emb_kmeans_step", "emb_kmeans_step2",
     // k-row broadcast PQ codebook (bounded by k, not data size)
     "emb_pq",
+    // r11: same codebook broadcast for the refit assignment scan + the
+    // |subspaces·k|-row grid/displacement joins
+    "emb_pq_train",
     // same k-row codebook broadcast for encode + the per-query ADC table
     "ann_topk_pq",
     // |labels|-row centroid probe + the same codebook/ADC broadcasts

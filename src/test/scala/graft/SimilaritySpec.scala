@@ -634,6 +634,34 @@ class SimilaritySpec extends SparkSpec {
     assert(d2._4 > 2000L && d2._5 === 1L)
   }
 
+  test("pqTrainStep: hand-computed refit, Lloyd descent, starved codes keep zero rows") {
+    // seed codes = vec_ids 0..7, each a constant 64-dim vector at
+    // (i+1)·0.1 (→ (i+1)·100 milli — far apart, assignments unambiguous).
+    // vecs 8 and 9 sit at code 0 plus +3 milli in dim 1 only.
+    def const(v: Float) = Seq.fill(64)(v)
+    val rows = (0 until 8).map(i => (i.toLong, const((i + 1) * 0.1f), 0)) ++
+      Seq((8L, 0.103f +: const(0.1f).tail, 0), (9L, 0.103f +: const(0.1f).tail, 0))
+    val got = Similarity.pqTrainStep(rows.toDF("vec_id", "embedding", "label"))
+      .select("subspace", "code", "n_assigned", "err_before", "err_after", "displacement_sq")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 32)
+    // subspace 0, code 0: members {100.., 103.., 103..} in dim 1 →
+    // centroid 102, err 18 → 6, displacement (102−100)² = 4
+    assert(got((0L, 0L)) === ((0L, 0L, 3L, Some(18L), Some(6L), Some(4L))))
+    // other subspaces of code 0: vecs 8/9 equal the code exactly
+    (1L to 3L).foreach { j =>
+      assert(got((j, 0L)) === ((j, 0L, 3L, Some(0L), Some(0L), Some(0L))))
+    }
+    // codes 1..7: only their own seed vector — zero error, zero move
+    for (j <- 0L to 3L; c <- 1L to 7L)
+      assert(got((j, c)) === ((j, c, 1L, Some(0L), Some(0L), Some(0L))))
+    // Lloyd descent invariant everywhere
+    got.values.foreach { r =>
+      for (b <- r._4; a <- r._5) assert(a <= b, s"descent violated at $r")
+    }
+  }
+
   test("ivfAppend: appends assign to the frozen centroids; a mislabeled vector flags mismatch") {
     // discover the deterministic 1-in-5 ingest split the operator uses
     def isApp(id: Long): Boolean = {
