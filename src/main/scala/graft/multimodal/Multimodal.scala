@@ -1008,6 +1008,48 @@ object Multimodal {
         length(regexp_replace(col("audio_fp"), "0", "")).cast("long").as("n_set"))
   }
 
+  /** Audio near-duplicate pairs — the audio tier of the near-dup family
+    * ([[imageNearDups]] for images, simhash for text): clips whose
+    * 64-window energy signatures ([[audioFingerprint]]) sit within
+    * `maxHamming` bits, surfaced by the exact pigeonhole: a pair at
+    * Hamming ≤ h must agree on at least one of h+1 signature chunks, so
+    * candidates come from chunk-equality buckets only, each verified
+    * inline with two XOR+popcounts — never clip×clip. Same banding,
+    * carry-the-halves, verify-in-the-join shape as [[imageNearDups]];
+    * re-encoded or level-shifted copies of a clip keep their energy
+    * SHAPE (the signature thresholds on the clip's own mean), which is
+    * exactly what makes this the audio dedup screen.
+    */
+  def audioNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val chunks = maxHamming + 1
+    val fps = asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, Codecs.fingerprintWav(bytes)) })
+      .toDF("doc_id", "audio_fp")
+    val sigs = fps.select(
+      col("doc_id"),
+      col("audio_fp"),
+      conv(substring(col("audio_fp"), 1, 32), 2, 10).cast("long").as("__hi"),
+      conv(substring(col("audio_fp"), 33, 32), 2, 10).cast("long").as("__lo"))
+    val bounds = (0 until chunks).map(c => (c * 64 / chunks, (c + 1) * 64 / chunks))
+    val ch = sigs.select(
+      col("doc_id"), col("__hi"), col("__lo"),
+      posexplode(array(bounds.map { case (s0, e0) =>
+        substring(col("audio_fp"), s0 + 1, e0 - s0)
+      }: _*)).as(Seq("c", "chunk")))
+    ch.as("a")
+      .join(ch.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+          bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Dominant-period table: exact integer autocorrelation over the real
     * WAV path — per clip the smallest lag (1..32 samples) maximizing
     * `R(L)`, its value, and the `R(0)` energy. Same mapPartitions codec
@@ -1152,6 +1194,9 @@ object Multimodal {
     "mm_phash_clusters" -> ((s, d) => imageNearDupClusters(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
+    // pigeonhole-banded Hamming pairs over the audio energy signature —
+    // the audio tier of the near-dup family
+    "mm_audio_pairs" -> ((s, d) => audioNearDups(s, Tables.documents(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
@@ -1350,6 +1395,55 @@ object Multimodal {
         |SELECT doc_id, audio_fp,
         |  length(replace(audio_fp, '0', ''))::BIGINT AS n_set
         |FROM fp""".stripMargin,
+    // the mm_audio_fp fingerprint CTEs + the mm_phash_pairs chunk
+    // pigeonhole (7 chunks for Hamming ≤ 6) and inline Hamming verify
+    "mm_audio_pairs" -> {
+      val chunks = 7
+      val chunkStructs = (0 until chunks).map { c =>
+        val s0 = c * 64 / chunks
+        val e0 = (c + 1) * 64 / chunks
+        s"{'c': $c, 'chunk': substr(audio_fp, ${s0 + 1}, ${e0 - s0})}"
+      }
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+         |  FROM documents
+         |), smp AS (
+         |  SELECT doc_id,
+         |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+         |     for i in range(0, 512)] AS v
+         |  FROM px
+         |), sq AS (
+         |  SELECT doc_id, [x * x for x in v] AS s FROM smp
+         |), en AS (
+         |  SELECT doc_id,
+         |    [list_sum(s[8 * w + 1:8 * w + 8]) for w in range(0, 64)] AS e
+         |  FROM sq
+         |), t AS (
+         |  SELECT doc_id, e, list_sum(e) AS tot FROM en
+         |), fp AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      [CASE WHEN 64 * e[w] > tot THEN '1' ELSE '0' END
+         |       for w in range(1, 65)], '') AS audio_fp
+         |  FROM t
+         |), ch0 AS (
+         |  SELECT doc_id, audio_fp,
+         |    unnest([${chunkStructs.mkString(",\n      ")}]) AS u
+         |  FROM fp
+         |), ch AS (
+         |  SELECT doc_id, audio_fp, u.c AS c, u.chunk AS chunk FROM ch0
+         |), hits AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    list_sum([CASE WHEN substr(a.audio_fp, i, 1) <> substr(b.audio_fp, i, 1)
+         |              THEN 1 ELSE 0 END
+         |              for i in generate_series(1, 64)])::BIGINT AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |)
+         |SELECT DISTINCT doc_id_1, doc_id_2, hamming
+         |FROM hits WHERE hamming <= 6""".stripMargin
+    },
     // replays the autocorrelation: same ASCII-sample reconstruction as
     // mm_audio_fp, R(L) by nested list comprehension, first-occurrence
     // argmax via list_position (ties -> smallest lag, as the codec does)

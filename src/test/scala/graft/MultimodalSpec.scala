@@ -32,6 +32,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("audio near-dup pigeonhole recovers exactly the brute-force hamming pairs") {
+    // 7 chunks guarantee complete recall at hamming ≤ 6 — the blocked
+    // path must equal the all-pairs computation over the energy signatures
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.audioNearDups(spark, docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val fps = Multimodal.audioFingerprint(spark, docs)
+      .select("doc_id", "audio_fp").distinct().as[(Long, String)].collect()
+    val brute = (for {
+      (d1, f1) <- fps; (d2, f2) <- fps
+      if d1 < d2
+      h = f1.zip(f2).count { case (a, b) => a != b }
+      if h <= 6
+    } yield (d1, d2, h.toLong)).toSet
+    assert(got === brute)
+  }
+
   test("real PPM codec: exact dimensions and mean pixel from genuine bytes") {
     // 2x1 P6 image, maxval 255, pixels (10,20,30) and (40,50,60)
     val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
