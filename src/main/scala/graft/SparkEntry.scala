@@ -364,6 +364,10 @@ object SparkEntry {
     // per-file min/max spans = the data-skipping readout
     "tbl_zorder_plan" -> ((s, dir) =>
       graft.ops.Scale.zorderPlan(Tables.orders(s, dir))),
+    // retention/vacuum planner: month partitions aged against the
+    // in-plan max order date, retain/archive/expire ladder + reclaim
+    "tbl_vacuum_plan" -> ((s, dir) =>
+      graft.ops.Scale.vacuumPlan(Tables.orders(s, dir))),
     // stage-to-stage funnel latency over the cs_funnel stage chain
     "ev_funnel_latency" -> ((s, dir) =>
       graft.ops.Analytics.funnelLatency(
@@ -2798,6 +2802,27 @@ object SparkEntry {
         |  ((sum(CASE WHEN moved THEN n_rows ELSE 0 END) * 10000)
         |    // sum(n_rows))::BIGINT AS moved_share_e4
         |FROM x GROUP BY 1""".stripMargin,
+    // month partitions aged against the 1-row max-date broadcast, the
+    // declared 12/36-month retain/archive ladder, running reclaim ledger
+    "tbl_vacuum_plan" ->
+      """WITH pm AS (
+        |  SELECT (year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) - 1)::BIGINT AS month_id,
+        |    count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 4)::BIGINT AS n_files
+        |  FROM orders GROUP BY 1
+        |), mx AS (
+        |  SELECT max(month_id) AS maxm FROM pm
+        |), aged AS (
+        |  SELECT month_id, n_rows, n_files, (maxm - month_id)::BIGINT AS age_months,
+        |    CASE WHEN maxm - month_id <= 12 THEN 'retain'
+        |         WHEN maxm - month_id <= 36 THEN 'archive'
+        |         ELSE 'expire' END AS action
+        |  FROM pm CROSS JOIN mx
+        |)
+        |SELECT month_id, n_rows, n_files, age_months, action,
+        |  sum(CASE WHEN action = 'expire' THEN n_rows ELSE 0 END)
+        |    OVER (ORDER BY month_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_expired_rows
+        |FROM aged""".stripMargin,
     // 16-bit grid normalization against the 1-row bounds, bit-interleave
     // via a list comprehension, per-(layout, file) spans, 2-row rollup
     "tbl_zorder_plan" ->

@@ -628,4 +628,48 @@ object Scale {
           abs(col("__ns") * rate - col("n")) * 10000L, col("n"))).as("n_err_e4"),
       when(col("__ns") > 0, abs(sMeanE4 - meanE4)).as("mean_err_e4"))
   }
+
+  /** Retention/vacuum planner — the time-based maintenance pass next to
+    * the layout passes ([[graft.ops.Stats.compactionPlan]] sizes files,
+    * [[zorderPlan]] orders them; this decides WHICH PARTITIONS STILL
+    * EXIST): the table's month partitions aged against the observed max
+    * order date (an in-plan 1-row broadcast — retention is always
+    * relative to "now", and the data's own high-water mark is the
+    * deterministic now), each priced and sentenced by the declared
+    * policy ladder: ≤ `retainMonths` old → retain (hot storage),
+    * ≤ `archiveMonths` → archive (cold tier), older → expire (delete at
+    * the next vacuum). Per partition: rows, the distinct hash-bucket
+    * file count (the [[graft.ops.Stats.compactionPlan]] file model),
+    * age, action, and the running `cum_expired_rows` reclaim ledger in
+    * partition order — the number the vacuum job reports before it
+    * deletes anything.
+    *
+    * Scale: one map-side-combined aggregate to the |months| grain; the
+    * running total is a window over calendar-bounded rows (~84 for
+    * seven years — never the data grain).
+    */
+  def vacuumPlan(orders: DataFrame,
+      retainMonths: Long = 12L, archiveMonths: Long = 36L): DataFrame = {
+    val monthId = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long")
+    val perMonth = orders
+      .select(monthId.as("month_id"),
+        pmod(graft.Cols.hash60(col("o_orderkey").cast("string")), lit(4L)).as("__f"))
+      .groupBy(col("month_id"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("__f")).as("n_files"))
+    val maxM = broadcast(perMonth.agg(max(col("month_id")).as("__maxm")))
+    val aged = perMonth.crossJoin(maxM)
+      .select(
+        col("month_id"), col("n_rows"), col("n_files"),
+        (col("__maxm") - col("month_id")).as("age_months"))
+      .withColumn("action",
+        when(col("age_months") <= retainMonths, lit("retain"))
+          .when(col("age_months") <= archiveMonths, lit("archive"))
+          .otherwise(lit("expire")))
+    // |months|-row running ledger (calendar-bounded window)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    aged.withColumn("cum_expired_rows",
+      sum(when(col("action") === "expire", col("n_rows")).otherwise(0L)).over(w))
+  }
 }

@@ -78,6 +78,8 @@ object PlanAudit {
     "emb_ivf_append",
     // r11: the 1-row (train tokens N, train vocab V) LM scalars
     "txt_lm_perplexity",
+    // r11: the 1-row observed-max-month broadcast anchoring retention
+    "tbl_vacuum_plan",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",
@@ -208,7 +210,10 @@ object PlanAudit {
     // quota table — the txt_quota_alloc bound
     "txt_temperature_mix",
     // r9: cumulative sums over the |buckets|-row (10) growth grid
-    "txt_vocab_growth")
+    "txt_vocab_growth",
+    // r11: running reclaim ledger over the |months|-row (~84) partition
+    // table — bounded by the order-date calendar
+    "tbl_vacuum_plan")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -432,4 +432,28 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("vacuumPlan: ladder sentences by age from the observed max month; reclaim ledger runs in order") {
+    // max month = 1998-06. Ages: 0 (retain), 24 (archive), 40 and 60
+    // (expire). Two orders in the old month land in however many of the
+    // 4 hash-bucket files their keys map to.
+    val rows = Seq(
+      (1L, "1998-06-10"), (2L, "1996-06-10"), (3L, "1995-02-10"),
+      (4L, "1993-06-10"), (5L, "1993-06-20"))
+    val df = rows.toDF("o_orderkey", "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+    val got = Scale.vacuumPlan(df)
+      .select("month_id", "n_rows", "n_files", "age_months", "action", "cum_expired_rows")
+      .as[(Long, Long, Long, Long, String, Long)].collect().sortBy(_._1).toList
+    def mid(y: Int, m: Int) = (y * 12 + m - 1).toLong
+    assert(got.map(r => (r._1, r._2, r._4, r._5)) === List(
+      (mid(1993, 6), 2L, 60L, "expire"),
+      (mid(1995, 2), 1L, 40L, "expire"),
+      (mid(1996, 6), 1L, 24L, "archive"),
+      (mid(1998, 6), 1L, 0L, "retain")))
+    // reclaim ledger accumulates only expired rows, in month order
+    assert(got.map(_._6) === List(2L, 3L, 3L, 3L))
+    // file model: 1 ≤ n_files ≤ min(n_rows, 4)
+    got.foreach(r => assert(r._3 >= 1L && r._3 <= math.min(r._2, 4L)))
+  }
 }
