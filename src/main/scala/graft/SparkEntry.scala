@@ -737,6 +737,12 @@ object SparkEntry {
       graft.ops.Analytics.localClustering(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // per-edge triangle support + 3/4-truss membership over the same
+    // co-occurrence graph — the edge-grain view of li_local_cc
+    "li_edge_support" -> ((s, dir) =>
+      graft.ops.Analytics.edgeSupport(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -3922,6 +3928,47 @@ object SparkEntry {
         |  sum(d)::BIGINT AS sum_deg,
         |  sum(cc_e4)::BIGINT AS sum_cc_e4
         |FROM cc GROUP BY 1""".stripMargin,
+    // the li_local_cc orientation CTEs through tri, then each triangle
+    // exploded to its three sorted edges and counted per edge
+    "li_edge_support" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS (
+        |  SELECT src AS node, dst AS nbr FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), deg AS MATERIALIZED (
+        |  SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1
+        |), o AS MATERIALIZED (
+        |  SELECT adj.node AS u, adj.nbr AS v, dv.d AS dv
+        |  FROM adj
+        |  JOIN deg du ON du.node = adj.node
+        |  JOIN deg dv ON dv.node = adj.nbr
+        |  WHERE du.d < dv.d OR (du.d = dv.d AND adj.node < adj.nbr)
+        |), tri AS (
+        |  SELECT o1.u, o1.v, o2.v AS w
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |  WHERE (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        |    AND EXISTS (SELECT 1 FROM o o3 WHERE o3.u = o1.v AND o3.v = o2.v)
+        |), edges3 AS (
+        |  SELECT unnest([
+        |    {'a': least(u, v), 'b': greatest(u, v)},
+        |    {'a': least(u, w), 'b': greatest(u, w)},
+        |    {'a': least(v, w), 'b': greatest(v, w)}]) AS ue
+        |  FROM tri
+        |), sup AS (
+        |  SELECT ue.a AS item_a, ue.b AS item_b, count(*)::BIGINT AS support
+        |  FROM edges3 GROUP BY 1, 2
+        |)
+        |SELECT e.src AS item_a, e.dst AS item_b,
+        |  coalesce(s.support, 0)::BIGINT AS support,
+        |  (CASE WHEN coalesce(s.support, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT AS in_3truss,
+        |  (CASE WHEN coalesce(s.support, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT AS in_4truss
+        |FROM e LEFT JOIN sup s ON s.item_a = e.src AND s.item_b = e.dst""".stripMargin,
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
       s"""$sessionsCte, gi0 AS (

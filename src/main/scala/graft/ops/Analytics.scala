@@ -1875,8 +1875,13 @@ object Analytics {
     * an equi-join on the (v, w) pair key, corners are a bounded ×3
     * explode of the triangle table, and the output is ≤ 11 rows.
     */
-  def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+  /** Degree-orientation triangle enumeration shared by
+    * [[localClustering]] (node grain) and [[edgeSupport]] (edge grain):
+    * edges oriented low-(degree, id) → high bound wedge fan-out at
+    * Σ outdeg² ≤ O(|E|^1.5) with no caps, each wedge closed by one
+    * semi-join. Returns (degree table, (u, v, w) triangle table).
+    */
+  private def orientedTriangles(e: DataFrame): (DataFrame, DataFrame) = {
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .union(e.select(col("dst").as("node"), col("src").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -1892,6 +1897,49 @@ object Analytics {
         || (col("__da") === col("__db") && col("v") < col("w")))
       .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
       .select(col("u"), col("v"), col("w"))
+    (deg, tri)
+  }
+
+  /** Per-edge triangle support — the k-truss readout at edge grain
+    * ([[localClustering]] is the node-grain view of the same triangle
+    * enumeration): every co-occurrence edge with the number of
+    * triangles it participates in, plus the 3-truss / 4-truss
+    * membership flags (an edge is in the k-truss when its support is at
+    * least k−2; one pass reports the support — full k-truss peeling
+    * iterates deletions, and this is the table that peeling reads).
+    * Low-support edges are the weak ties a graph-cleaning pass prunes
+    * first; high-support edges are the community cores.
+    *
+    * Scale: the [[orientedTriangles]] machinery (cap-free Σ outdeg²
+    * wedge bound), one explode of each triangle to its three sorted
+    * edges, one hash aggregate, one left join back to the edge table —
+    * everything at edge/triangle grain, never node×node.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+      least(col("src"), col("dst")).as("item_a"),
+      greatest(col("src"), col("dst")).as("item_b")).distinct()
+    val (_, tri) = orientedTriangles(
+      e.select(col("item_a").as("src"), col("item_b").as("dst")))
+    val support = tri
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("__e"))
+      .groupBy(col("__e.a").as("item_a"), col("__e.b").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+    e.join(support, Seq("item_a", "item_b"), "left")
+      .na.fill(0L, Seq("support"))
+      .select(
+        col("item_a"), col("item_b"), col("support"),
+        when(col("support") >= 1L, 1L).otherwise(0L).as("in_3truss"),
+        when(col("support") >= 2L, 1L).otherwise(0L).as("in_4truss"))
+  }
+
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val (deg, tri) = orientedTriangles(e)
     val t = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))

@@ -854,6 +854,26 @@ class AnalyticsSpec extends SparkSpec {
       (10L, 4L, 12L, 12L, 40000L)))
   }
 
+  test("edgeSupport: per-edge triangle counts, truss flags, pendant edges keep zero rows") {
+    // triangles {1,2,3} and {2,3,5} share edge (2,3); (3,4) is pendant.
+    // K4 sanity: every K4 edge sits on exactly 2 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.edgeSupport(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (1L, 2L, 1L, 1L, 0L),
+      (1L, 3L, 1L, 1L, 0L),
+      (2L, 3L, 2L, 1L, 1L),
+      (2L, 5L, 1L, 1L, 0L),
+      (3L, 4L, 0L, 0L, 0L),
+      (3L, 5L, 1L, 1L, 0L)))
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("src", "dst")
+    val gotK4 = Analytics.edgeSupport(k4)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(gotK4.size === 6 && gotK4.forall(r => r._3 === 2L && r._5 === 1L))
+  }
+
   test("linkPrediction: hub centers above maxDeg generate no candidates") {
     // star: center 0 joined to 1..5. Every leaf pair is distance 2
     // through the hub; capping the hub out (maxDeg < 5) must leave
