@@ -277,6 +277,11 @@ object SparkEntry {
     // designed to be peeked at, unlike the fixed-horizon screens
     "ev_sprt" -> ((s, dir) =>
       graft.ops.Stats.sprtTrace(Tables.events(s, dir))),
+    // two-sided CUSUM control chart over daily MEANS with an alarm at
+    // the declared control limit — the sequential monitoring partner of
+    // ev_cusum (count-deviation argmax locator) and ev_changepoint
+    "ev_cusum_chart" -> ((s, dir) =>
+      graft.ops.Stats.cusum(Tables.events(s, dir))),
     // distribution-SHAPE member of the arm-test family: exact-integer
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
@@ -2246,6 +2251,47 @@ object SparkEntry {
     // floors are remainder-corrected (cent sums are signed); the variance
     // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
     // is exact floor as-is
+    // the CUSUM recursion as a per-type recursive CTE over day ranks —
+    // the DuckDB mirror of Spark's calendar-bounded array fold
+    "ev_cusum_chart" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS n, sum(round(value * 100)::BIGINT)::BIGINT AS s
+        |  FROM events GROUP BY 1, 2
+        |), dm AS (
+        |  SELECT event_type, day,
+        |    ((s - (((s % n) + n) % n)) // n)::BIGINT AS m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), g AS (
+        |  SELECT event_type,
+        |    ((sum(m) - (((sum(m) % count(*)) + count(*)) % count(*))) // count(*))::BIGINT AS gm,
+        |    count(*)::BIGINT AS n_days
+        |  FROM dm GROUP BY 1
+        |), dev AS (
+        |  SELECT dm.event_type, dm.rn, dm.day, (dm.m - g.gm)::BIGINT AS dev
+        |  FROM dm JOIN g USING (event_type)
+        |), walk AS (
+        |  SELECT event_type, rn, day,
+        |    greatest(dev, 0)::BIGINT AS cp, greatest(-dev, 0)::BIGINT AS cn,
+        |    greatest(dev, 0)::BIGINT AS mp, greatest(-dev, 0)::BIGINT AS mn,
+        |    CASE WHEN greatest(dev, 0) > 2000 OR greatest(-dev, 0) > 2000
+        |         THEN day END AS ad
+        |  FROM dev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn, d.day,
+        |    greatest(w.cp + d.dev, 0), greatest(w.cn - d.dev, 0),
+        |    greatest(w.mp, greatest(w.cp + d.dev, 0)),
+        |    greatest(w.mn, greatest(w.cn - d.dev, 0)),
+        |    coalesce(w.ad,
+        |      CASE WHEN greatest(w.cp + d.dev, 0) > 2000
+        |             OR greatest(w.cn - d.dev, 0) > 2000 THEN d.day END)
+        |  FROM walk w JOIN dev d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+        |)
+        |SELECT w.event_type, g.n_days, w.mp AS max_cusum_pos, w.mn AS max_cusum_neg,
+        |  w.ad AS alarm_day,
+        |  (CASE WHEN w.ad IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS alarm
+        |FROM walk w JOIN g USING (event_type) WHERE w.rn = g.n_days""".stripMargin,
     // Wald SPRT: Bernoulli success at the literal 3500-cent line, daily
     // cumulative LLR with the e4-quantized ln factors (953 / −1054) and
     // the ±ln(19) = ±29444 boundaries — all literals, both engines

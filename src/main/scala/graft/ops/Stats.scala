@@ -369,6 +369,64 @@ object Stats {
           .otherwise(lit("continue")))
   }
 
+  /** Two-sided CUSUM drift monitor — the SEQUENTIAL changepoint next to
+    * [[graft.ops.TimeSeries]]'s binary-segmentation changepoint (that
+    * one finds the best split in hindsight; CUSUM is the control chart
+    * that raises the alarm WHILE the shift happens, the metric-drift
+    * partner of [[sprtTrace]]'s experiment verdicts): per event type,
+    * daily mean cents deviate from the type's mean-of-daily-means, and
+    * the two one-sided cumulative sums `c⁺ = max(0, c⁺ + dev)`,
+    * `c⁻ = max(0, c⁻ − dev)` walk the calendar; the readout reports
+    * both maxima and the first day either crossed the declared
+    * `thresholdCents` control limit.
+    *
+    * The recursion (each day's state depends on the previous day's) is
+    * not a window frame — it folds as an `aggregate` expression over
+    * the per-type day array, which is CALENDAR-bounded (≤ |days| rows
+    * per type, the [[ord_hazard]] class of bound), never data-sized.
+    *
+    * Scale: one map-side-combined aggregate to the (type × day) grain,
+    * one |types|-row equi-join for the reference mean, one
+    * collect-and-fold per type over ≤ |days| elements.
+    */
+  def cusum(events: DataFrame, thresholdCents: Long = 2000L): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val day = Cols.floorDiv(col("ts_ms"), lit(86400000L))
+    val daily = events
+      .select(col("event_type"), day.as("day"), cents.as("__c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(Cols.floorDiv(sum(col("__c")), count(lit(1))).as("__m"))
+    val ref = daily.groupBy(col("event_type"))
+      .agg(Cols.floorDiv(sum(col("__m")), count(lit(1))).as("__gm"),
+        count(lit(1)).as("n_days"))
+    val dev = daily.join(ref, "event_type")
+      .select(col("event_type"), col("n_days"), col("day"),
+        (col("__m") - col("__gm")).as("__dev"))
+    val arr = sort_array(collect_list(struct(col("day"), col("__dev"))))
+    val h = lit(thresholdCents)
+    val folded = aggregate(
+      arr,
+      struct(lit(0L).as("cp"), lit(0L).as("cn"), lit(0L).as("mp"), lit(0L).as("mn"),
+        lit(null).cast("long").as("ad")),
+      (acc, x) => {
+        val cp = greatest(acc.getField("cp") + x.getField("__dev"), lit(0L))
+        val cn = greatest(acc.getField("cn") - x.getField("__dev"), lit(0L))
+        struct(cp.as("cp"), cn.as("cn"),
+          greatest(acc.getField("mp"), cp).as("mp"),
+          greatest(acc.getField("mn"), cn).as("mn"),
+          coalesce(acc.getField("ad"),
+            when(cp > h || cn > h, x.getField("day"))).as("ad"))
+      })
+    dev.groupBy(col("event_type"), col("n_days"))
+      .agg(folded.as("__f"))
+      .select(
+        col("event_type"), col("n_days"),
+        col("__f.mp").as("max_cusum_pos"),
+        col("__f.mn").as("max_cusum_neg"),
+        col("__f.ad").as("alarm_day"),
+        when(col("__f.ad").isNotNull, 1L).otherwise(0L).as("alarm"))
+  }
+
   def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)

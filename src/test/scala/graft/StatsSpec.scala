@@ -614,4 +614,25 @@ class StatsSpec extends SparkSpec {
     assert(got((0L, 2L))._6 === "continue" && got((0L, 3L))._6 === "accept_h1")
     assert(got((1L, 1L))._6 === "continue" && got((1L, 2L))._6 === "accept_h0")
   }
+
+  test("cusum: a mid-series level shift alarms on the hand-computed day; a flat series never does") {
+    // type "f": constant 10.00/day for 10 days — zero deviations, no alarm.
+    // type "s": days 0-4 at 10.00, days 5-9 at 40.00. Mean-of-daily-means
+    // = 2500 cents; dev = -1500 before, +1500 after. c+ walks 1500/day
+    // from day 5 and crosses the 2000-cent limit on day 6 (3000 > 2000);
+    // c- peaked at 5*1500 = 7500 during the low half WITHOUT alarming
+    // only if... it crosses too (7500 > 2000, day 1) — so the alarm day
+    // is the FIRST crossing of either side: day 1 on the negative side.
+    val rows =
+      (0 until 10).map(d => (1L, "f", d * 86400000L, 10.0)) ++
+      (0 until 10).map(d => (1L, "s", d * 86400000L, if (d < 5) 10.0 else 40.0))
+    val got = Stats.cusum(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .select("event_type", "n_days", "max_cusum_pos", "max_cusum_neg", "alarm_day", "alarm")
+      .as[(String, Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("f") === (("f", 10L, 0L, 0L, None, 0L)))
+    // shift type: c- maxes at 5·1500 = 7500 (low half), c+ at 5·1500 =
+    // 7500 (high half); first crossing is day 1 (c- = 3000 > 2000)
+    assert(got("s") === (("s", 10L, 7500L, 7500L, Some(1L), 1L)))
+  }
 }
