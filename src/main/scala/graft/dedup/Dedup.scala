@@ -1203,6 +1203,56 @@ object Dedup {
         (col("n_vecs") - coalesce(col("__removed"), lit(0L))).as("n_kept"))
   }
 
+  /** SemDeDup threshold sweep — the "decide before you commit" readout
+    * for [[semanticDedup]], exactly what [[thresholdSweep]] is for the
+    * shingle-Jaccard gate and [[lshPrCurve]] for the MinHash estimate:
+    * the SAME within-cell pair cosine table scored at every candidate
+    * threshold at once, reporting per θ the surviving pair count, the
+    * documents a keep-lowest-id rule would drop, the kept corpus size,
+    * and the e4 keep rate — the deletion-budget curve a semantic-dedup
+    * rollout argues about before picking its θ. Removal is monotone in
+    * θ by construction (spec-pinned).
+    *
+    * Scale: ONE within-cell pair table (|cell|²-capped, the
+    * [[semanticDedup]] bound), a |thresholds|-row broadcast fan-out,
+    * two hash aggregates, one 1-row corpus-total broadcast. The pair
+    * cosines are computed once, not once per threshold.
+    */
+  def semanticSweep(
+      embeddings: DataFrame,
+      thetasE2: Seq[Long] = Seq(30L, 40L, 50L, 60L, 70L),
+      maxCellSize: Int = 1000): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val cell = quantized(embeddings)
+      .withColumn("__csz", count(lit(1)).over(w))
+      .filter(col("__csz") <= maxCellSize)
+      .drop("__csz")
+    val pairs = cell.as("a")
+      .join(cell.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("b.vec_id").as("__vb"),
+        cosineQ(col("a.qv"), col("a.norm2"), col("b.qv"), col("b.norm2")).as("__cos"))
+    val th = thetasE2.toDF("theta_e2")
+    val hit = pairs.crossJoin(broadcast(th))
+      .filter(col("__cos") >= col("theta_e2").cast("double") / 100.0)
+    val np = hit.groupBy(col("theta_e2")).agg(count(lit(1)).as("n_pairs"))
+    val nr = hit.select(col("theta_e2"), col("__vb")).distinct()
+      .groupBy(col("theta_e2")).agg(count(lit(1)).as("n_removed"))
+    val tot = broadcast(cell.agg(count(lit(1)).as("__n")))
+    th.join(np, Seq("theta_e2"), "left")
+      .join(nr, Seq("theta_e2"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_removed"))
+      .crossJoin(tot)
+      .select(
+        col("theta_e2"), col("n_pairs"), col("n_removed"),
+        (col("__n") - col("n_removed")).as("n_kept"),
+        Cols.floorDiv((col("__n") - col("n_removed")) * 10000L, col("__n"))
+          .as("keep_rate_e4"))
+      .orderBy(col("theta_e2"))
+  }
+
   /** Train/val/test split-leakage audit: near-duplicate pairs that
     * STRADDLE a split boundary — the classic eval-contamination bug
     * where a test document's near-copy sits in train and the benchmark
@@ -1477,6 +1527,9 @@ object Dedup {
     "dedup_impact" -> ((s, d) => dedupImpact(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
+    // SemDeDup threshold sweep: one within-cell pair cosine table scored
+    // at every candidate θ — the deletion-budget curve
+    "dedup_semantic_sweep" -> ((s, d) => semanticSweep(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2355,6 +2408,41 @@ object Dedup {
          |  coalesce(n_removed, 0)::BIGINT AS n_removed,
          |  (n_vecs - coalesce(n_removed, 0))::BIGINT AS n_kept
          |FROM c LEFT JOIN rc USING (label)""".stripMargin,
+    // the dedup_semantic cell/pair CTEs with the cosine kept as a column,
+    // fanned out to the θ ladder; keep-lowest removal per θ
+    "dedup_semantic_sweep" ->
+      """WITH q AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, qv,
+        |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |  QUALIFY count(*) OVER (PARTITION BY label) <= 1000
+        |), p AS (
+        |  SELECT b.vec_id AS vb,
+        |    round(list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, len(a.qv))])::BIGINT::DOUBLE
+        |          / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)), 6) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |), t AS (
+        |  SELECT unnest([30, 40, 50, 60, 70])::BIGINT AS theta_e2
+        |), hit AS (
+        |  SELECT t.theta_e2, p.vb FROM p CROSS JOIN t
+        |  WHERE p.cos >= t.theta_e2::DOUBLE / 100.0
+        |), np AS (
+        |  SELECT theta_e2, count(*)::BIGINT AS n_pairs FROM hit GROUP BY 1
+        |), nr AS (
+        |  SELECT theta_e2, count(DISTINCT vb)::BIGINT AS n_removed FROM hit GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS nn FROM n
+        |)
+        |SELECT t.theta_e2,
+        |  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(nr.n_removed, 0)::BIGINT AS n_removed,
+        |  (tot.nn - coalesce(nr.n_removed, 0))::BIGINT AS n_kept,
+        |  (((tot.nn - coalesce(nr.n_removed, 0)) * 10000) // tot.nn)::BIGINT AS keep_rate_e4
+        |FROM t LEFT JOIN np USING (theta_e2) LEFT JOIN nr USING (theta_e2) CROSS JOIN tot""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id,

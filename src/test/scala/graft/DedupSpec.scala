@@ -489,6 +489,25 @@ class DedupSpec extends SparkSpec {
     assert(capped === List((1L, 2L, 0L, 2L)))
   }
 
+  test("semanticSweep: exact duplicate removed at every theta, orthogonal never; monotone") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),  // cos 1.0 with vec 1 — removed everywhere
+      (3L, Seq(0.0f, 1.0f), 0))  // orthogonal — never a pair
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.semanticSweep(e)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === Seq(30L, 40L, 50L, 60L, 70L).map(t => (t, 1L, 1L, 2L, 6666L)))
+    // monotonicity on real data: removals never increase with theta
+    val real = Dedup.semanticSweep(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    real.sliding(2).foreach {
+      case Seq(lo, hi) => assert(hi._3 <= lo._3 && hi._2 <= lo._2)
+      case _ =>
+    }
+  }
+
   test("lshPrCurve: a certain true pair scores perfect P/R at every threshold") {
     // identical docs (1,2): equal signatures → every band collides, est
     // 10000, exact jaccard 10000 ≥ truth θ — a tp at every threshold.

@@ -106,6 +106,9 @@ object PlanAudit {
     "ann_topk_maxsim_rerank",
     // |thresholds|-row (7) broadcast fan-out over the candidate pairs
     "dedup_threshold_sweep",
+    // r11: |thetas|-row (5) broadcast fan-out over the within-cell pair
+    // cosines + the 1-row corpus total
+    "dedup_semantic_sweep",
     // r9: 1-row broadcast truth count scoring the 5-config band sweep
     "dedup_lsh_band_design",
     // r9: 1-row broadcast of the chosen generalization level
