@@ -1305,6 +1305,56 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Multi-epoch repetition planner — the data-constrained-scaling
+    * readout (Muennighoff et al. 2023: repeating data up to ~4 epochs
+    * costs little; beyond that returns decay fast): can the training
+    * mixture's weights be SERVED by the data each source actually has,
+    * without over-repeating? Per source: docs, raw token mass, UNIQUE
+    * token mass after exact dedup (distinct normalized texts — the
+    * tokens one epoch really contains), the duplicate share, the
+    * temperature-scaled (α = ½, the [[temperatureMix]] rule) allocation
+    * of a declared budget (`budgetFactorE2`% of the corpus's unique
+    * mass — 200 = train for "2 epochs worth" of corpus), the e2 epoch
+    * count that allocation implies for the source, and the
+    * `over_4_epochs` degradation flag. Upweighted small sources are
+    * exactly the ones that cross the line — the tension this table
+    * makes visible before training does.
+    *
+    * Scale: one scan to (source, normalized text) grain for the dedup
+    * collapse (same-norm docs share a token count, so max() per norm is
+    * exact), one |sources|-row arithmetic pass, two 1-row broadcasts.
+    */
+  def epochPlan(docs: DataFrame, budgetFactorE2: Long = 200L): DataFrame = {
+    val base = docs.select(
+      col("source"),
+      Cols.normalizeText(col("text")).as("__norm"),
+      size(Cols.tokens(col("text"))).cast("long").as("__t"))
+    val perSrc = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens"))
+    val uniq = base
+      .groupBy(col("source"), col("__norm")).agg(max(col("__t")).as("__ut"))
+      .groupBy(col("source")).agg(sum(col("__ut")).as("unique_tokens"))
+    val m = perSrc.join(uniq, "source")
+      .withColumn("sqrt_unique", isqrt(col("unique_tokens")))
+    val tot = broadcast(
+      m.agg(sum(col("unique_tokens")).as("__tu"), sum(col("sqrt_unique")).as("__su")))
+    m.crossJoin(tot)
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("unique_tokens"),
+        Cols.floorDiv((col("total_tokens") - col("unique_tokens")) * 10000L,
+          col("total_tokens")).as("dup_share_e4"),
+        Cols.floorDiv(col("unique_tokens") * 10000L, col("__tu")).as("raw_share_e4"),
+        Cols.floorDiv(col("sqrt_unique") * 10000L, col("__su")).as("temp_share_e4"),
+        Cols.floorDiv(
+          Cols.floorDiv(col("__tu") * budgetFactorE2, lit(100L)) * col("sqrt_unique"),
+          col("__su")).as("alloc_tokens"))
+      .withColumn("epochs_e2",
+        Cols.floorDiv(col("alloc_tokens") * 100L, col("unique_tokens")))
+      .withColumn("over_4_epochs",
+        when(col("epochs_e2") > 400L, 1L).otherwise(0L))
+      .orderBy(col("source"))
+  }
+
   /** DSIR-style importance weights (hashed n-gram importance resampling,
     * Xie et al. 2023): score every document by how much more likely its
     * tokens are under a TARGET distribution (here the `targetLang` slice —
@@ -2063,6 +2113,9 @@ object TextAnalysis {
     "txt_span_dup_profile" -> ((s, d) => spanDupProfile(Tables.documents(s, d))),
     // temperature-scaled (α=1/2) language sampling shares + exact quotas
     "txt_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
+    // data-constrained epoch planner: temperature-allocated budget vs
+    // each source's unique token mass, 4-epoch degradation flags
+    "txt_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
     // DSIR hashed-unigram importance weights vs the `en` target slice
     "txt_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
     // corpus composition profile: doc counts and size by (source, lang) —
@@ -3064,6 +3117,47 @@ object TextAnalysis {
         |  CASE WHEN raw_share_e6 > 0
         |       THEN (temp_share_e6 * 10000) // raw_share_e6 END::BIGINT AS boost_e4
         |FROM r, d ORDER BY lang""".stripMargin,
+    // per-source unique mass via distinct normalized texts (same-norm
+    // docs share a token count → max per norm), the temperature_mix
+    // isqrt correction, nested floor alloc — all integer
+    "txt_epoch_plan" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS t
+        |  FROM documents
+        |), ps AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS total_tokens
+        |  FROM b GROUP BY 1
+        |), un AS (
+        |  SELECT source, sum(ut)::BIGINT AS unique_tokens FROM (
+        |    SELECT source, norm, max(t) AS ut FROM b GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), sq AS (
+        |  SELECT ps.source, ps.n_docs, ps.total_tokens, un.unique_tokens,
+        |    floor(sqrt(un.unique_tokens::DOUBLE))::BIGINT AS s0
+        |  FROM ps JOIN un USING (source)
+        |), m AS (
+        |  SELECT source, n_docs, total_tokens, unique_tokens,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= unique_tokens THEN s0 + 1
+        |         WHEN s0 * s0 > unique_tokens THEN s0 - 1
+        |         ELSE s0 END AS sqrt_unique
+        |  FROM sq
+        |), t AS (SELECT sum(unique_tokens) AS tu, sum(sqrt_unique) AS su FROM m),
+        |a AS (
+        |  SELECT m.source, m.n_docs, m.total_tokens, m.unique_tokens,
+        |    ((m.total_tokens - m.unique_tokens) * 10000 // m.total_tokens)::BIGINT AS dup_share_e4,
+        |    (m.unique_tokens * 10000 // t.tu)::BIGINT AS raw_share_e4,
+        |    (m.sqrt_unique * 10000 // t.su)::BIGINT AS temp_share_e4,
+        |    (((t.tu * 200) // 100) * m.sqrt_unique // t.su)::BIGINT AS alloc_tokens
+        |  FROM m, t
+        |)
+        |SELECT source, n_docs, total_tokens, unique_tokens, dup_share_e4,
+        |  raw_share_e4, temp_share_e4, alloc_tokens,
+        |  (alloc_tokens * 100 // unique_tokens)::BIGINT AS epochs_e2,
+        |  (CASE WHEN alloc_tokens * 100 // unique_tokens > 400 THEN 1 ELSE 0 END)::BIGINT
+        |    AS over_4_epochs
+        |FROM a ORDER BY source""".stripMargin,
     // DSIR weights: the bucket log-ratio runs on identical integer inputs
     // in both engines (the unigram_logprob ln() discipline); the per-token
     // average uses the remainder-corrected floor because off-target docs

@@ -728,6 +728,25 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 4L, 4L, 0L, 0L, 0L, 0L)))
   }
 
+  test("epochPlan: upweighted tiny source crosses the 4-epoch line; dup mass collapses unique tokens") {
+    // big: 16 distinct 4-token docs (unique 64) + one verbatim duplicate
+    // (total 68, unique stays 64); tiny: one 4-token doc (unique 4).
+    // sqrt_unique: big 8, tiny 2 → su 10, tu 68, budget 2·68 = 136.
+    // alloc: big ⌊136·8/10⌋ = 108 → ⌊10800/64⌋ = 168 e2 epochs (ok);
+    // tiny ⌊136·2/10⌋ = 27 → ⌊2700/4⌋ = 675 e2 epochs → over_4 = 1.
+    val big = (0 until 16).map(i => (i.toLong, s"aa$i bb$i cc$i dd$i", "big")) :+
+      (100L, "aa0 bb0 cc0 dd0", "big")
+    val tiny = Seq((200L, "zz yy xx ww", "tiny"))
+    val got = TextAnalysis.epochPlan((big ++ tiny).toDF("doc_id", "text", "source"))
+      .select("source", "n_docs", "total_tokens", "unique_tokens", "dup_share_e4",
+        "alloc_tokens", "epochs_e2", "over_4_epochs")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big") === (("big", 17L, 68L, 64L, Math.floorDiv(4L * 10000L, 68L),
+      108L, 168L, 0L)))
+    assert(got("tiny") === (("tiny", 1L, 4L, 4L, 0L, 27L, 675L, 1L)))
+  }
+
   test("lmPerplexityFilter: OOV-heavy held-out doc scores high and filters; in-vocab doc doesn't") {
     // discover the deterministic split so the fixture controls which docs
     // train the LM and which are held out
