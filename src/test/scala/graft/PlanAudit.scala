@@ -80,6 +80,11 @@ object PlanAudit {
     "txt_lm_perplexity",
     // r11: the 1-row observed-max-month broadcast anchoring retention
     "tbl_vacuum_plan",
+    // r11: the 1-row unique-mass/sqrt totals behind the epoch allocation
+    "txt_epoch_plan",
+    // r11: inherits coOccurrence's 1-row group-total broadcast (the
+    // li_local_cc input shape)
+    "li_edge_support",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",
