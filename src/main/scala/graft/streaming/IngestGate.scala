@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The composed ingest gate — the admission pipeline a continuously-fed
+  * training corpus actually runs, wired from the incremental pieces that
+  * are each oracled on their own: every micro-batch of documents is
+  * (1) probed against the persisted MinHash dedup ledger and appended to
+  * it ([[DedupLedger]] — batch twin `dedup_ledger`), (2) screened
+  * against the static benchmark fingerprint index
+  * ([[DecontamScreen]] — batch twin `txt_decontam_incr`), and
+  * (3) summarized into a one-row-per-batch admission record: document
+  * count, near-duplicates flagged against history, and benchmark windows
+  * newly contaminated by THIS batch — the row an ingest dashboard pages
+  * on. All three outputs land under `batch=<id>` partitions with
+  * overwrite, so an at-least-once replay rewrites its own rows
+  * everywhere and the gate is idempotent end to end.
+  *
+  * Scale: the gate adds nothing to its parts — per batch it is the
+  * ledger's bucket-collision probe + the screen's broadcast semi-join +
+  * three partition-scoped counts; the corpus never accumulates in any
+  * path. Operationally this is ONE foreachBatch sink, so the three
+  * steps share a single stream checkpoint and replay together.
+  */
+object IngestGate {
+
+  /** One gate step, usable from plain batch jobs too. */
+  def processBatch(
+      batch: DataFrame, batchId: Long, benchIndex: DataFrame,
+      ledgerDir: String, dupsDir: String, hitsDir: String,
+      summaryDir: String): Unit = {
+    val spark = batch.sparkSession
+    DedupLedger.processBatch(batch, batchId, ledgerDir, dupsDir)
+    DecontamScreen.processBatch(batch, batchId, benchIndex, hitsDir)
+    val nDocs = batch.count()
+    val nDup = spark.read.parquet(s"$dupsDir/batch=$batchId").count()
+    val nContam = spark.read.parquet(s"$hitsDir/batch=$batchId").count()
+    import spark.implicits._
+    Seq((nDocs, nDup, nContam))
+      .toDF("n_docs", "n_dups_vs_history", "n_contaminated_windows")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$summaryDir/batch=$batchId")
+  }
+
+  /** Attach the gate as one foreachBatch sink of a streaming document
+    * source (columns `doc_id`, `text`).
+    */
+  def attach(
+      docs: DataFrame, benchIndex: DataFrame,
+      ledgerDir: String, dupsDir: String, hitsDir: String,
+      summaryDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, id, benchIndex, ledgerDir, dupsDir, hitsDir, summaryDir)
+      }
+      .start()
+
+  /** The admission ledger: one row per ingested batch. */
+  def summary(spark: SparkSession, summaryDir: String): DataFrame =
+    spark.read.parquet(summaryDir)
+      .select(col("batch").cast("long").as("batch"), col("n_docs"),
+        col("n_dups_vs_history"), col("n_contaminated_windows"))
+}
