@@ -673,6 +673,61 @@ object Multimodal {
       (f, kept, keptGray, bytes.length.toLong, keptBytes)
     }
 
+    /** Scene-change keyframes over the same multi-frame P6 container walk
+      * as [[videoFrameStats]]: per frame the integer mean gray of the
+      * payload-backed pixels, a frame is a KEYFRAME when it is the first
+      * frame or its mean shifted by ≥ `threshold` gray levels from the
+      * previous frame — the shot-boundary heuristic a frame-sampling
+      * stage upgrades to when uniform striding wastes budget on static
+      * shots. Returns (n_frames, n_keyframes, max_delta,
+      * first_change_frame or −1). Same malformed-header and
+      * garbage-tail stops as the stats walk.
+      */
+    def videoKeyframes(bytes: Array[Byte], threshold: Long): (Long, Long, Long, Long) = {
+      var pos = 0
+      var f = 0L
+      var prev = 0L
+      var keyframes = 0L
+      var maxDelta = 0L
+      var firstChange = -1L
+      while (pos + 2 <= bytes.length &&
+        bytes(pos) == 'P'.toByte && bytes(pos + 1) == '6'.toByte) {
+        val slice = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+        val (w, h, _, off) = ppmHeader(slice)
+        if (w <= 0 || h <= 0 || w > bytes.length || h > bytes.length) {
+          pos = bytes.length
+        } else {
+          val frameLen = off.toLong + w * h * 3L
+          val remain = (bytes.length - pos).toLong
+          val n = math.min(w * h, math.max(0L, remain - off + 2) / 3).toInt
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val o = pos + off + i * 3
+            sum +=
+              (if (o + 2 < bytes.length)
+                ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+              else 0)
+            i += 1
+          }
+          val mean = if (n > 0) sum / n else 0L
+          if (f == 0L) keyframes += 1
+          else {
+            val d = math.abs(mean - prev)
+            if (d > maxDelta) maxDelta = d
+            if (d >= threshold) {
+              keyframes += 1
+              if (firstChange < 0) firstChange = f
+            }
+          }
+          prev = mean
+          f += 1
+          if (frameLen >= remain) pos = bytes.length else pos += frameLen.toInt
+        }
+      }
+      (f, keyframes, maxDelta, firstChange)
+    }
+
     /** Letterbox/border detection over a binary PPM — the image twin of
       * [[silenceWav]]: a row is DARK when its mean gray is under half the
       * global mean (`2·H·row_sum < total`, integer-exact; columns
@@ -839,6 +894,26 @@ object Multimodal {
       })
       .toDF("doc_id", "n_frames", "frames_kept", "kept_mean_gray",
         "bytes_total", "bytes_kept")
+  }
+
+  /** Scene-change keyframe table over the real multi-frame container
+    * walk ([[Codecs.videoKeyframes]]): per clip the frame count, the
+    * keyframes a shot-boundary sampler would keep (first frame + every
+    * mean-gray shift ≥ 1 level), the largest inter-frame shift, and the
+    * first change frame — the content-aware upgrade of
+    * [[videoFrames]]'s uniform stride (static shots stop wasting the
+    * frame budget). Same mapPartitions codec tier, map-only: the clip
+    * bytes never shuffle.
+    */
+  def videoKeyframes(spark: SparkSession, docs: DataFrame, threshold: Long = 1L): DataFrame = {
+    import spark.implicits._
+    asVideoClips(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (n, k, d, fc) = Codecs.videoKeyframes(bytes, threshold)
+        (id, n, k, d, if (fc < 0) None else Some(fc))
+      })
+      .toDF("doc_id", "n_frames", "n_keyframes", "max_delta", "first_change_frame")
   }
 
   /** Documents as media records: the UTF-8 text bytes stand in for a real
@@ -1202,6 +1277,8 @@ object Multimodal {
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
     "mm_image_borders" -> ((s, d) => imageBorders(s, Tables.documents(s, d))),
     "mm_video_frames" -> ((s, d) => videoFrames(s, Tables.documents(s, d))),
+    // shot-boundary keyframes: first frame + every mean-gray shift ≥ 1
+    "mm_video_keyframes" -> ((s, d) => videoKeyframes(s, Tables.documents(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
   )
 
@@ -1588,6 +1665,29 @@ object Multimodal {
         |  (kept_sum // 512)::BIGINT AS kept_mean_gray,
         |  3124::BIGINT AS bytes_total, 1562::BIGINT AS bytes_kept
         |FROM g""".stripMargin,
+    // per-frame mean gray from the same analytic frame reconstruction,
+    // lag deltas per clip, keyframes = 1 + shifts ≥ 1
+    "mm_video_keyframes" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (879 // length(text))::INT + 1), 1, 879) AS s
+        |  FROM documents
+        |), fm AS (
+        |  SELECT doc_id, f.f,
+        |    (list_sum([(ord(substr(s, f.f * 37 + i * 3 + 1, 1))
+        |               + ord(substr(s, f.f * 37 + i * 3 + 2, 1))
+        |               + ord(substr(s, f.f * 37 + i * 3 + 3, 1))) // 3
+        |              for i in range(0, 256)]) // 256)::BIGINT AS m
+        |  FROM px, range(0, 4) f(f)
+        |), d AS (
+        |  SELECT doc_id, f, abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+        |  FROM fm
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  (1 + count(CASE WHEN delta >= 1 THEN 1 END))::BIGINT AS n_keyframes,
+        |  coalesce(max(delta), 0)::BIGINT AS max_delta,
+        |  min(CASE WHEN delta >= 1 THEN f END)::BIGINT AS first_change_frame
+        |FROM d GROUP BY 1""".stripMargin,
     // the gray_hist 16x16 plane; dark ⟺ 2·16·line_sum < total (integer);
     // lead = first not-dark index (16 when all dark → tail 0), tail =
     // 15 − last not-dark index — the bordersPpm trim semantics exactly

@@ -326,6 +326,22 @@ class MultimodalSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("videoKeyframes: shot boundary detected at the right frame; static clip keeps one keyframe") {
+    def frame(gray: Int): Array[Byte] =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(gray.toByte)
+    // cut between frames 1 and 2 (gray 10 → 200), plus a small shift
+    // below the threshold-10 line between frames 2 and 3 (200 → 205)
+    val clip = frame(10) ++ frame(10) ++ frame(200) ++ frame(205)
+    assert(Multimodal.Codecs.videoKeyframes(clip, 10L) === ((4L, 2L, 190L, 2L)))
+    // at threshold 1 the small shift also keys
+    assert(Multimodal.Codecs.videoKeyframes(clip, 1L) === ((4L, 3L, 190L, 2L)))
+    // static clip: one keyframe, no change frame
+    val static = frame(50) ++ frame(50) ++ frame(50)
+    assert(Multimodal.Codecs.videoKeyframes(static, 1L) === ((3L, 1L, 0L, -1L)))
+    // empty payload: nothing to walk
+    assert(Multimodal.Codecs.videoKeyframes(Array.empty[Byte], 1L) === ((0L, 0L, 0L, -1L)))
+  }
+
   test("bordersPpm: letterbox trims under the relative threshold; flat plane trims nothing") {
     def img(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
