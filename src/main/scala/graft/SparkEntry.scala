@@ -453,6 +453,10 @@ object SparkEntry {
       graft.ops.Analytics.thresholdAlerts(Tables.events(s, dir), rules)
     }),
     // daily + trailing-7-day error-rate SLI, all integer
+    // seasonal-naive (same weekday last week) forecast backtest: MAE,
+    // e4 MAPE, worst day per type — the baseline a forecaster must beat
+    "ev_forecast_baseline" -> ((s, dir) =>
+      graft.ops.Analytics.forecastBaseline(Tables.events(s, dir))),
     "ev_error_budget" -> ((s, dir) =>
       graft.ops.Analytics.errorBudget(Tables.events(s, dir))),
     // the funnel split by experiment arm (composition of funnel × abLift)
@@ -1927,6 +1931,28 @@ object SparkEntry {
         |  (n_events - max_per_hour)::BIGINT AS excess
         |FROM h JOIN r ON h.event_type = r.event_type
         |WHERE n_events > max_per_hour""".stripMargin,
+    // calendar-correct day−7 self-join (never a row-offset lag), per-day
+    // quantized MAPE terms averaged, earliest worst day on ties
+    "ev_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a.event_type, a.day, a.c, p.c AS pred, abs(a.c - p.c)::BIGINT AS err
+        |  FROM daily a JOIN daily p
+        |    ON p.event_type = a.event_type AND p.day = a.day - 7
+        |), m AS (
+        |  SELECT event_type, day, c, err,
+        |    max(err) OVER (PARTITION BY event_type) AS maxerr
+        |  FROM scored
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_scored,
+        |  (sum(err) // count(*))::BIGINT AS mae,
+        |  (sum((err * 10000) // c) // count(*))::BIGINT AS mape_e4,
+        |  min(CASE WHEN err = maxerr THEN day END)::BIGINT AS worst_day,
+        |  max(err)::BIGINT AS worst_abs_err
+        |FROM m GROUP BY 1""".stripMargin,
     "ev_error_budget" ->
       """WITH d AS (
         |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,

@@ -1498,6 +1498,47 @@ object Analytics {
           .as("roll7_err_e4"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline sanity check every
+    * forecasting/anomaly stack owes its users: predict each day's
+    * per-type event count with the same weekday last week
+    * (`ŷ(t) = y(t−7)`, the baseline real forecasters must beat), score
+    * the prediction against the actual wherever both days exist, and
+    * report per type the scored-day count, mean absolute error, e4 MAPE
+    * (per-day quantize-then-average, the surprisal discipline), and the
+    * worst day with its error. An anomaly detector whose baseline
+    * already misses by 30% has no business paging anyone.
+    *
+    * Scale: one map-side-combined aggregate to the (type × day) grain,
+    * then a calendar-correct self-equi-join on (type, day−7) — NOT a
+    * row-offset lag, which silently mis-pairs across gap days.
+    */
+  def forecastBaseline(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val scored = daily.as("a")
+      .join(
+        daily.select(col("event_type"), (col("day") + 7L).as("day"),
+          col("__c").as("__pred")).as("p"),
+        Seq("event_type", "day"))
+      .select(col("event_type"), col("day"),
+        col("__c"), col("__pred"), abs(col("__c") - col("__pred")).as("__err"))
+    // worst day via a per-type window over the |types × days| table
+    // (earliest day wins a tie), then one rollup
+    scored
+      .withColumn("__maxerr",
+        max(col("__err")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        Cols.floorDiv(sum(col("__err")), count(lit(1))).as("mae"),
+        Cols.floorDiv(
+          sum(Cols.floorDiv(col("__err") * 10000L, col("__c"))), count(lit(1)))
+          .as("mape_e4"),
+        min(when(col("__err") === col("__maxerr"), col("day"))).as("worst_day"),
+        max(col("__err")).as("worst_abs_err"))
+  }
+
   /** The ordered funnel split by deterministic A/B arm ([[abLift]]'s
     * salted hash): per arm, the same strict-ordering stage counts as
     * [[funnel]] — the "did the treatment change the FUNNEL, not just the

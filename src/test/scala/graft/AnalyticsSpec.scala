@@ -854,6 +854,24 @@ class AnalyticsSpec extends SparkSpec {
       (10L, 4L, 12L, 12L, 40000L)))
   }
 
+  test("forecastBaseline: periodic series scores zero error; a spike day is the worst day") {
+    // 14 days of 2 events/day; type "q" gets 2 extra on day 10. Scored
+    // days are 7..13 (day−7 exists): "p" is error-free everywhere; "q"
+    // errs only on day 10 (actual 4 vs pred 2): worst_abs_err 2,
+    // mae ⌊2/7⌋ = 0, mape ⌊⌊2·10⁴/4⌋/7⌋ = ⌊5000/7⌋ = 714
+    val base = for (d <- 0 until 14; i <- 0 until 2)
+      yield (1L, "p", d * 86400000L + i, 1.0)
+    val q = (for (d <- 0 until 14; i <- 0 until 2)
+      yield (1L, "q", d * 86400000L + i, 1.0)) ++
+      Seq((1L, "q", 10 * 86400000L + 50, 1.0), (1L, "q", 10 * 86400000L + 51, 1.0))
+    val got = Analytics.forecastBaseline(
+      (base ++ q).toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("p") === (("p", 7L, 0L, 0L, 7L, 0L)))
+    assert(got("q") === (("q", 7L, 0L, 714L, 10L, 2L)))
+  }
+
   test("edgeSupport: per-edge triangle counts, truss flags, pendant edges keep zero rows") {
     // triangles {1,2,3} and {2,3,5} share edge (2,3); (3,4) is pendant.
     // K4 sanity: every K4 edge sits on exactly 2 triangles
