@@ -457,6 +457,10 @@ object SparkEntry {
     // e4 MAPE, worst day per type — the baseline a forecaster must beat
     "ev_forecast_baseline" -> ((s, dir) =>
       graft.ops.Analytics.forecastBaseline(Tables.events(s, dir))),
+    // multi-window burn-rate page rule over the SLI series: short AND
+    // long windows both over budget before anything fires
+    "ev_slo_burn" -> ((s, dir) =>
+      graft.ops.Analytics.sloBurnRate(Tables.events(s, dir))),
     "ev_error_budget" -> ((s, dir) =>
       graft.ops.Analytics.errorBudget(Tables.events(s, dir))),
     // the funnel split by experiment arm (composition of funnel × abLift)
@@ -1953,6 +1957,29 @@ object SparkEntry {
         |  min(CASE WHEN err = maxerr THEN day END)::BIGINT AS worst_day,
         |  max(err)::BIGINT AS worst_abs_err
         |FROM m GROUP BY 1""".stripMargin,
+    // the error_budget day CTE + 7d RANGE windows; burns as e4 multiples
+    // of the 2000-e4 target, page only when both windows are over
+    "ev_slo_burn" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS n_events,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_errors
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day, n_events, n_errors,
+        |    sum(n_events) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS n_events_7d,
+        |    sum(n_errors) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS n_errors_7d
+        |  FROM d
+        |)
+        |SELECT day, n_events, n_errors, n_events_7d, n_errors_7d,
+        |  ((n_errors * 100000000) // (n_events * 2000))::BIGINT AS burn_1d_e4,
+        |  ((n_errors_7d * 100000000) // (n_events_7d * 2000))::BIGINT AS burn_7d_e4,
+        |  (CASE WHEN (n_errors * 100000000) // (n_events * 2000) >= 11000
+        |         AND (n_errors_7d * 100000000) // (n_events_7d * 2000) >= 11000
+        |        THEN 1 ELSE 0 END)::BIGINT AS alert
+        |FROM w""".stripMargin,
     "ev_error_budget" ->
       """WITH d AS (
         |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day,

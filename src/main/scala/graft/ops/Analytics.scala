@@ -1539,6 +1539,44 @@ object Analytics {
         max(col("__err")).as("worst_abs_err"))
   }
 
+  /** Multi-window SLO burn-rate alert screen — the page/don't-page rule
+    * on top of [[errorBudget]]'s SLI series (the SRE-workbook shape: a
+    * SHORT window so pages fire fast and reset fast, ANDed with a LONG
+    * window so a brief blip can't page): per day, the error rate over
+    * the trailing 7 days and over the day itself, each expressed as an
+    * e4 burn MULTIPLE of the declared `targetE4` error budget, and the
+    * alert that fires only when BOTH windows burn ≥ `alertBurnE4`.
+    *
+    * Scale: the [[errorBudget]] posture exactly — one map-side-combined
+    * aggregate to the |days| grain, RANGE windows over the day value so
+    * calendar gaps age out, all integer arithmetic.
+    */
+  def sloBurnRate(
+      events: DataFrame, errorType: String = "error",
+      targetE4: Long = 2000L, alertBurnE4: Long = 11000L): DataFrame = {
+    val w7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    val daily = events
+      .groupBy(Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === errorType, 1)).as("n_errors"))
+    daily
+      .select(
+        col("day"), col("n_events"), col("n_errors"),
+        sum(col("n_events")).over(w7).as("n_events_7d"),
+        sum(col("n_errors")).over(w7).as("n_errors_7d"))
+      .select(
+        col("day"), col("n_events"), col("n_errors"),
+        col("n_events_7d"), col("n_errors_7d"),
+        Cols.floorDiv(col("n_errors") * 100000000L,
+          col("n_events") * targetE4).as("burn_1d_e4"),
+        Cols.floorDiv(col("n_errors_7d") * 100000000L,
+          col("n_events_7d") * targetE4).as("burn_7d_e4"))
+      .withColumn("alert",
+        when(col("burn_1d_e4") >= alertBurnE4 && col("burn_7d_e4") >= alertBurnE4, 1L)
+          .otherwise(0L))
+  }
+
   /** The ordered funnel split by deterministic A/B arm ([[abLift]]'s
     * salted hash): per arm, the same strict-ordering stage counts as
     * [[funnel]] — the "did the treatment change the FUNNEL, not just the

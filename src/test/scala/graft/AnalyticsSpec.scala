@@ -872,6 +872,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("q") === (("q", 7L, 0L, 714L, 10L, 2L)))
   }
 
+  test("sloBurnRate: pages only when short AND long windows are both over budget") {
+    // 10 events/day; 2 errors/day (exactly the 20% target) for days 0–6,
+    // then 5 errors/day from day 7. Day 6: both burns 10000 (on budget,
+    // no page). Day 7: burn_1d 25000, burn_7d ⌊17·10⁸/(70·2000)⌋ = 12142
+    // — both ≥ 11000 → page. Days 0–5: burn exactly 10000, no page.
+    val rows = for (d <- 0 until 14; i <- 0 until 10) yield {
+      val errs = if (d < 7) 2 else 5
+      (1L, if (i < errs) "error" else "view", d * 86400000L + i, 1.0)
+    }
+    val got = Analytics.sloBurnRate(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .select("day", "burn_1d_e4", "burn_7d_e4", "alert")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(6L) === ((6L, 10000L, 10000L, 0L)))
+    assert(got(7L) === ((7L, 25000L, 12142L, 1L)))
+    (0L to 5L).foreach(d => assert(got(d)._4 === 0L))
+    (7L to 13L).foreach(d => assert(got(d)._4 === 1L))
+    // a single bad day inside an under-budget week (10% vs the 20%
+    // target): 1d fires at 25000, the 7d window reads ⌊11·10⁸/(70·2000)⌋
+    // = 7857 — suppressed. (A week ALREADY at budget pages on one bad
+    // day, correctly — there is no slack to absorb it.)
+    val blip = for (d <- 0 until 8; i <- 0 until 10) yield {
+      val errs = if (d == 7) 5 else 1
+      (1L, if (i < errs) "error" else "view", d * 86400000L + i, 1.0)
+    }
+    val g2 = Analytics.sloBurnRate(blip.toDF("user_id", "event_type", "ts_ms", "value"))
+      .select("day", "burn_1d_e4", "burn_7d_e4", "alert")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(g2(7L) === ((7L, 25000L, 7857L, 0L)))
+  }
+
   test("edgeSupport: per-edge triangle counts, truss flags, pendant edges keep zero rows") {
     // triangles {1,2,3} and {2,3,5} share edge (2,3); (3,4) is pendant.
     // K4 sanity: every K4 edge sits on exactly 2 triangles

@@ -199,6 +199,8 @@ object PlanAudit {
     // running / rolling windows over the |days|-row daily aggregate —
     // bounded by the calendar, not the data
     "ev_error_budget", "ord_open_orders", "ev_concurrency",
+    // r11: the same |days|-row RANGE windows (the error_budget bound)
+    "ev_slo_burn",
     // rank windows over the 24-row hour-of-day domain
     "ev_hour_spearman",
     // next-fit packing window over the nBuckets-row (64) file table
