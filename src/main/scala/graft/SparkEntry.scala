@@ -282,6 +282,10 @@ object SparkEntry {
     // ev_cusum (count-deviation argmax locator) and ev_changepoint
     "ev_cusum_chart" -> ((s, dir) =>
       graft.ops.Stats.cusum(Tables.events(s, dir))),
+    // Holt level+trend smoothing backtest vs the naive-1 carry-forward,
+    // exact e4 integer recurrences folded over the day array
+    "ev_holt" -> ((s, dir) =>
+      graft.ops.Stats.holtBacktest(Tables.events(s, dir))),
     // distribution-SHAPE member of the arm-test family: exact-integer
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
@@ -2304,6 +2308,45 @@ object SparkEntry {
     // floors are remainder-corrected (cent sums are signed); the variance
     // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
     // is exact floor as-is
+    // Holt recurrences as a per-type recursive CTE over day ranks; the
+    // level/trend floors use the remainder-corrected form (negative
+    // trends make the numerators sign-carrying, where DuckDB's // alone
+    // truncates toward zero)
+    "ev_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2
+        |), dm AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), nd AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days FROM dm GROUP BY 1
+        |), walk AS (
+        |  SELECT event_type, rn, y AS py, (y * 10000)::BIGINT AS l, 0::BIGINT AS b,
+        |    0::BIGINT AS he, 0::BIGINT AS ne, 0::BIGINT AS n
+        |  FROM dm WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type, rn, py, l2::BIGINT,
+        |    (((l2 - l0 + b0) - ((((l2 - l0 + b0) % 2) + 2) % 2)) // 2)::BIGINT,
+        |    he2::BIGINT, ne2::BIGINT, n2::BIGINT
+        |  FROM (
+        |    SELECT d.event_type, d.rn, d.y AS py, w.l AS l0, w.b AS b0,
+        |      ((d.y * 10000 + w.l + w.b)
+        |        - ((((d.y * 10000 + w.l + w.b) % 2) + 2) % 2)) // 2 AS l2,
+        |      w.he + abs(d.y * 10000 - (w.l + w.b)) AS he2,
+        |      w.ne + abs(d.y - w.py) * 10000 AS ne2,
+        |      w.n + 1 AS n2
+        |    FROM walk w JOIN dm d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+        |  )
+        |)
+        |SELECT w.event_type, nd.n_days, w.n AS n_scored,
+        |  (w.he // w.n)::BIGINT AS holt_mae_e4,
+        |  (w.ne // w.n)::BIGINT AS naive_mae_e4,
+        |  (CASE WHEN w.he // w.n < w.ne // w.n THEN 1 ELSE 0 END)::BIGINT AS holt_wins
+        |FROM walk w JOIN nd USING (event_type)
+        |WHERE w.rn = nd.n_days AND w.n > 0""".stripMargin,
     // the CUSUM recursion as a per-type recursive CTE over day ranks —
     // the DuckDB mirror of Spark's calendar-bounded array fold
     "ev_cusum_chart" ->

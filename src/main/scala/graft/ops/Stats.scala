@@ -427,6 +427,60 @@ object Stats {
         when(col("__f.ad").isNotNull, 1L).otherwise(0L).as("alarm"))
   }
 
+  /** Holt double-exponential smoothing backtest — does a level+trend
+    * smoother beat the naive carry-forward on this series? Per event
+    * type, the daily count series folds through Holt's recurrences with
+    * α = β = ½ in exact e4 integers (level `l ← ⌊(10⁴·y + l + b)/2⌋`,
+    * trend `b ← ⌊(l − l_prev + b)/2⌋`, one-step forecast `l + b`), and
+    * the readout compares its one-step-ahead MAE against the naive-1
+    * (`ŷ_t = y_{t−1}`) MAE on the SAME scored days — `holt_wins` is the
+    * adopt/don't-adopt verdict, the same comparison role
+    * [[graft.ops.Analytics.forecastBaseline]] plays for the weekly
+    * seasonal naive. The recursion folds as an `aggregate` expression
+    * over the per-type day array — calendar-bounded, the [[cusum]]
+    * idiom — never a data-sized window.
+    *
+    * Scale: one map-side-combined aggregate to the (type × day) grain,
+    * one collect-and-fold per type over ≤ |days| elements.
+    */
+  def holtBacktest(events: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), lit(86400000L))
+    val daily = events
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("__y"))
+    val arr = sort_array(collect_list(struct(col("day"), col("__y"))))
+    // state: (level_e4, trend_e4, prev_y, holt_abs_err_sum_e4,
+    //         naive_abs_err_sum_e4, n_scored)
+    val zero = struct(lit(0L).as("l"), lit(0L).as("b"), lit(-1L).as("py"),
+      lit(0L).as("he"), lit(0L).as("ne"), lit(0L).as("n"))
+    val folded = aggregate(
+      arr, zero,
+      (acc, x) => {
+        val y = x.getField("__y")
+        val first = acc.getField("py") === -1L
+        val fc = acc.getField("l") + acc.getField("b")
+        val lNew = Cols.floorDiv(y * 10000L + fc, lit(2L))
+        val bNew = Cols.floorDiv(lNew - acc.getField("l") + acc.getField("b"), lit(2L))
+        struct(
+          when(first, y * 10000L).otherwise(lNew).as("l"),
+          when(first, lit(0L)).otherwise(bNew).as("b"),
+          y.as("py"),
+          (acc.getField("he") + when(first, 0L).otherwise(abs(y * 10000L - fc))).as("he"),
+          (acc.getField("ne") + when(first, 0L)
+            .otherwise(abs(y - acc.getField("py")) * 10000L)).as("ne"),
+          (acc.getField("n") + when(first, 0L).otherwise(1L)).as("n"))
+      })
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), folded.as("__f"))
+      .filter(col("__f.n") > 0)
+      .select(
+        col("event_type"), col("n_days"), col("__f.n").as("n_scored"),
+        Cols.floorDiv(col("__f.he"), col("__f.n")).as("holt_mae_e4"),
+        Cols.floorDiv(col("__f.ne"), col("__f.n")).as("naive_mae_e4"))
+      .withColumn("holt_wins",
+        when(col("holt_mae_e4") < col("naive_mae_e4"), 1L).otherwise(0L))
+  }
+
   def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)

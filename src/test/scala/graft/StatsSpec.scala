@@ -615,6 +615,34 @@ class StatsSpec extends SparkSpec {
     assert(got((1L, 1L))._6 === "continue" && got((1L, 2L))._6 === "accept_h0")
   }
 
+  test("holtBacktest matches a plain-Scala fold of the same integer recurrences") {
+    // deterministic bumpy series: counts 1..12 with a 3-period wobble
+    val counts = (0 until 12).map(d => 3L + d + (d % 3) * 2L)
+    val rows = for (d <- counts.indices; i <- 0 until counts(d).toInt)
+      yield (1L, "t", d * 86400000L + i, 1.0)
+    val got = Stats.holtBacktest(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // reference: the same recurrences in plain Scala
+    var l = counts.head * 10000L; var b = 0L; var he = 0L; var ne = 0L; var n = 0L
+    counts.tail.zip(counts).foreach { case (y, py) =>
+      val fc = l + b
+      he += math.abs(y * 10000L - fc)
+      ne += math.abs(y - py) * 10000L
+      n += 1
+      val l2 = Math.floorDiv(y * 10000L + fc, 2L)
+      b = Math.floorDiv(l2 - l + b, 2L)
+      l = l2
+    }
+    assert(got === (("t", 12L, n, Math.floorDiv(he, n), Math.floorDiv(ne, n),
+      if (Math.floorDiv(he, n) < Math.floorDiv(ne, n)) 1L else 0L)))
+    // a constant series: Holt and naive both score zero error, no win
+    val flat = for (d <- 0 until 6; i <- 0 until 4)
+      yield (1L, "f", d * 86400000L + i, 1.0)
+    val gf = Stats.holtBacktest(flat.toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(gf === (("f", 6L, 5L, 0L, 0L, 0L)))
+  }
+
   test("cusum: a mid-series level shift alarms on the hand-computed day; a flat series never does") {
     // type "f": constant 10.00/day for 10 days — zero deviations, no alarm.
     // type "s": days 0-4 at 10.00, days 5-9 at 40.00. Mean-of-daily-means
