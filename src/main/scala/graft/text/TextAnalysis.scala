@@ -849,6 +849,40 @@ object TextAnalysis {
         when(col("avg_xent_e4") > thresholdE4, 1L).otherwise(0L))
   }
 
+  /** CCNet-style perplexity bucketing: every document's reference-LM
+    * cross-entropy ([[lmPerplexityFilter]]'s score) is cut at the
+    * corpus-wide tercile boundaries into head (most fluent), middle,
+    * tail — the exact shape CCNet ships (and trains on head+middle) —
+    * and the readout rolls up per (source, bucket) with the share of
+    * the source in each: the "which sources are tail-heavy" table a
+    * mixture designer reads next to [[epochPlan]].
+    *
+    * Scale: the [[lmPerplexityFilter]] token-grain pipeline, a 1-row
+    * tercile-cut broadcast (the [[surprisalDeciles]] percentile idiom),
+    * one hash aggregate to |sources|·3 rows with a |sources|-bounded
+    * share window.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmPerplexityFilter(docs)
+      .select(col("doc_id"), col("avg_xent_e4"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val cuts = scored.agg(
+      expr("percentile(avg_xent_e4, array(0.3333333333333333, 0.6666666666666666))")
+        .as("__c"))
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .select(
+        col("source"),
+        when(col("avg_xent_e4") <= element_at(col("__c"), 1), lit("head"))
+          .when(col("avg_xent_e4") <= element_at(col("__c"), 2), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    bucketed
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("source_share_e4",
+        Cols.floorDiv(col("n_docs") * 10000L, sum(col("n_docs")).over(w)))
+  }
+
   /** Deterministic context-window packing: within each train/valid/test
     * split, documents (in doc_id order) are assigned to fixed-budget
     * packs by cumulative token count — pack_id = floor(tokens_before /
@@ -2041,6 +2075,9 @@ object TextAnalysis {
     // reference-LM perplexity filter: Laplace unigram LM trained on the
     // train split, every doc scored with OOV handling + filter verdict
     "txt_lm_perplexity" -> ((s, d) => lmPerplexityFilter(Tables.documents(s, d))),
+    // CCNet head/middle/tail terciles of the reference-LM score, rolled
+    // up per source with within-source shares
+    "txt_ppl_buckets" -> ((s, d) => pplBuckets(Tables.documents(s, d))),
     "txt_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     // overlapping-window RAG chunking: (doc_id, chunk_idx) citation keys
     "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -3117,6 +3154,50 @@ object TextAnalysis {
         |  CASE WHEN raw_share_e6 > 0
         |       THEN (temp_share_e6 * 10000) // raw_share_e6 END::BIGINT AS boost_e4
         |FROM r, d ORDER BY lang""".stripMargin,
+    // the txt_lm_perplexity CTEs to per-doc avg xent, tercile cuts via
+    // quantile_cont (the surprisal_deciles percentile mirror), rollup
+    // per (source, bucket) with a window share
+    "txt_ppl_buckets" ->
+      s"""$tokCte, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), terms AS (
+         |  SELECT t.doc_id, sp.split, unnest(toks) AS term
+         |  FROM t JOIN sp USING (doc_id)
+         |), tc AS (
+         |  SELECT term, count(*)::BIGINT AS c FROM terms WHERE split = 'train' GROUP BY 1
+         |), sc0 AS (
+         |  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM tc
+         |), scored AS (
+         |  SELECT tm.doc_id,
+         |    round(ln((sc0.n + sc0.v + 1)::DOUBLE / (coalesce(tc.c, 0) + 1)::DOUBLE)
+         |          * 10000)::BIGINT AS q
+         |  FROM terms tm LEFT JOIN tc USING (term) CROSS JOIN sc0
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(q)::BIGINT AS s
+         |  FROM scored GROUP BY 1
+         |), xent AS (
+         |  SELECT a.doc_id, d.source,
+         |    (s - (((s % n_tokens) + n_tokens) % n_tokens)) // n_tokens AS x
+         |  FROM agg a JOIN documents d USING (doc_id)
+         |), th AS (
+         |  SELECT quantile_cont(x, [0.3333333333333333, 0.6666666666666666]) AS c FROM xent
+         |), b AS (
+         |  SELECT source,
+         |    CASE WHEN x <= th.c[1] THEN 'head'
+         |         WHEN x <= th.c[2] THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM xent CROSS JOIN th
+         |), g AS (
+         |  SELECT source, bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY 1, 2
+         |)
+         |SELECT source, bucket, n_docs,
+         |  ((n_docs * 10000) // sum(n_docs) OVER (PARTITION BY source))::BIGINT
+         |    AS source_share_e4
+         |FROM g""".stripMargin,
     // per-source unique mass via distinct normalized texts (same-norm
     // docs share a token count → max per norm), the temperature_mix
     // isqrt correction, nested floor alloc — all integer

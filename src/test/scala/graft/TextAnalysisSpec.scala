@@ -747,6 +747,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("tiny") === (("tiny", 1L, 4L, 4L, 0L, 27L, 675L, 1L)))
   }
 
+  test("pplBuckets: an OOV-junk source lands whole in the tail, fluent sources in the head") {
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val m = java.lang.Long.parseLong(hex, 16) % 100
+      if (m < 80) "train" else if (m < 90) "valid" else "test"
+    }
+    val pool = (1L to 400L)
+    val trainIds = pool.filter(splitOf(_) == "train").take(8)
+    val testIds = pool.filter(splitOf(_) == "test").take(2)
+    // 8 fluent train docs (source ref) + 1 fluent and 1 pure-OOV test doc:
+    // ten scores, eight+one low and one high — the low mass sits at or
+    // under the first tercile cut (head), the junk doc above the second
+    val rows = trainIds.map((_, "alpha beta gamma delta", "ref")) ++
+      Seq((testIds.head, "alpha beta gamma delta", "clean"),
+        (testIds(1), "qqq www zzz xxx", "junk"))
+    val got = TextAnalysis.pplBuckets(rows.toDF("doc_id", "text", "source"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("junk", "tail")) === ((1L, 10000L)))
+    assert(got(("clean", "head")) === ((1L, 10000L)))
+    assert(got(("ref", "head")) === ((8L, 10000L)))
+    assert(got.size === 3)
+  }
+
   test("lmPerplexityFilter: OOV-heavy held-out doc scores high and filters; in-vocab doc doesn't") {
     // discover the deterministic split so the fixture controls which docs
     // train the LM and which are held out
