@@ -78,6 +78,8 @@ object PlanAudit {
     "emb_ivf_append",
     // r11: the 1-row (train tokens N, train vocab V) LM scalars
     "txt_lm_perplexity",
+    // r11: the same LM scalars + the 1-row tercile-cut percentile
+    "txt_ppl_buckets",
     // r11: the 1-row observed-max-month broadcast anchoring retention
     "tbl_vacuum_plan",
     // r11: the 1-row unique-mass/sqrt totals behind the epoch allocation
