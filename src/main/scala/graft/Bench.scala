@@ -51,6 +51,38 @@ object BenchGate {
     trustedProbeBase > 0 && curProbeBase > 0 &&
       curProbeBase < QuietFactor * trustedProbeBase
 
+  /** Per-key baseline seed when reading the previous detail file. The
+    * raw/corrected fallback applies ONLY to whole files that predate the
+    * `trusted` field: once the field exists, a query absent from it has
+    * never measured quiet, and seeding it from its corrected figure
+    * would resurrect exactly the noise-deflated contended baseline this
+    * gate refuses (contended round N → phantom flag in quiet round N+1).
+    */
+  def seedKey(trusted: Double, fileHasTrusted: Boolean,
+      raw: Double, corrected: Double, noise: Double): Option[Double] =
+    if (trusted >= 0) Some(trusted)
+    else if (fileHasTrusted) None
+    else seedFallback(raw, corrected, noise)
+
+  /** Per-run limit on how far the probe-base anchor may walk down —
+    * HALF the comparability band, so after one anomalously fast run the
+    * machine's typical state is still comparable
+    * (QuietFactor / AnchorStep > 1) and the anchor recovers instead of
+    * deadlocking the gate dormant. */
+  val AnchorStep = 1.15
+
+  /** Next probe-base anchor: follow the machine state at most one
+    * [[AnchorStep]] per run. A min-only ratchet lets a single
+    * anomalously fast run drag the anchor 2× down and deadlock the gate
+    * (every future normal-state run incomparable, baselines never
+    * updatable); consecutive fast runs — the legitimate case — still
+    * walk it down step by step, with quiet queries re-measuring at
+    * every step. */
+  def nextProbeBase(prev: Double, cur: Double, comparable: Boolean): Double =
+    if (!comparable) prev
+    else if (prev > 0) math.max(math.min(prev, cur), prev / AnchorStep)
+    else cur
+
   /** Next trusted figure: a quiet successful measurement on a comparable
     * (or faster) machine state replaces it; anything else — contended
     * run, failed query, slow machine state — carries the previous
@@ -184,13 +216,17 @@ object Bench {
         import scala.jdk.CollectionConverters._
         val qsN = root.path("queries"); val czN = root.path("corrected")
         val nzN = root.path("noise"); val trN = root.path("trusted")
+        // the fallback is ONLY for whole files that predate the trusted
+        // field. Once the field exists, a query absent from it is absent
+        // BECAUSE it has never measured quiet — seeding it per-key from
+        // its corrected figure would resurrect exactly the noise-deflated
+        // contended baseline this gate exists to refuse (a query
+        // contended in round N would flag phantom in round N+1).
+        val hasTrusted = !trN.isMissingNode && trN.fieldNames().hasNext
         val m = (qsN.fieldNames().asScala ++ trN.fieldNames().asScala).toSet.flatMap { (k: String) =>
-          val tr = trN.path(k).asDouble(-1.0)
-          val seed =
-            if (tr >= 0) Some(tr)
-            else BenchGate.seedFallback(
-              qsN.path(k).asDouble(-1.0), czN.path(k).asDouble(-1.0), nzN.path(k).asDouble(1.0))
-          seed.map(k -> _)
+          BenchGate.seedKey(trN.path(k).asDouble(-1.0), hasTrusted,
+            qsN.path(k).asDouble(-1.0), czN.path(k).asDouble(-1.0), nzN.path(k).asDouble(1.0))
+            .map(k -> _)
         }.toMap
         // baselines carry the machine state they were measured at; a
         // pre-`trusted_probe_base` file anchors to its own probe base
@@ -238,11 +274,7 @@ object Bench {
       .mkString("{", ",", "}")
     val trustedJson = trustedNow.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
-    // ratchet to the fastest comparable machine state seen
-    val newTpb =
-      if (!comparableState) prevTpb
-      else if (prevTpb > 0) math.min(prevTpb, probeBase)
-      else probeBase
+    val newTpb = BenchGate.nextProbeBase(prevTpb, probeBase, comparableState)
     val tpbStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(newTpb))
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""corrected_total":${num2(correctedTotal)},""" +

@@ -771,6 +771,11 @@ object Similarity {
   def pqTrainStep(embeddings: DataFrame, subspaces: Int = 4,
       codebookK: Int = 8): DataFrame = {
     val subLen = 16
+    // the 16-dim subvector grid must tile the 64-dim vectors exactly —
+    // a wider subspaces silently reads past the array (slice → empty,
+    // element_at → null) and refits garbage instead of failing
+    require(subspaces * subLen == 64,
+      s"subspaces × $subLen must equal the 64-dim embedding (got $subspaces)")
     val q = Dedup.quantized(embeddings)
     val codebook = broadcast(
       q.filter(col("vec_id") < codebookK)

@@ -44,14 +44,19 @@ object DecontamScreen {
 
   /** One screen step, usable from plain batch jobs too: flag the
     * benchmark windows whose fingerprints appear in `batch`'s df-capped
-    * vocabulary, into `hitsDir/batch=<id>`.
+    * vocabulary, into `hitsDir/batch=<id>`. `benchFps` is the
+    * benchmark's distinct fingerprint set — pass the one
+    * [[benchmarkFingerprints]] materialized for the stream's lifetime
+    * so it is not re-distinct'ed per batch; when omitted it derives
+    * from the index (the one-shot batch path).
     */
   def processBatch(
       batch: DataFrame, batchId: Long, benchIndex: DataFrame,
-      hitsDir: String, maxBatchDf: Long = 50L): Unit = {
+      hitsDir: String, maxBatchDf: Long = 50L,
+      benchFps: Option[DataFrame] = None): Unit = {
+    val fps = benchFps.getOrElse(benchIndex.select(col("fingerprint")).distinct())
     val vocab = TextAnalysis.winnowFingerprints(batch)
-      .join(broadcast(benchIndex.select(col("fingerprint")).distinct()),
-        Seq("fingerprint"), "leftsemi")
+      .join(broadcast(fps), Seq("fingerprint"), "leftsemi")
       .groupBy(col("fingerprint")).agg(org.apache.spark.sql.functions.count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBatchDf)
       .select(col("fingerprint"))
@@ -61,19 +66,31 @@ object DecontamScreen {
       .write.mode("overwrite").parquet(s"$hitsDir/batch=$batchId")
   }
 
+  /** The benchmark's distinct fingerprint set, materialized once
+    * (localCheckpoint) beside [[benchmarkIndex]] — every batch
+    * broadcasts it, so re-running the distinct per batch for the life
+    * of the stream is pure waste. Free on teardown like the index.
+    */
+  def benchmarkFingerprints(benchIndex: DataFrame): DataFrame =
+    benchIndex.select(col("fingerprint")).distinct().localCheckpoint(true)
+
   /** Attach the screen as a foreachBatch sink of a streaming document
-    * source (columns `doc_id`, `text`).
+    * source (columns `doc_id`, `text`). The distinct benchmark
+    * fingerprint set is materialized once for the stream's lifetime and
+    * freed when the harness tears the session down.
     */
   def attach(
       docs: DataFrame, benchIndex: DataFrame, hitsDir: String,
-      checkpointDir: String, maxBatchDf: Long = 50L): StreamingQuery =
+      checkpointDir: String, maxBatchDf: Long = 50L): StreamingQuery = {
+    val fps = benchmarkFingerprints(benchIndex)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch, id, benchIndex, hitsDir, maxBatchDf)
+        processBatch(batch, id, benchIndex, hitsDir, maxBatchDf, Some(fps))
       }
       .start()
+  }
 
   /** The accumulated contamination report — same 7-column shape as the
     * one-shot screen: a benchmark window is contaminated once ANY batch

@@ -128,11 +128,23 @@ object DedupLedger {
     if (parts.length <= 1) return parts.length
     val target = parts.max
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    // a leftover staging dir means a previous compact crashed between
+    // delete and rename — the staged rows may be the ONLY copy of the
+    // folded history, and overwriting them here would silently destroy
+    // it. Refuse and make the operator recover (rename it into place or
+    // inspect) before compacting again.
+    require(!fs.exists(tmp),
+      s"$tmp already exists — a previous compact crashed after staging; " +
+        "recover it (rename to its batch=<maxId> partition) before re-running")
     spark.read.parquet(parts.map(b => s"$ledgerDir/batch=$b"): _*)
       .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
       .write.mode("overwrite").parquet(tmp.toString)
-    parts.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$target"))
+    parts.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(root, s"batch=$b")
+      require(fs.delete(p, true), s"failed to delete folded partition $p")
+    }
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$target")),
+      s"failed to rename $tmp into batch=$target — staged data left in place")
     parts.length
   }
 

@@ -26,22 +26,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IngestGate {
 
-  /** One gate step, usable from plain batch jobs too. */
+  /** One gate step, usable from plain batch jobs too. The micro-batch is
+    * materialized ONCE (localCheckpoint) — the ledger's minhash scan,
+    * the screen's fingerprint scan, and the doc count would otherwise
+    * each re-evaluate the source, tripling per-batch ingest cost in the
+    * hot path; blocks are freed once both writes commit.
+    */
   def processBatch(
       batch: DataFrame, batchId: Long, benchIndex: DataFrame,
       ledgerDir: String, dupsDir: String, hitsDir: String,
       summaryDir: String): Unit = {
     val spark = batch.sparkSession
-    DedupLedger.processBatch(batch, batchId, ledgerDir, dupsDir)
-    DecontamScreen.processBatch(batch, batchId, benchIndex, hitsDir)
-    val nDocs = batch.count()
-    val nDup = spark.read.parquet(s"$dupsDir/batch=$batchId").count()
-    val nContam = spark.read.parquet(s"$hitsDir/batch=$batchId").count()
-    import spark.implicits._
-    Seq((nDocs, nDup, nContam))
-      .toDF("n_docs", "n_dups_vs_history", "n_contaminated_windows")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$summaryDir/batch=$batchId")
+    val pinned = batch.localCheckpoint(true)
+    try {
+      DedupLedger.processBatch(pinned, batchId, ledgerDir, dupsDir)
+      DecontamScreen.processBatch(pinned, batchId, benchIndex, hitsDir)
+      val nDocs = pinned.count()
+      val nDup = spark.read.parquet(s"$dupsDir/batch=$batchId").count()
+      val nContam = spark.read.parquet(s"$hitsDir/batch=$batchId").count()
+      import spark.implicits._
+      Seq((nDocs, nDup, nContam))
+        .toDF("n_docs", "n_dups_vs_history", "n_contaminated_windows")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$summaryDir/batch=$batchId")
+    } finally graft.LocalCheckpoints.free(pinned)
   }
 
   /** Attach the gate as one foreachBatch sink of a streaming document

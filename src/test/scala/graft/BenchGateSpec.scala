@@ -76,6 +76,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(1.94 > BenchGate.RegressionRatio * 0.54)
   }
 
+  test("seedKey: once the trusted field exists, an absent query seeds NOTHING — never its corrected figure") {
+    // the resurrection hole: query X contended in round N (no trusted
+    // entry, deflated corrected 0.54 for a true 1.94 s) must not become
+    // round N+1's baseline
+    assert(BenchGate.seedKey(trusted = -1.0, fileHasTrusted = true,
+      raw = 1.94, corrected = 0.54, noise = 3.6).isEmpty)
+    // a recorded trusted figure always wins
+    assert(BenchGate.seedKey(1.94, fileHasTrusted = true, 1.0, 0.5, 3.0).contains(1.94))
+    // pre-trusted files still seed via the dead-band fallback
+    assert(BenchGate.seedKey(-1.0, fileHasTrusted = false, 1.0, -1.0, 1.2).contains(1.0))
+  }
+
+  test("nextProbeBase: one fast run moves the anchor at most a half-band step; slow runs leave it") {
+    // a single 2x-fast anomaly must not deadlock the gate dormant: the
+    // anchor steps down only to prev/1.15, and the machine's TYPICAL
+    // state (0.10) is still comparable against the stepped anchor
+    val step1 = BenchGate.nextProbeBase(prev = 0.10, cur = 0.05, comparable = true)
+    assert(step1 === 0.10 / BenchGate.AnchorStep)
+    assert(BenchGate.comparable(curProbeBase = 0.10, trustedProbeBase = step1))
+    // consecutive fast runs keep walking down
+    val step2 = BenchGate.nextProbeBase(step1, 0.05, comparable = true)
+    assert(step2 < step1 && step1 < 0.10)
+    // within-band states and incomparable states leave the anchor alone
+    assert(BenchGate.nextProbeBase(0.05, 0.06, comparable = true) === 0.05)
+    assert(BenchGate.nextProbeBase(0.05, 0.15, comparable = false) === 0.05)
+    // first run ever seeds directly
+    assert(BenchGate.nextProbeBase(-1.0, 0.08, comparable = true) === 0.08)
+  }
+
   test("comparable: a probe base inside the dead-band of the trusted base compares; 2x slower does not") {
     assert(BenchGate.comparable(curProbeBase = 0.055, trustedProbeBase = 0.050))
     // faster machine states always compare (times can only shrink)

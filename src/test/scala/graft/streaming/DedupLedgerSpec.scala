@@ -92,6 +92,30 @@ class DedupLedgerSpec extends SparkSpec {
     }
   }
 
+  test("compact refuses to run over a leftover staging dir (the staged rows may be the only copy)") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger_tmpguard")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    try {
+      DedupLedger.processBatch(
+        Seq((1L, original)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((2L, unrelated)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
+      // simulate a crash between delete and rename: staging dir left behind
+      java.nio.file.Files.createDirectory(root.resolve("ledger/.compact_tmp"))
+      val e = intercept[IllegalArgumentException] {
+        DedupLedger.compact(spark, ledgerDir, upTo = 2L)
+      }
+      assert(e.getMessage.contains(".compact_tmp"))
+      // nothing was touched: both partitions still present
+      val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toList
+      assert(dirs === List("batch=0", "batch=1"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("processBatch replay overwrites its own partition and never self-pairs") {
     val root = java.nio.file.Files.createTempDirectory("dedup_ledger_replay")
     val ledgerDir = root.resolve("ledger").toString
