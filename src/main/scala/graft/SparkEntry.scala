@@ -286,6 +286,10 @@ object SparkEntry {
     // exact e4 integer recurrences folded over the day array
     "ev_holt" -> ((s, dir) =>
       graft.ops.Stats.holtBacktest(Tables.events(s, dir))),
+    // Chapman two-sample population estimator over the calendar halves,
+    // self-scored against the true distinct count
+    "ev_capture_recapture" -> ((s, dir) =>
+      graft.ops.Stats.captureRecapture(Tables.events(s, dir))),
     // distribution-SHAPE member of the arm-test family: exact-integer
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
@@ -2308,6 +2312,31 @@ object SparkEntry {
     // floors are remainder-corrected (cent sums are signed); the variance
     // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
     // is exact floor as-is
+    // two independent 1-in-10 md5 event samples as the captures, Chapman
+    // with floor division; the signed error uses the remainder-corrected
+    // floor (underestimates make the numerator negative)
+    "ev_capture_recapture" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN ('0x' || substr(md5('cr1:' || event_id), 1, 15))::BIGINT % 10 = 0
+        |             THEN 1 ELSE 0 END)::BIGINT AS in1,
+        |    max(CASE WHEN ('0x' || substr(md5('cr2:' || event_id), 1, 15))::BIGINT % 10 = 0
+        |             THEN 1 ELSE 0 END)::BIGINT AS in2
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, sum(in1)::BIGINT AS n1, sum(in2)::BIGINT AS n2,
+        |    sum(in1 * in2)::BIGINT AS m, count(*)::BIGINT AS n_actual
+        |  FROM pu GROUP BY 1
+        |), h AS (
+        |  SELECT event_type, n1, n2, m, n_actual,
+        |    (((n1 + 1) * (n2 + 1)) // (m + 1) - 1)::BIGINT AS n_hat
+        |  FROM g
+        |)
+        |SELECT event_type, n1, n2, m, n_actual, n_hat,
+        |  (((n_hat - n_actual) * 10000
+        |    - ((((n_hat - n_actual) * 10000) % n_actual + n_actual) % n_actual))
+        |   // n_actual)::BIGINT AS err_e4
+        |FROM h""".stripMargin,
     // Holt recurrences as a per-type recursive CTE over day ranks; the
     // level/trend floors use the remainder-corrected form (negative
     // trends make the numerators sign-carrying, where DuckDB's // alone

@@ -481,6 +481,46 @@ object Stats {
         when(col("holt_mae_e4") < col("naive_mae_e4"), 1L).otherwise(0L))
   }
 
+  /** Chapman capture–recapture estimator — the classic two-sample trick
+    * for sizing a population you can only sample (total distinct
+    * entities behind two partial crawls, dedupe coverage, mark-resight
+    * audience sizing): two independent deterministic 1-in-`rate` EVENT
+    * samples are the two "captures"; per event type, `n1`/`n2` distinct
+    * users caught per sample, `m` users caught by both, and the Chapman
+    * estimate `N̂ = ⌊(n1+1)(n2+1)/(m+1)⌋ − 1`. Because the corpus is
+    * fully observed here, the readout also scores the estimator against
+    * the TRUE distinct count — and because active users are likelier
+    * caught (heterogeneous catchability, the bias every real
+    * mark-resight study fights), the signed `err_e4` is the calibration
+    * number that says how far the two-sample trick can be trusted on
+    * this activity distribution before it is used where the truth is
+    * unknowable.
+    *
+    * Scale: one (type, user) grain aggregate carrying two sample flags
+    * (the hash predicates push into the scan), one |types|-row rollup.
+    */
+  def captureRecapture(events: DataFrame, rate: Long = 10L): DataFrame = {
+    def caught(salt: String): Column =
+      (pmod(Cols.hash60(concat(lit(salt), col("event_id").cast("string"))), lit(rate))
+        === 0L).cast("long")
+    val perUser = events
+      .select(col("event_type"), col("user_id"),
+        caught("cr1:").as("__h1"), caught("cr2:").as("__h2"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(col("__h1")).as("__in1"), max(col("__h2")).as("__in2"))
+    perUser
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("__in1")).as("n1"),
+        sum(col("__in2")).as("n2"),
+        sum(col("__in1") * col("__in2")).as("m"),
+        count(lit(1)).as("n_actual"))
+      .withColumn("n_hat",
+        Cols.floorDiv((col("n1") + 1L) * (col("n2") + 1L), col("m") + 1L) - 1L)
+      .withColumn("err_e4",
+        Cols.floorDiv((col("n_hat") - col("n_actual")) * 10000L, col("n_actual")))
+  }
+
   def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)

@@ -615,6 +615,30 @@ class StatsSpec extends SparkSpec {
     assert(got((1L, 1L))._6 === "continue" && got((1L, 2L))._6 === "accept_h0")
   }
 
+  test("captureRecapture matches an independent replication of the hash captures and Chapman math") {
+    def caught(salt: String, eventId: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt$eventId".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10 == 0
+    }
+    // 40 users × 3 events each (event_id = user*10+k) — enough that both
+    // samples catch some users and miss others
+    val rows = for (u <- 1L to 40L; k <- 0L until 3L)
+      yield (u * 10 + k, u, "t", k * 1000L, 1.0)
+    val got = Stats.captureRecapture(
+      rows.toDF("event_id", "user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    val byUser = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val s1 = byUser.filter(_._2.exists(caught("cr1:", _))).keySet
+    val s2 = byUser.filter(_._2.exists(caught("cr2:", _))).keySet
+    val (n1, n2, m, nAct) = (s1.size.toLong, s2.size.toLong, (s1 & s2).size.toLong, 40L)
+    val nHat = Math.floorDiv((n1 + 1) * (n2 + 1), m + 1) - 1
+    assert(got === (("t", n1, n2, m, nAct, nHat,
+      Math.floorDiv((nHat - nAct) * 10000L, nAct))))
+    assert(m > 0 && m < n1.min(n2), "fixture must have partial overlap to exercise the estimator")
+  }
+
   test("holtBacktest matches a plain-Scala fold of the same integer recurrences") {
     // deterministic bumpy series: counts 1..12 with a 3-period wobble
     val counts = (0 until 12).map(d => 3L + d + (d % 3) * 2L)
