@@ -920,6 +920,11 @@ object SparkEntry {
     "li_basket_pairs" -> ((s, dir) =>
       graft.ops.Analytics.coOccurrence(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
+    // directed A→B rules over the same capped pair table: confidence,
+    // conviction (null on exact rules), shared lift
+    "li_basket_rules" -> ((s, dir) =>
+      graft.ops.Analytics.basketRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")),
     // directed sequence mining: first-buy-of-A strictly before
     // first-buy-of-B per customer, with directional confidence
     "ord_seq_pairs" -> ((s, dir) =>
@@ -3877,6 +3882,40 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.item
         |JOIN ic ib ON p.item_b = ib.item
         |CROSS JOIN tot""".stripMargin,
+    // the li_basket_pairs CTEs unfolded into both rule directions, with
+    // confidence and conviction ((ng−n_cons)·n_ante / (ng·(n_ante−n_ab)),
+    // null on exact rules)
+    "li_basket_rules" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |ic AS (SELECT item, count(*) AS n FROM gi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT grp) AS ng FROM gi),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), base AS (
+        |  SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |    ((n_ab::HUGEINT * tot.ng * 10000) // (ia.n::HUGEINT * ib.n))::BIGINT AS lift_e4,
+        |    tot.ng AS ng
+        |  FROM p
+        |  JOIN ic ia ON p.item_a = ia.item
+        |  JOIN ic ib ON p.item_b = ib.item
+        |  CROSS JOIN tot
+        |), directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, n_ab,
+        |    n_a AS n_ante, n_b AS n_cons, lift_e4, ng FROM base
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_ab, n_b, n_a, lift_e4, ng FROM base
+        |)
+        |SELECT antecedent, consequent, n_ab::BIGINT AS n_ab,
+        |  n_ante::BIGINT AS n_ante, n_cons::BIGINT AS n_cons, lift_e4,
+        |  ((n_ab * 10000) // n_ante)::BIGINT AS confidence_e4,
+        |  (CASE WHEN n_ante > n_ab
+        |        THEN ((ng - n_cons) * n_ante * 10000) // (ng * (n_ante - n_ab))
+        |   END)::BIGINT AS conviction_e4
+        |FROM directed""".stripMargin,
     // transition/start CTEs + five runs × 16 unrolled fixed-point layers
     // (AS MATERIALIZED throughout — every layer is referenced by the
     // next and an inlining planner would re-evaluate the pyramid);

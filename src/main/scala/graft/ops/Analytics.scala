@@ -1474,6 +1474,45 @@ object Analytics {
         col("event_type"), col("hour_start_ms"), col("n_events"),
         col("max_per_hour"), (col("n_events") - col("max_per_hour")).as("excess"))
 
+  /** Directed association rules on top of [[coOccurrence]]'s pair table —
+    * the classic market-basket readout the symmetric lift can't express:
+    * each unordered pair unfolds into both A→B and B→A rules with
+    * support, CONFIDENCE (P(B|A) = n_ab/n_a — direction matters: bread→
+    * butter and butter→bread differ exactly when the antecedents'
+    * popularity differs), the shared lift, and CONVICTION
+    * ((1−P(B))/(1−conf) — how much more often A appears without B than
+    * independence predicts; null on exact rules where conf = 1). All
+    * exact integer e4.
+    *
+    * Scale: the pair table is the capped [[coOccurrence]] path; the
+    * unfold is a bounded ×2 union; the group total rides a 1-row
+    * broadcast — no work beyond the pair table it reads.
+    */
+  def basketRules(
+      df: DataFrame, groupCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxGroupSize: Int = 1000): DataFrame = {
+    val pairs = coOccurrence(df, groupCol, itemCol, minPairCount, maxGroupSize)
+    val gi = capGroups(
+      df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct(),
+      col("grp"), maxGroupSize)
+    val total = broadcast(gi.agg(count_distinct(col("grp")).as("__ng")))
+    val directed = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_ab"), col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("lift_e4"))
+      .unionAll(pairs
+        .select(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("n_ab"), col("n_b").as("n_ante"), col("n_a").as("n_cons"), col("lift_e4")))
+    directed.crossJoin(total)
+      .select(
+        col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ante"), col("n_cons"), col("lift_e4"),
+        Cols.floorDiv(col("n_ab") * 10000L, col("n_ante")).as("confidence_e4"),
+        when(col("n_ante") === col("n_ab"), lit(null).cast("long"))
+          .otherwise(Cols.floorDiv(
+            (col("__ng") - col("n_cons")) * col("n_ante") * 10000L,
+            col("__ng") * (col("n_ante") - col("n_ab")))).as("conviction_e4"))
+  }
+
   /** Error-budget SLI series: per day, total events, error events, the
     * e4 error rate, and the trailing-7-day rate (RANGE window over the
     * day VALUE, so calendar gaps age out correctly) — the SLO burn-down

@@ -854,6 +854,20 @@ class AnalyticsSpec extends SparkSpec {
       (10L, 4L, 12L, 12L, 40000L)))
   }
 
+  test("basketRules: direction matters — confidence differs, exact rules get null conviction") {
+    // baskets {A,B}, {A,B}, {A}: pair (A,B) n_ab=2, n_A=3, n_B=2, ng=3.
+    // A→B: conf ⌊2·10⁴/3⌋ = 6666, conviction (3−2)·3·10⁴/(3·(3−2)) = 10000.
+    // B→A: conf 10000 (exact rule) → conviction null. lift 10000 both ways.
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketRules(rows, "l_orderkey", "l_partkey")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((10L, 20L)) === ((10L, 20L, 2L, 3L, 2L, 10000L, 6666L, Some(10000L))))
+    assert(got((20L, 10L)) === ((20L, 10L, 2L, 2L, 3L, 10000L, 10000L, None)))
+    assert(got.size === 2)
+  }
+
   test("forecastBaseline: periodic series scores zero error; a spike day is the worst day") {
     // 14 days of 2 events/day; type "q" gets 2 extra on day 10. Scored
     // days are 7..13 (day−7 exists): "p" is error-free everywhere; "q"

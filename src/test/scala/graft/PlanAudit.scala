@@ -49,7 +49,7 @@ object PlanAudit {
   // no-driver-count discipline; build side is a single-row aggregate)
   val ScalarBroadcast = Set(
     "ann_topk_ivf", "ev_bloom_semi_join", "ev_gapfill", "ev_heavy_hitters",
-    "ev_histogram", "li_basket_pairs", "li_recommend", "cust_rfm",
+    "ev_histogram", "li_basket_pairs", "li_basket_rules", "li_recommend", "cust_rfm",
     "tbl_fk_integrity", "ord_benford",
     "q11_important_stock", "q22_idle_rich", "txt_collocations",
     "txt_stopword_candidates", "txt_surprisal_deciles", "txt_tfidf_top_terms",
