@@ -290,6 +290,10 @@ object SparkEntry {
     // self-scored against the true distinct count
     "ev_capture_recapture" -> ((s, dir) =>
       graft.ops.Stats.captureRecapture(Tables.events(s, dir))),
+    // robust median/MAD daily anomaly screen: the yardstick the
+    // anomalies themselves cannot inflate
+    "ev_anomaly_mad" -> ((s, dir) =>
+      graft.ops.Stats.madAnomalies(Tables.events(s, dir))),
     // distribution-SHAPE member of the arm-test family: exact-integer
     // two-sample Kolmogorov–Smirnov sup statistic in e6
     "ev_ks_test" -> ((s, dir) =>
@@ -2317,6 +2321,30 @@ object SparkEntry {
     // floors are remainder-corrected (cent sums are signed); the variance
     // and t² numerators are ≥ 0 (Cauchy–Schwarz / a square), so their //
     // is exact floor as-is
+    // lower medians via sorted-list indexing (element (n+1)//2), exact
+    // integers throughout; flag at mult·max(MAD, 1)
+    "ev_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, arr[((len(arr) + 1) // 2)::INT] AS med FROM (
+        |    SELECT event_type, list_sort(list(n_events)) AS arr FROM daily GROUP BY 1
+        |  )
+        |), wm AS (
+        |  SELECT d.event_type, d.day, d.n_events, med.med,
+        |    abs(d.n_events - med.med)::BIGINT AS dev
+        |  FROM daily d JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, arr[((len(arr) + 1) // 2)::INT] AS mad FROM (
+        |    SELECT event_type, list_sort(list(dev)) AS arr FROM wm GROUP BY 1
+        |  )
+        |)
+        |SELECT wm.event_type, wm.day, wm.n_events, wm.med, mad.mad, wm.dev,
+        |  (CASE WHEN wm.dev > 3 * greatest(mad.mad, 1) THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_anomaly
+        |FROM wm JOIN mad USING (event_type)""".stripMargin,
     // two independent 1-in-10 md5 event samples as the captures, Chapman
     // with floor division; the signed error uses the remainder-corrected
     // floor (underestimates make the numerator negative)

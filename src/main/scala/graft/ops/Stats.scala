@@ -521,6 +521,43 @@ object Stats {
         Cols.floorDiv((col("n_hat") - col("n_actual")) * 10000L, col("n_actual")))
   }
 
+  /** Robust daily anomaly screen — median/MAD instead of mean/stddev, so
+    * the anomalies themselves cannot inflate the yardstick that is
+    * supposed to catch them (one 10× day moves a mean-based z-score's
+    * own baseline; it moves the median not at all): per (type, day),
+    * the daily count against the type's LOWER median and the lower
+    * median of absolute deviations, flagged when
+    * `|c − med| > mult · max(MAD, 1)`. Lower medians (element at
+    * ⌈n/2⌉ of the sorted array) keep everything exact integer — no
+    * midpoint averaging, no floats.
+    *
+    * Scale: one aggregate to the (type × day) grain, then two
+    * calendar-bounded sorted-array folds per type (the [[cusum]] array
+    * idiom) — the raw event grain never sorts.
+    */
+  def madAnomalies(events: DataFrame, mult: Long = 3L): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), lit(86400000L))
+    val daily = events
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    def lowerMedian(c: Column): Column = {
+      val arr = sort_array(collect_list(c))
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    }
+    val med = daily.groupBy(col("event_type"))
+      .agg(lowerMedian(col("n_events")).as("med"))
+    val withMed = daily.join(med, "event_type")
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(lowerMedian(col("dev")).as("mad"))
+    withMed.join(mad, "event_type")
+      .select(
+        col("event_type"), col("day"), col("n_events"), col("med"),
+        col("mad"), col("dev"),
+        when(col("dev") > lit(mult) * greatest(col("mad"), lit(1L)), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
+
   def welchScreen(events: DataFrame, t2E4Threshold: Long = 38416L): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)

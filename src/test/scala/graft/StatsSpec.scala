@@ -615,6 +615,28 @@ class StatsSpec extends SparkSpec {
     assert(got((1L, 1L))._6 === "continue" && got((1L, 2L))._6 === "accept_h0")
   }
 
+  test("madAnomalies: a 10x spike can't inflate its own yardstick; in-band wobble never flags") {
+    // type "s": six 10-count days + one 100-count day. Median stays 10
+    // (a mean-based baseline would move to ~23), MAD is 0 → clamps to 1,
+    // and only the spike (dev 90 > 3) flags.
+    val spike = (for (d <- 0 until 6; i <- 0 until 10)
+      yield (1L, "s", d * 86400000L + i, 1.0)) ++
+      (0 until 100).map(i => (1L, "s", 6 * 86400000L + i, 1.0))
+    // type "w": wobble {8,10,12,10,9,11,10} → med 10, MAD 1, all devs ≤ 2
+    val wob = Seq(8, 10, 12, 10, 9, 11, 10)
+    val wobble = for (d <- wob.indices; i <- 0 until wob(d))
+      yield (1L, "w", d * 86400000L + i, 1.0)
+    val got = Stats.madAnomalies((spike ++ wobble).toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("s", 6L)) === (("s", 6L, 100L, 10L, 0L, 90L, 1L)))
+    (0L to 5L).foreach(d => assert(got(("s", d))._7 === 0L))
+    wob.indices.foreach { d =>
+      val r = got(("w", d.toLong))
+      assert(r._4 === 10L && r._5 === 1L && r._7 === 0L)
+    }
+  }
+
   test("captureRecapture matches an independent replication of the hash captures and Chapman math") {
     def caught(salt: String, eventId: Long): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
