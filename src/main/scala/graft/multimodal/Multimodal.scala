@@ -516,6 +516,45 @@ object Multimodal {
       (bins(0), bins(1), bins(2), bins(3), if (n == 0) 0L else sum / n)
     }
 
+    /** Gray-level entropy over a binary PPM plane — the image twin of
+      * the per-document character entropy (flat synthetic fills and
+      * single-color frames score near 0; busy natural planes approach
+      * ln of the distinct-level count): per gray level g present,
+      * `round(−(cnt/n)·ln(cnt/n)·10⁴)` summed in ascending gray order
+      * (quantize-then-sum — identical terms in both engines). Returns
+      * (n_gray_levels, entropy_e4); truncated payloads read as black
+      * like the other plane walks.
+      */
+    def entropyPpm(bytes: Array[Byte]): (Long, Long) = {
+      val (w, h, _, off) = ppmHeader(bytes)
+      if (w <= 0 || h <= 0) return (0L, 0L)
+      val n = (w * h).toInt
+      val counts = new Array[Long](256)
+      var i = 0
+      while (i < n) {
+        val o = off + i * 3
+        val g =
+          if (o + 2 < bytes.length)
+            ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+          else 0
+        counts(g) += 1
+        i += 1
+      }
+      var levels = 0L
+      var ent = 0L
+      var gIdx = 0
+      while (gIdx < 256) {
+        val c = counts(gIdx)
+        if (c > 0) {
+          levels += 1
+          val p = c.toDouble / n
+          ent += math.round(-p * math.log(p) * 10000)
+        }
+        gIdx += 1
+      }
+      (levels, ent)
+    }
+
     /** DC-removed zero-crossing and quiet-fraction probe for 16-bit PCM
       * WAV — the container walk of [[fingerprintWav]], then over the n
       * samples the CENTERED signal `s'ᵢ = n·sᵢ − Σs` (scaling by n keeps
@@ -894,6 +933,25 @@ object Multimodal {
       })
       .toDF("doc_id", "n_frames", "frames_kept", "kept_mean_gray",
         "bytes_total", "bytes_kept")
+  }
+
+  /** Gray-level entropy table over the real PPM path: per image the
+    * distinct gray-level count and the e4 entropy of the gray
+    * distribution ([[Codecs.entropyPpm]]) — the flat-fill / synthetic-
+    * frame screen [[grayHist]]'s 4 coarse bins can't resolve (a plane
+    * alternating between two levels in one bin looks "concentrated"
+    * there but scores near-ln 2 here, while a true single-color fill
+    * scores 0). Same mapPartitions codec tier, map-only.
+    */
+  def imageEntropy(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asPpmImages(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (levels, ent) = Codecs.entropyPpm(bytes)
+        (id, levels, ent)
+      })
+      .toDF("doc_id", "n_gray_levels", "entropy_e4")
   }
 
   /** Scene-change keyframe table over the real multi-frame container
@@ -1280,6 +1338,8 @@ object Multimodal {
     // shot-boundary keyframes: first frame + every mean-gray shift ≥ 1
     "mm_video_keyframes" -> ((s, d) => videoKeyframes(s, Tables.documents(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
+    // gray-level entropy: the flat-fill screen the 4-bin hist can't see
+    "mm_image_entropy" -> ((s, d) => imageEntropy(s, Tables.documents(s, d))),
   )
 
   private val featuresCte =
@@ -1472,6 +1532,28 @@ object Multimodal {
         |SELECT doc_id, audio_fp,
         |  length(replace(audio_fp, '0', ''))::BIGINT AS n_set
         |FROM fp""".stripMargin,
+    // the mm_gray_hist pixel reconstruction, per-gray counts, and the
+    // identical round(−p·ln p·10⁴) terms summed per doc
+    "mm_image_entropy" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [(ord(substr(pix, i * 3 + 1, 1)) + ord(substr(pix, i * 3 + 2, 1)) +
+        |      ord(substr(pix, i * 3 + 3, 1))) // 3
+        |     for i in range(0, 256)] AS grays
+        |  FROM px
+        |), e AS (
+        |  SELECT doc_id, unnest(grays) AS gray FROM g
+        |), c AS (
+        |  SELECT doc_id, gray, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_gray_levels,
+        |  sum(round(-(cnt::DOUBLE / 256) * ln(cnt::DOUBLE / 256) * 10000))::BIGINT
+        |    AS entropy_e4
+        |FROM c GROUP BY 1""".stripMargin,
     // the mm_audio_fp fingerprint CTEs + the mm_phash_pairs chunk
     // pigeonhole (7 chunks for Hamming ≤ 6) and inline Hamming verify
     "mm_audio_pairs" -> {

@@ -342,6 +342,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.videoKeyframes(Array.empty[Byte], 1L) === ((0L, 0L, 0L, -1L)))
   }
 
+  test("entropyPpm: flat fill scores zero; a two-level plane scores exactly quantized ln 2") {
+    def plane(pix: Array[Byte]): Array[Byte] = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ pix
+    // flat: all four pixels gray 50 → one level, entropy 0
+    assert(Multimodal.Codecs.entropyPpm(plane(Array.fill(12)(50.toByte))) === ((1L, 0L)))
+    // two levels 50/50: each p = 1/2 → 2 · round(0.5·ln2·10⁴) = 2·3466
+    val two = plane(Array.fill(6)(50.toByte) ++ Array.fill(6)(200.toByte))
+    assert(Multimodal.Codecs.entropyPpm(two) ===
+      ((2L, 2L * math.round(0.5 * math.log(2.0) * 10000))))
+    // malformed header: nothing to scan
+    assert(Multimodal.Codecs.entropyPpm("XX".getBytes("US-ASCII")) === ((0L, 0L)))
+  }
+
   test("bordersPpm: letterbox trims under the relative threshold; flat plane trims nothing") {
     def img(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
