@@ -26,16 +26,23 @@ object BenchGate {
   val FloorSec = 0.5
 
   /** Baseline seed when the previous detail file predates the `trusted`
-    * field: the corrected figure if recorded, else raw with the SAME
-    * dead-band the live correction applies — raw stands when the noise
-    * was inside the band, raw ÷ noise only above it. (Deflating a
-    * noise-1.2 raw would bias the very first gated round toward false
-    * flags, the r10 ADVICE fallback hole.) */
+    * field. The round-11 post-mortem: both r11 REGRESSION flags were
+    * phantom because this fallback took `corrected` verbatim — for a
+    * query whose winning run was CONTENDED, corrected = raw ÷ noise is a
+    * deflation ESTIMATE, not a measurement, and ~230 of the 322 first-
+    * generation trusted entries were armed with exactly such seeds (each
+    * minting one phantom flag at its first quiet measurement). The
+    * dead-band therefore gates the WHOLE fallback: a contended
+    * measurement (noise ≥ [[QuietFactor]]) seeds NOTHING — its raw is
+    * inflated and its corrected is an estimate — and the query re-earns
+    * a baseline at its first quiet measurement. Inside the band,
+    * corrected ≡ raw by construction, so either figure is an honest
+    * quiet measurement and seeds directly. */
   def seedFallback(raw: Double, corrected: Double, noise: Double): Option[Double] =
-    if (corrected >= 0) Some(corrected)
-    else if (raw < 0) None
-    else if (noise < QuietFactor) Some(raw)
-    else Some(raw / math.max(1.0, noise))
+    if (noise >= QuietFactor) None
+    else if (corrected >= 0) Some(corrected)
+    else if (raw >= 0) Some(raw)
+    else None
 
   /** Cross-RUN machine comparability: within-run noise factors catch
     * contention windows, but the probe BASE itself drifts 2–3× between

@@ -24,8 +24,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.seedFallback(raw = 1.0, corrected = -1.0, noise = 1.29).contains(1.0))
   }
 
-  test("seedFallback: raw deflates by noise only above the band") {
-    assert(BenchGate.seedFallback(raw = 2.0, corrected = -1.0, noise = 2.0).contains(1.0))
+  test("seedFallback: a contended measurement seeds NOTHING — not corrected, not raw/noise") {
+    // the r11 phantom class: dedup_prefix_jaccard's trusted seed was the
+    // d823ed5 corrected estimate 1.10 (raw 2.35 at noise 2.1); its first
+    // QUIET measurement, 1.74 s — an actual raw IMPROVEMENT — then
+    // flagged as a 1.6x "regression". A contended corrected figure is a
+    // deflation estimate, never a baseline.
+    assert(BenchGate.seedFallback(raw = 2.35, corrected = 1.10, noise = 2.1).isEmpty)
+    // and the raw/noise path is the same estimate by another name
+    assert(BenchGate.seedFallback(raw = 2.0, corrected = -1.0, noise = 2.0).isEmpty)
+    assert(BenchGate.seedFallback(raw = 2.0, corrected = -1.0, noise = 1.3).isEmpty)
   }
 
   test("seedFallback: failed query seeds nothing") {
