@@ -90,12 +90,66 @@ object BenchGate {
     else if (prev > 0) math.max(math.min(prev, cur), prev / AnchorStep)
     else cur
 
-  /** Next trusted figure: a quiet successful measurement on a comparable
-    * (or faster) machine state replaces it; anything else — contended
-    * run, failed query, slow machine state — carries the previous
-    * trusted value forward untouched. */
+  /** Two-sided machine-state band for ADOPTING a measurement as the new
+    * trusted figure, checked against the post-walk anchor. [[comparable]]
+    * is deliberately one-sided (a faster machine state can only make an
+    * unchanged query faster — it can never mint a false flag), but
+    * ADOPTION on a faster state plants a deflated baseline that the
+    * machine's normal state then "regresses" against (the r11 ADVICE
+    * mirror of the phantom class: probe 0.05 run rewrites every quiet
+    * baseline at ~half, the next 0.10 run is still comparable and flags
+    * everything at ~2×). Adoption therefore requires the current probe
+    * base inside ONE [[AnchorStep]] of the anchor in BOTH directions —
+    * baselines can only walk down as fast as the anchor does. The band
+    * arithmetic makes state-scaled phantom flags impossible outright:
+    * a flagging state is < [[QuietFactor]] × anchor and the adoption
+    * state was > anchor / [[AnchorStep]], so an unchanged query whose
+    * cost scales with machine state moves at most
+    * QuietFactor × AnchorStep = 1.495 < [[RegressionRatio]].
+    */
+  def adoptable(curProbeBase: Double, anchor: Double): Boolean =
+    anchor <= 0 || (curProbeBase > 0 &&
+      curProbeBase < AnchorStep * anchor && curProbeBase > anchor / AnchorStep)
+
+  /** Consecutive slow-incomparable runs after which the machine state is
+    * judged durable (a new host, a throttled CPU — not a contention
+    * spike) and the gate RE-ANCHORS: adopt the current probe base as the
+    * anchor and drop the old-state baselines and flags. Absolute seconds
+    * from the fast state would mint phantom flags at the slow state, so
+    * queries re-earn baselines from the re-anchoring run's own quiet
+    * measurements — the bounded recovery path that keeps a durable state
+    * move from leaving the gate dormant forever (r11 ADVICE). */
+  val DormantRecoveryRuns = 3
+
+  /** Next trusted figure: a quiet successful measurement on an adoptable
+    * machine state replaces it; anything else — contended run, failed
+    * query, machine state outside the adoption band — carries the
+    * previous trusted value forward untouched. */
   def nextTrusted(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[Double] =
     if (ok && quiet && cur >= 0) Some(cur) else prevTrusted
+
+  /** Sticky flag record `(preFlagTrusted, latestQuietFigure)`. A genuine
+    * regression must not self-heal out of the report after one round
+    * (round N flags, [[nextTrusted]] adopts the regressed figure, round
+    * N+1 compares against it and goes green — VERDICT r11 #2): once
+    * flagged, the PRE-flag baseline is kept until a quiet measurement
+    * returns within [[RegressionRatio]] of it. A fresh flag on an
+    * already-flagged query keeps the ORIGINAL pre-flag baseline (the
+    * regression is measured against where the query truly was); quiet
+    * still-regressed measurements refresh the current figure; contended
+    * runs, failures, and incomparable machine states carry the record
+    * untouched.
+    */
+  def nextFlag(
+      prevFlag: Option[(Double, Double)], fresh: Option[(Double, Double)],
+      cur: Double, quiet: Boolean, ok: Boolean): Option[(Double, Double)] =
+    (prevFlag, fresh) match {
+      case (Some((prev0, _)), Some((_, c))) => Some((prev0, c))
+      case (None, Some(f)) => Some(f)
+      case (Some((prev0, _)), None) if ok && quiet && cur >= 0 =>
+        if (cur <= RegressionRatio * prev0) None else Some((prev0, cur))
+      case (pf, None) => pf
+    }
 
   /** Flag only quiet-vs-trusted comparisons on a comparable machine
     * state: a contended current measurement is not evidence of anything
@@ -215,9 +269,10 @@ object Bench {
     // current measurement grew >1.5× vs its per-query TRUSTED baseline
     // (BenchGate scaladoc has the r10 phantom-flag story). Pre-`trusted`
     // detail files seed via the dead-band-mirrored fallback.
-    val (prevTrusted: Map[String, Double], prevTpb: Double) = {
+    val (prevTrusted0: Map[String, Double], prevTpb0: Double,
+        prevFlagged0: Map[String, (Double, Double)], prevDormant: Int) = {
       val f = new java.io.File(detailPath)
-      if (!f.exists()) (Map.empty[String, Double], -1.0)
+      if (!f.exists()) (Map.empty[String, Double], -1.0, Map.empty[String, (Double, Double)], 0)
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         import scala.jdk.CollectionConverters._
@@ -235,39 +290,93 @@ object Bench {
             qsN.path(k).asDouble(-1.0), czN.path(k).asDouble(-1.0), nzN.path(k).asDouble(1.0))
             .map(k -> _)
         }.toMap
+        // sticky flag records: {"k":[preFlagTrusted, latestQuietCur]}
+        val flN = root.path("flagged")
+        val fl = flN.fieldNames().asScala.map { k =>
+          k -> (flN.path(k).path(0).asDouble(-1.0), flN.path(k).path(1).asDouble(-1.0))
+        }.toMap.filter(_._2._1 > 0)
         // baselines carry the machine state they were measured at; a
         // pre-`trusted_probe_base` file anchors to its own probe base
-        (m, root.path("trusted_probe_base").asDouble(root.path("probe_base_sec").asDouble(-1.0)))
+        (m, root.path("trusted_probe_base").asDouble(root.path("probe_base_sec").asDouble(-1.0)),
+          fl, root.path("dormant_slow_runs").asInt(0))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] previous detail unreadable, gate skipped: $e")
-        (Map.empty[String, Double], -1.0) }
+        (Map.empty[String, Double], -1.0, Map.empty[String, (Double, Double)], 0) }
     }
     // whole-run machine-state comparability vs the baseline's probe base
-    // (first-ever run: nothing to compare against, seed freely)
-    val comparableState = prevTpb <= 0 || BenchGate.comparable(probeBase, prevTpb)
+    // (first-ever run: nothing to compare against, seed freely). A run
+    // incomparable in the slow direction bumps the dormancy counter; at
+    // DormantRecoveryRuns consecutive the state is durable, not a spike:
+    // RE-ANCHOR to it and drop the old-state baselines and flags (their
+    // absolute seconds would mint phantom flags at the new state) —
+    // queries re-earn baselines from this run's own quiet measurements.
+    val comparable0 = prevTpb0 <= 0 || BenchGate.comparable(probeBase, prevTpb0)
+    val dormantRuns = if (comparable0) 0 else prevDormant + 1
+    val reanchored = !comparable0 && dormantRuns >= BenchGate.DormantRecoveryRuns
+    if (reanchored)
+      System.err.println(f"[bench] $dormantRuns consecutive runs on a slower machine state " +
+        f"(probe_base $probeBase%.4f vs anchor $prevTpb0%.4f) — durable state move: " +
+        "re-anchoring, old-state baselines and flags dropped, queries re-earn from this run")
+    val prevTrusted = if (reanchored) Map.empty[String, Double] else prevTrusted0
+    val prevFlagged = if (reanchored) Map.empty[String, (Double, Double)] else prevFlagged0
+    val prevTpb = if (reanchored) -1.0 else prevTpb0
+    val comparableState = reanchored || comparable0
+    val dormantOut = if (reanchored) 0 else dormantRuns
     if (!comparableState)
       System.err.println(f"[bench] machine state not comparable to trusted baselines " +
-        f"(probe_base $probeBase%.4f vs trusted $prevTpb%.4f) — gate dormant, baselines carried")
+        f"(probe_base $probeBase%.4f vs trusted $prevTpb%.4f) — gate dormant " +
+        f"($dormantOut/${BenchGate.DormantRecoveryRuns} runs), baselines carried")
+    val newTpb = BenchGate.nextProbeBase(prevTpb, probeBase, comparableState)
+    // adoption is TWO-sided vs the post-walk anchor: a faster state can
+    // flag nothing (one-sided comparable) but must not plant deflated
+    // baselines either — BenchGate.adoptable has the band arithmetic
+    val adoptableState = BenchGate.adoptable(probeBase, newTpb)
     // per-query quietness of the WINNING run (its own probe vs global
-    // base), AND the run's machine state comparable to the baselines'
+    // base), AND the run's machine state comparable/adoptable
+    def quietRun(okQ: Boolean, pBest: Double): Boolean =
+      okQ && pBest > 0 && pBest / probeBase < BenchGate.QuietFactor
     val quietByQuery = results.map { case (k, _, okQ, _, pBest) =>
-      k -> (comparableState && okQ && pBest > 0 && pBest / probeBase < BenchGate.QuietFactor)
+      k -> (comparableState && quietRun(okQ, pBest))
+    }.toMap
+    val adoptByQuery = results.map { case (k, _, okQ, _, pBest) =>
+      k -> (adoptableState && quietRun(okQ, pBest))
     }.toMap
     val okByQuery = results.map { case (k, _, okQ, _, _) => k -> okQ }.toMap
-    val regressions = corrected.flatMap { case (k, cur) =>
+    val freshRegressions = corrected.flatMap { case (k, cur) =>
       BenchGate.regression(prevTrusted.get(k), cur, quietByQuery(k), okByQuery(k))
         .map { case (prev, c) => (k, prev, c) }
     }
     // union with prev: a SPARK_GRAFT_ONLY subset run must not wipe the
     // baselines of unselected queries when it overwrites the detail file
     val trustedNow: Map[String, Double] = prevTrusted ++ corrected.flatMap { case (k, cur) =>
-      BenchGate.nextTrusted(prevTrusted.get(k), cur, quietByQuery(k), okByQuery(k)).map(k -> _)
+      BenchGate.nextTrusted(prevTrusted.get(k), cur, adoptByQuery(k), okByQuery(k)).map(k -> _)
     }
-    regressions.foreach { case (k, prev, cur) =>
-      System.err.println(f"[bench] REGRESSION >1.5x vs trusted: $k%-28s ${num2(prev)}s -> ${num2(cur)}s")
+    // sticky flags: a flagged query keeps its PRE-flag baseline on record
+    // until a quiet measurement returns within 1.5x of it — a genuine
+    // regression cannot self-heal out of the report after one round.
+    // Unselected queries (subset runs) carry their records untouched.
+    val freshByKey = freshRegressions.map { case (k, p, c) => k -> (p, c) }.toMap
+    val curByKey = corrected.toMap
+    val flaggedNow: Map[String, (Double, Double)] =
+      (prevFlagged.keySet ++ freshByKey.keySet).flatMap { k =>
+        val selectedHere = curByKey.contains(k)
+        val next =
+          if (!selectedHere) prevFlagged.get(k)
+          else BenchGate.nextFlag(prevFlagged.get(k), freshByKey.get(k),
+            curByKey(k), quietByQuery(k), okByQuery(k))
+        next.map(k -> _)
+      }.toMap
+    flaggedNow.toSeq.sortBy(_._1).foreach { case (k, (prev, cur)) =>
+      val tag = if (freshByKey.contains(k)) "REGRESSION >1.5x vs trusted"
+                else "STILL REGRESSED vs pre-flag trusted"
+      System.err.println(f"[bench] $tag: $k%-28s ${num2(prev)}s -> ${num2(cur)}s")
     }
-    val regJson = if (regressions.isEmpty) "" else
-      s""","regressions":${regressions.map { case (k, p, c) =>
+    prevFlagged.keysIterator.filterNot(flaggedNow.contains)
+      .filter(curByKey.contains).toSeq.sorted.foreach { k =>
+        System.err.println(f"[bench] recovered (quiet within 1.5x of pre-flag trusted): $k")
+      }
+    val regJson = if (flaggedNow.isEmpty) "" else
+      s""","regressions":${flaggedNow.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
         "\"" + k + "\":[" + num2(p) + "," + num2(c) + "]" }.mkString("{", ",", "}")}"""
     // full per-query detail goes to a file: at 200+ queries the flat map is
     // ~8 KB and the driver keeps only a ~2 KB tail of stdout, which left
@@ -281,12 +390,17 @@ object Bench {
       .mkString("{", ",", "}")
     val trustedJson = trustedNow.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
-    val newTpb = BenchGate.nextProbeBase(prevTpb, probeBase, comparableState)
+    val flaggedJson = flaggedNow.toSeq.sortBy(_._1)
+      .map { case (k, (p, c)) => "\"" + k + "\":[" + num2(p) + "," + num2(c) + "]" }
+      .mkString("{", ",", "}")
     val tpbStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(newTpb))
+    val gateDormant = !comparableState
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""corrected_total":${num2(correctedTotal)},""" +
       s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson,""" +
-      s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr$regJson,""" +
+      s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr,""" +
+      s""""flagged":$flaggedJson,"gate_dormant":$gateDormant,""" +
+      s""""dormant_slow_runs":$dormantOut$regJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
@@ -295,7 +409,8 @@ object Bench {
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + num2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""corrected_total":${num2(correctedTotal)},"n_regressions":${regressions.size},""" +
+      s""""corrected_total":${num2(correctedTotal)},"n_regressions":${flaggedNow.size},""" +
+      s""""n_new_regressions":${freshRegressions.size},"gate_dormant":$gateDormant,""" +
       s""""n_trusted":${trustedNow.size},""" +
       s""""slowest":$slowest$failedJson,"probe_base_sec":$probeBaseStr,""" +
       s""""detail_file":"$detailPath","sf":"$sfDir"}""")

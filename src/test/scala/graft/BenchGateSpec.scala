@@ -128,4 +128,55 @@ class BenchGateSpec extends AnyFunSuite {
     val carried = BenchGate.nextTrusted(t, cur = 0.3, quiet = false, ok = true)
     assert(BenchGate.regression(carried, cur = 2.0, quiet = true, ok = true).contains((1.0, 2.0)))
   }
+
+  test("adoptable: an anomalously fast run cannot rewrite baselines (the r11 ADVICE mirror)") {
+    // anchor 0.10, trusted 2.0 s measured there. One anomalous probe
+    // 0.05 run (within the repo's observed 2-3x drift) measures the
+    // unchanged query at ~1.0 s. One-sided comparable() accepts the run
+    // for FLAGGING (a fast state can't mint a false flag) — but adoption
+    // must refuse it, else the next normal 0.10 run is still comparable
+    // (0.10 < 1.3 x 0.087) and phantom-flags the unchanged 2.0 s query.
+    val tpb0 = 0.10
+    assert(BenchGate.comparable(curProbeBase = 0.05, trustedProbeBase = tpb0))
+    val tpb1 = BenchGate.nextProbeBase(tpb0, 0.05, comparable = true)
+    assert(!BenchGate.adoptable(curProbeBase = 0.05, anchor = tpb1))
+    // trusted stays 2.0 (quiet-for-adoption is false on this state)
+    val trusted = BenchGate.nextTrusted(Some(2.0), cur = 1.0, quiet = false, ok = true)
+    assert(trusted.contains(2.0))
+    // the next normal-state run: still comparable against the stepped
+    // anchor, and the unchanged query flags nothing
+    assert(BenchGate.comparable(0.10, tpb1))
+    assert(BenchGate.regression(trusted, cur = 2.0, quiet = true, ok = true).isEmpty)
+    // whereas adopting the fast-state figure WOULD have phantom-flagged
+    assert(2.0 > BenchGate.RegressionRatio * 1.0)
+    // the band arithmetic that makes state-scaled phantoms impossible
+    assert(BenchGate.QuietFactor * BenchGate.AnchorStep < BenchGate.RegressionRatio)
+    // and a state inside one AnchorStep of the anchor adopts normally
+    assert(BenchGate.adoptable(0.095, 0.10) && BenchGate.adoptable(0.11, 0.10))
+    assert(BenchGate.adoptable(0.08, -1.0)) // first run ever seeds freely
+  }
+
+  test("nextFlag: a real regression stays on the report after trusted self-heals, and clears on revert") {
+    // round N: 2.0 s query regresses to 4.0 s, quiet — fresh flag, and
+    // nextTrusted adopts 4.0 (the self-heal that made flags one-shot)
+    val fresh = BenchGate.regression(Some(2.0), cur = 4.0, quiet = true, ok = true)
+    val flagN = BenchGate.nextFlag(None, fresh, cur = 4.0, quiet = true, ok = true)
+    assert(flagN.contains((2.0, 4.0)))
+    val trustedN = BenchGate.nextTrusted(Some(2.0), 4.0, quiet = true, ok = true)
+    assert(trustedN.contains(4.0))
+    // round N+1: still 4.0 s — regression() vs the healed trusted is
+    // silent, but the sticky record persists with the PRE-flag baseline
+    assert(BenchGate.regression(trustedN, 4.1, quiet = true, ok = true).isEmpty)
+    val flagN1 = BenchGate.nextFlag(flagN, None, cur = 4.1, quiet = true, ok = true)
+    assert(flagN1.contains((2.0, 4.1)))
+    // contended and failed rounds carry the record untouched
+    assert(BenchGate.nextFlag(flagN1, None, cur = 1.0, quiet = false, ok = true) === flagN1)
+    assert(BenchGate.nextFlag(flagN1, None, cur = -1.0, quiet = true, ok = false) === flagN1)
+    // the slowdown reverts: a quiet measurement within 1.5x of the
+    // PRE-flag trusted clears the record
+    assert(BenchGate.nextFlag(flagN1, None, cur = 2.1, quiet = true, ok = true).isEmpty)
+    // a re-flag on an already-flagged query keeps the ORIGINAL baseline
+    assert(BenchGate.nextFlag(Some((2.0, 4.0)), Some((4.0, 9.0)), 9.0, quiet = true, ok = true)
+      .contains((2.0, 9.0)))
+  }
 }
