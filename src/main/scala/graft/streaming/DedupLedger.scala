@@ -52,7 +52,12 @@ object DedupLedger {
     if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
     else
-      spark.read.parquet(ledgerDir)
+      // ignoreMissingFiles: a concurrent compact() deletes folded LOWER
+      // partitions only after their rows are already duplicated into the
+      // surviving batch=<target> partition, so a probe racing the delete
+      // may see a listed file vanish mid-scan but never loses a row by
+      // skipping it — the skip is the safe outcome, an error is not.
+      spark.read.option("ignoreMissingFiles", "true").parquet(ledgerDir)
         .filter(col("batch") < batchId)
         .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
   }
@@ -95,23 +100,40 @@ object DedupLedger {
 
   /** Compact the ledger's `batch < upTo` partitions into ONE consolidated
     * partition, keeping the `batch < id` probe cut intact: the
-    * consolidated partition takes the LARGEST compacted batch id, so any
+    * consolidated partition is the LARGEST compacted batch id, so any
     * future batch `b ≥ upTo` probes exactly the rows it would have seen
     * before compaction, and a replayed batch can never see its own rows
     * (they sit at a partition id ≥ its own — excluded by its `batch < id`
     * cut, same as before). Returns the number of partitions folded
     * (0 or 1 = nothing to do).
     *
+    * PROBE-SAFE while the stream runs (the r11 ADVICE race): the swap is
+    * add-duplicates-first, delete-after — the lower partitions' rows are
+    * staged and MOVED INTO the existing `batch=<target>` partition before
+    * any lower partition is deleted, so a concurrent probe sees, at every
+    * instant, a SUPERSET of the pre-compact rows (briefly some rows
+    * twice, via both their old partition and the target). Duplicate
+    * visibility is provably harmless: [[Dedup.flagAgainstBands]] applies
+    * `.distinct()` to candidate pairs before scoring, so duplicated
+    * ledger rows produce bit-identical output. The old delete-then-rename
+    * order had a window where compacted history was partially INVISIBLE
+    * (staged dir hidden from partition discovery) — near-dups silently
+    * admitted. A probe racing the trailing deletes may see a listed file
+    * vanish mid-scan; [[readLedgerBefore]] reads with
+    * `ignoreMissingFiles`, and every skipped row is already present in
+    * `batch=<target>`.
+    *
     * Contract: call with `upTo` ≤ the oldest batch id that could still
     * replay (the stream's committed watermark). A replay of an
     * already-compacted batch still cannot self-pair — its probe cut
     * excludes the consolidated partition entirely — but it would probe
     * against none of the compacted history, so only finalized batches
-    * should be folded. Crash-safety: data is staged to a hidden
-    * `.compact_tmp` dir (invisible to partition discovery) before the
-    * source partitions are deleted, so every row exists somewhere at
-    * every instant; a crash between delete and rename leaves the staged
-    * dir to recover by hand.
+    * should be folded. Crash-safety: rows are never lost at any crash
+    * point — the staging dir is written and emptied BEFORE any lower
+    * partition is deleted, so a leftover `.compact_tmp` only ever holds
+    * duplicates of still-present partitions; a re-run discards it and
+    * restarts (worst case: some rows duplicated in the target partition,
+    * which the probe's distinct collapses).
     *
     * Scale: this is the offline maintenance pass the append-only layout
     * is designed for — one sequential read of the folded partitions and
@@ -127,24 +149,40 @@ object DedupLedger {
       .filter(_ < upTo).sorted
     if (parts.length <= 1) return parts.length
     val target = parts.max
+    val lower = parts.filter(_ < target)
+    val targetDir = new org.apache.hadoop.fs.Path(root, s"batch=$target")
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    // a leftover staging dir means a previous compact crashed between
-    // delete and rename — the staged rows may be the ONLY copy of the
-    // folded history, and overwriting them here would silently destroy
-    // it. Refuse and make the operator recover (rename it into place or
-    // inspect) before compacting again.
-    require(!fs.exists(tmp),
-      s"$tmp already exists — a previous compact crashed after staging; " +
-        "recover it (rename to its batch=<maxId> partition) before re-running")
-    spark.read.parquet(parts.map(b => s"$ledgerDir/batch=$b"): _*)
+    // a leftover staging dir is from a compact that crashed before its
+    // lower partitions were deleted (deletes only start once the staging
+    // dir is gone), so its rows are pure duplicates of partitions that
+    // are still present — discard and restart. Nothing can be lost here;
+    // at worst a crash-looped compact leaves extra duplicate rows in the
+    // target partition, which the probe's distinct collapses.
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to clear stale $tmp")
+    // stage ONLY the lower partitions (reading batch=<target> while also
+    // appending into it would be a read-overwrite hazard); the target's
+    // own rows stay where they are
+    spark.read.parquet(lower.map(b => s"$ledgerDir/batch=$b"): _*)
       .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
       .write.mode("overwrite").parquet(tmp.toString)
-    parts.foreach { b =>
+    // move the staged data files into the surviving partition — from this
+    // point the lower partitions' rows are (duplicately) visible via the
+    // target; Spark part-file names embed a per-job UUID, so renames
+    // cannot collide with the target's existing files
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .foreach { p =>
+        require(fs.rename(p, new org.apache.hadoop.fs.Path(targetDir, p.getName)),
+          s"failed to move staged file $p into $targetDir")
+      }
+    require(fs.delete(tmp, true), s"failed to remove staging dir $tmp")
+    // only now are the originals redundant — delete them; a probe racing
+    // these deletes reads with ignoreMissingFiles and every row it skips
+    // is already in batch=<target>
+    lower.foreach { b =>
       val p = new org.apache.hadoop.fs.Path(root, s"batch=$b")
       require(fs.delete(p, true), s"failed to delete folded partition $p")
     }
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$target")),
-      s"failed to rename $tmp into batch=$target — staged data left in place")
     parts.length
   }
 

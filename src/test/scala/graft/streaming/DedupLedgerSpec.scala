@@ -92,7 +92,45 @@ class DedupLedgerSpec extends SparkSpec {
     }
   }
 
-  test("compact refuses to run over a leftover staging dir (the staged rows may be the only copy)") {
+  test("compact mid-swap visibility is a SUPERSET: duplicated rows change no flags (probe-safe)") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger_midswap")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    try {
+      DedupLedger.processBatch(
+        Seq((1L, original), (2L, unrelated)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((3L, unique)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
+      // reconstruct compact's mid-swap state by hand: the staged copies of
+      // batch=0's files already moved into the surviving batch=1 partition
+      // while batch=0 itself is not yet deleted — every batch-0 row is
+      // visible TWICE to a concurrent probe
+      val src = new java.io.File(s"$ledgerDir/batch=0").listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      src.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$ledgerDir/batch=1", "mid-" + f.getName))
+      }
+      // a probe in that window flags exactly what it would have flagged
+      // before: flagAgainstBands' distinct collapses the duplicated pairs
+      DedupLedger.processBatch(
+        Seq((9L, original)).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
+      assert(DedupLedger.readDups(spark, dupsDir)
+        .as[(Long, Long, Long, Double)].collect().toList === List((2L, 9L, 1L, 1.0)))
+      // and compact over the duplicated state still converges to the
+      // consolidated layout with the full distinct content
+      assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
+      val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toList
+      assert(dirs === List("batch=1", "batch=2"))
+      assert(spark.read.parquet(ledgerDir)
+        .select("doc_id", "band", "bucket").distinct().count() === 16L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  test("compact re-run discards a stale staging dir and loses nothing (crash self-heal)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_ledger_tmpguard")
     val ledgerDir = root.resolve("ledger").toString
     val dupsDir = root.resolve("dups").toString
@@ -101,16 +139,31 @@ class DedupLedgerSpec extends SparkSpec {
         Seq((1L, original)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
       DedupLedger.processBatch(
         Seq((2L, unrelated)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
-      // simulate a crash between delete and rename: staging dir left behind
-      java.nio.file.Files.createDirectory(root.resolve("ledger/.compact_tmp"))
-      val e = intercept[IllegalArgumentException] {
-        DedupLedger.compact(spark, ledgerDir, upTo = 2L)
-      }
-      assert(e.getMessage.contains(".compact_tmp"))
-      // nothing was touched: both partitions still present
+      DedupLedger.processBatch(
+        Seq((3L, unique)).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
+      // simulate a crash after staging but before the lower partitions
+      // were deleted: the leftover staging dir holds only DUPLICATES of
+      // still-present partitions (deletes start strictly after the
+      // staging dir is emptied and removed), so a re-run discards it
+      val tmp = root.resolve("ledger/.compact_tmp")
+      java.nio.file.Files.createDirectory(tmp)
+      new java.io.File(s"$ledgerDir/batch=0").listFiles()
+        .filter(_.getName.startsWith("part-")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, tmp.resolve(f.getName))
+        }
+      assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
+      assert(!java.nio.file.Files.exists(tmp))
       val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
         .filter(_.startsWith("batch=")).sorted.toList
-      assert(dirs === List("batch=0", "batch=1"))
+      assert(dirs === List("batch=1", "batch=2"))
+      // the full pre-crash history survives, exactly once each
+      assert(spark.read.parquet(ledgerDir)
+        .select("doc_id", "band", "bucket").distinct().count() === 12L)
+      // and the compacted history still flags
+      DedupLedger.processBatch(
+        Seq((9L, original)).toDF("doc_id", "text"), 3L, ledgerDir, dupsDir)
+      assert(DedupLedger.readDups(spark, dupsDir)
+        .as[(Long, Long, Long, Double)].collect().toList === List((3L, 9L, 1L, 1.0)))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
