@@ -30,17 +30,24 @@ object IngestGate {
     * materialized ONCE (localCheckpoint) — the ledger's minhash scan,
     * the screen's fingerprint scan, and the doc count would otherwise
     * each re-evaluate the source, tripling per-batch ingest cost in the
-    * hot path; blocks are freed once both writes commit.
+    * hot path; blocks are freed once both writes commit. `benchFps` is
+    * the benchmark's distinct fingerprint set: pass the one
+    * [[DecontamScreen.benchmarkFingerprints]] materialized for the
+    * stream's lifetime (as [[attach]] does) so the screen does not
+    * re-distinct the benchmark index on every micro-batch — the exact
+    * per-batch waste that memoization exists to avoid; when omitted it
+    * derives from the index (the one-shot batch path).
     */
   def processBatch(
       batch: DataFrame, batchId: Long, benchIndex: DataFrame,
       ledgerDir: String, dupsDir: String, hitsDir: String,
-      summaryDir: String): Unit = {
+      summaryDir: String, benchFps: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val pinned = batch.localCheckpoint(true)
     try {
       DedupLedger.processBatch(pinned, batchId, ledgerDir, dupsDir)
-      DecontamScreen.processBatch(pinned, batchId, benchIndex, hitsDir)
+      DecontamScreen.processBatch(pinned, batchId, benchIndex, hitsDir,
+        benchFps = benchFps)
       val nDocs = pinned.count()
       val nDup = spark.read.parquet(s"$dupsDir/batch=$batchId").count()
       val nContam = spark.read.parquet(s"$hitsDir/batch=$batchId").count()
@@ -53,19 +60,25 @@ object IngestGate {
   }
 
   /** Attach the gate as one foreachBatch sink of a streaming document
-    * source (columns `doc_id`, `text`).
+    * source (columns `doc_id`, `text`). The distinct benchmark
+    * fingerprint set is materialized once for the stream's lifetime
+    * (mirroring [[DecontamScreen.attach]]) and freed when the harness
+    * tears the session down.
     */
   def attach(
       docs: DataFrame, benchIndex: DataFrame,
       ledgerDir: String, dupsDir: String, hitsDir: String,
-      summaryDir: String, checkpointDir: String): StreamingQuery =
+      summaryDir: String, checkpointDir: String): StreamingQuery = {
+    val fps = DecontamScreen.benchmarkFingerprints(benchIndex)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch, id, benchIndex, ledgerDir, dupsDir, hitsDir, summaryDir)
+        processBatch(batch, id, benchIndex, ledgerDir, dupsDir, hitsDir,
+          summaryDir, benchFps = Some(fps))
       }
       .start()
+  }
 
   /** The admission ledger: one row per ingested batch. */
   def summary(spark: SparkSession, summaryDir: String): DataFrame =
