@@ -768,6 +768,19 @@ object SparkEntry {
       graft.ops.Analytics.edgeSupport(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // full k-truss peel over the same graph: per edge the max k whose
+    // truss it survives — the iterative completion of li_edge_support's
+    // one-shot flags (a chain triangle's shared edge flags in_4truss
+    // but peels out at trussness 3)
+    "li_truss_peel" -> ((s, dir) =>
+      graft.ops.Analytics.trussPeel(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // per-k truss census (surviving edges/nodes per level) off the peel
+    "li_truss_summary" -> ((s, dir) =>
+      graft.ops.Analytics.trussSummary(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -1141,6 +1154,92 @@ object SparkEntry {
        |    CAST(1 AS BIGINT) AS event_key
        |  FROM ck GROUP BY user_id, session_seq
        |)""".stripMargin
+
+  /** Triangle-support CTE stack (the li_edge_support orientation chain)
+    * over an `(item_a, item_b)` edge CTE named `src`, producing
+    * `sup$tag (item_a, item_b, support)` — reused per unrolled peel
+    * round by the li_truss_* oracles.
+    */
+  private def trussSupportCtes(src: String, tag: String): String =
+    s"""adj$tag AS (
+       |  SELECT item_a AS node, item_b AS nbr FROM $src
+       |  UNION ALL SELECT item_b, item_a FROM $src
+       |), deg$tag AS MATERIALIZED (
+       |  SELECT node, count(*)::BIGINT AS d FROM adj$tag GROUP BY 1
+       |), o$tag AS MATERIALIZED (
+       |  SELECT a.node AS u, a.nbr AS v, dv.d AS dv
+       |  FROM adj$tag a
+       |  JOIN deg$tag du ON du.node = a.node
+       |  JOIN deg$tag dv ON dv.node = a.nbr
+       |  WHERE du.d < dv.d OR (du.d = dv.d AND a.node < a.nbr)
+       |), tri$tag AS (
+       |  SELECT o1.u, o1.v, o2.v AS w
+       |  FROM o$tag o1 JOIN o$tag o2 ON o1.u = o2.u
+       |  WHERE (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+       |    AND EXISTS (SELECT 1 FROM o$tag o3 WHERE o3.u = o1.v AND o3.v = o2.v)
+       |), e3$tag AS (
+       |  SELECT unnest([
+       |    {'a': least(u, v), 'b': greatest(u, v)},
+       |    {'a': least(u, w), 'b': greatest(u, w)},
+       |    {'a': least(v, w), 'b': greatest(v, w)}]) AS ue
+       |  FROM tri$tag
+       |), sup$tag AS MATERIALIZED (
+       |  SELECT ue.a AS item_a, ue.b AS item_b, count(*)::BIGINT AS support
+       |  FROM e3$tag GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** The full unrolled k-truss peel over the lineitem basket graph:
+    * support recomputed per round (inner join is exact for thresholds
+    * ≥ 1 — a zero-support edge is absent from sup and fails anyway).
+    * Rounds are unrolled to the deepest fixture's measured fixpoint
+    * depth plus a confirming round (k=3: 2 rounds, k=4: 6 — sf0.001's
+    * dense graph grinds five effective k=4 rounds where sf0.01 needs
+    * two); Spark's cap-8 peel reaches the true fixpoint regardless, so
+    * a fixture
+    * change that deepens convergence shows up as a hash MISMATCH, never
+    * a silent agreement. Ends with CTE `pe (item_a, item_b, support,
+    * trussness)`.
+    */
+  private def trussPeelCtes: String = {
+    def surv(name: String, src: String, sup: String, thr: Int): String =
+      s""", $name AS MATERIALIZED (
+         |  SELECT s.item_a, s.item_b
+         |  FROM $src s JOIN $sup p ON p.item_a = s.item_a AND p.item_b = s.item_b
+         |  WHERE p.support >= $thr
+         |)""".stripMargin
+    val base =
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |s0 AS MATERIALIZED (
+        |  SELECT a.item AS item_a, b.item AS item_b
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), """.stripMargin
+    // (survivor, peeled-from, support-of-source, threshold k−2);
+    // k=3 needs 2 unrolls and k=4 six — the measured sf0.001 depth
+    // (the densest fixture: 2244 → 2048 → 1997 → 1973 → 1968 → 1966)
+    val roundsSql = (
+      Seq(("s31", "s0", "sup0", 1), ("s32", "s31", "sup31", 1)) ++
+        (1 to 6).map(i =>
+          (s"s4$i", if (i == 1) "s32" else s"s4${i - 1}",
+            if (i == 1) "sup32" else s"sup4${i - 1}", 2)))
+      .map { case (name, src, sup, thr) =>
+        trussSupportCtes(src, sup.stripPrefix("sup")) + surv(name, src, sup, thr)
+      }
+      .mkString(", ")
+    base + roundsSql +
+      """, pe AS (
+        |  SELECT s0.item_a, s0.item_b,
+        |    coalesce(p.support, 0)::BIGINT AS support,
+        |    (CASE WHEN t4.item_a IS NOT NULL THEN 4
+        |          WHEN t3.item_a IS NOT NULL THEN 3 ELSE 2 END)::BIGINT AS trussness
+        |  FROM s0
+        |  LEFT JOIN sup0 p ON p.item_a = s0.item_a AND p.item_b = s0.item_b
+        |  LEFT JOIN s32 t3 ON t3.item_a = s0.item_a AND t3.item_b = s0.item_b
+        |  LEFT JOIN s46 t4 ON t4.item_a = s0.item_a AND t4.item_b = s0.item_b
+        |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracleSql ++
@@ -4207,6 +4306,24 @@ object SparkEntry {
         |  (CASE WHEN coalesce(s.support, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT AS in_3truss,
         |  (CASE WHEN coalesce(s.support, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT AS in_4truss
         |FROM e LEFT JOIN sup s ON s.item_a = e.src AND s.item_b = e.dst""".stripMargin,
+    // the li_edge_support chain unrolled to the peel fixpoint per level
+    // (generated: one support stack per round over the shrinking set)
+    "li_truss_peel" ->
+      s"$trussPeelCtes SELECT item_a, item_b, support, trussness FROM pe",
+    // truss census: LEFT non-equi join against a 3-row level table so an
+    // empty level (the fixture's 4-truss) keeps its zero row
+    "li_truss_summary" ->
+      s"""$trussPeelCtes, ks AS (SELECT unnest([2, 3, 4])::BIGINT AS k),
+         |nd AS (SELECT trussness, unnest([item_a, item_b]) AS node FROM pe),
+         |ec AS (
+         |  SELECT ks.k, count(pe.item_a)::BIGINT AS n_edges
+         |  FROM ks LEFT JOIN pe ON pe.trussness >= ks.k GROUP BY 1
+         |), nc AS (
+         |  SELECT ks.k, count(DISTINCT nd.node)::BIGINT AS n_nodes
+         |  FROM ks LEFT JOIN nd ON nd.trussness >= ks.k GROUP BY 1
+         |)
+         |SELECT ec.k, ec.n_edges, nc.n_nodes
+         |FROM ec JOIN nc ON nc.k = ec.k""".stripMargin,
     // session-grain basket pairs over the reference's own dept_list
     "cs_dept_pairs" ->
       s"""$sessionsCte, gi0 AS (

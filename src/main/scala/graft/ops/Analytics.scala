@@ -2033,13 +2033,15 @@ object Analytics {
     * edges, one hash aggregate, one left join back to the edge table —
     * everything at edge/triangle grain, never node×node.
     */
-  def edgeSupport(edges: DataFrame): DataFrame = {
-    val e = edges.select(
-      least(col("src"), col("dst")).as("item_a"),
-      greatest(col("src"), col("dst")).as("item_b")).distinct()
+  /** Triangle-support table of a canonical (item_a < item_b) edge table:
+    * one row per edge that closes at least one triangle, with its count.
+    * Shared by [[edgeSupport]] (one-shot readout) and [[trussPeel]]
+    * (recomputed per peel round over the shrinking edge set).
+    */
+  private def supportOf(e: DataFrame): DataFrame = {
     val (_, tri) = orientedTriangles(
       e.select(col("item_a").as("src"), col("item_b").as("dst")))
-    val support = tri
+    tri
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
@@ -2047,12 +2049,137 @@ object Analytics {
         .as("__e"))
       .groupBy(col("__e.a").as("item_a"), col("__e.b").as("item_b"))
       .agg(count(lit(1)).as("support"))
-    e.join(support, Seq("item_a", "item_b"), "left")
+  }
+
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+      least(col("src"), col("dst")).as("item_a"),
+      greatest(col("src"), col("dst")).as("item_b")).distinct()
+    e.join(supportOf(e), Seq("item_a", "item_b"), "left")
       .na.fill(0L, Seq("support"))
       .select(
         col("item_a"), col("item_b"), col("support"),
         when(col("support") >= 1L, 1L).otherwise(0L).as("in_3truss"),
         when(col("support") >= 2L, 1L).otherwise(0L).as("in_4truss"))
+  }
+
+  /** Full k-truss peeling over an undirected edge table — the iterative
+    * completion [[edgeSupport]]'s scaladoc promises: per edge the MAX k
+    * such that the edge survives the k-truss (every edge in a k-truss
+    * has support ≥ k−2 WITHIN the truss, not just in the original
+    * graph). One-shot support flags overcount: a chain of two triangles
+    * {1,2,3},{2,3,4} gives edge (2,3) support 2 — the in_4truss flag —
+    * but the 4-truss is empty (the four side edges have support 1, and
+    * peeling them starves (2,3)); AnalyticsSpec pins exactly that graph.
+    * Output: one row per original edge with its one-shot `support` and
+    * its peeled `trussness` (2 = survives no nontrivial truss) — the
+    * per-k surviving edge/node counts are a grouping of this table
+    * ([[trussSummary]]).
+    *
+    * Trussness is computed incrementally: the (k+1)-truss is a subgraph
+    * of the k-truss, so level k peels level k−1's survivors rather than
+    * the full graph — the expensive first cut (support ≥ 1) runs once.
+    * Each peel round recomputes [[supportOf]] (the cap-free Σ outdeg²
+    * oriented enumeration) over the CURRENT survivor set and drops
+    * edges under k−2; rounds stop early at the fixpoint (the round's
+    * eager `localCheckpoint` already materializes the survivor count,
+    * so the check is a metadata read, not an extra job). The cap is
+    * MEASURED per fixture, not assumed: the dense sf0.001 basket graph
+    * peels k=4 for 5 effective rounds (2244 → 2048 → 1997 → 1973 →
+    * 1968 → 1966) where sf0.01 needs 2 and sf0.1 one — AnalyticsSpec
+    * pins the cap at the deepest fixture.
+    *
+    * Scale: per round one triangle enumeration bounded by the shrinking
+    * survivor set (the first round dominates — later levels peel graphs
+    * that are already dense cores); every round's survivors are
+    * `localCheckpoint`ed and the retired round freed (the [[kCore]]
+    * lineage discipline — each round references its input four times,
+    * so unbroken lineage grows geometrically). `rounds` is the per-level
+    * cap, MEASURED not assumed: AnalyticsSpec pins registered ≡
+    * registered+1 on the sf0.01 basket graph. On a real cluster swap in
+    * reliable `checkpoint`.
+    */
+  def trussPeel(edges: DataFrame, kMax: Int = 4, rounds: Int = 8): DataFrame = {
+    val all = edges.select(
+      least(col("src"), col("dst")).as("item_a"),
+      greatest(col("src"), col("dst")).as("item_b")).distinct()
+      .localCheckpoint()
+    def withSupport(e: DataFrame): DataFrame =
+      e.join(supportOf(e), Seq("item_a", "item_b"), "left")
+        .na.fill(0L, Seq("support"))
+        .localCheckpoint()
+    val sup0 = withSupport(all)
+    // invariant: `cur` always carries the support of each edge WITHIN the
+    // current survivor set, so a peel round is a filter + recount, and
+    // the expensive triangle enumeration reruns only when edges dropped
+    // (a level inherits its predecessor's fixpoint support table)
+    var cur = sup0
+    var curN = cur.count()
+    val levels = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
+    for (k <- 3 to kMax) {
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
+        val nextE = cur
+          .filter(col("support") >= (k - 2).toLong)
+          .select(col("item_a"), col("item_b"))
+        val nextN = nextE.count()
+        if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+          System.err.println(s"[truss] k=$k cur=$curN next=$nextN")
+        if (nextN == curN) {
+          converged = true
+        } else {
+          val next = withSupport(nextE)
+          // sup0 and level fixpoints stay referenced by the final join
+          if (!(cur eq sup0) && !levels.exists(_._2 eq cur))
+            graft.LocalCheckpoints.free(cur)
+          cur = next
+          curN = nextN
+        }
+      }
+      levels += ((k, cur))
+    }
+    val flagged = levels.foldLeft(sup0) { case (acc, (k, s)) =>
+      acc.join(
+        s.select(col("item_a"), col("item_b")).withColumn(s"__t$k", lit(1L)),
+        Seq("item_a", "item_b"), "left")
+    }
+    // trussness cases must test the HIGHEST level outermost (S_{k+1} ⊆
+    // S_k, so every surviving edge also carries the lower flags):
+    // folding in ascending k wraps each lower case inside the next
+    flagged.select(
+      col("item_a"), col("item_b"), col("support"),
+      levels.foldLeft(lit(2L)) { case (tail, (k, _)) =>
+        when(col(s"__t$k") === 1L, k.toLong).otherwise(tail)
+      }.as("trussness"))
+  }
+
+  /** Per-k truss census off [[trussPeel]]'s per-edge table: for each
+    * truss level k (2 ≤ k ≤ kMax) the surviving edge and node counts —
+    * the density staircase an analyst reads to pick a community
+    * threshold. k = 2 is the whole (deduplicated) graph by definition.
+    *
+    * Scale: a bounded ×(k−1) `sequence` explode of the edge table (an
+    * edge with trussness t is in every level ≤ t), one hash aggregate
+    * for edges, one distinct + aggregate for nodes at ≤ 2×levels×|E|
+    * rows, and a ≤ (kMax−1)-row join — no second peel.
+    */
+  def trussSummary(edges: DataFrame, kMax: Int = 4, rounds: Int = 8): DataFrame = {
+    val pe = trussPeel(edges, kMax, rounds)
+    val lv = pe.select(
+      col("item_a"), col("item_b"),
+      explode(sequence(lit(2L), col("trussness"))).as("k"))
+    val eCnt = lv.groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val nCnt = lv
+      .select(col("k"), explode(array(col("item_a"), col("item_b"))).as("node"))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    // an empty level (the fixture's 4-truss) still gets its zero row —
+    // the staircase readout must show where the density runs out
+    pe.sparkSession.range(2L, kMax + 1L).select(col("id").as("k"))
+      .join(eCnt, Seq("k"), "left")
+      .join(nCnt, Seq("k"), "left")
+      .na.fill(0L, Seq("n_edges", "n_nodes"))
+      .select(col("k"), col("n_edges"), col("n_nodes"))
   }
 
   def localClustering(edges: DataFrame): DataFrame = {

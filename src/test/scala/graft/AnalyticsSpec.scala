@@ -764,6 +764,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(got3._3 === 0L && got3._4 === 0L)
   }
 
+  test("trussPeel: peeling starves the chain edge that one-shot support flags") {
+    import graft.ops.Analytics
+    // chain of two triangles {1,2,3},{2,3,4}: edge (2,3) has support 2 —
+    // edgeSupport flags it in_4truss — but the four side edges have
+    // support 1; the k=4 peel removes them and (2,3) starves to support
+    // 0, so the 4-truss is empty and (2,3)'s trussness is 3, not 4
+    val chain = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val oneShot = Analytics.edgeSupport(chain)
+      .filter($"item_a" === 2L && $"item_b" === 3L)
+      .select($"support", $"in_4truss").as[(Long, Long)].collect().head
+    assert(oneShot === ((2L, 1L)), "one-shot support says 4-truss")
+    val peeled = Analytics.trussPeel(chain, kMax = 4, rounds = 5)
+      .select($"item_a", $"item_b", $"support", $"trussness")
+      .as[(Long, Long, Long, Long)].collect().sortBy(e => (e._1, e._2)).toList
+    assert(peeled === List(
+      (1L, 2L, 1L, 3L), (1L, 3L, 1L, 3L), (2L, 3L, 2L, 3L),
+      (2L, 4L, 1L, 3L), (3L, 4L, 1L, 3L)))
+    // K4 plus a pendant triangle on edge (1,2): the K4 is a genuine
+    // 4-truss (every edge support 2 within it); the pendant edges
+    // (1,5),(2,5) survive k=3 (their triangle is intact) but peel at
+    // k=4, dropping (1,2)'s support from 3 to 2 — still enough
+    val k4p = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val got = Analytics.trussPeel(k4p, kMax = 4, rounds = 5)
+      .select($"item_a", $"item_b", $"trussness")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 4L && got((3L, 4L)) === 4L)
+    assert(got((1L, 5L)) === 3L && got((2L, 5L)) === 3L)
+    // census rows agree with the per-edge table, empty levels included
+    val sum5 = Analytics.trussSummary(k4p, kMax = 5, rounds = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(sum5 === List((2L, 8L, 5L), (3L, 8L, 5L), (4L, 6L, 4L), (5L, 0L, 0L)))
+  }
+
+  test("trussPeel: registered round cap reaches the fixpoint on every fixture") {
+    import graft.ops.Analytics
+    // same guard as the kCore depth pin: the oracle unrolls a fixed
+    // number of peel rounds, so the registered cap must already be the
+    // fixpoint on the DEEPEST fixture — sf0.001's dense basket graph
+    // (k=3: 2324 → 2244 in one round; k=4: five effective rounds,
+    // 2244 → 2048 → 1997 → 1973 → 1968 → 1966), where sf0.01 needs
+    // 3445 → 181 → (181 → 2 → 0) and sf0.1 is shallower still
+    def summary(dir: String, rounds: Int) = {
+      val edges = Analytics.coOccurrence(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+        .select($"item_a".as("src"), $"item_b".as("dst"))
+        .localCheckpoint()
+      Analytics.trussSummary(edges, kMax = 4, rounds = rounds)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    }
+    val deepCap = summary("/root/testdata/sf0.001", 8)
+    val deepBeyond = summary("/root/testdata/sf0.001", 12)
+    assert(deepCap === deepBeyond, "registered rounds=8 must already be the fixpoint")
+    assert(deepCap.map(r => (r._1, r._2)) === List((2L, 2324L), (3L, 2244L), (4L, 1966L)))
+    val midCap = summary("/root/testdata/sf0.01", 8)
+    assert(midCap === List((2L, 3445L, 1880L), (3L, 181L, 165L), (4L, 0L, 0L)))
+  }
+
   test("linkPrediction: distance-2 non-edges ranked by common neighbors") {
     // square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4. The only
     // non-adjacent distance-2 pair is (1,4), reachable through BOTH 2 and
