@@ -834,6 +834,107 @@ object Similarity {
             lit(0L), _ + _)).as("displacement_sq"))
   }
 
+  /** PQ codebook training to convergence — [[pqTrainStep]]'s single
+    * Lloyd refinement unrolled `rounds` times, with each round's
+    * codebook RE-DERIVED from the previous round's refit centroids (the
+    * [[kmeansStep2]] loop-invariant discipline at subspace grain).
+    * Output: one row per (round, subspace) with the corpus assignment
+    * count, the assignment error against the round's INCOMING codebook
+    * (`err_assign`), and the error after the round's refit
+    * (`err_refit`). Lloyd gives the full monotone chain
+    * `err_assign(r) ≥ err_refit(r) ≥ err_assign(r+1)` — refitting can
+    * only improve the current assignment, and re-assigning against the
+    * refit codebook can only improve on keeping it (spec-pinned per
+    * subspace) — so the per-round deltas are the "train more or ship
+    * it" curve a PQ deployment reads.
+    *
+    * A code that starves (no assignments) keeps its previous centroid
+    * rather than vanishing, so the codebook stays k wide per subspace
+    * across rounds — the same frozen-fallback rule [[ivfAppend]] uses
+    * for empty cells.
+    *
+    * Scale: per round ONE corpus×(k·subspaces)-row-broadcast distance
+    * scan feeding one map-side-combined (subspaces × k) aggregate —
+    * the [[pqTrainStep]] shape, `rounds` times. Each round's (j, code)
+    * readout is `localCheckpoint`ed (≤ k·subspaces rows) so deriving
+    * the next codebook AND the final union replays no corpus scan;
+    * retired codebook tables are freed ([[Analytics.kCore]] lineage
+    * law). err_refit reuses the refit aggregate's own sums
+    * (Q − 2Σcᵢsᵢ + nΣcᵢ²) — never a second corpus pass.
+    */
+  def pqTrainConverge(embeddings: DataFrame, subspaces: Int = 4,
+      codebookK: Int = 8, rounds: Int = 2): DataFrame = {
+    val subLen = 16
+    require(subspaces * subLen == 64,
+      s"subspaces × $subLen must equal the 64-dim embedding (got $subspaces)")
+    val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
+    // seed codebook at subspace grain: (j, cid, 16-dim cvec) — the
+    // subvector slices of the k lowest vec_ids, k·subspaces rows
+    var cents = q.filter(col("vec_id") < codebookK)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+      .select(col("cid"), col("cqv"),
+        explode(sequence(lit(0L), lit((subspaces - 1).toLong))).as("j"))
+      .select(col("j"), col("cid"),
+        slice(col("cqv"), (col("j") * subLen + 1).cast("int"), lit(subLen)).as("cvec"))
+      .localCheckpoint()
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val asg = q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("j"), col("cid"),
+          aggregate(
+            zip_with(
+              slice(col("qv"), (col("j") * subLen + 1).cast("int"), lit(subLen)),
+              col("cvec"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _).as("dist"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j"),
+          col("m.cid").as("code"), col("m.dist").as("dist"))
+      def el(i: Int): Column =
+        element_at(col("qv"), (col("j") * subLen + i).cast("int"))
+      val aggd = asg.join(q, "vec_id")
+        .groupBy(col("j"), col("code"))
+        .agg(
+          count(lit(1)).as("n"),
+          Seq(sum(col("dist")).as("err_assign")) ++
+            (1 to subLen).map(i => sum(el(i)).as(s"__s$i")) ++
+            Seq(sum((1 to subLen).map(i => el(i) * el(i)).reduce(_ + _)).as("__qq")): _*)
+      val withCent = aggd.select(
+        col("j") +: col("code") +: col("n") +: col("err_assign") +: col("__qq") +:
+          (1 to subLen).map(i =>
+            graft.Cols.floorDiv(col(s"__s$i"), col("n")).as(s"__c$i")) ++:
+          (1 to subLen).map(i => col(s"__s$i")): _*)
+      val errRefit = col("__qq") -
+        (1 to subLen).map(i => lit(2L) * col(s"__c$i") * col(s"__s$i")).reduce(_ + _) +
+        col("n") * (1 to subLen).map(i => col(s"__c$i") * col(s"__c$i")).reduce(_ + _)
+      // (j, code) readout, checkpointed: backs BOTH the final union and
+      // the next round's codebook off one corpus scan
+      val readout = withCent.select(
+        col("j"), col("code"), col("n"), col("err_assign"),
+        errRefit.as("err_refit"),
+        array((1 to subLen).map(i => col(s"__c$i")): _*).as("cvec"))
+        .localCheckpoint()
+      perRound += readout.groupBy(col("j"))
+        .agg(
+          sum(col("n")).as("n_vecs"),
+          sum(col("err_assign")).as("err_assign"),
+          sum(col("err_refit")).as("err_refit"))
+        .select(lit(r.toLong).as("round"), col("j").as("subspace"),
+          col("n_vecs"), col("err_assign"), col("err_refit"))
+      val nextCents = cents.as("c")
+        .join(readout.select(col("j"), col("code").as("cid"),
+          col("cvec").as("__rc")), Seq("j", "cid"), "left")
+        .select(col("j"), col("cid"),
+          coalesce(col("__rc"), col("c.cvec")).as("cvec"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(cents)
+      cents = nextCents
+    }
+    graft.LocalCheckpoints.free(cents)
+    perRound.reduce(_.unionByName(_))
+  }
+
   /** ADC (asymmetric distance computation) top-k over the PQ codes —
     * the search half of the [[productQuantize]] compression: the corpus
     * is represented ONLY by its per-subspace centroid codes (4 small ints
@@ -2061,6 +2162,9 @@ object Similarity {
     // one Lloyd refinement of the PQ codebook: per (subspace, code)
     // refit counts, before/after quantization error, displacement
     "emb_pq_train" -> ((s, d) => pqTrainStep(Tables.embeddings(s, d))),
+    // PQ Lloyd unrolled to convergence readout: per (round, subspace)
+    // assignment error in and refit error out — monotone non-increasing
+    "emb_pq_train2" -> ((s, d) => pqTrainConverge(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -2110,7 +2214,72 @@ object Similarity {
        |${arms.mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** One unrolled Lloyd round of the emb_pq_train2 oracle: assign the
+    * corpus against the round's subspace-grain codebook CTE, refit,
+    * emit the per-(round, subspace) error readout, and derive the next
+    * round's codebook with starved codes carrying their old centroid —
+    * the same chain as the emb_pq_train oracle, parameterized by round.
+    */
+  private def pqRoundCtes(r: Int): String =
+    s"""d$r AS (
+       |  SELECT q.vec_id, c.j, c.cid,
+       |    list_sum([(q.qv[c.j * 16 + i] - c.cvec[i]) * (q.qv[c.j * 16 + i] - c.cvec[i])
+       |              for i in range(1, 17)])::BIGINT AS dist
+       |  FROM q CROSS JOIN cents$r c
+       |), codes$r AS (
+       |  SELECT vec_id, j, cid AS code, dist FROM (
+       |    SELECT vec_id, j, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM d$r
+       |  ) WHERE rn = 1
+       |), ne$r AS (
+       |  SELECT j, code, count(*)::BIGINT AS n, sum(dist)::BIGINT AS err_assign
+       |  FROM codes$r GROUP BY 1, 2
+       |), sub$r AS (
+       |  SELECT c.j, c.code, ii.i,
+       |    sum(q.qv[c.j * 16 + ii.i])::BIGINT AS s,
+       |    sum(q.qv[c.j * 16 + ii.i] * q.qv[c.j * 16 + ii.i])::BIGINT AS q2
+       |  FROM codes$r c JOIN q USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) ii
+       |  GROUP BY 1, 2, 3
+       |), cent$r AS (
+       |  SELECT s.j, s.code, s.i, s.s, s.q2,
+       |    ((s.s - (((s.s % ne.n) + ne.n) % ne.n)) // ne.n)::BIGINT AS c
+       |  FROM sub$r s JOIN ne$r ne ON ne.j = s.j AND ne.code = s.code
+       |), rf$r AS (
+       |  SELECT j, code, sum(q2)::BIGINT AS qq,
+       |    sum(2 * c * s)::BIGINT AS crossv, sum(c * c)::BIGINT AS cc,
+       |    list(c ORDER BY i) AS cvec
+       |  FROM cent$r GROUP BY 1, 2
+       |), ro$r AS (
+       |  SELECT $r::BIGINT AS round, ne.j::BIGINT AS subspace,
+       |    sum(ne.n)::BIGINT AS n_vecs,
+       |    sum(ne.err_assign)::BIGINT AS err_assign,
+       |    sum(rf.qq - rf.crossv + ne.n * rf.cc)::BIGINT AS err_refit
+       |  FROM ne$r ne JOIN rf$r rf ON rf.j = ne.j AND rf.code = ne.code
+       |  GROUP BY 1, 2
+       |), cents${r + 1} AS (
+       |  SELECT c.j, c.cid, coalesce(rf.cvec, c.cvec) AS cvec
+       |  FROM cents$r c LEFT JOIN rf$r rf ON rf.j = c.j AND rf.code = c.cid
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "emb_pq_train2" -> (
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+        |), cents1 AS (
+        |  SELECT r.j::BIGINT AS j, cb.cid,
+        |    cb.cqv[(r.j * 16 + 1):(r.j * 16 + 16)] AS cvec
+        |  FROM cb CROSS JOIN range(0, 4) r(j)
+        |), """.stripMargin +
+        (1 to 2).map(pqRoundCtes).mkString(", ") + """
+        |SELECT round, subspace, n_vecs, err_assign, err_refit FROM ro1
+        |UNION ALL
+        |SELECT round, subspace, n_vecs, err_assign, err_refit FROM ro2""".stripMargin),
     "emb_dim_stats" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv

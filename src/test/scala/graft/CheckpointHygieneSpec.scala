@@ -45,4 +45,28 @@ class CheckpointHygieneSpec extends SparkSpec {
   test("lshBandDesign frees its shingle and signature indexes; only the readout stays") {
     assert(newPersisted(Dedup.lshBandDesign(corpus).collect()) === 1)
   }
+
+  test("pqTrainConverge frees seed and retired codebooks; one readout per round stays") {
+    // per round the op checkpoints a (j, code) readout (kept — it backs
+    // the returned union) and the next codebook (freed when retired);
+    // the seed codebook and the final codebook are freed too, so the
+    // delta is exactly `rounds` tiny readout tables
+    def const(v: Float) = Seq.fill(64)(v)
+    val emb = ((0 until 8).map(i => (i.toLong, const((i + 1) * 0.1f), 0)) ++
+      Seq((8L, 0.103f +: const(0.1f).tail, 0)))
+      .toDF("vec_id", "embedding", "label")
+    assert(newPersisted(graft.sim.Similarity.pqTrainConverge(emb, rounds = 2).collect()) === 2)
+    assert(newPersisted(graft.sim.Similarity.pqTrainConverge(emb, rounds = 3).collect()) === 3)
+  }
+
+  test("trussPeel frees retired peel rounds; only the edge table, supports and fixpoints stay") {
+    // kept: the canonical edge table, its support table (backs the
+    // returned join) and each level's fixpoint survivor table; every
+    // non-fixpoint intermediate round is freed. On the two-triangle
+    // chain: all = sup0 (k=3 fixpoint, shared) + the k=4 fixpoint = 3
+    import graft.ops.Analytics
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(newPersisted(Analytics.trussPeel(chain, kMax = 4, rounds = 5).collect()) === 3)
+  }
 }

@@ -662,6 +662,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTrainConverge: full monotone Lloyd chain across rounds; refit feeds round 2") {
+    // the pqTrainStep fixture: seed codes 0..7 far apart, vecs 8/9 at
+    // code 0 plus +3 milli in dim 1. Round 1 refits code 0's subspace-0
+    // centroid from 100 to 102 (err 18 → 6); round 2 re-assigns against
+    // the refit codebook — same members, so err_assign(2) = err_refit(1)
+    // and the refit is already the fixpoint (err_refit(2) = 6 too)
+    def const(v: Float) = Seq.fill(64)(v)
+    val rows = (0 until 8).map(i => (i.toLong, const((i + 1) * 0.1f), 0)) ++
+      Seq((8L, 0.103f +: const(0.1f).tail, 0), (9L, 0.103f +: const(0.1f).tail, 0))
+    val got = Similarity.pqTrainConverge(rows.toDF("vec_id", "embedding", "label"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 8)
+    assert(got((1L, 0L)) === ((1L, 0L, 10L, 18L, 6L)))
+    assert(got((2L, 0L)) === ((2L, 0L, 10L, 6L, 6L)))
+    (1L to 3L).foreach { j =>
+      assert(got((1L, j)) === ((1L, j, 10L, 0L, 0L)))
+      assert(got((2L, j)) === ((2L, j, 10L, 0L, 0L)))
+    }
+    // the full chain err_assign(r) ≥ err_refit(r) ≥ err_assign(r+1),
+    // per subspace, on the real sf0.01 embeddings at 3 rounds
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val chain = Similarity.pqTrainConverge(emb, rounds = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._2).values
+    chain.foreach { rows0 =>
+      val seq = rows0.sortBy(_._1).flatMap(r => Seq(r._4, r._5)).toList
+      seq.sliding(2).foreach { case List(hi, lo) =>
+        assert(lo <= hi, s"Lloyd chain violated: $seq")
+      }
+    }
+  }
+
   test("ivfAppend: appends assign to the frozen centroids; a mislabeled vector flags mismatch") {
     // discover the deterministic 1-in-5 ingest split the operator uses
     def isApp(id: Long): Boolean = {
