@@ -125,23 +125,21 @@ object SparkEntry {
           .withColumn("c_nationkey", org.apache.spark.sql.functions.col("c_nationkey").cast("long")),
         Seq("c_nationkey"), "c_acctbal")),
     // HLL sketch distinct counting — the approximate path for distincts at
-    // 100 TB (exact count_distinct shuffles every key; the sketch merges).
-    // Engine sketches differ, so no cross-engine oracle: driver records a
-    // rows-only check; ApproxSpec bounds the error against exact locally.
+    // 100 TB (exact count_distinct shuffles every key; the sketch merges
+    // at |types|·m register grain). Deterministic from-first-principles
+    // HLL (md5 buckets + trailing-zero registers + quantized harmonic
+    // mean), so unlike engine-native approx_count_distinct it oracles
+    // EXACTLY; ApproxSpec additionally bounds its error against exact,
+    // and keeps the native-sketch gate for the Spark API surface.
     "ev_approx_users" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
-    // KLL-style sketch percentiles (approx_percentile) — the streaming/
-    // mergeable companion to the exact sort-based ev_value_quantiles.
-    // Like the HLL query: engine sketches differ → rows-only check from
-    // the driver; ApproxSpec bounds the rank error against exact locally.
+      graft.ops.Stats.hllDistinct(Tables.events(s, dir))),
+    // sampled percentiles — the mergeable companion to the exact
+    // sort-based ev_value_quantiles: a deterministic 1-in-10 md5 event
+    // sample (predicate pushes into the scan) through the same exact
+    // percentile machinery. Oracles exactly (unlike the engine-native
+    // approx_percentile sketch, which ApproxSpec still gates locally).
     "ev_approx_quantiles" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-          approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_approx"))),
+      graft.ops.Stats.sampledQuantiles(Tables.events(s, dir))),
     // skew-resistant two-phase aggregation — identical results to a plain
     // GROUP BY (the oracle), different shuffle shape (ScaleSpec pins it)
     "ev_salted_value_sum" -> ((s, dir) =>
@@ -1295,6 +1293,53 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // deterministic HLL: salted 60-bit md5 hash → 256-way bucket (low
+    // byte) + trailing-zero register over the high 52 bits; harmonic
+    // mean via exact 10^12 >> reg terms and the precomputed
+    // floor(alpha·m²·10^12) literal — identical integers to the Spark
+    // side (Stats.hllDistinct)
+    "ev_approx_users" -> (
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), r0 AS (
+        |  SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM h
+        |), rho AS (
+        |  SELECT event_type, bucket,
+        |    CASE WHEN w = 0 THEN 53 ELSE length(bin(w & (-w))) END::BIGINT AS rho
+        |  FROM r0
+        |), regs AS (
+        |  SELECT event_type, bucket, max(rho)::BIGINT AS reg FROM rho GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT t.event_type, r.b AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN range(0, 256) r(b)
+        |), filled AS (
+        |  SELECT g.event_type, coalesce(regs.reg, 0) AS reg
+        |  FROM grid g LEFT JOIN regs
+        |    ON regs.event_type = g.event_type AND regs.bucket = g.bucket
+        |), s AS (
+        |  SELECT event_type,
+        |    sum(1000000000000 >> reg)::BIGINT AS s,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_buckets
+        |  FROM filled GROUP BY 1
+        |)
+        |SELECT event_type, n_zero_buckets,
+        |  (CASE WHEN n_zero_buckets > 0 AND (47072712671202237 // s) <= 640
+        |        THEN [""".stripMargin +
+        graft.ops.Stats.HllLinearCount.mkString(", ") + """][n_zero_buckets]
+        |        ELSE (47072712671202237 // s) END)::BIGINT AS approx_users
+        |FROM s""".stripMargin),
+    // the ev_value_quantiles machinery over a deterministic 1-in-10 md5
+    // event sample (the capture-recapture predicate family)
+    "ev_approx_quantiles" ->
+      """SELECT event_type, count(*)::BIGINT AS n_sampled,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_approx,
+        |  round(quantile_cont(value, 0.95), 4) AS p95_approx
+        |FROM events
+        |WHERE ('0x' || substr(md5('evq:' || event_id), 1, 15))::BIGINT % 10 = 0
+        |GROUP BY event_type""".stripMargin,
     "ev_type_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  count(*) FILTER (WHERE event_type = 'view') AS n_view,

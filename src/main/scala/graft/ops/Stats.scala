@@ -521,6 +521,103 @@ object Stats {
         Cols.floorDiv((col("n_hat") - col("n_actual")) * 10000L, col("n_actual")))
   }
 
+  /** Deterministic HyperLogLog distinct estimate — the sketch path for
+    * distincts at 100 TB, built from first principles so BOTH engines
+    * compute the identical integers (engine-native HLL sketches differ
+    * across implementations, so `approx_count_distinct` can never be
+    * cross-engine oracled; this one can). Per user: a salted 60-bit md5
+    * hash splits into an `m`-way bucket (low bits) and a 52-bit
+    * geometric observable (rho = trailing zeros + 1 of the high bits —
+    * P(rho ≥ k) = 2⁻ᵏ, the HLL register distribution); per (type,
+    * bucket) the register is `max(rho)`, and the estimate is the
+    * standard harmonic mean α·m²/Σ2^(−reg) with the transcendental-free
+    * quantize-then-sum idiom: each 2^(−reg) term is the EXACT integer
+    * `10¹² >> reg`, and α·m²·10¹² is one precomputed literal, identical
+    * in both engines. rho stays exact integer via `length(bin(w & −w))`
+    * — no log2, no floats anywhere.
+    *
+    * Small cardinalities (n ≲ 2.5m) use the standard linear-counting
+    * correction est = m·ln(m/zeros) — but ln must never run at query
+    * time (libm last-ulp differences would break the cross-engine hash
+    * contract), so the correction is a precomputed 255-entry integer
+    * lookup ([[HllLinearCount]], zeros has only 255 possible values
+    * when a group exists) indexed by `n_zero_buckets`; the oracle SQL
+    * is GENERATED from the same Scala constant, so both engines read
+    * literally identical tables.
+    *
+    * Scale: max-registers aggregate map-side-combines to ≤ |types|·m
+    * rows (the whole point vs exact count_distinct's shuffle of every
+    * key); the grid join backfills empty buckets at |types|·m grain;
+    * everything downstream is |types| rows. Duplicates need no distinct
+    * pass — max(rho) is idempotent.
+    */
+  def hllDistinct(events: DataFrame, m: Int = 256): DataFrame = {
+    require(m == 256, s"alpha literal below is precomputed for m = 256 (got $m)")
+    // floor(α_m · m² · 10¹²) with α_m = 0.7213/(1 + 1.079/m), exact
+    // rational arithmetic: 7213·256000·65536·10¹² / (10000·257079)
+    val AlphaNum = 47072712671202237L
+    val RawFloor = 640L // 2.5·m: below this, raw HLL biases high — linear count
+    val regs = events
+      .select(col("event_type"),
+        Cols.hash60(concat(lit("hll:"), col("user_id").cast("string"))).as("__h"))
+      .select(col("event_type"),
+        pmod(col("__h"), lit(m.toLong)).as("bucket"),
+        Cols.floorDiv(col("__h"), lit(m.toLong)).as("__w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("__w") === 0L, lit(53L))
+          .otherwise(length(bin(col("__w").bitwiseAND(-col("__w")))).cast("long"))
+          .as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val grid = events.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+    grid.join(regs, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("reg"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("shiftright(CAST(1000000000000 AS BIGINT), CAST(reg AS INT))")).as("__s"),
+        sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("n_zero_buckets"))
+      .select(col("event_type"), col("n_zero_buckets"),
+        Cols.floorDiv(lit(AlphaNum), col("__s")).as("__raw"))
+      .select(col("event_type"), col("n_zero_buckets"),
+        when(col("n_zero_buckets") > 0L && col("__raw") <= RawFloor,
+          element_at(
+            array(HllLinearCount.map(lit(_)): _*),
+            col("n_zero_buckets").cast("int")))
+          .otherwise(col("__raw")).as("approx_users"))
+  }
+
+  /** Linear-counting table for [[hllDistinct]]'s small-range regime:
+    * entry z (1-based) is floor(256·ln(256/z)). Computed once here and
+    * interpolated into the oracle SQL, so the engines cannot drift.
+    */
+  val HllLinearCount: IndexedSeq[Long] =
+    (1 to 255).map(z => math.floor(256.0 * math.log(256.0 / z)).toLong)
+
+  /** Deterministic hash-sample quantiles — the sample path for
+    * percentiles at 100 TB (exact sort-based percentiles touch every
+    * row; engine-native approx_percentile sketches differ across
+    * engines and can never be cross-engine oracled). A salted 1-in-
+    * `rate` md5 EVENT sample (the [[captureRecapture]] predicate — it
+    * pushes into the scan) feeds the same exact interpolated-percentile
+    * machinery as ev_value_quantiles, over rate× less data. Sampling
+    * error is quantitative and spec-gated (ApproxSpec: the sampled p50/
+    * p95 sit inside the exact [p−0.02, p+0.02] quantile band), and
+    * `n_sampled` is emitted so a reader can size the rank error √n
+    * themselves.
+    */
+  def sampledQuantiles(events: DataFrame, rate: Long = 10L): DataFrame =
+    events
+      .filter(pmod(
+        Cols.hash60(concat(lit("evq:"), col("event_id").cast("string"))),
+        lit(rate)) === 0L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_approx"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_approx"))
+
   /** Robust daily anomaly screen — median/MAD instead of mean/stddev, so
     * the anomalies themselves cannot inflate the yardstick that is
     * supposed to catch them (one 10× day moves a mean-based z-score's

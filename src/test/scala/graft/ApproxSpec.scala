@@ -4,26 +4,78 @@ import graft.dedup.Dedup
 import graft.sim.Similarity
 import org.apache.spark.sql.functions._
 
-/** Quantitative gates for the two approximate paths whose output cannot be
-  * cross-engine oracled (the driver records rows-only checks for them):
+/** Quantitative gates for the approximate paths. Since r12 every
+  * REGISTERED approximate query is deterministic by construction
+  * (`ev_approx_users` = from-first-principles HLL, `ev_approx_quantiles`
+  * = md5-sample percentiles) and hash-oracled like any exact query — so
+  * the gates here carry the remaining claim: the estimates are CLOSE to
+  * the exact answers they approximate.
   *
-  *  - `ev_approx_users` (HyperLogLog++ approx_count_distinct): engine
-  *    sketches differ, so the correctness claim is the published error
-  *    bound, asserted here against the exact distinct count.
+  *  - `Stats.hllDistinct` / `Stats.sampledQuantiles`: estimate error vs
+  *    the exact distinct count / exact quantile band.
+  *  - Spark's native `approx_count_distinct` / `approx_percentile`
+  *    (HyperLogLog++ / KLL-style sketches): no longer registered —
+  *    engine sketches can never cross-engine hash — but still gated
+  *    here at their published error bounds, as the API-surface twins
+  *    the deterministic estimators replaced.
   *  - `ann_topk_lsh` (hyperplane-LSH ANN): approximate by construction,
   *    so the correctness claim is recall against the exact brute-force
-  *    top-k, asserted here at the documented threshold.
+  *    top-k, asserted at the documented threshold.
   *  - `dedup_embedding_lsh` IS fully oracled (deterministic construction),
   *    but its usefulness claim is recall vs the all-pairs baseline — also
   *    pinned here.
   *
-  * All three run on the real sf0.01 testdata: approximation quality on
+  * Everything runs on the real sf0.01 testdata: approximation quality on
   * synthetic toy rows says nothing about the registered queries.
   */
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.01"
+
+  test("registered deterministic HLL within 10% of exact per event_type") {
+    // sf0.01 has ~150 distinct users per type — the linear-counting
+    // regime (zeros ≈ 141 of 256), where the lookup-table correction is
+    // doing the work; the raw harmonic estimate alone would read ~265
+    val approx = graft.ops.Stats.hllDistinct(Tables.events(spark, dir))
+      .select(col("event_type"), col("approx_users"))
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (et, n) =>
+      val err = math.abs(approx(et) - n).toDouble / n
+      assert(err <= 0.10, s"$et: approx=${approx(et)} exact=$n err=$err")
+    }
+  }
+
+  test("registered sampled quantiles inside the 3-sigma rank-error envelope") {
+    // the p-quantile of an n-sample sits at CDF position ≈ N(p, p(1−p)/n)
+    // in the full distribution — the gate is that envelope (+1% for the
+    // interpolation grain), scaled per type: 'purchase' samples ~200
+    // events (±4.6% at p95) where 'view' samples ~5800 (±0.9%)
+    val approx = graft.ops.Stats.sampledQuantiles(Tables.events(spark, dir))
+      .select(col("event_type"), col("n_sampled"), col("p50_approx"), col("p95_approx"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(approx.length === 5)
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    approx.foreach { case (et, n, a50, a95) =>
+      assert(n > 150, s"$et: 1-in-10 sample unexpectedly small ($n)")
+      val full = vals(et)
+      def cdf(x: Double): Double = full.count(_ <= x).toDouble / full.length
+      val d50 = 3 * math.sqrt(0.25 / n) + 0.01
+      val d95 = 3 * math.sqrt(0.0475 / n) + 0.01
+      assert(math.abs(cdf(a50) - 0.5) <= d50,
+        s"$et p50: $a50 at CDF ${cdf(a50)}, envelope ±$d50")
+      assert(math.abs(cdf(a95) - 0.95) <= d95,
+        s"$et p95: $a95 at CDF ${cdf(a95)}, envelope ±$d95")
+    }
+  }
 
   test("HLL approx_count_distinct within 2x rsd of exact per event_type") {
     val rsd = 0.01 // the rsd the registered ev_approx_users query passes
