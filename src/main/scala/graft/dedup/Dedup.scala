@@ -691,6 +691,58 @@ object Dedup {
       bandRows(minhashSignatures(oldDocs)),
       estThreshold)
 
+  /** Ledger-health readout — the batch twin of the `batch=` layout the
+    * streaming [[graft.streaming.DedupLedger]] accumulates (same
+    * simulated-batch device as [[ledgerFlags]], widened to `nBatches`):
+    * per ingest batch, what its partition holds (docs, band rows,
+    * distinct buckets) AND what a probe arriving at that batch id has
+    * to scan — partitions, total ledger rows, and the worst per-bucket
+    * collision list (`probe_bucket_max`, the longest posting list one
+    * incoming band row can meet). The three probe columns are the
+    * when-to-compact curve: partitions grow one per batch until
+    * [[graft.streaming.DedupLedger.compact]] folds them (the
+    * filesystem-grain view of the same numbers is
+    * [[graft.streaming.DedupLedger.ledgerHealth]], spec-verified
+    * against a real on-disk ledger before and after compaction).
+    *
+    * Scale: the banding is the [[ledgerFlags]] pipeline; the probe view
+    * is a bounded ×nBatches unfold (each band row visible to the ≤
+    * nBatches−1 later probe ids — a broadcast of the literal id table,
+    * never data×data) feeding two hash aggregates; everything after is
+    * |batches| rows.
+    */
+  def ledgerStats(docs: DataFrame, nBatches: Int = 4): DataFrame = {
+    val tagged = docs.select(col("doc_id"),
+      pmod(
+        graft.Cols.hash60(concat(lit("batch:"), col("doc_id").cast("string"))),
+        lit(nBatches.toLong)).as("__batch"))
+    val bands = bandRows(minhashSignatures(docs))
+      .join(tagged, "doc_id")
+    val own = bands.groupBy(col("__batch").as("batch"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("band"), col("bucket")).as("n_buckets"))
+    val ids = broadcast(
+      docs.sparkSession.range(0L, nBatches.toLong).select(col("id").as("batch")))
+    val probed = ids.join(bands, col("__batch") < col("batch"), "left")
+    val pAgg = probed.groupBy(col("batch"))
+      .agg(
+        count(col("doc_id")).as("probe_rows"),
+        countDistinct(col("__batch")).as("n_partitions_probed"))
+    val pBk = probed.filter(col("doc_id").isNotNull)
+      .groupBy(col("batch"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bk"))
+      .groupBy(col("batch"))
+      .agg(max(col("bk")).as("probe_bucket_max"))
+    own.join(pAgg, Seq("batch"))
+      .join(pBk, Seq("batch"), "left")
+      .na.fill(0L, Seq("probe_bucket_max"))
+      .select(
+        col("batch"), col("n_docs"), col("n_rows"), col("n_buckets"),
+        col("n_partitions_probed"), col("probe_rows"), col("probe_bucket_max"))
+  }
+
   /** Distinct shingle set per doc as a sorted array + its size — the
     * exact-verification side table candidate-pair operators join against.
     */
@@ -1514,6 +1566,9 @@ object Dedup {
         tagged.filter(col("__batch") === 1).drop("__batch"),
         tagged.filter(col("__batch") === 0).drop("__batch"))
     }),
+    // per-batch ledger health + probe-cost curve (partitions/rows/worst
+    // bucket a probe scans) — the when-to-compact readout
+    "tbl_ledger_stats" -> ((s, d) => ledgerStats(Tables.documents(s, d))),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(Tables.documents(s, d))),
     "dedup_lsh_pr_curve" -> ((s, d) => lshPrCurve(Tables.documents(s, d))),
     "dedup_lsh_band_design" -> ((s, d) => lshBandDesign(Tables.documents(s, d))),
@@ -1904,6 +1959,49 @@ object Dedup {
          |FROM cand
          |WHERE round(len(list_filter([sig1[i] = sig2[i] for i in generate_series(1, $NumPerms)],
          |                            x -> x))::DOUBLE / $NumPerms, 4) >= $EstThreshold""".stripMargin,
+    // the dedup_ledger banding at nBatches=4, then per batch the owned
+    // partition stats and the `batch < id` probe view (LEFT non-equi join
+    // against the 4-row id table so batch 0's probe reads zeros)
+    "tbl_ledger_stats" ->
+      s"""$tokCte, bt AS (
+         |  SELECT doc_id, ${h60("'batch:' || doc_id")} % 4 AS b FROM documents
+         |), h AS (
+         |  SELECT doc_id, p.perm AS perm, min(${h60("p.perm || ':' || shingle")}) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS perm) p
+         |  GROUP BY doc_id, p.perm
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY perm) AS sig FROM h GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, bb.band AS band,
+         |         md5(array_to_string(sig[bb.band*$BandRows+1 : bb.band*$BandRows+$BandRows], ',')) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms / BandRows - 1})) AS band) bb
+         |), bb2 AS (
+         |  SELECT bands.doc_id, bands.band, bands.bucket, bt.b
+         |  FROM bands JOIN bt USING (doc_id)
+         |), own AS (
+         |  SELECT b AS batch, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |    count(*)::BIGINT AS n_rows,
+         |    count(DISTINCT band || ':' || bucket)::BIGINT AS n_buckets
+         |  FROM bb2 GROUP BY 1
+         |), probed AS (
+         |  SELECT r.batch, bb2.doc_id, bb2.band, bb2.bucket, bb2.b
+         |  FROM range(0, 4) r(batch) LEFT JOIN bb2 ON bb2.b < r.batch
+         |), pagg AS (
+         |  SELECT batch, count(doc_id)::BIGINT AS probe_rows,
+         |    count(DISTINCT b)::BIGINT AS n_partitions_probed
+         |  FROM probed GROUP BY 1
+         |), pbk AS (
+         |  SELECT batch, max(bk)::BIGINT AS probe_bucket_max FROM (
+         |    SELECT batch, band, bucket, count(*)::BIGINT AS bk
+         |    FROM probed WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3
+         |  ) GROUP BY 1
+         |)
+         |SELECT o.batch, o.n_docs, o.n_rows, o.n_buckets,
+         |  pagg.n_partitions_probed, pagg.probe_rows,
+         |  coalesce(pbk.probe_bucket_max, 0)::BIGINT AS probe_bucket_max
+         |FROM own o
+         |JOIN pagg ON pagg.batch = o.batch
+         |LEFT JOIN pbk ON pbk.batch = o.batch""".stripMargin,
     "dedup_simhash" -> s"$simhashCte\nSELECT doc_id, simhash FROM sigs",
     // est_e4 = 625·(matching permutations) — exact (k/16 is a binary
     // fraction); exact side = un-capped shingle jaccard on candidates only

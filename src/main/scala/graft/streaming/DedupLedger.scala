@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -184,6 +185,46 @@ object DedupLedger {
       require(fs.delete(p, true), s"failed to delete folded partition $p")
     }
     parts.length
+  }
+
+  /** Filesystem-grain ledger health — what [[Dedup.ledgerStats]] models
+    * in-plan, read off the REAL `batch=` directory layout: one row per
+    * partition with its parquet file count and row count, plus the
+    * probe-cost columns a compact decision reads (`cum_partitions` /
+    * `cum_files`: a probe at batch b lists and opens every partition
+    * `< b`, so these cumulative columns ARE its per-batch open cost —
+    * after [[compact]] the same rows sit in one partition and the
+    * columns collapse). Row counts survive compaction (duplicates from
+    * a crash-looped compact can only raise them; the probe's distinct
+    * collapses those), file/partition counts are what shrink.
+    *
+    * Scale: the listing is |partitions| driver-side filesystem metadata
+    * (the same listing every probe already performs); the row counts
+    * are one partition-pruned parquet count aggregate.
+    */
+  def ledgerHealth(spark: SparkSession, ledgerDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, col => c}
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .map { p =>
+        val n = fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+        (p.getName.stripPrefix("batch=").toLong, n.toLong)
+      }.toSeq
+    import spark.implicits._
+    val rows = spark.read.parquet(ledgerDir)
+      .groupBy(c("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_rows"))
+    files.toDF("batch", "n_files")
+      .join(rows, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .withColumn("cum_partitions",
+        sum(lit(1L)).over(Window.orderBy(c("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_files",
+        sum(c("n_files")).over(Window.orderBy(c("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** All dup reports so far, with the flagging batch id as a column

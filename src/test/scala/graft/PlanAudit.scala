@@ -87,6 +87,10 @@ object PlanAudit {
     // r11: inherits coOccurrence's 1-row group-total broadcast (the
     // li_local_cc input shape)
     "li_edge_support",
+    // r12: the nBatches-row (4) literal probe-id table joined non-equi
+    // (batch < id) onto the band table — a bounded ×nBatches unfold,
+    // never data×data
+    "tbl_ledger_stats",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",

@@ -92,6 +92,40 @@ class DedupLedgerSpec extends SparkSpec {
     }
   }
 
+  test("ledgerHealth: compact shrinks the probe-cost columns, preserves every row") {
+    val root = java.nio.file.Files.createTempDirectory("dedup_ledger_health")
+    val ledgerDir = root.resolve("ledger").toString
+    val dupsDir = root.resolve("dups").toString
+    try {
+      DedupLedger.processBatch(
+        Seq((1L, original), (2L, unrelated)).toDF("doc_id", "text"), 0L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((3L, unique)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
+      DedupLedger.processBatch(
+        Seq((4L, "entirely fresh content about mountain weather stations")
+        ).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
+      def health() = DedupLedger.ledgerHealth(spark, ledgerDir)
+        .select($"batch", $"n_files", $"n_rows", $"cum_partitions", $"cum_files")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      val before = health()
+      assert(before.map(_._1) === List(0L, 1L, 2L))
+      // the probe-cost columns: a batch-3 probe opens 3 partitions today
+      assert(before.last._4 === 3L)
+      val rowsBefore = before.map(_._3).sum
+      assert(DedupLedger.compact(spark, ledgerDir, upTo = 3L) === 3)
+      val after = health()
+      // one consolidated partition at the LARGEST folded id
+      assert(after.map(_._1) === List(2L))
+      // probe cost reduced: the same batch-3 probe now opens 1 partition
+      // and fewer-or-equal files; no row went missing
+      assert(after.last._4 === 1L)
+      assert(after.last._5 <= before.last._5)
+      assert(after.map(_._3).sum === rowsBefore)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("compact mid-swap visibility is a SUPERSET: duplicated rows change no flags (probe-safe)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_ledger_midswap")
     val ledgerDir = root.resolve("ledger").toString
