@@ -779,6 +779,12 @@ object SparkEntry {
       graft.ops.Analytics.trussSummary(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // per-node core number (full k-core decomposition) — the degeneracy
+    // feature at node grain, the kCore fixed-k readout generalized
+    "li_core_number" -> ((s, dir) =>
+      graft.ops.Analytics.coreNumbers(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -1186,6 +1192,21 @@ object SparkEntry {
        |  FROM e3$tag GROUP BY 1, 2
        |)""".stripMargin
 
+  /** The lineitem basket co-occurrence graph as a canonical
+    * `s0 (item_a, item_b)` edge CTE — the shared base of the
+    * li_truss_peel / li_truss_summary / li_core_number oracles (the
+    * li_edge_support / li_local_cc input shape).
+    */
+  private def basketGraphCte: String =
+    """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      |gi AS (SELECT grp, item FROM gi0
+      |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+      |s0 AS MATERIALIZED (
+      |  SELECT a.item AS item_a, b.item AS item_b
+      |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)""".stripMargin
+
   /** The full unrolled k-truss peel over the lineitem basket graph:
     * support recomputed per round (inner join is exact for thresholds
     * ≥ 1 — a zero-support edge is absent from sup and fails anyway).
@@ -1205,15 +1226,7 @@ object SparkEntry {
          |  FROM $src s JOIN $sup p ON p.item_a = s.item_a AND p.item_b = s.item_b
          |  WHERE p.support >= $thr
          |)""".stripMargin
-    val base =
-      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-        |gi AS (SELECT grp, item FROM gi0
-        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
-        |s0 AS MATERIALIZED (
-        |  SELECT a.item AS item_a, b.item AS item_b
-        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), """.stripMargin
+    val base = s"$basketGraphCte, "
     // (survivor, peeled-from, support-of-source, threshold k−2);
     // k=3 needs 2 unrolls and k=4 six — the measured sf0.001 depth
     // (the densest fixture: 2244 → 2048 → 1997 → 1973 → 1968 → 1966)
@@ -1237,6 +1250,59 @@ object SparkEntry {
         |  LEFT JOIN s32 t3 ON t3.item_a = s0.item_a AND t3.item_b = s0.item_b
         |  LEFT JOIN s46 t4 ON t4.item_a = s0.item_a AND t4.item_b = s0.item_b
         |)""".stripMargin
+  }
+
+  /** Unrolled degree-peel chain for the li_core_number oracle: level k
+    * peels level k−1's fixpoint edge CTE for the measured number of
+    * rounds (each round one degree CTE + one both-endpoints filter);
+    * ends by flagging every graph node against each level's surviving
+    * node set. Depths are the measured fixpoint depths of the deepest
+    * fixture plus one confirming round — Spark's capped peel converges
+    * regardless, so a deeper fixture is a hash MISMATCH, not silent
+    * agreement (the trussPeelCtes contract).
+    */
+  private def coreOracleSql: String = {
+    // measured effective depths + 1 confirm across ALL fixtures (each
+    // level's deepest fixture governs): sf0.01 k=3 grinds 10 effective
+    // rounds (3108 → … → 1970), sf0.1 k=2 peels its pendant mass in 5
+    // (3573 → 363 → 55 → 10 → 4 → 3), sf0.001 is already its own 4-core
+    val depths = Seq(2 -> 6, 3 -> 11, 4 -> 6)
+    val sb = new StringBuilder(basketGraphCte)
+    var prev = "s0"
+    val lastOf = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    for ((k, d) <- depths; r <- 1 to d) {
+      val name = s"e${k}_$r"
+      sb ++= s""", deg${k}_$r AS (
+         |  SELECT node, count(*)::BIGINT AS d FROM (
+         |    SELECT item_a AS node FROM $prev
+         |    UNION ALL SELECT item_b FROM $prev)
+         |  GROUP BY 1
+         |), $name AS MATERIALIZED (
+         |  SELECT e.item_a, e.item_b FROM $prev e
+         |  JOIN deg${k}_$r da ON da.node = e.item_a AND da.d >= $k
+         |  JOIN deg${k}_$r db ON db.node = e.item_b AND db.d >= $k
+         |)""".stripMargin
+      prev = name
+      lastOf(k) = name
+    }
+    for ((k, last) <- lastOf)
+      sb ++= s""", n$k AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT item_a AS node FROM $last
+         |    UNION ALL SELECT item_b FROM $last)
+         |)""".stripMargin
+    sb ++= """, an AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT item_a AS node FROM s0 UNION ALL SELECT item_b FROM s0)
+       |)
+       |SELECT an.node, (CASE""".stripMargin
+    for ((k, _) <- lastOf.toSeq.reverse)
+      sb ++= s" WHEN n$k.node IS NOT NULL THEN $k"
+    sb ++= """ ELSE 1 END)::BIGINT AS core
+       |FROM an""".stripMargin
+    for ((k, _) <- lastOf)
+      sb ++= s"\nLEFT JOIN n$k ON n$k.node = an.node"
+    sb.toString
   }
 
   def oracleSql: Map[String, String] =
@@ -4351,6 +4417,8 @@ object SparkEntry {
         |  (CASE WHEN coalesce(s.support, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT AS in_3truss,
         |  (CASE WHEN coalesce(s.support, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT AS in_4truss
         |FROM e LEFT JOIN sup s ON s.item_a = e.src AND s.item_b = e.dst""".stripMargin,
+    // generated degree-peel unroll to each level's measured fixpoint
+    "li_core_number" -> coreOracleSql,
     // the li_edge_support chain unrolled to the peel fixpoint per level
     // (generated: one support stack per round over the shrinking set)
     "li_truss_peel" ->

@@ -1860,6 +1860,75 @@ object Analytics {
         col("n_core_nodes"), col("n_core_edges"))
   }
 
+  /** Full k-core decomposition — per-node CORE NUMBER (the max k whose
+    * k-core contains the node), where [[kCore]] answers one fixed k:
+    * the degeneracy feature every graph-ML pipeline attaches to nodes
+    * (spam scoring, community seeding, peel-order sampling), and the
+    * node-grain sibling of [[trussPeel]]'s edge trussness. Core 1 =
+    * touches an edge but survives no 2-core (pendant trees peel away),
+    * core k = survives the degree-≥k peel to fixpoint.
+    *
+    * Same incremental discipline as [[trussPeel]]: the (k+1)-core is a
+    * subgraph of the k-core, so level k peels level k−1's fixpoint
+    * instead of the full graph, each round is one degree aggregate +
+    * two semi-joins bounded by the shrinking edge set, rounds early-exit
+    * at the fixpoint via the eager checkpoint's row count, and retired
+    * rounds are freed. The per-level cap is MEASURED on the fixtures
+    * (pendant CHAINS peel one hop per round, so the k=2 level dominates
+    * depth — the sf0.01 basket graph's longest chain sets it) and
+    * spec-pinned cap ≡ cap+2 so a deeper fixture fails a test instead
+    * of shipping an unconverged core.
+    */
+  def coreNumbers(edges: DataFrame, kMax: Int = 4, rounds: Int = 12): DataFrame = {
+    def nodesOf(e: DataFrame) =
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+    val e0 = edges.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).distinct()
+      .localCheckpoint()
+    val allNodes = nodesOf(e0).distinct().localCheckpoint()
+    var cur = e0
+    var curN = cur.count()
+    val levels = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
+    for (k <- 2 to kMax) {
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
+        val keep = nodesOf(cur).groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k.toLong).select(col("node"))
+        val next = cur
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        val nextN = next.count()
+        if (sys.env.contains("GRAFT_CORE_DEBUG"))
+          System.err.println(s"[core] k=$k cur=$curN next=$nextN")
+        if (nextN == curN) {
+          graft.LocalCheckpoints.free(next)
+          converged = true
+        } else {
+          if (!(cur eq e0)) graft.LocalCheckpoints.free(cur)
+          cur = next
+          curN = nextN
+        }
+      }
+      // the level's surviving NODE set is all the flag join needs; the
+      // edge set stays only as the next level's peel input
+      levels += ((k, nodesOf(cur).distinct().localCheckpoint()))
+    }
+    if (!(cur eq e0)) graft.LocalCheckpoints.free(cur)
+    graft.LocalCheckpoints.free(e0)
+    val flagged = levels.foldLeft(allNodes) { case (acc, (k, s)) =>
+      acc.join(s.withColumn(s"__c$k", lit(1L)), Seq("node"), "left")
+    }
+    // ascending fold wraps lower levels inside higher ones — the
+    // outermost case is the highest k (the trussPeel ordering law)
+    flagged.select(
+      col("node"),
+      levels.foldLeft(lit(1L)) { case (tail, (k, _)) =>
+        when(col(s"__c$k") === 1L, k.toLong).otherwise(tail)
+      }.as("core"))
+  }
+
   /** Connected components of an undirected edge table by fixed-round
     * HashMin flooding WITH pointer jumping: every node starts labeled
     * with its own id, and each round (a) takes the min over itself and

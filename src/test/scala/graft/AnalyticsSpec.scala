@@ -824,6 +824,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(midCap === List((2L, 3445L, 1880L), (3L, 181L, 165L), (4L, 0L, 0L)))
   }
 
+  test("coreNumbers: pendant chain bottoms out at core 1, the clique at its degree") {
+    import graft.ops.Analytics
+    // K4 plus pendant path 4-5-6: node 5 starts at degree 2 but is NOT
+    // in the 2-core — peeling 6 (degree 1) strands it, the cascade the
+    // one-shot degree filter misses. K4 nodes peel at k=4 (degree 3).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Analytics.coreNumbers(edges, kMax = 4, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("coreNumbers: registered round cap reaches the fixpoint on every fixture") {
+    import graft.ops.Analytics
+    // the oracle unrolls measured depths (k=3 at sf0.01 grinds 10
+    // effective rounds, k=2 at sf0.1 five) — the registered cap must
+    // already be the fixpoint so the unroll can't silently under-peel
+    def hist(dir: String, rounds: Int) = {
+      val edges = Analytics.coOccurrence(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+        .select($"item_a".as("src"), $"item_b".as("dst"))
+        .localCheckpoint()
+      Analytics.coreNumbers(edges, kMax = 4, rounds = rounds)
+        .groupBy($"core").count().as[(Long, Long)].collect().sortBy(_._1).toList
+    }
+    assert(hist("/root/testdata/sf0.01", 12) === hist("/root/testdata/sf0.01", 14))
+    assert(hist("/root/testdata/sf0.01", 12) ===
+      List((1L, 345L), (2L, 600L), (3L, 935L)))
+    assert(hist("/root/testdata/sf0.1", 12) === hist("/root/testdata/sf0.1", 14))
+  }
+
   test("linkPrediction: distance-2 non-edges ranked by common neighbors") {
     // square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4. The only
     // non-adjacent distance-2 pair is (1,4), reachable through BOTH 2 and

@@ -69,4 +69,13 @@ class CheckpointHygieneSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(newPersisted(Analytics.trussPeel(chain, kMax = 4, rounds = 5).collect()) === 3)
   }
+
+  test("coreNumbers frees the edge sets; only the node table and level sets stay") {
+    // kept: allNodes + one node set per level (kMax − 1 = 3); the
+    // canonical edge table and every peel round's edge set are freed
+    import graft.ops.Analytics
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    assert(newPersisted(Analytics.coreNumbers(g, kMax = 4, rounds = 6).collect()) === 4)
+  }
 }
