@@ -220,6 +220,26 @@ object SparkEntry {
         .filter(col("n_events") * 200 >= col("__total"))
         .select(col("user_id"), col("n_events"))
     }),
+    // incremental heavy hitters — the streaming CountLedger's batch twin:
+    // per simulated ingest batch, the users holding ≥ 0.5% of everything
+    // seen SO FAR (cumulative partial-count merge, the batch ≤ id cut)
+    "ev_heavy_incr" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .select(col("user_id"),
+          pmod(
+            graft.Cols.hash60(concat(lit("cb:"), col("event_id").cast("string"))),
+            lit(4L)).as("__batch"))
+        .groupBy(col("__batch"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val ids = broadcast(s.range(0L, 4L).select(col("id").as("batch")))
+      val cum = ids.join(per, col("__batch") <= col("batch"))
+        .groupBy(col("batch"), col("user_id"))
+        .agg(sum(col("n")).as("n_events"))
+      val tot = cum.groupBy(col("batch")).agg(sum(col("n_events")).as("total_events"))
+      cum.join(tot, "batch")
+        .filter(col("n_events") * 200L >= col("total_events"))
+        .select(col("batch"), col("user_id"), col("n_events"), col("total_events"))
+    }),
     // ordered funnel with a 24 h conversion window: view → click →
     // purchase, each stage strictly after the previous and within 24 h of
     // funnel entry — a chain of shrinking per-stage aggregates, counts
@@ -1441,6 +1461,25 @@ object SparkEntry {
     "ev_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         |HAVING count(*) * 200 >= (SELECT count(*) FROM events)""".stripMargin,
+    // per-batch partial counts merged cumulatively (batch ≤ id), 0.5%
+    // rule against each snapshot's own running total
+    "ev_heavy_incr" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5('cb:' || event_id), 1, 15))::BIGINT % 4 AS bt
+        |  FROM events
+        |), per AS (
+        |  SELECT bt, user_id, count(*)::BIGINT AS n FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT r.batch, per.user_id, sum(per.n)::BIGINT AS n_events
+        |  FROM range(0, 4) r(batch) JOIN per ON per.bt <= r.batch
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT batch, sum(n_events)::BIGINT AS total_events FROM cum GROUP BY 1
+        |)
+        |SELECT cum.batch, cum.user_id, cum.n_events, tot.total_events
+        |FROM cum JOIN tot USING (batch)
+        |WHERE cum.n_events * 200 >= tot.total_events""".stripMargin,
     "cs_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events

@@ -91,6 +91,9 @@ object PlanAudit {
     // (batch < id) onto the band table — a bounded ×nBatches unfold,
     // never data×data
     "tbl_ledger_stats",
+    // r12: the same 4-row snapshot-id unfold (batch ≤ id) over per-batch
+    // partial counts + the 1-row running-total broadcast
+    "ev_heavy_incr",
     // r9: per round, the 1-row top-pair and 1-row post-merge-count
     // broadcasts (both TakeOrdered/aggregate outputs)
     "txt_bpe_merges", "txt_bpe_compression",
