@@ -935,6 +935,65 @@ object Similarity {
     perRound.reduce(_.unionByName(_))
   }
 
+  /** Residual quantization (RQ) — the additive alternative to
+    * [[productQuantize]]'s subspace split: stage 1 assigns each vector
+    * to its nearest FULL-dimension coarse centroid; stage 2 quantizes
+    * the RESIDUAL (vector − centroid) against a second full-dimension
+    * codebook, so the reconstruction is a SUM of two codewords rather
+    * than a concatenation of four — the shape behind two-level IVF-ADC
+    * and RQ-based ANN stacks. Both codebooks are deterministic (the
+    * PQ/kmeans seed idiom): stage 1 = the `k` lowest vec_ids' vectors,
+    * stage 2 = the residuals of vec_ids k..2k−1 PLUS the explicit zero
+    * codeword (id −1) — zero membership is what makes the descent
+    * `err_stage2 ≤ err_stage1` unconditional (keeping your residual
+    * costs nothing), spec-pinned. Output: one row per stage with the
+    * corpus count, total squared error after that stage, and how many
+    * codewords the corpus actually uses (a starved codebook is the
+    * retrain signal).
+    *
+    * Scale: two corpus scans, each against a ≤ (k+1)-row broadcast
+    * codebook (the [[pqTrainStep]] shape at full dimension); the
+    * assigned-centroid vector rides the argmin struct (arrays order
+    * lexicographically AFTER (dist, cid), which never tie), so the
+    * residual needs no second join against the codebook.
+    */
+  def rqTrain(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+    val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
+    val cb1 = broadcast(
+      q.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("qv").as("cqv")))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val asg1 = q.crossJoin(cb1)
+      .select(col("vec_id"), col("qv"),
+        struct(l2(col("qv"), col("cqv")).as("dist"), col("cid"), col("cqv")).as("__s"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__s")).as("m"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("m.cid").as("c1"), col("m.dist").as("d1"),
+        zip_with(col("qv"), col("m.cqv"), (a, b) => a - b).as("rv"))
+    val zeroRow = q.sparkSession.range(1L)
+      .select(lit(-1L).as("cid2"),
+        array(Seq.fill(dim)(lit(0L)): _*).as("c2v"))
+    val cb2 = broadcast(
+      asg1.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
+        .select(col("vec_id").as("cid2"), col("rv").as("c2v"))
+        .unionByName(zeroRow))
+    val asg2 = asg1.crossJoin(cb2)
+      .select(col("vec_id"),
+        struct(l2(col("rv"), col("c2v")).as("dist"), col("cid2")).as("__s"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__s")).as("m"))
+      .select(col("vec_id"), col("m.cid2").as("c2"), col("m.dist").as("d2"))
+    val s1 = asg1.agg(
+      count(lit(1)).as("n_vecs"), sum(col("d1")).as("err_total"),
+      countDistinct(col("c1")).as("n_codes_used"))
+      .select(lit(1L).as("stage"), col("n_vecs"), col("err_total"), col("n_codes_used"))
+    val s2 = asg2.agg(
+      count(lit(1)).as("n_vecs"), sum(col("d2")).as("err_total"),
+      countDistinct(col("c2")).as("n_codes_used"))
+      .select(lit(2L).as("stage"), col("n_vecs"), col("err_total"), col("n_codes_used"))
+    s1.unionByName(s2)
+  }
+
   /** ADC (asymmetric distance computation) top-k over the PQ codes —
     * the search half of the [[productQuantize]] compression: the corpus
     * is represented ONLY by its per-subspace centroid codes (4 small ints
@@ -2165,6 +2224,9 @@ object Similarity {
     // PQ Lloyd unrolled to convergence readout: per (round, subspace)
     // assignment error in and refit error out — monotone non-increasing
     "emb_pq_train2" -> ((s, d) => pqTrainConverge(Tables.embeddings(s, d))),
+    // residual quantization: per-stage error + codeword usage — the
+    // additive (two-level) quantizer next to PQ's subspace split
+    "emb_rq_train" -> ((s, d) => rqTrain(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -2264,6 +2326,57 @@ object Similarity {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // two full-dim assignment scans: stage 1 against the seed codebook,
+    // stage 2 of the residuals against the residual codebook + zero
+    "emb_rq_train" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), cb1 AS (
+        |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid,
+        |    list_sum([(q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i])
+        |              for i in range(1, 65)])::BIGINT AS dist
+        |  FROM q CROSS JOIN cb1 c
+        |), a1 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1
+        |  ) WHERE rn = 1
+        |), rv AS (
+        |  SELECT a1.vec_id, a1.cid AS c1, a1.dist AS d1v,
+        |    [q.qv[i] - cb1.cqv[i] for i in range(1, 65)] AS rv
+        |  FROM a1 JOIN q USING (vec_id) JOIN cb1 ON cb1.cid = a1.cid
+        |), cb2 AS (
+        |  SELECT vec_id AS cid2, rv AS c2v FROM rv
+        |  WHERE vec_id >= 8 AND vec_id < 16
+        |  UNION ALL SELECT -1, [0::BIGINT for i in range(1, 65)]
+        |), d2 AS (
+        |  SELECT rv.vec_id, c.cid2,
+        |    list_sum([(rv.rv[i] - c.c2v[i]) * (rv.rv[i] - c.c2v[i])
+        |              for i in range(1, 65)])::BIGINT AS dist
+        |  FROM rv CROSS JOIN cb2 c
+        |), a2 AS (
+        |  SELECT vec_id, cid2, dist FROM (
+        |    SELECT vec_id, cid2, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid2) AS rn
+        |    FROM d2
+        |  ) WHERE rn = 1
+        |), s1 AS (
+        |  SELECT 1::BIGINT AS stage, count(*)::BIGINT AS n_vecs,
+        |    sum(d1v)::BIGINT AS err_total,
+        |    count(DISTINCT c1)::BIGINT AS n_codes_used
+        |  FROM rv
+        |), s2 AS (
+        |  SELECT 2::BIGINT AS stage, count(*)::BIGINT AS n_vecs,
+        |    sum(dist)::BIGINT AS err_total,
+        |    count(DISTINCT cid2)::BIGINT AS n_codes_used
+        |  FROM a2
+        |)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin,
     "emb_pq_train2" -> (
       """WITH q AS (
         |  SELECT vec_id,

@@ -108,6 +108,9 @@ object PlanAudit {
     // r11: same codebook broadcast for the refit assignment scan + the
     // |subspaces·k|-row grid/displacement joins
     "emb_pq_train",
+    // r12: two (k+1)-row broadcast codebooks (coarse + residual), both
+    // bounded by k, never data size
+    "emb_rq_train",
     // same k-row codebook broadcast for encode + the per-query ADC table
     "ann_topk_pq",
     // |labels|-row centroid probe + the same codebook/ADC broadcasts

@@ -695,6 +695,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rqTrain: residual stage recovers what the coarse stage left; zero codeword guarantees descent") {
+    // seeds 0..7 constant at (i+1)·0.1; vecs 8..15 = seed 0 plus
+    // +1..+8 milli in dim 1 (they become the stage-2 codebook, each
+    // quantizing its own residual exactly); vec 16 = seed 0 + 100 milli
+    // in dim 1 — off-codebook, lands on the largest residual codeword
+    def const(v: Float) = Seq.fill(64)(v)
+    val rows = (0 until 8).map(i => (i.toLong, const((i + 1) * 0.1f), 0)) ++
+      (1 to 8).map(j => ((7 + j).toLong, (0.1f + j * 0.001f) +: const(0.1f).tail, 0)) ++
+      Seq((16L, 0.2f +: const(0.1f).tail, 0))
+    val got = Similarity.rqTrain(rows.toDF("vec_id", "embedding", "label"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // stage 1: seeds are exact, vecs 8..15 err j², vec 16 err 100²
+    assert(got.head === ((1L, 17L, (1 to 8).map(j => j * j).sum + 10000L, 8L)))
+    // stage 2: everything recovered except vec 16's (100−8)² gap;
+    // codes used = zero codeword + the 8 residual codewords
+    assert(got(1) === ((2L, 17L, 92L * 92L, 9L)))
+    // unconditional descent on the real sf0.01 embeddings
+    val real = Similarity.rqTrain(Tables.embeddings(spark, "/root/testdata/sf0.01"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).map(_._3)
+    assert(real(1) <= real(0), s"RQ descent violated: ${real.toList}")
+  }
+
   test("ivfAppend: appends assign to the frozen centroids; a mislabeled vector flags mismatch") {
     // discover the deterministic 1-in-5 ingest split the operator uses
     def isApp(id: Long): Boolean = {
