@@ -957,7 +957,12 @@ object Similarity {
     * lexicographically AFTER (dist, cid), which never tie), so the
     * residual needs no second join against the codebook.
     */
-  def rqTrain(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+  /** The shared RQ encode: stage-1 assignments (with residuals), stage-2
+    * assignments, and both codebooks — [[rqTrain]] summarizes it,
+    * [[rqTopK]] searches over its codes.
+    */
+  private def rqEncode(embeddings: DataFrame, k: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
     val cb1 = broadcast(
       q.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("qv").as("cqv")))
@@ -983,6 +988,11 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min(col("__s")).as("m"))
       .select(col("vec_id"), col("m.cid2").as("c2"), col("m.dist").as("d2"))
+    (asg1, asg2, cb1, cb2)
+  }
+
+  def rqTrain(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+    val (asg1, asg2, _, _) = rqEncode(embeddings, k, dim)
     val s1 = asg1.agg(
       count(lit(1)).as("n_vecs"), sum(col("d1")).as("err_total"),
       countDistinct(col("c1")).as("n_codes_used"))
@@ -992,6 +1002,98 @@ object Similarity {
       countDistinct(col("c2")).as("n_codes_used"))
       .select(lit(2L).as("stage"), col("n_vecs"), col("err_total"), col("n_codes_used"))
     s1.unionByName(s2)
+  }
+
+  /** RQ top-k — the serve path of [[rqTrain]]'s codes: the corpus is
+    * represented ONLY by its (stage-1, stage-2) code pair, and a query
+    * precomputes exact integer d² to every RECONSTRUCTION c1 + c2 —
+    * |codebook|² ≤ (k+1)² combinations, so the per-query table is 72
+    * rows against the 4-byte codes, never a touch of the original
+    * vectors. Because the additive distance is to the full
+    * reconstruction (not per-stage sums), there is no separability
+    * approximation beyond the quantization itself — the RQ analog of
+    * [[adcTopK]]'s lookup-table trick with the table indexed by code
+    * PAIR instead of (subspace, code).
+    *
+    * Scale: one corpus-codes scan joined against a broadcast
+    * |queries|·(k+1)²-row distance table (bounded by the query batch);
+    * one per-query top-k window over |queries|·|corpus| scored rows —
+    * the same bound as every ADC variant here.
+    */
+  def rqTopK(embeddings: DataFrame, kTop: Int = TopK,
+      k: Int = 8, dim: Int = 64): DataFrame = {
+    val (asg1, asg2, cb1, cb2) = rqEncode(embeddings, k, dim)
+    val codes = asg1.select(col("vec_id"), col("c1"))
+      .join(asg2.select(col("vec_id"), col("c2")), "vec_id")
+    val combos = cb1.crossJoin(cb2)
+      .select(col("cid").as("a_c1"), col("cid2").as("a_c2"),
+        zip_with(col("cqv"), col("c2v"), (a, b) => a + b).as("recon"))
+    val qd = broadcast(
+      queryBatch(Dedup.quantized(embeddings))
+        .select(col("vec_id").as("query_id"), col("qv"))
+        .crossJoin(combos)
+        .select(col("query_id"), col("a_c1"), col("a_c2"),
+          aggregate(
+            zip_with(col("qv"), col("recon"), (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _).as("rq_d2")))
+    codes
+      .join(qd, col("c1") === col("a_c1") && col("c2") === col("a_c2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rq_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rq_d2"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= kTop)
+  }
+
+  /** Two-stage RQ retrieval — the [[adcRerank]] sandwich over the
+    * code-pair index: a wide code-only shortlist (every corpus vector in
+    * one of 72 cells, ranked by reconstruction distance with id
+    * tie-breaks), exact-cosine reranked to final quality. This is the
+    * shape [[rqRecall]] shows is NECESSARY at this codebook size: 72
+    * cells over thousands of vectors tie massively, so the raw code
+    * ranking's recall collapses (~0 on the sf0.01 fixture) while the
+    * reranked sandwich recovers it (ApproxSpec pins the floor) — the
+    * measured argument for never serving a coarse additive index
+    * without a precision stage.
+    */
+  def rqRerank(embeddings: DataFrame, k: Int = TopK, shortlist: Int = 50): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val short = rqTopK(embeddings, kTop = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = broadcast(queryBatch(q).select(
+      col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2")))
+    val rescored = short
+      .join(queries, "query_id")
+      .join(
+        q.select(col("vec_id").as("neighbor_id"), col("qv"), col("norm2")),
+        "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        Dedup.cosineQ(col("q_qv"), col("q_norm2"), col("qv"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    rescored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** RQ recall@k vs the exact [[bruteForceTopK]] — the [[pqRecall]]
+    * readout for the additive quantizer. At the deterministic 72-cell
+    * codebook this recall COLLAPSES on the fixtures (most queries 0) —
+    * that is the readout's job: it quantifies why [[rqRerank]]'s
+    * precision stage is not optional for a coarse additive index.
+    */
+  def rqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val rq = rqTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(rq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("k"), col("n_hit"),
+        graft.Cols.floorDiv(col("n_hit") * 10000, col("k")).as("recall_e4"))
   }
 
   /** ADC (asymmetric distance computation) top-k over the PQ codes —
@@ -2227,6 +2329,14 @@ object Similarity {
     // residual quantization: per-stage error + codeword usage — the
     // additive (two-level) quantizer next to PQ's subspace split
     "emb_rq_train" -> ((s, d) => rqTrain(Tables.embeddings(s, d))),
+    // RQ serve path: corpus as (c1, c2) code pairs, queries precompute
+    // 72 reconstruction distances — the additive ADC
+    "ann_topk_rq" -> ((s, d) => rqTopK(Tables.embeddings(s, d))),
+    // RQ recall vs exact brute-force truth (the "codebook too coarse"
+    // measurement — near-zero by design at 72 cells)
+    "ann_recall_rq" -> ((s, d) => rqRecall(Tables.embeddings(s, d))),
+    // the production sandwich: 50-deep code shortlist + exact rerank
+    "ann_topk_rq_rerank" -> ((s, d) => rqRerank(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -2325,47 +2435,82 @@ object Similarity {
        |  FROM cents$r c LEFT JOIN rf$r rf ON rf.j = c.j AND rf.code = c.cid
        |)""".stripMargin
 
+  /** The RQ encode as a CTE chain (quantize → stage-1 assign → residual
+    * → stage-2 codebook+zero → stage-2 assign), ending at `a2` — shared
+    * by the emb_rq_train / ann_topk_rq / ann_recall_rq oracles.
+    */
+  private val rqBaseCtes: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+      |  FROM embeddings
+      |), cb1 AS (
+      |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
+      |), d1 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    list_sum([(q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i])
+      |              for i in range(1, 65)])::BIGINT AS dist
+      |  FROM q CROSS JOIN cb1 c
+      |), a1 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1
+      |  ) WHERE rn = 1
+      |), rv AS (
+      |  SELECT a1.vec_id, a1.cid AS c1, a1.dist AS d1v,
+      |    [q.qv[i] - cb1.cqv[i] for i in range(1, 65)] AS rv
+      |  FROM a1 JOIN q USING (vec_id) JOIN cb1 ON cb1.cid = a1.cid
+      |), cb2 AS (
+      |  SELECT vec_id AS cid2, rv AS c2v FROM rv
+      |  WHERE vec_id >= 8 AND vec_id < 16
+      |  UNION ALL SELECT -1, [0::BIGINT for i in range(1, 65)]
+      |), d2 AS (
+      |  SELECT rv.vec_id, c.cid2,
+      |    list_sum([(rv.rv[i] - c.c2v[i]) * (rv.rv[i] - c.c2v[i])
+      |              for i in range(1, 65)])::BIGINT AS dist
+      |  FROM rv CROSS JOIN cb2 c
+      |), a2 AS (
+      |  SELECT vec_id, cid2, dist FROM (
+      |    SELECT vec_id, cid2, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid2) AS rn
+      |    FROM d2
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  /** The RQ code-pair search as CTEs on top of [[rqBaseCtes]], ending at
+    * ranked top-k `rqr (query_id, neighbor_id, rq_d2, rank)`.
+    */
+  private def rqSearchCtes(limit: Int = TopK): String =
+    s""", codes AS (
+       |  SELECT a1.vec_id, a1.cid AS c1, a2.cid2 AS c2
+       |  FROM a1 JOIN a2 USING (vec_id)
+       |), combos AS (
+       |  SELECT cb1.cid AS a_c1, cb2.cid2 AS a_c2,
+       |    [cb1.cqv[i] + cb2.c2v[i] for i in range(1, 65)] AS recon
+       |  FROM cb1 CROSS JOIN cb2
+       |), qd AS (
+       |  SELECT q.vec_id AS query_id, cm.a_c1, cm.a_c2,
+       |    list_sum([(q.qv[i] - cm.recon[i]) * (q.qv[i] - cm.recon[i])
+       |              for i in range(1, 65)])::BIGINT AS rq_d2
+       |  FROM q CROSS JOIN combos cm WHERE q.vec_id % $QueryStride = 0
+       |), sc AS (
+       |  SELECT qd.query_id, c.vec_id AS neighbor_id, qd.rq_d2
+       |  FROM codes c JOIN qd ON qd.a_c1 = c.c1 AND qd.a_c2 = c.c2
+       |  WHERE c.vec_id <> qd.query_id
+       |), rqr AS (
+       |  SELECT query_id, neighbor_id, rq_d2, rank FROM (
+       |    SELECT query_id, neighbor_id, rq_d2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rq_d2, neighbor_id) AS rank
+       |    FROM sc
+       |  ) WHERE rank <= $limit
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // two full-dim assignment scans: stage 1 against the seed codebook,
     // stage 2 of the residuals against the residual codebook + zero
-    "emb_rq_train" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
-        |  FROM embeddings
-        |), cb1 AS (
-        |  SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8
-        |), d1 AS (
-        |  SELECT q.vec_id, c.cid,
-        |    list_sum([(q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i])
-        |              for i in range(1, 65)])::BIGINT AS dist
-        |  FROM q CROSS JOIN cb1 c
-        |), a1 AS (
-        |  SELECT vec_id, cid, dist FROM (
-        |    SELECT vec_id, cid, dist,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d1
-        |  ) WHERE rn = 1
-        |), rv AS (
-        |  SELECT a1.vec_id, a1.cid AS c1, a1.dist AS d1v,
-        |    [q.qv[i] - cb1.cqv[i] for i in range(1, 65)] AS rv
-        |  FROM a1 JOIN q USING (vec_id) JOIN cb1 ON cb1.cid = a1.cid
-        |), cb2 AS (
-        |  SELECT vec_id AS cid2, rv AS c2v FROM rv
-        |  WHERE vec_id >= 8 AND vec_id < 16
-        |  UNION ALL SELECT -1, [0::BIGINT for i in range(1, 65)]
-        |), d2 AS (
-        |  SELECT rv.vec_id, c.cid2,
-        |    list_sum([(rv.rv[i] - c.c2v[i]) * (rv.rv[i] - c.c2v[i])
-        |              for i in range(1, 65)])::BIGINT AS dist
-        |  FROM rv CROSS JOIN cb2 c
-        |), a2 AS (
-        |  SELECT vec_id, cid2, dist FROM (
-        |    SELECT vec_id, cid2, dist,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid2) AS rn
-        |    FROM d2
-        |  ) WHERE rn = 1
-        |), s1 AS (
+    "emb_rq_train" -> (rqBaseCtes +
+      """, s1 AS (
         |  SELECT 1::BIGINT AS stage, count(*)::BIGINT AS n_vecs,
         |    sum(d1v)::BIGINT AS err_total,
         |    count(DISTINCT c1)::BIGINT AS n_codes_used
@@ -2376,7 +2521,50 @@ object Similarity {
         |    count(DISTINCT cid2)::BIGINT AS n_codes_used
         |  FROM a2
         |)
-        |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin,
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin),
+    // the code-pair ADC: per query 72 reconstruction distances, corpus
+    // joined by its (c1, c2) codes only
+    "ann_topk_rq" -> (rqBaseCtes + rqSearchCtes() +
+      "\nSELECT query_id, neighbor_id, rq_d2, rank FROM rqr"),
+    // two-stage: 72-cell code shortlist at 50, exact-cosine rerank — the
+    // recovery the raw ann_recall_rq curve shows is necessary
+    "ann_topk_rq_rerank" -> (rqBaseCtes + rqSearchCtes(50) +
+      s""", nrm AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), rescored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    round(list_sum([qq.qv[i] * nn.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qq.norm2::DOUBLE) * sqrt(nn.norm2::DOUBLE)), 6) AS cosine
+         |  FROM rqr sh
+         |  JOIN nrm qq ON qq.vec_id = sh.query_id
+         |  JOIN nrm nn ON nn.vec_id = sh.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rescored
+         |) WHERE rank <= $TopK""".stripMargin),
+    // membership join of the RQ ranking against the exact brute truth
+    "ann_recall_rq" -> (rqBaseCtes + rqSearchCtes() +
+      s""", n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), br AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |        round(list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(qq.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
+         |        c.vec_id) AS rank
+         |    FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |    WHERE qq.vec_id % $QueryStride = 0
+         |  ) WHERE rank <= $TopK
+         |)
+         |SELECT b.query_id, count(*) AS k, count(h.rank) AS n_hit,
+         |  (count(h.rank) * 10000) // count(*) AS recall_e4
+         |FROM br b LEFT JOIN rqr h USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin),
     "emb_pq_train2" -> (
       """WITH q AS (
         |  SELECT vec_id,

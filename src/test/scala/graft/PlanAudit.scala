@@ -111,6 +111,9 @@ object PlanAudit {
     // r12: two (k+1)-row broadcast codebooks (coarse + residual), both
     // bounded by k, never data size
     "emb_rq_train",
+    // r12: the same codebooks + the broadcast |queries|·(k+1)²-row
+    // reconstruction-distance table (bounded by the query batch)
+    "ann_topk_rq", "ann_recall_rq", "ann_topk_rq_rerank",
     // same k-row codebook broadcast for encode + the per-query ADC table
     "ann_topk_pq",
     // |labels|-row centroid probe + the same codebook/ADC broadcasts
