@@ -11,11 +11,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * it ([[DedupLedger]] — batch twin `dedup_ledger`), (2) screened
   * against the static benchmark fingerprint index
   * ([[DecontamScreen]] — batch twin `txt_decontam_incr`), and
-  * (3) summarized into a one-row-per-batch admission record: document
-  * count, near-duplicates flagged against history, and benchmark windows
-  * newly contaminated by THIS batch — the row an ingest dashboard pages
-  * on. All three outputs land under `batch=<id>` partitions with
-  * overwrite, so an at-least-once replay rewrites its own rows
+  * (3) optionally counted into the per-key frequency ledger
+  * ([[CountLedger]] — batch twin `ev_heavy_incr`), and (4) summarized
+  * into a one-row-per-batch admission record: document count,
+  * near-duplicates flagged against history, benchmark windows newly
+  * contaminated by THIS batch, and (when frequency tracking is on) how
+  * many keys currently dominate the stream — the row an ingest
+  * dashboard pages on. All outputs land under `batch=<id>` partitions
+  * with overwrite, so an at-least-once replay rewrites its own rows
   * everywhere and the gate is idempotent end to end.
   *
   * Scale: the gate adds nothing to its parts — per batch it is the
@@ -41,23 +44,38 @@ object IngestGate {
   def processBatch(
       batch: DataFrame, batchId: Long, benchIndex: DataFrame,
       ledgerDir: String, dupsDir: String, hitsDir: String,
-      summaryDir: String, benchFps: Option[DataFrame] = None): Unit = {
+      summaryDir: String, benchFps: Option[DataFrame] = None,
+      freq: Option[FreqConfig] = None): Unit = {
     val spark = batch.sparkSession
     val pinned = batch.localCheckpoint(true)
     try {
       DedupLedger.processBatch(pinned, batchId, ledgerDir, dupsDir)
       DecontamScreen.processBatch(pinned, batchId, benchIndex, hitsDir,
         benchFps = benchFps)
+      val nHeavy = freq.fold(-1L) { f =>
+        CountLedger.processBatch(
+          pinned, batchId, f.keyCol, f.countsDir, f.topDir, f.thresholdDenom)
+        spark.read.parquet(s"${f.topDir}/batch=$batchId").count()
+      }
       val nDocs = pinned.count()
       val nDup = spark.read.parquet(s"$dupsDir/batch=$batchId").count()
       val nContam = spark.read.parquet(s"$hitsDir/batch=$batchId").count()
       import spark.implicits._
-      Seq((nDocs, nDup, nContam))
-        .toDF("n_docs", "n_dups_vs_history", "n_contaminated_windows")
+      Seq((nDocs, nDup, nContam, nHeavy))
+        .toDF("n_docs", "n_dups_vs_history", "n_contaminated_windows", "n_heavy_keys")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$summaryDir/batch=$batchId")
     } finally graft.LocalCheckpoints.free(pinned)
   }
+
+  /** Frequency-tracking leg of the gate: which column to count and where
+    * the [[CountLedger]] partials and heavy-hitter snapshots live.
+    * `n_heavy_keys` in the summary is −1 when the leg is off — a stable
+    * schema either way.
+    */
+  final case class FreqConfig(
+      keyCol: String, countsDir: String, topDir: String,
+      thresholdDenom: Long = 200L)
 
   /** Attach the gate as one foreachBatch sink of a streaming document
     * source (columns `doc_id`, `text`). The distinct benchmark
@@ -68,14 +86,15 @@ object IngestGate {
   def attach(
       docs: DataFrame, benchIndex: DataFrame,
       ledgerDir: String, dupsDir: String, hitsDir: String,
-      summaryDir: String, checkpointDir: String): StreamingQuery = {
+      summaryDir: String, checkpointDir: String,
+      freq: Option[FreqConfig] = None): StreamingQuery = {
     val fps = DecontamScreen.benchmarkFingerprints(benchIndex)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, benchIndex, ledgerDir, dupsDir, hitsDir,
-          summaryDir, benchFps = Some(fps))
+          summaryDir, benchFps = Some(fps), freq = freq)
       }
       .start()
   }
@@ -84,5 +103,6 @@ object IngestGate {
   def summary(spark: SparkSession, summaryDir: String): DataFrame =
     spark.read.parquet(summaryDir)
       .select(col("batch").cast("long").as("batch"), col("n_docs"),
-        col("n_dups_vs_history"), col("n_contaminated_windows"))
+        col("n_dups_vs_history"), col("n_contaminated_windows"),
+        col("n_heavy_keys"))
 }

@@ -35,11 +35,12 @@ class IngestGateSpec extends SparkSpec {
         input.addData((3L, cleanA), (4L, contaminated))
         q.processAllAvailable()
         val got = IngestGate.summary(spark, dir("summary"))
-          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+          .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
         assert(got.size === 2)
-        assert(got.head === ((0L, 2L, 0L, 0L)))
+        assert(got.head === ((0L, 2L, 0L, 0L, -1L)))
         val (b, n, d, c) = (got(1)._1, got(1)._2, got(1)._3, got(1)._4)
         assert(b === 1L && n === 2L && d === 1L && c > 0L)
+        assert(got(1)._5 === -1L, "frequency leg off: sentinel column")
       } finally q.stop()
       // replay batch 1 via the plain-batch entry point: every output is
       // rewritten in place, nothing double-counts
@@ -52,6 +53,39 @@ class IngestGateSpec extends SparkSpec {
         .orderBy("batch").collect().toList
       assert(after === before)
       assert(spark.read.parquet(dir("ledger")).select("doc_id").distinct().count() === 4L)
+    } finally {
+      graft.LocalCheckpoints.free(benchIndex)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  test("frequency leg: a source dominating the stream reaches the admission summary") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_gate_freq")
+    def dir(n: String) = root.resolve(n).toString
+    val benchIndex = DecontamScreen.benchmarkIndex(Seq((100L, benchText)).toDF("doc_id", "text"))
+    val freq = Some(IngestGate.FreqConfig("source", dir("counts"), dir("top"),
+      thresholdDenom = 2L))
+    try {
+      // batch 0: balanced sources — each holds EXACTLY 1/2, and the
+      // rule is inclusive, so both flag
+      IngestGate.processBatch(
+        Seq((1L, cleanA, "web"), (2L, cleanB, "books"))
+          .toDF("doc_id", "text", "source"),
+        0L, benchIndex, dir("ledger"), dir("dups"), dir("hits"), dir("summary"),
+        freq = freq)
+      // batch 1: three more web docs — web now holds 4/5 of the stream
+      IngestGate.processBatch(
+        Seq((3L, cleanB + " one", "web"), (4L, cleanB + " two", "web"),
+          (5L, cleanB + " three", "web"))
+          .toDF("doc_id", "text", "source"),
+        1L, benchIndex, dir("ledger"), dir("dups"), dir("hits"), dir("summary"),
+        freq = freq)
+      val got = IngestGate.summary(spark, dir("summary"))
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      assert(got.map(r => (r._1, r._5)) === List((0L, 2L), (1L, 1L)))
+      val heavy = spark.read.parquet(s"${dir("top")}/batch=1")
+        .as[(String, Long, Long)].collect().toList
+      assert(heavy === List(("web", 4L, 5L)))
     } finally {
       graft.LocalCheckpoints.free(benchIndex)
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
