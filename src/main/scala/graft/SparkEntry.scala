@@ -304,6 +304,10 @@ object SparkEntry {
     // exact e4 integer recurrences folded over the day array
     "ev_holt" -> ((s, dir) =>
       graft.ops.Stats.holtBacktest(Tables.events(s, dir))),
+    // Holt–Winters (additive weekly) vs plain Holt, both recursions in
+    // one calendar-bounded fold — the does-seasonality-help readout
+    "ev_holt_winters" -> ((s, dir) =>
+      graft.ops.Stats.holtWintersBacktest(Tables.events(s, dir))),
     // Chapman two-sample population estimator over the calendar halves,
     // self-scored against the true distinct count
     "ev_capture_recapture" -> ((s, dir) =>
@@ -1323,6 +1327,68 @@ object SparkEntry {
     for ((k, _) <- lastOf)
       sb ++= s"\nLEFT JOIN n$k ON n$k.node = an.node"
     sb.toString
+  }
+
+  /** The ev_holt_winters oracle: the ev_holt recursive-CTE walk widened
+    * to carry seven day-of-week seasonal slots plus the plain-Holt twin,
+    * with the recurrence staged in TWO nested subqueries (slot pick,
+    * then level updates) to keep the remainder-corrected floors
+    * readable. Slot CASEs are generated, not hand-written.
+    */
+  private def holtWintersOracleSql: String = {
+    def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) // 2"
+    val sCols = (0 to 6).map(i => s"s$i")
+    val seedS = sCols.map(c => s"0::BIGINT AS $c").mkString(", ")
+    val carryS = sCols.map(c => s"w.$c AS $c").mkString(", ")
+    val passS = sCols.mkString(", ")
+    val sdow = (0 to 6).map(i => s"WHEN dow = $i THEN s$i").mkString("CASE ", " ", " END")
+    val newS = (0 to 6).map(i =>
+      s"(CASE WHEN dow = $i THEN ${fd2(s"y4 - l2 + s$i")} ELSE s$i END)::BIGINT AS s$i")
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+       |    count(*)::BIGINT AS y
+       |  FROM events GROUP BY 1, 2
+       |), dm AS (
+       |  SELECT event_type, day, y, ((day % 7) + 7) % 7 AS dow,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily
+       |), nd AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_days FROM dm GROUP BY 1
+       |), walk AS (
+       |  SELECT event_type, rn, (y * 10000)::BIGINT AS l, 0::BIGINT AS b,
+       |    $seedS,
+       |    (y * 10000)::BIGINT AS lh, 0::BIGINT AS bh,
+       |    0::BIGINT AS hwe, 0::BIGINT AS he, 0::BIGINT AS n
+       |  FROM dm WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, rn,
+       |    l2::BIGINT AS l, (${fd2("l2 - l0 + b0")})::BIGINT AS b,
+       |    $newS,
+       |    lh2::BIGINT AS lh, (${fd2("lh2 - lh0 + bh0")})::BIGINT AS bh,
+       |    (hwe0 + abs(y4 - fc))::BIGINT AS hwe,
+       |    (he0 + abs(y4 - fch))::BIGINT AS he,
+       |    (n0 + 1)::BIGINT AS n
+       |  FROM (
+       |    SELECT *, l0 + b0 + sdow AS fc, lh0 + bh0 AS fch,
+       |      ${fd2("y4 - sdow + l0 + b0")} AS l2,
+       |      ${fd2("y4 + lh0 + bh0")} AS lh2
+       |    FROM (
+       |      SELECT d.event_type, d.rn, d.y * 10000 AS y4, d.dow,
+       |        w.l AS l0, w.b AS b0, $carryS,
+       |        w.lh AS lh0, w.bh AS bh0,
+       |        w.hwe AS hwe0, w.he AS he0, w.n AS n0,
+       |        $sdow AS sdow
+       |      FROM walk w JOIN dm d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+       |    )
+       |  )
+       |)
+       |SELECT w.event_type, nd.n_days, w.n AS n_scored,
+       |  (w.hwe // w.n)::BIGINT AS hw_mae_e4,
+       |  (w.he // w.n)::BIGINT AS holt_mae_e4,
+       |  (CASE WHEN w.hwe // w.n < w.he // w.n THEN 1 ELSE 0 END)::BIGINT AS hw_wins
+       |FROM walk w JOIN nd USING (event_type)
+       |WHERE w.rn = nd.n_days AND w.n > 0""".stripMargin
   }
 
   def oracleSql: Map[String, String] =
@@ -4458,6 +4524,8 @@ object SparkEntry {
         |FROM e LEFT JOIN sup s ON s.item_a = e.src AND s.item_b = e.dst""".stripMargin,
     // generated degree-peel unroll to each level's measured fixpoint
     "li_core_number" -> coreOracleSql,
+    // the ev_holt walk widened with generated seasonal-slot CASEs
+    "ev_holt_winters" -> holtWintersOracleSql,
     // the li_edge_support chain unrolled to the peel fixpoint per level
     // (generated: one support stack per round over the shrinking set)
     "li_truss_peel" ->

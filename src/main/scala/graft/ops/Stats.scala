@@ -481,6 +481,83 @@ object Stats {
         when(col("holt_mae_e4") < col("naive_mae_e4"), 1L).otherwise(0L))
   }
 
+  /** Holt–Winters (additive, weekly) backtest against plain Holt — the
+    * model-selection readout that answers "does weekly seasonality earn
+    * its seven extra state slots on THIS metric": both recursions run
+    * in ONE fold over the same calendar-bounded per-type day array
+    * (the [[holtBacktest]] discipline, state widened to level + trend +
+    * seven day-of-week seasonals + the plain-Holt twin), each day
+    * scored by its one-step-ahead forecast error BEFORE the update.
+    * α = β = γ = ½ (floor halving keeps everything exact integer e4);
+    * seasonals start at 0, so Holt–Winters degrades gracefully to Holt
+    * until each weekday slot has been seen — no warm-up season is
+    * assumed, and the fold never indexes outside its own array. The
+    * seasonal slot keys on the CALENDAR day-of-week (pmod(day, 7)), so
+    * a gap in the data cannot shift every subsequent slot.
+    *
+    * Scale: identical posture to [[holtBacktest]] — one (type × day)
+    * aggregate, then a per-type fold over a calendar-bounded array;
+    * the raw event grain never sorts and no window ever spans data
+    * size.
+    */
+  def holtWintersBacktest(events: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), lit(86400000L))
+    val daily = events
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("__y"))
+    val arr = sort_array(collect_list(struct(col("day"), col("__y"))))
+    def fdiv2(c: Column): Column = Cols.floorDiv(c, lit(2L))
+    val zero = struct(
+      Seq(lit(0L).as("st"), lit(0L).as("l"), lit(0L).as("b")) ++
+        (0 to 6).map(i => lit(0L).as(s"s$i")) ++
+        Seq(lit(0L).as("lh"), lit(0L).as("bh"),
+          lit(0L).as("hwe"), lit(0L).as("he"), lit(0L).as("n")): _*)
+    val folded = aggregate(
+      arr, zero,
+      (acc, x) => {
+        val y = x.getField("__y") * 10000L
+        val dow = pmod(x.getField("day"), lit(7L))
+        val first = acc.getField("st") === 0L
+        val (l, b) = (acc.getField("l"), acc.getField("b"))
+        val sdow = (1 to 6).foldLeft(when(dow === 0L, acc.getField("s0"))) {
+          (w, i) => w.when(dow === i.toLong, acc.getField(s"s$i"))
+        }
+        val fc = l + b + sdow
+        val l2 = fdiv2(y - sdow + l + b)
+        val b2 = fdiv2(l2 - l + b)
+        val (lh, bh) = (acc.getField("lh"), acc.getField("bh"))
+        val fch = lh + bh
+        val lh2 = fdiv2(y + lh + bh)
+        val bh2 = fdiv2(lh2 - lh + bh)
+        struct(
+          Seq(
+            lit(1L).as("st"),
+            when(first, y).otherwise(l2).as("l"),
+            when(first, 0L).otherwise(b2).as("b")) ++
+            (0 to 6).map { i =>
+              val si = acc.getField(s"s$i")
+              when(first, 0L)
+                .otherwise(when(dow === i.toLong, fdiv2(y - l2 + si)).otherwise(si))
+                .as(s"s$i")
+            } ++
+            Seq(
+              when(first, y).otherwise(lh2).as("lh"),
+              when(first, 0L).otherwise(bh2).as("bh"),
+              (acc.getField("hwe") + when(first, 0L).otherwise(abs(y - fc))).as("hwe"),
+              (acc.getField("he") + when(first, 0L).otherwise(abs(y - fch))).as("he"),
+              (acc.getField("n") + when(first, 0L).otherwise(1L)).as("n")): _*)
+      })
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), folded.as("__f"))
+      .filter(col("__f.n") > 0)
+      .select(
+        col("event_type"), col("n_days"), col("__f.n").as("n_scored"),
+        Cols.floorDiv(col("__f.hwe"), col("__f.n")).as("hw_mae_e4"),
+        Cols.floorDiv(col("__f.he"), col("__f.n")).as("holt_mae_e4"))
+      .withColumn("hw_wins",
+        when(col("hw_mae_e4") < col("holt_mae_e4"), 1L).otherwise(0L))
+  }
+
   /** Chapman capture–recapture estimator — the classic two-sample trick
     * for sizing a population you can only sample (total distinct
     * entities behind two partial crawls, dedupe coverage, mark-resight

@@ -689,6 +689,44 @@ class StatsSpec extends SparkSpec {
     assert(gf === (("f", 6L, 5L, 0L, 0L, 0L)))
   }
 
+  test("holtWinters: matches a plain-Scala fold; beats Holt on a weekly series; ties flat") {
+    // strongly weekly series over 4 weeks: Mondays (day % 7 == 0) spike
+    // 10 → 50. Holt pays the full spike error every week; Holt–Winters
+    // learns the slot after the first hit
+    val counts = (0 until 28).map(d => if (d % 7 == 0) 50L else 10L)
+    val rows = for (d <- counts.indices; i <- 0 until counts(d).toInt)
+      yield (1L, "w", d * 86400000L + i, 1.0)
+    val got = Stats.holtWintersBacktest(rows.toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // reference: the same integer recurrences in plain Scala
+    var l = counts.head * 10000L; var b = 0L
+    val s = Array.fill(7)(0L)
+    var lh = l; var bh = 0L; var hwe = 0L; var he = 0L; var n = 0L
+    counts.indices.tail.foreach { d =>
+      val y = counts(d) * 10000L
+      val dow = d % 7
+      hwe += math.abs(y - (l + b + s(dow)))
+      he += math.abs(y - (lh + bh))
+      n += 1
+      val l2 = Math.floorDiv(y - s(dow) + l + b, 2L)
+      val b2 = Math.floorDiv(l2 - l + b, 2L)
+      s(dow) = Math.floorDiv(y - l2 + s(dow), 2L)
+      l = l2; b = b2
+      val lh2 = Math.floorDiv(y + lh + bh, 2L)
+      bh = Math.floorDiv(lh2 - lh + bh, 2L)
+      lh = lh2
+    }
+    val (hwMae, hMae) = (Math.floorDiv(hwe, n), Math.floorDiv(he, n))
+    assert(got === (("w", 28L, n, hwMae, hMae, if (hwMae < hMae) 1L else 0L)))
+    assert(got._6 === 1L, "weekly spike series: Holt–Winters must win")
+    // a constant series: both models exact after day 1, no winner
+    val flat = for (d <- 0 until 9; i <- 0 until 4)
+      yield (1L, "f", d * 86400000L + i, 1.0)
+    val gf = Stats.holtWintersBacktest(flat.toDF("user_id", "event_type", "ts_ms", "value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(gf === (("f", 9L, 8L, 0L, 0L, 0L)))
+  }
+
   test("cusum: a mid-series level shift alarms on the hand-computed day; a flat series never does") {
     // type "f": constant 10.00/day for 10 days — zero deviations, no alarm.
     // type "s": days 0-4 at 10.00, days 5-9 at 40.00. Mean-of-daily-means
