@@ -121,6 +121,23 @@ object BenchGate {
     * move from leaving the gate dormant forever (r11 ADVICE). */
   val DormantRecoveryRuns = 3
 
+  /** The 1.15–1.3× gap between [[AnchorStep]] and [[QuietFactor]] has no
+    * other recovery path: a durable state move INTO that band stays
+    * comparable every run (so the dormancy counter never starts) while
+    * never adoptable (the anchor is a min-ratchet that cannot walk up)
+    * — baselines would freeze forever. After [[DormantRecoveryRuns]]
+    * consecutive comparable-but-slow-unadoptable runs the state is
+    * durable, not a spike, and the anchor steps UP one [[AnchorStep]]
+    * per run until adoption resumes (from anywhere in the band, one
+    * step suffices: 1.3 / 1.15 < 1.15). A transient contention run
+    * cannot move it — the counter resets at the first adoptable run.
+    */
+  def stepUpAnchor(anchor: Double, curProbeBase: Double, staleRuns: Int): Double =
+    if (anchor > 0 && curProbeBase > AnchorStep * anchor &&
+        staleRuns >= DormantRecoveryRuns)
+      math.min(curProbeBase, anchor * AnchorStep)
+    else anchor
+
   /** Next trusted figure: a quiet successful measurement on an adoptable
     * machine state replaces it; anything else — contended run, failed
     * query, machine state outside the adoption band — carries the
@@ -326,7 +343,29 @@ object Bench {
       System.err.println(f"[bench] machine state not comparable to trusted baselines " +
         f"(probe_base $probeBase%.4f vs trusted $prevTpb%.4f) — gate dormant " +
         f"($dormantOut/${BenchGate.DormantRecoveryRuns} runs), baselines carried")
-    val newTpb = BenchGate.nextProbeBase(prevTpb, probeBase, comparableState)
+    val walkedTpb = BenchGate.nextProbeBase(prevTpb, probeBase, comparableState)
+    // comparable-but-not-adoptable in the SLOW direction: the 1.15–1.3×
+    // band where neither the dormancy counter nor the min-ratchet anchor
+    // can recover — count consecutive runs and step the anchor UP once
+    // durable (BenchGate.stepUpAnchor scaladoc)
+    val prevStale = {
+      val f = new java.io.File(detailPath)
+      if (!f.exists()) 0
+      else try new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        .path("stale_adopt_runs").asInt(0)
+      catch { case _: Throwable => 0 }
+    }
+    val slowUnadoptable = comparableState && walkedTpb > 0 &&
+      probeBase > BenchGate.AnchorStep * walkedTpb
+    val staleRuns = if (slowUnadoptable) prevStale + 1 else 0
+    val newTpb = BenchGate.stepUpAnchor(walkedTpb, probeBase, staleRuns)
+    // once the anchor has stepped, the excursion is resolved — a LATER
+    // drift must re-earn its own consecutive-run evidence
+    val staleOut = if (newTpb > walkedTpb) 0 else staleRuns
+    if (newTpb > walkedTpb)
+      System.err.println(f"[bench] $staleRuns consecutive comparable runs above the " +
+        f"adoption band (probe_base $probeBase%.4f vs anchor $walkedTpb%.4f) — " +
+        f"durable mid-band state: anchor stepped up to $newTpb%.4f")
     // adoption is TWO-sided vs the post-walk anchor: a faster state can
     // flag nothing (one-sided comparable) but must not plant deflated
     // baselines either — BenchGate.adoptable has the band arithmetic
@@ -400,7 +439,7 @@ object Bench {
       s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson,""" +
       s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr,""" +
       s""""flagged":$flaggedJson,"gate_dormant":$gateDormant,""" +
-      s""""dormant_slow_runs":$dormantOut$regJson,""" +
+      s""""dormant_slow_runs":$dormantOut,"stale_adopt_runs":$staleOut$regJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

@@ -60,7 +60,12 @@ object CountLedger {
     */
   def mergedCounts(
       spark: SparkSession, countsDir: String, upTo: Option[Long] = None): DataFrame = {
-    val all = spark.read.option("ignoreMissingFiles", "true").parquet(countsDir)
+    // deliberately NO ignoreMissingFiles: counts merge, so a snapshot
+    // racing a compact's deletes would silently UNDERCOUNT if skipped
+    // files were tolerated (the dedup ledger can tolerate them — its
+    // skipped rows have visible duplicates; a skipped partial has none).
+    // Violating the no-concurrent-compact contract fails loudly instead.
+    val all = spark.read.parquet(countsDir)
     upTo.fold(all)(id => all.filter(col("batch") <= id))
       .groupBy(col("key"))
       .agg(sum(col("n")).as("n_events"))
@@ -133,8 +138,13 @@ object CountLedger {
     parts.length
   }
 
-  /** Steps 3 of the protocol, idempotent: delete the folded partitions
-    * named by the marker, swap the stage in, drop the marker.
+  /** Step 3 of the protocol, idempotent at every crash point. The branch
+    * order is load-bearing: once the stage has been renamed into
+    * `batch=<target>`, the target IS the only copy — so when the stage
+    * is absent the folded-partition deletes must skip the target (a
+    * crash between the rename and the marker delete would otherwise
+    * have this recovery pass destroy the consolidated counts it is
+    * supposed to finish installing).
     */
   private def finishCommitted(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
@@ -144,12 +154,16 @@ object CountLedger {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
     val Array(targetS, foldedS) = txt.split(":", 2)
+    val targetDir = new org.apache.hadoop.fs.Path(root, s"batch=$targetS")
+    val stagePresent = fs.exists(tmp)
     foldedS.split(",").map(_.toLong).foreach { b =>
       val p = new org.apache.hadoop.fs.Path(root, s"batch=$b")
-      if (fs.exists(p)) require(fs.delete(p, true), s"failed to delete folded $p")
+      // with the stage gone, batch=<target> holds the merged counts —
+      // it is a SURVIVOR of this recovery pass, not a foldee
+      if ((stagePresent || b.toString != targetS) && fs.exists(p))
+        require(fs.delete(p, true), s"failed to delete folded $p")
     }
-    val targetDir = new org.apache.hadoop.fs.Path(root, s"batch=$targetS")
-    if (fs.exists(tmp))
+    if (stagePresent)
       require(fs.rename(tmp, targetDir), s"failed to swap $tmp into $targetDir")
     require(fs.exists(targetDir), s"committed compact left no $targetDir")
     require(fs.delete(marker, false), s"failed to drop marker $marker")

@@ -53,11 +53,12 @@ object DedupLedger {
     if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
     else
-      // ignoreMissingFiles: a concurrent compact() deletes folded LOWER
-      // partitions only after their rows are already duplicated into the
-      // surviving batch=<target> partition, so a probe racing the delete
-      // may see a listed file vanish mid-scan but never loses a row by
-      // skipping it — the skip is the safe outcome, an error is not.
+      // ignoreMissingFiles: folded partitions are deleted only by reap(),
+      // one full compaction cycle AFTER their rows were duplicated into
+      // the surviving batch=<target> partition — so a probe racing those
+      // deferred deletes listed the directory long after the moves, has
+      // the target's copies in its own file list, and loses nothing by
+      // skipping a vanished original. The skip is the safe outcome.
       spark.read.option("ignoreMissingFiles", "true").parquet(ledgerDir)
         .filter(col("batch") < batchId)
         .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
@@ -108,33 +109,38 @@ object DedupLedger {
     * cut, same as before). Returns the number of partitions folded
     * (0 or 1 = nothing to do).
     *
-    * PROBE-SAFE while the stream runs (the r11 ADVICE race): the swap is
-    * add-duplicates-first, delete-after — the lower partitions' rows are
-    * staged and MOVED INTO the existing `batch=<target>` partition before
-    * any lower partition is deleted, so a concurrent probe sees, at every
-    * instant, a SUPERSET of the pre-compact rows (briefly some rows
-    * twice, via both their old partition and the target). Duplicate
-    * visibility is provably harmless: [[Dedup.flagAgainstBands]] applies
-    * `.distinct()` to candidate pairs before scoring, so duplicated
-    * ledger rows produce bit-identical output. The old delete-then-rename
-    * order had a window where compacted history was partially INVISIBLE
-    * (staged dir hidden from partition discovery) — near-dups silently
-    * admitted. A probe racing the trailing deletes may see a listed file
-    * vanish mid-scan; [[readLedgerBefore]] reads with
-    * `ignoreMissingFiles`, and every skipped row is already present in
-    * `batch=<target>`.
+    * PROBE-SAFE while the stream runs, via add-first + DEFERRED deletes:
+    * the folded rows are staged and MOVED INTO the existing
+    * `batch=<target>` partition, and the folded lower partitions are NOT
+    * deleted in this invocation — a `.reap` manifest names them, and
+    * they fall at the START of the next [[compact]] (or an explicit
+    * [[reap]]). Between the two calls every probe sees a SUPERSET of the
+    * pre-compact rows (some twice — harmless:
+    * [[Dedup.flagAgainstBands]] distincts candidate pairs before
+    * scoring, so duplicated ledger rows produce bit-identical output).
+    * The deferral is what closes the in-flight race the immediate-delete
+    * design had: a probe that LISTED the directory before the moves has
+    * neither the staged copies in its file list nor — had deletes run
+    * immediately — the originals on disk; deferring the deletes one full
+    * compaction cycle means any probe that predates the moves has long
+    * finished when the originals finally fall. The remaining assumption
+    * is explicit and checkable: no single probe spans two compaction
+    * cycles ([[readLedgerBefore]]'s `ignoreMissingFiles` covers a reap
+    * racing a just-listed scan, whose skipped rows are in the target).
     *
     * Contract: call with `upTo` ≤ the oldest batch id that could still
     * replay (the stream's committed watermark). A replay of an
     * already-compacted batch still cannot self-pair — its probe cut
     * excludes the consolidated partition entirely — but it would probe
     * against none of the compacted history, so only finalized batches
-    * should be folded. Crash-safety: rows are never lost at any crash
-    * point — the staging dir is written and emptied BEFORE any lower
-    * partition is deleted, so a leftover `.compact_tmp` only ever holds
-    * duplicates of still-present partitions; a re-run discards it and
-    * restarts (worst case: some rows duplicated in the target partition,
-    * which the probe's distinct collapses).
+    * should be folded. Crash-safety is trivial under deferral: no
+    * invocation deletes the partitions it stages, so at EVERY crash
+    * point the original rows are still on disk — a leftover
+    * `.compact_tmp` holds only duplicates. It is still moved aside
+    * (`.compact_orphan`) rather than destroyed, because a staging dir
+    * left by a PRE-deferral build (which deleted originals before its
+    * rename) can be the only copy of the folded history — never assume
+    * away another layout's crash state.
     *
     * Scale: this is the offline maintenance pass the append-only layout
     * is designed for — one sequential read of the folded partitions and
@@ -145,6 +151,8 @@ object DedupLedger {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // previous compact's foldees first: by now no probe predates its moves
+    reap(spark, ledgerDir)
     val parts = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
       .filter(_ < upTo).sorted
@@ -153,13 +161,17 @@ object DedupLedger {
     val lower = parts.filter(_ < target)
     val targetDir = new org.apache.hadoop.fs.Path(root, s"batch=$target")
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    // a leftover staging dir is from a compact that crashed before its
-    // lower partitions were deleted (deletes only start once the staging
-    // dir is gone), so its rows are pure duplicates of partitions that
-    // are still present — discard and restart. Nothing can be lost here;
-    // at worst a crash-looped compact leaves extra duplicate rows in the
-    // target partition, which the probe's distinct collapses.
-    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to clear stale $tmp")
+    // preserve, never destroy, a stale staging dir: under THIS protocol
+    // its rows are duplicates, but a pre-deferral crash could have left
+    // it as the only copy — park it for hand recovery
+    if (fs.exists(tmp)) {
+      var k = 0
+      var orphan = new org.apache.hadoop.fs.Path(root, s".compact_orphan")
+      while (fs.exists(orphan)) { k += 1
+        orphan = new org.apache.hadoop.fs.Path(root, s".compact_orphan$k") }
+      require(fs.rename(tmp, orphan), s"failed to park stale $tmp at $orphan")
+      System.err.println(s"[dedup-ledger] parked stale staging dir at $orphan")
+    }
     // stage ONLY the lower partitions (reading batch=<target> while also
     // appending into it would be a read-overwrite hazard); the target's
     // own rows stay where they are
@@ -177,14 +189,34 @@ object DedupLedger {
           s"failed to move staged file $p into $targetDir")
       }
     require(fs.delete(tmp, true), s"failed to remove staging dir $tmp")
-    // only now are the originals redundant — delete them; a probe racing
-    // these deletes reads with ignoreMissingFiles and every row it skips
-    // is already in batch=<target>
-    lower.foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(root, s"batch=$b")
-      require(fs.delete(p, true), s"failed to delete folded partition $p")
-    }
+    // defer the deletes: name the now-redundant originals in the manifest
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ".reap"), true)
+    out.write(lower.mkString(",").getBytes("UTF-8"))
+    out.close()
     parts.length
+  }
+
+  /** Delete the partitions a previous [[compact]] folded (named by its
+    * `.reap` manifest) — called automatically at the start of the next
+    * compact, or explicitly once all probes that predate the fold's
+    * moves have finished. Idempotent: re-runs re-delete what remains and
+    * drop the manifest. Returns the number of partitions reaped.
+    */
+  def reap(spark: SparkSession, ledgerDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(root, ".reap")
+    if (!fs.exists(manifest)) return 0
+    val in = fs.open(manifest)
+    val ids = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split(",").filter(_.nonEmpty).map(_.toLong)
+    in.close()
+    val n = ids.count { b =>
+      val p = new org.apache.hadoop.fs.Path(root, s"batch=$b")
+      fs.exists(p) && { require(fs.delete(p, true), s"failed to reap $p"); true }
+    }
+    require(fs.delete(manifest, false), s"failed to drop manifest $manifest")
+    n
   }
 
   /** Filesystem-grain ledger health — what [[Dedup.ledgerStats]] models
@@ -204,16 +236,23 @@ object DedupLedger {
     */
   def ledgerHealth(spark: SparkSession, ledgerDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum, col => c}
+    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-first-batch (or cleaned) ledger: an empty readout, not a crash
+    if (!fs.exists(root) ||
+        !fs.listStatus(root).exists(_.getPath.getName.startsWith("batch=")))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("batch", "n_files", "n_rows", "cum_partitions", "cum_files")
     val files = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("batch="))
       .map { p =>
         val n = fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
         (p.getName.stripPrefix("batch=").toLong, n.toLong)
       }.toSeq
-    import spark.implicits._
-    val rows = spark.read.parquet(ledgerDir)
+    // ignoreMissingFiles: the one ledger reader that may race a reap —
+    // every row a skipped file held is already in batch=<target>
+    val rows = spark.read.option("ignoreMissingFiles", "true").parquet(ledgerDir)
       .groupBy(c("batch").cast("long").as("batch"))
       .agg(count(lit(1)).as("n_rows"))
     files.toDF("batch", "n_files")

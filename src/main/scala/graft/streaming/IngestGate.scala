@@ -99,10 +99,20 @@ object IngestGate {
       .start()
   }
 
-  /** The admission ledger: one row per ingested batch. */
-  def summary(spark: SparkSession, summaryDir: String): DataFrame =
-    spark.read.parquet(summaryDir)
-      .select(col("batch").cast("long").as("batch"), col("n_docs"),
-        col("n_dups_vs_history"), col("n_contaminated_windows"),
-        col("n_heavy_keys"))
+  /** The admission ledger: one row per ingested batch. Summaries written
+    * before the frequency leg existed lack `n_heavy_keys`; mergeSchema
+    * reconciles the partitions and the nulls decode as the leg-off −1
+    * sentinel, so a gate that upgrades mid-stream keeps a readable,
+    * stable-schema ledger.
+    */
+  def summary(spark: SparkSession, summaryDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val raw = spark.read.option("mergeSchema", "true").parquet(summaryDir)
+    val heavy =
+      if (raw.columns.contains("n_heavy_keys"))
+        coalesce(col("n_heavy_keys"), lit(-1L)).as("n_heavy_keys")
+      else lit(-1L).as("n_heavy_keys")
+    raw.select(col("batch").cast("long").as("batch"), col("n_docs"),
+      col("n_dups_vs_history"), col("n_contaminated_windows"), heavy)
+  }
 }

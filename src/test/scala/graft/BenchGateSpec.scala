@@ -156,6 +156,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.adoptable(0.08, -1.0)) // first run ever seeds freely
   }
 
+  test("stepUpAnchor: a durable mid-band state unfreezes adoption; a transient one cannot") {
+    // the 1.15–1.3x gap: comparable every run (dormancy never starts),
+    // never adoptable (min-ratchet anchor) — the freeze band
+    val anchor = 0.10
+    val cur = 0.12 // durable 1.2x state, inside the band
+    assert(BenchGate.comparable(cur, anchor))
+    assert(!BenchGate.adoptable(cur, anchor))
+    // runs 1-2: not yet durable — anchor holds, adoption still frozen
+    assert(BenchGate.stepUpAnchor(anchor, cur, staleRuns = 1) === anchor)
+    assert(BenchGate.stepUpAnchor(anchor, cur, staleRuns = 2) === anchor)
+    // run 3: durable — one AnchorStep up restores adoption immediately
+    val stepped = BenchGate.stepUpAnchor(anchor, cur, staleRuns = 3)
+    assert(math.abs(stepped - 0.115) < 1e-12)
+    assert(BenchGate.adoptable(cur, stepped),
+      "one step must cover the whole band: QuietFactor / AnchorStep < AnchorStep")
+    // anywhere in the band, one step suffices (band arithmetic)
+    assert(BenchGate.QuietFactor / BenchGate.AnchorStep < BenchGate.AnchorStep)
+    // an adoptable or faster state never steps the anchor up
+    assert(BenchGate.stepUpAnchor(anchor, 0.11, staleRuns = 5) === anchor)
+    assert(BenchGate.stepUpAnchor(anchor, 0.08, staleRuns = 5) === anchor)
+  }
+
   test("nextFlag: a real regression stays on the report after trusted self-heals, and clears on revert") {
     // round N: 2.0 s query regresses to 4.0 s, quiet — fresh flag, and
     // nextTrusted adopts 4.0 (the self-heal that made flags one-shot)

@@ -61,13 +61,24 @@ class DedupLedgerSpec extends SparkSpec {
         Seq((4L, "entirely fresh content about mountain weather stations")
         ).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
       val rowsBefore = spark.read.parquet(ledgerDir).count()
-      // fold batches 0 and 1 into one partition (the largest folded id)
+      val distinctBefore = spark.read.parquet(ledgerDir)
+        .select("doc_id", "band", "bucket").distinct().count()
+      // fold batches 0 and 1 into one partition (the largest folded id);
+      // the folded originals stay on disk until the deferred reap
       assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
+      val dirsPending = new java.io.File(ledgerDir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toList
+      assert(dirsPending === List("batch=0", "batch=1", "batch=2"))
+      // superset window: every pre-compact row still visible (some twice)
+      assert(spark.read.parquet(ledgerDir).count() >= rowsBefore)
+      assert(DedupLedger.reap(spark, ledgerDir) === 1)
       val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
         .filter(_.startsWith("batch=")).sorted.toList
       assert(dirs === List("batch=1", "batch=2"))
-      // no row lost, and rows keep their band/bucket content
+      // no row lost across fold + reap (copies replaced originals 1:1)
       assert(spark.read.parquet(ledgerDir).count() === rowsBefore)
+      assert(spark.read.parquet(ledgerDir)
+        .select("doc_id", "band", "bucket").distinct().count() === distinctBefore)
       // probe continuity: a new batch still flags against COMPACTED history
       DedupLedger.processBatch(
         Seq((9L, original)).toDF("doc_id", "text"), 3L, ledgerDir, dupsDir)
@@ -113,6 +124,9 @@ class DedupLedgerSpec extends SparkSpec {
       assert(before.last._4 === 3L)
       val rowsBefore = before.map(_._3).sum
       assert(DedupLedger.compact(spark, ledgerDir, upTo = 3L) === 3)
+      // deletes are deferred: the probe-cost columns shrink at the reap
+      assert(health().map(_._1) === List(0L, 1L, 2L))
+      assert(DedupLedger.reap(spark, ledgerDir) === 2)
       val after = health()
       // one consolidated partition at the LARGEST folded id
       assert(after.map(_._1) === List(2L))
@@ -151,9 +165,10 @@ class DedupLedgerSpec extends SparkSpec {
         Seq((9L, original)).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
       assert(DedupLedger.readDups(spark, dupsDir)
         .as[(Long, Long, Long, Double)].collect().toList === List((2L, 9L, 1L, 1.0)))
-      // and compact over the duplicated state still converges to the
-      // consolidated layout with the full distinct content
+      // and compact + reap over the duplicated state still converges to
+      // the consolidated layout with the full distinct content
       assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
+      assert(DedupLedger.reap(spark, ledgerDir) === 1)
       val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
         .filter(_.startsWith("batch=")).sorted.toList
       assert(dirs === List("batch=1", "batch=2"))
@@ -164,7 +179,7 @@ class DedupLedgerSpec extends SparkSpec {
     }
   }
 
-  test("compact re-run discards a stale staging dir and loses nothing (crash self-heal)") {
+  test("compact re-run parks a stale staging dir and loses nothing (crash self-heal)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_ledger_tmpguard")
     val ledgerDir = root.resolve("ledger").toString
     val dupsDir = root.resolve("dups").toString
@@ -175,10 +190,10 @@ class DedupLedgerSpec extends SparkSpec {
         Seq((2L, unrelated)).toDF("doc_id", "text"), 1L, ledgerDir, dupsDir)
       DedupLedger.processBatch(
         Seq((3L, unique)).toDF("doc_id", "text"), 2L, ledgerDir, dupsDir)
-      // simulate a crash after staging but before the lower partitions
-      // were deleted: the leftover staging dir holds only DUPLICATES of
-      // still-present partitions (deletes start strictly after the
-      // staging dir is emptied and removed), so a re-run discards it
+      // simulate a crash after staging: under the deferred-reap protocol
+      // the staging dir holds only duplicates, but it is PARKED (not
+      // destroyed) because a pre-deferral build's crash could have left
+      // it as the only copy of the folded history
       val tmp = root.resolve("ledger/.compact_tmp")
       java.nio.file.Files.createDirectory(tmp)
       new java.io.File(s"$ledgerDir/batch=0").listFiles()
@@ -187,6 +202,9 @@ class DedupLedgerSpec extends SparkSpec {
         }
       assert(DedupLedger.compact(spark, ledgerDir, upTo = 2L) === 2)
       assert(!java.nio.file.Files.exists(tmp))
+      assert(java.nio.file.Files.exists(root.resolve("ledger/.compact_orphan")),
+        "stale stage must be parked for hand recovery, never destroyed")
+      assert(DedupLedger.reap(spark, ledgerDir) === 1)
       val dirs = new java.io.File(ledgerDir).listFiles().map(_.getName)
         .filter(_.startsWith("batch=")).sorted.toList
       assert(dirs === List("batch=1", "batch=2"))
