@@ -99,4 +99,33 @@ class CountLedgerSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$countsDir/.compact_commit")))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("compact recovery after the rename: the target is a survivor, never re-deleted") {
+    // the post-rename crash window: stage already swapped in as
+    // batch=<target>, marker still present, NO .compact_tmp left — the
+    // target is the ONLY copy of the folded counts, and recovery must
+    // finish the protocol without touching it
+    val root = java.nio.file.Files.createTempDirectory("count_ledger_postrename")
+    val countsDir = root.resolve("counts").toString
+    val topDir = root.resolve("top").toString
+    try {
+      // manufacture the state: batch=1 IS the consolidated fold of
+      // {0: user1×1, 1: user1×1 user2×1}; batch=0 already deleted;
+      // marker names 0 and 1 as folded with target 1
+      Seq((1L, 2L), (2L, 1L)).toDF("key", "n")
+        .write.mode("overwrite").parquet(s"$countsDir/batch=1")
+      val fs = new org.apache.hadoop.fs.Path(countsDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$countsDir/.compact_commit"), true)
+      out.write("1:0,1".getBytes("UTF-8"))
+      out.close()
+      assert(CountLedger.compact(spark, countsDir, upTo = 2L) === 0)
+      val dirs = new java.io.File(countsDir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toList
+      assert(dirs === List("batch=1"), "the consolidated target must survive recovery")
+      assert(CountLedger.mergedCounts(spark, countsDir)
+        .as[(Long, Long)].collect().toMap === Map(1L -> 2L, 2L -> 1L))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$countsDir/.compact_commit")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
