@@ -39,6 +39,29 @@ class CountLedgerSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("attach: the streaming sink builds the same ledger the batch entry point does") {
+    val root = java.nio.file.Files.createTempDirectory("count_ledger_stream")
+    val countsDir = root.resolve("counts").toString
+    val topDir = root.resolve("top").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val q = CountLedger.attach(
+        input.toDF().toDF("event_id", "user_id"), "user_id",
+        countsDir, topDir, root.resolve("ckpt").toString, thresholdDenom = 3L)
+      try {
+        input.addData((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L))
+        q.processAllAvailable()
+        input.addData((5L, 1L), (6L, 1L), (7L, 3L))
+        q.processAllAvailable()
+        assert(CountLedger.mergedCounts(spark, countsDir)
+          .as[(Long, Long)].collect().toMap === Map(1L -> 5L, 2L -> 1L, 3L -> 1L))
+        assert(spark.read.parquet(s"$topDir/batch=1")
+          .as[(Long, Long, Long)].collect().toList === List((1L, 5L, 7L)))
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("compact folds partials by MERGE at the largest folded id; counts unchanged") {
     val root = java.nio.file.Files.createTempDirectory("count_ledger_compact")
     val countsDir = root.resolve("counts").toString
