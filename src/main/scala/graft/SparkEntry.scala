@@ -95,6 +95,10 @@ object SparkEntry {
     // a planner prunes time-range and point-lookup scans with
     "ev_zone_map" -> ((s, dir) =>
       graft.ops.Scale.zoneMap(Tables.events(s, dir), "user_id", "ts_ms")),
+    // per-bucket bloom-filter sizing from exact NDV: bits, hashes, bytes
+    // for a 1% point-lookup FPP — all integer (fixed e6 ln constants)
+    "tbl_bloom_design" -> ((s, dir) =>
+      graft.ops.Scale.bloomDesign(Tables.events(s, dir), "user_id")),
     // Z-order layout audit: 16 Z-ranges, each a bounded 64x64 rectangle
     // in (key mod 256, day mod 256) space — two-column pruning in one key
     "ev_zorder_layout" -> ((s, dir) =>
@@ -257,6 +261,10 @@ object SparkEntry {
     // with the per-from-type share in exact integer e4
     "ev_transitions" -> ((s, dir) =>
       graft.ops.Analytics.transitions(Tables.events(s, dir))),
+    // entropy rate of that chain, per state: conditional entropy (bits,
+    // quantize-then-sum e6), empirical weight, and the π·H contribution
+    "ev_markov_entropy" -> ((s, dir) =>
+      graft.ops.Analytics.markovEntropy(Tables.events(s, dir))),
     // pairwise audience overlap (distinct-user Jaccard) between event types
     "ev_segment_overlap" -> ((s, dir) =>
       graft.ops.Analytics.segmentOverlap(Tables.events(s, dir))),
@@ -290,6 +298,11 @@ object SparkEntry {
     // same arms — mean shift weighted by per-arm variance, exact e4
     "ev_welch_screen" -> ((s, dir) =>
       graft.ops.Stats.welchScreen(Tables.events(s, dir))),
+    // the multiple-testing layer over the arm-test family: exact-count
+    // re-randomization p-values (64 hash-deterministic replicates) +
+    // integer Benjamini-Hochberg step-up at q=5% across types
+    "ev_perm_fdr" -> ((s, dir) =>
+      graft.ops.Stats.permFdr(Tables.events(s, dir))),
     // sequential member of the arm-test family: Wald SPRT daily LLR
     // trace per (type, arm) with accept/continue verdicts — the test
     // designed to be peeked at, unlike the fixed-horizon screens
@@ -826,6 +839,10 @@ object SparkEntry {
     // weekday's floor mean, integer e4 residuals, ±20% flag
     "ev_seasonal_residuals" -> ((s, dir) =>
       graft.ops.TimeSeries.seasonalResiduals(Tables.events(s, dir))),
+    // classical additive decomposition of the daily series: centered
+    // 7-day MA trend + re-centered weekday seasonal + residual, exact e4
+    "ev_decompose_weekly" -> ((s, dir) =>
+      graft.ops.TimeSeries.decomposeWeekly(Tables.events(s, dir))),
     // out-of-orderness profile — the empirical basis for choosing a
     // streaming watermark: per event, lateness = the running max event
     // time over the SAME USER's arrival order minus its own event time,
@@ -1724,6 +1741,30 @@ object SparkEntry {
         |  count(DISTINCT user_id)::BIGINT AS n_keys,
         |  min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
         |FROM b GROUP BY 1""".stripMargin,
+    // bloom sizing off the same bucketing: ceil via +999999, round-half-up
+    // via +500000, every quantity non-negative so // is exact floor
+    "tbl_bloom_design" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |    user_id
+        |  FROM events
+        |), a AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT user_id)::BIGINT AS n_keys
+        |  FROM b GROUP BY 1
+        |), m AS (
+        |  SELECT bucket, n_rows, n_keys,
+        |    ((n_keys * 9585058 + 999999) // 1000000)::BIGINT AS m_bits
+        |  FROM a
+        |), r AS (
+        |  SELECT bucket, n_rows, n_keys, m_bits,
+        |    (m_bits * 1000000 // n_keys)::BIGINT AS r_e6
+        |  FROM m
+        |)
+        |SELECT bucket, n_rows, n_keys, m_bits,
+        |  ((r_e6 * 693147 // 1000000 + 500000) // 1000000)::BIGINT AS k_hashes,
+        |  ((m_bits + 7) // 8)::BIGINT AS n_bytes
+        |FROM r""".stripMargin,
     // replays the 8+8-bit Morton interleave with a list-comprehension sum;
     // all quantities non-negative so // is exact floor
     "ev_zorder_layout" ->
@@ -2793,6 +2834,64 @@ object SparkEntry {
         |       WHEN s_cum * 953 + (n_cum - s_cum) * -1054 <= -29444 THEN 'accept_h0'
         |       ELSE 'continue' END AS decision
         |FROM cum""".stripMargin,
+    // exact-count re-randomization p-values (the bootstrap hash idiom,
+    // arm = hash60('perm:b:user') % 2) + the BH step-up as pure integer
+    // inequalities; mean floors use the pmod pre-subtraction
+    "ev_perm_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, round(value * 100)::BIGINT AS c FROM events
+        |), ob AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS s1
+        |  FROM (SELECT event_type, c,
+        |          ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |        FROM e)
+        |  GROUP BY 1 HAVING n0 > 0 AND n1 > 0
+        |), obd AS (
+        |  SELECT event_type, n0, n1,
+        |    ((s0 * 10000 - ((((s0 * 10000) % n0) + n0) % n0)) // n0
+        |     - (s1 * 10000 - ((((s1 * 10000) % n1) + n1) % n1)) // n1)::BIGINT AS obs_diff_e4
+        |  FROM ob
+        |), rp AS (
+        |  SELECT event_type, b,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS s1
+        |  FROM (SELECT event_type, c, t.b,
+        |          ('0x' || substr(md5('perm:' || t.b || ':' || user_id), 1, 15))::BIGINT % 2 AS arm
+        |        FROM e, range(64) t(b))
+        |  GROUP BY 1, 2 HAVING n0 > 0 AND n1 > 0
+        |), rpd AS (
+        |  SELECT event_type,
+        |    ((s0 * 10000 - ((((s0 * 10000) % n0) + n0) % n0)) // n0
+        |     - (s1 * 10000 - ((((s1 * 10000) % n1) + n1) % n1)) // n1)::BIGINT AS diff_e4
+        |  FROM rp
+        |), pv AS (
+        |  SELECT o.event_type, o.n0, o.n1, o.obs_diff_e4,
+        |    (1 + sum(CASE WHEN abs(r.diff_e4) >= abs(o.obs_diff_e4) THEN 1 ELSE 0 END))::BIGINT AS p_num,
+        |    (1 + count(*))::BIGINT AS p_den
+        |  FROM obd o JOIN rpd r USING (event_type)
+        |  GROUP BY 1, 2, 3, 4
+        |), pq AS (
+        |  SELECT *, (p_num * 1000000 // p_den)::BIGINT AS p_e6 FROM pv
+        |), rk AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY p_e6, event_type)::BIGINT AS rnk,
+        |    (count(*) OVER ())::BIGINT AS m
+        |  FROM pq
+        |), st AS (
+        |  SELECT *,
+        |    max(CASE WHEN p_num * 20 * m <= rnk * p_den THEN rnk ELSE 0 END) OVER ()::BIGINT AS istar
+        |  FROM rk
+        |)
+        |SELECT event_type, n0, n1, obs_diff_e4, p_num, p_den, p_e6, rnk,
+        |  (CASE WHEN p_num * 20 <= p_den THEN 1 ELSE 0 END)::BIGINT AS significant_raw,
+        |  (CASE WHEN rnk <= istar THEN 1 ELSE 0 END)::BIGINT AS significant_bh
+        |FROM st""".stripMargin,
     "ev_welch_screen" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -3730,6 +3829,38 @@ object SparkEntry {
         |SELECT day, weekday, n_events, expected, resid_e4,
         |  (CASE WHEN abs(resid_e4) >= 2000 THEN 1 ELSE 0 END)::BIGINT AS flagged
         |FROM r""".stripMargin,
+    // centered 7-day MA trend (full windows only), weekday floor-mean of
+    // the detrended series re-centered by the 7-row floor mean; all floor
+    // divisions use the pmod pre-subtraction so negative detrended sums
+    // floor like Cols.floorDiv (DuckDB // truncates toward zero)
+    "ev_decompose_weekly" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day, day % 7 AS weekday, n_events,
+        |    (CASE WHEN count(*) OVER w = 7
+        |          THEN (sum(n_events) OVER w)::BIGINT * 10000 // 7 END)::BIGINT AS trend_e4
+        |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), dt AS (
+        |  SELECT day, weekday, n_events, trend_e4,
+        |    n_events * 10000 - trend_e4 AS det_e4
+        |  FROM t
+        |), sr AS (
+        |  SELECT weekday, sum(det_e4)::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM dt WHERE det_e4 IS NOT NULL GROUP BY 1
+        |), sa AS (
+        |  SELECT weekday, ((s - (((s % n) + n) % n)) // n)::BIGINT AS raw_e4 FROM sr
+        |), sm AS (
+        |  SELECT sum(raw_e4)::BIGINT AS ws, count(*)::BIGINT AS wn FROM sa
+        |), se AS (
+        |  SELECT weekday,
+        |    (raw_e4 - (ws - (((ws % wn) + wn) % wn)) // wn)::BIGINT AS seasonal_e4
+        |  FROM sa CROSS JOIN sm
+        |)
+        |SELECT dt.day, dt.weekday, dt.n_events, dt.trend_e4, se.seasonal_e4,
+        |  (dt.det_e4 - se.seasonal_e4)::BIGINT AS resid_e4
+        |FROM dt LEFT JOIN se USING (weekday)""".stripMargin,
     "ev_weekday_index" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 % 7 AS weekday FROM events
@@ -5006,6 +5137,38 @@ object SparkEntry {
         |SELECT from_type, to_type, n_transitions,
         |  ((n_transitions * 10000) // (sum(n_transitions) OVER (PARTITION BY from_type)))::BIGINT AS share_e4
         |FROM c""".stripMargin,
+    // per-state conditional entropy over the transition matrix: each term
+    // rounds -p·log2(p)·1e6 to the integer grid before summing (the
+    // cs_user_entropy quantize-then-sum contract), weights and contrib
+    // are pure integer floors of already-quantized values
+    "ev_markov_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id FROM events
+        |), pr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n FROM pr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), o AS (
+        |  SELECT from_type, n, (sum(n) OVER (PARTITION BY from_type))::BIGINT AS n_out FROM c
+        |), h AS (
+        |  SELECT from_type, max(n_out)::BIGINT AS n_out, count(*)::BIGINT AS n_targets,
+        |    sum(round(-(n::DOUBLE / n_out) * log2(n::DOUBLE / n_out) * 1000000)::BIGINT)::BIGINT AS h_bits_e6
+        |  FROM o GROUP BY 1
+        |), t AS (
+        |  SELECT from_type, n_out, n_targets, h_bits_e6,
+        |    (sum(n_out) OVER ())::BIGINT AS nn
+        |  FROM h
+        |), g AS (
+        |  SELECT from_type, n_out, n_targets,
+        |    (n_out * 1000000 // nn)::BIGINT AS pi_e6, h_bits_e6
+        |  FROM t
+        |)
+        |SELECT from_type, n_out, n_targets, pi_e6, h_bits_e6,
+        |  (pi_e6 * h_bits_e6 // 1000000)::BIGINT AS contrib_e6
+        |FROM g""".stripMargin,
     "ev_segment_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS seg, user_id AS id FROM events),
         |s AS (SELECT seg, count(*) AS n FROM tu GROUP BY 1),

@@ -1663,6 +1663,51 @@ object Analytics {
         sum(col("term_e4")).as("entropy_e4"))
   }
 
+  /** Empirical entropy rate of the event-type Markov chain, per state:
+    * each from-type's conditional entropy H_i = −Σ_j p_ij·log₂(p_ij)
+    * (bits, quantize-then-sum integer e6 like [[userEntropy]]), its
+    * empirical stationary weight π̂_i = n_out_i / N over the observed
+    * transition counts, and its contribution π̂_i·H_i to the chain's
+    * entropy rate (Σ contrib = how many bits each step of user behavior
+    * actually carries — the compressibility / predictability readout for
+    * a sequence model over this event stream).
+    *
+    * `contrib_e6` multiplies the two ALREADY-QUANTIZED integers
+    * (`pi_e6 · h_bits_e6 / 1e6`, exact floor) rather than `n_out·h/N`:
+    * same grid both engines, and the product stays ≤ 1e6·~3e7 — no
+    * overflow even when N is 100 TB-scale (n_out·h_bits_e6 would pass
+    * 2⁶³ near n_out ≈ 1e12).
+    *
+    * Scale: rides [[transitions]] (one user-keyed window, hash aggregate
+    * onto the |types|² matrix); everything after runs on that tiny
+    * matrix, incl. the share-of-total window (the cs_markov_attribution
+    * bound).
+    */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    val byFrom = Window.partitionBy(col("from_type"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("n_transitions").cast("double") / col("n_out").cast("double")
+    val perFrom = transitions(events)
+      .withColumn("n_out", sum(col("n_transitions")).over(byFrom))
+      .withColumn(
+        "term_e6",
+        round((lit(0.0) - p * log2(p)) * 1000000).cast("long"))
+      .groupBy(col("from_type"))
+      .agg(
+        max(col("n_out")).as("n_out"),
+        count(lit(1)).as("n_targets"),
+        sum(col("term_e6")).as("h_bits_e6"))
+    perFrom
+      .withColumn("__n", sum(col("n_out")).over(wAll))
+      .select(
+        col("from_type"), col("n_out"), col("n_targets"),
+        Cols.floorDiv(col("n_out") * 1000000L, col("__n")).as("pi_e6"),
+        col("h_bits_e6"))
+      .withColumn(
+        "contrib_e6",
+        Cols.floorDiv(col("pi_e6") * col("h_bits_e6"), 1000000L))
+  }
+
   /** Top user journeys: the `k` most common length-3 event-type paths
     * over per-user time-ordered sequences, ties broken by the path string
     * so the selected set is deterministic at the limit boundary.

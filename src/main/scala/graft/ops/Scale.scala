@@ -133,6 +133,49 @@ object Scale {
         min(col("__ts_ms")).as("min_ts_ms"),
         max(col("__ts_ms")).as("max_ts_ms"))
 
+  /** Bloom-filter design advisor over the [[zoneMap]] bucketing: per
+    * bucket, the exact key NDV and the filter a writer should attach to
+    * that directory for a 1 % point-lookup false-positive target —
+    * `m_bits = ceil(n · (−ln 0.01 / ln² 2))` and the optimal hash count
+    * `k = round((m/n) · ln 2)` (≈ 7 at 1 %). This is the sizing table
+    * behind `ev_bloom_semi_join`'s runtime filter: build cost and bytes
+    * per directory, decided from measured NDV instead of a guessed row
+    * count (a filter sized on rows over-allocates ~linearly with the
+    * key-duplication factor).
+    *
+    * All arithmetic is integer: the two transcendental constants are the
+    * fixed e6 literals `BitsPerKeyE6 = round(−ln(0.01)/ln²2 · 1e6)` and
+    * `Ln2E6 = round(ln 2 · 1e6)`, identical in the oracle, and the
+    * intermediate bits-per-key ratio is reduced before multiplying so
+    * nothing passes 2⁶³ even at 1e12 keys per bucket.
+    *
+    * One hash aggregate to |buckets| rows, map-side combined — the NDV is
+    * exact (count_distinct), which is affordable because it shares the
+    * bucket shuffle with the zone map itself.
+    */
+  def bloomDesign(df: DataFrame, key: String, nBuckets: Int = 16): DataFrame = {
+    val BitsPerKeyE6 = 9585058L // round(-ln(0.01) / ln²(2) · 1e6)
+    val Ln2E6 = 693147L // round(ln(2) · 1e6)
+    df
+      .select(pmod(graft.Cols.hash60(col(key)), lit(nBuckets.toLong)).as("bucket"), col(key))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col(key)).as("n_keys"))
+      // m = ceil(n · bpk): floorDiv(n·bpk + (1e6−1), 1e6)
+      .withColumn(
+        "m_bits",
+        graft.Cols.floorDiv(col("n_keys") * BitsPerKeyE6 + 999999L, 1000000L))
+      // k = round((m/n)·ln2), via the reduced e6 ratio r = floor(m·1e6/n)
+      .withColumn("__r_e6", graft.Cols.floorDiv(col("m_bits") * 1000000L, col("n_keys")))
+      .withColumn(
+        "k_hashes",
+        graft.Cols.floorDiv(
+          graft.Cols.floorDiv(col("__r_e6") * Ln2E6, 1000000L) + 500000L, 1000000L))
+      .withColumn("n_bytes", graft.Cols.floorDiv(col("m_bits") + 7L, 8L))
+      .select(
+        col("bucket"), col("n_rows"), col("n_keys"),
+        col("m_bits"), col("k_hashes"), col("n_bytes"))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns: every
     * combination cell with its row count and a suppress flag for cells
     * below `k` — the small-cell report a privacy review runs before a

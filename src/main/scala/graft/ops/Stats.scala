@@ -998,6 +998,102 @@ object Stats {
     point.join(boot, Seq("event_type"))
   }
 
+  /** Re-randomization test + Benjamini–Hochberg step-up across event
+    * types — the multiple-testing layer the per-type screens
+    * ([[welchScreen]], [[mannWhitney]]) lack: run m tests at q = 5 % each
+    * and ~m·q false alarms page someone weekly. Everything stays exact
+    * integer, avoiding the p-value CDF entirely:
+    *
+    *  - per type, the observed arm mean-difference (e4 cents, the abLift
+    *    assignment hash) is compared against `reps` deterministic
+    *    re-randomizations (arm = hash60("perm:b:user") — the Poisson-
+    *    bootstrap discipline: no RNG state, bit-identical in the oracle);
+    *    the exact permutation p-value is the COUNT
+    *    `p = (1 + #{b : |diff_b| ≥ |diff_obs|}) / (1 + #valid reps)`.
+    *  - BH at q = qNum/qDen: rank types by p ascending (e6-quantized key,
+    *    ties by type name), reject ranks ≤ i* where i* is the largest i
+    *    with `p_num·qDen·m ≤ i·qNum·p_den` — the step-up rule as a pure
+    *    integer inequality. `significant_raw` (p ≤ q, uncorrected) sits
+    *    beside `significant_bh` so the report shows what the correction
+    *    changed.
+    *
+    * Replicates where a re-randomization empties an arm are dropped and
+    * `p_den` shrinks accordingly (visible in the output).
+    *
+    * Scale: one scan with a bounded ×`reps` explode into a map-side
+    * combined aggregate — shuffle traffic is |types|·reps rows (the
+    * [[bootstrapCi]] shape); the BH windows run over the |types|-row
+    * p-value table only (PlanAudit.BoundedGlobalWindow).
+    */
+  def permFdr(
+      events: DataFrame, reps: Int = 64,
+      qNum: Long = 1L, qDen: Long = 20L): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    def armSums(df: DataFrame, keys: Seq[Column]): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(
+          sum(when(col("__a") === 0, 1L).otherwise(0L)).as("__n0"),
+          sum(when(col("__a") === 1, 1L).otherwise(0L)).as("__n1"),
+          sum(when(col("__a") === 0, col("__c")).otherwise(0L)).as("__s0"),
+          sum(when(col("__a") === 1, col("__c")).otherwise(0L)).as("__s1"))
+        .filter(col("__n0") > 0 && col("__n1") > 0)
+        .withColumn(
+          "__diff_e4",
+          Cols.floorDiv(col("__s0") * 10000L, col("__n0"))
+            - Cols.floorDiv(col("__s1") * 10000L, col("__n1")))
+    val obs = armSums(
+      events.select(
+        col("event_type"),
+        pmod(Cols.hash60(concat(lit("ab:"), col("user_id"))), lit(2L)).as("__a"),
+        cents.as("__c")),
+      Seq(col("event_type")))
+      .select(
+        col("event_type"), col("__n0").as("n0"), col("__n1").as("n1"),
+        col("__diff_e4").as("obs_diff_e4"))
+    val repStats = armSums(
+      events
+        .select(
+          col("event_type"), col("user_id"), cents.as("__c"),
+          explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+        .select(
+          col("event_type"), col("__b"), col("__c"),
+          pmod(
+            Cols.hash60(concat_ws(":", lit("perm"), col("__b"), col("user_id"))),
+            lit(2L)).as("__a")),
+      Seq(col("event_type"), col("__b")))
+    val pvals = repStats
+      .join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(col("obs_diff_e4")).as("obs_diff_e4"),
+        count(lit(1)).as("__nv"),
+        sum(when(abs(col("__diff_e4")) >= abs(col("obs_diff_e4")), 1L)
+          .otherwise(0L)).as("__ge"))
+      .select(
+        col("event_type"), col("n0"), col("n1"), col("obs_diff_e4"),
+        (col("__ge") + 1L).as("p_num"), (col("__nv") + 1L).as("p_den"))
+      .withColumn("p_e6", Cols.floorDiv(col("p_num") * 1000000L, col("p_den")))
+    val byP = Window.orderBy(col("p_e6"), col("event_type"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = pvals
+      .withColumn("rnk", row_number().over(byP).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn(
+        "__qual",
+        when(
+          col("p_num") * qDen * col("__m") <= col("rnk") * qNum * col("p_den"),
+          col("rnk")).otherwise(lit(0L)))
+      .withColumn("__istar", max(col("__qual")).over(wAll))
+    ranked.select(
+      col("event_type"), col("n0"), col("n1"), col("obs_diff_e4"),
+      col("p_num"), col("p_den"), col("p_e6"), col("rnk"),
+      when(col("p_num") * qDen <= col("p_den") * qNum, 1L).otherwise(0L)
+        .as("significant_raw"),
+      when(col("rnk") <= col("__istar"), 1L).otherwise(0L)
+        .as("significant_bh"))
+  }
+
   /** Population-stability-index drift screen per event type — the
     * model-monitoring standard for "has this feature's distribution
     * moved": the corpus calendar is cut at its in-plan midpoint (the

@@ -321,6 +321,59 @@ object TimeSeries {
         when(abs(col("resid_e4")) >= flagE4, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Classical additive decomposition of the daily event-count series into
+    * trend + weekly seasonal + residual — the [[seasonalResiduals]] monitor
+    * grown into the full three-component readout a capacity planner or
+    * anomaly triage reads. Components, all exact integer e4:
+    *
+    *  - `trend_e4`: centered 7-day moving average (full windows only — the
+    *    first/last 3 days have no defined trend, the classical convention).
+    *  - `seasonal_e4`: per-weekday floor-mean of the detrended series,
+    *    re-centered by subtracting the floor-mean of the 7 weekday indices
+    *    (so Σ seasonal over the week sits in [0, 6] e4 — zero up to floor
+    *    remainders). Weekday 0 = Thursday (epoch day 0), pure integer
+    *    arithmetic, no calendar functions to disagree across engines.
+    *  - `resid_e4`: detrended − seasonal; exactly 0 on a pure
+    *    trend+weekly-pattern series (pinned by spec). Null outside the
+    *    trend's support.
+    *
+    * Scale: events collapse to the |days|-row daily table in one map-side-
+    * combined aggregate; the ±3-day window and the 7-row seasonal fit run
+    * over that calendar-bounded table only (the ev_xcorr bound —
+    * PlanAudit.BoundedGlobalWindow), and the weekday join broadcasts 7 rows.
+    */
+  def decomposeWeekly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn(
+        "trend_e4",
+        when(
+          count(lit(1)).over(w7) === 7,
+          Cols.floorDiv(sum(col("n_events")).over(w7) * 10000L, 7L)))
+      .withColumn("det_e4", col("n_events") * 10000L - col("trend_e4"))
+    // 7-row weekday fit; the re-centering window spans those 7 rows only
+    val wWeek = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seasonal = trended
+      .filter(col("det_e4").isNotNull)
+      .groupBy(col("weekday"))
+      .agg(Cols.floorDiv(sum(col("det_e4")), count(lit(1))).as("__raw_e4"))
+      .select(
+        col("weekday"),
+        (col("__raw_e4") - Cols.floorDiv(
+          sum(col("__raw_e4")).over(wWeek),
+          count(lit(1)).over(wWeek))).as("seasonal_e4"))
+    trended
+      .join(broadcast(seasonal), Seq("weekday"), "left")
+      .select(
+        col("day"), col("weekday"), col("n_events"),
+        col("trend_e4"), col("seasonal_e4"),
+        (col("det_e4") - col("seasonal_e4")).as("resid_e4"))
+  }
+
   /** Incremental-aggregate maintenance proof: merge a SNAPSHOT aggregate
     * with a DELTA aggregate by re-aggregating the algebraic pieces
     * (counts and sums add; min/max combine) — the daily-pipeline pattern

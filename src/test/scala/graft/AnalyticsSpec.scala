@@ -84,6 +84,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.transitions(events).count() === 0L)
   }
 
+  test("markov entropy: fair coin state carries 1 bit, deterministic state 0") {
+    val events = ev(
+      // user 1: A B A B A → A→B ×2, B→A ×2
+      (1L, 100L, "A"), (1L, 200L, "B"), (1L, 300L, "A"),
+      (1L, 400L, "B"), (1L, 500L, "A"),
+      // user 2: A A A → A→A ×2
+      (2L, 100L, "A"), (2L, 200L, "A"), (2L, 300L, "A"))
+    val got = Analytics.markovEntropy(events)
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // from A: {A: 2, B: 2} of 4 → H = 1 bit exactly (two e6 terms of 500000)
+    assert(got("A") === (("A", 4L, 2L, 666666L, 1000000L, 666666L)))
+    // from B: single target → H = 0, contrib 0; π = floor(2e6/6)
+    assert(got("B") === (("B", 2L, 1L, 333333L, 0L, 0L)))
+  }
+
   test("segment overlap: distinct-user Jaccard, empty intersections absent") {
     val events = ev(
       // segment a: users {1,2,3} (user 1 twice — distinct-counted once)

@@ -222,6 +222,11 @@ object PlanAudit {
     "tbl_compaction_plan",
     // share-of-total windows over |event_type|-row Markov state tables
     "cs_markov_attribution",
+    // r12: the same |types|-row state-table bound for the entropy-rate
+    // weights (N = Σ n_out over the per-from-type rows)
+    "ev_markov_entropy",
+    // r12: BH rank/step-up windows over the |types|-row p-value table
+    "ev_perm_fdr",
     // share-of-total window over the 5-row lateness-band aggregate
     "ev_lateness_profile",
     // largest-remainder rank over the |groups|-row (language) quota table
@@ -238,7 +243,10 @@ object PlanAudit {
     "txt_vocab_growth",
     // r11: running reclaim ledger over the |months|-row (~84) partition
     // table — bounded by the order-date calendar
-    "tbl_vacuum_plan")
+    "tbl_vacuum_plan",
+    // r12: ±3-day MA window over the |days|-row daily table (the ev_xcorr
+    // calendar bound) + the re-centering window over the 7-row weekday fit
+    "ev_decompose_weekly")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

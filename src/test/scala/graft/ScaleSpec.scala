@@ -24,6 +24,21 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("bloom design: ceil/round integer sizing matches the closed form") {
+    // 100 distinct keys, key 1 duplicated — NDV drives the size, not rows
+    val rows = (1L to 100L).map(k => (k, 0)) ++ Seq((1L, 1), (1L, 2))
+    val got = Scale.bloomDesign(rows.toDF("user_id", "v"), "user_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).sum === 100L) // NDV partitions across buckets
+    assert(got.map(_._2).sum === 102L)
+    for ((_, _, nKeys, mBits, kHashes, nBytes) <- got) {
+      assert(mBits === (nKeys * 9585058L + 999999L) / 1000000L, s"m at n=$nKeys")
+      // optimal k at 1% FPP is round(9.585·ln2) ≈ 6.64 → 7, for ANY n
+      assert(kHashes === 7L)
+      assert(nBytes === (mBits + 7L) / 8L)
+    }
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = ((1 to 5000).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
       .toDF("k", "v")

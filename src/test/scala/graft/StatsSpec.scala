@@ -262,6 +262,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("permFdr: real effect passes BH, flat series doesn't, p-counts exact") {
+    // arm-dependent values for type "eff" (value 100 iff production arm 0)
+    // make the observed diff the maximum any re-randomization could reach
+    // only by reproducing the exact split → p_num = 1; type "flat" is
+    // constant, so EVERY replicate ties the observed 0 → p_num = p_den
+    val armOf = (1L to 40L).toDF("user_id")
+      .select($"user_id",
+        pmod(Cols.hash60(concat(lit("ab:"), $"user_id")), lit(2L)).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, "eff", if (armOf(u) == 0L) 100.0 else 0.0), (u, "flat", 5.0))
+    }
+    val got = Stats.permFdr(rows.toDF("user_id", "event_type", "value"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n0, n1, obsDiff, pNumE, pDenE, pE6E, rnkE, rawE, bhE) = got("eff")
+    assert(n0 === armOf.values.count(_ == 0L) && n1 === armOf.values.count(_ == 1L))
+    assert(obsDiff === 100L * 100 * 10000) // mean0 100.00, mean1 0
+    assert(pNumE === 1L && pDenE === 65L && pE6E === 1000000L / 65L)
+    assert(rnkE === 1L && rawE === 1L && bhE === 1L)
+    val (_, _, _, obsF, pNumF, pDenF, pE6F, rnkF, rawF, bhF) = got("flat")
+    assert(obsF === 0L && pNumF === 65L && pDenF === 65L && pE6F === 1000000L)
+    assert(rnkF === 2L && rawF === 0L && bhF === 0L)
+  }
+
   test("welchScreen matches the quantized-Welch pipeline computed by hand") {
     // 300 users, one value each; replicate the salted arm split, then run
     // the declared integer pipeline (floor at each declared scale) in

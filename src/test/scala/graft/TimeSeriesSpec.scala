@@ -61,6 +61,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.values.count(_._6 == 1L) === 2)
   }
 
+  test("weekly decomposition: pure trend+weekly signal leaves zero residual") {
+    // 14 days, 100 events/day with a +7 bump on weekday 0 (days 0, 7).
+    // Every full 7-day window holds exactly one bumped day → trend is the
+    // constant floor(707·1e4/7) = 1010000; detrended is +60000 on weekday 0
+    // and -10000 elsewhere; the weekday means reproduce that exactly, so
+    // every interior residual is 0 — the signature of a pure weekly signal.
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d % 7 == 0) 107 else 100
+      (0 until n).map(i => (d * 100L + i, d * Day + i * 1000L))
+    }
+    val got = TimeSeries.decomposeWeekly(rows.toDF("event_id", "ts_ms"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size === 14)
+    // trend undefined on the first/last 3 days (no full centered window)
+    for (d <- Seq(0L, 1L, 2L, 11L, 12L, 13L)) assert(got(d)._4 === None)
+    for (d <- 3L to 10L) {
+      assert(got(d)._4 === Some(1010000L))
+      assert(got(d)._6 === Some(0L), s"day $d residual")
+    }
+    // seasonal index known for ALL days (every weekday appears interior)
+    for (d <- 0L until 14L) {
+      val expected = if (d % 7 == 0) 60000L else -10000L
+      assert(got(d)._5 === Some(expected), s"day $d seasonal")
+    }
+    // the re-centered weekday indices sum to the floor remainder ∈ [0, 6]
+    val weekSum = (0L until 7L).map(d => got(d)._5.get).sum
+    assert(weekSum >= 0L && weekSum <= 6L)
+  }
+
   test("rolling daily: RANGE frame ages gap days out of the window") {
     val D = TimeSeries.DayMs
     val ev = Seq(
