@@ -339,6 +339,101 @@ object Similarity {
         (col("bin") * 2 - 8).as("hi_e1"),
         col("n_pairs"))
 
+  /** One NN-descent refinement round over a FULL-CORPUS kNN graph — the
+    * graph-based ANN build path (Dong et al.'s NN-Descent, the
+    * construction behind HNSW-class serving indexes), expressed as plain
+    * equi-joins:
+    *
+    *  1. seed graph: a deliberately weak hyperplane-LSH candidate pass
+    *    (`tables` of the 8-table index) scored exactly and cut to each
+    *    node's top-`k` — cheap, low-recall.
+    *  2. one refinement round: "a neighbor of my neighbor is probably my
+    *    neighbor" — candidates are the 2-hop pairs of the UNDIRECTED seed
+    *    graph, unioned with the seed edges (so per-node quality is
+    *    monotone non-decreasing, spec-pinned), rescored exactly, re-cut
+    *    to top-`k`.
+    *
+    * The readout is one row per round: graph size, average edge cosine
+    * (quantize-then-sum e6), and recall@k against the exact brute-force
+    * truth on the strided query sample — the "how many rounds until the
+    * graph converges" curve an index builder reads.
+    *
+    * Scale: this is the point. The 2-hop expansion is an equi-join of the
+    * 2nk-row adjacency list with itself on the shared endpoint — cost
+    * bounded by 4nk² candidate rows, NEVER corpus². The exact rescoring
+    * joins candidates back to vectors by id (point-lookup-shaped, cost ∝
+    * candidates), and per-node top-k is a window over candidate rows
+    * keyed by src. Truth is computed only for the bounded strided sample
+    * (the [[bruteForceTopK]] broadcast-query shape); the corpus-sized
+    * graph itself never needs it. Readouts are 1-row aggregates; the seed
+    * graph is localCheckpointed (it feeds round 0's stats AND round 1's
+    * expansion) and freed before returning.
+    */
+  def nnDescent(embeddings: DataFrame, k: Int = TopK,
+                dim: Int = 64, tables: Int = 2,
+                bits: Int = Dedup.LshBitsPerTable): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    // per-node top-k of an exact-rescored candidate pair set
+    def topKGraph(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      cand
+        .join(q.select(col("vec_id"), col("qv").as("__qa"), col("norm2").as("__na")),
+          col("src") === col("vec_id")).drop("vec_id")
+        .join(q.select(col("vec_id"), col("qv").as("__qb"), col("norm2").as("__nb")),
+          col("dst") === col("vec_id")).drop("vec_id")
+        .select(col("src"), col("dst"),
+          Dedup.cosineQ(col("__qa"), col("__na"), col("__qb"), col("__nb")).as("cosine"))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .select(col("src"), col("dst"), col("cosine"))
+    }
+    val bucketed = lshBuckets(q, dim, tables, bits)
+    val cand0 = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    // seed graph feeds both the round-0 readout and the 2-hop expansion
+    val g0 = topKGraph(cand0).localCheckpoint()
+    val und = g0.select(col("src"), col("dst"))
+      .unionAll(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val twoHop = und.as("x")
+      .join(und.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    val g1 = topKGraph(twoHop.unionAll(g0.select(col("src"), col("dst"))).distinct())
+    val truth = bruteForceTopK(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def roundStats(r: Long, g: DataFrame): DataFrame = {
+      val hits = g
+        .filter(pmod(col("src"), lit(QueryStride.toLong)) === 0)
+        .join(truth,
+          col("src") === col("query_id") && col("dst") === col("neighbor_id"))
+        .agg(count(lit(1)).as("__hits"))
+      val denom = truth.agg(count(lit(1)).as("__truth"))
+      g.agg(
+        count_distinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        sum(round(col("cosine") * 1000000).cast("long")).as("__sumcos"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(denom))
+        .select(
+          lit(r).as("round"),
+          col("n_nodes"), col("n_edges"),
+          Cols.floorDiv(col("__sumcos"), greatest(col("n_edges"), lit(1L)))
+            .as("avg_cos_e6"),
+          col("__truth").as("truth_pairs"),
+          Cols.floorDiv(col("__hits") * 10000L, greatest(col("__truth"), lit(1L)))
+            .as("recall_e4"))
+    }
+    // 2-row readout: materialize, then free the seed graph's blocks
+    val out = roundStats(0L, g0).unionAll(roundStats(1L, g1)).localCheckpoint()
+    graft.LocalCheckpoints.free(g0)
+    out
+  }
+
   /** Shared LSH stage: multi-table bucket assignment, candidate join,
     * exact quantized-cosine scoring. Feeds [[lshTopK]] (rank filter) and
     * [[lshRangeSearch]] (radius filter).
@@ -2337,6 +2432,9 @@ object Similarity {
     "ann_recall_rq" -> ((s, d) => rqRecall(Tables.embeddings(s, d))),
     // the production sandwich: 50-deep code shortlist + exact rerank
     "ann_topk_rq_rerank" -> ((s, d) => rqRerank(Tables.embeddings(s, d))),
+    // graph-ANN build path: weak-LSH seed kNN graph + one NN-descent
+    // (neighbors-of-neighbors) refinement round, recall audited per round
+    "emb_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -3720,6 +3818,101 @@ object Similarity {
          |  FROM fused
          |)
          |SELECT * FROM ranked WHERE fused_rank <= $TopK""".stripMargin,
+    // the full NN-descent chain replays in DuckDB: the 2-table seed index
+    // (plane ids 0..7 of the shared md5 family), top-5 cut, undirected
+    // 2-hop expansion ∪ seed edges, re-cut, and both rounds' stats vs the
+    // strided exact truth; negative cosine sums floor via the pmod form
+    "emb_nn_descent" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM qz
+         |), planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63),
+         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, ${2 * Dedup.LshBitsPerTable - 1})) AS p)
+         |), proj AS (
+         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+         |  FROM n CROSS JOIN planes pl
+         |), bk AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), cand0 AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM bk a JOIN bk b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), sc0 AS (
+         |  SELECT c.src, c.dst,
+         |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand0 c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
+         |), g0 AS (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM sc0) WHERE rn <= $TopK
+         |), und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM g0 UNION ALL SELECT dst AS src, src AS dst FROM g0)
+         |), cand1 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.src AS src, y.dst AS dst
+         |    FROM und x JOIN und y ON x.dst = y.src AND x.src <> y.dst
+         |    UNION ALL SELECT src, dst FROM g0)
+         |), sc1 AS (
+         |  SELECT c.src, c.dst,
+         |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand1 c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
+         |), g1 AS (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM sc1) WHERE rn <= $TopK
+         |), tq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_sum([q.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |              / (sqrt(q.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
+         |        c.vec_id) AS rn
+         |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % $QueryStride = 0) WHERE rn <= $TopK
+         |), tn AS (SELECT count(*)::BIGINT AS truth_pairs FROM tq),
+         |st0 AS (
+         |  SELECT count(DISTINCT src)::BIGINT AS n_nodes, count(*)::BIGINT AS n_edges,
+         |    sum(round(cosine * 1000000)::BIGINT)::BIGINT AS sumcos
+         |  FROM g0
+         |), h0 AS (
+         |  SELECT count(*)::BIGINT AS hits FROM g0 g
+         |  JOIN tq t ON g.src = t.query_id AND g.dst = t.neighbor_id
+         |), st1 AS (
+         |  SELECT count(DISTINCT src)::BIGINT AS n_nodes, count(*)::BIGINT AS n_edges,
+         |    sum(round(cosine * 1000000)::BIGINT)::BIGINT AS sumcos
+         |  FROM g1
+         |), h1 AS (
+         |  SELECT count(*)::BIGINT AS hits FROM g1 g
+         |  JOIN tq t ON g.src = t.query_id AND g.dst = t.neighbor_id
+         |)
+         |SELECT 0::BIGINT AS round, n_nodes, n_edges,
+         |  ((sumcos - (((sumcos % greatest(n_edges, 1)) + greatest(n_edges, 1)) % greatest(n_edges, 1)))
+         |   // greatest(n_edges, 1))::BIGINT AS avg_cos_e6,
+         |  truth_pairs,
+         |  (hits * 10000 // greatest(truth_pairs, 1))::BIGINT AS recall_e4
+         |FROM st0, h0, tn
+         |UNION ALL
+         |SELECT 1::BIGINT AS round, n_nodes, n_edges,
+         |  ((sumcos - (((sumcos % greatest(n_edges, 1)) + greatest(n_edges, 1)) % greatest(n_edges, 1)))
+         |   // greatest(n_edges, 1))::BIGINT AS avg_cos_e6,
+         |  truth_pairs,
+         |  (hits * 10000 // greatest(truth_pairs, 1))::BIGINT AS recall_e4
+         |FROM st1, h1, tn""".stripMargin,
     // ann_topk_lsh IS oracled (r6): approximate only vs the brute-force
     // ground truth — the index itself is deterministic (md5-derived
     // hyperplanes, integer projections, exact candidate cosine), so the

@@ -202,7 +202,10 @@ object PlanAudit {
     // r9: k-row broadcast seed-centroid table (the emb_kmeans_step class)
     "emb_cluster_purity",
     // r9: 1-row broadcast min/max bounds for the 16-bit grid normalize
-    "tbl_zorder_plan")
+    "tbl_zorder_plan",
+    // r12: two 1-row broadcasts per round (hit count, truth count) beside
+    // the 1-row graph aggregate — the dedup_recall_harness readout shape
+    "emb_nn_descent")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

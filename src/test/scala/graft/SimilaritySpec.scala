@@ -24,6 +24,27 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1L, 3L), (50L, 2L, 4L)))
   }
 
+  test("nn-descent: refinement never loses recall and respects the k bound") {
+    // 60 unit vectors on a ring — each node's true neighbors are its
+    // angular neighbors, so 2-hop expansion is exactly how a weak seed
+    // graph reaches them; queries are the strided ids 0 and 50
+    val ring = Seq.tabulate(60) { i =>
+      val th = i * 2 * math.Pi / 60
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.nnDescent(ring)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === List(0L, 1L))
+    val List(r0, r1) = got
+    assert(r0._5 === 10L && r1._5 === 10L) // 2 strided queries × top-5 truth
+    // per-node candidate sets only grow (seed edges stay candidates), so
+    // recall and the graph's edge quality are monotone non-decreasing
+    assert(r1._6 >= r0._6, s"recall regressed: $r0 -> $r1")
+    assert(r1._6 > 0L)
+    // per-node top-k cut: never more than k edges per node
+    for (r <- got) assert(r._3 <= r._2 * Similarity.TopK)
+  }
+
   test("adc top-k: with every vector in the codebook, ADC equals exact squared L2") {
     // all vec_ids < 8 → each vector is its own (zero-distance) centroid, so
     // the ADC lookup degenerates to the exact squared distance — the
