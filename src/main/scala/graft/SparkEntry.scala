@@ -822,6 +822,12 @@ object SparkEntry {
       graft.ops.Analytics.coreNumbers(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // multi-source frontier BFS from the 3 hub items: exact min hop
+    // distance <= 3 per (source, node) — landmark-distance features
+    "li_bfs_hops" -> ((s, dir) =>
+      graft.ops.Analytics.bfsHops(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -4473,6 +4479,41 @@ object SparkEntry {
     // basket-pair edges + 10 unrolled HashMin layers (MATERIALIZED for
     // the same planner-pyramid reason as li_kcore); min over self ∪
     // neighbor labels per layer, then component sizes from layer 10
+    // unrolled 3-round frontier BFS from the 3 top-degree hubs; the
+    // frontier is recovered per round as "min distance exactly r-1"
+    "li_bfs_hops" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst FROM p
+          |  UNION ALL SELECT item_b, item_a FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), d0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
+      val layers = (1 to 3).map { r =>
+        s""", f$r AS MATERIALIZED (
+           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
+           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
+           |  WHERE d.hops = ${r - 1}
+           |), d$r AS MATERIALIZED (
+           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
+           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      base + layers +
+        """
+          |SELECT source, node, hops FROM d3""".stripMargin
+    },
     "li_components" -> {
       val base =
         """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

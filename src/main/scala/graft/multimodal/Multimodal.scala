@@ -659,6 +659,61 @@ object Multimodal {
       (n, nQuiet, nRuns, longest, lead, tail)
     }
 
+    /** Clipping / limiter-plateau probe over the real WAV path — the
+      * same DC-removed container walk as [[zcrWav]], read at the TOP of
+      * the amplitude range: a sample is HOT when `10·|n·x − Σx| ≥ 9·peak`
+      * (within 10 % of the clip's own peak — relative, so it detects
+      * post-normalization clipping where a fixed full-scale test reads
+      * nothing). Returns (n_samples, peak_abs, n_hot, hot_runs,
+      * longest_hot_run); `peak_abs` is in the same n-scaled centered
+      * units as the test (`max n·|x − mean|`). Genuine clipping shows as
+      * LONG runs (flat-top plateaus), a healthy transient as 1-sample
+      * runs; the test is sign-blind, so runs measure consecutive time at
+      * peak amplitude whatever the polarity. A constant
+      * clip (peak 0) reads all-hot by the ≥ convention — the degenerate
+      * twin of [[silenceWav]]'s all-quiet. Empty/non-16-bit → zeros.
+      */
+    def clippingWav(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      var bits16 = 16
+      var dataOff = -1; var dataLen = 0L
+      walkRiff(bytes) { (id, off, len) =>
+        if (id == "fmt " && len >= 16) bits16 = le16(off + 14)
+        else if (id == "data") { dataOff = off; dataLen = len }
+      }
+      val n =
+        if (dataOff < 0 || bits16 != 16) 0L
+        else math.min(dataLen / 2, (bytes.length - dataOff) / 2)
+      if (n == 0) return (0L, 0L, 0L, 0L, 0L)
+      val s = new Array[Long](n.toInt)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        s(i) = le16(dataOff + i * 2).toShort.toLong
+        sum += s(i)
+        i += 1
+      }
+      var peak = 0L
+      i = 0
+      while (i < n) {
+        val c = math.abs(n * s(i) - sum)
+        if (c > peak) peak = c
+        i += 1
+      }
+      var nHot = 0L; var runs = 0L; var longest = 0L; var cur = 0L
+      i = 0
+      while (i < n) {
+        if (10L * math.abs(n * s(i) - sum) >= 9L * peak) {
+          cur += 1
+          if (cur == 1) runs += 1
+          if (cur > longest) longest = cur
+          nHot += 1
+        } else cur = 0
+        i += 1
+      }
+      (n, peak, nHot, runs, longest)
+    }
+
     /** REAL multi-frame walk over a concatenated-PPM "video" container:
       * parse each frame's P6 header, step over its plane, keep every
       * `everyK`-th frame — the frame-sampling stage
@@ -1283,6 +1338,31 @@ object Multimodal {
         "lead_quiet", "tail_quiet")
   }
 
+  /** Clipping QC table over the real WAV path: per clip the near-peak
+    * sample mass read as RUNS ([[Codecs.clippingWav]] — DC-removed,
+    * within-10 %-of-peak test, the top-of-range mirror of
+    * [[audioSilence]]'s quiet runs). `longest_hot_run` is the number a
+    * loudness-QC gate thresholds: flat-top plateaus mean the recording
+    * or a limiter clipped, many 1-sample runs are healthy transients.
+    * Same mapPartitions codec tier and map-only shape as
+    * [[audioFingerprint]] — clip bytes never shuffle.
+    */
+  def audioClipping(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavAudio(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (n, peak, hot, runs, longest) = Codecs.clippingWav(bytes)
+        (id, n, peak, hot, runs, longest)
+      })
+      .toDF("doc_id", "n_samples", "peak_abs", "n_hot", "hot_runs", "longest_hot_run")
+      .withColumn(
+        "hot_e4",
+        when(col("n_samples") > 0,
+          graft.Cols.floorDiv(col("n_hot") * 10000L, col("n_samples")))
+          .otherwise(lit(0L)))
+  }
+
   /** Letterbox/border-trim table over the real PPM path: per image the
     * head/tail dark-row and dark-column counts under the relative
     * half-of-global-mean threshold ([[Codecs.bordersPpm]]) — what a
@@ -1332,6 +1412,8 @@ object Multimodal {
     "mm_audio_pairs" -> ((s, d) => audioNearDups(s, Tables.documents(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
     "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
+    // near-peak plateau QC: clipping shows as long hot runs
+    "mm_audio_clipping" -> ((s, d) => audioClipping(s, Tables.documents(s, d))),
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
     "mm_image_borders" -> ((s, d) => imageBorders(s, Tables.documents(s, d))),
     "mm_video_frames" -> ((s, d) => videoFrames(s, Tables.documents(s, d))),
@@ -1681,6 +1763,45 @@ object Multimodal {
         |  (n_crossings * 10000 // (n_samples - 1))::BIGINT AS zcr_e4,
         |  n_quiet, (n_quiet * 10000 // n_samples)::BIGINT AS quiet_e4
         |FROM agg""".stripMargin,
+    // the zcr synth/centering CTEs read at the TOP of the range: hot =
+    // within 10% of peak (10|c| >= 9·peak), runs via gaps-and-islands
+    "mm_audio_clipping" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (1024 // length(text))::INT + 1), 1, 1024) AS pcm
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |    [ord(substr(pcm, 2 * i + 1, 1)) + 256 * ord(substr(pcm, 2 * i + 2, 1))
+        |     for i in range(0, 512)] AS v
+        |  FROM px
+        |), ctr AS (
+        |  SELECT doc_id, [512 * x - list_sum(v) for x in v] AS c FROM smp
+        |), m AS (
+        |  SELECT doc_id, c,
+        |    list_max(list_transform(c, x -> abs(x)))::BIGINT AS peak
+        |  FROM ctr
+        |), qi AS (
+        |  SELECT m.doc_id, m.peak, t.i,
+        |    CASE WHEN 10 * abs(c[t.i]) >= 9 * peak THEN 1 ELSE 0 END AS hot
+        |  FROM m, range(1, 513) t(i)
+        |), runs AS (
+        |  SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM qi WHERE hot = 1
+        |), rstat AS (
+        |  SELECT doc_id, count(*)::BIGINT AS run_len FROM runs GROUP BY doc_id, grp
+        |), agg AS (
+        |  SELECT doc_id, sum(run_len)::BIGINT AS n_hot,
+        |    count(*)::BIGINT AS hot_runs, max(run_len)::BIGINT AS longest_hot_run
+        |  FROM rstat GROUP BY 1
+        |)
+        |SELECT m.doc_id, 512::BIGINT AS n_samples, m.peak AS peak_abs,
+        |  coalesce(agg.n_hot, 0)::BIGINT AS n_hot,
+        |  coalesce(agg.hot_runs, 0)::BIGINT AS hot_runs,
+        |  coalesce(agg.longest_hot_run, 0)::BIGINT AS longest_hot_run,
+        |  (coalesce(agg.n_hot, 0) * 10000 // 512)::BIGINT AS hot_e4
+        |FROM m
+        |LEFT JOIN agg ON agg.doc_id = m.doc_id""".stripMargin,
     // the zcr synth/centering CTEs; quiet runs via gaps-and-islands
     // (i − row_number over quiet rows), lead/tail from the first/last
     // loud index; every quantity positive → // and coalesce are exact

@@ -1974,6 +1974,44 @@ object Analytics {
       }.as("core"))
   }
 
+  /** Multi-source BFS hop distances from the graph's hub nodes — the
+    * "how far is everything from the catalog's centers" readout, and the
+    * building block behind landmark-distance features and
+    * diameter/ball-growth estimation. Sources are the `nSources`
+    * highest-degree nodes (ties by id); output is one row per
+    * (source, node) with the exact minimum hop count ≤ `maxHops`.
+    *
+    * The expansion is the standard distributed frontier BFS: each round
+    * joins the CURRENT frontier (nodes whose min distance is exactly
+    * r−1, recovered by the min-aggregate — already-settled nodes never
+    * rejoin) to the adjacency list on the node key, then folds the new
+    * reach into the distance table with one min-aggregate. Cost per
+    * round is Σ frontier-degree — edge-sized and equi-keyed, never
+    * node². `maxHops` is a fixed unroll (one plan, no driver iteration),
+    * the [[labelPropStep]] discipline; deeper walks would move to the
+    * [[components]] checkpoint-per-round loop.
+    */
+  def bfsHops(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val sources = und.groupBy(col("src"))
+      .agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("src"))
+      .limit(nSources)
+      .select(col("src").as("source"))
+    var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("hops"))
+    for (r <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (r - 1).toLong)
+        .join(und, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"), lit(r.toLong).as("hops"))
+      dist = dist.unionAll(frontier)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
+
   /** Connected components of an undirected edge table by fixed-round
     * HashMin flooding WITH pointer jumping: every node starts labeled
     * with its own id, and each round (a) takes the min over itself and

@@ -84,6 +84,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.transitions(events).count() === 0L)
   }
 
+  test("bfs hops: path graph distances exact, ball truncated at maxHops") {
+    // path 1-2-3-4-5-6: every interior node has degree 2, so the top-3
+    // sources are 2, 3, 4 (degree ties break by id); node 6 is 4 hops
+    // from source 2 and must be absent from its ball
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Analytics.bfsHops(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (2L, 2L, 0L), (2L, 1L, 1L), (2L, 3L, 1L), (2L, 4L, 2L), (2L, 5L, 3L),
+      (3L, 3L, 0L), (3L, 2L, 1L), (3L, 4L, 1L), (3L, 1L, 2L), (3L, 5L, 2L), (3L, 6L, 3L),
+      (4L, 4L, 0L), (4L, 3L, 1L), (4L, 5L, 1L), (4L, 2L, 2L), (4L, 6L, 2L), (4L, 1L, 3L))
+    assert(got === expected)
+  }
+
   test("markov entropy: fair coin state carries 1 bit, deterministic state 0") {
     val events = ev(
       // user 1: A B A B A → A→B ×2, B→A ×2

@@ -401,6 +401,37 @@ class MultimodalSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("clippingWav: flat-top plateau reads as one long hot run") {
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    // zero-mean clip: c = 8·s, peak 8000 (n-scaled), hot = |c| >= 7200:
+    // two flat-top plateaus of 3 → 6 hot samples, 2 runs, longest 3
+    val clipped = Seq[Short](0, 1000, 1000, 1000, 0, -1000, -1000, -1000)
+    assert(Multimodal.Codecs.clippingWav(wav(clipped)) ===
+      ((8L, 8000L, 6L, 2L, 3L)))
+    // transients: c = 6·s, peak 6000, hot = |c| >= 5400 — the isolated
+    // peaks at 0/5 are 1-runs, the adjacent ±pair at 2..3 one 2-run
+    // (the hot test is sign-blind: runs measure time at peak amplitude)
+    assert(Multimodal.Codecs.clippingWav(wav(Seq[Short](1000, 0, 1000, -1000, 0, -1000))) ===
+      ((6L, 6000L, 4L, 3L, 2L)))
+    // constant clip: peak 0, the >= convention reads all samples hot —
+    // the degenerate twin of silenceWav's all-quiet
+    assert(Multimodal.Codecs.clippingWav(wav(Seq[Short](5, 5, 5, 5))) ===
+      ((4L, 0L, 4L, 1L, 4L)))
+    assert(Multimodal.Codecs.clippingWav(wav(Seq.empty)) ===
+      ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("phash pipeline: duplicate texts cluster, distinct text stands alone") {
     val docs = Seq(
       (1L, "same words here all along the row"),
