@@ -1814,6 +1814,48 @@ object Similarity {
         max(col("norm2")).as("max_norm2"),
         graft.Cols.floorDiv(sum(col("norm2")), count(lit(1))).as("mean_norm2"))
 
+  /** Per-label isotropy/anisotropy readout — Ethayarajh's "how much of
+    * the space do these embeddings actually use" diagnostic, computed
+    * EXACTLY without enumerating a single pair: over n vectors,
+    * `Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖²`, so the average pairwise dot (and
+    * its norm-relative e6 form, ≈ the average pairwise cosine on
+    * near-unit vectors) falls out of two aggregates. High anisotropy —
+    * everything leaning on a common direction — is what kills cosine
+    * contrast in retrieval and is the standard argument for centering /
+    * whitening before indexing; this is the table that decides it, per
+    * label cell.
+    *
+    * Scale: one posexplode to (label, dim) partial sums (map-side
+    * combined, |labels|·64 rows) plus one |labels|-row norm aggregate —
+    * the corpus is scanned once and nothing pairs. Moments fold in
+    * decimal(38,0): Σv per dim is n-scaled, its square passes 2⁶³ near
+    * a billion vectors per label (the welchScreen widening).
+    */
+  def isotropy(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val q = Dedup.quantized(embeddings)
+    val gram = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("__dim", "__x")))
+      .groupBy(col("label"), col("__dim"))
+      .agg(sum(col("__x")).as("__s"))
+      .groupBy(col("label"))
+      .agg(sum(d(col("__s")) * d(col("__s"))).as("__gram"))
+    q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("norm2")).as("__sumn"))
+      .join(gram, "label")
+      .filter(col("n_vecs") > 1)
+      .select(
+        col("label"), col("n_vecs"),
+        Cols.floorDiv(col("__sumn"), col("n_vecs")).as("avg_norm2"),
+        Cols.floorDiv(
+          col("__gram") - d(col("__sumn")),
+          d(col("n_vecs")) * d(col("n_vecs") - 1L)).cast("long").as("avg_pair_dot"),
+        Cols.floorDiv(
+          (col("__gram") - d(col("__sumn"))) * d(lit(1000000L)),
+          d(col("n_vecs") - 1L) * d(col("__sumn"))).cast("long").as("aniso_e6"))
+  }
+
   /** IVF recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
     * quantitative answer to "is nprobe high enough", as a REGISTERED
@@ -2435,6 +2477,8 @@ object Similarity {
     // graph-ANN build path: weak-LSH seed kNN graph + one NN-descent
     // (neighbors-of-neighbors) refinement round, recall audited per round
     "emb_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
+    // exact per-label anisotropy via ||sum v||^2 - sum ||v||^2 — no pairs
+    "emb_isotropy" -> ((s, d) => isotropy(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -3818,6 +3862,39 @@ object Similarity {
          |  FROM fused
          |)
          |SELECT * FROM ranked WHERE fused_rank <= $TopK""".stripMargin,
+    // the pair-free identity Σ_{i≠j} vi·vj = ||Σv||² − Σ||v||²; negative
+    // numerators floor via the pmod form, moments ride DuckDB's hugeint
+    "emb_isotropy" ->
+      """WITH q AS (
+        |  SELECT label::BIGINT AS label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT label, qv, list_sum(list_transform(qv, x -> x * x))::HUGEINT AS norm2
+        |  FROM q
+        |), pd AS (
+        |  SELECT label, ii.i, sum(qv[ii.i])::HUGEINT AS s
+        |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT label, sum(s * s)::HUGEINT AS gram FROM pd GROUP BY 1
+        |), m AS (
+        |  SELECT label, count(*)::BIGINT AS n_vecs, sum(norm2)::HUGEINT AS sumn
+        |  FROM n GROUP BY 1
+        |), j AS (
+        |  SELECT m.label, m.n_vecs, m.sumn, g.gram,
+        |    g.gram - m.sumn AS pnum,
+        |    m.n_vecs::HUGEINT * (m.n_vecs - 1) AS pden,
+        |    (g.gram - m.sumn) * 1000000 AS anum,
+        |    (m.n_vecs - 1)::HUGEINT * m.sumn AS aden
+        |  FROM m JOIN g USING (label)
+        |  WHERE m.n_vecs > 1
+        |)
+        |SELECT label, n_vecs,
+        |  (sumn // n_vecs)::BIGINT AS avg_norm2,
+        |  ((pnum - (((pnum % pden) + pden) % pden)) // pden)::BIGINT AS avg_pair_dot,
+        |  ((anum - (((anum % aden) + aden) % aden)) // aden)::BIGINT AS aniso_e6
+        |FROM j""".stripMargin,
     // the full NN-descent chain replays in DuckDB: the 2-table seed index
     // (plane ids 0..7 of the shared md5 family), top-5 cut, undirected
     // 2-hop expansion ∪ seed edges, re-cut, and both rounds' stats vs the

@@ -354,6 +354,51 @@ object TextAnalysis {
     * directly. Cumulative sums run over the |buckets|-row grid only —
     * nothing data-sized is ever sorted or windowed.
     */
+  /** Heaps-law fit over the [[vocabGrowth]] curve: vocabulary grows as
+    * `V(n) ≈ K·n^β`, so a robust line through the (ln n_tokens, ln vocab)
+    * points gives the corpus's β (sublinearity exponent — natural text
+    * sits near 0.4–0.6; β ≈ 1 means near-duplicate-free random ids, β ≈ 0
+    * a fixed template vocabulary) and ln K. The fit is Theil–Sen — the
+    * lower median of the ≤ C(buckets,2) pairwise slopes (the
+    * [[graft.ops.Stats.madAnomalies]] exact lower-median idiom, no
+    * midpoint averaging) — and the intercept is the lower median of the
+    * per-point residuals at that β. Logs quantize to e6 BEFORE any
+    * arithmetic (round(ln·1e6), the quantize-then-sum contract), so every
+    * slope is an exact integer ratio and both engines agree bit-for-bit.
+    *
+    * Scale: rides vocabGrowth's aggregates; everything after is a
+    * |buckets|-row (10) table — the all-pairs slope join is 45 rows
+    * (declared bounded, the ev_theil_sen class), the medians fold sorted
+    * 45-element arrays, and β broadcasts back as a 1-row scalar.
+    */
+  def heapsFit(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val pts = vocabGrowth(docs, buckets)
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+      .select(
+        round(log(col("n_tokens").cast("double")) * 1000000).cast("long").as("__lt"),
+        round(log(col("vocab").cast("double")) * 1000000).cast("long").as("__lv"))
+    def lowerMedian(c: Column): Column = {
+      val arr = sort_array(collect_list(c))
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    }
+    val slopes = pts.select(col("__lt").as("__lt1"), col("__lv").as("__lv1"))
+      .join(
+        pts.select(col("__lt").as("__lt2"), col("__lv").as("__lv2")),
+        col("__lt1") < col("__lt2"))
+      .select(Cols.floorDiv(
+        (col("__lv2") - col("__lv1")) * 1000000L,
+        col("__lt2") - col("__lt1")).as("__s"))
+    val beta = slopes.agg(
+      count(lit(1)).as("n_pairs"), lowerMedian(col("__s")).as("beta_e6"))
+    pts.crossJoin(broadcast(beta))
+      .select(
+        col("n_pairs"), col("beta_e6"),
+        (col("__lv") - Cols.floorDiv(col("beta_e6") * col("__lt"), 1000000L)).as("__r"))
+      .groupBy(col("n_pairs"), col("beta_e6"))
+      .agg(count(lit(1)).as("n_points"), lowerMedian(col("__r")).as("ln_k_e6"))
+      .select(col("n_points"), col("n_pairs"), col("beta_e6"), col("ln_k_e6"))
+  }
+
   def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
     val md = docs.agg(max(col("doc_id")).as("__md"))
@@ -2113,6 +2158,9 @@ object TextAnalysis {
     // coverage at 4 binding vocab cutoffs — the tokenizer-sizing sweep
     "txt_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "txt_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
+    // Heaps-law exponent/intercept via exact-integer Theil-Sen over the
+    // log-log growth curve
+    "txt_heaps_fit" -> ((s, d) => heapsFit(Tables.documents(s, d))),
     // winnowed (MOSS-style) local fingerprints, k=4 char grams, w=4
     "txt_winnow_fp" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     // df-capped overlap pairs over the winnowed index (≥8 shared)
@@ -3017,6 +3065,50 @@ object TextAnalysis {
          |FROM j
          |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY bucket""".stripMargin,
+    // the vocab-growth CTEs → e6-quantized logs → 45 pairwise integer
+    // slopes → lower medians (list element (n+1)//2, no midpoint average)
+    "txt_heaps_fit" ->
+      s"""$tokCte, mx AS (
+         |  SELECT max(doc_id) AS md FROM documents
+         |), tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM t
+         |), fs AS (
+         |  SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1
+         |), nv AS (
+         |  SELECT least(10, (fd * 10) // md + 1) AS bucket, count(*)::BIGINT AS nt
+         |  FROM fs, mx GROUP BY 1
+         |), tm AS (
+         |  SELECT least(10, (doc_id * 10) // md + 1) AS bucket, count(*)::BIGINT AS tc
+         |  FROM tk, mx GROUP BY 1
+         |), g AS (
+         |  SELECT unnest(generate_series(1, 10)) AS bucket
+         |), cum AS (
+         |  SELECT g.bucket,
+         |    (sum(coalesce(tm.tc, 0)) OVER w)::BIGINT AS n_tokens,
+         |    (sum(coalesce(nv.nt, 0)) OVER w)::BIGINT AS vocab
+         |  FROM g LEFT JOIN tm USING (bucket) LEFT JOIN nv USING (bucket)
+         |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), pts AS (
+         |  SELECT round(ln(n_tokens::DOUBLE) * 1000000)::BIGINT AS lt,
+         |         round(ln(vocab::DOUBLE) * 1000000)::BIGINT AS lv
+         |  FROM cum WHERE n_tokens > 0 AND vocab > 0
+         |), sl AS (
+         |  SELECT (((b.lv - a.lv) * 1000000
+         |           - (((((b.lv - a.lv) * 1000000) % (b.lt - a.lt)) + (b.lt - a.lt)) % (b.lt - a.lt)))
+         |          // (b.lt - a.lt))::BIGINT AS s
+         |  FROM pts a JOIN pts b ON a.lt < b.lt
+         |), beta AS (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |    (list(s ORDER BY s))[(count(*) + 1) // 2]::BIGINT AS beta_e6
+         |  FROM sl
+         |), rs AS (
+         |  SELECT n_pairs, beta_e6,
+         |    (lv - (beta_e6 * lt - (((beta_e6 * lt) % 1000000) + 1000000) % 1000000) // 1000000)::BIGINT AS r
+         |  FROM pts, beta
+         |)
+         |SELECT count(*)::BIGINT AS n_points, n_pairs, beta_e6,
+         |  (list(r ORDER BY r))[(count(*) + 1) // 2]::BIGINT AS ln_k_e6
+         |FROM rs GROUP BY n_pairs, beta_e6""".stripMargin,
     "txt_doc_stats" ->
       s"""$tokCte
          |SELECT doc_id,

@@ -33,6 +33,9 @@ object PlanAudit {
       "ann_topk_maxsim",
       // all-pairs on the |days|-row calendar series (bounded), not on data
       "ev_theil_sen",
+      // r12: all-pairs slopes on the 10-row growth curve (<=45 pairs) +
+      // the 1-row beta broadcast — the ev_theil_sen class
+      "txt_heaps_fit",
       // r9: each nprobe arm scores IVF-PQ against the same brute
       // ground-truth side (the ann_recall_pq shape, |nprobes| arms)
       "ann_recall_nprobe",

@@ -24,6 +24,29 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1L, 3L), (50L, 2L, 4L)))
   }
 
+  test("isotropy: the pair-free identity matches hand pair sums per label") {
+    val d = Seq(
+      // label 0: two identical unit vectors → avg pair dot = norm² (1e6),
+      // anisotropy exactly 1e6
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      // label 1: orthogonal pair → 0, 0
+      (3L, Seq(1.0f, 0.0f), 1),
+      (4L, Seq(0.0f, 1.0f), 1),
+      // label 2: antipodal pair → avg pair dot −1e6, anisotropy −1e6
+      (5L, Seq(1.0f, 0.0f), 2),
+      (6L, Seq(-1.0f, 0.0f), 2),
+      // label 3: a single vector — dropped (no pairs to average)
+      (7L, Seq(1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.isotropy(d)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L) === ((0L, 2L, 1000000L, 1000000L, 1000000L)))
+    assert(got(1L) === ((1L, 2L, 1000000L, 0L, 0L)))
+    assert(got(2L) === ((2L, 2L, 1000000L, -1000000L, -1000000L)))
+  }
+
   test("nn-descent: refinement never loses recall and respects the k bound") {
     // 60 unit vectors on a ring — each node's true neighbors are its
     // angular neighbors, so 2-hop expansion is exactly how a weak seed

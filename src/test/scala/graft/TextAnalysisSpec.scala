@@ -40,6 +40,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("heaps fit: all-new tokens read beta=1, a fixed template reads beta=0") {
+    import graft.text.TextAnalysis
+    // every doc contributes 3 brand-new tokens → vocab == tokens at every
+    // bucket, so every pairwise log-log slope is exactly 1e6 and every
+    // residual 0
+    val fresh = docs((1L to 20L).map(i =>
+      i -> s"w${i}a w${i}b w${i}c"): _*)
+    val gotFresh = TextAnalysis.heapsFit(fresh)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(gotFresh === List((10L, 45L, 1000000L, 0L)))
+    // the same 3-token template everywhere → vocab flat at 3: slope 0,
+    // intercept ln(3)·1e6 = 1098612
+    val fixed = docs((1L to 20L).map(i => i -> "a b c"): _*)
+    val gotFixed = TextAnalysis.heapsFit(fixed)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(gotFixed === List((10L, 45L, 0L, 1098612L)))
+  }
+
   test("token counts: whitespace vs bpe-ish vs subword estimate") {
     val r = TextAnalysis.tokenCounts(docs((1L, "abc 12cd ef")))
       .as[(Long, Long, Long, Long)].collect().head
