@@ -115,6 +115,10 @@ object SparkEntry {
       graft.ops.Scale.anonymizationPlan(Tables.customer(s, dir))),
     // the k-anonymity partner: large cells can still leak when every row
     // shares one sensitive value — flag cells with < 2 distinct segments
+    // DP release planner: Laplace scale + worst-cell relative error for
+    // the three grid marginals under sequential eps/3 composition
+    "cust_dp_budget" -> ((s, dir) =>
+      graft.ops.Scale.dpBudgetPlan(Tables.customer(s, dir))),
     "cust_l_diversity" -> ((s, dir) =>
       graft.ops.Scale.lDiversity(
         Tables.customer(s, dir)
@@ -257,6 +261,10 @@ object SparkEntry {
     // on each later active day
     "cs_retention" -> ((s, dir) =>
       graft.ops.Analytics.retention(Tables.events(s, dir))),
+    // exponential-decay fit of the censored blended retention curve:
+    // exact-integer Theil-Sen slope + half-life in days e4
+    "cs_retention_halflife" -> ((s, dir) =>
+      graft.ops.Analytics.retentionHalflife(Tables.events(s, dir))),
     // first-order Markov transition matrix over per-user event sequences,
     // with the per-from-type share in exact integer e4
     "ev_transitions" -> ((s, dir) =>
@@ -1594,6 +1602,76 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // retention CTEs → censored per-offset rates → e6 logs → integer
+    // Theil-Sen lower-median slope → half-life = ln2·1e10 // −slope;
+    // slope differences can be negative so the slope floor uses the
+    // pmod form
+    "cs_retention_halflife" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |    count(DISTINCT e.user_id) AS n_users
+        |  FROM e JOIN c USING (user_id)
+        |  GROUP BY 1, 2
+        |), mx AS (SELECT max(day) AS maxd FROM e),
+        |sz AS (
+        |  SELECT cohort_day, n_users AS size FROM r WHERE day_offset = 0
+        |), os AS (
+        |  SELECT day_offset, sum(n_users)::BIGINT AS ret
+        |  FROM r WHERE day_offset > 0 GROUP BY 1
+        |), dn AS (
+        |  SELECT o.day_offset, sum(s.size)::BIGINT AS den
+        |  FROM sz s CROSS JOIN mx
+        |  JOIN (SELECT day_offset FROM os) o
+        |    ON s.cohort_day + o.day_offset <= mx.maxd
+        |  GROUP BY 1
+        |), pts AS (
+        |  SELECT o.day_offset AS d,
+        |    round(ln(o.ret::DOUBLE / dn.den) * 1000000)::BIGINT AS lr
+        |  FROM os o JOIN dn USING (day_offset)
+        |  WHERE o.ret > 0 AND dn.den > 0
+        |), sl AS (
+        |  SELECT ((b.lr - a.lr
+        |           - ((((b.lr - a.lr) % (b.d - a.d)) + (b.d - a.d)) % (b.d - a.d)))
+        |          // (b.d - a.d))::BIGINT AS s
+        |  FROM pts a JOIN pts b ON a.d < b.d
+        |), beta AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    (list(s ORDER BY s))[(count(*) + 1) // 2]::BIGINT AS slope_e6
+        |  FROM sl
+        |), np AS (SELECT count(*)::BIGINT AS n_offsets FROM pts)
+        |SELECT n_offsets, n_pairs, slope_e6,
+        |  (CASE WHEN slope_e6 < 0 THEN 6931471806 // (-slope_e6) END)::BIGINT AS half_life_days_e4
+        |FROM np, beta""".stripMargin,
+    // the k-anon grid re-aggregated into the three release marginals;
+    // eps/releases and the Laplace b are the same driver-side literals
+    "cust_dp_budget" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+        |    count(*)::BIGINT AS n
+        |  FROM customer GROUP BY 1, 2
+        |), nat AS (SELECT nation, sum(n)::BIGINT AS n FROM cells GROUP BY 1),
+        |seg AS (SELECT segment, sum(n)::BIGINT AS n FROM cells GROUP BY 1),
+        |a1 AS (
+        |  SELECT 'by_nation' AS release, count(*)::BIGINT AS n_cells,
+        |    min(n)::BIGINT AS min_cell, max(n)::BIGINT AS max_cell FROM nat
+        |), a2 AS (
+        |  SELECT 'by_segment' AS release, count(*)::BIGINT AS n_cells,
+        |    min(n)::BIGINT AS min_cell, max(n)::BIGINT AS max_cell FROM seg
+        |), a3 AS (
+        |  SELECT 'full_cross' AS release, count(*)::BIGINT AS n_cells,
+        |    min(n)::BIGINT AS min_cell, max(n)::BIGINT AS max_cell FROM cells
+        |), u AS (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+        |)
+        |SELECT release, n_cells, min_cell, max_cell,
+        |  333333::BIGINT AS eps_share_e6,
+        |  30000::BIGINT AS noise_b_e4,
+        |  (30000 // min_cell)::BIGINT AS worst_rel_err_e4
+        |FROM u""".stripMargin,
     "ev_bloom_semi_join" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IN (

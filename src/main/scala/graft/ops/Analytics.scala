@@ -251,6 +251,64 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Exponential-decay fit of the blended retention curve — the
+    * growth-model constant behind "what's our half-life": retention is
+    * near-exponential in the day offset, so a robust line through
+    * (offset, ln rate) gives the decay slope and the user half-life in
+    * days. Censoring is handled exactly: offset d's denominator counts
+    * only cohorts OLD ENOUGH to be observed at d (`cohort_day + d ≤ max
+    * day`), so young cohorts never read as churn. The fit is the
+    * [[graft.text.TextAnalysis.heapsFit]] exact-integer Theil–Sen: logs
+    * quantize to e6 first, slopes are integer ratios over the ≤
+    * C(|offsets|,2) pairs, the estimate is the lower median, and
+    * `half_life_days_e4 = ⌊ln2·1e10 / −slope⌋` (null on a non-decaying
+    * curve).
+    *
+    * Scale: rides [[retention]] (one user-keyed aggregate); everything
+    * after is |offsets|-row — the censored denominators are a second
+    * |cohorts|-row aggregate against a 1-row max-day broadcast, and the
+    * pair join is the declared bounded ev_theil_sen class.
+    */
+  def retentionHalflife(events: DataFrame): DataFrame = {
+    val r = retention(events)
+    val maxDay = events.agg(
+      max(Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs)).as("__maxd"))
+    val sizes = r.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("__size"))
+    // offsets 1.. with exact censored denominators
+    val offsets = r.filter(col("day_offset") > 0)
+      .groupBy(col("day_offset")).agg(sum(col("n_users")).as("__ret"))
+    val denoms = sizes
+      .crossJoin(broadcast(maxDay))
+      .join(offsets.select(col("day_offset")),
+        col("cohort_day") + col("day_offset") <= col("__maxd"))
+      .groupBy(col("day_offset")).agg(sum(col("__size")).as("__den"))
+    val pts = offsets.join(denoms, "day_offset")
+      .filter(col("__ret") > 0 && col("__den") > 0)
+      .select(
+        col("day_offset").as("__d"),
+        round(
+          log(col("__ret").cast("double") / col("__den").cast("double")) * 1000000)
+          .cast("long").as("__lr"))
+    def lowerMedian(c: Column): Column = {
+      val arr = sort_array(collect_list(c))
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    }
+    val slopes = pts.select(col("__d").as("__d1"), col("__lr").as("__lr1"))
+      .join(pts.select(col("__d").as("__d2"), col("__lr").as("__lr2")),
+        col("__d1") < col("__d2"))
+      .select(Cols.floorDiv(col("__lr2") - col("__lr1"), col("__d2") - col("__d1")).as("__s"))
+    val beta = slopes.agg(
+      count(lit(1)).as("n_pairs"), lowerMedian(col("__s")).as("slope_e6"))
+    pts.agg(count(lit(1)).as("n_offsets"))
+      .crossJoin(broadcast(beta))
+      .select(
+        col("n_offsets"), col("n_pairs"), col("slope_e6"),
+        when(col("slope_e6") < 0,
+          Cols.floorDiv(lit(6931471806L), -col("slope_e6"))) // round(ln2·1e10)
+          .otherwise(lit(null).cast("long")).as("half_life_days_e4"))
+  }
+
   /** Retention curve summary: one row per cohort with its size and the
     * D1/D7/D14-style retained shares in exact integer e4 — the
     * growth-dashboard rollup of the full [[retention]] triangle. A

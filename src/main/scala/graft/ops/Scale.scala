@@ -193,6 +193,52 @@ object Scale {
       .select(quasiIds.map(col) :+ col("n_rows") :+
         when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)).as("suppress"): _*)
 
+  /** Differential-privacy release planner over the quasi-identifier grid
+    * — the budgeting table a privacy review reads BEFORE noising a
+    * release (the DP partner of the [[kAnonymity]]/[[lDiversity]]
+    * audits, which govern the un-noised path). The planned workload is
+    * the three count marginals of the (nation, segment) grid — by
+    * nation, by segment, and the full cross — released under SEQUENTIAL
+    * composition: each gets ε/releases. Per release: cell count, the
+    * smallest/largest true count, the Laplace scale `b = Δf/ε_i` (count
+    * queries, sensitivity 1 — b is also the expected |noise|), and the
+    * worst-case relative error `b / min_cell` — the number that says
+    * which marginal survives noising and which drowns (small cells at
+    * ε/3 read pure noise, exactly the cells k-anonymity flags).
+    *
+    * No randomness here — the plan is deterministic arithmetic over
+    * exact counts (actual noising happens at release time, outside the
+    * engine); ε arithmetic is integer e6/e4 with driver-side literal
+    * division.
+    *
+    * Scale: one hash aggregate to the |cells| grid; each marginal is a
+    * re-aggregate of THAT table (exchange-shared, the coOccurrence
+    * multi-consumer posture); readouts are 1-row aggregates unioned.
+    */
+  def dpBudgetPlan(
+      customer: DataFrame, epsilonE6: Long = 1000000L, releases: Long = 3L): DataFrame = {
+    require(releases > 0 && epsilonE6 > 0)
+    val epsShareE6 = epsilonE6 / releases
+    val noiseBE4 = 10000000000L / epsShareE6 // b·1e4 = 1e6·1e4 / εᵢ_e6
+    val cells = customer
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    def arm(name: String, m: DataFrame): DataFrame =
+      m.agg(
+        count(lit(1)).as("n_cells"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"))
+        .select(
+          lit(name).as("release"), col("n_cells"), col("min_cell"), col("max_cell"),
+          lit(epsShareE6).as("eps_share_e6"),
+          lit(noiseBE4).as("noise_b_e4"),
+          graft.Cols.floorDiv(lit(noiseBE4), col("min_cell")).as("worst_rel_err_e4"))
+    arm("by_nation", cells.groupBy(col("nation")).agg(sum(col("n")).as("n")))
+      .unionAll(arm("by_segment", cells.groupBy(col("segment")).agg(sum(col("n")).as("n"))))
+      .unionAll(arm("full_cross", cells))
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s partner check: a cell can be
     * large (k-anonymous) yet still leak if every row in it shares one
     * sensitive value, so each quasi-identifier cell also reports the

@@ -84,6 +84,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.transitions(events).count() === 0L)
   }
 
+  test("retention halflife: exact halving reads ~1 day; young cohorts censored") {
+    val Day = 86400000L
+    // cohort day 0: 8 users, halving each day (4, 2, 1 return); user 9 is
+    // a day-3 cohort — too young to be observable at any offset, so the
+    // censored denominators must ignore it entirely
+    val rows =
+      (1L to 8L).map(u => (u, 0L)) ++
+        (1L to 4L).map(u => (u, Day)) ++
+        (1L to 2L).map(u => (u, 2 * Day)) ++
+        Seq((1L, 3 * Day), (9L, 3 * Day))
+    val got = Analytics.retentionHalflife(rows.toDF("user_id", "ts_ms"))
+      .as[(Long, Long, Long, Option[Long])].collect().toList
+    // lr points: ln(1/2), ln(1/4), ln(1/8) in e6 → slopes {−693147,
+    // −693148, −693148} → lower median −693148 → half-life ⌊ln2·1e10/693148⌋
+    assert(got === List((3L, 3L, -693148L, Some(9999L))))
+  }
+
   test("bfs hops: path graph distances exact, ball truncated at maxHops") {
     // path 1-2-3-4-5-6: every interior node has degree 2, so the top-3
     // sources are 2, 3, 4 (degree ties break by id); node 6 is 4 hops

@@ -36,6 +36,10 @@ object PlanAudit {
       // r12: all-pairs slopes on the 10-row growth curve (<=45 pairs) +
       // the 1-row beta broadcast — the ev_theil_sen class
       "txt_heaps_fit",
+      // r12: censoring range-join of the |cohorts|-row size table with
+      // the |offsets|-row grid (both calendar-bounded) + the theil-sen
+      // pair join on the |offsets|-row log curve
+      "cs_retention_halflife",
       // r9: each nprobe arm scores IVF-PQ against the same brute
       // ground-truth side (the ann_recall_pq shape, |nprobes| arms)
       "ann_recall_nprobe",

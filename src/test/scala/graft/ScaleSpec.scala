@@ -24,6 +24,18 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("dp budget plan: marginal arms price noise against their smallest cell") {
+    // cells: (0,A)=4, (0,B)=2, (1,A)=5 → nation sums {6,5}, segment {9,2}
+    val rows = Seq.fill(4)((0L, "A")) ++ Seq.fill(2)((0L, "B")) ++ Seq.fill(5)((1L, "A"))
+    val got = Scale.dpBudgetPlan(rows.toDF("c_nationkey", "c_mktsegment"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // eps/3 = 333333 e6; b = 1e10/333333 → 30000 e4 (expected |noise| 3.0)
+    assert(got("by_nation") === (("by_nation", 2L, 5L, 6L, 333333L, 30000L, 6000L)))
+    assert(got("by_segment") === (("by_segment", 2L, 2L, 9L, 333333L, 30000L, 15000L)))
+    assert(got("full_cross") === (("full_cross", 3L, 2L, 5L, 333333L, 30000L, 15000L)))
+  }
+
   test("bloom design: ceil/round integer sizing matches the closed form") {
     // 100 distinct keys, key 1 duplicated — NDV drives the size, not rows
     val rows = (1L to 100L).map(k => (k, 0)) ++ Seq((1L, 1), (1L, 2))
