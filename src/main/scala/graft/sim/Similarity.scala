@@ -347,11 +347,13 @@ object Similarity {
     *  1. seed graph: a deliberately weak hyperplane-LSH candidate pass
     *    (`tables` of the 8-table index) scored exactly and cut to each
     *    node's top-`k` — cheap, low-recall.
-    *  2. one refinement round: "a neighbor of my neighbor is probably my
-    *    neighbor" — candidates are the 2-hop pairs of the UNDIRECTED seed
-    *    graph, unioned with the seed edges (so per-node quality is
-    *    monotone non-decreasing, spec-pinned), rescored exactly, re-cut
-    *    to top-`k`.
+    *  2. `rounds` refinement rounds: "a neighbor of my neighbor is
+    *    probably my neighbor" — candidates are the 2-hop pairs of the
+    *    UNDIRECTED current graph, unioned with its edges (so per-node
+    *    quality is monotone non-decreasing round over round,
+    *    spec-pinned), rescored exactly, re-cut to top-`k`.
+    *    `emb_nn_descent` registers one round; `emb_nn_descent2` the
+    *    2-round convergence curve (the emb_pq_train2 discipline).
     *
     * The readout is one row per round: graph size, average edge cosine
     * (quantize-then-sum e6), and recall@k against the exact brute-force
@@ -371,7 +373,8 @@ object Similarity {
     */
   def nnDescent(embeddings: DataFrame, k: Int = TopK,
                 dim: Int = 64, tables: Int = 2,
-                bits: Int = Dedup.LshBitsPerTable): DataFrame = {
+                bits: Int = Dedup.LshBitsPerTable, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, "need at least one refinement round")
     val q = Dedup.quantized(embeddings)
     // per-node top-k of an exact-rescored candidate pair set
     def topKGraph(cand: DataFrame): DataFrame = {
@@ -387,6 +390,17 @@ object Similarity {
         .filter(col("__rank") <= k)
         .select(col("src"), col("dst"), col("cosine"))
     }
+    // one NN-descent round: undirected 2-hop expansion ∪ current edges
+    def refine(g: DataFrame): DataFrame = {
+      val und = g.select(col("src"), col("dst"))
+        .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val twoHop = und.as("x")
+        .join(und.as("y"),
+          col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      topKGraph(twoHop.unionAll(g.select(col("src"), col("dst"))).distinct())
+    }
     val bucketed = lshBuckets(q, dim, tables, bits)
     val cand0 = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -394,18 +408,14 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct()
-    // seed graph feeds both the round-0 readout and the 2-hop expansion
-    val g0 = topKGraph(cand0).localCheckpoint()
-    val und = g0.select(col("src"), col("dst"))
-      .unionAll(g0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val twoHop = und.as("x")
-      .join(und.as("y"),
-        col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
-      .select(col("x.src").as("src"), col("y.dst").as("dst"))
-    val g1 = topKGraph(twoHop.unionAll(g0.select(col("src"), col("dst"))).distinct())
+    // every round's graph feeds BOTH its stats row and the next round's
+    // expansion; the truth table feeds one hit-join per round plus the
+    // denominator — checkpoint each once, free after the readout
+    val graphs = Vector.iterate(topKGraph(cand0).localCheckpoint(), rounds + 1)(
+      g => refine(g).localCheckpoint())
     val truth = bruteForceTopK(embeddings, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     def roundStats(r: Long, g: DataFrame): DataFrame = {
       val hits = g
         .filter(pmod(col("src"), lit(QueryStride.toLong)) === 0)
@@ -428,9 +438,13 @@ object Similarity {
           Cols.floorDiv(col("__hits") * 10000L, greatest(col("__truth"), lit(1L)))
             .as("recall_e4"))
     }
-    // 2-row readout: materialize, then free the seed graph's blocks
-    val out = roundStats(0L, g0).unionAll(roundStats(1L, g1)).localCheckpoint()
-    graft.LocalCheckpoints.free(g0)
+    // (rounds+1)-row readout: materialize, then free every block set
+    val out = graphs.zipWithIndex
+      .map { case (g, r) => roundStats(r.toLong, g) }
+      .reduce(_.unionAll(_))
+      .localCheckpoint()
+    graphs.foreach(graft.LocalCheckpoints.free)
+    graft.LocalCheckpoints.free(truth)
     out
   }
 
@@ -2477,6 +2491,9 @@ object Similarity {
     // graph-ANN build path: weak-LSH seed kNN graph + one NN-descent
     // (neighbors-of-neighbors) refinement round, recall audited per round
     "emb_nn_descent" -> ((s, d) => nnDescent(Tables.embeddings(s, d))),
+    // the same build run to two refinement rounds — the convergence curve
+    // (recall monotone per round by construction; emb_pq_train2 precedent)
+    "emb_nn_descent2" -> ((s, d) => nnDescent(Tables.embeddings(s, d), rounds = 2)),
     // exact per-label anisotropy via ||sum v||^2 - sum ||v||^2 — no pairs
     "emb_isotropy" -> ((s, d) => isotropy(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
@@ -2503,6 +2520,99 @@ object Similarity {
     "ann_recall_nprobe" -> ((s, d) => ivfPqRecallCurve(Tables.embeddings(s, d))),
     "emb_mrl_curve" -> ((s, d) => mrlRecallCurve(Tables.embeddings(s, d))),
   )
+
+  /** DuckDB mirror of [[nnDescent]] at `rounds` refinement rounds: the
+    * weak 2-table seed index CTEs end at `g0`; each round r appends
+    * (undr → candr = 2-hop ∪ g{r−1} → scr → gr) — the same expansion,
+    * rescore, and top-k cut as the Spark side — and every graph gets a
+    * (str, hr) stats pair joined against the shared strided truth `tq`.
+    */
+  private def nnDescentOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s""", und$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM g${r - 1} UNION ALL SELECT dst AS src, src AS dst FROM g${r - 1})
+         |), cand$r AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.src AS src, y.dst AS dst
+         |    FROM und$r x JOIN und$r y ON x.dst = y.src AND x.src <> y.dst
+         |    UNION ALL SELECT src, dst FROM g${r - 1})
+         |), sc$r AS (
+         |  SELECT c.src, c.dst,
+         |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+         |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
+         |  FROM cand$r c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
+         |), g$r AS MATERIALIZED (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM sc$r) WHERE rn <= $TopK
+         |)""".stripMargin
+    }.mkString
+    val statCtes = (0 to rounds).map { r =>
+      s""", st$r AS (
+         |  SELECT count(DISTINCT src)::BIGINT AS n_nodes, count(*)::BIGINT AS n_edges,
+         |    sum(round(cosine * 1000000)::BIGINT)::BIGINT AS sumcos
+         |  FROM g$r
+         |), h$r AS (
+         |  SELECT count(*)::BIGINT AS hits FROM g$r g
+         |  JOIN tq t ON g.src = t.query_id AND g.dst = t.neighbor_id
+         |)""".stripMargin
+    }.mkString
+    val arms = (0 to rounds).map { r =>
+      s"""SELECT $r::BIGINT AS round, n_nodes, n_edges,
+         |  ((sumcos - (((sumcos % greatest(n_edges, 1)) + greatest(n_edges, 1)) % greatest(n_edges, 1)))
+         |   // greatest(n_edges, 1))::BIGINT AS avg_cos_e6,
+         |  truth_pairs,
+         |  (hits * 10000 // greatest(truth_pairs, 1))::BIGINT AS recall_e4
+         |FROM st$r, h$r, tn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+       |  FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+       |  FROM qz
+       |), planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63),
+       |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
+       |  FROM (SELECT unnest(generate_series(0, ${2 * Dedup.LshBitsPerTable - 1})) AS p)
+       |), proj AS (
+       |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
+       |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
+       |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
+       |  FROM n CROSS JOIN planes pl
+       |), bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
+       |  FROM proj GROUP BY 1, 2
+       |), cand0 AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |), sc0 AS (
+       |  SELECT c.src, c.dst,
+       |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+       |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
+       |  FROM cand0 c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
+       |), g0 AS MATERIALIZED (
+       |  SELECT src, dst, cosine FROM (
+       |    SELECT src, dst, cosine,
+       |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+       |    FROM sc0) WHERE rn <= $TopK
+       |), tq AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum([q.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
+       |              / (sqrt(q.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
+       |        c.vec_id) AS rn
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % $QueryStride = 0) WHERE rn <= $TopK
+       |), tn AS (SELECT count(*)::BIGINT AS truth_pairs FROM tq)""".stripMargin +
+      roundCtes + statCtes + "\n" + arms
+  }
 
   /** DuckDB mirror of [[dimCorrelations]]: one aggregate CTE of exact
     * integer sums, then one UNION ALL arm per dimension pair with the
@@ -3896,100 +4006,12 @@ object Similarity {
         |  ((anum - (((anum % aden) + aden) % aden)) // aden)::BIGINT AS aniso_e6
         |FROM j""".stripMargin,
     // the full NN-descent chain replays in DuckDB: the 2-table seed index
-    // (plane ids 0..7 of the shared md5 family), top-5 cut, undirected
-    // 2-hop expansion ∪ seed edges, re-cut, and both rounds' stats vs the
-    // strided exact truth; negative cosine sums floor via the pmod form
-    "emb_nn_descent" ->
-      s"""WITH qz AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
-         |  FROM qz
-         |), planes AS (
-         |  SELECT p, list_transform(generate_series(0, 63),
-         |    i -> (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS pv
-         |  FROM (SELECT unnest(generate_series(0, ${2 * Dedup.LshBitsPerTable - 1})) AS p)
-         |), proj AS (
-         |  SELECT n.vec_id, pl.p // ${Dedup.LshBitsPerTable} AS tbl,
-         |    pl.p % ${Dedup.LshBitsPerTable} AS bit,
-         |    list_sum([n.qv[i] * pl.pv[i] for i in generate_series(1, 64)])::BIGINT AS dot
-         |  FROM n CROSS JOIN planes pl
-         |), bk AS (
-         |  SELECT vec_id, tbl,
-         |    sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS bucket
-         |  FROM proj GROUP BY 1, 2
-         |), cand0 AS (
-         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM bk a JOIN bk b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |), sc0 AS (
-         |  SELECT c.src, c.dst,
-         |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
-         |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
-         |  FROM cand0 c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
-         |), g0 AS (
-         |  SELECT src, dst, cosine FROM (
-         |    SELECT src, dst, cosine,
-         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-         |    FROM sc0) WHERE rn <= $TopK
-         |), und AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM g0 UNION ALL SELECT dst AS src, src AS dst FROM g0)
-         |), cand1 AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT x.src AS src, y.dst AS dst
-         |    FROM und x JOIN und y ON x.dst = y.src AND x.src <> y.dst
-         |    UNION ALL SELECT src, dst FROM g0)
-         |), sc1 AS (
-         |  SELECT c.src, c.dst,
-         |    round(list_sum([qa.qv[i] * qb.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
-         |          / (sqrt(qa.norm2::DOUBLE) * sqrt(qb.norm2::DOUBLE)), 6) AS cosine
-         |  FROM cand1 c JOIN n qa ON qa.vec_id = c.src JOIN n qb ON qb.vec_id = c.dst
-         |), g1 AS (
-         |  SELECT src, dst, cosine FROM (
-         |    SELECT src, dst, cosine,
-         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-         |    FROM sc1) WHERE rn <= $TopK
-         |), tq AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        round(list_sum([q.qv[i] * c.qv[i] for i in generate_series(1, 64)])::BIGINT::DOUBLE
-         |              / (sqrt(q.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)), 6) DESC,
-         |        c.vec_id) AS rn
-         |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
-         |    WHERE q.vec_id % $QueryStride = 0) WHERE rn <= $TopK
-         |), tn AS (SELECT count(*)::BIGINT AS truth_pairs FROM tq),
-         |st0 AS (
-         |  SELECT count(DISTINCT src)::BIGINT AS n_nodes, count(*)::BIGINT AS n_edges,
-         |    sum(round(cosine * 1000000)::BIGINT)::BIGINT AS sumcos
-         |  FROM g0
-         |), h0 AS (
-         |  SELECT count(*)::BIGINT AS hits FROM g0 g
-         |  JOIN tq t ON g.src = t.query_id AND g.dst = t.neighbor_id
-         |), st1 AS (
-         |  SELECT count(DISTINCT src)::BIGINT AS n_nodes, count(*)::BIGINT AS n_edges,
-         |    sum(round(cosine * 1000000)::BIGINT)::BIGINT AS sumcos
-         |  FROM g1
-         |), h1 AS (
-         |  SELECT count(*)::BIGINT AS hits FROM g1 g
-         |  JOIN tq t ON g.src = t.query_id AND g.dst = t.neighbor_id
-         |)
-         |SELECT 0::BIGINT AS round, n_nodes, n_edges,
-         |  ((sumcos - (((sumcos % greatest(n_edges, 1)) + greatest(n_edges, 1)) % greatest(n_edges, 1)))
-         |   // greatest(n_edges, 1))::BIGINT AS avg_cos_e6,
-         |  truth_pairs,
-         |  (hits * 10000 // greatest(truth_pairs, 1))::BIGINT AS recall_e4
-         |FROM st0, h0, tn
-         |UNION ALL
-         |SELECT 1::BIGINT AS round, n_nodes, n_edges,
-         |  ((sumcos - (((sumcos % greatest(n_edges, 1)) + greatest(n_edges, 1)) % greatest(n_edges, 1)))
-         |   // greatest(n_edges, 1))::BIGINT AS avg_cos_e6,
-         |  truth_pairs,
-         |  (hits * 10000 // greatest(truth_pairs, 1))::BIGINT AS recall_e4
-         |FROM st1, h1, tn""".stripMargin,
+    // (plane ids 0..7 of the shared md5 family), top-5 cut, then one
+    // (und → 2-hop ∪ edges → rescore → re-cut) CTE block per round, and
+    // a stats arm per graph vs the strided exact truth; negative cosine
+    // sums floor via the pmod form
+    "emb_nn_descent" -> nnDescentOracle(1),
+    "emb_nn_descent2" -> nnDescentOracle(2),
     // ann_topk_lsh IS oracled (r6): approximate only vs the brute-force
     // ground truth — the index itself is deterministic (md5-derived
     // hyperplanes, integer projections, exact candidate cosine), so the

@@ -967,6 +967,59 @@ object TextAnalysis {
     * needed); cells join the broadcast V-row vocab. Nothing pairs docs or
     * sources; grid is sources × V rows.
     */
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions over a FIXED 1024-bucket hashed vocabulary — the
+    * source-similarity matrix behind mixture design ("which crawls are
+    * interchangeable, which add coverage"), symmetric and bounded by
+    * ln 2 where [[sourceChi2]] only scores each source against the
+    * global pool. Feature hashing (the txt_dsir_weights trick) makes
+    * every source a dense 1024-vector regardless of vocabulary size, so
+    * the pair join is |sources|²·1024 grid rows — never vocabulary-sized.
+    * Distributions are Laplace-smoothed `(c+1)/(T+1024)` (the ev_psi
+    * convention — every log finite on empty buckets) and each bucket's
+    * JS term quantizes to e6 before summing (order-independent,
+    * cross-engine stable).
+    *
+    * Scale: one token scan folds map-side to the |sources|·1024 grid;
+    * the dense zero-fill is a bounded ×1024 explode of the
+    * |sources|-row totals; the pair join is bucket-equi-keyed over the
+    * tiny grid. Nothing downstream of the first aggregate scales with
+    * the corpus.
+    */
+  def sourceJs(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val cells = docs
+      .select(col("source"), explode(Cols.tokens(col("text"))).as("tok"))
+      .select(col("source"), pmod(Cols.hash60(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("__c")).as("__t"))
+    val grid = totals
+      .select(col("source"), col("__t"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"))
+      .join(cells, Seq("source", "bucket"), "left")
+      .select(
+        col("source"), col("bucket"), col("__t"),
+        ((coalesce(col("__c"), lit(0L)) + 1L).cast("double")
+          / (col("__t") + buckets).cast("double")).as("__p"))
+    val a = grid.select(
+      col("source").as("source_a"), col("bucket"),
+      col("__p").as("__pa"), col("__t").as("__ta"))
+    val b = grid.select(
+      col("source").as("source_b"), col("bucket"),
+      col("__p").as("__pb"), col("__t").as("__tb"))
+    val mid = (col("__pa") + col("__pb")) / 2.0
+    val term = round(
+      (col("__pa") / 2.0 * log(col("__pa") / mid)
+        + col("__pb") / 2.0 * log(col("__pb") / mid)) * 1000000).cast("long")
+    a.join(b, Seq("bucket"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        sum(term).as("js_e6"))
+  }
+
   def sourceChi2(docs: DataFrame, topTerms: Int = 50): DataFrame = {
     val terms = docs.select(col("source"),
       explode(Cols.tokens(col("text"))).as("term"))
@@ -2128,6 +2181,8 @@ object TextAnalysis {
     "txt_chunk" -> ((s, d) => chunk(Tables.documents(s, d))),
     // per-source vocabulary-divergence screen over the top-50 terms
     "txt_source_chi2" -> ((s, d) => sourceChi2(Tables.documents(s, d))),
+    // pairwise source JS divergence over the 1024-bucket hashed vocab
+    "txt_source_js" -> ((s, d) => sourceJs(Tables.documents(s, d))),
     // per-doc character entropy: the repetitive-junk / base64-wall screen
     "txt_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
@@ -2540,6 +2595,31 @@ object TextAnalysis {
          |  len(toks[i * 48 + 1 : i * 48 + 64])::BIGINT AS n_tokens,
          |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
          |FROM u""".stripMargin,
+    // dense 1024-bucket hashed-vocab grid per source (Laplace-smoothed),
+    // bucket-equi pair join, per-bucket JS terms e6-quantized THEN summed
+    "txt_source_js" ->
+      """WITH tm AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    count(*)::BIGINT AS c
+        |  FROM tm GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT source, sum(c)::BIGINT AS t FROM c GROUP BY 1
+        |), g AS (
+        |  SELECT tt.source, gs.bucket, tt.t,
+        |    (coalesce(c.c, 0) + 1)::DOUBLE / (tt.t + 1024) AS p
+        |  FROM tt CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS bucket) gs
+        |  LEFT JOIN c ON c.source = tt.source AND c.bucket = gs.bucket
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  max(a.t)::BIGINT AS n_a, max(b.t)::BIGINT AS n_b,
+        |  sum(round((a.p / 2 * ln(a.p / ((a.p + b.p) / 2))
+        |           + b.p / 2 * ln(b.p / ((a.p + b.p) / 2))) * 1000000)::BIGINT)::BIGINT AS js_e6
+        |FROM g a JOIN g b ON a.bucket = b.bucket AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // full grid incl. empty cells; per-cell terms e4-quantized THEN
     // summed (the ev_chi2_hour discipline, grouped by source)
     "txt_source_chi2" ->

@@ -212,7 +212,10 @@ object PlanAudit {
     "tbl_zorder_plan",
     // r12: two 1-row broadcasts per round (hit count, truth count) beside
     // the 1-row graph aggregate — the dedup_recall_harness readout shape
-    "emb_nn_descent")
+    "emb_nn_descent", "emb_nn_descent2",
+    // r12: inherits coOccurrence's 1-row broadcast group total (the
+    // li_degree_hist note) — BFS itself is pure equi-joins
+    "li_bfs_hops")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see
@@ -251,6 +254,9 @@ object PlanAudit {
     "txt_temperature_mix",
     // r9: cumulative sums over the |buckets|-row (10) growth grid
     "txt_vocab_growth",
+    // r12: composes txt_vocab_growth, so it carries the same 10-row
+    // cumulative window into its log-log fit input
+    "txt_heaps_fit",
     // r11: running reclaim ledger over the |months|-row (~84) partition
     // table — bounded by the order-date calendar
     "tbl_vacuum_plan",

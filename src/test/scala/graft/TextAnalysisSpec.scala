@@ -40,6 +40,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("source JS: identical sources score 0, disjoint vocabularies near ln2") {
+    import graft.text.TextAnalysis
+    val d = Seq(
+      // sources a and b: identical token streams → every bucket's p == q
+      (1L, "apple banana cherry apple", "a"),
+      (2L, "apple banana cherry apple", "b"),
+      // source c: fully disjoint vocabulary
+      (3L, "xylophone quartz vortex jazz", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceJs(d)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = got(("a", "b"))
+    assert(ab._3 === 4L && ab._4 === 4L && ab._5 === 0L)
+    // disjoint vocabularies diverge; the Laplace mass (4 real tokens vs
+    // 1024 smoothing buckets here) keeps tiny fixtures far from the ln2
+    // ceiling but strictly above the identical pair
+    for (p <- Seq(got(("a", "c")), got(("b", "c")))) {
+      assert(p._5 > 100L && p._5 < 693148L, s"js out of range: $p")
+    }
+    // symmetry of the construction: b is a's clone, so both pairs with c
+    // score identically
+    assert(got(("a", "c"))._5 === got(("b", "c"))._5)
+  }
+
   test("heaps fit: all-new tokens read beta=1, a fixed template reads beta=0") {
     import graft.text.TextAnalysis
     // every doc contributes 3 brand-new tokens → vocab == tokens at every
