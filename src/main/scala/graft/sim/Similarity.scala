@@ -1870,6 +1870,71 @@ object Similarity {
           d(col("n_vecs") - 1L) * d(col("__sumn"))).cast("long").as("aniso_e6"))
   }
 
+  /** The action [[isotropy]] recommends, measured: per-dimension
+    * standardization (diagonal whitening, `w = (x − μ_d)·1e3 / σ_d` in
+    * exact integer floors with σ as the one shared rounded-sqrt double)
+    * and the same pair-free anisotropy identity evaluated on BOTH arms —
+    * raw vs whitened, side by side. Centering alone annihilates the
+    * common-direction term (`Σw ≈ 0` per dim ⇒ gram ≈ 0), so a healthy
+    * whitening run shows `aniso_e6` collapsing from its raw value toward
+    * `−1e6/(n−1)`; a run that doesn't collapse means the anisotropy was
+    * never a mean offset and needs full (rotational) whitening instead.
+    *
+    * Scale: one posexplode long table feeds everything — the 64-row
+    * per-dim moment broadcast, then one (arm, dim) partial-sum grid and
+    * one (arm) norm aggregate over a bounded ×2 arm explode. Never a
+    * pair, never a second corpus scan; decimal(38,0) moments as in
+    * [[isotropy]].
+    */
+  def whitenGain(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val longT = Dedup.quantized(embeddings)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "x")))
+    val stats = longT.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("x")).as("__s"),
+        sum(d(col("x")) * d(col("x"))).as("__q2"))
+      .select(
+        col("dim"),
+        Cols.floorDiv(col("__s"), col("__n")).as("__mean"),
+        greatest(
+          round(sqrt(
+            (d(col("__n")) * col("__q2") - d(col("__s")) * d(col("__s"))).cast("double")
+              / (col("__n") * col("__n")).cast("double"))).cast("long"),
+          lit(1L)).as("__sigma"))
+    val armed = longT
+      .join(broadcast(stats), "dim")
+      .select(
+        col("vec_id"), col("dim"),
+        explode(array(
+          struct(lit("raw").as("arm"), col("x").as("w")),
+          struct(lit("whitened").as("arm"),
+            Cols.floorDiv((col("x") - col("__mean")) * 1000L, col("__sigma")).as("w"))))
+          .as("__a"))
+      .select(col("__a.arm").as("arm"), col("vec_id"), col("dim"), col("__a.w").as("w"))
+    val gram = armed.groupBy(col("arm"), col("dim"))
+      .agg(sum(col("w")).as("__sd"))
+      .groupBy(col("arm"))
+      .agg(sum(d(col("__sd")) * d(col("__sd"))).as("__gram"))
+    armed.groupBy(col("arm"))
+      .agg(
+        count_distinct(col("vec_id")).as("n_vecs"),
+        sum(d(col("w")) * d(col("w"))).as("__sumn"))
+      .join(gram, "arm")
+      .filter(col("n_vecs") > 1)
+      .select(
+        col("arm"), col("n_vecs"),
+        Cols.floorDiv(col("__sumn"), d(col("n_vecs"))).cast("long").as("avg_norm2"),
+        Cols.floorDiv(
+          col("__gram") - col("__sumn"),
+          d(col("n_vecs")) * d(col("n_vecs") - 1L)).cast("long").as("avg_pair_dot"),
+        when(col("__sumn") > 0,
+          Cols.floorDiv(
+            (col("__gram") - col("__sumn")) * d(lit(1000000L)),
+            d(col("n_vecs") - 1L) * col("__sumn")).cast("long"))
+          .as("aniso_e6"))
+  }
+
   /** IVF recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
     * quantitative answer to "is nprobe high enough", as a REGISTERED
@@ -2496,6 +2561,8 @@ object Similarity {
     "emb_nn_descent2" -> ((s, d) => nnDescent(Tables.embeddings(s, d), rounds = 2)),
     // exact per-label anisotropy via ||sum v||^2 - sum ||v||^2 — no pairs
     "emb_isotropy" -> ((s, d) => isotropy(Tables.embeddings(s, d))),
+    // diagonal whitening A/B: the same identity on raw vs standardized
+    "emb_whiten_gain" -> ((s, d) => whitenGain(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -4004,6 +4071,55 @@ object Similarity {
         |  (sumn // n_vecs)::BIGINT AS avg_norm2,
         |  ((pnum - (((pnum % pden) + pden) % pden)) // pden)::BIGINT AS avg_pair_dot,
         |  ((anum - (((anum % aden) + aden) % aden)) // aden)::BIGINT AS aniso_e6
+        |FROM j""".stripMargin,
+    // raw vs diagonally-whitened arms through the same pair-free identity;
+    // the one shared double is sigma's rounded sqrt, all floors pmod-form
+    "emb_whiten_gain" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), lt AS (
+        |  SELECT vec_id, ii.i AS dim, qv[ii.i] AS x
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |), st AS (
+        |  SELECT dim, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+        |    sum(x::HUGEINT * x)::HUGEINT AS q2
+        |  FROM lt GROUP BY 1
+        |), sg AS (
+        |  SELECT dim,
+        |    ((s - (((s % n) + n) % n)) // n)::BIGINT AS mean,
+        |    greatest(round(sqrt((n::HUGEINT * q2 - s::HUGEINT * s)::DOUBLE / (n * n)))::BIGINT, 1) AS sigma
+        |  FROM st
+        |), ar AS (
+        |  SELECT vec_id, dim, 'raw' AS arm, x AS w FROM lt
+        |  UNION ALL
+        |  SELECT l.vec_id, l.dim, 'whitened' AS arm,
+        |    (((l.x - g.mean) * 1000
+        |      - (((((l.x - g.mean) * 1000) % g.sigma) + g.sigma) % g.sigma)) // g.sigma)::BIGINT AS w
+        |  FROM lt l JOIN sg g USING (dim)
+        |), pd AS (
+        |  SELECT arm, dim, sum(w)::HUGEINT AS sd FROM ar GROUP BY 1, 2
+        |), gr AS (
+        |  SELECT arm, sum(sd * sd)::HUGEINT AS gram FROM pd GROUP BY 1
+        |), nm AS (
+        |  SELECT arm, count(DISTINCT vec_id)::BIGINT AS n_vecs,
+        |    sum(w::HUGEINT * w)::HUGEINT AS sumn
+        |  FROM ar GROUP BY 1
+        |), j AS (
+        |  SELECT nm.arm, nm.n_vecs, nm.sumn, gr.gram,
+        |    gr.gram - nm.sumn AS pnum,
+        |    nm.n_vecs::HUGEINT * (nm.n_vecs - 1) AS pden,
+        |    (gr.gram - nm.sumn) * 1000000 AS anum,
+        |    (nm.n_vecs - 1)::HUGEINT * nm.sumn AS aden
+        |  FROM nm JOIN gr USING (arm)
+        |  WHERE nm.n_vecs > 1
+        |)
+        |SELECT arm, n_vecs,
+        |  (sumn // n_vecs)::BIGINT AS avg_norm2,
+        |  ((pnum - (((pnum % pden) + pden) % pden)) // pden)::BIGINT AS avg_pair_dot,
+        |  (CASE WHEN sumn > 0
+        |        THEN (anum - (((anum % aden) + aden) % aden)) // aden END)::BIGINT AS aniso_e6
         |FROM j""".stripMargin,
     // the full NN-descent chain replays in DuckDB: the 2-table seed index
     // (plane ids 0..7 of the shared md5 family), top-5 cut, then one

@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === ((2L, 2L, 1000000L, -1000000L, -1000000L)))
   }
 
+  test("whiten gain: centering annihilates the common-direction anisotropy") {
+    // dim 1 carries a mean offset (2,2,0,0 milli-units ×1000): raw reads
+    // positive anisotropy; diagonal whitening (mean 1000, sigma exactly
+    // 1000) maps it to ±1000 with Σw = 0, so the whitened arm collapses
+    // to the centered floor −1e6/(n−1)
+    val d = Seq(
+      (1L, Seq(2.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f), 0), (4L, Seq(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.whitenGain(d)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("raw") === (("raw", 4L, 2000000L, 666666L, Some(333333L))))
+    assert(got("whitened") === (("whitened", 4L, 1000000L, -333334L, Some(-333334L))))
+  }
+
+  test("whiten gain: a constant corpus whitens to zero with a null ratio") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.whitenGain(d)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("raw") === (("raw", 2L, 1000000L, 1000000L, Some(1000000L))))
+    // x − mean = 0 everywhere → all-zero vectors: no norm, no ratio
+    assert(got("whitened") === (("whitened", 2L, 0L, 0L, None)))
+  }
+
   test("nn-descent: refinement never loses recall and respects the k bound") {
     // 60 unit vectors on a ring — each node's true neighbors are its
     // angular neighbors, so 2-hop expansion is exactly how a weak seed
