@@ -28,6 +28,19 @@ object Cols {
     // (1.7e18 > 2^53). The pmod pre-subtraction makes it exact floor.
     call_function("div", c - pmod(c, d), d)
 
+  /** Exact LOWER median as an aggregate: element ⌈n/2⌉ of the sorted
+    * collected values — no midpoint averaging, no floats, so the result
+    * is always one of the inputs and hashes identically cross-engine
+    * (DuckDB mirror: `(list(x ORDER BY x))[(count(*) + 1) // 2]`). Null
+    * on an empty group (element_at at index 0 would otherwise throw —
+    * Spark array indices are 1-based), matching the DuckDB list
+    * out-of-range convention.
+    */
+  def lowerMedian(c: Column): Column = {
+    val arr = sort_array(collect_list(c))
+    when(size(arr) > 0, element_at(arr, ((size(arr) + 1) / 2).cast("int")))
+  }
+
   /** Floor a millisecond epoch to its tumbling-window start.
     * DuckDB: `t - t % W` is identical for non-negative t; we use pmod so
     * negative epochs also floor. Oracle uses `t - ((t % W) + W) % W`.

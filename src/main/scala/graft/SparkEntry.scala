@@ -113,12 +113,12 @@ object SparkEntry {
     // ladder, price each rung, flag the first fully-k-anonymous one
     "cust_anon_plan" -> ((s, dir) =>
       graft.ops.Scale.anonymizationPlan(Tables.customer(s, dir))),
-    // the k-anonymity partner: large cells can still leak when every row
-    // shares one sensitive value — flag cells with < 2 distinct segments
     // DP release planner: Laplace scale + worst-cell relative error for
     // the three grid marginals under sequential eps/3 composition
     "cust_dp_budget" -> ((s, dir) =>
       graft.ops.Scale.dpBudgetPlan(Tables.customer(s, dir))),
+    // the k-anonymity partner: large cells can still leak when every row
+    // shares one sensitive value — flag cells with < 2 distinct segments
     "cust_l_diversity" -> ((s, dir) =>
       graft.ops.Scale.lDiversity(
         Tables.customer(s, dir)
@@ -1838,11 +1838,11 @@ object SparkEntry {
         |  FROM b GROUP BY 1
         |), m AS (
         |  SELECT bucket, n_rows, n_keys,
-        |    ((n_keys * 9585058 + 999999) // 1000000)::BIGINT AS m_bits
+        |    ((n_keys::HUGEINT * 9585058 + 999999) // 1000000)::BIGINT AS m_bits
         |  FROM a
         |), r AS (
         |  SELECT bucket, n_rows, n_keys, m_bits,
-        |    (m_bits * 1000000 // n_keys)::BIGINT AS r_e6
+        |    (m_bits::HUGEINT * 1000000 // n_keys)::BIGINT AS r_e6
         |  FROM m
         |)
         |SELECT bucket, n_rows, n_keys, m_bits,
@@ -3918,9 +3918,16 @@ object SparkEntry {
     // divisions use the pmod pre-subtraction so negative detrended sums
     // floor like Cols.floorDiv (DuckDB // truncates toward zero)
     "ev_decompose_weekly" ->
-      """WITH d AS (
+      """WITH act AS (
         |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*)::BIGINT AS n_events
         |  FROM events GROUP BY 1
+        |), bounds AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM act
+        |), grid AS (
+        |  SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+        |), d AS (
+        |  SELECT grid.day, coalesce(act.n_events, 0)::BIGINT AS n_events
+        |  FROM grid LEFT JOIN act USING (day)
         |), t AS (
         |  SELECT day, day % 7 AS weekday, n_events,
         |    (CASE WHEN count(*) OVER w = 7
@@ -4552,11 +4559,6 @@ object SparkEntry {
           |CROSS JOIN o_base b""".stripMargin
       base + layers + tail
     },
-    // the basket-pairs edge CTE + five unrolled degree-peel layers
-    // (fixed-round, mirroring the one-plan Spark loop exactly)
-    // basket-pair edges + 10 unrolled HashMin layers (MATERIALIZED for
-    // the same planner-pyramid reason as li_kcore); min over self ∪
-    // neighbor labels per layer, then component sizes from layer 10
     // unrolled 3-round frontier BFS from the 3 top-degree hubs; the
     // frontier is recovered per round as "min distance exactly r-1"
     "li_bfs_hops" -> {
@@ -4592,6 +4594,11 @@ object SparkEntry {
         """
           |SELECT source, node, hops FROM d3""".stripMargin
     },
+    // the basket-pairs edge CTE + five unrolled degree-peel layers
+    // (fixed-round, mirroring the one-plan Spark loop exactly)
+    // basket-pair edges + 10 unrolled HashMin layers (MATERIALIZED for
+    // the same planner-pyramid reason as li_kcore); min over self ∪
+    // neighbor labels per layer, then component sizes from layer 10
     "li_components" -> {
       val base =
         """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

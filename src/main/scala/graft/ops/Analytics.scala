@@ -290,16 +290,12 @@ object Analytics {
         round(
           log(col("__ret").cast("double") / col("__den").cast("double")) * 1000000)
           .cast("long").as("__lr"))
-    def lowerMedian(c: Column): Column = {
-      val arr = sort_array(collect_list(c))
-      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
-    }
     val slopes = pts.select(col("__d").as("__d1"), col("__lr").as("__lr1"))
       .join(pts.select(col("__d").as("__d2"), col("__lr").as("__lr2")),
         col("__d1") < col("__d2"))
       .select(Cols.floorDiv(col("__lr2") - col("__lr1"), col("__d2") - col("__d1")).as("__s"))
     val beta = slopes.agg(
-      count(lit(1)).as("n_pairs"), lowerMedian(col("__s")).as("slope_e6"))
+      count(lit(1)).as("n_pairs"), Cols.lowerMedian(col("__s")).as("slope_e6"))
     pts.agg(count(lit(1)).as("n_offsets"))
       .crossJoin(broadcast(beta))
       .select(

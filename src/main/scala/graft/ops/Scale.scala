@@ -145,9 +145,10 @@ object Scale {
     *
     * All arithmetic is integer: the two transcendental constants are the
     * fixed e6 literals `BitsPerKeyE6 = round(−ln(0.01)/ln²2 · 1e6)` and
-    * `Ln2E6 = round(ln 2 · 1e6)`, identical in the oracle, and the
-    * intermediate bits-per-key ratio is reduced before multiplying so
-    * nothing passes 2⁶³ even at 1e12 keys per bucket.
+    * `Ln2E6 = round(ln 2 · 1e6)`, identical in the oracle. The n·bpk and
+    * m·1e6 products widen to decimal(38,0) (HUGEINT in the oracle) —
+    * they'd wrap int64 near 1e12 keys per bucket — and the reduced e6
+    * ratio keeps the k computation itself in longs.
     *
     * One hash aggregate to |buckets| rows, map-side combined — the NDV is
     * exact (count_distinct), which is affordable because it shares the
@@ -160,12 +161,21 @@ object Scale {
       .select(pmod(graft.Cols.hash60(col(key)), lit(nBuckets.toLong)).as("bucket"), col(key))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), count_distinct(col(key)).as("n_keys"))
-      // m = ceil(n · bpk): floorDiv(n·bpk + (1e6−1), 1e6)
+      // m = ceil(n · bpk): floorDiv(n·bpk + (1e6−1), 1e6) — the products
+      // n·bpk and m·1e6 pass 2⁶³ near 1e12 keys, so they widen to
+      // decimal(38,0) (the welchScreen discipline); m_bits itself
+      // (~9.6 bits/key) fits a long to ~9.6e17 keys
       .withColumn(
         "m_bits",
-        graft.Cols.floorDiv(col("n_keys") * BitsPerKeyE6 + 999999L, 1000000L))
+        graft.Cols.floorDiv(
+          col("n_keys").cast("decimal(38,0)") * BitsPerKeyE6 + 999999L,
+          lit(1000000L).cast("decimal(38,0)")).cast("long"))
       // k = round((m/n)·ln2), via the reduced e6 ratio r = floor(m·1e6/n)
-      .withColumn("__r_e6", graft.Cols.floorDiv(col("m_bits") * 1000000L, col("n_keys")))
+      .withColumn(
+        "__r_e6",
+        graft.Cols.floorDiv(
+          col("m_bits").cast("decimal(38,0)") * 1000000L,
+          col("n_keys").cast("decimal(38,0)")).cast("long"))
       .withColumn(
         "k_hashes",
         graft.Cols.floorDiv(

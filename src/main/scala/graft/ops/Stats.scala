@@ -714,16 +714,12 @@ object Stats {
     val daily = events
       .groupBy(col("event_type"), day.as("day"))
       .agg(count(lit(1)).as("n_events"))
-    def lowerMedian(c: Column): Column = {
-      val arr = sort_array(collect_list(c))
-      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
-    }
     val med = daily.groupBy(col("event_type"))
-      .agg(lowerMedian(col("n_events")).as("med"))
+      .agg(Cols.lowerMedian(col("n_events")).as("med"))
     val withMed = daily.join(med, "event_type")
       .withColumn("dev", abs(col("n_events") - col("med")))
     val mad = withMed.groupBy(col("event_type"))
-      .agg(lowerMedian(col("dev")).as("mad"))
+      .agg(Cols.lowerMedian(col("dev")).as("mad"))
     withMed.join(mad, "event_type")
       .select(
         col("event_type"), col("day"), col("n_events"), col("med"),

@@ -343,9 +343,20 @@ object TimeSeries {
     * PlanAudit.BoundedGlobalWindow), and the weekday join broadcasts 7 rows.
     */
   def decomposeWeekly(events: DataFrame): DataFrame = {
-    val daily = events
+    // densify over [min day, max day] (the gapFillDaily in-plan-bounds
+    // shape): a silent day IS a zero of the count series — without the
+    // grid the ±3-ROW window silently spans >7 calendar days around any
+    // gap and the full-window guard can't see it
+    val active = events
       .groupBy(Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
       .agg(count(lit(1)).as("n_events"))
+    val bounds = active.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val daily = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(active, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
       .withColumn("weekday", pmod(col("day"), lit(7L)))
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily

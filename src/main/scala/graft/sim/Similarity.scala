@@ -1865,9 +1865,11 @@ object Similarity {
         Cols.floorDiv(
           col("__gram") - d(col("__sumn")),
           d(col("n_vecs")) * d(col("n_vecs") - 1L)).cast("long").as("avg_pair_dot"),
-        Cols.floorDiv(
-          (col("__gram") - d(col("__sumn"))) * d(lit(1000000L)),
-          d(col("n_vecs") - 1L) * d(col("__sumn"))).cast("long").as("aniso_e6"))
+        when(col("__sumn") > 0,
+          Cols.floorDiv(
+            (col("__gram") - d(col("__sumn"))) * d(lit(1000000L)),
+            d(col("n_vecs") - 1L) * d(col("__sumn"))).cast("long"))
+          .as("aniso_e6"))
   }
 
   /** The action [[isotropy]] recommends, measured: per-dimension
@@ -4070,7 +4072,8 @@ object Similarity {
         |SELECT label, n_vecs,
         |  (sumn // n_vecs)::BIGINT AS avg_norm2,
         |  ((pnum - (((pnum % pden) + pden) % pden)) // pden)::BIGINT AS avg_pair_dot,
-        |  ((anum - (((anum % aden) + aden) % aden)) // aden)::BIGINT AS aniso_e6
+        |  (CASE WHEN sumn > 0
+        |        THEN (anum - (((anum % aden) + aden) % aden)) // aden END)::BIGINT AS aniso_e6
         |FROM j""".stripMargin,
     // raw vs diagonally-whitened arms through the same pair-free identity;
     // the one shared double is sigma's rounded sqrt, all floors pmod-form

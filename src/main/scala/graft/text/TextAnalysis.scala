@@ -335,25 +335,6 @@ object TextAnalysis {
         Cols.floorDiv(col("__c.n_covered") * 10000L, col("n_tokens")).as("coverage_e4"))
   }
 
-  /** Heaps-law vocabulary-GROWTH curve: the corpus is cut into `buckets`
-    * equal doc-id spans against the in-plan max id (a 1-row broadcast —
-    * id-ordered ingestion order, the curve a crawler would see), and each
-    * row carries the cumulative doc/token/vocabulary counts after that
-    * span plus the span's own `new_terms` and its marginal type yield
-    * `⌊new_terms·10⁴ / span_tokens⌋`. The declining yield across buckets
-    * IS the Heaps sublinearity readout — "how much new vocabulary does
-    * the next tenth of the corpus still buy" — kept as an exact integer
-    * rational instead of a float log-log slope, the repo's
-    * quantize-don't-chase-doubles discipline. The sizing question it
-    * answers: where token-count-based vocab budgets (BPE size, hash
-    * widths like [[featureHashing]]'s) stop growing usefully.
-    *
-    * Scale: first-occurrence is ONE `min(doc_id)` aggregate at token
-    * grain (map-side combined, |vocab| rows) folded straight to
-    * `buckets` groups; token mass and doc counts aggregate by bucket
-    * directly. Cumulative sums run over the |buckets|-row grid only —
-    * nothing data-sized is ever sorted or windowed.
-    */
   /** Heaps-law fit over the [[vocabGrowth]] curve: vocabulary grows as
     * `V(n) ≈ K·n^β`, so a robust line through the (ln n_tokens, ln vocab)
     * points gives the corpus's β (sublinearity exponent — natural text
@@ -377,10 +358,6 @@ object TextAnalysis {
       .select(
         round(log(col("n_tokens").cast("double")) * 1000000).cast("long").as("__lt"),
         round(log(col("vocab").cast("double")) * 1000000).cast("long").as("__lv"))
-    def lowerMedian(c: Column): Column = {
-      val arr = sort_array(collect_list(c))
-      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
-    }
     val slopes = pts.select(col("__lt").as("__lt1"), col("__lv").as("__lv1"))
       .join(
         pts.select(col("__lt").as("__lt2"), col("__lv").as("__lv2")),
@@ -389,16 +366,35 @@ object TextAnalysis {
         (col("__lv2") - col("__lv1")) * 1000000L,
         col("__lt2") - col("__lt1")).as("__s"))
     val beta = slopes.agg(
-      count(lit(1)).as("n_pairs"), lowerMedian(col("__s")).as("beta_e6"))
+      count(lit(1)).as("n_pairs"), Cols.lowerMedian(col("__s")).as("beta_e6"))
     pts.crossJoin(broadcast(beta))
       .select(
         col("n_pairs"), col("beta_e6"),
         (col("__lv") - Cols.floorDiv(col("beta_e6") * col("__lt"), 1000000L)).as("__r"))
       .groupBy(col("n_pairs"), col("beta_e6"))
-      .agg(count(lit(1)).as("n_points"), lowerMedian(col("__r")).as("ln_k_e6"))
+      .agg(count(lit(1)).as("n_points"), Cols.lowerMedian(col("__r")).as("ln_k_e6"))
       .select(col("n_points"), col("n_pairs"), col("beta_e6"), col("ln_k_e6"))
   }
 
+  /** Heaps-law vocabulary-GROWTH curve: the corpus is cut into `buckets`
+    * equal doc-id spans against the in-plan max id (a 1-row broadcast —
+    * id-ordered ingestion order, the curve a crawler would see), and each
+    * row carries the cumulative doc/token/vocabulary counts after that
+    * span plus the span's own `new_terms` and its marginal type yield
+    * `⌊new_terms·10⁴ / span_tokens⌋`. The declining yield across buckets
+    * IS the Heaps sublinearity readout — "how much new vocabulary does
+    * the next tenth of the corpus still buy" — kept as an exact integer
+    * rational instead of a float log-log slope, the repo's
+    * quantize-don't-chase-doubles discipline. The sizing question it
+    * answers: where token-count-based vocab budgets (BPE size, hash
+    * widths like [[featureHashing]]'s) stop growing usefully.
+    *
+    * Scale: first-occurrence is ONE `min(doc_id)` aggregate at token
+    * grain (map-side combined, |vocab| rows) folded straight to
+    * `buckets` groups; token mass and doc counts aggregate by bucket
+    * directly. Cumulative sums run over the |buckets|-row grid only —
+    * nothing data-sized is ever sorted or windowed.
+    */
   def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
     val md = docs.agg(max(col("doc_id")).as("__md"))
@@ -952,21 +948,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("ws_tokens"), col("cum_before"), col("pack_id"))
   }
 
-  /** Per-source vocabulary-divergence screen: χ² contribution of each
-    * source against the corpus over the top-`topTerms` corpus terms —
-    * "which crawl slice's word distribution is drifting". The cell grid
-    * is |sources| × topTerms INCLUDING empty cells (an absent hot term is
-    * evidence, same discipline as [[graft.ops.Profile.chi2Independence]]);
-    * per-cell terms are e4-quantized THEN summed so the per-source total
-    * is aggregation-order-independent. Output per source: in-vocab token
-    * count and the χ² divergence e4 — rank sources by it to find the
-    * outlier slice before it trains.
-    *
-    * Scale: one token scan → map-side-combined term agg; the top-V cut is
-    * TakeOrdered (per-partition heaps — membership only, no rank value
-    * needed); cells join the broadcast V-row vocab. Nothing pairs docs or
-    * sources; grid is sources × V rows.
-    */
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions over a FIXED 1024-bucket hashed vocabulary — the
     * source-similarity matrix behind mixture design ("which crawls are
@@ -1020,6 +1001,21 @@ object TextAnalysis {
         sum(term).as("js_e6"))
   }
 
+  /** Per-source vocabulary-divergence screen: χ² contribution of each
+    * source against the corpus over the top-`topTerms` corpus terms —
+    * "which crawl slice's word distribution is drifting". The cell grid
+    * is |sources| × topTerms INCLUDING empty cells (an absent hot term is
+    * evidence, same discipline as [[graft.ops.Profile.chi2Independence]]);
+    * per-cell terms are e4-quantized THEN summed so the per-source total
+    * is aggregation-order-independent. Output per source: in-vocab token
+    * count and the χ² divergence e4 — rank sources by it to find the
+    * outlier slice before it trains.
+    *
+    * Scale: one token scan → map-side-combined term agg; the top-V cut is
+    * TakeOrdered (per-partition heaps — membership only, no rank value
+    * needed); cells join the broadcast V-row vocab. Nothing pairs docs or
+    * sources; grid is sources × V rows.
+    */
   def sourceChi2(docs: DataFrame, topTerms: Int = 50): DataFrame = {
     val terms = docs.select(col("source"),
       explode(Cols.tokens(col("text"))).as("term"))

@@ -37,14 +37,19 @@ class SimilaritySpec extends SparkSpec {
       (5L, Seq(1.0f, 0.0f), 2),
       (6L, Seq(-1.0f, 0.0f), 2),
       // label 3: a single vector — dropped (no pairs to average)
-      (7L, Seq(1.0f, 0.0f), 3))
+      (7L, Seq(1.0f, 0.0f), 3),
+      // label 4: all-zero-quantizing vectors — the norm-relative ratio
+      // has no denominator, so aniso is null (not a division blow-up)
+      (8L, Seq(0.0f, 0.0f), 4),
+      (9L, Seq(0.0f, 0.0f), 4))
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.isotropy(d)
-      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(got.keySet === Set(0L, 1L, 2L))
-    assert(got(0L) === ((0L, 2L, 1000000L, 1000000L, 1000000L)))
-    assert(got(1L) === ((1L, 2L, 1000000L, 0L, 0L)))
-    assert(got(2L) === ((2L, 2L, 1000000L, -1000000L, -1000000L)))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 4L))
+    assert(got(0L) === ((0L, 2L, 1000000L, 1000000L, Some(1000000L))))
+    assert(got(1L) === ((1L, 2L, 1000000L, 0L, Some(0L))))
+    assert(got(2L) === ((2L, 2L, 1000000L, -1000000L, Some(-1000000L))))
+    assert(got(4L) === ((4L, 2L, 0L, 0L, None)))
   }
 
   test("whiten gain: centering annihilates the common-direction anisotropy") {

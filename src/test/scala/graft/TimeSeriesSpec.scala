@@ -91,6 +91,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(weekSum >= 0L && weekSum <= 6L)
   }
 
+  test("weekly decomposition: a silent day densifies to zero, not a frame slip") {
+    // days 0..13 each 100 events — except day 7 has NONE. The dense grid
+    // must surface day 7 as an n=0 row so the ±3 ROW frame stays exactly
+    // ±3 calendar days (without it, day 8's window would span 8 days)
+    val rows = (0 until 14).filter(_ != 7).flatMap { d =>
+      (0 until 100).map(i => (d * 100L + i, d * Day + i * 1000L))
+    }
+    val got = TimeSeries.decomposeWeekly(rows.toDF("event_id", "ts_ms"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size === 14)
+    assert(got(7L)._3 === 0L)
+    // full centered window around the gap: days 4..10 average six 100s
+    // and one 0 → floor(600·1e4/7)
+    assert(got(7L)._4 === Some(857142L))
+    for (d <- Seq(0L, 1L, 2L, 11L, 12L, 13L)) assert(got(d)._4 === None)
+    // interior identity: n·1e4 − trend = seasonal + resid, exactly
+    for (d <- 3L to 10L; row = got(d); if row._4.isDefined)
+      assert(row._3 * 10000L - row._4.get === row._5.get + row._6.get, s"day $d")
+  }
+
   test("rolling daily: RANGE frame ages gap days out of the window") {
     val D = TimeSeries.DayMs
     val ev = Seq(
