@@ -456,6 +456,10 @@ object SparkEntry {
     "li_repurchase_cycle" -> ((s, dir) =>
       graft.ops.TimeSeries.repurchaseCycle(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Croston intermittent-demand forecast: smoothed demand size and
+    // inter-demand interval over demand occurrences only, e4 rate
+    "li_croston" -> ((s, dir) =>
+      graft.ops.Analytics.crostonForecast(Tables.lineitem(s, dir))),
     // fulfillment SLA share by priority (last line within 30 days)
     "ord_fill_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.fillRate(
@@ -2814,6 +2818,36 @@ object SparkEntry {
     // level/trend floors use the remainder-corrected form (negative
     // trends make the numerators sign-carrying, where DuckDB's // alone
     // truncates toward zero)
+    // the Croston recursion as a per-part recursive CTE over demand-day
+    // ranks (the ev_holt walk); every quantity non-negative so // is
+    // exact floor
+    "li_croston" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_partkey, epoch_ms(l_shipdate::TIMESTAMP) // 86400000 AS day,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), dm AS (
+        |  SELECT l_partkey, day, q,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS rn
+        |  FROM daily
+        |), nd AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n, min(day) AS d0, max(day) AS d1
+        |  FROM dm GROUP BY 1
+        |), walk AS (
+        |  SELECT l_partkey, rn, day AS pd, (q * 10000)::BIGINT AS z, (-1)::BIGINT AS p
+        |  FROM dm WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.l_partkey, d.rn, d.day,
+        |    ((d.q * 10000 + w.z) // 2)::BIGINT,
+        |    (CASE WHEN w.p = -1 THEN (d.day - w.pd) * 10000
+        |          ELSE ((d.day - w.pd) * 10000 + w.p) // 2 END)::BIGINT
+        |  FROM walk w JOIN dm d ON d.l_partkey = w.l_partkey AND d.rn = w.rn + 1
+        |)
+        |SELECT w.l_partkey, nd.n AS n_demand_days, (nd.d1 - nd.d0)::BIGINT AS span_days,
+        |  w.z AS size_e4, w.p AS interval_e4,
+        |  (w.z * 10000 // w.p)::BIGINT AS croston_rate_e4
+        |FROM walk w JOIN nd USING (l_partkey)
+        |WHERE w.rn = nd.n AND nd.n >= 3""".stripMargin,
     "ev_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,

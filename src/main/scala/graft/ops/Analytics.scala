@@ -1355,6 +1355,63 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"))
   }
 
+  /** Croston's method for intermittent demand — the forecasting standard
+    * when most days have NO demand at all (spare parts, tail SKUs),
+    * where Holt/EWMA over the zero-filled series collapse toward zero
+    * between demands. Per part, two exponentially-smoothed states fold
+    * over the DEMAND OCCURRENCES only: the demand size `z` and the
+    * inter-demand interval `p` (α = ½ floor halving, exact integer e4 —
+    * the [[graft.ops.Stats.holtBacktest]] recurrence discipline), with
+    * the per-day demand rate `z/p` as the stocking forecast. Parts with
+    * fewer than `minDemands` demand days are dropped (no interval to
+    * smooth).
+    *
+    * Scale: one (part × day) hash aggregate, then a per-part fold over
+    * the calendar-bounded demand-day array — the raw lineitem grain
+    * never sorts, and the array length is the part's ACTIVE days, which
+    * is exactly what intermittency keeps small.
+    */
+  def crostonForecast(lineitem: DataFrame, minDemands: Long = 3L): DataFrame = {
+    val day = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
+    val daily = lineitem
+      .groupBy(col("l_partkey"), day.as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
+    val arr = sort_array(collect_list(struct(col("day"), col("__q"))))
+    // state: (size_e4, interval_e4 [-1 until the second demand],
+    //         prev demand day, n_demands)
+    val zero = struct(
+      lit(0L).as("z"), lit(-1L).as("p"), lit(-1L).as("pd"), lit(0L).as("n"))
+    val folded = aggregate(
+      arr, zero,
+      (acc, x) => {
+        val d = x.getField("day")
+        val q = x.getField("__q")
+        val first = acc.getField("pd") === -1L
+        val gap = d - acc.getField("pd")
+        struct(
+          when(first, q * 10000L)
+            .otherwise(Cols.floorDiv(q * 10000L + acc.getField("z"), lit(2L))).as("z"),
+          when(first, lit(-1L))
+            .when(acc.getField("p") === -1L, gap * 10000L)
+            .otherwise(Cols.floorDiv(gap * 10000L + acc.getField("p"), lit(2L))).as("p"),
+          d.as("pd"),
+          (acc.getField("n") + 1L).as("n"))
+      })
+    daily.groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_demand_days"),
+        min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        folded.as("__f"))
+      .filter(col("n_demand_days") >= minDemands)
+      .select(
+        col("l_partkey"), col("n_demand_days"),
+        (col("__d1") - col("__d0")).as("span_days"),
+        col("__f.z").as("size_e4"),
+        col("__f.p").as("interval_e4"),
+        Cols.floorDiv(col("__f.z") * 10000L, col("__f.p")).as("croston_rate_e4"))
+  }
+
   /** Time-to-first-purchase by signup cohort: per first-seen day, how
     * many users ever purchased and the median / max days from first
     * event to first purchase — the activation-latency report behind

@@ -84,6 +84,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.transitions(events).count() === 0L)
   }
 
+  test("croston: hand-folded size/interval smoothing; sparse parts dropped") {
+    import java.sql.Timestamp
+    val D = 86400000L
+    def ts(day: Long) = new Timestamp(day * D)
+    // part 1: demands (day 0, q 4), (day 2, q 8), (day 6, q 2):
+    //   z: 40000 → (80000+40000)/2 = 60000 → (20000+60000)/2 = 40000
+    //   p: — → 20000 → (40000+20000)/2 = 30000 → rate 13333
+    // part 2: only two demand days → below minDemands, dropped
+    val rows = Seq(
+      (1L, ts(0), 4.0), (1L, ts(2), 8.0), (1L, ts(6), 2.0),
+      (2L, ts(0), 5.0), (2L, ts(3), 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = Analytics.crostonForecast(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 3L, 6L, 40000L, 30000L, 13333L)))
+  }
+
   test("retention halflife: exact halving reads ~1 day; young cohorts censored") {
     val Day = 86400000L
     // cohort day 0: 8 users, halving each day (4, 2, 1 return); user 9 is
