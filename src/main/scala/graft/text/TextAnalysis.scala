@@ -1969,6 +1969,71 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM estimates — [[knBigram]] grown one
+    * order, the smoothing that actual LM-quality filters run at: the top
+    * level discounts trigram counts and backs off to the CONTINUATION
+    * bigram model, which itself backs off to continuation unigrams. With
+    * absolute discount d = ¾ at both levels the whole estimate is one
+    * exact rational:
+    *
+    * `P = [max(4c₁₂₃−3,0)·4·m₂·D₂ + 3·f₁₂·(max(4m₂₃−3,0)·D₂ + 3·f₂·n₃)]
+    *      / (16·c₁₂·m₂·D₂)`
+    *
+    * where every level-2 quantity is a TYPE count over the trigram
+    * table (the standard KN middle layer): c₁₂ = Σ_w c(w₁w₂w) and f₁₂
+    * its distinct continuations; m₂₃ = distinct left contexts of
+    * (w₂,w₃); m₂ = Σ_w m₂(w₂,w) and f₂ its distinct continuations;
+    * n₃ = distinct w₂ preceding w₃ among (w₂,w₃) types; D₂ = total
+    * (w₂,w₃) types. `p_kn_e9` floors the rational once in
+    * decimal(38,0); `p_mle_e9` rides along unsmoothed. Emits the `topN`
+    * most frequent trigrams (count desc, words asc).
+    *
+    * Scale: all six tables are hash aggregates at n-gram-type grain
+    * (the type tables shrink each level); D₂ is a 1-row broadcast; the
+    * cut is TakeOrderedAndProject — never a global window over the
+    * trigram vocabulary.
+    */
+  def knTrigram(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column): Column = c.cast(dec)
+    val toksDf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(Cols.tokens(col("text")).as("toks"))
+    val t = toksDf
+      .select(explode(Cols.ngramsOfTokens(col("toks"), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c123"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .withColumn("w3", split(col("gram"), " ").getItem(2))
+    val ctx = t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12dot"), count(lit(1)).as("f12"))
+    // (w2, w3) continuation types: t is type-grain, so count(*) = m23
+    val mid = t.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("m23"))
+    val m2 = mid.groupBy(col("w2"))
+      .agg(sum(col("m23")).as("m2dot"), count(lit(1)).as("f2"))
+    val n3t = mid.groupBy(col("w3")).agg(count(lit(1)).as("n3"))
+    val d2 = broadcast(mid.agg(count(lit(1)).as("__d2")))
+    t.join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(m2, Seq("w2"))
+      .join(n3t, Seq("w3"))
+      .crossJoin(d2)
+      .select(
+        col("w1"), col("w2"), col("w3"), col("c123"), col("c12dot"),
+        Cols.floorDiv(col("c123") * 1000000000L, col("c12dot")).as("p_mle_e9"),
+        Cols.floorDiv(
+          (dd(greatest(lit(4L) * col("c123") - 3L, lit(0L)))
+            * dd(lit(4L)) * dd(col("m2dot")) * dd(col("__d2"))
+            + dd(lit(3L)) * dd(col("f12"))
+              * (dd(greatest(lit(4L) * col("m23") - 3L, lit(0L))) * dd(col("__d2"))
+                + dd(lit(3L)) * dd(col("f2")) * dd(col("n3"))))
+            * dd(lit(1000000000L)),
+          dd(lit(16L)) * dd(col("c12dot")) * dd(col("m2dot")) * dd(col("__d2")))
+          .cast("long").as("p_kn_e9"))
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topN)
+  }
+
   /** Zipf-law fit over the corpus vocabulary: the least-squares slope of
     * quantized ln(frequency) against quantized ln(rank) for the top
     * `topN` terms — natural-language corpora sit near slope −1; a corpus
@@ -2266,6 +2331,9 @@ object TextAnalysis {
     "txt_fertility" -> ((s, d) => fertility(Tables.documents(s, d))),
     // interpolated Kneser–Ney bigram table (d = 3/4 in exact quarters)
     "txt_kn_bigram" -> ((s, d) => knBigram(Tables.documents(s, d))),
+    // interpolated KN one order up: trigram -> continuation bigram ->
+    // continuation unigram, one exact rational at d = 3/4
+    "txt_kn_trigram" -> ((s, d) => knTrigram(Tables.documents(s, d))),
     "txt_stopword_candidates" -> ((s, d) => stopwordCandidates(Tables.documents(s, d))),
     "txt_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "txt_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -3275,6 +3343,38 @@ object TextAnalysis {
          |     * 1000000000) // (4::HUGEINT * c1 * d))::BIGINT AS p_kn_e9
          |FROM b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN dt
          |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
+    // the KN recursion one order up, all level-2 quantities TYPE counts
+    // over the trigram table; numerator/denominator in HUGEINT
+    "txt_kn_trigram" ->
+      s"""$tokCte, g3 AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                 for i in generate_series(1, len(toks) - 2)]) AS gram
+         |  FROM t
+         |), tg AS MATERIALIZED (
+         |  SELECT gram, string_split(gram, ' ')[1] AS w1,
+         |    string_split(gram, ' ')[2] AS w2, string_split(gram, ' ')[3] AS w3,
+         |    count(*)::BIGINT AS c123
+         |  FROM g3 GROUP BY 1
+         |), ctx AS MATERIALIZED (
+         |  SELECT w1, w2, sum(c123)::BIGINT AS c12dot, count(*)::BIGINT AS f12
+         |  FROM tg GROUP BY 1, 2
+         |), mid AS MATERIALIZED (
+         |  SELECT w2, w3, count(*)::BIGINT AS m23 FROM tg GROUP BY 1, 2
+         |), m2 AS MATERIALIZED (
+         |  SELECT w2, sum(m23)::BIGINT AS m2dot, count(*)::BIGINT AS f2
+         |  FROM mid GROUP BY 1
+         |), n3t AS MATERIALIZED (
+         |  SELECT w3, count(*)::BIGINT AS n3 FROM mid GROUP BY 1
+         |), d2 AS (SELECT count(*)::BIGINT AS d FROM mid)
+         |SELECT w1, w2, w3, c123, c12dot,
+         |  ((c123 * 1000000000) // c12dot)::BIGINT AS p_mle_e9,
+         |  (((greatest(4 * c123 - 3, 0)::HUGEINT * 4 * m2dot * d
+         |     + 3::HUGEINT * f12 * (greatest(4 * m23 - 3, 0)::HUGEINT * d
+         |                           + 3::HUGEINT * f2 * n3))
+         |     * 1000000000) // (16::HUGEINT * c12dot * m2dot * d))::BIGINT AS p_kn_e9
+         |FROM tg JOIN ctx USING (w1, w2) JOIN mid USING (w2, w3)
+         |JOIN m2 USING (w2) JOIN n3t USING (w3) CROSS JOIN d2
+         |ORDER BY c123 DESC, w1, w2, w3 LIMIT 50""".stripMargin,
     // shared tokenizer CTE; all sums non-negative → // is floor
     "txt_fertility" ->
       s"""$tokCte, f AS (

@@ -40,6 +40,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("kn trigram: hand-computed exact rational at d = 3/4") {
+    import graft.text.TextAnalysis
+    // tokens a b c a b d a b c → trigram types abc(2), abd, bca, bda,
+    // cab, dab; for (a,b,c): c12·=3, f12=2, m23(b,c)=1, m2·(b)=2,
+    // f2(b)=2, n3(c)=1, D2=5 →
+    //   P = [5·4·2·5 + 3·2·(1·5 + 3·2·1)] / (16·3·2·5) = 266/480
+    val got = TextAnalysis.knTrigram(docs((1L, "a b c a b d a b c")))
+      .as[(String, String, String, Long, Long, Long, Long)].collect().toList
+    assert(got.size === 6)
+    assert(got.head === (("a", "b", "c", 2L, 3L, 666666666L, 554166666L)))
+    assert(got(1) === (("a", "b", "d", 1L, 3L, 333333333L, 220833333L)))
+    // interpolated KN is a proper conditional: mass over the (a,b)
+    // context stays below 1 even after discount redistribution
+    val abMass = got.filter(r => r._1 == "a" && r._2 == "b").map(_._7).sum
+    assert(abMass < 1000000000L && abMass > 0L)
+  }
+
   test("source JS: identical sources score 0, disjoint vocabularies near ln2") {
     import graft.text.TextAnalysis
     val d = Seq(
