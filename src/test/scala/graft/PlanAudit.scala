@@ -190,6 +190,8 @@ object PlanAudit {
     // r8: 1-row broadcast discount denominator (total distinct bigram
     // types) riding the bigram/unigram equi-joins
     "txt_kn_bigram",
+    // r12: the same 1-row D2 type-count broadcast one order up
+    "txt_kn_trigram",
     // r8: 1-row broadcast corpus size N beside the term-moment TakeOrdered
     "txt_burstiness",
     // r8 (allowlisted r9): two 1-row broadcasts — the token/√token totals
