@@ -3281,7 +3281,7 @@ object SparkEntry {
         |    count(*)::BIGINT AS x
         |  FROM events GROUP BY 1, 2
         |), per AS (
-        |  SELECT event_type, day % 7 AS dow,
+        |  SELECT event_type, ((day % 7) + 7) % 7 AS dow,
         |    count(*)::BIGINT AS ng, sum(x)::BIGINT AS sg
         |  FROM daily GROUP BY 1, 2
         |), pm AS (
@@ -3932,7 +3932,7 @@ object SparkEntry {
         |  SELECT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, count(*) AS n_events
         |  FROM events GROUP BY 1
         |), dw AS (
-        |  SELECT day, n_events, day % 7 AS weekday FROM d
+        |  SELECT day, n_events, ((day % 7) + 7) % 7 AS weekday FROM d
         |), b AS (
         |  SELECT weekday, (sum(n_events) // count(*))::BIGINT AS expected
         |  FROM dw GROUP BY 1
@@ -3963,7 +3963,7 @@ object SparkEntry {
         |  SELECT grid.day, coalesce(act.n_events, 0)::BIGINT AS n_events
         |  FROM grid LEFT JOIN act USING (day)
         |), t AS (
-        |  SELECT day, day % 7 AS weekday, n_events,
+        |  SELECT day, ((day % 7) + 7) % 7 AS weekday, n_events,
         |    (CASE WHEN count(*) OVER w = 7
         |          THEN (sum(n_events) OVER w)::BIGINT * 10000 // 7 END)::BIGINT AS trend_e4
         |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -3988,7 +3988,7 @@ object SparkEntry {
         |FROM dt LEFT JOIN se USING (weekday)""".stripMargin,
     "ev_weekday_index" ->
       """WITH e AS (
-        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 % 7 AS weekday FROM events
+        |  SELECT event_type, (((epoch_ms(ts::TIMESTAMP) // 86400000) % 7) + 7) % 7 AS weekday FROM events
         |), c AS (
         |  SELECT event_type, weekday, count(*) AS n_events FROM e GROUP BY 1, 2
         |), t AS (

@@ -1856,19 +1856,19 @@ object Similarity {
       .groupBy(col("label"))
       .agg(sum(d(col("__s")) * d(col("__s"))).as("__gram"))
     q.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("norm2")).as("__sumn"))
+      .agg(count(lit(1)).as("n_vecs"), sum(d(col("norm2"))).as("__sumn"))
       .join(gram, "label")
       .filter(col("n_vecs") > 1)
       .select(
         col("label"), col("n_vecs"),
-        Cols.floorDiv(col("__sumn"), col("n_vecs")).as("avg_norm2"),
+        Cols.floorDiv(col("__sumn"), col("n_vecs")).cast("long").as("avg_norm2"),
         Cols.floorDiv(
-          col("__gram") - d(col("__sumn")),
+          col("__gram") - col("__sumn"),
           d(col("n_vecs")) * d(col("n_vecs") - 1L)).cast("long").as("avg_pair_dot"),
         when(col("__sumn") > 0,
           Cols.floorDiv(
-            (col("__gram") - d(col("__sumn"))) * d(lit(1000000L)),
-            d(col("n_vecs") - 1L) * d(col("__sumn"))).cast("long"))
+            (col("__gram") - col("__sumn")) * d(lit(1000000L)),
+            d(col("n_vecs") - 1L) * col("__sumn")).cast("long"))
           .as("aniso_e6"))
   }
 
