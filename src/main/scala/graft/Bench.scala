@@ -259,6 +259,16 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
       (name, sec, n >= 0, noise, bestProbe)
     }
+    // streaming throughput surface (VERDICT r12 #6): one MemoryStream
+    // replay through the session pipeline, reported beside the batch
+    // figures so a streaming regression is visible per round
+    val streamingJson =
+      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) ""
+      else {
+        val j = graft.streaming.StreamBench.run(spark)
+        System.err.println(s"[bench] streaming: $j")
+        s""","streaming":$j"""
+      }
     // Locale.ROOT: the default-locale f"" interpolator emits comma decimals
     // under e.g. de_DE, which breaks the JSON contract
     def num2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -439,7 +449,7 @@ object Bench {
       s""""queries":$qs$failedJson,"noise":$noiseJson,"corrected":$corrJson,""" +
       s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr,""" +
       s""""flagged":$flaggedJson,"gate_dormant":$gateDormant,""" +
-      s""""dormant_slow_runs":$dormantOut,"stale_adopt_runs":$staleOut$regJson,""" +
+      s""""dormant_slow_runs":$dormantOut,"stale_adopt_runs":$staleOut$regJson$streamingJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
@@ -451,7 +461,7 @@ object Bench {
       s""""corrected_total":${num2(correctedTotal)},"n_regressions":${flaggedNow.size},""" +
       s""""n_new_regressions":${freshRegressions.size},"gate_dormant":$gateDormant,""" +
       s""""n_trusted":${trustedNow.size},""" +
-      s""""slowest":$slowest$failedJson,"probe_base_sec":$probeBaseStr,""" +
+      s""""slowest":$slowest$failedJson$streamingJson,"probe_base_sec":$probeBaseStr,""" +
       s""""detail_file":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }

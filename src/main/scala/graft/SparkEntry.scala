@@ -460,6 +460,10 @@ object SparkEntry {
     // inter-demand interval over demand occurrences only, e4 rate
     "li_croston" -> ((s, dir) =>
       graft.ops.Analytics.crostonForecast(Tables.lineitem(s, dir))),
+    // service-level safety stock + reorder point composed on Croston's
+    // demand rate; exact e4 z-factor literals, calendar-day sigma
+    "ord_safety_stock" -> ((s, dir) =>
+      graft.ops.Analytics.safetyStock(Tables.lineitem(s, dir))),
     // fulfillment SLA share by priority (last line within 30 days)
     "ord_fill_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.fillRate(
@@ -838,6 +842,12 @@ object SparkEntry {
     // distance <= 3 per (source, node) — landmark-distance features
     "li_bfs_hops" -> ((s, dir) =>
       graft.ops.Analytics.bfsHops(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // sampled Brandes betweenness from the same 3 hub landmarks: forward
+    // sigma BFS + backward e6 dependency accumulation, hop-bounded
+    "li_betweenness_sample" -> ((s, dir) =>
+      graft.ops.Analytics.betweennessSample(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
     // departments browsed together within one session — the clickstream
@@ -2848,6 +2858,47 @@ object SparkEntry {
         |  (w.z * 10000 // w.p)::BIGINT AS croston_rate_e4
         |FROM walk w JOIN nd USING (l_partkey)
         |WHERE w.rn = nd.n AND nd.n >= 3""".stripMargin,
+    // the li_croston walk + calendar-day variance moments; sigma is the
+    // one shared rounded-sqrt double, z/sqrt(L) factors exact e4 literals
+    "ord_safety_stock" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_partkey, epoch_ms(l_shipdate::TIMESTAMP) // 86400000 AS day,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), dm AS (
+        |  SELECT l_partkey, day, q,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS rn
+        |  FROM daily
+        |), nd AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n, min(day) AS d0, max(day) AS d1
+        |  FROM dm GROUP BY 1
+        |), walk AS (
+        |  SELECT l_partkey, rn, day AS pd, (q * 10000)::BIGINT AS z, (-1)::BIGINT AS p
+        |  FROM dm WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.l_partkey, d.rn, d.day,
+        |    ((d.q * 10000 + w.z) // 2)::BIGINT,
+        |    (CASE WHEN w.p = -1 THEN (d.day - w.pd) * 10000
+        |          ELSE ((d.day - w.pd) * 10000 + w.p) // 2 END)::BIGINT
+        |  FROM walk w JOIN dm d ON d.l_partkey = w.l_partkey AND d.rn = w.rn + 1
+        |), mom AS (
+        |  SELECT l_partkey, sum(q)::HUGEINT AS s, sum(q::HUGEINT * q)::HUGEINT AS q2
+        |  FROM daily GROUP BY 1
+        |), sig AS (
+        |  SELECT nd.l_partkey,
+        |    round(sqrt(((((nd.d1 - nd.d0 + 1)::HUGEINT * mom.q2 - mom.s * mom.s) * 100000000)
+        |      // ((nd.d1 - nd.d0 + 1)::HUGEINT * (nd.d1 - nd.d0 + 1)))::DOUBLE))::BIGINT AS sigma_e4
+        |  FROM nd JOIN mom USING (l_partkey)
+        |)
+        |SELECT w.l_partkey, nd.n AS n_demand_days, (nd.d1 - nd.d0)::BIGINT AS span_days,
+        |  (w.z * 10000 // w.p)::BIGINT AS croston_rate_e4,
+        |  sig.sigma_e4,
+        |  ((16449 * sig.sigma_e4 * 26458) // 100000000)::BIGINT AS ss95_e4,
+        |  ((w.z * 10000 // w.p) * 7 + (16449 * sig.sigma_e4 * 26458) // 100000000)::BIGINT AS rop95_e4,
+        |  ((23263 * sig.sigma_e4 * 26458) // 100000000)::BIGINT AS ss99_e4,
+        |  ((w.z * 10000 // w.p) * 7 + (23263 * sig.sigma_e4 * 26458) // 100000000)::BIGINT AS rop99_e4
+        |FROM walk w JOIN nd USING (l_partkey) JOIN sig USING (l_partkey)
+        |WHERE w.rn = nd.n AND nd.n >= 3""".stripMargin,
     "ev_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
@@ -4627,6 +4678,65 @@ object SparkEntry {
       base + layers +
         """
           |SELECT source, node, hops FROM d3""".stripMargin
+    },
+    // the li_bfs_hops frontier pyramid carrying sigma (path counts), then
+    // the backward Brandes dependency layers as exact e6 floors; every
+    // term non-negative so plain // is floor on both engines
+    "li_betweenness_sample" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst FROM p
+          |  UNION ALL SELECT item_b, item_a FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), l0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 1::HUGEINT AS sigma FROM s
+          |), d0 AS MATERIALIZED (SELECT source, node FROM l0)""".stripMargin
+      val forward = (1 to 3).map { r =>
+        s""", f$r AS MATERIALIZED (
+           |  SELECT l.source, u.dst AS node, sum(l.sigma)::HUGEINT AS sigma
+           |  FROM l${r - 1} l JOIN und u ON u.src = l.node
+           |  GROUP BY 1, 2
+           |), l$r AS MATERIALIZED (
+           |  SELECT f.source, f.node, f.sigma FROM f$r f
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM d${r - 1} d WHERE d.source = f.source AND d.node = f.node)
+           |), d$r AS MATERIALIZED (
+           |  SELECT source, node FROM d${r - 1} UNION ALL SELECT source, node FROM l$r
+           |)""".stripMargin
+      }.mkString
+      val seed =
+        """, w3 AS MATERIALIZED (
+          |  SELECT source, node, sigma, 0::HUGEINT AS delta FROM l3
+          |)""".stripMargin
+      val backward = (2 to 1 by -1).map { r =>
+        s""", t$r AS MATERIALIZED (
+           |  SELECT l.source, l.node,
+           |    sum((l.sigma * (1000000 + w.delta)) // w.sigma)::HUGEINT AS d
+           |  FROM l$r l JOIN und e ON e.src = l.node
+           |  JOIN w${r + 1} w ON w.source = l.source AND w.node = e.dst
+           |  GROUP BY 1, 2
+           |), w$r AS MATERIALIZED (
+           |  SELECT l.source, l.node, l.sigma, coalesce(t.d, 0)::HUGEINT AS delta
+           |  FROM l$r l LEFT JOIN t$r t ON t.source = l.source AND t.node = l.node
+           |)""".stripMargin
+      }.mkString
+      base + forward + seed + backward +
+        """
+          |SELECT node, count(*)::BIGINT AS n_sources, sum(delta)::BIGINT AS bc_e6
+          |FROM (SELECT source, node, delta FROM w1
+          |      UNION ALL SELECT source, node, delta FROM w2
+          |      UNION ALL SELECT source, node, delta FROM w3)
+          |GROUP BY 1""".stripMargin
     },
     // the basket-pairs edge CTE + five unrolled degree-peel layers
     // (fixed-round, mirroring the one-plan Spark loop exactly)

@@ -1412,6 +1412,68 @@ object Analytics {
         Cols.floorDiv(col("__f.z") * 10000L, col("__f.p")).as("croston_rate_e4"))
   }
 
+  /** Service-level safety stock and reorder point from [[crostonForecast]]
+    * — the readout that makes the intermittent-demand forecast actionable
+    * (reference has no forecasting surface; composition precedent is
+    * [[graft.ops.Stats.holtBacktest]] → ev_forecast_backtest). Per part:
+    * Croston's demand rate covers the lead-time window, and the safety
+    * buffer is `z · σ_daily · √L` at the 95% and 99% service levels, where
+    * σ_daily is the std-dev of daily demand over the part's FULL demand
+    * span (zero days included — stockouts are driven by calendar-day
+    * variability, not demand-day variability). All service factors are
+    * exact e4 literals (z95 = 16449, z99 = 23263, √7·1e4 = 26458), so no
+    * inverse-normal evaluation can drift cross-engine; σ is the one
+    * shared rounded-sqrt double (the [[graft.sim.Similarity.whitenGain]]
+    * convention); everything else is integer floors.
+    *
+    * Scale: re-uses [[crostonForecast]]'s (part × day) hash aggregate
+    * shape for the moment pass (same shuffle key, no sort), one
+    * part-keyed equi-join between two part-grain tables. Variance comes
+    * from the (n·ΣQ² − S²)/n² identity with products widened to
+    * decimal(38,0) — no per-day second pass.
+    */
+  def safetyStock(lineitem: DataFrame, leadDays: Long = 7L): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    // round(sqrt(leadDays) * 1e4) for the supported lead times; keeping
+    // the literal exact-integer avoids a second shared double
+    val sqrtLeadE4 = leadDays match {
+      case 7L => 26458L
+      case 14L => 37417L
+      case 28L => 52915L
+      case other => math.round(math.sqrt(other.toDouble) * 10000)
+    }
+    val z95 = 16449L
+    val z99 = 23263L
+    val day = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
+    val moments = lineitem
+      .groupBy(col("l_partkey"), day.as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("__q")).as("__s"), sum(d(col("__q")) * d(col("__q"))).as("__q2"))
+    val varE8 = {
+      val n = d(col("span_days") + 1L)
+      Cols.floorDiv(
+        (n * col("__q2") - d(col("__s")) * d(col("__s"))) * d(lit(100000000L)),
+        n * n).cast("long")
+    }
+    def ssE4(z: Long) =
+      Cols.floorDiv(lit(z) * col("sigma_e4") * lit(sqrtLeadE4), lit(100000000L))
+    crostonForecast(lineitem)
+      .join(moments, "l_partkey")
+      .withColumn("sigma_e4", round(sqrt(varE8.cast("double"))).cast("long"))
+      .withColumn("ss95_e4", ssE4(z95))
+      .withColumn("ss99_e4", ssE4(z99))
+      .select(
+        col("l_partkey"), col("n_demand_days"), col("span_days"),
+        col("croston_rate_e4"), col("sigma_e4"),
+        col("ss95_e4"),
+        (col("croston_rate_e4") * leadDays + col("ss95_e4")).as("rop95_e4"),
+        col("ss99_e4"),
+        (col("croston_rate_e4") * leadDays + col("ss99_e4")).as("rop99_e4"))
+  }
+
   /** Time-to-first-purchase by signup cohort: per first-seen day, how
     * many users ever purchased and the median / max days from first
     * event to first purchase — the activation-latency report behind
@@ -2121,6 +2183,95 @@ object Analytics {
         .agg(min(col("hops")).as("hops"))
     }
     dist
+  }
+
+  /** Sampled Brandes betweenness centrality, hop-bounded: exact shortest
+    * -path dependency accumulation from the `nSources` hub landmarks
+    * (the [[bfsHops]] source rule), truncated at `maxHops` — the
+    * standard pivot-sampling estimator (Brandes 2001's accumulation over
+    * a source SAMPLE instead of all n sources, which is how betweenness
+    * is ever computed at scale). Forward pass: the frontier BFS carries
+    * σ (shortest-path COUNTS — new nodes sum their distance-(r−1)
+    * predecessors' σ) instead of [[bfsHops]]' plain distance. Backward
+    * pass: per hop level from the deepest in, every node folds its
+    * DAG-successor dependencies as exact e6 floors,
+    * `δ(u) = Σ_w ⌊σ_u · (10⁶ + δ(w)) / σ_w⌋`, and a node's betweenness
+    * is its δ summed over sources. Degree ranks and betweenness ranks
+    * genuinely differ (a bridge node beats a leaf-fan hub) — the spec
+    * pins such a graph.
+    *
+    * Scale: every stage is an equi-join — frontier×adjacency forward
+    * (cost Σ frontier-degree, the BFS bound), level×adjacency×level
+    * backward (cost Σ inter-level-edge count, ≤ the same bound). Each
+    * level is `localCheckpoint`ed (the [[coreNumbers]] lineage
+    * discipline: the backward pass references every level twice, which
+    * un-checkpointed would re-expand the whole forward pyramid per
+    * round); retired blocks are freed before return. δ terms widen to
+    * decimal(38,0) before summing. Never node², never corpus².
+    */
+  def betweennessSample(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val sources = und.groupBy(col("src"))
+      .agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("src"))
+      .limit(nSources)
+      .select(col("src").as("source"))
+    // forward: levels(r) = nodes at exact distance r with σ = number of
+    // shortest paths from the source (sum over distance-(r-1) predecessors)
+    val level0 = sources
+      .select(col("source"), col("source").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var settled = level0.select(col("source"), col("node"))
+    for (r <- 1 to maxHops) {
+      val lvl = levels(r - 1)
+        .join(und, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"), col("sigma"))
+        .groupBy(col("source"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("source", "node"), "left_anti")
+        .localCheckpoint()
+      levels += lvl
+      settled = settled.unionAll(lvl.select(col("source"), col("node")))
+    }
+    // backward: deepest level seeds δ = 0; each shallower level folds its
+    // successor terms (nodes with no DAG successor keep δ = 0)
+    var cur = levels(maxHops).withColumn("delta_e6", lit(0L)).localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer(cur)
+    for (r <- (maxHops - 1) to 1 by -1) {
+      val succ = cur.select(
+        col("source"), col("node").as("__w"), col("sigma").as("__sw"),
+        col("delta_e6").as("__dw"))
+      val terms = levels(r)
+        .join(und, col("node") === col("src"))
+        .join(succ, col("dst") === col("__w") && levels(r)("source") === succ("source"))
+        .select(
+          levels(r)("source").as("source"), col("node"),
+          Cols.floorDiv(
+            d(col("sigma")) * (d(col("__dw")) + d(lit(1000000L))),
+            d(col("__sw"))).as("__t"))
+        .groupBy(col("source"), col("node"))
+        .agg(sum(d(col("__t"))).cast("long").as("__d"))
+      cur = levels(r)
+        .join(terms, Seq("source", "node"), "left")
+        .select(col("source"), col("node"), col("sigma"),
+          coalesce(col("__d"), lit(0L)).as("delta_e6"))
+        .localCheckpoint()
+      deltas += cur
+    }
+    // every backward level is materialized; the forward levels and the
+    // adjacency block are no longer referenced by the returned plan
+    levels.foreach(graft.LocalCheckpoints.free)
+    graft.LocalCheckpoints.free(und)
+    deltas.map(_.select(col("source"), col("node"), col("delta_e6")))
+      .reduce(_ unionAll _)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("delta_e6")).as("bc_e6"))
   }
 
   /** Connected components of an undirected edge table by fixed-round

@@ -1937,6 +1937,187 @@ object Similarity {
           .as("aniso_e6"))
   }
 
+  /** Rotational whitening — the [[whitenGain]] follow-through for the
+    * case its readout diagnoses: anisotropy that is NOT a mean offset
+    * and survives centering. The top two principal directions of the
+    * CENTERED corpus are estimated by power iteration (the
+    * [[powerIterStep]] matvec, run `steps` rounds with e4
+    * renormalization between rounds; the second direction by classic
+    * deflation — project the first out of every vector and iterate
+    * again), then the pair-free anisotropy identity is evaluated on
+    * three arms side by side: raw, centered, and rotated (centered with
+    * both principal components projected out). A corpus whose
+    * `aniso_e6` collapses only on the rotated arm is the "needs full
+    * whitening" verdict quantified.
+    *
+    * Everything is exact integers: directions live on a ±10⁴ e4 grid
+    * (each matvec renormalizes by the max |component| — floors, so the
+    * grid is deterministic), projections are integer floors
+    * `c − ⌊proj·v_i / ‖v‖²⌋`, and all cross-row moments widen to
+    * decimal(38,0). The per-step matvec folds c·v inside the row (64
+    * multiplies) then one per-dim aggregate — no transcendentals, no
+    * doubles anywhere.
+    *
+    * Scale: each power step is ONE corpus scan ending in a 1-row
+    * aggregate, `localCheckpoint`ed so the next step's plan starts from
+    * the 64-element result instead of re-expanding the whole pyramid
+    * (the [[graft.ops.Analytics.coreNumbers]] lineage discipline —
+    * without it step k re-runs steps 1..k−1 as broadcast subtrees).
+    * 2·`steps`+3 corpus scans total, each map-side-combined; the
+    * readout's ×3 arm explode is bounded; nothing ever pairs.
+    */
+  def whiten2(embeddings: DataFrame, dim: Int = 64, steps: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    def dlit(v: Long): Column = lit(v).cast(dec)
+    val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
+    // one scan: n, per-dim means (floor), and the per-dim centered-SS
+    // seed direction n·ΣQ² − S² (positive, generically non-orthogonal to
+    // the top eigendirection)
+    val mom = q
+      .agg(
+        count(lit(1)).as("__n"),
+        array((0 until dim).map(i => sum(element_at(col("qv"), i + 1))): _*).as("__s"),
+        array((0 until dim).map(i =>
+          sum(d(element_at(col("qv"), i + 1)) * d(element_at(col("qv"), i + 1)))): _*)
+          .as("__q2"))
+      .select(
+        transform(col("__s"), s => Cols.floorDiv(s, col("__n"))).as("mu"),
+        zip_with(col("__q2"), col("__s"),
+          (q2, s) => d(col("__n")) * q2 - d(s) * d(s)).as("__v0r"))
+      .select(
+        col("mu"), col("__v0r"),
+        aggregate(col("__v0r"), dlit(0L), (m, x) => greatest(m, x)).as("__m0"))
+      .select(
+        col("mu"),
+        // pass-1 deflation is a no-op: p = 0 vector, ‖p‖² = 1
+        array((0 until dim).map(_ => lit(0L)): _*).as("p"),
+        lit(1L).as("pp"),
+        transform(col("__v0r"),
+          x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m0"), dlit(1L)))).as("v"))
+      .localCheckpoint()
+    // one power step: v ← normalize_e4( Σ_rows ce·(ce·v) ) where
+    // ce = (qv − mu) deflated by the carried direction p
+    def step(prev: DataFrame): DataFrame =
+      q.crossJoin(broadcast(prev))
+        .select(col("mu"), col("p"), col("pp"), col("v"),
+          zip_with(col("qv"), col("mu"), (x, m) => x - m).as("__c"))
+        .select(col("mu"), col("p"), col("pp"), col("v"), col("__c"),
+          aggregate(zip_with(col("__c"), col("p"), (a, b) => a * b),
+            lit(0L), _ + _).as("__pj"))
+        .select(col("mu"), col("p"), col("pp"), col("v"),
+          zip_with(col("__c"), col("p"),
+            (ci, pi) => ci - Cols.floorDiv(col("__pj") * pi, col("pp"))).as("__ce"))
+        .select(col("mu"), col("p"), col("pp"), col("__ce"),
+          aggregate(zip_with(col("__ce"), col("v"), (a, b) => a * b),
+            lit(0L), _ + _).as("__sv"))
+        .agg(
+          first(col("mu")).as("mu"), first(col("p")).as("p"), first(col("pp")).as("pp"),
+          array((0 until dim).map(i =>
+            sum(d(element_at(col("__ce"), i + 1)) * d(col("__sv")))): _*).as("__u"))
+        .select(col("mu"), col("p"), col("pp"), col("__u"),
+          aggregate(col("__u"), dlit(0L), (m, x) => greatest(m, abs(x))).as("__m"))
+        .select(col("mu"), col("p"), col("pp"),
+          transform(col("__u"),
+            x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m"), dlit(1L)))).as("v"))
+        .localCheckpoint()
+    val v1row = (1 to steps).foldLeft(mom)((acc, _) => step(acc))
+    // re-arm for pass 2: the found direction becomes the deflation
+    // carrier, its centered-SS seed re-measured on the deflated corpus
+    val pass2seed = {
+      val armed = v1row.select(
+        col("mu"), col("v").as("p"),
+        greatest(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+          lit(0L), _ + _), lit(1L)).as("pp"))
+        .localCheckpoint()
+      q.crossJoin(broadcast(armed))
+        .select(col("mu"), col("p"), col("pp"),
+          zip_with(col("qv"), col("mu"), (x, m) => x - m).as("__c"))
+        .select(col("mu"), col("p"), col("pp"), col("__c"),
+          aggregate(zip_with(col("__c"), col("p"), (a, b) => a * b),
+            lit(0L), _ + _).as("__pj"))
+        .select(col("mu"), col("p"), col("pp"),
+          zip_with(col("__c"), col("p"),
+            (ci, pi) => ci - Cols.floorDiv(col("__pj") * pi, col("pp"))).as("__ce"))
+        .agg(
+          first(col("mu")).as("mu"), first(col("p")).as("p"), first(col("pp")).as("pp"),
+          array((0 until dim).map(i =>
+            sum(d(element_at(col("__ce"), i + 1)) * d(element_at(col("__ce"), i + 1)))): _*)
+            .as("__r"))
+        .select(col("mu"), col("p"), col("pp"), col("__r"),
+          aggregate(col("__r"), dlit(0L), (m, x) => greatest(m, x)).as("__m0"))
+        .select(col("mu"), col("p"), col("pp"),
+          transform(col("__r"),
+            x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m0"), dlit(1L)))).as("v"))
+        .localCheckpoint()
+    }
+    val v2row = (1 to steps).foldLeft(pass2seed)((acc, _) => step(acc))
+    val fin = v2row.select(
+      col("mu"), col("p"), col("pp"), col("v").as("v2"),
+      greatest(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+        lit(0L), _ + _), lit(1L)).as("vv2"))
+      .localCheckpoint()
+    // readout: the pair-free mean identity (aniso_e6 — which CENTERING
+    // already collapses, so it isolates the mean-offset component) plus
+    // the rotation-sensitive figure: how much of the arm's total second
+    // moment lies along the two measured principal directions. On a
+    // covariance-elongated, mean-zero corpus aniso_e6 sits at its floor
+    // on every arm while top2_share_e6 collapses ONLY on the rotated one
+    // — the "centering was never going to fix this" proof.
+    val armed = q.crossJoin(broadcast(fin))
+      .select(col("qv"), col("p"), col("pp"), col("v2"), col("vv2"),
+        zip_with(col("qv"), col("mu"), (x, m) => x - m).as("__c"))
+      .select(col("qv"), col("p"), col("pp"), col("v2"), col("vv2"), col("__c"),
+        aggregate(zip_with(col("__c"), col("p"), (a, b) => a * b),
+          lit(0L), _ + _).as("__pj"))
+      .select(col("qv"), col("p"), col("pp"), col("__c"), col("v2"), col("vv2"),
+        zip_with(col("__c"), col("p"),
+          (ci, pi) => ci - Cols.floorDiv(col("__pj") * pi, col("pp"))).as("__ce"))
+      .select(col("qv"), col("p"), col("pp"), col("__c"), col("__ce"), col("v2"), col("vv2"),
+        aggregate(zip_with(col("__ce"), col("v2"), (a, b) => a * b),
+          lit(0L), _ + _).as("__pj2"))
+      .select(col("p"), col("pp"), col("v2"), col("vv2"),
+        explode(array(
+          struct(lit("raw").as("arm"), col("qv").as("w")),
+          struct(lit("centered").as("arm"), col("__c").as("w")),
+          struct(lit("rotated").as("arm"),
+            zip_with(col("__ce"), col("v2"),
+              (ci, vi) => ci - Cols.floorDiv(col("__pj2") * vi, col("vv2"))).as("w"))))
+          .as("__a"))
+      .select(col("__a.arm").as("arm"), col("__a.w").as("w"),
+        aggregate(zip_with(col("__a.w"), col("p"), (a, b) => a * b),
+          lit(0L), _ + _).as("__d1"),
+        aggregate(zip_with(col("__a.w"), col("v2"), (a, b) => a * b),
+          lit(0L), _ + _).as("__d2"),
+        col("pp"), col("vv2"))
+    val grouped = armed.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        array((0 until dim).map(i => sum(d(element_at(col("w"), i + 1)))): _*).as("__sd"),
+        sum(d(Dedup.longDot(col("w"), col("w")))).as("__sumn"),
+        // per-row floors of (w·v_k)²/‖v_k‖² — the norm²-unit mass along
+        // each measured direction
+        sum(d(Cols.floorDiv(d(col("__d1")) * d(col("__d1")), d(col("pp"))))).as("__q1"),
+        sum(d(Cols.floorDiv(d(col("__d2")) * d(col("__d2")), d(col("vv2"))))).as("__q2"))
+      .select(col("arm"), col("n_vecs"), col("__sumn"), col("__q1"), col("__q2"),
+        aggregate(col("__sd"), dlit(0L), (acc, x) => acc + x * x).as("__gram"))
+    grouped
+      .filter(col("n_vecs") > 1)
+      .select(
+        col("arm"), col("n_vecs"),
+        Cols.floorDiv(col("__sumn"), d(col("n_vecs"))).cast("long").as("avg_norm2"),
+        when(col("__sumn") > 0,
+          Cols.floorDiv(
+            (col("__gram") - col("__sumn")) * dlit(1000000L),
+            d(col("n_vecs") - 1L) * col("__sumn")).cast("long"))
+          .as("aniso_e6"),
+        when(col("__sumn") > 0,
+          Cols.floorDiv(
+            (d(col("__q1")) + d(col("__q2"))) * dlit(1000000L),
+            col("__sumn")).cast("long"))
+          .as("top2_share_e6"))
+  }
+
   /** IVF recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
     * quantitative answer to "is nprobe high enough", as a REGISTERED
@@ -2565,6 +2746,9 @@ object Similarity {
     "emb_isotropy" -> ((s, d) => isotropy(Tables.embeddings(s, d))),
     // diagonal whitening A/B: the same identity on raw vs standardized
     "emb_whiten_gain" -> ((s, d) => whitenGain(Tables.embeddings(s, d))),
+    // rotational whitening: top-2 principal directions by power
+    // iteration + deflation; raw/centered/rotated arms side by side
+    "emb_whiten2" -> ((s, d) => whiten2(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -4124,6 +4308,119 @@ object Similarity {
         |  (CASE WHEN sumn > 0
         |        THEN (anum - (((anum % aden) + aden) % aden)) // aden END)::BIGINT AS aniso_e6
         |FROM j""".stripMargin,
+    // the whiten2 chain replays in DuckDB: per-dim moments, the
+    // centered-SS seed, three e4-renormalized power-step layers per
+    // pass (deflation between passes), then the three-arm identity;
+    // every possibly-negative floor uses the pmod form
+    "emb_whiten2" -> {
+      val base =
+        """WITH q AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+          |  FROM embeddings
+          |), lt AS MATERIALIZED (
+          |  SELECT vec_id, ii.i AS i, qv[ii.i] AS x
+          |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+          |), mom AS MATERIALIZED (
+          |  SELECT i, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+          |    sum(x::HUGEINT * x)::HUGEINT AS q2
+          |  FROM lt GROUP BY 1
+          |), mu AS MATERIALIZED (
+          |  SELECT i, ((s - (((s % n) + n) % n)) // n)::BIGINT AS mu FROM mom
+          |), ct AS MATERIALIZED (
+          |  SELECT lt.vec_id, lt.i, lt.x - mu.mu AS c
+          |  FROM lt JOIN mu USING (i)
+          |), v0r AS MATERIALIZED (
+          |  SELECT i, (n::HUGEINT * q2 - s::HUGEINT * s) AS r FROM mom
+          |), vA0 AS MATERIALIZED (
+          |  SELECT i, ((r * 10000) // greatest((SELECT max(r) FROM v0r), 1))::BIGINT AS v
+          |  FROM v0r
+          |)""".stripMargin
+      def stepSql(src: String, p: String, k: Int): String =
+        s""", s$p$k AS MATERIALIZED (
+           |  SELECT t.vec_id, sum(t.c * v.v)::BIGINT AS sv
+           |  FROM $src t JOIN v$p${k - 1} v USING (i) GROUP BY 1
+           |), u$p$k AS MATERIALIZED (
+           |  SELECT t.i, sum(t.c::HUGEINT * s.sv)::HUGEINT AS u
+           |  FROM $src t JOIN s$p$k s USING (vec_id) GROUP BY 1
+           |), m$p$k AS MATERIALIZED (
+           |  SELECT greatest(max(abs(u)), 1)::HUGEINT AS m FROM u$p$k
+           |), v$p$k AS MATERIALIZED (
+           |  SELECT i, ((u * 10000
+           |    - ((((u * 10000) % m.m) + m.m) % m.m)) // m.m)::BIGINT AS v
+           |  FROM u$p$k CROSS JOIN m$p$k m
+           |)""".stripMargin
+      val passA = (1 to 3).map(stepSql("ct", "A", _)).mkString
+      val deflate =
+        """, vv1 AS MATERIALIZED (
+          |  SELECT greatest(sum(v::HUGEINT * v), 1)::HUGEINT AS vv FROM vA3
+          |), pj1 AS MATERIALIZED (
+          |  SELECT t.vec_id, sum(t.c * v.v)::BIGINT AS pj
+          |  FROM ct t JOIN vA3 v USING (i) GROUP BY 1
+          |), ce AS MATERIALIZED (
+          |  SELECT t.vec_id, t.i,
+          |    t.c - ((p.pj * v.v
+          |      - ((((p.pj * v.v) % w.vv) + w.vv) % w.vv)) // w.vv) AS c
+          |  FROM ct t JOIN pj1 p USING (vec_id) JOIN vA3 v USING (i)
+          |  CROSS JOIN vv1 w
+          |), v0rB AS MATERIALIZED (
+          |  SELECT i, sum(c::HUGEINT * c)::HUGEINT AS r FROM ce GROUP BY 1
+          |), vB0 AS MATERIALIZED (
+          |  SELECT i, ((r * 10000) // greatest((SELECT max(r) FROM v0rB), 1))::BIGINT AS v
+          |  FROM v0rB
+          |)""".stripMargin
+      val passB = (1 to 3).map(stepSql("ce", "B", _)).mkString
+      val arms =
+        """, vv2 AS MATERIALIZED (
+          |  SELECT greatest(sum(v::HUGEINT * v), 1)::HUGEINT AS vv FROM vB3
+          |), pj2 AS MATERIALIZED (
+          |  SELECT t.vec_id, sum(t.c * v.v)::BIGINT AS pj
+          |  FROM ce t JOIN vB3 v USING (i) GROUP BY 1
+          |), wrot AS MATERIALIZED (
+          |  SELECT t.vec_id, t.i,
+          |    t.c - ((p.pj * v.v
+          |      - ((((p.pj * v.v) % w.vv) + w.vv) % w.vv)) // w.vv) AS w
+          |  FROM ce t JOIN pj2 p USING (vec_id) JOIN vB3 v USING (i)
+          |  CROSS JOIN vv2 w
+          |), ar AS MATERIALIZED (
+          |  SELECT 'raw' AS arm, vec_id, i, x AS w FROM lt
+          |  UNION ALL SELECT 'centered', vec_id, i, c FROM ct
+          |  UNION ALL SELECT 'rotated', vec_id, i, w FROM wrot
+          |), pd AS MATERIALIZED (
+          |  SELECT arm, i, sum(w)::HUGEINT AS sd FROM ar GROUP BY 1, 2
+          |), gr AS MATERIALIZED (
+          |  SELECT arm, sum(sd * sd)::HUGEINT AS gram FROM pd GROUP BY 1
+          |), dsv AS MATERIALIZED (
+          |  SELECT ar.arm, ar.vec_id,
+          |    sum(ar.w * v1.v)::BIGINT AS d1, sum(ar.w * v2.v)::BIGINT AS d2
+          |  FROM ar JOIN vA3 v1 USING (i) JOIN vB3 v2 USING (i)
+          |  GROUP BY 1, 2
+          |), qs AS MATERIALIZED (
+          |  SELECT d.arm,
+          |    sum((d.d1::HUGEINT * d.d1) // w1.vv)::HUGEINT AS q1,
+          |    sum((d.d2::HUGEINT * d.d2) // w2.vv)::HUGEINT AS q2
+          |  FROM dsv d CROSS JOIN vv1 w1 CROSS JOIN vv2 w2
+          |  GROUP BY 1
+          |), nm AS MATERIALIZED (
+          |  SELECT arm, count(DISTINCT vec_id)::BIGINT AS n_vecs,
+          |    sum(w::HUGEINT * w)::HUGEINT AS sumn
+          |  FROM ar GROUP BY 1
+          |), j AS (
+          |  SELECT nm.arm, nm.n_vecs, nm.sumn, gr.gram, qs.q1, qs.q2,
+          |    (gr.gram - nm.sumn) * 1000000 AS anum,
+          |    (nm.n_vecs - 1)::HUGEINT * nm.sumn AS aden
+          |  FROM nm JOIN gr USING (arm) JOIN qs USING (arm)
+          |  WHERE nm.n_vecs > 1
+          |)
+          |SELECT arm, n_vecs,
+          |  (sumn // n_vecs)::BIGINT AS avg_norm2,
+          |  (CASE WHEN sumn > 0
+          |        THEN (anum - (((anum % aden) + aden) % aden)) // aden END)::BIGINT AS aniso_e6,
+          |  (CASE WHEN sumn > 0
+          |        THEN ((q1 + q2) * 1000000) // sumn END)::BIGINT AS top2_share_e6
+          |FROM j""".stripMargin
+      base + passA + deflate + passB + arms
+    },
     // the full NN-descent chain replays in DuckDB: the 2-table seed index
     // (plane ids 0..7 of the shared md5 family), top-5 cut, then one
     // (und → 2-hop ∪ edges → rescore → re-cut) CTE block per round, and

@@ -133,6 +133,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("betweenness: the bridge outranks higher-degree hubs") {
+    // two 3-leaf hubs (1 and 2, degree 4) joined through bridge node 5
+    // (degree 2). Sources = {1, 2, 5} (degree desc, then id). Every δ is
+    // a whole number of e6 units (tree ⇒ all σ = 1):
+    //   from 1: δ(2) = 3e6 (three leaves behind it), δ(5) = 1+δ(2) = 4e6
+    //   from 2: symmetric → δ(5) = 4e6, δ(1) = 3e6
+    //   from 5: δ(1) = δ(2) = 3e6
+    // bc(5) = 8e6 > bc(1) = bc(2) = 6e6 — betweenness ranks differ from
+    // degree ranks, which is the point of the operator
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (1L, 5L), (5L, 2L)).toDF("src", "dst")
+    val got = Analytics.betweennessSample(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L) === ((5L, 2L, 8000000L)))
+    assert(got(1L) === ((1L, 2L, 6000000L)))
+    assert(got(2L) === ((2L, 2L, 6000000L)))
+    // leaves: never intermediate, reached by all three sources
+    for (leaf <- Seq(11L, 12L, 13L, 21L, 22L, 23L))
+      assert(got(leaf) === ((leaf, 3L, 0L)))
+    assert(got.size === 9)
+  }
+
+  test("betweenness: multiple shortest paths split dependency via sigma") {
+    // diamond 1-2-4, 1-3-4: all degrees 2, sources = {1, 2, 3} by id.
+    //   from 1: σ(4) = 2, so δ(2) = δ(3) = ⌊1·1e6/2⌋ = 5e5
+    //   from 2: σ(3) = 2 via {1, 4} → δ(1) = δ(4) = 5e5
+    //   from 3: symmetric → δ(1) = δ(4) = 5e5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Analytics.betweennessSample(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 1000000L)))
+    assert(got(2L) === ((2L, 2L, 500000L)))
+    assert(got(3L) === ((3L, 2L, 500000L)))
+    assert(got(4L) === ((4L, 3L, 1000000L)))
+    assert(got.size === 4)
+  }
+
+  test("safety stock: hand-computed sigma, z-factor floors, reorder point") {
+    import java.sql.Timestamp
+    val D = 86400000L
+    def ts(day: Long) = new Timestamp(day * D)
+    // the croston fixture part: demands (day 0, q 4), (day 2, q 8),
+    // (day 6, q 2) → rate_e4 = 13333. Calendar-day variance over the
+    // 7-day span: S = 14, ΣQ² = 84, num = 7·84 − 196 = 392,
+    // var_e8 = ⌊392e8/49⌋ = 8e8 → sigma_e4 = round(√8e8) = 28284.
+    // ss95 = ⌊16449·28284·26458/1e8⌋ = 123094, rop95 = 93331 + 123094;
+    // ss99 = ⌊23263·28284·26458/1e8⌋ = 174085, rop99 = 93331 + 174085.
+    val rows = Seq(
+      (1L, ts(0), 4.0), (1L, ts(2), 8.0), (1L, ts(6), 2.0),
+      (2L, ts(0), 5.0), (2L, ts(3), 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = Analytics.safetyStock(rows)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 3L, 6L, 13333L, 28284L, 123094L, 216425L, 174085L, 267416L)))
+  }
+
   test("markov entropy: fair coin state carries 1 bit, deterministic state 0") {
     val events = ev(
       // user 1: A B A B A → A→B ×2, B→A ×2

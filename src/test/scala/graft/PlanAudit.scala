@@ -215,9 +215,15 @@ object PlanAudit {
     // r12: two 1-row broadcasts per round (hit count, truth count) beside
     // the 1-row graph aggregate — the dedup_recall_harness readout shape
     "emb_nn_descent", "emb_nn_descent2",
+    // r13: every power-iteration step crossJoins the previous step's
+    // 1-row checkpointed (mu, direction) aggregate back onto the corpus
+    "emb_whiten2",
     // r12: inherits coOccurrence's 1-row broadcast group total (the
     // li_degree_hist note) — BFS itself is pure equi-joins
-    "li_bfs_hops")
+    "li_bfs_hops",
+    // r13: same inherited coOccurrence 1-row total — both Brandes passes
+    // are pure equi-joins over checkpointed levels
+    "li_betweenness_sample")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

@@ -80,6 +80,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got("whitened") === (("whitened", 2L, 0L, 0L, None)))
   }
 
+  test("whiten2: rotation collapses off-axis elongation centering can't touch") {
+    // mean-zero corpus elongated along the OFF-AXIS direction (1,1,0,0)
+    // (amplitudes ±100..±400 milli-units) with two small orthogonal
+    // noise legs on dims 3 (±50) and 4 (±30). Exact zero means ⇒ the
+    // centered arm IS the raw arm, and the pair-free aniso identity sits
+    // at its floor ⌊−1e6/7⌋ = −142858 for both — centering has nothing
+    // to fix. The rotation arm projects out the two measured principal
+    // directions, so the top-2 mass share collapses and only the dim-4
+    // residual variance survives.
+    val a = Seq(0.1f, -0.1f, 0.2f, -0.2f, 0.3f, -0.3f, 0.4f, -0.4f)
+    val b = Seq(0.05f, 0.05f, -0.05f, -0.05f, 0.05f, 0.05f, -0.05f, -0.05f)
+    val c = Seq(0.03f, 0.03f, 0.03f, 0.03f, -0.03f, -0.03f, -0.03f, -0.03f)
+    val d = (0 until 8).map(j => (j.toLong, Seq(a(j), a(j), b(j), c(j)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.whiten2(d, dim = 4)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("raw", "centered", "rotated"))
+    // exact zero means: centered ≡ raw, aniso at the mean-identity floor
+    assert(got("centered") === got("raw").copy(_1 = "centered"))
+    assert(got("raw")._4 === Some(-142858L))
+    // nearly all mass along the two measured directions before rotation…
+    assert(got("raw")._5.exists(_ >= 900000L), s"raw share: ${got("raw")}")
+    // …and almost none after: the rotated cloud is the dim-4 residue
+    assert(got("rotated")._5.exists(_ <= 100000L), s"rotated: ${got("rotated")}")
+    assert(got("rotated")._3 <= got("centered")._3 / 20,
+      s"rotated avg_norm2 did not collapse: ${got("rotated")} vs ${got("centered")}")
+  }
+
   test("nn-descent: refinement never loses recall and respects the k bound") {
     // 60 unit vectors on a ring — each node's true neighbors are its
     // angular neighbors, so 2-hop expansion is exactly how a weak seed
