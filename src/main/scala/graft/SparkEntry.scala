@@ -464,6 +464,19 @@ object SparkEntry {
     // demand rate; exact e4 z-factor literals, calendar-day sigma
     "ord_safety_stock" -> ((s, dir) =>
       graft.ops.Analytics.safetyStock(Tables.lineitem(s, dir))),
+    // ABC (revenue concentration) × XYZ (demand-cv predictability)
+    // stocking-policy matrix with revenue and median cv per cell
+    "li_abc_xyz" -> ((s, dir) =>
+      graft.ops.Analytics.abcXyz(Tables.lineitem(s, dir))),
+    // month-of-year demand concentration: peak month, its share, HHI —
+    // the seasonality axis the ABC/XYZ matrix doesn't carry
+    "li_demand_seasonality" -> ((s, dir) =>
+      graft.ops.Analytics.demandSeasonality(Tables.lineitem(s, dir))),
+    // supplier lead-time reliability: order-to-ship lag stats from a
+    // bounded per-supplier delay histogram (no collects)
+    "sup_lead_time" -> ((s, dir) =>
+      graft.ops.TimeSeries.supplierLeadTime(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // fulfillment SLA share by priority (last line within 30 days)
     "ord_fill_rate" -> ((s, dir) =>
       graft.ops.TimeSeries.fillRate(
@@ -850,6 +863,12 @@ object SparkEntry {
       graft.ops.Analytics.betweennessSample(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // bounded Bellman-Ford from the same hubs: min inverse-support path
+    // cost — strong-pair chains undercut weak direct edges
+    "li_cheapest_path" -> ((s, dir) =>
+      graft.ops.Analytics.cheapestPath(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a"), col("item_b"), col("n_ab")))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -860,6 +879,10 @@ object SparkEntry {
         .filter(col("department") =!= "")
       graft.ops.Analytics.coOccurrence(exploded, "sess", "department")
     }),
+    // Kaplan–Meier user-lifetime survival: product-limit fold with
+    // right-censoring at the observation edge (30-day inactivity rule)
+    "cs_survival_km" -> ((s, dir) =>
+      graft.ops.Analytics.survivalKm(Tables.events(s, dir))),
     // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
     "ev_weekday_index" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -2299,6 +2322,102 @@ object SparkEntry {
         |       WHEN (cum_before * 10000) // total < 9500 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM c""".stripMargin,
+    // per-part month histogram + rank window; HHI in HUGEINT squares
+    "li_demand_seasonality" ->
+      """WITH mc AS (
+        |  SELECT l_partkey, month(l_shipdate::TIMESTAMP)::BIGINT AS m,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_partkey, m, q,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY q DESC, m) AS rn
+        |  FROM mc
+        |), a AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n_months, sum(q)::BIGINT AS total_qty,
+        |    sum(q::HUGEINT * q)::HUGEINT AS ssq,
+        |    max(CASE WHEN rn = 1 THEN m END)::BIGINT AS peak_month,
+        |    max(CASE WHEN rn = 1 THEN q END)::BIGINT AS peak
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT l_partkey, n_months, total_qty, peak_month,
+        |  ((peak * 10000) // total_qty)::BIGINT AS peak_share_e4,
+        |  ((ssq * 10000) // (total_qty::HUGEINT * total_qty))::BIGINT AS hhi_e4
+        |FROM a WHERE total_qty >= 12""".stripMargin,
+    // per-supplier order-to-ship delay histogram + cumulative-rank
+    // quantiles; the mean floor uses the pmod form defensively
+    "sup_lead_time" ->
+      """WITH h AS (
+        |  SELECT l_suppkey,
+        |    epoch_ms(l_shipdate::TIMESTAMP) // 86400000
+        |      - epoch_ms(o_orderdate::TIMESTAMP) // 86400000 AS delay,
+        |    count(*)::BIGINT AS k
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_suppkey, delay, k,
+        |    sum(k) OVER (PARTITION BY l_suppkey ORDER BY delay) AS cum,
+        |    sum(k) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM h
+        |), a AS (
+        |  SELECT l_suppkey, max(n)::BIGINT AS n_lines,
+        |    sum(CASE WHEN delay > 30 THEN k ELSE 0 END)::BIGINT AS late,
+        |    sum(delay * k)::BIGINT AS s,
+        |    min(CASE WHEN cum * 2 >= n THEN delay END)::BIGINT AS med_delay,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN delay END)::BIGINT AS p95_delay,
+        |    max(delay)::BIGINT AS max_delay
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT l_suppkey, n_lines,
+        |  ((late * 10000) // n_lines)::BIGINT AS late_share_e4,
+        |  ((s * 10000 - ((((s * 10000) % n_lines) + n_lines) % n_lines))
+        |    // n_lines)::BIGINT AS mean_delay_e4,
+        |  med_delay, p95_delay, max_delay
+        |FROM a""".stripMargin,
+    // the li_abc_class window stack × the ord_safety_stock moment CTE:
+    // cv as an e4 floor ratio of the rounded-sqrt sigma over the floor
+    // mean, standard X/Y/Z cuts, lowerMedian cv per cell
+    "li_abc_xyz" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_cents
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(rev_cents)::BIGINT AS total FROM rev
+        |), c AS (
+        |  SELECT l_partkey, rev_cents,
+        |    CASE WHEN (coalesce(sum(rev_cents) OVER (
+        |           ORDER BY rev_cents DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |         * 10000) // total < 8000 THEN 'A'
+        |         WHEN (coalesce(sum(rev_cents) OVER (
+        |           ORDER BY rev_cents DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |         * 10000) // total < 9500 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM rev CROSS JOIN t
+        |), daily AS (
+        |  SELECT l_partkey, epoch_ms(l_shipdate::TIMESTAMP) // 86400000 AS day,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), mom AS (
+        |  SELECT l_partkey, min(day) AS d0, max(day) AS d1,
+        |    sum(q)::HUGEINT AS s, sum(q::HUGEINT * q)::HUGEINT AS q2
+        |  FROM daily GROUP BY 1
+        |), xy AS (
+        |  SELECT l_partkey, cv_e4,
+        |    CASE WHEN cv_e4 <= 5000 THEN 'X'
+        |         WHEN cv_e4 <= 10000 THEN 'Y'
+        |         ELSE 'Z' END AS xyz_class
+        |  FROM (
+        |    SELECT l_partkey,
+        |      ((round(sqrt(((((d1 - d0 + 1)::HUGEINT * q2 - s * s) * 100000000)
+        |          // ((d1 - d0 + 1)::HUGEINT * (d1 - d0 + 1)))::DOUBLE))::BIGINT * 10000)
+        |       // greatest((s * 10000 // (d1 - d0 + 1))::BIGINT, 1))::BIGINT AS cv_e4
+        |    FROM mom)
+        |)
+        |SELECT c.abc_class, xy.xyz_class, count(*)::BIGINT AS n_parts,
+        |  sum(c.rev_cents)::BIGINT AS rev_cents,
+        |  (list(xy.cv_e4 ORDER BY xy.cv_e4))[(count(*) + 1) // 2]::BIGINT AS med_cv_e4
+        |FROM c JOIN xy USING (l_partkey)
+        |GROUP BY 1, 2""".stripMargin,
     // the abc CTE stack twice (ship-day midpoint halves) + full outer on
     // the part key; absent halves class as 'N'
     "li_abc_migration" -> {
@@ -2333,6 +2452,35 @@ object SparkEntry {
          |FROM c_e e FULL OUTER JOIN c_l l USING (l_partkey)
          |GROUP BY 1, 2""".stripMargin
     },
+    // KM product-limit recursion over lifetime ranks (the ev_holt walk);
+    // every quantity non-negative so // is exact floor
+    "cs_survival_km" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(epoch_ms(ts::TIMESTAMP) // 86400000) AS f,
+        |    max(epoch_ms(ts::TIMESTAMP) // 86400000) AS l
+        |  FROM events GROUP BY 1
+        |), m AS (SELECT max(l) AS maxd FROM u
+        |), lt AS (
+        |  SELECT l - f AS t, CASE WHEN m.maxd - l >= 30 THEN 1 ELSE 0 END AS ch
+        |  FROM u CROSS JOIN m
+        |), g AS (
+        |  SELECT t, sum(ch)::BIGINT AS d, sum(1 - ch)::BIGINT AS c,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM lt GROUP BY t
+        |), n0 AS (SELECT sum(d + c)::BIGINT AS n FROM g
+        |), walk AS (
+        |  SELECT g.rn, g.t, n0.n AS n_risk, g.d, g.c,
+        |    ((1000000 * (n0.n - g.d)) // n0.n)::BIGINT AS surv,
+        |    (n0.n - g.d - g.c)::BIGINT AS rem
+        |  FROM g CROSS JOIN n0 WHERE g.rn = 1
+        |  UNION ALL
+        |  SELECT g.rn, g.t, w.rem, g.d, g.c,
+        |    ((w.surv * (w.rem - g.d)) // w.rem)::BIGINT,
+        |    (w.rem - g.d - g.c)::BIGINT
+        |  FROM walk w JOIN g ON g.rn = w.rn + 1
+        |)
+        |SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored, surv AS surv_e6
+        |FROM walk""".stripMargin,
     "cs_time_to_purchase" ->
       """WITH u AS (
         |  SELECT user_id, min(epoch_ms(ts::TIMESTAMP)) AS first_ms,
@@ -4678,6 +4826,40 @@ object SparkEntry {
       base + layers +
         """
           |SELECT source, node, hops FROM d3""".stripMargin
+    },
+    // the li_bfs_hops CTE skeleton with inverse-support edge weights and
+    // min-cost (not min-hop) layer folds — unrolled Bellman-Ford
+    "li_cheapest_path" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst, (1000000 // n_ab)::BIGINT AS w FROM p
+          |  UNION ALL SELECT item_b, item_a, (1000000 // n_ab)::BIGINT FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), d0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 0::BIGINT AS cost_e6 FROM s)""".stripMargin
+      val layers = (1 to 3).map { r =>
+        s""", d$r AS MATERIALIZED (
+           |  SELECT source, node, min(cost_e6)::BIGINT AS cost_e6 FROM (
+           |    SELECT source, node, cost_e6 FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT d.source, u.dst AS node, d.cost_e6 + u.w
+           |    FROM d${r - 1} d JOIN und u ON u.src = d.node) u
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      base + layers +
+        """
+          |SELECT source, node, cost_e6 FROM d3""".stripMargin
     },
     // the li_bfs_hops frontier pyramid carrying sigma (path counts), then
     // the backward Brandes dependency layers as exact e6 floors; every

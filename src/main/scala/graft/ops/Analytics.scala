@@ -251,6 +251,66 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Kaplan–Meier survival curve of user LIFETIME (days from first to
+    * last event) with right-censoring handled properly — the estimator
+    * [[retention]]'s cohort shares approximate and [[retentionHalflife]]
+    * parameterizes: a user whose last event is within `inactiveDays` of
+    * the observation edge has not demonstrably churned, and treating
+    * them as dead biases every survival share down. KM counts them
+    * at-risk until their censoring time and no further. The
+    * product-limit fold is exact integers: at each distinct lifetime t,
+    * `S ← ⌊S · (n_t − d_t) / n_t⌋` in e6, with the at-risk count n_t
+    * carried in the fold state (start = all users, minus churned and
+    * censored as t advances) — no window, no driver loop.
+    *
+    * Scale: one user-keyed aggregate (first/last day) against a 1-row
+    * max-day broadcast, then ONE 1-row fold over the sorted
+    * |lifetimes|-array — bounded by the calendar span, not the user
+    * count — posexploded back to |lifetimes| rows. The oracle replays
+    * the fold as a recursive CTE over lifetime ranks (the ev_holt walk).
+    */
+  def survivalKm(events: DataFrame, inactiveDays: Long = 30L): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), TimeSeries.DayMs)
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(min(day).as("__first"), max(day).as("__last"))
+    val maxDay = broadcast(events.agg(max(day).as("__maxd")))
+    val lifetimes = users.crossJoin(maxDay)
+      .select(
+        (col("__last") - col("__first")).as("__t"),
+        (col("__maxd") - col("__last") >= inactiveDays).as("__churned"))
+      .groupBy(col("__t"))
+      .agg(
+        sum(when(col("__churned"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__churned"), 0L).otherwise(1L)).as("__c"))
+    val oneRow = lifetimes.agg(
+      sum(col("__d") + col("__c")).as("__n0"),
+      sort_array(collect_list(struct(col("__t"), col("__d"), col("__c")))).as("__arr"))
+    val zero = struct(
+      lit(1000000L).as("s"), col("__n0").as("rem"),
+      array().cast("array<struct<t:bigint,n_risk:bigint,d:bigint,c:bigint,surv:bigint>>")
+        .as("rows"))
+    val folded = aggregate(
+      col("__arr"), zero,
+      (acc, x) => {
+        val d = x.getField("__d")
+        val s2 = Cols.floorDiv(
+          acc.getField("s") * (acc.getField("rem") - d), acc.getField("rem"))
+        struct(
+          s2.as("s"),
+          (acc.getField("rem") - d - x.getField("__c")).as("rem"),
+          concat(acc.getField("rows"), array(struct(
+            x.getField("__t").as("t"), acc.getField("rem").as("n_risk"),
+            d.as("d"), x.getField("__c").as("c"), s2.as("surv")))).as("rows"))
+      })
+    oneRow
+      .select(explode(folded.getField("rows")).as("__r"))
+      .select(
+        col("__r.t").as("t_days"), col("__r.n_risk").as("n_risk"),
+        col("__r.d").as("n_churned"), col("__r.c").as("n_censored"),
+        col("__r.surv").as("surv_e6"))
+  }
+
   /** Exponential-decay fit of the blended retention curve — the
     * growth-model constant behind "what's our half-life": retention is
     * near-exponential in the day offset, so a robust line through
@@ -1353,6 +1413,129 @@ object Analytics {
         coalesce(col("class_late"), lit("N")).as("class_late"))
       .groupBy(col("class_early"), col("class_late"))
       .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** ABC×XYZ inventory classification — the two-axis matrix every
+    * stocking policy is cut from: revenue concentration ([[abcClass]])
+    * crossed with demand PREDICTABILITY (XYZ = coefficient of variation
+    * of calendar-daily demand over the part's span — the
+    * [[safetyStock]] variance identity read as a ratio). AX parts are
+    * automate-and-forget, CZ parts are review-or-delist; the matrix
+    * says how much revenue sits in each regime. Standard cut points:
+    * X cv ≤ 0.5, Y cv ≤ 1.0, Z above.
+    *
+    * Scale: one [[abcClass]] pass (range-sharded rank, no global sort),
+    * one (part × day) hash aggregate folded to part-grain moments on
+    * the same shuffle key, one part-grain equi-join, a ≤9-row readout.
+    * cv is exact to its grid: σ the one shared rounded-sqrt double,
+    * mean an e4 floor, the ratio an e4 floor of those.
+    */
+  def abcXyz(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val day = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
+    val mom = lineitem
+      .groupBy(col("l_partkey"), day.as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        sum(col("__q")).as("__s"), sum(d(col("__q")) * d(col("__q"))).as("__q2"))
+    val n = d(col("__d1") - col("__d0") + 1L)
+    val varE8 = Cols.floorDiv(
+      (n * col("__q2") - d(col("__s")) * d(col("__s"))) * d(lit(100000000L)), n * n)
+    val xyz = mom
+      .withColumn("__mean_e4", Cols.floorDiv(d(col("__s")) * d(lit(10000L)), n).cast("long"))
+      .withColumn("__sigma_e4", round(sqrt(varE8.cast("double"))).cast("long"))
+      .withColumn("__cv_e4",
+        Cols.floorDiv(col("__sigma_e4") * 10000L, greatest(col("__mean_e4"), lit(1L))))
+      .select(col("l_partkey"), col("__cv_e4"),
+        when(col("__cv_e4") <= 5000L, lit("X"))
+          .when(col("__cv_e4") <= 10000L, lit("Y"))
+          .otherwise(lit("Z")).as("xyz_class"))
+    abcClass(lineitem)
+      .select(col("l_partkey"), col("abc_class"), col("rev_cents"))
+      .join(xyz, "l_partkey")
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("rev_cents")).as("rev_cents"),
+        Cols.lowerMedian(col("__cv_e4")).as("med_cv_e4"))
+  }
+
+  /** Month-of-year demand concentration per part — the seasonality axis
+    * the [[abcXyz]] matrix doesn't carry: a part can be X-predictable
+    * overall yet sell 80% of its volume in one quarter, and stocking it
+    * flat wastes the warehouse for nine months. Per part: the calendar
+    * months observed, the peak month (ties → earlier month), its share,
+    * and the HHI of monthly shares (`⌊Σq_m²·10⁴ / Q²⌋` — 10000 = all
+    * volume in one month, ~833 = perfectly flat across 12).
+    *
+    * Scale: one (part × month-of-year) hash aggregate (≤12 rows per
+    * part whatever the line count), a partitioned rank window over that
+    * bounded histogram, one part-grain readout; squares widen to
+    * decimal(38,0).
+    */
+  def demandSeasonality(lineitem: DataFrame, minQty: Long = 12L): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val mc = lineitem
+      .groupBy(col("l_partkey"),
+        month(col("l_shipdate").cast("timestamp")).cast("long").as("__m"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("__q").desc, col("__m"))
+    mc.withColumn("__rn", row_number().over(byPart))
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("__q")).as("total_qty"),
+        sum(d(col("__q")) * d(col("__q"))).as("__ssq"),
+        max(when(col("__rn") === 1, col("__m"))).as("peak_month"),
+        max(when(col("__rn") === 1, col("__q"))).as("__peak"))
+      .filter(col("total_qty") >= minQty)
+      .select(
+        col("l_partkey"), col("n_months"), col("total_qty"), col("peak_month"),
+        Cols.floorDiv(col("__peak") * 10000L, col("total_qty")).as("peak_share_e4"),
+        Cols.floorDiv(col("__ssq") * d(lit(10000L)),
+          d(col("total_qty")) * d(col("total_qty"))).cast("long").as("hhi_e4"))
+  }
+
+  /** Min-COST paths from the hub landmarks over the weighted basket
+    * graph — [[bfsHops]]' "how far" upgraded to "how cheap", where an
+    * edge's cost is inverse co-purchase support (`⌊10⁶ / n_ab⌋`: a pair
+    * bought together often is a short hop). The relaxation is bounded
+    * Bellman-Ford, `maxHops` unrolled rounds of relax-join + min — a
+    * two-edge chain of strong pairs can undercut one weak direct edge,
+    * which hop counting cannot see (the spec pins exactly that graph).
+    *
+    * Scale: per round one edge-keyed equi-join of the FULL distance
+    * table (Bellman-Ford relaxes settled nodes too — a cheaper path may
+    * arrive after first reach) + one min-aggregate; cost per round is
+    * Σ reached-degree, edge-sized. Fixed unroll, one plan, no driver
+    * iteration — the [[bfsHops]] discipline with min(cost) semantics.
+    */
+  def cheapestPath(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val w = Cols.floorDiv(lit(1000000L), col("n_ab"))
+    val und = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), w.as("w"))
+      .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), w.as("w")))
+    val sources = und.groupBy(col("src"))
+      .agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("src"))
+      .limit(nSources)
+      .select(col("src").as("source"))
+    var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
+    for (_ <- 1 to maxHops) {
+      val relax = dist.join(und, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"),
+          (col("cost_e6") + col("w")).as("cost_e6"))
+      dist = dist.unionAll(relax)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("cost_e6")).as("cost_e6"))
+    }
+    dist
   }
 
   /** Croston's method for intermittent demand — the forecasting standard

@@ -947,6 +947,52 @@ object TimeSeries {
         Cols.floorDiv(col("n_within_sla") * 10000, col("n_orders")).as("fill_e4"))
   }
 
+  /** Supplier lead-time reliability: the order-to-ship lag distribution
+    * per supplier — the sourcing-review twin of [[fillRate]] (which
+    * grades ORDERS against an SLA; this grades SUPPLIERS against each
+    * other). Delay = ship day − order day per line. Median and p95 come
+    * from a per-supplier HISTOGRAM over the bounded delay domain, not a
+    * per-supplier collect — a supplier's line count is unbounded at
+    * 100 TB but its distinct delay-day values are calendar-bounded, so
+    * the rank scan is a partitioned window over ≤|delay-domain| rows.
+    * Lower-rank convention: the p-quantile is the smallest delay whose
+    * cumulative count reaches ⌈p·n⌉.
+    *
+    * Scale: one order-keyed join (the [[fillRate]] shape), one
+    * (supplier × delay) hash aggregate, one partitioned window over the
+    * bounded histogram, one supplier-grain readout.
+    */
+  def supplierLeadTime(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val delay = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), DayMs) -
+      Cols.floorDiv(unix_millis(col("o_orderdate").cast("timestamp")), DayMs)
+    val hist = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), delay.as("__delay"))
+      .agg(count(lit(1)).as("__k"))
+    val bySupp = Window.partitionBy(col("l_suppkey")).orderBy(col("__delay"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__k")).over(bySupp))
+      .withColumn("__n", sum(col("__k")).over(Window.partitionBy(col("l_suppkey"))))
+    cum
+      .groupBy(col("l_suppkey"))
+      .agg(
+        max(col("__n")).as("n_lines"),
+        // "late" against the fillRate SLA line, not against zero — every
+        // ship date trails its order date
+        sum(when(col("__delay") > 30L, col("__k")).otherwise(0L)).as("__late"),
+        sum(col("__delay") * col("__k")).as("__sum"),
+        min(when(col("__cum") * 2L >= col("__n"), col("__delay"))).as("med_delay"),
+        min(when(col("__cum") * 100L >= col("__n") * 95L, col("__delay"))).as("p95_delay"),
+        max(col("__delay")).as("max_delay"))
+      .select(
+        col("l_suppkey"), col("n_lines"),
+        Cols.floorDiv(col("__late") * 10000L, col("n_lines")).as("late_share_e4"),
+        Cols.floorDiv(col("__sum") * 10000L, col("n_lines")).as("mean_delay_e4"),
+        col("med_delay"), col("p95_delay"), col("max_delay"))
+  }
+
   /** Backlog aging snapshot: orders still open at the REFERENCE day (the
     * max order day, computed in-plan) bucketed by how long they've
     * waited — the "what's stuck and how badly" ops report. Open = last

@@ -2118,6 +2118,99 @@ object Similarity {
           .as("top2_share_e6"))
   }
 
+  /** Power-iteration convergence curve — the measurement behind
+    * [[whiten2]]'s "3 steps suffice" design choice, registered so the
+    * evidence recomputes with the corpus instead of living in a
+    * scaladoc. Per step k: the Rayleigh quotient of the running
+    * direction against the centered scatter (`Σ_rows (c·v)² / ‖v‖²` —
+    * monotone non-decreasing under exact power iteration, so a drop
+    * means the e4 grid is too coarse for this corpus), its share of the
+    * scatter trace (the "how low-rank is this embedding space" number),
+    * and the L1 drift of the e4 direction grid from the previous step
+    * (→ 0 at convergence). When the curve flattens at step 2, deeper
+    * iteration buys nothing; when it's still climbing at the last step,
+    * the eigengap is small and downstream consumers ([[whiten2]]) need
+    * more rounds.
+    *
+    * Scale: the [[whiten2]] pass-A machinery — `steps`+1 corpus scans,
+    * each ending in a 1-row localCheckpointed aggregate; readouts are
+    * 1-row crossJoins of adjacent step rows; moments in decimal(38,0).
+    */
+  def powerCurve(embeddings: DataFrame, dim: Int = 64, steps: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    def dlit(v: Long): Column = lit(v).cast(dec)
+    val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
+    val mom = q
+      .agg(
+        count(lit(1)).as("__n"),
+        array((0 until dim).map(i => sum(element_at(col("qv"), i + 1))): _*).as("__s"),
+        array((0 until dim).map(i =>
+          sum(d(element_at(col("qv"), i + 1)) * d(element_at(col("qv"), i + 1)))): _*)
+          .as("__q2"))
+      .select(col("__n"), col("__s"), col("__q2"),
+        transform(col("__s"), s => Cols.floorDiv(s, col("__n"))).as("mu"))
+      // trace of the centered scatter: Σ_i Q2_i − 2·μ_i·S_i + n·μ_i²
+      .select(col("__n"), col("__s"), col("__q2"), col("mu"),
+        zip_with(col("__q2"),
+          zip_with(col("__s"), col("mu"), (s, m) => d(s) * d(m)),
+          (q2, sm) => q2 - sm * dlit(2L)).as("__t1"))
+      .select(col("__n"), col("__s"), col("__q2"), col("mu"),
+        zip_with(col("__t1"),
+          transform(col("mu"), m => d(m) * d(m)),
+          (t1, m2) => t1 + m2 * d(col("__n"))).as("__tr"))
+      .select(col("mu"),
+        aggregate(col("__tr"), dlit(0L), _ + _).as("trace"),
+        zip_with(col("__q2"), col("__s"),
+          (q2, s) => d(col("__n")) * q2 - d(s) * d(s)).as("__v0r"))
+      .select(col("mu"), col("trace"), col("__v0r"),
+        aggregate(col("__v0r"), dlit(0L), (m, x) => greatest(m, x)).as("__m0"))
+      .select(col("mu"), col("trace"),
+        transform(col("__v0r"),
+          x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m0"), dlit(1L)))).as("v"))
+      .localCheckpoint()
+    var prev = mom
+    val readouts = (1 to steps).map { k =>
+      val agg1 = q.crossJoin(broadcast(prev))
+        .select(col("mu"), col("trace"), col("v"),
+          zip_with(col("qv"), col("mu"), (x, m) => x - m).as("__c"))
+        .select(col("mu"), col("trace"), col("v"), col("__c"),
+          aggregate(zip_with(col("__c"), col("v"), (a, b) => a * b),
+            lit(0L), _ + _).as("__sv"))
+        .agg(
+          first(col("mu")).as("mu"), first(col("trace")).as("trace"),
+          first(col("v")).as("vprev"),
+          sum(d(col("__sv")) * d(col("__sv"))).as("__rnum"),
+          array((0 until dim).map(i =>
+            sum(d(element_at(col("__c"), i + 1)) * d(col("__sv")))): _*).as("__u"))
+        .localCheckpoint()
+      val next = agg1
+        .select(col("mu"), col("trace"), col("__u"),
+          aggregate(col("__u"), dlit(0L), (m, x) => greatest(m, abs(x))).as("__m"))
+        .select(col("mu"), col("trace"),
+          transform(col("__u"),
+            x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m"), dlit(1L)))).as("v"))
+        .localCheckpoint()
+      val readout = next.select(col("v"))
+        .crossJoin(broadcast(
+          agg1.select(col("vprev"), col("__rnum"), col("trace"))))
+        .withColumn("__vv",
+          greatest(aggregate(zip_with(col("vprev"), col("vprev"), (a, b) => a * b),
+            lit(0L), _ + _), lit(1L)))
+        .select(
+          lit(k.toLong).as("step"),
+          Cols.floorDiv(col("__rnum"), d(col("__vv"))).cast("long").as("rayleigh"),
+          when(col("trace") > 0,
+            Cols.floorDiv(col("__rnum") * dlit(1000000L), d(col("__vv")) * col("trace"))
+              .cast("long")).as("top_share_e6"),
+          aggregate(zip_with(col("v"), col("vprev"), (a, b) => abs(a - b)),
+            lit(0L), _ + _).as("drift_e4"))
+      prev = next
+      readout
+    }
+    readouts.reduce(_ unionAll _)
+  }
+
   /** IVF recall readout: per query, how many of the exact top-k
     * ([[bruteForceTopK]]) the IVF index ([[ivfTopK]]) recovers — the
     * quantitative answer to "is nprobe high enough", as a REGISTERED
@@ -2749,6 +2842,9 @@ object Similarity {
     // rotational whitening: top-2 principal directions by power
     // iteration + deflation; raw/centered/rotated arms side by side
     "emb_whiten2" -> ((s, d) => whiten2(Tables.embeddings(s, d))),
+    // per-step Rayleigh / trace-share / drift of the power iteration —
+    // the measured "how many steps does whiten2 need" curve
+    "emb_power_curve" -> ((s, d) => powerCurve(Tables.embeddings(s, d))),
     "emb_l2_normalize" -> ((s, d) => l2Normalize(Tables.embeddings(s, d))),
     "emb_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "emb_dim_corr" -> ((s, d) => dimCorrelations(Tables.embeddings(s, d))),
@@ -3009,6 +3105,54 @@ object Similarity {
        |      row_number() OVER (PARTITION BY query_id ORDER BY rq_d2, neighbor_id) AS rank
        |    FROM sc
        |  ) WHERE rank <= $limit
+       |)""".stripMargin
+
+  /** Shared DuckDB CTE prelude for the power-iteration oracles
+    * (emb_whiten2, emb_power_curve): quantize, per-dim moments,
+    * pmod-floor means, the centered long table, and the centered-SS
+    * seed direction vA0.
+    */
+  private def pcaBaseSql: String =
+    """WITH q AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+      |  FROM embeddings
+      |), lt AS MATERIALIZED (
+      |  SELECT vec_id, ii.i AS i, qv[ii.i] AS x
+      |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+      |), mom AS MATERIALIZED (
+      |  SELECT i, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+      |    sum(x::HUGEINT * x)::HUGEINT AS q2
+      |  FROM lt GROUP BY 1
+      |), mu AS MATERIALIZED (
+      |  SELECT i, ((s - (((s % n) + n) % n)) // n)::BIGINT AS mu FROM mom
+      |), ct AS MATERIALIZED (
+      |  SELECT lt.vec_id, lt.i, lt.x - mu.mu AS c
+      |  FROM lt JOIN mu USING (i)
+      |), v0r AS MATERIALIZED (
+      |  SELECT i, (n::HUGEINT * q2 - s::HUGEINT * s) AS r FROM mom
+      |), vA0 AS MATERIALIZED (
+      |  SELECT i, ((r * 10000) // greatest((SELECT max(r) FROM v0r), 1))::BIGINT AS v
+      |  FROM v0r
+      |)""".stripMargin
+
+  /** One e4-renormalized power step over `src` (ct or ce): matvec by the
+    * previous direction, max-abs normalization, pmod floors for the
+    * possibly-negative components.
+    */
+  private def pcaStepSql(src: String, p: String, k: Int): String =
+    s""", s$p$k AS MATERIALIZED (
+       |  SELECT t.vec_id, sum(t.c * v.v)::BIGINT AS sv
+       |  FROM $src t JOIN v$p${k - 1} v USING (i) GROUP BY 1
+       |), u$p$k AS MATERIALIZED (
+       |  SELECT t.i, sum(t.c::HUGEINT * s.sv)::HUGEINT AS u
+       |  FROM $src t JOIN s$p$k s USING (vec_id) GROUP BY 1
+       |), m$p$k AS MATERIALIZED (
+       |  SELECT greatest(max(abs(u)), 1)::HUGEINT AS m FROM u$p$k
+       |), v$p$k AS MATERIALIZED (
+       |  SELECT i, ((u * 10000
+       |    - ((((u * 10000) % m.m) + m.m) % m.m)) // m.m)::BIGINT AS v
+       |  FROM u$p$k CROSS JOIN m$p$k m
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -4313,44 +4457,7 @@ object Similarity {
     // pass (deflation between passes), then the three-arm identity;
     // every possibly-negative floor uses the pmod form
     "emb_whiten2" -> {
-      val base =
-        """WITH q AS MATERIALIZED (
-          |  SELECT vec_id,
-          |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
-          |  FROM embeddings
-          |), lt AS MATERIALIZED (
-          |  SELECT vec_id, ii.i AS i, qv[ii.i] AS x
-          |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
-          |), mom AS MATERIALIZED (
-          |  SELECT i, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
-          |    sum(x::HUGEINT * x)::HUGEINT AS q2
-          |  FROM lt GROUP BY 1
-          |), mu AS MATERIALIZED (
-          |  SELECT i, ((s - (((s % n) + n) % n)) // n)::BIGINT AS mu FROM mom
-          |), ct AS MATERIALIZED (
-          |  SELECT lt.vec_id, lt.i, lt.x - mu.mu AS c
-          |  FROM lt JOIN mu USING (i)
-          |), v0r AS MATERIALIZED (
-          |  SELECT i, (n::HUGEINT * q2 - s::HUGEINT * s) AS r FROM mom
-          |), vA0 AS MATERIALIZED (
-          |  SELECT i, ((r * 10000) // greatest((SELECT max(r) FROM v0r), 1))::BIGINT AS v
-          |  FROM v0r
-          |)""".stripMargin
-      def stepSql(src: String, p: String, k: Int): String =
-        s""", s$p$k AS MATERIALIZED (
-           |  SELECT t.vec_id, sum(t.c * v.v)::BIGINT AS sv
-           |  FROM $src t JOIN v$p${k - 1} v USING (i) GROUP BY 1
-           |), u$p$k AS MATERIALIZED (
-           |  SELECT t.i, sum(t.c::HUGEINT * s.sv)::HUGEINT AS u
-           |  FROM $src t JOIN s$p$k s USING (vec_id) GROUP BY 1
-           |), m$p$k AS MATERIALIZED (
-           |  SELECT greatest(max(abs(u)), 1)::HUGEINT AS m FROM u$p$k
-           |), v$p$k AS MATERIALIZED (
-           |  SELECT i, ((u * 10000
-           |    - ((((u * 10000) % m.m) + m.m) % m.m)) // m.m)::BIGINT AS v
-           |  FROM u$p$k CROSS JOIN m$p$k m
-           |)""".stripMargin
-      val passA = (1 to 3).map(stepSql("ct", "A", _)).mkString
+      val passA = (1 to 3).map(pcaStepSql("ct", "A", _)).mkString
       val deflate =
         """, vv1 AS MATERIALIZED (
           |  SELECT greatest(sum(v::HUGEINT * v), 1)::HUGEINT AS vv FROM vA3
@@ -4369,7 +4476,7 @@ object Similarity {
           |  SELECT i, ((r * 10000) // greatest((SELECT max(r) FROM v0rB), 1))::BIGINT AS v
           |  FROM v0rB
           |)""".stripMargin
-      val passB = (1 to 3).map(stepSql("ce", "B", _)).mkString
+      val passB = (1 to 3).map(pcaStepSql("ce", "B", _)).mkString
       val arms =
         """, vv2 AS MATERIALIZED (
           |  SELECT greatest(sum(v::HUGEINT * v), 1)::HUGEINT AS vv FROM vB3
@@ -4419,7 +4526,35 @@ object Similarity {
           |  (CASE WHEN sumn > 0
           |        THEN ((q1 + q2) * 1000000) // sumn END)::BIGINT AS top2_share_e6
           |FROM j""".stripMargin
-      base + passA + deflate + passB + arms
+      pcaBaseSql + passA + deflate + passB + arms
+    },
+    // the pcaBaseSql pass-A pyramid at 4 steps with a per-step readout
+    // row: Rayleigh = Σ(c·v)²/‖v‖², its share of the scatter trace, and
+    // the e4-grid drift vs the previous direction
+    "emb_power_curve" -> {
+      val passA = (1 to 4).map(pcaStepSql("ct", "A", _)).mkString
+      val trace =
+        """, trc AS MATERIALIZED (
+          |  SELECT sum(q2 - 2::HUGEINT * mu.mu * mom.s
+          |    + mom.n::HUGEINT * mu.mu * mu.mu)::HUGEINT AS tr
+          |  FROM mom JOIN mu USING (i)
+          |)""".stripMargin
+      val readouts = (1 to 4).map { k =>
+        s""", r$k AS MATERIALIZED (
+           |  SELECT $k::BIGINT AS step,
+           |    (SELECT sum(sv::HUGEINT * sv) FROM sA$k)::HUGEINT AS rnum,
+           |    (SELECT greatest(sum(v::HUGEINT * v), 1) FROM vA${k - 1})::HUGEINT AS vv,
+           |    (SELECT sum(abs(a.v - b.v))
+           |     FROM vA$k a JOIN vA${k - 1} b USING (i))::BIGINT AS drift
+           |)""".stripMargin
+      }.mkString
+      val rows = (1 to 4).map { k =>
+        s"""SELECT step, (rnum // vv)::BIGINT AS rayleigh,
+           |  (CASE WHEN tr > 0 THEN (rnum * 1000000) // (vv * tr) END)::BIGINT AS top_share_e6,
+           |  drift AS drift_e4
+           |FROM r$k CROSS JOIN trc""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+      pcaBaseSql + passA + trace + readouts + rows
     },
     // the full NN-descent chain replays in DuckDB: the 2-table seed index
     // (plane ids 0..7 of the shared md5 family), top-5 cut, then one

@@ -190,6 +190,83 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 3L, 6L, 13333L, 28284L, 123094L, 216425L, 174085L, 267416L)))
   }
 
+  test("cheapest path: a strong-pair chain undercuts a weak direct edge") {
+    // triangle: 1–2 support 2 (cost 500000), 1–3 and 3–2 support 10
+    // (cost 100000 each) → cheapest 1→2 is 200000 THROUGH 3, which hop
+    // counting (li_bfs_hops semantics: 1 hop direct) cannot see
+    val pairs = Seq((1L, 2L, 2L), (1L, 3L, 10L), (3L, 2L, 10L))
+      .toDF("item_a", "item_b", "n_ab")
+    val got = Analytics.cheapestPath(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L), (1L, 2L, 200000L), (1L, 3L, 100000L),
+      (2L, 2L, 0L), (2L, 1L, 200000L), (2L, 3L, 100000L),
+      (3L, 3L, 0L), (3L, 1L, 100000L), (3L, 2L, 100000L)))
+  }
+
+  test("abc-xyz: revenue classes cross demand-cv classes, hand moments") {
+    import java.sql.Timestamp
+    val D = 86400000L
+    def ts(day: Long) = new Timestamp(day * D)
+    // part 1: 80% of revenue, constant demand (5,5,5 over days 0..2) →
+    //   sigma 0 → cv 0 → AX
+    // part 2: 15% (cum_before exactly 8000 → B), demand 1 then 9 over a
+    //   3-day span: num = 3·82 − 100 = 146, var_e8 = ⌊146e8/9⌋ →
+    //   sigma_e4 = round(√1622222222) = 40277, mean_e4 = 33333 →
+    //   cv = ⌊402770000/33333⌋ = 12083 → BZ
+    // part 3: 5% (cum_before 9500 → C), demand 4 then 6 adjacent days:
+    //   num = 2·52 − 100 = 4, var_e8 = 1e8 → sigma 10000, mean 50000 →
+    //   cv 2000 → CX
+    val rows = Seq(
+      (1L, ts(0), 5.0, 300.0), (1L, ts(1), 5.0, 300.0), (1L, ts(2), 5.0, 200.0),
+      (2L, ts(0), 1.0, 100.0), (2L, ts(2), 9.0, 50.0),
+      (3L, ts(0), 4.0, 30.0), (3L, ts(1), 6.0, 20.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val got = Analytics.abcXyz(rows)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", "X", 1L, 80000L, 0L),
+      ("B", "Z", 1L, 15000L, 12083L),
+      ("C", "X", 1L, 5000L, 2000L)))
+  }
+
+  test("survival km: product-limit fold with right-censoring at the edge") {
+    val D = 86400000L
+    // max observed day = 100 (user 4). Lifetimes: user1/2 t=10 churned
+    // (last day 10, 90 days quiet), user3 t=20 churned, user4 t=10
+    // censored (still active at the edge), user5 t=5 censored (15 < 30).
+    //   t=5:  n=5, d=0, c=1 → S = 1e6, rem 4
+    //   t=10: n=4, d=2, c=1 → S = ⌊1e6·2/4⌋ = 5e5, rem 1
+    //   t=20: n=1, d=1     → S = 0
+    val events = ev(
+      (1L, 0L, "a"), (1L, 10 * D, "a"),
+      (2L, 0L, "a"), (2L, 10 * D, "a"),
+      (3L, 5 * D, "a"), (3L, 25 * D, "a"),
+      (4L, 90 * D, "a"), (4L, 100 * D, "a"),
+      (5L, 80 * D, "a"), (5L, 85 * D, "a"))
+    val got = Analytics.survivalKm(events)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (5L, 5L, 0L, 1L, 1000000L),
+      (10L, 4L, 2L, 1L, 500000L),
+      (20L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("demand seasonality: peak month, share, HHI from the month histogram") {
+    import java.sql.Timestamp
+    val D = 86400000L
+    def ts(day: Long) = new Timestamp(day * D)
+    // part 1: Jan q=10 (epoch day 10), Jul q=2 (day 190) → total 12,
+    //   peak Jan 8333, HHI = ⌊(100+4)·1e4/144⌋ = 7222
+    // part 2: total 5 < 12 → dropped
+    val rows = Seq(
+      (1L, ts(10), 10.0), (1L, ts(190), 2.0), (2L, ts(10), 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = Analytics.demandSeasonality(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 12L, 1L, 8333L, 7222L)))
+  }
+
   test("markov entropy: fair coin state carries 1 bit, deterministic state 0") {
     val events = ev(
       // user 1: A B A B A → A→B ×2, B→A ×2

@@ -218,12 +218,24 @@ object PlanAudit {
     // r13: every power-iteration step crossJoins the previous step's
     // 1-row checkpointed (mu, direction) aggregate back onto the corpus
     "emb_whiten2",
+    // r13: the same per-step 1-row crossJoins plus the adjacent-step
+    // 1-row readout joins
+    "emb_power_curve",
+    // r13: the 1-row observation-max-day broadcast (the
+    // ev_lifecycle_matrix bound) ahead of the 1-row KM fold
+    "cs_survival_km",
     // r12: inherits coOccurrence's 1-row broadcast group total (the
     // li_degree_hist note) — BFS itself is pure equi-joins
     "li_bfs_hops",
     // r13: same inherited coOccurrence 1-row total — both Brandes passes
     // are pure equi-joins over checkpointed levels
-    "li_betweenness_sample")
+    "li_betweenness_sample",
+    // r13: same inherited coOccurrence 1-row total — the Bellman-Ford
+    // relax rounds are edge-keyed equi-joins
+    "li_cheapest_path",
+    // r13: inherits abcClass's 1-row revenue-total broadcast and
+    // Sharded's 32×32 offset self-join (the li_abc_class entry)
+    "li_abc_xyz")
 
   // Queries allowed an unpartitioned window (single-partition sort) whose
   // input is bounded BY CONSTRUCTION but not by a Limit the guard can see

@@ -109,6 +109,26 @@ class SimilaritySpec extends SparkSpec {
       s"rotated avg_norm2 did not collapse: ${got("rotated")} vs ${got("centered")}")
   }
 
+  test("power curve: rayleigh climbs to the top-share plateau, drift dies") {
+    // the whiten2 fixture: one dominant off-axis direction (eigengap
+    // ~60×), so the curve should be essentially converged by step 2
+    val a = Seq(0.1f, -0.1f, 0.2f, -0.2f, 0.3f, -0.3f, 0.4f, -0.4f)
+    val b = Seq(0.05f, 0.05f, -0.05f, -0.05f, 0.05f, 0.05f, -0.05f, -0.05f)
+    val c = Seq(0.03f, 0.03f, 0.03f, 0.03f, -0.03f, -0.03f, -0.03f, -0.03f)
+    val d = (0 until 8).map(j => (j.toLong, Seq(a(j), a(j), b(j), c(j)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.powerCurve(d, dim = 4)
+      .as[(Long, Long, Option[Long], Long)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) === List(1L, 2L, 3L, 4L))
+    // converging from below: the last Rayleigh is the best estimate
+    assert(got.last._2 >= got.head._2)
+    // the dominant direction holds nearly all the scatter
+    assert(got.last._3.exists(_ >= 950000L), s"share: ${got.last}")
+    // the e4 direction grid stops moving once converged
+    assert(got.last._4 <= 50L, s"drift: ${got.last}")
+    assert(got.last._4 <= got.head._4)
+  }
+
   test("nn-descent: refinement never loses recall and respects the k bound") {
     // 60 unit vectors on a ring — each node's true neighbors are its
     // angular neighbors, so 2-hop expansion is exactly how a weak seed

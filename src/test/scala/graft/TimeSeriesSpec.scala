@@ -131,6 +131,28 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 8L, 3L, 3L, 1L, 30000L)))
   }
 
+  test("supplier lead time: histogram quantiles, negative-mean floor") {
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * Day)
+    // supplier 1 delays {−1, 0, 2, 2, 5, 40}: one line past the 30-day
+    // SLA → 1666, mean 80000, lower median = 3rd of 6 = 2,
+    // p95 = ⌈5.7⌉th = 40
+    // supplier 2 delays {−3, −1} (ship-before-order data-quality rows):
+    // mean floors to −20000, lower median = 1st of 2 = −3 (⌈n/2⌉ rank)
+    val orders = Seq((10L, ts(10)), (20L, ts(20)), (30L, ts(10)))
+      .toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (10L, 1L, ts(9)), (10L, 1L, ts(10)), (10L, 1L, ts(12)),
+      (20L, 1L, ts(22)), (20L, 1L, ts(25)), (20L, 1L, ts(60)),
+      (30L, 2L, ts(7)), (30L, 2L, ts(9)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val got = TimeSeries.supplierLeadTime(orders, lines)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 6L, 1666L, 80000L, 2L, 40L, 40L),
+      (2L, 2L, 0L, -20000L, -3L, -1L, -1L)))
+  }
+
   test("burst hours: integer z²-test flags only the spike bucket") {
     val H = 3600000L
     // 10 quiet hours (1 event each) + one 20-event spike
