@@ -883,6 +883,10 @@ object SparkEntry {
     // right-censoring at the observation edge (30-day inactivity rule)
     "cs_survival_km" -> ((s, dir) =>
       graft.ops.Analytics.survivalKm(Tables.events(s, dir))),
+    // local-maximum peak days with a median-prominence floor — the
+    // launch-spike finder trend-blind global thresholds miss
+    "ev_peak_days" -> ((s, dir) =>
+      graft.ops.TimeSeries.peakDays(Tables.events(s, dir))),
     // weekly-rhythm profile: weekday share vs the uniform 1/7, e4 index
     "ev_weekday_index" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayIndex(Tables.events(s, dir), "event_type", "ts_ms")),
@@ -2452,6 +2456,30 @@ object SparkEntry {
          |FROM c_e e FULL OUTER JOIN c_l l USING (l_partkey)
          |GROUP BY 1, 2""".stripMargin
     },
+    // daily grain + two RANGE neighbor-max windows + lowerMedian floor
+    "ev_peak_days" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), d AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n_events FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type,
+        |    (list(n_events ORDER BY n_events))[(count(*) + 1) // 2]::BIGINT AS med
+        |  FROM d GROUP BY 1
+        |), wnd AS (
+        |  SELECT event_type, day, n_events,
+        |    max(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lm,
+        |    max(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rm
+        |  FROM d
+        |)
+        |SELECT w.event_type, day, n_events,
+        |  coalesce(lm, 0)::BIGINT AS left_max, coalesce(rm, 0)::BIGINT AS right_max,
+        |  ((n_events * 10000) // greatest(m.med, 1))::BIGINT AS ratio_med_e4
+        |FROM wnd w JOIN m USING (event_type)
+        |WHERE n_events > coalesce(lm, 0) AND n_events >= coalesce(rm, 0)
+        |  AND (n_events * 10000) // greatest(m.med, 1) >= 12000""".stripMargin,
     // KM product-limit recursion over lifetime ranks (the ev_holt walk);
     // every quantity non-negative so // is exact floor
     "cs_survival_km" ->

@@ -1399,12 +1399,46 @@ object Multimodal {
   def imageNearDupClusters(spark: SparkSession, docs: DataFrame): DataFrame =
     graft.dedup.Dedup.nearDupClusters(docs, imageNearDups(spark, docs))
 
+  /** Quality-ranked canonical per near-dup image cluster: the member a
+    * keep-list should retain is the HIGHEST-ENTROPY one (ties → smaller
+    * id), not the min-id representative the union-find happens to elect
+    * — near-dup clusters routinely mix an original with recompressed /
+    * flattened copies, and [[imageEntropy]] is exactly the flat-copy
+    * screen. `differs_from_min_id` counts how often the quality rule
+    * overrules the structural one — the value-add readout.
+    *
+    * Scale: [[imageNearDupClusters]] and [[imageEntropy]] keep their own
+    * plans (banded pairs, map-only codec walk); this adds one doc-keyed
+    * equi-join and a rank window partitioned by cluster.
+    */
+  def phashCanonical(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val cl = imageNearDupClusters(spark, docs).select(col("doc_id"), col("cluster_id"))
+    val ent = imageEntropy(spark, docs).select(col("doc_id"), col("entropy_e4"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("entropy_e4").desc, col("doc_id"))
+    cl.join(ent, "doc_id")
+      .withColumn("__rn", row_number().over(byCluster))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("doc_id"))).as("canon_doc_id"),
+        max(when(col("__rn") === 1, col("entropy_e4"))).as("canon_entropy_e4"))
+      .select(
+        col("cluster_id"), col("n_members"), col("canon_doc_id"), col("canon_entropy_e4"),
+        when(col("canon_doc_id") =!= col("cluster_id"), 1L).otherwise(0L)
+          .as("differs_from_min_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
     "mm_phash_pairs" -> ((s, d) => imageNearDups(s, Tables.documents(s, d))),
     "mm_phash_clusters" -> ((s, d) => imageNearDupClusters(s, Tables.documents(s, d))),
+    // keep-list canonical per phash cluster: the highest-entropy member
+    // (quality rule), flagged where it overrules the min-id electee
+    "mm_phash_canonical" -> ((s, d) => phashCanonical(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
     "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
     // pigeonhole-banded Hamming pairs over the audio energy signature —
@@ -1439,6 +1473,64 @@ object Multimodal {
       |    checksum
       |  FROM f
       |)""".stripMargin
+
+  /** Shared cluster pipeline for the phash oracles (mm_phash_clusters,
+    * mm_phash_canonical): decode tile → 8×8 aHash → 13-chunk pigeonhole
+    * Hamming pairs (≤ 12) → reachability closure to
+    * `cl(doc_id, cluster_id)`.
+    */
+  private def phashClusterSql: String = {
+    val chunks = 13
+    val chunkStructs = (0 until chunks).map { c =>
+      val s0 = c * 64 / chunks
+      val e0 = (c + 1) * 64 / chunks
+      s"{'c': $c, 'chunk': substr(phash, ${s0 + 1}, ${e0 - s0})}"
+    }
+    s"""WITH RECURSIVE px AS (
+       |  SELECT doc_id,
+       |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    [(ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 1, 1)) +
+       |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 2, 1)) +
+       |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 3, 1))) // 3
+       |     for i in range(0, 64)] AS grays
+       |  FROM px
+       |), s AS (
+       |  SELECT doc_id, grays, list_sum(grays) AS tot FROM g
+       |), h AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      [CASE WHEN 64 * grays[i] > tot THEN '1' ELSE '0' END
+       |       for i in range(1, 65)], '') AS phash
+       |  FROM s
+       |), ch0 AS (
+       |  SELECT doc_id, phash,
+       |    unnest([${chunkStructs.mkString(",\n      ")}]) AS u
+       |  FROM h
+       |), ch AS (
+       |  SELECT doc_id, phash, u.c AS c, u.chunk AS chunk FROM ch0
+       |), hits AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |    list_sum([CASE WHEN substr(a.phash, i, 1) <> substr(b.phash, i, 1)
+       |              THEN 1 ELSE 0 END
+       |              for i in generate_series(1, 64)])::BIGINT AS hamming
+       |  FROM ch a JOIN ch b
+       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT DISTINCT doc_id_1 AS d1, doc_id_2 AS d2
+       |  FROM hits WHERE hamming <= 12
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+       |), reach(n, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+       |), cl AS (
+       |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+       |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "mm_decode_features" ->
@@ -1527,62 +1619,42 @@ object Multimodal {
     },
     // the mm_phash_pairs chain + the dedup_clusters recursive transitive
     // closure (exact at oracle scale; Spark runs min-label propagation)
-    "mm_phash_clusters" -> {
-      val chunks = 13
-      val chunkStructs = (0 until chunks).map { c =>
-        val s0 = c * 64 / chunks
-        val e0 = (c + 1) * 64 / chunks
-        s"{'c': $c, 'chunk': substr(phash, ${s0 + 1}, ${e0 - s0})}"
-      }
-      s"""WITH RECURSIVE px AS (
-         |  SELECT doc_id,
-         |    substr(repeat(text, (768 // length(text))::INT + 1), 1, 768) AS pix
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |    [(ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 1, 1)) +
-         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 2, 1)) +
-         |      ord(substr(pix, ((i // 8) * 32 + (i % 8) * 2) * 3 + 3, 1))) // 3
-         |     for i in range(0, 64)] AS grays
-         |  FROM px
-         |), s AS (
-         |  SELECT doc_id, grays, list_sum(grays) AS tot FROM g
-         |), h AS (
-         |  SELECT doc_id,
-         |    array_to_string(
-         |      [CASE WHEN 64 * grays[i] > tot THEN '1' ELSE '0' END
-         |       for i in range(1, 65)], '') AS phash
-         |  FROM s
-         |), ch0 AS (
-         |  SELECT doc_id, phash,
-         |    unnest([${chunkStructs.mkString(",\n      ")}]) AS u
-         |  FROM h
-         |), ch AS (
-         |  SELECT doc_id, phash, u.c AS c, u.chunk AS chunk FROM ch0
-         |), hits AS (
-         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-         |    list_sum([CASE WHEN substr(a.phash, i, 1) <> substr(b.phash, i, 1)
-         |              THEN 1 ELSE 0 END
-         |              for i in generate_series(1, 64)])::BIGINT AS hamming
-         |  FROM ch a JOIN ch b
-         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-         |), pairs AS (
-         |  SELECT DISTINCT doc_id_1 AS d1, doc_id_2 AS d2
-         |  FROM hits WHERE hamming <= 12
-         |), edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
-         |), reach(n, m) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
-         |), cl AS (
-         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
-         |)
+    "mm_phash_clusters" ->
+      s"""$phashClusterSql
          |SELECT doc_id, cluster_id,
          |  (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS is_canonical,
          |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
-         |FROM cl""".stripMargin
-    },
+         |FROM cl""".stripMargin,
+    // the shared cluster pipeline + the mm_image_entropy CTEs off the
+    // SAME px tile, argmax by (entropy desc, id) per cluster
+    "mm_phash_canonical" ->
+      s"""$phashClusterSql, eg AS (
+         |  SELECT doc_id,
+         |    [(ord(substr(pix, i * 3 + 1, 1)) + ord(substr(pix, i * 3 + 2, 1)) +
+         |      ord(substr(pix, i * 3 + 3, 1))) // 3
+         |     for i in range(0, 256)] AS grays256
+         |  FROM px
+         |), ee AS (
+         |  SELECT doc_id, unnest(grays256) AS gray FROM eg
+         |), ec AS (
+         |  SELECT doc_id, gray, count(*)::BIGINT AS cnt FROM ee GROUP BY 1, 2
+         |), ent AS (
+         |  SELECT doc_id,
+         |    sum(round(-(cnt::DOUBLE / 256) * ln(cnt::DOUBLE / 256) * 10000))::BIGINT
+         |      AS entropy_e4
+         |  FROM ec GROUP BY 1
+         |), r AS (
+         |  SELECT cl.cluster_id, cl.doc_id, ent.entropy_e4,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |                       ORDER BY ent.entropy_e4 DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN ent USING (doc_id)
+         |)
+         |SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |  max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS canon_doc_id,
+         |  max(CASE WHEN rn = 1 THEN entropy_e4 END)::BIGINT AS canon_entropy_e4,
+         |  (CASE WHEN max(CASE WHEN rn = 1 THEN doc_id END) <> cluster_id
+         |        THEN 1 ELSE 0 END)::BIGINT AS differs_from_min_id
+         |FROM r GROUP BY 1""".stripMargin,
     // replays the WAV energy signature: little-endian 16-bit samples from
     // ASCII chars (lo + 256*hi, never >= 32768 on ASCII so no sign branch),
     // 64 windows of 8 samples, bit = strictly-above-mean energy

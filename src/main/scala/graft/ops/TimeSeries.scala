@@ -947,6 +947,44 @@ object TimeSeries {
         Cols.floorDiv(col("n_within_sla") * 10000, col("n_orders")).as("fill_e4"))
   }
 
+  /** Local-maximum peak days with prominence — the event-calendar
+    * readout the global-threshold monitors (burst z², MAD outliers,
+    * CUSUM) structurally miss: a launch-day spike inside an upward
+    * trend is a LOCAL maximum even when the trend's tail days exceed it
+    * absolutely. A day is a peak when it strictly beats every day in
+    * the `w`-day window before it and ties-or-beats every day after
+    * (first-of-plateau rule), and clears `minRatioE4` against the
+    * type's median daily volume — the prominence floor that keeps quiet
+    * series from emitting noise peaks.
+    *
+    * Scale: one (type × day) hash aggregate; the neighbor maxima are
+    * two RANGE windows partitioned by type (gap days age out by value,
+    * no densify needed); the median is one |types|-row aggregate over
+    * calendar-bounded arrays.
+    */
+  def peakDays(events: DataFrame, w: Long = 3L, minRatioE4: Long = 12000L): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), DayMs)
+    val daily = events
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(Cols.lowerMedian(col("n_events")).as("__med"))
+    daily
+      .withColumn("__lm", max(col("n_events")).over(byType.rangeBetween(-w, -1L)))
+      .withColumn("__rm", max(col("n_events")).over(byType.rangeBetween(1L, w)))
+      .join(med, "event_type")
+      .filter(col("n_events") > coalesce(col("__lm"), lit(0L)) &&
+        col("n_events") >= coalesce(col("__rm"), lit(0L)))
+      .select(
+        col("event_type"), col("day"), col("n_events"),
+        coalesce(col("__lm"), lit(0L)).as("left_max"),
+        coalesce(col("__rm"), lit(0L)).as("right_max"),
+        Cols.floorDiv(col("n_events") * 10000L, greatest(col("__med"), lit(1L)))
+          .as("ratio_med_e4"))
+      .filter(col("ratio_med_e4") >= minRatioE4)
+  }
+
   /** Supplier lead-time reliability: the order-to-ship lag distribution
     * per supplier — the sourcing-review twin of [[fillRate]] (which
     * grades ORDERS against an SLA; this grades SUPPLIERS against each

@@ -561,6 +561,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f === rerun)
   }
 
+  test("phashCanonical: quality rule picks the highest-entropy member per cluster") {
+    // docs 1/2 are byte-identical images (one cluster, tied entropy →
+    // id tie-break keeps 1); doc 3 is a singleton and stays its own
+    // canonical. The argmax/flag logic is the unit under test — entropy
+    // itself is pinned by the entropyPpm spec.
+    val docs = Seq(
+      (1L, "repeated payload text"),
+      (2L, "repeated payload text"),
+      (3L, "zq zq zq zq zq zq zq zq zq"))
+      .toDF("doc_id", "text")
+    val ent = Multimodal.imageEntropy(spark, docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val got = Multimodal.phashCanonical(spark, docs)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 2L, 1L, ent(1L), 0L),
+      (3L, 1L, 3L, ent(3L), 0L)))
+  }
+
   test("imageNearDupClusters: identical texts hash to one cluster, distinct text stays canonical") {
     // same text → byte-identical PPM → hamming 0 pair (1,2); doc 3's
     // image is far from both, so it remains its own singleton cluster

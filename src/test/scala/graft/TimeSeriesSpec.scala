@@ -153,6 +153,22 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 2L, 0L, -20000L, -3L, -1L, -1L)))
   }
 
+  test("peak days: strict-left / tie-right local maxima above the median floor") {
+    // type A daily counts over days 0..6: 1,1,5,1,1,1,8 — peaks at day 2
+    // (beats both ±3 neighborhoods) and day 6 (right edge, empty right
+    // window); every other day is dominated by one of them. Median 1.
+    val rows = for {
+      (day, n) <- Seq((0L, 1), (1L, 1), (2L, 5), (3L, 1), (4L, 1), (5L, 1), (6L, 8))
+      i <- 0 until n
+    } yield (day * 7 + i, 1L, "A", day * Day + i)
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = TimeSeries.peakDays(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._2).toList
+    assert(got === List(
+      ("A", 2L, 5L, 1L, 1L, 50000L),
+      ("A", 6L, 8L, 1L, 0L, 80000L)))
+  }
+
   test("burst hours: integer z²-test flags only the spike bucket") {
     val H = 3600000L
     // 10 quiet hours (1 event each) + one 20-event spike
