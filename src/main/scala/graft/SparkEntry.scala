@@ -485,6 +485,10 @@ object SparkEntry {
     "ord_backlog_aging" -> ((s, dir) =>
       graft.ops.TimeSeries.backlogAging(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // revenue concentration per market segment: customer HHI + CR4
+    "ord_segment_hhi" -> ((s, dir) =>
+      graft.ops.Analytics.segmentConcentration(
+        Tables.orders(s, dir), Tables.customer(s, dir))),
     // weekly DAU/WAU engagement ratio, exact e4
     "ev_stickiness" -> ((s, dir) =>
       graft.ops.TimeSeries.stickiness(Tables.events(s, dir))),
@@ -2456,6 +2460,30 @@ object SparkEntry {
          |FROM c_e e FULL OUTER JOIN c_l l USING (l_partkey)
          |GROUP BY 1, 2""".stripMargin
     },
+    // (segment × customer) revenue grain + top-4 rank window; HHI
+    // squares in HUGEINT mirroring the decimal widening
+    "ord_segment_hhi" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT c_mktsegment, c_custkey, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY rev DESC, c_custkey) AS rn
+        |  FROM rev
+        |), a AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |    sum(rev)::BIGINT AS total_cents,
+        |    sum(rev::HUGEINT * rev)::HUGEINT AS ssq,
+        |    sum(CASE WHEN rn <= 4 THEN rev ELSE 0 END)::BIGINT AS top4
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n_customers, total_cents,
+        |  ((top4 * 10000) // total_cents)::BIGINT AS cr4_e4,
+        |  ((ssq * 1000000) // (total_cents::HUGEINT * total_cents))::BIGINT AS hhi_e6
+        |FROM a""".stripMargin,
     // daily grain + two RANGE neighbor-max windows + lowerMedian floor
     "ev_peak_days" ->
       """WITH e AS (

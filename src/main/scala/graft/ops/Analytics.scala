@@ -1312,6 +1312,43 @@ object Analytics {
     * Scale: the cohort map is one hash agg on the customer key; the join
     * key is that same aggregation key; the triangle is |cohorts|²/2 rows.
     */
+  /** Revenue concentration per market segment: customer-share HHI and
+    * CR4 (top-4 customers' share) — the antitrust-style readout behind
+    * "is this segment one whale or a long tail", the segment-grain
+    * complement of [[paretoShares]] (which curves the whole book) and
+    * `cust_gini` (inequality, not concentration). HHI in e6
+    * (`⌊Σ rev_c²·10⁶ / total²⌋` — 1e6 = monopsony, 1e6/n = flat), CR4
+    * in e4; both exact integer floors with squares in decimal(38,0).
+    *
+    * Scale: one (segment × customer) hash aggregate off the order join,
+    * a top-4 rank window partitioned by segment over customer-grain
+    * rows, one segment-grain rollup. No sort wider than a partition.
+    */
+  def segmentConcentration(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__rev"))
+    val bySeg = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__rev").desc, col("c_custkey"))
+    rev
+      .withColumn("__rn", row_number().over(bySeg))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("__rev")).as("total_cents"),
+        sum(d(col("__rev")) * d(col("__rev"))).as("__ssq"),
+        sum(when(col("__rn") <= 4, col("__rev")).otherwise(0L)).as("__top4"))
+      .select(
+        col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        Cols.floorDiv(col("__top4") * 10000L, col("total_cents")).as("cr4_e4"),
+        Cols.floorDiv(col("__ssq") * d(lit(1000000L)),
+          d(col("total_cents")) * d(col("total_cents"))).cast("long").as("hhi_e6"))
+  }
+
   def revenueCohorts(orders: DataFrame): DataFrame = {
     val ts = col("o_orderdate").cast("timestamp")
     val midx = (year(ts) * 12 + month(ts)).cast("long")

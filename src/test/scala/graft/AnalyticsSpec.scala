@@ -267,6 +267,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === List((1L, 2L, 12L, 1L, 8333L, 7222L)))
   }
 
+  test("segment concentration: CR4 and HHI from hand revenue shares") {
+    // segment A: five customers at 50/20/15/10/5 → CR4 = 95%, HHI =
+    // ⌊(2500+400+225+100+25)·1e2⌋ = 325000; segment B: one whale → both max
+    val customer = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "A"), (6L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, 50.0), (2L, 2L, 20.0), (3L, 3L, 15.0),
+      (4L, 4L, 10.0), (5L, 5L, 5.0), (6L, 6L, 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = Analytics.segmentConcentration(orders, customer)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("A", 5L, 10000L, 9500L, 325000L),
+      ("B", 1L, 700L, 10000L, 1000000L)))
+  }
+
   test("markov entropy: fair coin state carries 1 bit, deterministic state 0") {
     val events = ev(
       // user 1: A B A B A → A→B ×2, B→A ×2

@@ -42,8 +42,11 @@ class BroadcastBoundSpec extends SparkSpec {
     // kmeans_step2 broadcasts the round-1 centroid table (k rows, bounded
     // by k) whose aggregate lineage localCheckpoint truncates to a Scan
     // ExistingRDD — the one bounded shape the subtree cannot prove itself;
-    // the exception is keyed to that exact scan node, nothing wider
-    val checkpointedBounded = Set("emb_kmeans_step2")
+    // the exception is keyed to that exact scan node, nothing wider.
+    // r13: the power-iteration queries broadcast their per-step 1-ROW
+    // checkpointed (mu, direction) aggregates — same truncated-lineage
+    // shape, bounded at exactly one row by the global agg that built them
+    val checkpointedBounded = Set("emb_kmeans_step2", "emb_whiten2", "emb_power_curve")
     // grouping keys whose cardinality is bounded by construction, not by
     // the data: cluster/centroid ids (≤ k), class labels, codebook
     // subspace ids. An aggregate grouped on a corpus-grain key (doc ids,
