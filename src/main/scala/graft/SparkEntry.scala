@@ -2305,8 +2305,8 @@ object SparkEntry {
     "ev_dow_hour_heatmap" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |h AS (
-        |  SELECT (epoch_ms(ts::TIMESTAMP) // 86400000) % 7 AS dow,
-        |    (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour,
+        |  SELECT (((epoch_ms(ts::TIMESTAMP) // 86400000) % 7) + 7) % 7 AS dow,
+        |    (((epoch_ms(ts::TIMESTAMP) % 86400000) + 86400000) % 86400000) // 3600000 AS hour,
         |    count(*) AS n_events
         |  FROM events GROUP BY 1, 2
         |)
@@ -2598,7 +2598,7 @@ object SparkEntry {
     "ev_alert_rules" ->
       """WITH h AS (
         |  SELECT event_type,
-        |    epoch_ms(ts::TIMESTAMP) - epoch_ms(ts::TIMESTAMP) % 3600000 AS hour_start_ms,
+        |    epoch_ms(ts::TIMESTAMP) - (((epoch_ms(ts::TIMESTAMP) % 3600000) + 3600000) % 3600000) AS hour_start_ms,
         |    count(*) AS n_events
         |  FROM events GROUP BY 1, 2
         |), r AS (
@@ -3735,7 +3735,7 @@ object SparkEntry {
     // doubled midranks (rank() + tie count), Σd² form; numerator ≥ 0
     "ev_hour_spearman" ->
       """WITH h AS (
-        |  SELECT (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour,
+        |  SELECT (((epoch_ms(ts::TIMESTAMP) % 86400000) + 86400000) % 86400000) // 3600000 AS hour,
         |    count(*)::BIGINT AS n_events,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
         |  FROM events GROUP BY 1
@@ -3961,7 +3961,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
         |), b AS (
-        |  SELECT event_type, ts_ms - ts_ms % 3600000 AS hour_start_ms, count(*) AS n_events
+        |  SELECT event_type, ts_ms - (((ts_ms % 3600000) + 3600000) % 3600000) AS hour_start_ms, count(*) AS n_events
         |  FROM e GROUP BY 1, 2
         |), m AS (
         |  SELECT event_type, count(*) AS n, sum(n_events)::BIGINT AS s,
@@ -4597,7 +4597,7 @@ object SparkEntry {
     // the FULL rt×ct grid — empty cells contribute (0 − E)²/E = E
     "ev_chi2_hour" ->
       """WITH e AS (
-        |  SELECT event_type, (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour
+        |  SELECT event_type, (((epoch_ms(ts::TIMESTAMP) % 86400000) + 86400000) % 86400000) // 3600000 AS hour
         |  FROM events
         |), cells AS (
         |  SELECT event_type, hour, count(*) AS o FROM e GROUP BY 1, 2
@@ -5690,7 +5690,7 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.seg_a = sa.seg JOIN s sb ON p.seg_b = sb.seg""".stripMargin,
     "ev_hour_profile" ->
       """WITH e AS (
-        |  SELECT event_type, (epoch_ms(ts::TIMESTAMP) % 86400000) // 3600000 AS hour FROM events
+        |  SELECT event_type, (((epoch_ms(ts::TIMESTAMP) % 86400000) + 86400000) % 86400000) // 3600000 AS hour FROM events
         |), c AS (
         |  SELECT event_type, hour, count(*) AS n_events FROM e GROUP BY 1, 2
         |)

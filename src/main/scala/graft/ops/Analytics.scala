@@ -1558,11 +1558,7 @@ object Analytics {
     val und = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), w.as("w"))
       .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), w.as("w")))
-    val sources = und.groupBy(col("src"))
-      .agg(count(lit(1)).as("__deg"))
-      .orderBy(col("__deg").desc, col("src"))
-      .limit(nSources)
-      .select(col("src").as("source"))
+    val sources = hubSources(und, nSources)
     var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
     for (_ <- 1 to maxHops) {
       val relax = dist.join(und, col("node") === col("src"))
@@ -2384,15 +2380,28 @@ object Analytics {
     * the [[labelPropStep]] discipline; deeper walks would move to the
     * [[components]] checkpoint-per-round loop.
     */
-  def bfsHops(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+  /** Symmetrized, deduplicated adjacency of an (src, dst) edge table —
+    * the shared first stage of every landmark walk below.
+    */
+  private def undirect(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val sources = und.groupBy(col("src"))
+
+  /** The landmark rule shared by [[bfsHops]], [[betweennessSample]] and
+    * [[cheapestPath]]: the `nSources` highest-degree nodes, ties by id —
+    * one definition so the three walks can never drift apart.
+    */
+  private def hubSources(und: DataFrame, nSources: Int): DataFrame =
+    und.groupBy(col("src"))
       .agg(count(lit(1)).as("__deg"))
       .orderBy(col("__deg").desc, col("src"))
       .limit(nSources)
       .select(col("src").as("source"))
+
+  def bfsHops(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val und = undirect(edges)
+    val sources = hubSources(und, nSources)
     var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("hops"))
     for (r <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (r - 1).toLong)
@@ -2432,15 +2441,8 @@ object Analytics {
   def betweennessSample(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
-    val und = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    val sources = und.groupBy(col("src"))
-      .agg(count(lit(1)).as("__deg"))
-      .orderBy(col("__deg").desc, col("src"))
-      .limit(nSources)
-      .select(col("src").as("source"))
+    val und = undirect(edges).localCheckpoint()
+    val sources = hubSources(und, nSources)
     // forward: levels(r) = nodes at exact distance r with σ = number of
     // shortest paths from the source (sum over distance-(r-1) predecessors)
     val level0 = sources

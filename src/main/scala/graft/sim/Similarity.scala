@@ -2021,7 +2021,15 @@ object Similarity {
           transform(col("__u"),
             x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m"), dlit(1L)))).as("v"))
         .localCheckpoint()
-    val v1row = (1 to steps).foldLeft(mom)((acc, _) => step(acc))
+    // every intermediate is an eagerly-materialized 1-row checkpoint
+    // consumed only by the NEXT stage; once `fin` exists they are dead
+    // weight and must be freed explicitly (LocalCheckpoints scaladoc —
+    // the blocks are invisible to the CacheManager)
+    val retired = scala.collection.mutable.ArrayBuffer[DataFrame](mom)
+    def stepR(prev: DataFrame): DataFrame = {
+      val n = step(prev); retired += n; n
+    }
+    val v1row = (1 to steps).foldLeft(mom)((acc, _) => stepR(acc))
     // re-arm for pass 2: the found direction becomes the deflation
     // carrier, its centered-SS seed re-measured on the deflated corpus
     val pass2seed = {
@@ -2030,6 +2038,7 @@ object Similarity {
         greatest(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
           lit(0L), _ + _), lit(1L)).as("pp"))
         .localCheckpoint()
+      retired += armed
       q.crossJoin(broadcast(armed))
         .select(col("mu"), col("p"), col("pp"),
           zip_with(col("qv"), col("mu"), (x, m) => x - m).as("__c"))
@@ -2051,12 +2060,14 @@ object Similarity {
             x => Cols.floorDiv(x * dlit(10000L), greatest(col("__m0"), dlit(1L)))).as("v"))
         .localCheckpoint()
     }
-    val v2row = (1 to steps).foldLeft(pass2seed)((acc, _) => step(acc))
+    retired += pass2seed
+    val v2row = (1 to steps).foldLeft(pass2seed)((acc, _) => stepR(acc))
     val fin = v2row.select(
       col("mu"), col("p"), col("pp"), col("v").as("v2"),
       greatest(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
         lit(0L), _ + _), lit(1L)).as("vv2"))
       .localCheckpoint()
+    retired.foreach(graft.LocalCheckpoints.free)
     // readout: the pair-free mean identity (aniso_e6 — which CENTERING
     // already collapses, so it isolates the mean-offset component) plus
     // the rotation-sensitive figure: how much of the arm's total second
@@ -2208,6 +2219,9 @@ object Similarity {
       prev = next
       readout
     }
+    // each step's agg1/next rows back a readout and stay; the seed row
+    // is consumed by step 1 only — free it (LocalCheckpoints scaladoc)
+    graft.LocalCheckpoints.free(mom)
     readouts.reduce(_ unionAll _)
   }
 

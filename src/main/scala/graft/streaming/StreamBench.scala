@@ -82,15 +82,22 @@ object StreamBench {
         val stateRowsMax = progress
           .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
           .foldLeft(0L)(math.max)
-        val lastBatchMs = progress.lastOption
+        // processAllAvailable runs extra no-data micro-batches to emit
+        // after the watermark advances; per-batch latency is only
+        // meaningful over DATA batches, so report the fed count and the
+        // slowest data batch rather than whatever trailing no-data batch
+        // happened to finish last
+        val dataBatches = progress.filter(_.numInputRows > 0)
+        val maxDataBatchMs = dataBatches
           .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .getOrElse(-1L)
+          .foldLeft(-1L)(math.max)
         val rowsIn = all.size.toLong + 1L
         def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
         s"""{"pipeline":"sessionize","rows_in":$rowsIn,"wall_sec":${n2(wallSec)},""" +
           s""""rows_per_sec":${(rowsIn / math.max(wallSec, 1e-9)).toLong},""" +
           s""""n_sessions":$nSessions,"state_rows_max":$stateRowsMax,""" +
-          s""""n_batches":${progress.size},"last_batch_ms":$lastBatchMs}"""
+          s""""n_batches_fed":${nBatches + 1},"n_microbatches":${progress.size},""" +
+          s""""max_data_batch_ms":$maxDataBatchMs}"""
       } finally {
         q.stop()
         spark.catalog.dropTempView(sinkName)
