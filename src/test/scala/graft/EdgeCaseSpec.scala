@@ -189,6 +189,40 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].collect().head === ((0L, 0L, None)))
   }
 
+  test("round-13 operators tolerate empty inputs (empty or defined-null rows)") {
+    import graft.ops.{Analytics, TimeSeries}
+    import graft.sim.Similarity
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Analytics.betweennessSample(emptyEdges).count() === 0L)
+    val emptyPairs = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "n_ab")
+    assert(Analytics.cheapestPath(emptyPairs).count() === 0L)
+    val emptyLi = Seq.empty[(Long, java.sql.Timestamp, Double, Double)]
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    assert(Analytics.safetyStock(emptyLi).count() === 0L)
+    assert(Analytics.abcXyz(emptyLi).count() === 0L)
+    assert(Analytics.demandSeasonality(emptyLi).count() === 0L)
+    assert(Analytics.survivalKm(emptyEvents).count() === 0L)
+    assert(TimeSeries.peakDays(emptyEvents).count() === 0L)
+    val emptyOrd = Seq.empty[(Long, Long, Double, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val emptyCust = Seq.empty[(Long, String)].toDF("c_custkey", "c_mktsegment")
+    assert(Analytics.segmentConcentration(emptyOrd, emptyCust).count() === 0L)
+    val emptySupLines = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    assert(TimeSeries.supplierLeadTime(emptyOrd, emptySupLines).count() === 0L)
+    assert(graft.multimodal.Multimodal.phashCanonical(spark, emptyDocs).count() === 0L)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // the power-iteration pair: empty corpus yields an empty arm table
+    // (whiten2) / the fixed step rows with null metrics (powerCurve) —
+    // defined null rows, never a divide-by-zero throw
+    assert(Similarity.whiten2(emptyEmb, dim = 2).count() === 0L)
+    val pc = Similarity.powerCurve(emptyEmb, dim = 2)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(pc.map(_._1).toList === List(1L, 2L, 3L, 4L))
+    assert(pc.forall(r => r._2.isEmpty && r._3.isEmpty))
+  }
+
   test("doc shorter than the shingle width yields no shingles but valid stats") {
     val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
     assert(Dedup.minhashSignatures(tiny).count() === 0L) // no 3-gram shingles
