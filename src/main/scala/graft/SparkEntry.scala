@@ -873,6 +873,45 @@ object SparkEntry {
       graft.ops.Analytics.cheapestPath(
         graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
           .select(col("item_a"), col("item_b"), col("n_ab")))),
+    // WEIGHTED sampled betweenness: Brandes dependency accumulation over
+    // the cheapest-path (inverse-support) DAGs from the same hubs — a
+    // bridge of strong ties outranks a weak-tie hub
+    "li_betweenness_weighted" -> ((s, dir) =>
+      graft.ops.Analytics.betweennessWeighted(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a"), col("item_b"), col("n_ab")))),
+    // landmark closeness/harmonic centrality: the per-node readout of the
+    // bfsHops distance table (sum hops + harmonic e6 over reaching hubs)
+    "li_closeness" -> ((s, dir) =>
+      graft.ops.Analytics.closeness(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // Adamic–Adar link prediction: the link_pred wedges with rare-neighbor
+    // 1/ln(deg) weights — niche co-stocking outranks super-hub sharing
+    "li_adamic_adar" -> ((s, dir) =>
+      graft.ops.Analytics.adamicAdar(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // supplier concentration per part: supplier count, dominant share,
+    // HHI over supplier quantities, single-source sourcing-risk flag
+    "sup_concentration" -> ((s, dir) =>
+      graft.ops.Analytics.supplierConcentration(Tables.lineitem(s, dir))),
+    // inter-order gap profile per customer: lower-median/min/max days
+    // between consecutive orders — the replenishment cadence clock
+    "ord_order_gap" -> ((s, dir) =>
+      graft.ops.Analytics.orderGaps(Tables.orders(s, dir))),
+    // gaps-and-islands activity streaks per user: longest run, run count,
+    // deterministic best-streak start
+    "ev_streaks" -> ((s, dir) =>
+      graft.ops.TimeSeries.activeStreaks(Tables.events(s, dir))),
+    // record-setting days: strict running all-time highs of daily volume
+    // with previous-record and days-waited readouts
+    "ev_record_days" -> ((s, dir) =>
+      graft.ops.TimeSeries.recordDays(Tables.events(s, dir))),
+    // within-session dwell by event type: histogram-quantile median/p95
+    // milliseconds until the next in-session action
+    "cs_dwell_time" -> ((s, dir) =>
+      Clickstream.dwellByType(Tables.events(s, dir))),
     // departments browsed together within one session — the clickstream
     // analog of basket pairs, composed on the reference's own sessions
     "cs_dept_pairs" -> ((s, dir) => {
@@ -4917,6 +4956,255 @@ object SparkEntry {
         """
           |SELECT source, node, cost_e6 FROM d3""".stripMargin
     },
+    // the li_cheapest_path distance pyramid, then the tight-edge DAG,
+    // sigma by 3 predecessor-sum iterations and delta by 3 successor
+    // folds (exact e6 floors, all terms non-negative so // is floor);
+    // sigma/delta stay HUGEINT until the final readout
+    "li_betweenness_weighted" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst, (1000000 // n_ab)::BIGINT AS w FROM p
+          |  UNION ALL SELECT item_b, item_a, (1000000 // n_ab)::BIGINT FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), d0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 0::BIGINT AS cost_e6 FROM s)""".stripMargin
+      val distLayers = (1 to 3).map { r =>
+        s""", d$r AS MATERIALIZED (
+           |  SELECT source, node, min(cost_e6)::BIGINT AS cost_e6 FROM (
+           |    SELECT source, node, cost_e6 FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT d.source, u.dst AS node, d.cost_e6 + u.w
+           |    FROM d${r - 1} d JOIN und u ON u.src = d.node) u
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      val dag =
+        """, dag AS MATERIALIZED (
+          |  SELECT du.source, du.node AS u, dv.node AS v
+          |  FROM d3 du JOIN und e ON e.src = du.node
+          |  JOIN d3 dv ON dv.source = du.source AND dv.node = e.dst
+          |    AND du.cost_e6 + e.w = dv.cost_e6
+          |), g0 AS MATERIALIZED (
+          |  SELECT source, node,
+          |    (CASE WHEN node = source THEN 1 ELSE 0 END)::HUGEINT AS sigma
+          |  FROM d3)""".stripMargin
+      val sigmaLayers = (1 to 3).map { r =>
+        s""", g$r AS MATERIALIZED (
+           |  SELECT n.source, n.node,
+           |    (CASE WHEN n.node = n.source THEN 1
+           |          ELSE coalesce(i.inc, 0) END)::HUGEINT AS sigma
+           |  FROM d3 n LEFT JOIN (
+           |    SELECT dag.source, dag.v AS node, sum(g.sigma) AS inc
+           |    FROM dag JOIN g${r - 1} g
+           |      ON g.source = dag.source AND g.node = dag.u
+           |    GROUP BY 1, 2) i ON i.source = n.source AND i.node = n.node
+           |)""".stripMargin
+      }.mkString
+      val deltaSeed =
+        """, w0 AS MATERIALIZED (
+          |  SELECT source, node, 0::HUGEINT AS delta FROM d3)""".stripMargin
+      val deltaLayers = (1 to 3).map { r =>
+        s""", w$r AS MATERIALIZED (
+           |  SELECT n.source, n.node, coalesce(t.d, 0)::HUGEINT AS delta
+           |  FROM d3 n LEFT JOIN (
+           |    SELECT dag.source, dag.u AS node,
+           |      sum((gu.sigma * (1000000 + wp.delta)) // gw.sigma)::HUGEINT AS d
+           |    FROM dag
+           |    JOIN g3 gu ON gu.source = dag.source AND gu.node = dag.u
+           |    JOIN g3 gw ON gw.source = dag.source AND gw.node = dag.v
+           |    JOIN w${r - 1} wp ON wp.source = dag.source AND wp.node = dag.v
+           |    WHERE gw.sigma > 0
+           |    GROUP BY 1, 2) t ON t.source = n.source AND t.node = n.node
+           |)""".stripMargin
+      }.mkString
+      base + distLayers + dag + sigmaLayers + deltaSeed + deltaLayers +
+        """
+          |SELECT node, count(*)::BIGINT AS n_sources, sum(delta)::BIGINT AS bc_e6
+          |FROM w3 WHERE node <> source GROUP BY 1""".stripMargin
+    },
+    // the li_bfs_hops distance pyramid + a per-node readout: sum of hop
+    // distances and the harmonic sum (1e6 // hops, hops >= 1 after the
+    // self-row exclusion, so // is exact floor)
+    "li_closeness" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst FROM p
+          |  UNION ALL SELECT item_b, item_a FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), d0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
+      val layers = (1 to 3).map { r =>
+        s""", f$r AS MATERIALIZED (
+           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
+           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
+           |  WHERE d.hops = ${r - 1}
+           |), d$r AS MATERIALIZED (
+           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
+           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      base + layers +
+        """
+          |SELECT node, count(*)::BIGINT AS n_sources, sum(hops)::BIGINT AS sum_hops,
+          |  sum(1000000 // hops)::BIGINT AS harmonic_e6
+          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin
+    },
+    // the li_link_pred wedge CTEs with 1/ln(degree) center weights —
+    // ln only inside a rounded integer term; center degree >= 2 so the
+    // weight is positive and // exact floor
+    "li_adamic_adar" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS (SELECT grp, item FROM gi0
+        |       QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS src, b.item AS dst
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS MATERIALIZED (
+        |  SELECT src AS node, dst AS nbr FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), deg AS (SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT node, nbr FROM adj
+        |        QUALIFY count(*) OVER (PARTITION BY node) <= 200),
+        |ctrw AS (
+        |  SELECT c.node, c.nbr,
+        |    (10000000000 // round(ln(d.d) * 1000000)::BIGINT)::BIGINT AS w
+        |  FROM ctr c JOIN deg d ON d.node = c.node WHERE d.d >= 2
+        |), cand AS (
+        |  SELECT a.nbr AS item_a, b.nbr AS item_b,
+        |    count(*)::BIGINT AS cn, sum(a.w)::BIGINT AS aa_e4
+        |  FROM ctrw a JOIN ctrw b ON a.node = b.node AND a.nbr < b.nbr
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, cn, aa_e4 FROM cand c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.src = c.item_a AND e.dst = c.item_b)
+        |ORDER BY aa_e4 DESC, cn DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
+    // (part x supplier) quantity histogram -> rank window -> part-grain
+    // concentration readout; squares widen to HUGEINT
+    "sup_concentration" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(round(l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY q DESC, l_suppkey) AS rn
+        |  FROM ps
+        |)
+        |SELECT l_partkey, count(*)::BIGINT AS n_suppliers, sum(q)::BIGINT AS total_qty,
+        |  max(CASE WHEN rn = 1 THEN l_suppkey END)::BIGINT AS top_suppkey,
+        |  ((max(CASE WHEN rn = 1 THEN q END) * 10000)
+        |    // greatest(sum(q), 1))::BIGINT AS top_share_e4,
+        |  ((sum(q::HUGEINT * q::HUGEINT) * 10000)
+        |    // greatest(sum(q)::HUGEINT * sum(q)::HUGEINT, 1))::BIGINT AS hhi_e4,
+        |  (CASE WHEN count(*) = 1 THEN 1 ELSE 0 END)::BIGINT AS single_source
+        |FROM r GROUP BY 1""".stripMargin,
+    // per-customer consecutive-order gaps via lag; exact lower median by
+    // the list convention
+    "ord_order_gap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_ms(o_orderdate::TIMESTAMP) // 86400000 AS day
+        |  FROM orders
+        |), g AS (
+        |  SELECT o_custkey,
+        |    day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        |  FROM o
+        |)
+        |SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+        |  (list(gap ORDER BY gap))[(count(*) + 1) // 2]::BIGINT AS med_gap_days,
+        |  min(gap)::BIGINT AS min_gap_days, max(gap)::BIGINT AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+    // gaps-and-islands on distinct (user, day); best streak = longest,
+    // ties -> later start (the struct-max mirror)
+    "ev_streaks" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, island, count(*)::BIGINT AS len, min(day)::BIGINT AS strt
+        |  FROM i GROUP BY 1, 2
+        |)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days, count(*)::BIGINT AS n_streaks,
+        |  max(len)::BIGINT AS max_streak_days,
+        |  (list(strt ORDER BY len DESC, strt DESC))[1]::BIGINT AS best_streak_start_day
+        |FROM s GROUP BY 1""".stripMargin,
+    // strict running all-time highs of daily volume; lag over the record
+    // rows gives the previous record + wait
+    "ev_record_days" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day, n_events,
+        |    max(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM d
+        |), rec AS (
+        |  SELECT event_type, day, n_events FROM r
+        |  WHERE prev_max IS NULL OR n_events > prev_max
+        |)
+        |SELECT event_type, day, n_events,
+        |  lag(n_events) OVER w::BIGINT AS prev_record_events,
+        |  (day - lag(day) OVER w)::BIGINT AS days_since_prev_record
+        |FROM rec WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin,
+    // the session-id CTEs, lead-dwell per event, then the histogram
+    // rank-scan quantiles (the sup_lead_time convention)
+    "cs_dwell_time" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+         |                   OR ts_ms - lag(ts_ms) OVER w >= $GAP THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |), ids AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS session_seq
+         |  FROM flagged
+         |), dw AS (
+         |  SELECT event_type,
+         |    lead(ts_ms) OVER (PARTITION BY user_id, session_seq ORDER BY ts_ms, event_id)
+         |      - ts_ms AS dwell
+         |  FROM ids
+         |), h AS (
+         |  SELECT event_type, dwell, count(*)::BIGINT AS k
+         |  FROM dw WHERE dwell IS NOT NULL GROUP BY 1, 2
+         |), c AS (
+         |  SELECT event_type, dwell, k,
+         |    sum(k) OVER (PARTITION BY event_type ORDER BY dwell)::BIGINT AS cum,
+         |    sum(k) OVER (PARTITION BY event_type)::BIGINT AS n
+         |  FROM h
+         |)
+         |SELECT event_type, max(n)::BIGINT AS n_dwells,
+         |  sum(dwell * k)::BIGINT AS total_dwell_ms,
+         |  min(CASE WHEN cum * 2 >= n THEN dwell END)::BIGINT AS med_dwell_ms,
+         |  min(CASE WHEN cum * 100 >= n * 95 THEN dwell END)::BIGINT AS p95_dwell_ms,
+         |  max(dwell)::BIGINT AS max_dwell_ms
+         |FROM c GROUP BY 1""".stripMargin,
     // the li_bfs_hops frontier pyramid carrying sigma (path counts), then
     // the backward Brandes dependency layers as exact e6 floors; every
     // term non-negative so plain // is floor on both engines

@@ -1467,7 +1467,15 @@ object Analytics {
     * cv is exact to its grid: σ the one shared rounded-sqrt double,
     * mean an e4 floor, the ratio an e4 floor of those.
     */
-  def abcXyz(lineitem: DataFrame): DataFrame = {
+  /** Shared (part × calendar-day) demand second-moment block for
+    * [[abcXyz]] and [[safetyStock]]: per part the demand-day span
+    * endpoints, total quantity, and the calendar-day demand sigma from
+    * the (n·ΣQ² − S²)·10⁸/n² identity over the FULL span (zero days
+    * included), products widened to decimal(38,0), σ the one shared
+    * rounded-sqrt double. One definition so the two stocking operators'
+    * sigma grids can never drift apart.
+    */
+  private def dailyDemandSigma(lineitem: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
     val day = Cols.floorDiv(
@@ -1482,9 +1490,17 @@ object Analytics {
     val n = d(col("__d1") - col("__d0") + 1L)
     val varE8 = Cols.floorDiv(
       (n * col("__q2") - d(col("__s")) * d(col("__s"))) * d(lit(100000000L)), n * n)
-    val xyz = mom
+    mom.select(
+      col("l_partkey"), col("__d0"), col("__d1"), col("__s"),
+      round(sqrt(varE8.cast("double"))).cast("long").as("__sigma_e4"))
+  }
+
+  def abcXyz(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val n = d(col("__d1") - col("__d0") + 1L)
+    val xyz = dailyDemandSigma(lineitem)
       .withColumn("__mean_e4", Cols.floorDiv(d(col("__s")) * d(lit(10000L)), n).cast("long"))
-      .withColumn("__sigma_e4", round(sqrt(varE8.cast("double"))).cast("long"))
       .withColumn("__cv_e4",
         Cols.floorDiv(col("__sigma_e4") * 10000L, greatest(col("__mean_e4"), lit(1L))))
       .select(col("l_partkey"), col("__cv_e4"),
@@ -1539,6 +1555,74 @@ object Analytics {
           d(col("total_qty")) * d(col("total_qty"))).cast("long").as("hhi_e4"))
   }
 
+  /** Supplier concentration per part — the sourcing-risk axis beside
+    * [[abcXyz]]'s demand axes: how many suppliers ship a part, which one
+    * dominates and by how much (`top_share_e4`, ties → lower suppkey),
+    * the HHI of supplier quantity shares (10000 = sole-sourced, lower =
+    * diversified), and the single-source flag procurement review lists
+    * are cut from.
+    *
+    * Scale: one (part × supplier) hash aggregate (bounded per part by
+    * the supplier count, whatever the line count), a rank window over
+    * that bounded histogram partitioned by part, one part-grain readout;
+    * squares widen to decimal(38,0) — the [[demandSeasonality]] shape on
+    * the supplier axis.
+    */
+  def supplierConcentration(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val ps = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("__q").desc, col("l_suppkey"))
+    ps.withColumn("__rn", row_number().over(byPart))
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("__q")).as("total_qty"),
+        sum(d(col("__q")) * d(col("__q"))).as("__ssq"),
+        max(when(col("__rn") === 1, col("l_suppkey"))).as("top_suppkey"),
+        max(when(col("__rn") === 1, col("__q"))).as("__top_q"))
+      .select(
+        col("l_partkey"), col("n_suppliers"), col("total_qty"), col("top_suppkey"),
+        Cols.floorDiv(col("__top_q") * 10000L, greatest(col("total_qty"), lit(1L)))
+          .as("top_share_e4"),
+        Cols.floorDiv(col("__ssq") * d(lit(10000L)),
+          greatest(d(col("total_qty")) * d(col("total_qty")), d(lit(1L))))
+          .cast("long").as("hhi_e4"),
+        (col("n_suppliers") === 1L).cast("long").as("single_source"))
+  }
+
+  /** Inter-order gaps per customer — the purchase-cadence profile at
+    * customer grain (the [[abcXyz]] family reads parts; THIS is the
+    * replenishment clock a retention model keys on): for every customer
+    * with ≥ 2 orders, the gap count, exact lower-median / min / max days
+    * between consecutive orders. Same-day orders gap 0 (ties ordered by
+    * orderkey — the gap multiset is order-independent under ties, so the
+    * tie-break only pins the plan, not the result).
+    *
+    * Scale: one hash shuffle on o_custkey + per-partition sort (the lag
+    * window is sub-clustered under it), then a customer-keyed aggregate
+    * whose collected gap list is the customer's order count — human
+    * scale by construction.
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(
+      unix_millis(col("o_orderdate").cast("timestamp")), TimeSeries.DayMs)
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), day.as("day"))
+      .withColumn("__gap", col("day") - lag(col("day"), 1).over(byCust))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        Cols.lowerMedian(col("__gap")).as("med_gap_days"),
+        min(col("__gap")).as("min_gap_days"),
+        max(col("__gap")).as("max_gap_days"))
+  }
+
   /** Min-COST paths from the hub landmarks over the weighted basket
     * graph — [[bfsHops]]' "how far" upgraded to "how cheap", where an
     * edge's cost is inverse co-purchase support (`⌊10⁶ / n_ab⌋`: a pair
@@ -1553,11 +1637,20 @@ object Analytics {
     * Σ reached-degree, edge-sized. Fixed unroll, one plan, no driver
     * iteration — the [[bfsHops]] discipline with min(cost) semantics.
     */
-  def cheapestPath(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+  /** Symmetrized basket-pair adjacency with inverse-support edge costs
+    * (`⌊10⁶ / n_ab⌋`) — the shared weighted-graph first stage of
+    * [[cheapestPath]] and [[betweennessWeighted]], one definition so the
+    * two weighted walks can never drift apart.
+    */
+  private def weightedUndirect(pairs: DataFrame): DataFrame = {
     val w = Cols.floorDiv(lit(1000000L), col("n_ab"))
-    val und = pairs
+    pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), w.as("w"))
       .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), w.as("w")))
+  }
+
+  def cheapestPath(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val und = weightedUndirect(pairs)
     val sources = hubSources(und, nSources)
     var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
     for (_ <- 1 to maxHops) {
@@ -1649,8 +1742,6 @@ object Analytics {
     * decimal(38,0) — no per-day second pass.
     */
   def safetyStock(lineitem: DataFrame, leadDays: Long = 7L): DataFrame = {
-    val dec = "decimal(38,0)"
-    def d(c: Column): Column = c.cast(dec)
     // round(sqrt(leadDays) * 1e4) for the supported lead times; keeping
     // the literal exact-integer avoids a second shared double
     val sqrtLeadE4 = leadDays match {
@@ -1661,24 +1752,13 @@ object Analytics {
     }
     val z95 = 16449L
     val z99 = 23263L
-    val day = Cols.floorDiv(
-      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
-    val moments = lineitem
-      .groupBy(col("l_partkey"), day.as("day"))
-      .agg(sum(round(col("l_quantity")).cast("long")).as("__q"))
-      .groupBy(col("l_partkey"))
-      .agg(sum(col("__q")).as("__s"), sum(d(col("__q")) * d(col("__q"))).as("__q2"))
-    val varE8 = {
-      val n = d(col("span_days") + 1L)
-      Cols.floorDiv(
-        (n * col("__q2") - d(col("__s")) * d(col("__s"))) * d(lit(100000000L)),
-        n * n).cast("long")
-    }
     def ssE4(z: Long) =
       Cols.floorDiv(lit(z) * col("sigma_e4") * lit(sqrtLeadE4), lit(100000000L))
     crostonForecast(lineitem)
-      .join(moments, "l_partkey")
-      .withColumn("sigma_e4", round(sqrt(varE8.cast("double"))).cast("long"))
+      .join(
+        dailyDemandSigma(lineitem)
+          .select(col("l_partkey"), col("__sigma_e4").as("sigma_e4")),
+        "l_partkey")
       .withColumn("ss95_e4", ssE4(z95))
       .withColumn("ss99_e4", ssE4(z99))
       .select(
@@ -2414,6 +2494,27 @@ object Analytics {
     dist
   }
 
+  /** Landmark closeness/harmonic centrality — the per-node readout of
+    * [[bfsHops]]' distance table: over the hub landmarks that reach a
+    * node (self rows excluded), how many reach it, the total hop count
+    * (closeness denominator), and the harmonic sum `Σ ⌊10⁶ / hops⌋` —
+    * the variant that stays comparable when some landmarks DON'T reach a
+    * node (unreached terms contribute 0 instead of poisoning a mean).
+    * This is how centrality is read at scale: exact landmark distances,
+    * not an all-pairs pass.
+    *
+    * Scale: [[bfsHops]]' frontier equi-joins plus one node-keyed hash
+    * aggregate over the (sources × reached) distance table.
+    */
+  def closeness(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame =
+    bfsHops(edges, nSources, maxHops)
+      .filter(col("node") =!= col("source"))
+      .groupBy(col("node"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("hops")).as("sum_hops"),
+        sum(Cols.floorDiv(lit(1000000L), col("hops"))).as("harmonic_e6"))
+
   /** Sampled Brandes betweenness centrality, hop-bounded: exact shortest
     * -path dependency accumulation from the `nSources` hub landmarks
     * (the [[bfsHops]] source rule), truncated at `maxHops` — the
@@ -2445,8 +2546,12 @@ object Analytics {
     val sources = hubSources(und, nSources)
     // forward: levels(r) = nodes at exact distance r with σ = number of
     // shortest paths from the source (sum over distance-(r-1) predecessors)
+    // sigma and delta_e6 stay decimal(38,0) through every level frame
+    // (DuckDB mirrors them in HUGEINT until the final readout); a
+    // long-narrowed level on a pathologically dense graph would
+    // silently null under the non-ANSI cast instead of matching
     val level0 = sources
-      .select(col("source"), col("source").as("node"), lit(1L).as("sigma"))
+      .select(col("source"), col("source").as("node"), d(lit(1L)).as("sigma"))
       .localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer(level0)
     var settled = level0.select(col("source"), col("node"))
@@ -2463,7 +2568,7 @@ object Analytics {
     }
     // backward: deepest level seeds δ = 0; each shallower level folds its
     // successor terms (nodes with no DAG successor keep δ = 0)
-    var cur = levels(maxHops).withColumn("delta_e6", lit(0L)).localCheckpoint()
+    var cur = levels(maxHops).withColumn("delta_e6", d(lit(0L))).localCheckpoint()
     val deltas = scala.collection.mutable.ArrayBuffer(cur)
     for (r <- (maxHops - 1) to 1 by -1) {
       val succ = cur.select(
@@ -2478,11 +2583,11 @@ object Analytics {
             d(col("sigma")) * (d(col("__dw")) + d(lit(1000000L))),
             d(col("__sw"))).as("__t"))
         .groupBy(col("source"), col("node"))
-        .agg(sum(d(col("__t"))).cast("long").as("__d"))
+        .agg(sum(d(col("__t"))).as("__d"))
       cur = levels(r)
         .join(terms, Seq("source", "node"), "left")
         .select(col("source"), col("node"), col("sigma"),
-          coalesce(col("__d"), lit(0L)).as("delta_e6"))
+          coalesce(col("__d"), d(lit(0L))).as("delta_e6"))
         .localCheckpoint()
       deltas += cur
     }
@@ -2493,7 +2598,140 @@ object Analytics {
     deltas.map(_.select(col("source"), col("node"), col("delta_e6")))
       .reduce(_ unionAll _)
       .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_sources"), sum(col("delta_e6")).as("bc_e6"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("delta_e6")).cast("long").as("bc_e6"))
+  }
+
+  /** WEIGHTED sampled betweenness — [[betweennessSample]]'s Brandes
+    * accumulation over [[cheapestPath]]'s min-COST DAGs instead of
+    * hop-count BFS layers: a node that bridges strong co-purchase chains
+    * ranks above a hub of weak ties, which hop-counted betweenness
+    * cannot see (the spec pins a graph where the two rankings differ).
+    *
+    * Three phases, each a fixed `maxHops`-round loop mirrored exactly by
+    * the unrolled oracle CTEs:
+    *  1. distances — bounded Bellman-Ford from the hub landmarks (the
+    *     [[cheapestPath]] relaxation);
+    *  2. σ — cheapest-path counts over the shortest-path DAG
+    *     (edge (u,v) is in the DAG iff `dist(u) + w(u,v) = dist(v)`;
+    *     costs strictly increase along DAG edges, so it IS a DAG), by
+    *     `maxHops` rounds of predecessor-sum iteration (paths have
+    *     ≤ `maxHops` edges, so the iteration converges);
+    *  3. δ — Brandes dependencies by `maxHops` rounds of successor
+    *     folds, `δ(u) = Σ_w ⌊σ_u · (10⁶ + δ(w)) / σ_w⌋` over DAG
+    *     successors with σ_w > 0 (hop-bounding can leave a reached node
+    *     with no DAG path — σ 0 — and those terms are excluded on both
+    *     engines).
+    *
+    * σ and δ stay decimal(38,0) through every frame (HUGEINT in the
+    * oracle), narrowing to long only in the final readout — the
+    * [[betweennessSample]] widening discipline.
+    *
+    * Scale: every stage is an equi-join on (source, node) or the edge
+    * key — dist-table×adjacency relaxation (Σ reached-degree per round),
+    * one DAG materialization, then node-sized σ/δ iterations against the
+    * edge-sized DAG. Each round `localCheckpoint`s and frees its retired
+    * predecessor; the adjacency, DAG, dist and final σ blocks are freed
+    * before return (only the final δ backs the returned plan). Never
+    * node², never corpus².
+    */
+  def betweennessWeighted(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val und = weightedUndirect(pairs).localCheckpoint()
+    val sources = hubSources(und, nSources)
+    // phase 1: bounded Bellman-Ford distances (the cheapestPath loop,
+    // checkpointed per round — the DAG join below reads the final table
+    // twice, which un-checkpointed would re-expand the relax pyramid)
+    var dist = sources
+      .select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relax = dist.join(und, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"),
+          (col("cost_e6") + col("w")).as("cost_e6"))
+      val next = dist.unionAll(relax)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("cost_e6")).as("cost_e6"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(dist)
+      dist = next
+    }
+    // the per-source shortest-path DAG: edges whose cost is tight
+    val dag = dist
+      .select(col("source"), col("node").as("u"), col("cost_e6").as("__cu"))
+      .join(und, col("u") === col("src"))
+      .join(
+        dist.select(
+          col("source").as("__sv"), col("node").as("v"), col("cost_e6").as("__cv")),
+        col("source") === col("__sv") && col("dst") === col("v") &&
+          (col("__cu") + col("w")) === col("__cv"))
+      .select(col("source"), col("u"), col("v"))
+      .localCheckpoint()
+    // phase 2: sigma by predecessor-sum iteration (source pinned at 1)
+    val nodes = dist.select(col("source"), col("node"))
+    var sigma = nodes
+      .select(col("source"), col("node"),
+        when(col("node") === col("source"), d(lit(1L)))
+          .otherwise(d(lit(0L))).as("sigma"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val inc = dag
+        .join(
+          sigma.select(
+            col("source").as("__us"), col("node").as("__un"), col("sigma").as("__su")),
+          col("source") === col("__us") && col("u") === col("__un"))
+        .groupBy(col("source"), col("v").as("node"))
+        .agg(sum(col("__su")).as("__inc"))
+      val next = nodes
+        .join(inc, Seq("source", "node"), "left")
+        .select(col("source"), col("node"),
+          when(col("node") === col("source"), d(lit(1L)))
+            .otherwise(coalesce(col("__inc"), d(lit(0L)))).as("sigma"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(sigma)
+      sigma = next
+    }
+    // phase 3: delta by successor-fold iteration from delta = 0
+    var delta = nodes.withColumn("delta_e6", d(lit(0L))).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val wside = sigma
+        .join(delta, Seq("source", "node"))
+        .filter(col("sigma") > 0)
+        .select(col("source").as("__ws"), col("node").as("__w"),
+          col("sigma").as("__sw"), col("delta_e6").as("__dw"))
+      val terms = dag
+        .join(
+          sigma.select(
+            col("source").as("__us"), col("node").as("__un"), col("sigma").as("__su")),
+          col("source") === col("__us") && col("u") === col("__un"))
+        .join(wside, col("source") === col("__ws") && col("v") === col("__w"))
+        .select(col("source"), col("u").as("node"),
+          Cols.floorDiv(
+            col("__su") * (col("__dw") + d(lit(1000000L))), col("__sw")).as("__t"))
+        .groupBy(col("source"), col("node"))
+        .agg(sum(d(col("__t"))).as("__d"))
+      val next = nodes
+        .join(terms, Seq("source", "node"), "left")
+        .select(col("source"), col("node"),
+          coalesce(col("__d"), d(lit(0L))).as("delta_e6"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(delta)
+      delta = next
+    }
+    // the source's own row is excluded, as in [[betweennessSample]]
+    // (standard Brandes: δ accumulates over non-source nodes only)
+    val out = delta
+      .filter(col("node") =!= col("source"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("delta_e6")).cast("long").as("bc_e6"))
+    // only the final delta table backs the returned plan
+    graft.LocalCheckpoints.free(und)
+    graft.LocalCheckpoints.free(dag)
+    graft.LocalCheckpoints.free(dist)
+    graft.LocalCheckpoints.free(sigma)
+    out
   }
 
   /** Connected components of an undirected edge table by fixed-round
@@ -2604,6 +2842,50 @@ object Analytics {
         col("deg_a"), col("deg_b"), col("jaccard_e4"))
       .orderBy(
         col("cn").desc, col("jaccard_e4").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Adamic–Adar link prediction — [[linkPrediction]]'s wedge machinery
+    * with the standard rare-neighbor weighting: a shared neighbor `c`
+    * contributes `⌊10¹⁰ / round(ln(deg_c)·10⁶)⌋` (≈ 10⁴/ln deg_c, exact
+    * e4 units) instead of 1, so two items co-stocked with a niche part
+    * outrank two items that merely share a super-popular one — the
+    * correction plain common-neighbor counting is known to need. Same
+    * distance-2 candidate generation, same `maxDeg` center cap (degrees
+    * in the WEIGHT stay uncapped), same non-adjacency screen and
+    * deterministic top-k ordering (score, cn, ids).
+    *
+    * ln appears only inside a rounded integer term (the quantize-then-
+    * sum convention); a wedge center has degree ≥ 2 by construction, so
+    * the weight is always positive and finite.
+    *
+    * Scale: identical to [[linkPrediction]] — wedge fan-out bounded by
+    * maxDeg·|E|, map-side-combined pair aggregate, left-anti edge
+    * screen, TakeOrderedAndProject top-k.
+    */
+  def adamicAdar(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val centers = capGroups(adj, col("node"), maxDeg)
+      .join(deg, "node")
+      // degree-1 nodes can't center a wedge; dropping them here keeps
+      // the weight's ln(d) ≥ ln 2 > 0 on every surviving row
+      .filter(col("d") >= 2L)
+      .withColumn("__w",
+        Cols.floorDiv(lit(10000000000L), round(log(col("d")) * 1e6).cast("long")))
+    val cand = centers.select(col("node"), col("__w"), col("nbr").as("item_a"))
+      .join(centers.select(col("node"), col("nbr").as("item_b")), "node")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("__w")).as("aa_e4"))
+    cand
+      .join(
+        e.select(col("src").as("item_a"), col("dst").as("item_b")),
+        Seq("item_a", "item_b"), "left_anti")
+      .select(col("item_a"), col("item_b"), col("cn"), col("aa_e4"))
+      .orderBy(col("aa_e4").desc, col("cn").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
 

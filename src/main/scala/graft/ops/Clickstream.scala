@@ -247,6 +247,45 @@ object Clickstream {
         col("event_idx"), col("ms_since_start"), col("gap_ms"))
   }
 
+  /** Within-session dwell time by event type: how long users sit on each
+    * event kind before their NEXT in-session action — dwell attributed to
+    * the event being left (lead − current), sessions bounded by the same
+    * gap-island rule as everything else, so a session's last event has no
+    * dwell (no successor to attribute it to). Reports per type the dwell
+    * count, exact lower-median / max, and the total milliseconds — the
+    * engagement-weighting feature the per-event [[sessionFeatures]] view
+    * leaves to its consumers.
+    *
+    * Scale: rides the single user_id shuffle (the lead window is
+    * sub-clustered under it, as in [[sessionFeatures]]); quantiles come
+    * from a per-type HISTOGRAM over the dwell domain — an in-session
+    * dwell is < gapMs by the island rule, so the histogram is bounded by
+    * the gap, never by the event count (the
+    * [[graft.ops.TimeSeries.supplierLeadTime]] rank-scan shape; same
+    * lower-rank quantile convention).
+    */
+  def dwellByType(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val bySessionOrdered = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val hist = withSessionIds(events, gapMs)
+      .withColumn("__dwell", lead(col("ts_ms"), 1).over(bySessionOrdered) - col("ts_ms"))
+      .filter(col("__dwell").isNotNull)
+      .groupBy(col("event_type"), col("__dwell"))
+      .agg(count(lit(1)).as("__k"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("__dwell"))
+    hist
+      .withColumn("__cum", sum(col("__k")).over(byType))
+      .withColumn("__n", sum(col("__k")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("__n")).as("n_dwells"),
+        sum(col("__dwell") * col("__k")).as("total_dwell_ms"),
+        min(when(col("__cum") * 2L >= col("__n"), col("__dwell"))).as("med_dwell_ms"),
+        min(when(col("__cum") * 100L >= col("__n") * 95L, col("__dwell"))).as("p95_dwell_ms"),
+        max(col("__dwell")).as("max_dwell_ms"))
+  }
+
   /** Conversion rate by session ENTRY type: sessions grouped by their
     * first event's type, with the share (exact integer e4) that go on to
     * contain a checkout — the landing-page-effectiveness report,

@@ -985,6 +985,61 @@ object TimeSeries {
       .filter(col("ratio_med_e4") >= minRatioE4)
   }
 
+  /** Per-user activity streaks — the engagement-depth feature DAU-style
+    * counts can't carry: for every user, the active-day count, how many
+    * maximal consecutive-day runs (streaks) those days form, the longest
+    * streak, and where the best streak starts (longest wins, ties → the
+    * LATER start — the struct-max rule, deterministic). Classic
+    * gaps-and-islands: on a user's distinct active days sorted ascending,
+    * `day − row_number` is constant exactly within a consecutive run.
+    *
+    * Scale: one distinct (user × day) aggregate, a row_number window
+    * sub-clustered under the same user hash shuffle, then two shrinking
+    * hash aggregates (user × island → user). A user's island count is
+    * bounded by their active days — human scale.
+    */
+  def activeStreaks(events: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), DayMs)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events.select(col("user_id"), day.as("day")).distinct()
+      .withColumn("__island", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(count(lit(1)).as("__len"), min(col("day")).as("__start"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak_days"),
+        max(struct(col("__len"), col("__start"))).getField("__start")
+          .as("best_streak_start_day"))
+  }
+
+  /** Record-setting days per event type: each day whose count strictly
+    * beats every earlier day's for that type — the running all-time-high
+    * table a growth report anchors on — with the previous record's count
+    * and the days waited since it. A type's first day is a record with
+    * no predecessor (nulls, SQL lag semantics).
+    *
+    * Scale: one (type × day) hash aggregate, then running-max/lag
+    * windows PARTITIONED by type over the calendar-bounded daily table —
+    * never data-sized, never single-partition (the [[peakDays]] class).
+    */
+  def recordDays(events: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(col("ts_ms"), DayMs)
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val records = events
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__prev_max",
+        max(col("n_events")).over(byDay.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__prev_max").isNull || col("n_events") > col("__prev_max"))
+    records
+      .select(
+        col("event_type"), col("day"), col("n_events"),
+        lag(col("n_events"), 1).over(byDay).as("prev_record_events"),
+        (col("day") - lag(col("day"), 1).over(byDay)).as("days_since_prev_record"))
+  }
+
   /** Supplier lead-time reliability: the order-to-ship lag distribution
     * per supplier — the sourcing-review twin of [[fillRate]] (which
     * grades ORDERS against an SLA; this grades SUPPLIERS against each

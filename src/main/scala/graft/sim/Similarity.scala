@@ -1768,6 +1768,56 @@ object Similarity {
       concat_ws(",", (0 until dim).map(i =>
         element_at(col("__cv"), i + 1).cast("string")): _*).as("centroid_milli"))
 
+  /** One SPHERICAL k-means step — [[kmeansStep]]'s Lloyd round on the
+    * unit sphere, the variant semantic-embedding clustering actually
+    * uses (cosine geometry: direction matters, magnitude is nuisance).
+    * Every vector is projected to the [[l2Normalize]] integer grid
+    * (`round(qᵢ·10⁴/√‖q‖²)`, zero vectors dropped), assigned to the seed
+    * centroid maximizing the exact integer DOT product (ties → smallest
+    * centroid id — max-cosine replaces min-d², otherwise the
+    * [[kmeansStep]] rule), and each cluster re-emits its size, mean
+    * within-cluster cosine (`⌊Σdot/n⌋`, e8 units — the cohesion monitor
+    * a spherical loop watches instead of inertia) and the integer floor
+    * mean direction.
+    *
+    * Scale: identical to [[kmeansStep]] — a k-row broadcast centroid
+    * table, map-side n × k scoring, one hash agg of dim positional
+    * sums. The normalize is map-only arithmetic on the same scan.
+    */
+  def sphericalKmeansStep(embeddings: DataFrame, k: Int = 8, dim: Int = 64): DataFrame = {
+    val u = Dedup.quantized(embeddings)
+      .filter(col("norm2") > 0)
+      .select(
+        col("vec_id"),
+        transform(col("qv"), c =>
+          round(c.cast("double") * 10000 / sqrt(col("norm2").cast("double")))
+            .cast("long")).as("nv"))
+    val cents = broadcast(
+      u.filter(col("vec_id") < k)
+        .select(col("vec_id").as("__cid"), col("nv").as("__cnv")))
+    val dot = Dedup.longDot(col("nv"), col("__cnv"))
+    val assigned = u.crossJoin(cents)
+      .select(col("vec_id"), col("nv"),
+        struct((-dot).as("negdot"), col("__cid").as("cid")).as("__dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__dc")).as("__best"), first(col("nv")).as("nv"))
+      .select(
+        col("nv"),
+        col("__best.cid").as("cluster_id"),
+        (-col("__best.negdot")).as("__dot"))
+    val sums = (0 until dim).map(i => sum(element_at(col("nv"), i + 1)).as(s"__s$i"))
+    assigned.groupBy(col("cluster_id"))
+      .agg(sums.head,
+        (sums.tail ++ Seq(count(lit(1)).as("n_vecs"), sum(col("__dot")).as("__sd"))): _*)
+      .select(
+        col("cluster_id"), col("n_vecs"),
+        graft.Cols.floorDiv(col("__sd"), col("n_vecs")).as("mean_cos_e8"),
+        concat_ws(",", (0 until dim).map(i =>
+          call_function("div",
+            col(s"__s$i") - pmod(col(s"__s$i"), col("n_vecs")), col("n_vecs"))
+            .cast("string")): _*).as("centroid_e4"))
+  }
+
   /** Second exact Lloyd iteration + convergence readout: re-assign every
     * vector against [[kmeansStep]]'s floor centroids, re-emit per-cluster
     * stats, and report each centroid's squared displacement
@@ -2866,6 +2916,9 @@ object Similarity {
     "emb_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
     "emb_outliers" -> ((s, d) => centroidOutliers(Tables.embeddings(s, d))),
     "emb_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
+    // spherical (cosine) Lloyd step on the l2Normalize grid: max-dot
+    // assignment, mean within-cluster cosine, floor mean directions
+    "emb_spherical_kmeans" -> ((s, d) => sphericalKmeansStep(Tables.embeddings(s, d))),
     "emb_cluster_purity" -> ((s, d) => clusterPurity(Tables.embeddings(s, d))),
     "emb_kmeans_step2" -> ((s, d) => kmeansStep2(Tables.embeddings(s, d))),
     "emb_source_norms" -> ((s, d) =>
@@ -3510,6 +3563,52 @@ object Similarity {
         |SELECT cent.cluster_id, n_vecs, inertia,
         |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_milli
         |FROM cent JOIN inert USING (cluster_id)""".stripMargin,
+    // the kmeans_step CTE skeleton on the l2_normalize unit grid:
+    // max-dot assignment (tie -> smallest cid), per-cluster floor mean
+    // direction + floor mean cosine (e8 = e4 grid dot)
+    "emb_spherical_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+        |  FROM q
+        |), u AS (
+        |  SELECT vec_id,
+        |    list_transform(qv,
+        |      x -> round(x::DOUBLE * 10000 / sqrt(norm2::DOUBLE))::BIGINT) AS nv
+        |  FROM n WHERE norm2 > 0
+        |), init AS (
+        |  SELECT vec_id AS cid, nv AS cnv FROM u WHERE vec_id < 8
+        |), d AS (
+        |  SELECT u.vec_id, init.cid,
+        |    list_sum([u.nv[i] * init.cnv[i] for i in generate_series(1, len(u.nv))])::BIGINT AS dot
+        |  FROM u CROSS JOIN init
+        |), m AS (
+        |  SELECT vec_id, max(dot) AS mx FROM d GROUP BY 1
+        |), asg AS (
+        |  SELECT d.vec_id, min(d.cid) AS cluster_id, min(d.dot) AS dot
+        |  FROM d JOIN m ON d.vec_id = m.vec_id AND d.dot = m.mx
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT cluster_id, ii.i AS i, sum(u.nv[ii.i])::BIGINT AS s, count(*) AS cnt
+        |  FROM asg JOIN u ON u.vec_id = asg.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY cluster_id, ii.i
+        |), cent AS (
+        |  SELECT cluster_id, max(cnt)::BIGINT AS n_vecs,
+        |    list((((s - (((s % cnt) + cnt) % cnt)) // cnt))::BIGINT ORDER BY i) AS cv
+        |  FROM cells GROUP BY cluster_id
+        |), coh AS (
+        |  SELECT cluster_id, sum(dot)::BIGINT AS sd, count(*)::BIGINT AS cnt
+        |  FROM asg GROUP BY 1
+        |)
+        |SELECT cent.cluster_id, n_vecs,
+        |  ((sd - (((sd % coh.cnt) + coh.cnt) % coh.cnt)) // coh.cnt)::BIGINT AS mean_cos_e8,
+        |  array_to_string(list_transform(cv, x -> x::VARCHAR), ',') AS centroid_e4
+        |FROM cent JOIN coh USING (cluster_id)""".stripMargin,
     // vec_id = doc_id lineage join onto the document source dimension
     "emb_source_norms" ->
       """WITH q AS (

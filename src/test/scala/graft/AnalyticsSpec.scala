@@ -204,6 +204,111 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 3L, 0L), (3L, 1L, 100000L), (3L, 2L, 100000L)))
   }
 
+  test("closeness: landmark hop sums and harmonic floors on the path graph") {
+    // same path fixture as the bfsHops spec: sources {2, 3, 4}; e.g.
+    // node 1 is reached at hops 1/2/3 → sum 6, harmonic 1e6+5e5+333333
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Analytics.closeness(edges)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 6L, 1833333L)))
+    assert(got(2L) === ((2L, 2L, 3L, 1500000L)))
+    assert(got(3L) === ((3L, 2L, 2L, 2000000L)))
+    assert(got(4L) === ((4L, 2L, 3L, 1500000L)))
+    assert(got(5L) === ((5L, 3L, 6L, 1833333L)))
+    assert(got(6L) === ((6L, 2L, 5L, 833333L)))
+    assert(got.size === 6)
+  }
+
+  test("adamic-adar: hub wedges discounted by ln(degree), adjacency screened") {
+    // star 1–{2,3,4} plus edge 2–3: the only non-adjacent distance-2
+    // pairs are (2,4) and (3,4), each through center 1 alone;
+    // w(1) = ⌊1e10 / round(ln 3 · 1e6)⌋ = ⌊1e10 / 1098612⌋ = 9102.
+    // Centers 2 and 3 form only the adjacent wedge (1,3)/(1,2) — screened.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Analytics.adamicAdar(edges)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List((2L, 4L, 1L, 9102L), (3L, 4L, 1L, 9102L)))
+  }
+
+  test("supplier concentration: dominant share, HHI, tie → lower suppkey, single-source") {
+    // part 1: supplier 10 ships 6 (2+4), supplier 20 ships 3 → share
+    //   ⌊6e4/9⌋ = 6666, HHI ⌊45e4/81⌋ = 5555
+    // part 2: sole-sourced → 10000/10000, flag 1
+    // part 3: 4 vs 4 tie → top supplier is the LOWER key (20)
+    val rows = Seq(
+      (1L, 10L, 2.0), (1L, 10L, 4.0), (1L, 20L, 3.0),
+      (2L, 10L, 5.0),
+      (3L, 30L, 4.0), (3L, 20L, 4.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val got = Analytics.supplierConcentration(rows)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 2L, 9L, 10L, 6666L, 5555L, 0L),
+      (2L, 1L, 5L, 10L, 10000L, 10000L, 1L),
+      (3L, 2L, 8L, 20L, 5000L, 5000L, 0L)))
+  }
+
+  test("order gaps: lag diffs per customer, lower median, single orders dropped") {
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400000L)
+    // customer 1: days 0/10/12/30 → gaps {10, 2, 18}, lower median 10
+    // customer 2: one order → no gaps, dropped
+    // customer 3: two same-day orders → one gap of 0
+    val rows = Seq(
+      (1L, 101L, ts(0)), (1L, 102L, ts(10)), (1L, 103L, ts(12)), (1L, 104L, ts(30)),
+      (2L, 201L, ts(5)),
+      (3L, 301L, ts(7)), (3L, 302L, ts(7)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val got = Analytics.orderGaps(rows)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 3L, 10L, 2L, 18L),
+      (3L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("weighted betweenness: a strong-tie bridge outranks the hop ranking") {
+    // 1–2 and 2–3 are strong pairs (support 100, cost 10000 each), 1–3 a
+    // weak direct edge (support 2, cost 500000), 3–4 mid (support 10).
+    // Degrees: 3 → 3, 1 and 2 → 2, 4 → 1, so sources = {3, 1, 2}.
+    // Cheapest 1↔3 runs THROUGH 2 (20000 < 500000), so node 2 carries
+    // dependency the hop-count DAG routes over the direct edge. All σ = 1
+    // (unique cheapest paths), so every δ is whole e6 units:
+    //   from 1 (DAG 1→2→3→4): δ(2) = 2e6, δ(3) = 1e6
+    //   from 2 (DAG 2→1, 2→3→4): δ(3) = 1e6
+    //   from 3 (DAG 3→2→1, 3→4): δ(2) = 1e6
+    // weighted bc(2) = 3e6 > bc(3) = 2e6, while the unweighted ranking
+    // has bc(3) = 2e6 > bc(2) = 0 — the point of the operator
+    val pairs = Seq((1L, 2L, 100L), (2L, 3L, 100L), (1L, 3L, 2L), (3L, 4L, 10L))
+      .toDF("item_a", "item_b", "n_ab")
+    val got = Analytics.betweennessWeighted(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 0L)))
+    assert(got(2L) === ((2L, 2L, 3000000L)))
+    assert(got(3L) === ((3L, 2L, 2000000L)))
+    assert(got(4L) === ((4L, 3L, 0L)))
+    assert(got.size === 4)
+    val unweighted = Analytics.betweennessSample(
+      pairs.selectExpr("item_a as src", "item_b as dst"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(unweighted(3L) === 2000000L && unweighted(2L) === 0L)
+  }
+
+  test("weighted betweenness: uniform support reduces to the hop ranking") {
+    // equal n_ab ⇒ every edge costs the same ⇒ the cheapest-path DAG is
+    // the BFS DAG and the two Brandes accumulations must agree exactly
+    // (same graph as the unweighted bridge test)
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (1L, 5L), (5L, 2L))
+    val w = Analytics.betweennessWeighted(
+      edges.map { case (a, b) => (a, b, 5L) }.toDF("item_a", "item_b", "n_ab"))
+      .as[(Long, Long, Long)].collect().toSet
+    val u = Analytics.betweennessSample(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w === u)
+  }
+
   test("abc-xyz: revenue classes cross demand-cv classes, hand moments") {
     import java.sql.Timestamp
     val D = 86400000L

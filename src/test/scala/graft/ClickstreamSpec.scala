@@ -135,6 +135,20 @@ class ClickstreamSpec extends SparkSpec {
       ("view", 2L, 1L, 5000L)))
   }
 
+  test("dwell by type: lead gaps within sessions, histogram quantiles, boundaries dropped") {
+    val got = Clickstream.dwellByType(ev(
+      // user 1, one session: view→100ms→click→200ms→view→300ms→click(last)
+      (1L, 0L, "view"), (1L, 100L, "click"), (1L, 300L, "view"), (1L, 600L, "click"),
+      // user 2: the second event is exactly one gap away → NEW session,
+      // so the first event contributes no dwell across the boundary
+      (2L, 0L, "view"), (2L, Gap, "view")), Gap)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // view: dwells {100, 300} → lower median 100, p95 300; click: {200}
+    assert(got === List(
+      ("click", 1L, 200L, 200L, 200L, 200L),
+      ("view", 2L, 400L, 100L, 300L, 300L)))
+  }
+
   test("window-boundary bucketing uses session end - 1 ms (SURVEY §2.4)") {
     // session of one event at 8999: end = 9999 → bucket (9999-1)=9998 → window [0,10000)
     // session of one event at 9000: end = 10000 → (10000-1)=9999 → window [0,10000)

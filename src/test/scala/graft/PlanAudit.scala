@@ -233,6 +233,15 @@ object PlanAudit {
     // r13: same inherited coOccurrence 1-row total — the Bellman-Ford
     // relax rounds are edge-keyed equi-joins
     "li_cheapest_path",
+    // r14: same inherited coOccurrence 1-row total — the weighted
+    // Brandes phases (relax, DAG, sigma/delta folds) are all equi-joins
+    "li_betweenness_weighted",
+    // r14: same inherited coOccurrence 1-row total — the closeness
+    // readout is one node-keyed aggregate over the bfsHops equi-joins
+    "li_closeness",
+    // r14: same inherited coOccurrence 1-row total — the AA wedges are
+    // the li_link_pred equi-join stages with a weight column
+    "li_adamic_adar",
     // r13: inherits abcClass's 1-row revenue-total broadcast and
     // Sharded's 32×32 offset self-join (the li_abc_class entry)
     "li_abc_xyz")

@@ -372,6 +372,24 @@ class SimilaritySpec extends SparkSpec {
       (1L, 2L, 20000L, "50,950")))
   }
 
+  test("spherical kmeans step: max-cosine assignment on the unit grid, magnitude ignored") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // seed centroid 0 → nv (10000, 0)
+      (1L, Seq(0.0f, 2.0f), 0), // seed centroid 1 → nv (0, 10000) — length-2 normalizes away
+      (2L, Seq(3.0f, 0.1f), 0), // nv (9994, 333): dot(c0) = 9994e4 ≫ dot(c1) → c0
+      (3L, Seq(0.1f, 5.0f), 0)) // nv (200, 9998) → c1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.sphericalKmeansStep(d, k = 2, dim = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    // c0 = {0, 2}: Σdot = 1e8 + 99_940_000 → mean 99_970_000;
+    //   direction sums (19994, 333) floor-div 2 → (9997, 166)
+    // c1 = {1, 3}: Σdot = 1e8 + 99_980_000 → mean 99_990_000;
+    //   sums (200, 19998) → (100, 9999)
+    assert(got === List(
+      (0L, 2L, 99970000L, "9997,166"),
+      (1L, 2L, 99990000L, "100,9999")))
+  }
+
   test("kmeans step 2: reassignment against floor centroids, descent holds, shift exact") {
     val d = Seq(
       (0L, Seq(1.0f, 0.0f), 0), // seed centroid 0

@@ -31,6 +31,38 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 3L, 0L, 0L, Some(70000L))))
   }
 
+  test("active streaks: gaps-and-islands, longest run, tie → later start") {
+    // user 1: runs {0,1,2}, {5,6}, {10}; same-day duplicates collapse
+    // user 2: runs {3,4} and {7,8} — equal length → best start = 7
+    val ev = (Seq(0L, 0L, 1L, 2L, 5L, 6L, 10L).map(d => (1L, d * Day + 5)) ++
+      Seq(3L, 4L, 7L, 8L).map(d => (2L, d * Day)))
+      .toDF("user_id", "ts_ms")
+    val got = TimeSeries.activeStreaks(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 6L, 3L, 3L, 0L),
+      (2L, 4L, 2L, 2L, 7L)))
+  }
+
+  test("record days: strict per-type running highs with previous-record readout") {
+    // type a daily counts 3,2,5,5,7 → records at day 0 (3), day 2 (5: the
+    // later equal day 3 is NOT a record), day 4 (7); type b 1,4 → 0 and 1
+    val ev = ((Seq.fill(3)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(5)(2L) ++
+      Seq.fill(5)(3L) ++ Seq.fill(7)(4L)).map(("a", _)) ++
+      (Seq.fill(1)(0L) ++ Seq.fill(4)(1L)).map(("b", _)))
+      .map { case (t, d) => (t, d * Day + 1) }
+      .toDF("event_type", "ts_ms")
+    val got = TimeSeries.recordDays(ev)
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      ("a", 0L, 3L, None, None),
+      ("a", 2L, 5L, Some(3L), Some(2L)),
+      ("a", 4L, 7L, Some(5L), Some(2L)),
+      ("b", 0L, 1L, None, None),
+      ("b", 1L, 4L, Some(1L), Some(1L))))
+  }
+
   test("gap fill: grid bounds come from the data, in-plan (no driver job)") {
     // building the DataFrame must launch zero jobs — the min/max bound is a
     // broadcast subtree, not a collect (same discipline as TF-IDF's corpus
