@@ -1,17 +1,34 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.util.control.NonFatal
 
 /** Streaming throughput micro-bench: replay a deterministic synthetic
-  * ClickEvent load through the reference session pipeline
-  * ([[ClickstreamStreams.clickEventSessions]] — the S1→W1→A1 path) via
-  * MemoryStream and report rows/s, emitted sessions, peak state rows and
-  * last micro-batch latency. Every batch-bench number is a BATCH number;
-  * this line makes a streaming regression (state blow-up, per-batch
-  * latency creep, throughput collapse) visible per round without a
-  * broker in the sandbox. Called from [[graft.Bench]]; failures degrade
-  * to an `"error"` field rather than poisoning the batch JSON.
+  * ClickEvent load through the reference pipelines via MemoryStream and
+  * report rows/s, emitted rows, peak state rows and slowest data-batch
+  * latency — one line per ARM:
+  *
+  *  - `sessionize` — pipeline A, the S1→W1→A1 session aggregation
+  *    ([[ClickstreamStreams.clickEventSessions]]); figure comparable
+  *    across rounds since r13.
+  *  - `chained_kpis` — pipeline B chained on A (the §7.3 hard part:
+  *    two stateful aggregations in one query,
+  *    [[ClickstreamStreams.userKpis]] over the session window column).
+  *  - `chained_departments` — pipeline C chained on A (explode +
+  *    windowed count, [[ClickstreamStreams.departments]]).
+  *  - `timer_rocksdb` — the explicit-timer sessionizer
+  *    ([[TimerSessionizer]], transformWithState) with the RocksDB state
+  *    store provider — the state-scale-honest configuration (HDFS-backed
+  *    in-memory state would OOM first at real state sizes).
+  *
+  * Every batch-bench number is a BATCH number; these lines make a
+  * streaming regression (state blow-up, per-batch latency creep,
+  * throughput collapse) visible per round without a broker in the
+  * sandbox. Called from [[graft.Bench]]; a NON-FATAL failure degrades to
+  * an `"error"` field for that arm, while fatal JVM errors (OOM,
+  * LinkageError) propagate — after one the heap is in unknown state and
+  * any subsequent batch JSON would be untrustworthy.
   *
   * The load shape is fixed and content-deterministic (users × sessions ×
   * 5 events, 1 s reference gap honored via 2 s inter-session silence),
@@ -49,17 +66,21 @@ object StreamBench {
         userid = u, globalseq = (u * 1000 + s * 10 + e).toLong, prevglobalseq = 0L)
     }
 
-  /** Runs the micro-bench and returns a compact JSON object (no trailing
-    * newline) for embedding under a `"streaming"` key.
+  /** One replay of the fixed load through `build`, returning the arm's
+    * JSON object. The flusher event (far-future timestamp) advances the
+    * watermark so tail windows/timers finalize before metrics are read.
     */
-  def run(spark: SparkSession, nUsers: Int = 400, sessionsPerUser: Int = 30,
-      nBatches: Int = 4): String =
+  private def arm(
+      spark: SparkSession,
+      name: String,
+      build: DataFrame => DataFrame,
+      nUsers: Int, sessionsPerUser: Int, nBatches: Int): String =
     try {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val input = MemoryStream[BenchEvent]
-      val sinkName = "stream_bench_sessions"
-      val q = ClickstreamStreams.clickEventSessions(input.toDF())
+      val sinkName = s"stream_bench_$name"
+      val q = build(input.toDF())
         .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
       val all = events(nUsers, sessionsPerUser)
       val perBatch = (sessionsPerUser + nBatches - 1) / nBatches
@@ -77,10 +98,12 @@ object StreamBench {
           "N/A", 999999, 0L, 0L))
         q.processAllAvailable()
         val wallSec = (System.nanoTime() - t0) / 1e9
-        val nSessions = spark.table(sinkName).count()
+        val nOut = spark.table(sinkName).count()
         val progress = q.recentProgress.toSeq
+        // chained arms run >1 stateful operator per batch; peak state is
+        // the max over batches of the SUM across that batch's operators
         val stateRowsMax = progress
-          .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+          .map(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal).sum)
           .foldLeft(0L)(math.max)
         // processAllAvailable runs extra no-data micro-batches to emit
         // after the watermark advances; per-batch latency is only
@@ -93,9 +116,9 @@ object StreamBench {
           .foldLeft(-1L)(math.max)
         val rowsIn = all.size.toLong + 1L
         def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-        s"""{"pipeline":"sessionize","rows_in":$rowsIn,"wall_sec":${n2(wallSec)},""" +
+        s"""{"pipeline":"$name","rows_in":$rowsIn,"wall_sec":${n2(wallSec)},""" +
           s""""rows_per_sec":${(rowsIn / math.max(wallSec, 1e-9)).toLong},""" +
-          s""""n_sessions":$nSessions,"state_rows_max":$stateRowsMax,""" +
+          s""""n_rows_out":$nOut,"state_rows_max":$stateRowsMax,""" +
           s""""n_batches_fed":${nBatches + 1},"n_microbatches":${progress.size},""" +
           s""""max_data_batch_ms":$maxDataBatchMs}"""
       } finally {
@@ -103,7 +126,54 @@ object StreamBench {
         spark.catalog.dropTempView(sinkName)
       }
     } catch {
-      case e: Throwable =>
-        s"""{"pipeline":"sessionize","error":"${e.getClass.getSimpleName}"}"""
+      case NonFatal(e) =>
+        s"""{"pipeline":"$name","error":"${e.getClass.getSimpleName}"}"""
     }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the RocksDB state store provider active, restoring
+    * the previous provider configuration afterwards (the session is
+    * shared with the batch bench).
+    */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Runs the four arms and returns a compact JSON ARRAY (no trailing
+    * newline) for embedding under a `"streaming"` key. Arm order is
+    * fixed; the `sessionize` arm keeps its r13 shape (modulo the
+    * `n_sessions` → `n_rows_out` field rename) for cross-round reads.
+    */
+  def run(spark: SparkSession, nUsers: Int = 400, sessionsPerUser: Int = 30,
+      nBatches: Int = 4): String = {
+    val a = arm(spark, "sessionize",
+      df => ClickstreamStreams.clickEventSessions(df),
+      nUsers, sessionsPerUser, nBatches)
+    // 10 s tumbling windows (the reference's pipeline B/C width,
+    // ClickstreamProcessor.java:141-154) over the ~90 s replay → ~9 panes
+    val b = arm(spark, "chained_kpis",
+      df => ClickstreamStreams.userKpis(
+        ClickstreamStreams.clickEventSessions(df), "10 seconds"),
+      nUsers, sessionsPerUser, nBatches)
+    val c = arm(spark, "chained_departments",
+      df => ClickstreamStreams.departments(
+        ClickstreamStreams.clickEventSessions(df), "10 seconds"),
+      nUsers, sessionsPerUser, nBatches)
+    val t = withRocksDb(spark) {
+      arm(spark, "timer_rocksdb",
+        df => TimerSessionizer.sessions(spark,
+          ClickstreamStreams.fromClickEvents(df)).toDF(),
+        nUsers, sessionsPerUser, nBatches)
+    }
+    s"[$a,$b,$c,$t]"
+  }
 }
