@@ -896,6 +896,20 @@ object SparkEntry {
     // HHI over supplier quantities, single-source sourcing-risk flag
     "sup_concentration" -> ((s, dir) =>
       graft.ops.Analytics.supplierConcentration(Tables.lineitem(s, dir))),
+    // landmark eccentricity: per hub the ball size, deepest hop (diameter
+    // lower bound) and mean hop depth
+    "li_eccentricity" -> ((s, dir) =>
+      graft.ops.Analytics.eccentricity(
+        graft.ops.Analytics.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // supplier share drift across the calendar-midpoint split: early/late
+    // quantity shares e4 and the shift — who gains the book of business
+    "sup_share_shift" -> ((s, dir) =>
+      graft.ops.Analytics.supplierShareShift(Tables.lineitem(s, dir))),
+    // session depth (qualifying events, 10+ capped) vs checkout share —
+    // the engagement-depth conversion curve
+    "cs_depth_conversion" -> ((s, dir) =>
+      Clickstream.depthConversion(Tables.events(s, dir))),
     // inter-order gap profile per customer: lower-median/min/max days
     // between consecutive orders — the replenishment cadence clock
     "ord_order_gap" -> ((s, dir) =>
@@ -5070,6 +5084,87 @@ object SparkEntry {
           |  sum(1000000 // hops)::BIGINT AS harmonic_e6
           |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin
     },
+    // the same distance pyramid read per SOURCE: ball size, deepest hop,
+    // mean depth e4 (all quantities non-negative, // exact floor)
+    "li_eccentricity" -> {
+      val base =
+        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+          |p AS MATERIALIZED (
+          |  SELECT a.item AS item_a, b.item AS item_b
+          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT item_a AS src, item_b AS dst FROM p
+          |  UNION ALL SELECT item_b, item_a FROM p
+          |), s AS MATERIALIZED (
+          |  SELECT src AS source FROM (
+          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+          |  ORDER BY deg DESC, src LIMIT 3
+          |), d0 AS MATERIALIZED (
+          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
+      val layers = (1 to 3).map { r =>
+        s""", f$r AS MATERIALIZED (
+           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
+           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
+           |  WHERE d.hops = ${r - 1}
+           |), d$r AS MATERIALIZED (
+           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
+           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      base + layers +
+        """
+          |SELECT source, count(*)::BIGINT AS n_reached, max(hops)::BIGINT AS ecc_lb,
+          |  ((sum(hops) * 10000) // count(*))::BIGINT AS mean_hops_e4
+          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin
+    },
+    // calendar-midpoint split of the ship span; early/late supplier
+    // quantity shares in exact e4 and their difference
+    "sup_share_shift" ->
+      """WITH l AS (
+        |  SELECT l_suppkey, round(l_quantity)::BIGINT AS q,
+        |    epoch_ms(l_shipdate::TIMESTAMP) // 86400000 AS day
+        |  FROM lineitem
+        |), m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM l),
+        |bysupp AS (
+        |  SELECT l_suppkey,
+        |    sum(CASE WHEN day <= m.mid THEN q ELSE 0 END)::BIGINT AS qty_early,
+        |    sum(CASE WHEN day > m.mid THEN q ELSE 0 END)::BIGINT AS qty_late
+        |  FROM l CROSS JOIN m GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(qty_early)::BIGINT AS ta, sum(qty_late)::BIGINT AS tb FROM bysupp
+        |)
+        |SELECT l_suppkey, qty_early, qty_late,
+        |  ((qty_early * 10000) // greatest(ta, 1))::BIGINT AS share_early_e4,
+        |  ((qty_late * 10000) // greatest(tb, 1))::BIGINT AS share_late_e4,
+        |  (((qty_late * 10000) // greatest(tb, 1))
+        |    - ((qty_early * 10000) // greatest(ta, 1)))::BIGINT AS shift_e4
+        |FROM bysupp CROSS JOIN tot""".stripMargin,
+    // the session-id CTEs folded to session grain, then the depth-bucket
+    // conversion rollup (depth = qualifying events, capped at 10)
+    "cs_depth_conversion" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+         |                   OR ts_ms - lag(ts_ms) OVER w >= $GAP THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |), ids AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)::BIGINT AS session_seq
+         |  FROM flagged
+         |), sess AS (
+         |  SELECT user_id, session_seq,
+         |    count(CASE WHEN event_type <> 'purchase' THEN 1 END)::BIGINT AS depth,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS buy
+         |  FROM ids GROUP BY 1, 2
+         |)
+         |SELECT least(depth, 10)::BIGINT AS depth_bucket, count(*)::BIGINT AS n_sessions,
+         |  sum(buy)::BIGINT AS n_converted,
+         |  ((sum(buy) * 10000) // count(*))::BIGINT AS conv_e4
+         |FROM sess GROUP BY 1""".stripMargin,
     // the li_link_pred wedge CTEs with 1/ln(degree) center weights —
     // ln only inside a rounded integer term; center degree >= 2 so the
     // weight is positive and // exact floor

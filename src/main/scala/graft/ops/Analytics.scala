@@ -2515,6 +2515,60 @@ object Analytics {
         sum(col("hops")).as("sum_hops"),
         sum(Cols.floorDiv(lit(1000000L), col("hops"))).as("harmonic_e6"))
 
+  /** Landmark eccentricity — [[closeness]]'s transpose: per hub landmark,
+    * how many nodes its `maxHops`-ball reaches, the deepest hop seen
+    * (an eccentricity lower bound; the max over landmarks lower-bounds
+    * the graph diameter), and the mean hop depth (exact e4 floor) — the
+    * ball-profile readout that says whether the landmarks sit centrally
+    * or on the rim.
+    *
+    * Scale: the [[bfsHops]] frontier equi-joins plus one
+    * nSources-row aggregate.
+    */
+  def eccentricity(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame =
+    bfsHops(edges, nSources, maxHops)
+      .filter(col("node") =!= col("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        max(col("hops")).as("ecc_lb"),
+        Cols.floorDiv(sum(col("hops")) * 10000L, count(lit(1))).as("mean_hops_e4"))
+
+  /** Supplier share drift between the two calendar halves of the ship
+    * span — who is gaining and who is losing the book of business: per
+    * supplier the shipped quantity and share (exact e4) in each half and
+    * the share shift. The split day is the 1-row min/max midpoint
+    * broadcast (the [[graft.ops.Profile]] stats-drift convention), so
+    * the screen is replayable on any engine.
+    *
+    * Scale: one narrow scan + supplier hash aggregate; the midpoint and
+    * the half totals are 1-row broadcasts riding it — nothing data-sized
+    * moves twice.
+    */
+  def supplierShareShift(lineitem: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(
+      unix_millis(col("l_shipdate").cast("timestamp")), TimeSeries.DayMs)
+    val withDay = lineitem.select(
+      col("l_suppkey"), round(col("l_quantity")).cast("long").as("__q"), day.as("__day"))
+    val mid = withDay.agg(
+      Cols.floorDiv(min(col("__day")) + max(col("__day")), lit(2L)).as("__mid"))
+    val bySupp = withDay.crossJoin(broadcast(mid))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(col("__day") <= col("__mid"), col("__q")).otherwise(0L)).as("qty_early"),
+        sum(when(col("__day") > col("__mid"), col("__q")).otherwise(0L)).as("qty_late"))
+    val tot = bySupp.agg(
+      sum(col("qty_early")).as("__ta"), sum(col("qty_late")).as("__tb"))
+    bySupp.crossJoin(broadcast(tot))
+      .select(
+        col("l_suppkey"), col("qty_early"), col("qty_late"),
+        Cols.floorDiv(col("qty_early") * 10000L, greatest(col("__ta"), lit(1L)))
+          .as("share_early_e4"),
+        Cols.floorDiv(col("qty_late") * 10000L, greatest(col("__tb"), lit(1L)))
+          .as("share_late_e4"))
+      .withColumn("shift_e4", col("share_late_e4") - col("share_early_e4"))
+  }
+
   /** Sampled Brandes betweenness centrality, hop-bounded: exact shortest
     * -path dependency accumulation from the `nSources` hub landmarks
     * (the [[bfsHops]] source rule), truncated at `maxHops` — the

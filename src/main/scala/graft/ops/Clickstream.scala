@@ -286,6 +286,29 @@ object Clickstream {
         max(col("__dwell")).as("max_dwell_ms"))
   }
 
+  /** Conversion by session DEPTH: sessions bucketed by their qualifying
+    * event count (capped at 10 — "10+" folds the long tail into one
+    * bucket) with the share containing a checkout — the
+    * engagement-depth-vs-conversion curve next to [[entryConversion]]'s
+    * entry-type cut. Depth counts QUALIFYING events (the session
+    * aggregate's event_count semantics); conversion is "the session
+    * contains a checkout" (the [[entryConversion]] convention).
+    *
+    * Scale: rides the single user_id shuffle; the per-session aggregate
+    * collapses to ≤ 11 depth buckets.
+    */
+  def depthConversion(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame =
+    withSessionIds(events, gapMs)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(when(qualifying, lit(1))).as("__depth"),
+        max(when(col("event_type") === CheckoutEventType, 1L).otherwise(0L)).as("__buy"))
+      .select(least(col("__depth"), lit(10L)).as("depth_bucket"), col("__buy"))
+      .groupBy(col("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("__buy")).as("n_converted"))
+      .withColumn(
+        "conv_e4", graft.Cols.floorDiv(col("n_converted") * 10000L, col("n_sessions")))
+
   /** Conversion rate by session ENTRY type: sessions grouped by their
     * first event's type, with the share (exact integer e4) that go on to
     * contain a checkout — the landing-page-effectiveness report,

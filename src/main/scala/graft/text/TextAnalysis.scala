@@ -1001,6 +1001,45 @@ object TextAnalysis {
         sum(term).as("js_e6"))
   }
 
+  /** Per-DOCUMENT KL divergence from the corpus unigram distribution —
+    * the off-distribution screen at document grain ([[sourceJs]] compares
+    * whole sources; THIS flags the individual machine-generated /
+    * wrong-domain outliers a pretraining curator drops): over the hashed
+    * vocabulary, `KL(p_doc ‖ p_corpus) = Σ (c/t)·ln(p_doc/p_corpus)`,
+    * summed over the doc's OBSERVED buckets only (p_doc unsmoothed there;
+    * the corpus side is Laplace-smoothed, so the log is always finite) —
+    * exactly the sparse form that never materializes a per-doc dense
+    * grid. Terms quantize to e6 before summing (each is one shared
+    * double expression, identical operation order in the oracle).
+    *
+    * Scale: one token explode → (doc × bucket) hash aggregate (≤ token
+    * count, map-side combined); the 1024-row corpus histogram and the
+    * 1-row corpus total broadcast onto it; output is |docs| rows.
+    */
+  def docKlDivergence(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), explode(Cols.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        pmod(Cols.hash60(col("tok")), lit(buckets.toLong)).as("bucket"))
+    val cells = toks
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val corpus = toks.groupBy(col("bucket")).agg(count(lit(1)).as("__cb"))
+    val total = corpus.agg(sum(col("__cb")).as("__ct"))
+    val term = round(
+      (col("__c").cast("double") / col("__t").cast("double")) *
+        log((col("__c").cast("double") * (col("__ct") + lit(buckets.toLong)).cast("double")) /
+          (col("__t").cast("double") * (col("__cb") + lit(1L)).cast("double"))) *
+        1000000).cast("long")
+    val docTot = cells.groupBy(col("doc_id")).agg(sum(col("__c")).as("__t"))
+    cells
+      .join(docTot, "doc_id")
+      .join(broadcast(corpus), "bucket")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("__t")).as("n_tokens"), sum(term).as("kl_e6"))
+  }
+
   /** Per-source vocabulary-divergence screen: χ² contribution of each
     * source against the corpus over the top-`topTerms` corpus terms —
     * "which crawl slice's word distribution is drifting". The cell grid
@@ -2244,6 +2283,9 @@ object TextAnalysis {
     "txt_source_chi2" -> ((s, d) => sourceChi2(Tables.documents(s, d))),
     // pairwise source JS divergence over the 1024-bucket hashed vocab
     "txt_source_js" -> ((s, d) => sourceJs(Tables.documents(s, d))),
+    // per-doc KL from the corpus unigram over hashed buckets — the
+    // off-distribution outlier screen at document grain
+    "txt_doc_kl" -> ((s, d) => docKlDivergence(Tables.documents(s, d))),
     // per-doc character entropy: the repetitive-junk / base64-wall screen
     "txt_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
@@ -2683,6 +2725,29 @@ object TextAnalysis {
         |  sum(round((a.p / 2 * ln(a.p / ((a.p + b.p) / 2))
         |           + b.p / 2 * ln(b.p / ((a.p + b.p) / 2))) * 1000000)::BIGINT)::BIGINT AS js_e6
         |FROM g a JOIN g b ON a.bucket = b.bucket AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    // sparse form: only the doc's observed buckets (doc side unsmoothed,
+    // corpus side Laplace-smoothed so the log stays finite); per-term e6
+    // rounding before the sum, identical operation order to the Spark side
+    "txt_doc_kl" ->
+      """WITH tm AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    count(*)::BIGINT AS c
+        |  FROM tm GROUP BY 1, 2, 3
+        |), dt AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS t FROM cell GROUP BY 1
+        |), cb AS (
+        |  SELECT bucket, sum(c)::BIGINT AS cb FROM cell GROUP BY 1
+        |), tot AS (SELECT sum(cb)::BIGINT AS tn FROM cb)
+        |SELECT cell.doc_id, cell.source, max(dt.t)::BIGINT AS n_tokens,
+        |  sum(round((cell.c::DOUBLE / dt.t::DOUBLE)
+        |    * ln((cell.c::DOUBLE * (tot.tn + 1024)::DOUBLE)
+        |        / (dt.t::DOUBLE * (cb.cb + 1)::DOUBLE)) * 1000000)::BIGINT)::BIGINT AS kl_e6
+        |FROM cell JOIN dt USING (doc_id) JOIN cb USING (bucket) CROSS JOIN tot
         |GROUP BY 1, 2""".stripMargin,
     // full grid incl. empty cells; per-cell terms e4-quantized THEN
     // summed (the ev_chi2_hour discipline, grouped by source)

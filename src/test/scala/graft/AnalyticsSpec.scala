@@ -220,6 +220,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("eccentricity: per-landmark ball size, deepest hop, mean depth") {
+    // path fixture, sources {2, 3, 4}: source 2 reaches {1,3}@1, {4}@2,
+    // {5}@3 (6 is outside its 3-ball) → mean ⌊7e4/4⌋ = 17500
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Analytics.eccentricity(edges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (2L, 4L, 3L, 17500L),
+      (3L, 5L, 3L, 18000L),
+      (4L, 5L, 3L, 18000L)))
+  }
+
+  test("supplier share shift: calendar-midpoint halves, e4 shares, drift sign") {
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400000L)
+    // span days 0..10 → mid 5 (inclusive early). Early: s1=4, s2=6 of 10;
+    // late: s1=6, s2=4 of 10 — s1 gains +2000 e4, s2 loses it
+    val rows = Seq(
+      (1L, 4.0, ts(0)), (1L, 6.0, ts(10)),
+      (2L, 6.0, ts(5)), (2L, 4.0, ts(6)))
+      .toDF("l_suppkey", "l_quantity", "l_shipdate")
+    val got = Analytics.supplierShareShift(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 4L, 6L, 4000L, 6000L, 2000L),
+      (2L, 6L, 4L, 6000L, 4000L, -2000L)))
+  }
+
   test("adamic-adar: hub wedges discounted by ln(degree), adjacency screened") {
     // star 1–{2,3,4} plus edge 2–3: the only non-adjacent distance-2
     // pairs are (2,4) and (3,4), each through center 1 alone;

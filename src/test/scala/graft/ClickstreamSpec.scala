@@ -135,6 +135,23 @@ class ClickstreamSpec extends SparkSpec {
       ("view", 2L, 1L, 5000L)))
   }
 
+  test("depth conversion: qualifying-depth buckets, 10+ cap, checkout share e4") {
+    val deep = (0 until 11).map(i => (2L, 1000L + i * 10, "view")) :+
+      ((2L, 1200L, "purchase"))
+    val got = Clickstream.depthConversion(ev(Seq(
+      // user 1 session 1: depth 2, buys; session 2: depth 1, no buy
+      (1L, 1000L, "view"), (1L, 1100L, "click"), (1L, 1150L, "purchase"),
+      (1L, 9000L, "view"),
+      // user 3: checkout-only session — depth 0 but converted
+      (3L, 1000L, "purchase")) ++ deep: _*), Gap)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 1L, 1L, 10000L),
+      (1L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 10000L),
+      (10L, 1L, 1L, 10000L))) // user 2's depth 11 folds into the 10+ bucket
+  }
+
   test("dwell by type: lead gaps within sessions, histogram quantiles, boundaries dropped") {
     val got = Clickstream.dwellByType(ev(
       // user 1, one session: view→100ms→click→200ms→view→300ms→click(last)

@@ -239,6 +239,15 @@ object PlanAudit {
     // r14: same inherited coOccurrence 1-row total — the closeness
     // readout is one node-keyed aggregate over the bfsHops equi-joins
     "li_closeness",
+    // r14: same inherited coOccurrence 1-row total — eccentricity is the
+    // per-source readout of the same distance table
+    "li_eccentricity",
+    // r14: 1-row midpoint-day + 1-row half-total broadcasts riding the
+    // supplier aggregate (the tbl_stats_drift split convention)
+    "sup_share_shift",
+    // r14: 1-row corpus-token-total broadcast beside the 1024-row hashed
+    // histogram equi-join (the txt_dsir_weights shape)
+    "txt_doc_kl",
     // r14: same inherited coOccurrence 1-row total — the AA wedges are
     // the li_link_pred equi-join stages with a weight column
     "li_adamic_adar",

@@ -21,6 +21,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._7 === 0.8)
   }
 
+  test("doc kl: sparse observed-bucket terms, corpus-shaped docs below a skewed one") {
+    // corpus: a=2, b=2, c=4, T=8 (the three words hash to distinct
+    // buckets); docs 1/2 mirror each other, doc 3 is all one rare word
+    val d = Seq((1L, "a b", "s0"), (2L, "a b", "s0"), (3L, "c c c c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.docKlDivergence(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    def term(c: Long, t: Long, cb: Long) =
+      math.round((c.toDouble / t.toDouble) *
+        math.log((c.toDouble * (8L + 1024L).toDouble) /
+          (t.toDouble * (cb + 1L).toDouble)) * 1000000)
+    val klAb = 2 * term(1, 2, 2)
+    val klC = term(4, 4, 4)
+    assert(got === List(
+      (1L, "s0", 2L, klAb), (2L, "s0", 2L, klAb), (3L, "s1", 4L, klC)))
+    assert(klC > klAb, "the concentrated doc must diverge more")
+  }
+
   test("winnowing: docs sharing a ≥ k+w−1 run share a fingerprint; unrelated don't") {
     // the winnowing guarantee: any common substring of length ≥ k+w−1 = 7
     // leaves at least one common selected fingerprint. Docs 1 and 2 share
