@@ -210,6 +210,8 @@ object PlanAudit {
     "dedup_ensemble",
     // r9: k-row broadcast seed-centroid table (the emb_kmeans_step class)
     "emb_cluster_purity",
+    // r14: the same k-row broadcast seed-centroid table on the unit grid
+    "emb_spherical_kmeans",
     // r9: 1-row broadcast min/max bounds for the 16-bit grid normalize
     "tbl_zorder_plan",
     // r12: two 1-row broadcasts per round (hit count, truth count) beside
