@@ -45,6 +45,34 @@ class EdgeCaseSpec extends SparkSpec {
         .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")).count() === 0L)
   }
 
+  test("round-14 operators tolerate empty inputs") {
+    import graft.ops.{Analytics, TimeSeries}
+    val emptyPairs = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "n_ab")
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Analytics.betweennessWeighted(emptyPairs).count() === 0L)
+    assert(Analytics.closeness(emptyEdges).count() === 0L)
+    assert(Analytics.eccentricity(emptyEdges).count() === 0L)
+    assert(Analytics.adamicAdar(emptyEdges).count() === 0L)
+    assert(Analytics.supplierConcentration(
+      Seq.empty[(Long, Long, Double)].toDF("l_partkey", "l_suppkey", "l_quantity"))
+      .count() === 0L)
+    assert(Analytics.supplierShareShift(
+      Seq.empty[(Long, Double, java.sql.Timestamp)]
+        .toDF("l_suppkey", "l_quantity", "l_shipdate")).count() === 0L)
+    assert(Analytics.orderGaps(
+      Seq.empty[(Long, Long, java.sql.Timestamp)]
+        .toDF("o_custkey", "o_orderkey", "o_orderdate")).count() === 0L)
+    assert(TimeSeries.activeStreaks(emptyEvents).count() === 0L)
+    assert(TimeSeries.recordDays(emptyEvents).count() === 0L)
+    assert(Clickstream.dwellByType(emptyEvents).count() === 0L)
+    assert(Clickstream.depthConversion(emptyEvents).count() === 0L)
+    assert(TextAnalysis.docKlDivergence(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")).count() === 0L)
+    assert(graft.sim.Similarity.sphericalKmeansStep(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"),
+      k = 2, dim = 2).count() === 0L)
+  }
+
   test("round-6 batch operators tolerate empty and degenerate inputs") {
     import graft.ops.{Analytics, Stats}
     assert(Stats.mannWhitney(emptyEvents).count() === 0L)
