@@ -2684,33 +2684,34 @@ object Analytics {
     * Scale: every stage is an equi-join on (source, node) or the edge
     * key — dist-table×adjacency relaxation (Σ reached-degree per round),
     * one DAG materialization, then node-sized σ/δ iterations against the
-    * edge-sized DAG. Each round `localCheckpoint`s and frees its retired
-    * predecessor; the adjacency, DAG, dist and final σ blocks are freed
-    * before return (only the final δ backs the returned plan). Never
-    * node², never corpus².
+    * edge-sized DAG. Intermediate rounds are each consumed exactly once,
+    * so each phase stays ONE lazy plan; only the four fan-out frames
+    * (adjacency, final dist, DAG, final σ/δ) `localCheckpoint`, and all
+    * but the final δ are freed before return. Never node², never
+    * corpus².
     */
   def betweennessWeighted(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
     val und = weightedUndirect(pairs).localCheckpoint()
     val sources = hubSources(und, nSources)
-    // phase 1: bounded Bellman-Ford distances (the cheapestPath loop,
-    // checkpointed per round — the DAG join below reads the final table
-    // twice, which un-checkpointed would re-expand the relax pyramid)
-    var dist = sources
+    // phase 1: bounded Bellman-Ford distances (the cheapestPath loop).
+    // Intermediate rounds are each referenced exactly once by the next,
+    // so the pyramid stays ONE lazy plan; only the FINAL table
+    // checkpoints — it fans out into the DAG join (twice) and every
+    // sigma/delta round below. Same discipline in phases 2–3: four
+    // materializations total instead of one per round.
+    var dist0 = sources
       .select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
-      .localCheckpoint()
     for (_ <- 1 to maxHops) {
-      val relax = dist.join(und, col("node") === col("src"))
+      val relax = dist0.join(und, col("node") === col("src"))
         .select(col("source"), col("dst").as("node"),
           (col("cost_e6") + col("w")).as("cost_e6"))
-      val next = dist.unionAll(relax)
+      dist0 = dist0.unionAll(relax)
         .groupBy(col("source"), col("node"))
         .agg(min(col("cost_e6")).as("cost_e6"))
-        .localCheckpoint()
-      graft.LocalCheckpoints.free(dist)
-      dist = next
     }
+    val dist = dist0.localCheckpoint()
     // the per-source shortest-path DAG: edges whose cost is tight
     val dag = dist
       .select(col("source"), col("node").as("u"), col("cost_e6").as("__cu"))
@@ -2722,35 +2723,35 @@ object Analytics {
           (col("__cu") + col("w")) === col("__cv"))
       .select(col("source"), col("u"), col("v"))
       .localCheckpoint()
-    // phase 2: sigma by predecessor-sum iteration (source pinned at 1)
+    // phase 2: sigma by predecessor-sum iteration (source pinned at 1);
+    // only the final table checkpoints — every delta round reads it twice
     val nodes = dist.select(col("source"), col("node"))
-    var sigma = nodes
+    var sigma0 = nodes
       .select(col("source"), col("node"),
         when(col("node") === col("source"), d(lit(1L)))
           .otherwise(d(lit(0L))).as("sigma"))
-      .localCheckpoint()
     for (_ <- 1 to maxHops) {
       val inc = dag
         .join(
-          sigma.select(
+          sigma0.select(
             col("source").as("__us"), col("node").as("__un"), col("sigma").as("__su")),
           col("source") === col("__us") && col("u") === col("__un"))
         .groupBy(col("source"), col("v").as("node"))
         .agg(sum(col("__su")).as("__inc"))
-      val next = nodes
+      sigma0 = nodes
         .join(inc, Seq("source", "node"), "left")
         .select(col("source"), col("node"),
           when(col("node") === col("source"), d(lit(1L)))
             .otherwise(coalesce(col("__inc"), d(lit(0L)))).as("sigma"))
-        .localCheckpoint()
-      graft.LocalCheckpoints.free(sigma)
-      sigma = next
     }
-    // phase 3: delta by successor-fold iteration from delta = 0
-    var delta = nodes.withColumn("delta_e6", d(lit(0L))).localCheckpoint()
+    val sigma = sigma0.localCheckpoint()
+    // phase 3: delta by successor-fold iteration from delta = 0; rounds
+    // reference their predecessor once, so the fold stays one lazy plan
+    // until the final checkpoint that lets the blocks below be freed
+    var delta0 = nodes.withColumn("delta_e6", d(lit(0L)))
     for (_ <- 1 to maxHops) {
       val wside = sigma
-        .join(delta, Seq("source", "node"))
+        .join(delta0, Seq("source", "node"))
         .filter(col("sigma") > 0)
         .select(col("source").as("__ws"), col("node").as("__w"),
           col("sigma").as("__sw"), col("delta_e6").as("__dw"))
@@ -2765,14 +2766,12 @@ object Analytics {
             col("__su") * (col("__dw") + d(lit(1000000L))), col("__sw")).as("__t"))
         .groupBy(col("source"), col("node"))
         .agg(sum(d(col("__t"))).as("__d"))
-      val next = nodes
+      delta0 = nodes
         .join(terms, Seq("source", "node"), "left")
         .select(col("source"), col("node"),
           coalesce(col("__d"), d(lit(0L))).as("delta_e6"))
-        .localCheckpoint()
-      graft.LocalCheckpoints.free(delta)
-      delta = next
     }
+    val delta = delta0.localCheckpoint()
     // the source's own row is excluded, as in [[betweennessSample]]
     // (standard Brandes: δ accumulates over non-source nodes only)
     val out = delta
