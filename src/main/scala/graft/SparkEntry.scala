@@ -918,6 +918,14 @@ object SparkEntry {
     // deterministic best-streak start
     "ev_streaks" -> ((s, dir) =>
       graft.ops.TimeSeries.activeStreaks(Tables.events(s, dir))),
+    // Fano factor of calendar-daily counts per type: Poisson ≈ 1e4,
+    // bursty above — the capacity/anomaly dispersion screen
+    "ev_fano" -> ((s, dir) =>
+      graft.ops.TimeSeries.fanoFactor(Tables.events(s, dir))),
+    // customer spend-quintile migration across the calendar-midpoint
+    // split (tier 0 = absent half): value retention / churn by rank
+    "cust_value_migration" -> ((s, dir) =>
+      graft.ops.Analytics.valueMigration(Tables.orders(s, dir))),
     // record-setting days: strict running all-time highs of daily volume
     // with previous-record and days-waited readouts
     "ev_record_days" -> ((s, dir) =>
@@ -5268,6 +5276,63 @@ object SparkEntry {
         |  lag(n_events) OVER w::BIGINT AS prev_record_events,
         |  (day - lag(day) OVER w)::BIGINT AS days_since_prev_record
         |FROM rec WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin,
+    // full-calendar-span dispersion via the (n*Q2 - S^2)*1e8/n^2 identity
+    // in HUGEINT; fano = var_e8 // mean_e4 (all terms non-negative)
+    "ev_fano" ->
+      """WITH dly AS (
+        |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+        |    count(*)::BIGINT AS n_active_days,
+        |    sum(c)::BIGINT AS n_events,
+        |    sum(c::HUGEINT * c::HUGEINT) AS q2
+        |  FROM dly GROUP BY 1
+        |)
+        |SELECT event_type, (d1 - d0 + 1)::BIGINT AS span_days, n_active_days, n_events,
+        |  ((n_events::HUGEINT * 10000) // (d1 - d0 + 1))::BIGINT AS mean_e4,
+        |  ((((d1 - d0 + 1)::HUGEINT * q2 - n_events::HUGEINT * n_events::HUGEINT)
+        |      * 100000000 // ((d1 - d0 + 1)::HUGEINT * (d1 - d0 + 1)::HUGEINT))
+        |    // greatest((n_events::HUGEINT * 10000) // (d1 - d0 + 1), 1))::BIGINT AS fano_e4
+        |FROM m""".stripMargin,
+    // midpoint split, per-half spend quintiles via rounded quantile_cont
+    // cuts (the cust_rfm bucket convention), full-outer tier matrix
+    "cust_value_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey, round(o_totalprice * 100)::BIGINT AS cents,
+        |    epoch_ms(o_orderdate::TIMESTAMP) // 86400000 AS day
+        |  FROM orders
+        |), c AS (SELECT (min(day) + max(day)) // 2 AS cut FROM o),
+        |early AS (
+        |  SELECT o_custkey, sum(cents)::BIGINT AS m
+        |  FROM o CROSS JOIN c WHERE day <= c.cut GROUP BY 1
+        |), ecuts AS (
+        |  SELECT [round(x, 4) for x in quantile_cont(m, [0.2, 0.4, 0.6, 0.8])] AS mc
+        |  FROM early
+        |), etier AS (
+        |  SELECT o_custkey,
+        |    (1 + (m > mc[1])::BIGINT + (m > mc[2])::BIGINT
+        |       + (m > mc[3])::BIGINT + (m > mc[4])::BIGINT) AS tier
+        |  FROM early CROSS JOIN ecuts
+        |), late AS (
+        |  SELECT o_custkey, sum(cents)::BIGINT AS m
+        |  FROM o CROSS JOIN c WHERE day > c.cut GROUP BY 1
+        |), lcuts AS (
+        |  SELECT [round(x, 4) for x in quantile_cont(m, [0.2, 0.4, 0.6, 0.8])] AS mc
+        |  FROM late
+        |), ltier AS (
+        |  SELECT o_custkey,
+        |    (1 + (m > mc[1])::BIGINT + (m > mc[2])::BIGINT
+        |       + (m > mc[3])::BIGINT + (m > mc[4])::BIGINT) AS tier
+        |  FROM late CROSS JOIN lcuts
+        |), j AS (
+        |  SELECT coalesce(e.tier, 0)::BIGINT AS tier_early,
+        |    coalesce(l.tier, 0)::BIGINT AS tier_late
+        |  FROM etier e FULL OUTER JOIN ltier l USING (o_custkey)
+        |)
+        |SELECT tier_early, tier_late, count(*)::BIGINT AS n_customers
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // the session-id CTEs, lead-dwell per event, then the histogram
     // rank-scan quantiles (the sup_lead_time convention)
     "cs_dwell_time" ->

@@ -1594,7 +1594,39 @@ object Dedup {
       val docs = Tables.documents(s, d)
       clusterSizeHistogram(docs, simhashNearDups(docs))
     }),
+    // 1/cluster_size sampling weights rolled up per source — the
+    // epoch-plan numbers after near-dup clustering
+    "dedup_sample_weights" -> ((s, d) => dedupSampleWeights(Tables.documents(s, d))),
   )
+
+  /** Dedup-aware sampling weights rolled up per source — the epoch-plan
+    * input after near-dup clustering: sampling every document with weight
+    * `1 / cluster_size` keeps each CLUSTER's expected contribution at one
+    * copy, so duplicated boilerplate stops dominating the mixture without
+    * hard-dropping any member. Per source: doc counts, how many sit in a
+    * >1 cluster, raw tokens, and the effective (weighted) doc and token
+    * masses in exact e4 — the numbers a mixture/epoch planner consumes
+    * (clusters spanning sources split their weight across them, which is
+    * the correct expectation semantics).
+    *
+    * Scale: the [[nearDupClusters]] contraction (band-bucketed simhash
+    * pairs, never all-pairs) plus one doc-keyed join and a |sources|-row
+    * rollup.
+    */
+  def dedupSampleWeights(docs: DataFrame): DataFrame = {
+    val cl = nearDupClusters(docs, simhashNearDups(docs))
+    val tk = docs.select(
+      col("doc_id"), col("source"),
+      size(Cols.tokens(col("text"))).cast("long").as("__toks"))
+    cl.join(tk, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("cluster_size") > 1L, lit(1))).as("n_dup_docs"),
+        sum(col("__toks")).as("raw_tokens"),
+        sum(Cols.floorDiv(lit(10000L), col("cluster_size"))).as("eff_docs_e4"),
+        sum(Cols.floorDiv(col("__toks") * 10000L, col("cluster_size"))).as("eff_tokens_e4"))
+  }
 
   private val tokCte =
     """WITH t AS (
@@ -2399,6 +2431,32 @@ object Dedup {
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the dedup_clusters closure + per-doc token lengths and source,
+    // rolled up to 1/cluster_size expectation weights (exact e4 floors)
+    "dedup_sample_weights" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |), w AS (
+         |  SELECT cl.doc_id, d.source, len(t.toks)::BIGINT AS n_toks,
+         |    (count(*) OVER (PARTITION BY cl.cluster_id))::BIGINT AS csz
+         |  FROM cl JOIN t USING (doc_id) JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(CASE WHEN csz > 1 THEN 1 END)::BIGINT AS n_dup_docs,
+         |  sum(n_toks)::BIGINT AS raw_tokens,
+         |  sum(10000 // csz)::BIGINT AS eff_docs_e4,
+         |  sum((n_toks * 10000) // csz)::BIGINT AS eff_tokens_e4
+         |FROM w GROUP BY 1""".stripMargin,
     // the dedup_clusters closure + token lengths from the shared t CTE;
     // canonical ≡ doc_id = cluster_id (the component min)
     "dedup_impact" ->

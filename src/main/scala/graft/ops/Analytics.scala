@@ -674,6 +674,51 @@ object Analytics {
         "rfm", col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
   }
 
+  /** Customer VALUE-TIER migration across the calendar-midpoint split —
+    * [[abcXyz]]'s ABC-migration idea ([[abcMigration]]) read at customer
+    * grain: each half ranks customers into spend quintiles (the
+    * [[rfmSegments]] monetary cut, integer cents, rounded quantile_cont
+    * cuts), and the output is the (tier_early × tier_late) matrix with
+    * tier 0 for customers absent from a half (new / lapsed). The
+    * diagonal says retention of value rank; the 0-row/column says churn
+    * and acquisition by tier.
+    *
+    * Scale: two customer-grain hash aggregates (one per half, same
+    * shuffle key), each with a 1-row broadcast quantile-cut table (the
+    * [[paretoShares]] shape), one customer-keyed full-outer join, a
+    * ≤ 36-row readout. The midpoint is a 1-row broadcast.
+    */
+  def valueMigration(orders: DataFrame): DataFrame = {
+    val day = Cols.floorDiv(
+      unix_millis(col("o_orderdate").cast("timestamp")), TimeSeries.DayMs)
+    val o = orders.select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("__cents"), day.as("__day"))
+    val cut = o.agg(Cols.floorDiv(min(col("__day")) + max(col("__day")), lit(2L)).as("__cut"))
+    val tagged = o.crossJoin(broadcast(cut))
+    def tier(half: DataFrame): DataFrame = {
+      val perCust = half.groupBy(col("o_custkey")).agg(sum(col("__cents")).as("__m"))
+      val cuts = perCust.agg(
+        expr("transform(percentile(__m, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+          .as("__mc"))
+      perCust.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"),
+          ((0 to 3).map(i =>
+            (col("__m").cast("double") > element_at(col("__mc"), i + 1)).cast("long"))
+            .reduce(_ + _) + lit(1L)).as("tier"))
+    }
+    tier(tagged.filter(col("__day") <= col("__cut")))
+      .select(col("o_custkey"), col("tier").as("tier_early"))
+      .join(
+        tier(tagged.filter(col("__day") > col("__cut")))
+          .select(col("o_custkey"), col("tier").as("tier_late")),
+        Seq("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("tier_early"), lit(0L)).as("tier_early"),
+        coalesce(col("tier_late"), lit(0L)).as("tier_late"))
+      .groupBy(col("tier_early"), col("tier_late"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Revenue-concentration (Pareto) report: for each requested top-p%,
     * the share of total value held by keys whose per-key value clears the
     * (1 − p/100) quantile cut — "do 1% of customers carry 30% of

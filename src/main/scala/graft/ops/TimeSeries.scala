@@ -1040,6 +1040,45 @@ object TimeSeries {
         (col("day") - lag(col("day"), 1).over(byDay)).as("days_since_prev_record"))
   }
 
+  /** Fano factor (variance-to-mean of calendar-daily counts) per event
+    * type — the burstiness screen at stream grain ([[graft.text
+    * .TextAnalysis]] scores doc-level burstiness; THIS says whether a
+    * type arrives Poisson-like (fano ≈ 1e4), regular (< 1e4) or bursty
+    * (> 1e4), which is what capacity planning and anomaly thresholds key
+    * on). Variance runs over the FULL calendar span (zero days included)
+    * via the (n·ΣQ² − S²)·10⁸/n² identity, products widened to
+    * decimal(38,0); fano_e4 = ⌊var_e8 / mean_e4⌋.
+    *
+    * Scale: one (type × day) hash aggregate folded to a |types|-row
+    * moment table — no windows, no collects.
+    */
+  def fanoFactor(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val mom = events
+      .groupBy(col("event_type"), Cols.floorDiv(col("ts_ms"), DayMs).as("day"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        count(lit(1)).as("n_active_days"),
+        sum(col("__c")).as("n_events"),
+        sum(d(col("__c")) * d(col("__c"))).as("__q2"))
+    val n = d(col("__d1") - col("__d0") + 1L)
+    val varE8 = Cols.floorDiv(
+      (n * col("__q2") - d(col("n_events")) * d(col("n_events"))) * d(lit(100000000L)),
+      n * n)
+    mom
+      .withColumn("__var_e8", varE8.cast("long"))
+      .withColumn("mean_e4",
+        Cols.floorDiv(d(col("n_events")) * d(lit(10000L)), n).cast("long"))
+      .select(
+        col("event_type"),
+        (col("__d1") - col("__d0") + 1L).as("span_days"),
+        col("n_active_days"), col("n_events"), col("mean_e4"),
+        Cols.floorDiv(col("__var_e8"), greatest(col("mean_e4"), lit(1L))).as("fano_e4"))
+  }
+
   /** Supplier lead-time reliability: the order-to-ship lag distribution
     * per supplier — the sourcing-review twin of [[fillRate]] (which
     * grades ORDERS against an SLA; this grades SUPPLIERS against each

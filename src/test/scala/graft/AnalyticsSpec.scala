@@ -233,6 +233,25 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 5L, 3L, 18000L)))
   }
 
+  test("value migration: per-half spend quintiles, tier 0 for absent halves") {
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400000L)
+    // span 0..10 → cut 5. Early spends 10/20/30/40/50 → tiers 1..5
+    // (interpolated cuts 18/26/34/42); late: c1=50 → 5, c3=30 → 3
+    // (cuts over {10,30,50}: 18/26/34/42 again), c6=10 → 1; c2/c4/c5
+    // vanish (tier 0), c6 is new (early tier 0)
+    val rows = Seq(
+      (1L, 10.0, ts(0)), (2L, 20.0, ts(0)), (3L, 30.0, ts(0)),
+      (4L, 40.0, ts(0)), (5L, 50.0, ts(0)),
+      (1L, 50.0, ts(10)), (3L, 30.0, ts(10)), (6L, 10.0, ts(10)))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Analytics.valueMigration(rows)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (0L, 1L, 1L), (1L, 5L, 1L), (2L, 0L, 1L),
+      (3L, 3L, 1L), (4L, 0L, 1L), (5L, 0L, 1L)))
+  }
+
   test("supplier share shift: calendar-midpoint halves, e4 shares, drift sign") {
     import java.sql.Timestamp
     def ts(day: Long) = new Timestamp(day * 86400000L)

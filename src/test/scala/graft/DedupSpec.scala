@@ -8,6 +8,23 @@ class DedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("dedup sample weights: 1/cluster_size expectations rolled up per source") {
+    // docs 1 and 2 are identical (one simhash cluster of 2, split across
+    // sources); doc 3 is unrelated (singleton)
+    val d = Seq(
+      (1L, "alpha beta gamma", "s0"),
+      (2L, "alpha beta gamma", "s1"),
+      (3L, "delta epsilon zeta eta", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupSampleWeights(d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      // s0: doc1 (3 toks, csz 2) + doc3 (4 toks, csz 1):
+      //   eff_docs ⌊1e4/2⌋ + 1e4 = 15000; eff_tokens 15000 + 40000
+      ("s0", 2L, 1L, 7L, 15000L, 55000L),
+      ("s1", 1L, 1L, 3L, 5000L, 15000L)))
+  }
+
   test("exact dedup groups normalized duplicates, keeps lowest doc_id") {
     val got = Dedup.exact(docs(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")))

@@ -247,6 +247,9 @@ object PlanAudit {
     // r14: 1-row midpoint-day + 1-row half-total broadcasts riding the
     // supplier aggregate (the tbl_stats_drift split convention)
     "sup_share_shift",
+    // r14: midpoint cut + two per-half 1-row quantile-cut broadcasts —
+    // the li_abc_migration split shape at customer grain
+    "cust_value_migration",
     // r14: 1-row corpus-token-total broadcast beside the 1024-row hashed
     // histogram equi-join (the txt_dsir_weights shape)
     "txt_doc_kl",

@@ -63,6 +63,23 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 1L, 4L, Some(1L), Some(1L))))
   }
 
+  test("fano factor: calendar-span dispersion, Poisson-like vs regular vs bursty") {
+    // a: 3 on day 0, 3 on day 2 → n=3, var_e8=2e8, mean_e4=2e4 → fano 1e4
+    // b: 2 on days 0 and 1 → zero variance → fano 0
+    // c: 5 on day 0, 1 on day 3 → n=4, var_e8=4.25e8, mean 1.5e4 → 28333
+    val ev = (Seq.fill(3)((  "a", 0L)) ++ Seq.fill(3)(("a", 2L)) ++
+      Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 1L)) ++
+      Seq.fill(5)(("c", 0L)) ++ Seq.fill(1)(("c", 3L)))
+      .map { case (t, d) => (t, d * Day + 7) }
+      .toDF("event_type", "ts_ms")
+    val got = TimeSeries.fanoFactor(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      ("a", 3L, 2L, 6L, 20000L, 10000L),
+      ("b", 2L, 2L, 4L, 20000L, 0L),
+      ("c", 4L, 2L, 6L, 15000L, 28333L)))
+  }
+
   test("gap fill: grid bounds come from the data, in-plan (no driver job)") {
     // building the DataFrame must launch zero jobs — the min/max bound is a
     // broadcast subtree, not a collect (same discipline as TF-IDF's corpus
