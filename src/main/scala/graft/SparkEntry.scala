@@ -1528,6 +1528,44 @@ object SparkEntry {
        |WHERE w.rn = nd.n_days AND w.n > 0""".stripMargin
   }
 
+  /** The unweighted landmark-BFS pyramid CTEs (basket-pair graph, 3
+    * top-degree hubs, 3 unrolled frontier layers ending at `d3`) shared
+    * verbatim by the li_bfs_hops / li_closeness / li_eccentricity
+    * oracles — one builder so the three centrality readouts can never
+    * drift from each other (the weighted walks mirror it with costs).
+    */
+  private lazy val bfsPyramidCte: String = {
+    val base =
+      """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |gi AS MATERIALIZED (SELECT grp, item FROM gi0
+        |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
+        |p AS MATERIALIZED (
+        |  SELECT a.item AS item_a, b.item AS item_b
+        |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), und AS MATERIALIZED (
+        |  SELECT item_a AS src, item_b AS dst FROM p
+        |  UNION ALL SELECT item_b, item_a FROM p
+        |), s AS MATERIALIZED (
+        |  SELECT src AS source FROM (
+        |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
+        |  ORDER BY deg DESC, src LIMIT 3
+        |), d0 AS MATERIALIZED (
+        |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
+    val layers = (1 to 3).map { r =>
+      s""", f$r AS MATERIALIZED (
+         |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
+         |  FROM d${r - 1} d JOIN und u ON d.node = u.src
+         |  WHERE d.hops = ${r - 1}
+         |), d$r AS MATERIALIZED (
+         |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
+         |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString
+    base + layers
+  }
+
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracleSql ++
       graft.text.TextAnalysis.oracleSql ++
@@ -4911,39 +4949,10 @@ object SparkEntry {
     },
     // unrolled 3-round frontier BFS from the 3 top-degree hubs; the
     // frontier is recovered per round as "min distance exactly r-1"
-    "li_bfs_hops" -> {
-      val base =
-        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
-          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
-          |p AS MATERIALIZED (
-          |  SELECT a.item AS item_a, b.item AS item_b
-          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
-          |  GROUP BY 1, 2 HAVING count(*) >= 2
-          |), und AS MATERIALIZED (
-          |  SELECT item_a AS src, item_b AS dst FROM p
-          |  UNION ALL SELECT item_b, item_a FROM p
-          |), s AS MATERIALIZED (
-          |  SELECT src AS source FROM (
-          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
-          |  ORDER BY deg DESC, src LIMIT 3
-          |), d0 AS MATERIALIZED (
-          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
-      val layers = (1 to 3).map { r =>
-        s""", f$r AS MATERIALIZED (
-           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
-           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
-           |  WHERE d.hops = ${r - 1}
-           |), d$r AS MATERIALIZED (
-           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
-           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
-           |  GROUP BY 1, 2
-           |)""".stripMargin
-      }.mkString
-      base + layers +
+    "li_bfs_hops" ->
+      (bfsPyramidCte +
         """
-          |SELECT source, node, hops FROM d3""".stripMargin
-    },
+          |SELECT source, node, hops FROM d3""".stripMargin),
     // the li_bfs_hops CTE skeleton with inverse-support edge weights and
     // min-cost (not min-hop) layer folds — unrolled Bellman-Ford
     "li_cheapest_path" -> {
@@ -4956,8 +4965,8 @@ object SparkEntry {
           |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
           |  GROUP BY 1, 2 HAVING count(*) >= 2
           |), und AS MATERIALIZED (
-          |  SELECT item_a AS src, item_b AS dst, (1000000 // n_ab)::BIGINT AS w FROM p
-          |  UNION ALL SELECT item_b, item_a, (1000000 // n_ab)::BIGINT FROM p
+          |  SELECT item_a AS src, item_b AS dst, greatest(1000000 // n_ab, 1)::BIGINT AS w FROM p
+          |  UNION ALL SELECT item_b, item_a, greatest(1000000 // n_ab, 1)::BIGINT FROM p
           |), s AS MATERIALIZED (
           |  SELECT src AS source FROM (
           |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
@@ -4992,8 +5001,8 @@ object SparkEntry {
           |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
           |  GROUP BY 1, 2 HAVING count(*) >= 2
           |), und AS MATERIALIZED (
-          |  SELECT item_a AS src, item_b AS dst, (1000000 // n_ab)::BIGINT AS w FROM p
-          |  UNION ALL SELECT item_b, item_a, (1000000 // n_ab)::BIGINT FROM p
+          |  SELECT item_a AS src, item_b AS dst, greatest(1000000 // n_ab, 1)::BIGINT AS w FROM p
+          |  UNION ALL SELECT item_b, item_a, greatest(1000000 // n_ab, 1)::BIGINT FROM p
           |), s AS MATERIALIZED (
           |  SELECT src AS source FROM (
           |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
@@ -5057,78 +5066,20 @@ object SparkEntry {
     // the li_bfs_hops distance pyramid + a per-node readout: sum of hop
     // distances and the harmonic sum (1e6 // hops, hops >= 1 after the
     // self-row exclusion, so // is exact floor)
-    "li_closeness" -> {
-      val base =
-        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
-          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
-          |p AS MATERIALIZED (
-          |  SELECT a.item AS item_a, b.item AS item_b
-          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
-          |  GROUP BY 1, 2 HAVING count(*) >= 2
-          |), und AS MATERIALIZED (
-          |  SELECT item_a AS src, item_b AS dst FROM p
-          |  UNION ALL SELECT item_b, item_a FROM p
-          |), s AS MATERIALIZED (
-          |  SELECT src AS source FROM (
-          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
-          |  ORDER BY deg DESC, src LIMIT 3
-          |), d0 AS MATERIALIZED (
-          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
-      val layers = (1 to 3).map { r =>
-        s""", f$r AS MATERIALIZED (
-           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
-           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
-           |  WHERE d.hops = ${r - 1}
-           |), d$r AS MATERIALIZED (
-           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
-           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
-           |  GROUP BY 1, 2
-           |)""".stripMargin
-      }.mkString
-      base + layers +
+    "li_closeness" ->
+      (bfsPyramidCte +
         """
           |SELECT node, count(*)::BIGINT AS n_sources, sum(hops)::BIGINT AS sum_hops,
           |  sum(1000000 // hops)::BIGINT AS harmonic_e6
-          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin
-    },
+          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin),
     // the same distance pyramid read per SOURCE: ball size, deepest hop,
     // mean depth e4 (all quantities non-negative, // exact floor)
-    "li_eccentricity" -> {
-      val base =
-        """WITH gi0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-          |gi AS MATERIALIZED (SELECT grp, item FROM gi0
-          |  QUALIFY count(*) OVER (PARTITION BY grp) <= 1000),
-          |p AS MATERIALIZED (
-          |  SELECT a.item AS item_a, b.item AS item_b
-          |  FROM gi a JOIN gi b ON a.grp = b.grp AND a.item < b.item
-          |  GROUP BY 1, 2 HAVING count(*) >= 2
-          |), und AS MATERIALIZED (
-          |  SELECT item_a AS src, item_b AS dst FROM p
-          |  UNION ALL SELECT item_b, item_a FROM p
-          |), s AS MATERIALIZED (
-          |  SELECT src AS source FROM (
-          |    SELECT src, count(*) AS deg FROM und GROUP BY 1)
-          |  ORDER BY deg DESC, src LIMIT 3
-          |), d0 AS MATERIALIZED (
-          |  SELECT source, source AS node, 0::BIGINT AS hops FROM s)""".stripMargin
-      val layers = (1 to 3).map { r =>
-        s""", f$r AS MATERIALIZED (
-           |  SELECT d.source, u.dst AS node, $r::BIGINT AS hops
-           |  FROM d${r - 1} d JOIN und u ON d.node = u.src
-           |  WHERE d.hops = ${r - 1}
-           |), d$r AS MATERIALIZED (
-           |  SELECT source, node, min(hops)::BIGINT AS hops FROM (
-           |    SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r) u
-           |  GROUP BY 1, 2
-           |)""".stripMargin
-      }.mkString
-      base + layers +
+    "li_eccentricity" ->
+      (bfsPyramidCte +
         """
           |SELECT source, count(*)::BIGINT AS n_reached, max(hops)::BIGINT AS ecc_lb,
           |  ((sum(hops) * 10000) // count(*))::BIGINT AS mean_hops_e4
-          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin
-    },
+          |FROM d3 WHERE node <> source GROUP BY 1""".stripMargin),
     // calendar-midpoint split of the ship span; early/late supplier
     // quantity shares in exact e4 and their difference
     "sup_share_shift" ->

@@ -1670,7 +1670,7 @@ object Analytics {
 
   /** Min-COST paths from the hub landmarks over the weighted basket
     * graph — [[bfsHops]]' "how far" upgraded to "how cheap", where an
-    * edge's cost is inverse co-purchase support (`⌊10⁶ / n_ab⌋`: a pair
+    * edge's cost is inverse co-purchase support (`max(1, ⌊10⁶ / n_ab⌋)`: a pair
     * bought together often is a short hop). The relaxation is bounded
     * Bellman-Ford, `maxHops` unrolled rounds of relax-join + min — a
     * two-edge chain of strong pairs can undercut one weak direct edge,
@@ -1683,12 +1683,15 @@ object Analytics {
     * iteration — the [[bfsHops]] discipline with min(cost) semantics.
     */
   /** Symmetrized basket-pair adjacency with inverse-support edge costs
-    * (`⌊10⁶ / n_ab⌋`) — the shared weighted-graph first stage of
+    * (`max(1, ⌊10⁶ / n_ab⌋)`) — the shared weighted-graph first stage of
     * [[cheapestPath]] and [[betweennessWeighted]], one definition so the
-    * two weighted walks can never drift apart.
+    * two weighted walks can never drift apart. The floor-1 clamp keeps
+    * every cost strictly positive (a pair with support > 10⁶ would
+    * otherwise floor to 0, letting tight edges run BOTH ways and turning
+    * the shortest-path "DAG" cyclic — σ would double-count paths).
     */
   private def weightedUndirect(pairs: DataFrame): DataFrame = {
-    val w = Cols.floorDiv(lit(1000000L), col("n_ab"))
+    val w = greatest(Cols.floorDiv(lit(1000000L), col("n_ab")), lit(1L))
     pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), w.as("w"))
       .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), w.as("w")))
@@ -2713,7 +2716,8 @@ object Analytics {
     *     [[cheapestPath]] relaxation);
     *  2. σ — cheapest-path counts over the shortest-path DAG
     *     (edge (u,v) is in the DAG iff `dist(u) + w(u,v) = dist(v)`;
-    *     costs strictly increase along DAG edges, so it IS a DAG), by
+    *     every edge cost is ≥ 1 by the [[weightedUndirect]] clamp, so
+    *     costs strictly increase along DAG edges and it IS a DAG), by
     *     `maxHops` rounds of predecessor-sum iteration (paths have
     *     ≤ `maxHops` edges, so the iteration converges);
     *  3. δ — Brandes dependencies by `maxHops` rounds of successor

@@ -1069,7 +1069,9 @@ object TimeSeries {
       (n * col("__q2") - d(col("n_events")) * d(col("n_events"))) * d(lit(100000000L)),
       n * n)
     mom
-      .withColumn("__var_e8", varE8.cast("long"))
+      // var_e8 stays decimal(38,0) through the division (the oracle keeps
+      // HUGEINT until the readout — the betweennessSample narrowing rule)
+      .withColumn("__var_e8", varE8)
       .withColumn("mean_e4",
         Cols.floorDiv(d(col("n_events")) * d(lit(10000L)), n).cast("long"))
       .select(

@@ -1024,7 +1024,10 @@ object TextAnalysis {
     val cells = toks
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("__c"))
-    val corpus = toks.groupBy(col("bucket")).agg(count(lit(1)).as("__cb"))
+    // fold the (doc × bucket) cells, not the token explode — one
+    // tokenize/shuffle pass total (ReuseExchange shares the cells
+    // aggregation subtree), exactly the oracle's cb-from-cell shape
+    val corpus = cells.groupBy(col("bucket")).agg(sum(col("__c")).as("__cb"))
     val total = corpus.agg(sum(col("__cb")).as("__ct"))
     val term = round(
       (col("__c").cast("double") / col("__t").cast("double")) *

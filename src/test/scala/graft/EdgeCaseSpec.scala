@@ -64,6 +64,13 @@ class EdgeCaseSpec extends SparkSpec {
         .toDF("o_custkey", "o_orderkey", "o_orderdate")).count() === 0L)
     assert(TimeSeries.activeStreaks(emptyEvents).count() === 0L)
     assert(TimeSeries.recordDays(emptyEvents).count() === 0L)
+    assert(TimeSeries.fanoFactor(emptyEvents).count() === 0L)
+    assert(Analytics.valueMigration(
+      Seq.empty[(Long, Double, java.sql.Timestamp)]
+        .toDF("o_custkey", "o_totalprice", "o_orderdate")).count() === 0L)
+    assert(graft.dedup.Dedup.dedupSampleWeights(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() === 0L)
     assert(Clickstream.dwellByType(emptyEvents).count() === 0L)
     assert(Clickstream.depthConversion(emptyEvents).count() === 0L)
     assert(TextAnalysis.docKlDivergence(
