@@ -71,6 +71,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact top-k by integer squared EUCLIDEAN distance for the same query
+    * subset — the magnitude-sensitive serving mode beside
+    * [[bruteForceTopK]]'s cosine: cosine ranks direction only, L2 ranks
+    * absolute placement, and on UNnormalized embeddings they disagree
+    * (a long vector can be the top cosine neighbor while sitting far
+    * away — the spec pins exactly that pair). d² = ‖q‖² − 2q·v + ‖v‖² in
+    * exact integers over the milli grid, ties → smaller neighbor id.
+    *
+    * Scale: identical to [[bruteForceTopK]] — broadcast query batch, the
+    * corpus never shuffles; the rank window partitions by query.
+    */
+  def bruteForceTopKL2(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = Dedup.quantized(embeddings)
+    val queries = broadcast(
+      queryBatch(q)
+        .select(
+          col("vec_id").as("query_id"),
+          col("qv").as("q_qv"),
+          col("norm2").as("q_norm2")))
+    val d2 = col("q_norm2") - lit(2L) * Dedup.longDot(col("q_qv"), col("qv")) + col("norm2")
+    val scored = q.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), d2.as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Metadata-filtered vector search, and the price of post-filtering: for
     * each query, exact top-`k` cosine neighbors WITHIN the query's own
     * label (pre-filtered search — the label predicate is an equi-join key,
@@ -2851,6 +2879,9 @@ object Similarity {
     "emb_trunc_agreement" -> ((s, d) => truncationAgreement(Tables.embeddings(s, d), dims = 40)),
     "emb_centroids" -> ((s, d) => centroids(Tables.embeddings(s, d))),
     "ann_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    // exact L2 top-k for the same query batch — the magnitude-sensitive
+    // serving mode; disagrees with cosine on unnormalized vectors
+    "ann_topk_l2" -> ((s, d) => bruteForceTopKL2(Tables.embeddings(s, d))),
     // label-scoped exact search + the post-filter recall penalty readout
     "ann_topk_filtered" -> ((s, d) => filteredTopK(Tables.embeddings(s, d))),
     "emb_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
@@ -4241,6 +4272,29 @@ object Similarity {
          |), ranked AS (
          |  SELECT query_id, neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // the brute CTEs with exact integer d^2 = |q|^2 - 2q.v + |v|^2 and an
+    // ascending rank (ties -> smaller neighbor id)
+    "ann_topk_l2" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm2
+         |  FROM q
+         |), scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    (qq.norm2
+         |     - 2 * list_sum([qq.qv[i] * c.qv[i] for i in generate_series(1, len(qq.qv))])::BIGINT
+         |     + c.norm2)::BIGINT AS d2
+         |  FROM n qq JOIN n c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id % $QueryStride = 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
          |  FROM scored
          |)
          |SELECT * FROM ranked WHERE rank <= $TopK""".stripMargin,

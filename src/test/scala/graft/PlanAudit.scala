@@ -14,6 +14,8 @@ object PlanAudit {
   // ann_recall_ivf embeds the brute baseline as its ground-truth side
   val AllPairsBaselines =
     Set("ann_topk_brute", "dedup_embedding", "emb_knn_classify", "ann_recall_ivf",
+      // r14: the L2 serving mode of the same brute broadcast baseline
+      "ann_topk_l2",
       // both ranking passes reuse the brute-force broadcast baseline
       "emb_trunc_agreement",
       // fuses two brute-force broadcast rankings (full + truncated prefix)

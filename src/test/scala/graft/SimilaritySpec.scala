@@ -372,6 +372,25 @@ class SimilaritySpec extends SparkSpec {
       (1L, 2L, 20000L, "50,950")))
   }
 
+  test("L2 top-k: euclidean and cosine rankings disagree on unnormalized vectors") {
+    // query 0 = (1,0): vector 50 = (10,0) is cosine-perfect but FAR
+    // (d² = 9100² over the milli grid); vector 1 = (0.9,0.1) is near
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (50L, Seq(10.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val l2 = Similarity.bruteForceTopKL2(d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toList
+    assert(l2 === List(
+      (0L, 1L, 20000L, 1L), (0L, 50L, 81000000L, 2L),
+      (50L, 0L, 81000000L, 1L), (50L, 1L, 82820000L, 2L)))
+    val cosTop = Similarity.bruteForceTopK(d)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .select("neighbor_id").as[Long].collect().head
+    assert(cosTop === 50L, "cosine prefers the far colinear vector")
+  }
+
   test("spherical kmeans step: max-cosine assignment on the unit grid, magnitude ignored") {
     val d = Seq(
       (0L, Seq(1.0f, 0.0f), 0), // seed centroid 0 → nv (10000, 0)
