@@ -173,8 +173,16 @@ object BenchGate {
     * (its corrected figure is a deflation estimate, not a measurement),
     * and neither is a clean measurement on a 2× slower machine. */
   def regression(prevTrusted: Option[Double], cur: Double, quiet: Boolean, ok: Boolean): Option[(Double, Double)] =
+    regressionFloor(prevTrusted, cur, quiet, ok, FloorSec)
+
+  /** Streaming arms are multi-second end-to-end replays with micro-batch
+    * scheduling jitter far above a batch query's — their flag floor. */
+  val StreamFloorSec = 2.0
+
+  def regressionFloor(prevTrusted: Option[Double], cur: Double, quiet: Boolean,
+      ok: Boolean, floor: Double): Option[(Double, Double)] =
     prevTrusted.filter(prev =>
-      ok && quiet && cur >= FloorSec && cur > RegressionRatio * prev).map(prev => (prev, cur))
+      ok && quiet && cur >= floor && cur > RegressionRatio * prev).map(prev => (prev, cur))
 }
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
@@ -259,16 +267,19 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  ($n rows, noise $noise%.2f)")
       (name, sec, n >= 0, noise, bestProbe)
     }
-    // streaming throughput surface (VERDICT r12 #6): one MemoryStream
-    // replay through the session pipeline, reported beside the batch
-    // figures so a streaming regression is visible per round
-    val streamingJson =
-      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) ""
+    // streaming throughput surface (VERDICT r12 #6): MemoryStream replays
+    // through the reference pipelines, reported beside the batch figures
+    // so a streaming regression is visible per round. Arms carry their
+    // own bracketing probes (StreamBench noise accounting) feeding the
+    // per-arm trusted-baseline gate below (VERDICT r14 #2).
+    val streamArrJson =
+      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) None
       else {
-        val j = graft.streaming.StreamBench.run(spark)
+        val j = graft.streaming.StreamBench.run(spark, probe = () => probe())
         System.err.println(s"[bench] streaming: $j")
-        s""","streaming":$j"""
+        Some(j)
       }
+    val streamingJson = streamArrJson.map(j => s""","streaming":$j""").getOrElse("")
     // Locale.ROOT: the default-locale f"" interpolator emits comma decimals
     // under e.g. de_DE, which breaks the JSON contract
     def num2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -424,6 +435,81 @@ object Bench {
       .filter(curByKey.contains).toSeq.sorted.foreach { k =>
         System.err.println(f"[bench] recovered (quiet within 1.5x of pre-flag trusted): $k")
       }
+    // ---- streaming per-arm trusted baselines (VERDICT r14 #2): the batch
+    // gate's exact treatment — adopt an arm's wall only from a quiet
+    // measurement (its own bracketing probe inside the dead-band) on an
+    // adoptable machine state; flag quiet measurements >1.5× trusted on a
+    // comparable state; sticky flags keep the pre-flag baseline. A
+    // re-anchor drops streaming baselines with the batch ones (absolute
+    // seconds from the old machine state would mint phantom arm flags).
+    val (prevStreamTrusted0, prevStreamFlagged0) = {
+      val f = new java.io.File(detailPath)
+      if (!f.exists()) (Map.empty[String, Double], Map.empty[String, (Double, Double)])
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        import scala.jdk.CollectionConverters._
+        val tN = root.path("streaming_trusted")
+        val t = tN.fieldNames().asScala.map(k => k -> tN.path(k).asDouble(-1.0))
+          .toMap.filter(_._2 > 0)
+        val fN = root.path("streaming_flagged")
+        val fl = fN.fieldNames().asScala.map { k =>
+          k -> (fN.path(k).path(0).asDouble(-1.0), fN.path(k).path(1).asDouble(-1.0))
+        }.toMap.filter(_._2._1 > 0)
+        (t, fl)
+      } catch { case _: Throwable =>
+        (Map.empty[String, Double], Map.empty[String, (Double, Double)]) }
+    }
+    val prevStreamTrusted = if (reanchored) Map.empty[String, Double] else prevStreamTrusted0
+    val prevStreamFlagged = if (reanchored) Map.empty[String, (Double, Double)] else prevStreamFlagged0
+    // parse the arms back out of the JSON the streaming bench emitted:
+    // (arm, wall, ok, probe); an "error" arm is ok=false
+    val arms: Seq[(String, Double, Boolean, Double)] = streamArrJson.toSeq.flatMap { j =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        import scala.jdk.CollectionConverters._
+        root.elements().asScala.map { a =>
+          (a.path("pipeline").asText(""),
+            a.path("wall_sec").asDouble(-1.0),
+            !a.has("error") && a.path("wall_sec").asDouble(-1.0) >= 0,
+            a.path("probe_sec").asDouble(-1.0))
+        }.toSeq
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming JSON unparseable, arm gate skipped: $e")
+        Seq.empty }
+    }
+    def quietArm(okA: Boolean, p: Double): Boolean =
+      okA && p > 0 && p / probeBase < BenchGate.QuietFactor
+    val streamFreshByKey = arms.flatMap { case (k, wall, okA, p) =>
+      BenchGate.regressionFloor(prevStreamTrusted.get(k), wall,
+        comparableState && quietArm(okA, p), okA, BenchGate.StreamFloorSec)
+        .map(k -> _)
+    }.toMap
+    val streamTrustedNow: Map[String, Double] =
+      prevStreamTrusted ++ arms.flatMap { case (k, wall, okA, p) =>
+        BenchGate.nextTrusted(prevStreamTrusted.get(k), wall,
+          adoptableState && quietArm(okA, p), okA).map(k -> _)
+      }
+    val armByKey = arms.map(a => a._1 -> a).toMap
+    val streamFlaggedNow: Map[String, (Double, Double)] =
+      (prevStreamFlagged.keySet ++ streamFreshByKey.keySet).flatMap { k =>
+        val next = armByKey.get(k) match {
+          case None => prevStreamFlagged.get(k)
+          case Some((_, wall, okA, p)) =>
+            BenchGate.nextFlag(prevStreamFlagged.get(k), streamFreshByKey.get(k),
+              wall, comparableState && quietArm(okA, p), okA)
+        }
+        next.map(k -> _)
+      }.toMap
+    streamFlaggedNow.toSeq.sortBy(_._1).foreach { case (k, (prev, cur)) =>
+      val tag = if (streamFreshByKey.contains(k)) "STREAM REGRESSION >1.5x vs trusted"
+                else "STREAM STILL REGRESSED vs pre-flag trusted"
+      System.err.println(f"[bench] $tag: $k%-22s ${num2(prev)}s -> ${num2(cur)}s")
+    }
+    val streamTrustedJson = streamTrustedNow.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
+    val streamFlaggedJson = streamFlaggedNow.toSeq.sortBy(_._1)
+      .map { case (k, (p, c)) => "\"" + k + "\":[" + num2(p) + "," + num2(c) + "]" }
+      .mkString("{", ",", "}")
     val regJson = if (flaggedNow.isEmpty) "" else
       s""","regressions":${flaggedNow.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
         "\"" + k + "\":[" + num2(p) + "," + num2(c) + "]" }.mkString("{", ",", "}")}"""
@@ -450,6 +536,7 @@ object Bench {
       s""""trusted":$trustedJson,"trusted_probe_base":$tpbStr,""" +
       s""""flagged":$flaggedJson,"gate_dormant":$gateDormant,""" +
       s""""dormant_slow_runs":$dormantOut,"stale_adopt_runs":$staleOut$regJson$streamingJson,""" +
+      s""""streaming_trusted":$streamTrustedJson,"streaming_flagged":$streamFlaggedJson,""" +
       s""""probe_base_sec":$probeBaseStr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
@@ -461,6 +548,8 @@ object Bench {
       s""""corrected_total":${num2(correctedTotal)},"n_regressions":${flaggedNow.size},""" +
       s""""n_new_regressions":${freshRegressions.size},"gate_dormant":$gateDormant,""" +
       s""""n_trusted":${trustedNow.size},""" +
+      s""""n_stream_regressions":${streamFlaggedNow.size},""" +
+      s""""n_stream_trusted":${streamTrustedNow.size},""" +
       s""""slowest":$slowest$failedJson$streamingJson,"probe_base_sec":$probeBaseStr,""" +
       s""""detail_file":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -5224,7 +5224,7 @@ object SparkEntry {
         |  WHERE prev_max IS NULL OR n_events > prev_max
         |)
         |SELECT event_type, day, n_events,
-        |  lag(n_events) OVER w::BIGINT AS prev_record_events,
+        |  (lag(n_events) OVER w)::BIGINT AS prev_record_events,
         |  (day - lag(day) OVER w)::BIGINT AS days_since_prev_record
         |FROM rec WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin,
     // full-calendar-span dispersion via the (n*Q2 - S^2)*1e8/n^2 identity

@@ -1597,6 +1597,9 @@ object Dedup {
     // 1/cluster_size sampling weights rolled up per source — the
     // epoch-plan numbers after near-dup clustering
     "dedup_sample_weights" -> ((s, d) => dedupSampleWeights(Tables.documents(s, d))),
+    // the full corpus-build chain in one query: cluster → split →
+    // decontam-drop → 1/cluster_size weights → pack (VERDICT r14 #5)
+    "dedup_corpus_build" -> ((s, d) => corpusBuild(Tables.documents(s, d))),
   )
 
   /** Dedup-aware sampling weights rolled up per source — the epoch-plan
@@ -1626,6 +1629,81 @@ object Dedup {
         sum(col("__toks")).as("raw_tokens"),
         sum(Cols.floorDiv(lit(10000L), col("cluster_size"))).as("eff_docs_e4"),
         sum(Cols.floorDiv(col("__toks") * 10000L, col("cluster_size"))).as("eff_tokens_e4"))
+  }
+
+  /** End-to-end corpus-build composition — the full LLM-training-data
+    * chain in ONE query, proving the stages COMPOSE (each is verified
+    * alone elsewhere; the hand-offs are where schema drift hides —
+    * VERDICT r14 #5):
+    *
+    *  1. near-dup clustering ([[simhashNearDups]] → [[nearDupClusters]]):
+    *     every doc gets its cluster size;
+    *  2. hash split assignment ([[graft.text.TextAnalysis.splitAssign]]):
+    *     content-free 80/10/10 train/valid/test;
+    *  3. decontamination drop: a TRAIN doc is dropped when it shares a
+    *     winnow fingerprint ([[graft.text.TextAnalysis.winnowFingerprints]],
+    *     k=4/w=4) with any TEST-split doc, where the fingerprint carries
+    *     signal (train df ≤ 50 — the [[graft.text.TextAnalysis.winnowLeakage]]
+    *     boilerplate cap). Held-out docs are never dropped (they ARE the
+    *     benchmark side);
+    *  4. sampling weights: survivors weigh `1/cluster_size` (STAGE-1
+    *     cluster sizes — expectation semantics, [[dedupSampleWeights]]);
+    *  5. packing: survivors pack per split in doc_id order at the
+    *     2048-token budget ([[graft.text.TextAnalysis.packSequences]]
+    *     rule; dropped docs consume no budget).
+    *
+    * Readout per (source, split): kept/dropped doc counts, raw and
+    * 1/cluster_size-effective token masses (exact e4 floors), and the
+    * distinct packs the source touches.
+    *
+    * Scale: stage 1 is the band-bucketed cluster contraction (never
+    * all-pairs); stage 3 is fingerprint-keyed semi-joins with the test
+    * side small by construction; the doc-grain base fans out to the pack
+    * window and the rollup, so it `localCheckpoint`s once (narrow,
+    * doc-sized). The pack window shuffles on split — 3 partitions here;
+    * at 100 TB you'd widen the key to (split, shard) exactly as
+    * [[graft.text.TextAnalysis.packSequences]] documents.
+    */
+  def corpusBuild(docs: DataFrame): DataFrame = {
+    import graft.text.TextAnalysis
+    val cl = nearDupClusters(docs, simhashNearDups(docs))
+      .select(col("doc_id"), col("cluster_size"))
+    val sp = TextAnalysis.splitAssign(docs).select(col("doc_id"), col("split"))
+    val fpSplit = TextAnalysis.winnowFingerprints(docs).join(sp, "doc_id")
+    val testFp = fpSplit.filter(col("split") === "test")
+      .select(col("fingerprint")).distinct()
+    val trainVocab = fpSplit.filter(col("split") === "train")
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= 50L).select(col("fingerprint"))
+    val contam = fpSplit.filter(col("split") === "train")
+      .join(testFp, Seq("fingerprint"), "leftsemi")
+      .join(trainVocab, Seq("fingerprint"), "leftsemi")
+      .select(col("doc_id")).distinct()
+      .withColumn("__contam", lit(1L))
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        size(Cols.tokens(col("text"))).cast("long").as("__toks"))
+      .join(sp, "doc_id")
+      .join(cl, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("__kept", col("__contam").isNull)
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = base.filter(col("__kept"))
+      .withColumn("__cum", coalesce(sum(col("__toks")).over(w), lit(0L)))
+      .select(col("doc_id"), Cols.floorDiv(col("__cum"), lit(2048L)).as("__pack"))
+    base.join(packed, Seq("doc_id"), "left")
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(when(col("__kept"), lit(1))).as("n_docs_kept"),
+        count(when(!col("__kept"), lit(1))).as("n_contam_dropped"),
+        coalesce(sum(when(col("__kept"), col("__toks"))), lit(0L)).as("raw_tokens"),
+        coalesce(sum(when(col("__kept"),
+          Cols.floorDiv(col("__toks") * 10000L, col("cluster_size")))), lit(0L))
+          .as("eff_tokens_e4"),
+        countDistinct(col("__pack")).as("n_packs_touched"))
   }
 
   private val tokCte =
@@ -2457,6 +2535,76 @@ object Dedup {
          |  sum(10000 // csz)::BIGINT AS eff_docs_e4,
          |  sum((n_toks * 10000) // csz)::BIGINT AS eff_tokens_e4
          |FROM w GROUP BY 1""".stripMargin,
+    // the full chain: the dedup_clusters closure + the txt_winnow_leakage
+    // fingerprint/split CTEs + contaminated-train drop + 1/cluster_size
+    // weights + the txt_pack_sequences cumulative window over survivors
+    "dedup_corpus_build" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+         |), cl AS (
+         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+         |), nrm AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    [${h60("substr(norm, i, 4)")}
+         |     for i in generate_series(1, length(norm) - 3)] AS h
+         |  FROM nrm WHERE length(norm) >= 7
+         |), sel AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([list_min(h[i:i+3])
+         |                          for i in generate_series(1, len(h) - 3)])) AS fp
+         |  FROM f
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), testfp AS (
+         |  SELECT DISTINCT fp FROM sel JOIN sp USING (doc_id) WHERE split = 'test'
+         |), trainvocab AS (
+         |  SELECT fp FROM sel JOIN sp USING (doc_id)
+         |  WHERE split = 'train' GROUP BY fp HAVING count(*) <= 50
+         |), contam AS (
+         |  SELECT DISTINCT s.doc_id FROM sel s
+         |  JOIN sp USING (doc_id)
+         |  JOIN testfp USING (fp)
+         |  JOIN trainvocab USING (fp)
+         |  WHERE sp.split = 'train'
+         |), base AS (
+         |  SELECT d.doc_id, d.source, sp.split, len(t.toks)::BIGINT AS n_toks,
+         |    (count(*) OVER (PARTITION BY cl.cluster_id))::BIGINT AS csz,
+         |    (c.doc_id IS NULL) AS kept
+         |  FROM documents d
+         |  JOIN t USING (doc_id)
+         |  JOIN sp USING (doc_id)
+         |  JOIN cl USING (doc_id)
+         |  LEFT JOIN contam c ON c.doc_id = d.doc_id
+         |), pk AS (
+         |  SELECT doc_id,
+         |    coalesce(sum(n_toks) OVER (
+         |      PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+         |  FROM base WHERE kept
+         |)
+         |SELECT source, split,
+         |  count(*) FILTER (WHERE kept)::BIGINT AS n_docs_kept,
+         |  count(*) FILTER (WHERE NOT kept)::BIGINT AS n_contam_dropped,
+         |  coalesce(sum(n_toks) FILTER (WHERE kept), 0)::BIGINT AS raw_tokens,
+         |  coalesce(sum((n_toks * 10000) // csz) FILTER (WHERE kept), 0)::BIGINT AS eff_tokens_e4,
+         |  count(DISTINCT pk.pack_id)::BIGINT AS n_packs_touched
+         |FROM base LEFT JOIN pk USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     // the dedup_clusters closure + token lengths from the shared t CTE;
     // canonical ≡ doc_id = cluster_id (the component min)
     "dedup_impact" ->

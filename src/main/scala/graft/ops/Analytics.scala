@@ -2718,8 +2718,14 @@ object Analytics {
     *     (edge (u,v) is in the DAG iff `dist(u) + w(u,v) = dist(v)`;
     *     every edge cost is ≥ 1 by the [[weightedUndirect]] clamp, so
     *     costs strictly increase along DAG edges and it IS a DAG), by
-    *     `maxHops` rounds of predecessor-sum iteration (paths have
-    *     ≤ `maxHops` edges, so the iteration converges);
+    *     `maxHops` rounds of predecessor-sum iteration. NOTE: under the
+    *     hop-bounded Bellman-Ford the DAG can contain shortest paths
+    *     with MORE than `maxHops` edges (e.g. a 4-edge chain of cost-1
+    *     edges tying a direct cost-4 edge at maxHops=3), and the fixed
+    *     `maxHops` rounds count only DAG paths of ≤ `maxHops` edges —
+    *     σ/δ are therefore the TRUNCATED path counts, not the full
+    *     Brandes figures. Parity holds because the oracle unrolls the
+    *     identical rounds: both engines truncate identically;
     *  3. δ — Brandes dependencies by `maxHops` rounds of successor
     *     folds, `δ(u) = Σ_w ⌊σ_u · (10⁶ + δ(w)) / σ_w⌋` over DAG
     *     successors with σ_w > 0 (hop-bounding can leave a reached node

@@ -6,12 +6,12 @@ import scala.util.control.NonFatal
 
 /** Streaming throughput micro-bench: replay a deterministic synthetic
   * ClickEvent load through the reference pipelines via MemoryStream and
-  * report rows/s, emitted rows, peak state rows and slowest data-batch
-  * latency — one line per ARM:
+  * report rows/s, emitted rows, peak state rows, the per-microbatch state
+  * CURVE and slowest data-batch latency — one line per ARM:
   *
   *  - `sessionize` — pipeline A, the S1→W1→A1 session aggregation
   *    ([[ClickstreamStreams.clickEventSessions]]); figure comparable
-  *    across rounds since r13.
+  *    across rounds since r13 (r15 adds an untimed warmup, below).
   *  - `chained_kpis` — pipeline B chained on A (the §7.3 hard part:
   *    two stateful aggregations in one query,
   *    [[ClickstreamStreams.userKpis]] over the session window column).
@@ -21,6 +21,13 @@ import scala.util.control.NonFatal
   *    ([[TimerSessionizer]], transformWithState) with the RocksDB state
   *    store provider — the state-scale-honest configuration (HDFS-backed
   *    in-memory state would OOM first at real state sizes).
+  *  - `sessionize_curve` — a LONGER replay (20 micro-batches, smaller
+  *    user set) of pipeline A whose deliverable is `state_curve`: the
+  *    per-microbatch total state rows, demonstrating that session state
+  *    PLATEAUS at the in-flight session count (watermark closes earlier
+  *    sessions as event time advances — Flink's merged-pane GC analog,
+  *    ClickstreamProcessor.java:129 gap semantics) instead of growing
+  *    with batches fed, and drains to ~0 after the flusher.
   *
   * Every batch-bench number is a BATCH number; these lines make a
   * streaming regression (state blow-up, per-batch latency creep,
@@ -30,11 +37,26 @@ import scala.util.control.NonFatal
   * LinkageError) propagate — after one the heap is in unknown state and
   * any subsequent batch JSON would be untrustworthy.
   *
+  * NOISE ACCOUNTING (r15, VERDICT r14 #2): each arm runs the caller's
+  * calibration probe immediately before AND after the replay and reports
+  * the WORSE of the two as `probe_sec` — an arm is trusted/gated only
+  * when its whole measurement window looked quiet, the streaming mirror
+  * of the batch gate's per-query probes. [[graft.Bench]] keeps per-arm
+  * TRUSTED baselines (`streaming_trusted`) under the same machine-state
+  * anchor/adoption bands as the batch queries.
+  *
+  * JIT WARMUP (r15, VERDICT r14 #1): a small UNTIMED replay runs before
+  * the first arm. Through r14 the `sessionize` arm absorbed the one-time
+  * JIT/codegen cost of the whole streaming machinery (state store,
+  * MemoryStream, micro-batch scheduling) — tens of seconds of compiler
+  * time that varies with heap/JIT state left behind by the batch run,
+  * which is exactly the r14 "2.3× regression on unchanged code" class.
+  * Warming untimed makes arm figures measure the ENGINE steady state.
+  *
   * The load shape is fixed and content-deterministic (users × sessions ×
   * 5 events, 1 s reference gap honored via 2 s inter-session silence),
   * so cross-round figures compare the ENGINE, not the generator; only
-  * wall-clock varies with machine state — read it next to the batch
-  * run's probe_base_sec.
+  * wall-clock varies with machine state — read it next to `probe_sec`.
   */
 object StreamBench {
 
@@ -74,10 +96,12 @@ object StreamBench {
       spark: SparkSession,
       name: String,
       build: DataFrame => DataFrame,
-      nUsers: Int, sessionsPerUser: Int, nBatches: Int): String =
+      nUsers: Int, sessionsPerUser: Int, nBatches: Int,
+      probe: () => Double = () => -1.0): String =
     try {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
+      val probeBefore = probe()
       val input = MemoryStream[BenchEvent]
       val sinkName = s"stream_bench_$name"
       val q = build(input.toDF())
@@ -100,11 +124,13 @@ object StreamBench {
         val wallSec = (System.nanoTime() - t0) / 1e9
         val nOut = spark.table(sinkName).count()
         val progress = q.recentProgress.toSeq
-        // chained arms run >1 stateful operator per batch; peak state is
-        // the max over batches of the SUM across that batch's operators
-        val stateRowsMax = progress
+        // chained arms run >1 stateful operator per batch; state per batch
+        // is the SUM across that batch's operators. The full curve shows
+        // plateau (bounded in-flight state) and post-watermark eviction;
+        // the max is its headline.
+        val stateCurve = progress
           .map(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal).sum)
-          .foldLeft(0L)(math.max)
+        val stateRowsMax = stateCurve.foldLeft(0L)(math.max)
         // processAllAvailable runs extra no-data micro-batches to emit
         // after the watermark advances; per-batch latency is only
         // meaningful over DATA batches, so report the fed count and the
@@ -114,16 +140,25 @@ object StreamBench {
         val maxDataBatchMs = dataBatches
           .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
           .foldLeft(-1L)(math.max)
+        val probeAfter = probe()
+        // the WORSE of the bracketing probes: trust the figure only when
+        // the whole replay window looked quiet
+        val probeSec = math.max(probeBefore, probeAfter)
         val rowsIn = all.size.toLong + 1L
         def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+        def n4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
         s"""{"pipeline":"$name","rows_in":$rowsIn,"wall_sec":${n2(wallSec)},""" +
           s""""rows_per_sec":${(rowsIn / math.max(wallSec, 1e-9)).toLong},""" +
           s""""n_rows_out":$nOut,"state_rows_max":$stateRowsMax,""" +
+          s""""state_curve":[${stateCurve.mkString(",")}],""" +
           s""""n_batches_fed":${nBatches + 1},"n_microbatches":${progress.size},""" +
-          s""""max_data_batch_ms":$maxDataBatchMs}"""
+          s""""max_data_batch_ms":$maxDataBatchMs,"probe_sec":${n4(probeSec)}}"""
       } finally {
-        q.stop()
-        spark.catalog.dropTempView(sinkName)
+        // stop may throw (e.g. stop-timeout after a failed stream); the
+        // memory-sink temp view must drop regardless or it leaks all
+        // output rows into the session the batch bench keeps using
+        try q.stop()
+        finally spark.catalog.dropTempView(sinkName)
       }
     } catch {
       case NonFatal(e) =>
@@ -148,32 +183,87 @@ object StreamBench {
     }
   }
 
-  /** Runs the four arms and returns a compact JSON ARRAY (no trailing
+  /** Untimed warmup: a tiny replay through the session pipeline (and one
+    * through the timer sessionizer) so the first TIMED arm doesn't absorb
+    * the streaming machinery's one-time JIT/codegen cost — see the object
+    * scaladoc for the r14 regression this prevents. Discarded result.
+    */
+  def warmup(spark: SparkSession): Unit = {
+    arm(spark, "warmup", df => ClickstreamStreams.clickEventSessions(df), 10, 4, 2)
+    withRocksDb(spark) {
+      arm(spark, "warmup_timer",
+        df => TimerSessionizer.sessions(spark,
+          ClickstreamStreams.fromClickEvents(df)).toDF(), 10, 4, 2)
+    }
+  }
+
+  /** Runs the five arms and returns a compact JSON ARRAY (no trailing
     * newline) for embedding under a `"streaming"` key. Arm order is
     * fixed; the `sessionize` arm keeps its r13 shape (modulo the
     * `n_sessions` → `n_rows_out` field rename) for cross-round reads.
+    * `probe` is the caller's CPU calibration probe (see noise accounting
+    * in the object scaladoc); the default no-op keeps spec callers
+    * probe-free.
     */
   def run(spark: SparkSession, nUsers: Int = 400, sessionsPerUser: Int = 30,
-      nBatches: Int = 4): String = {
+      nBatches: Int = 4, probe: () => Double = () => -1.0,
+      doWarmup: Boolean = true): String = {
+    if (doWarmup) warmup(spark)
     val a = arm(spark, "sessionize",
       df => ClickstreamStreams.clickEventSessions(df),
-      nUsers, sessionsPerUser, nBatches)
+      nUsers, sessionsPerUser, nBatches, probe)
     // 10 s tumbling windows (the reference's pipeline B/C width,
     // ClickstreamProcessor.java:141-154) over the ~90 s replay → ~9 panes
     val b = arm(spark, "chained_kpis",
       df => ClickstreamStreams.userKpis(
         ClickstreamStreams.clickEventSessions(df), "10 seconds"),
-      nUsers, sessionsPerUser, nBatches)
+      nUsers, sessionsPerUser, nBatches, probe)
     val c = arm(spark, "chained_departments",
       df => ClickstreamStreams.departments(
         ClickstreamStreams.clickEventSessions(df), "10 seconds"),
-      nUsers, sessionsPerUser, nBatches)
+      nUsers, sessionsPerUser, nBatches, probe)
     val t = withRocksDb(spark) {
       arm(spark, "timer_rocksdb",
         df => TimerSessionizer.sessions(spark,
           ClickstreamStreams.fromClickEvents(df)).toDF(),
-        nUsers, sessionsPerUser, nBatches)
+        nUsers, sessionsPerUser, nBatches, probe)
     }
-    s"[$a,$b,$c,$t]"
+    // long replay, small user set: the state-PLATEAU demonstration
+    // (in-flight sessions bound state, not batches fed) — at the bench
+    // defaults 100 users × 60 sessions over 20 micro-batches, ~3
+    // sessions/user in flight; sized off the main params so spec-scale
+    // runs stay fast
+    val curve = arm(spark, "sessionize_curve",
+      df => ClickstreamStreams.clickEventSessions(df),
+      math.max(1, nUsers / 4), sessionsPerUser * 2, nBatches * 5, probe)
+    s"[$a,$b,$c,$t,$curve]"
+  }
+}
+
+/** Standalone runner for A/B triage: replays selected arms in a FRESH
+  * JVM, optionally several times, one JSON array line per repeat —
+  * separates machine state and JVM state from engine regressions
+  * (VERDICT r14 #1). `SPARK_GRAFT_STREAM_REPEATS` (default 2) shows the
+  * JIT-warm steady state by the second line; `SPARK_GRAFT_STREAM_WARMUP=0`
+  * disables the untimed warmup to reproduce the ≤r14 cold measurement.
+  */
+object StreamBenchMain {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPEATS", "2").toInt
+    val doWarmup = !sys.env.get("SPARK_GRAFT_STREAM_WARMUP").contains("0")
+    val spark = graft.GraftSession.local("graft-stream-bench", cpus.toInt)
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(150000)
+        .selectExpr("sum(conv(substr(md5(cast(id as string)),1,15),16,10))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to repeats).foreach { i =>
+      val j = StreamBench.run(spark, probe = () => probe(),
+        doWarmup = doWarmup && i == 1)
+      println(s"""{"repeat":$i,"streaming":$j}""")
+    }
+    spark.stop()
   }
 }

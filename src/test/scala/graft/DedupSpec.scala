@@ -25,6 +25,34 @@ class DedupSpec extends SparkSpec {
       ("s1", 1L, 1L, 3L, 5000L, 15000L)))
   }
 
+  test("corpus build: cluster → split → decontam-drop → weights → pack compose") {
+    // hash-split facts (md5('split:'||id) % 100): 1,3,4 → train; 2 →
+    // valid; 25 → test. Doc 1 (train) is IDENTICAL to test doc 25 →
+    // shares every winnow fingerprint (train-df 1 ≤ 50) → dropped as
+    // contaminated; docs 3 ≡ 4 are a clean near-dup cluster (csz 2, so
+    // each keeps weight 1/2); doc 2 is a clean valid singleton. The
+    // three texts use DISJOINT alphabets, so no cross-text 4-gram (and
+    // hence no winnow fingerprint) can collide, and unrelated simhashes
+    // are ~30 bits apart — only the identical pairs cluster.
+    val d = Seq(
+      (1L, "zzq zzw zzr zzt zzy", "s0"),
+      (25L, "zzq zzw zzr zzt zzy", "s1"),
+      (3L, "ppa ppb ppc ppd ppe ppf", "s0"),
+      (4L, "ppa ppb ppc ppd ppe ppf", "s1"),
+      (2L, "mmg mmh mmi mmj", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.corpusBuild(d)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      // (source, split, kept, dropped, raw_toks, eff_tokens_e4, packs):
+      // every split's kept mass is < 2048 tokens → single pack 0 each
+      ("s0", "train", 1L, 1L, 6L, 30000L, 1L),
+      ("s0", "valid", 1L, 0L, 4L, 40000L, 1L),
+      ("s1", "test", 1L, 0L, 5L, 25000L, 1L),
+      ("s1", "train", 1L, 0L, 6L, 30000L, 1L)))
+  }
+
   test("exact dedup groups normalized duplicates, keeps lowest doc_id") {
     val got = Dedup.exact(docs(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")))

@@ -45,6 +45,11 @@ class EdgeCaseSpec extends SparkSpec {
         .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")).count() === 0L)
   }
 
+  test("round-15 operators tolerate empty inputs") {
+    val emptySourced = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Dedup.corpusBuild(emptySourced).count() === 0L)
+  }
+
   test("round-14 operators tolerate empty inputs") {
     import graft.ops.{Analytics, TimeSeries}
     val emptyPairs = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "n_ab")
