@@ -1522,7 +1522,9 @@ object Dedup {
     * norm `norm2`.
     */
   private[graft] def quantized(embeddings: DataFrame): DataFrame = {
-    val q = embeddings.select(
+    // 64-dim integer vector math downstream — fan the single-split scan
+    // out first (guide §2.5; no-op at real scale — see Tables.fanOutScan)
+    val q = graft.Tables.fanOutScan(embeddings).select(
       col("vec_id"),
       // int64 from the start: the parquet int32 would otherwise leak into
       // result schemas, where DuckDB answers BIGINT (type-contract spec)

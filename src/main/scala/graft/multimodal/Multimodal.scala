@@ -959,7 +959,11 @@ object Multimodal {
     * expression-level synth as [[asPpmImages]] — every frame is a VALID
     * P6 the real codecs parse.
     */
-  def asVideoClips(docs: DataFrame, frames: Int = 4): DataFrame = {
+  def asVideoClips(docs0: DataFrame, frames: Int = 4): DataFrame = {
+    // decode work downstream of every as*() helper runs in mapPartitions —
+    // fan the single-split scan out first (guide §2.5; Tables.fanOutScan
+    // is a no-op on real multi-split inputs)
+    val docs = graft.Tables.fanOutScan(docs0)
     val stream = expr(
       s"substring(repeat(text, cast(${768 + (frames - 1) * 37} / length(text) as int) + 1), " +
         s"1, ${768 + (frames - 1) * 37})")
@@ -1034,7 +1038,7 @@ object Multimodal {
     * deterministically so downstream queries exercise per-type handling.
     */
   def asMediaRecords(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Tables.fanOutScan(docs).select(
       col("doc_id"),
       element_at(
         array(lit("image"), lit("audio"), lit("video")),
@@ -1081,7 +1085,7 @@ object Multimodal {
     * is what lets the full decode→resize→hash path carry an exact oracle.
     */
   def asPpmImages(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Tables.fanOutScan(docs).select(
       col("doc_id"),
       encode(concat(lit("P6\n16 16\n255\n"), expr(
         "substring(repeat(text, cast(768 / length(text) as int) + 1), 1, 768)")),
@@ -1173,7 +1177,7 @@ object Multimodal {
       .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
       .putShort(2.toShort).putShort(16.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    docs.select(
+    graft.Tables.fanOutScan(docs).select(
       col("doc_id"),
       concat(lit(bb.array()), encode(expr(
         "substring(repeat(text, cast(1024 / length(text) as int) + 1), 1, 1024)"),

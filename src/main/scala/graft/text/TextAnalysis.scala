@@ -451,13 +451,16 @@ object TextAnalysis {
     * over shared fingerprints inherits the posting-list disciplines.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
-    docs
+    // md5-per-char-gram map work on a possibly single-split scan — fan
+    // out first (guide §2.5 unsplittable input; Dedup.shingleRows shape)
+    graft.Tables.fanOutScan(docs)
       .select(col("doc_id"), Cols.normalizeText(col("text")).as("__norm"))
       .filter(length(col("__norm")) >= k + w - 1)
-      .withColumn(
-        "__h",
-        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
-          s"i -> graft_hash60(substr(__norm, i, $k)))"))
+      // char array FIRST (Cols.charsOf): the former substr(__norm, i, k)
+      // spelling re-walked the string's bytes from position 0 per gram —
+      // O(len²) per document; same gram values, same hashes
+      .select(col("doc_id"), Cols.charsOf(col("__norm")).as("__c"))
+      .withColumn("__h", Cols.charGramHashesOfChars(col("__c"), k))
       .select(
         col("doc_id"),
         explode(array_distinct(
@@ -665,13 +668,12 @@ object TextAnalysis {
     */
   private[graft] def benchmarkPositionalIndex(benchmark: DataFrame): DataFrame = {
     val k = 4; val w = 4
-    benchmark
+    graft.Tables.fanOutScan(benchmark)
       .select(col("doc_id"), Cols.normalizeText(col("text")).as("__norm"))
       .filter(length(col("__norm")) >= k + w - 1)
-      .withColumn(
-        "__h",
-        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
-          s"i -> graft_hash60(substr(__norm, i, $k)))"))
+      // char array first — the [[winnowFingerprints]] quadratic-substr fix
+      .select(col("doc_id"), Cols.charsOf(col("__norm")).as("__c"))
+      .withColumn("__h", Cols.charGramHashesOfChars(col("__c"), k))
       .select(
         col("doc_id"),
         posexplode(expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +
@@ -1164,14 +1166,15 @@ object TextAnalysis {
     * iteration's merges applied in the map stage.
     */
   def bpePairs(docs: DataFrame, k: Int = 50): DataFrame =
-    docs
+    graft.Tables.fanOutScan(docs)
       // materialize the normalized string BEFORE the lambda (the
       // shinglesOfTokens re-evaluation discipline)
       .select(lower(col("text")).as("__t"))
       .filter(length(col("__t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"))
-        .as("pair"))
+      // char-array bigrams (Cols.charGramsOfChars) — the substring-per-
+      // index spelling was O(len²) per doc; identical pair values
+      .select(Cols.charsOf(col("__t")).as("__c"))
+      .select(explode(Cols.charGramsOfChars(col("__c"), 2)).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
@@ -1223,7 +1226,11 @@ object TextAnalysis {
     * returned checkpoint.
     */
   private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    var toks = docs
+    // fan out BEFORE the checkpoint: every merge round's pair count and
+    // remerge fold then runs at session parallelism instead of on the
+    // single-split scan's one task (guide §2.5; the checkpoint pins the
+    // partitioning for all rounds)
+    var toks = graft.Tables.fanOutScan(docs)
       .select(col("doc_id"), Cols.tokens(col("text")).as("toks"))
       .localCheckpoint()
     val mergeExpr =
@@ -1714,12 +1721,12 @@ object TextAnalysis {
     * after is |docs|·|alphabet| rows.
     */
   def charEntropy(docs: DataFrame, lowE4: Long = 20000L): DataFrame = {
-    val chars = docs
+    val chars = graft.Tables.fanOutScan(docs)
       .select(col("doc_id"), Cols.normalizeText(col("text")).as("__n"))
       .filter(length(col("__n")) > 0)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(__n)), i -> substring(__n, i, 1))"))
-          .as("ch"))
+      // split(''), not substring-per-index: the per-char substring walks
+      // the string from byte 0 each call — O(len²) per doc (Cols.charsOf)
+      .select(col("doc_id"), explode(Cols.charsOf(col("__n"))).as("ch"))
     val c = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
     val t = c.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct_chars"))
