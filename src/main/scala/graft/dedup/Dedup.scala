@@ -1141,7 +1141,10 @@ object Dedup {
     * hash aggregate, no explode of bits).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(array_distinct(Cols.tokens(col("text")))).as("tok"))
+    // fan out the single-split scan before the tokenize+md5 map work
+    // (guide §2.5; see Tables.fanOutScan — no-op on real inputs)
+    val toks = graft.Tables.fanOutScan(docs)
+      .select(col("doc_id"), explode(array_distinct(Cols.tokens(col("text")))).as("tok"))
       .withColumn("h", Cols.hash60(col("tok")))
     val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
       // +1 for a set bit, -1 for clear: majority ⇔ positive sum
@@ -1178,22 +1181,26 @@ object Dedup {
       col("doc_id"),
       col("simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
+    // Hamming test INSIDE the join, BEFORE the pair distinct: the
+    // distinct's exchange otherwise carries every bucket-product
+    // candidate (multiplied up to nChunks× per agreeing pair) only for
+    // the filter to drop most of them afterwards — the XOR+popcount is
+    // a few cycles per candidate, so verifying in the join output and
+    // deduping survivors shuffles the near-dup pair set instead of the
+    // candidate set (guide §2.3: shuffle fewer bytes). Identical output:
+    // hamming is a function of the pair, so dedup before or after the
+    // test selects the same pairs.
     chunks.as("a")
       .join(
         chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(
         col("a.doc_id").as("doc_id_1"),
         col("b.doc_id").as("doc_id_2"),
-        col("a.simhash").as("s1"),
-        col("b.simhash").as("s2"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .select(
-        col("doc_id_1"),
-        col("doc_id_2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs by quantized cosine: embeddings quantized to
@@ -1521,10 +1528,21 @@ object Dedup {
   /** Embeddings with quantized integer vector `qv` and its exact squared
     * norm `norm2`.
     */
-  private[graft] def quantized(embeddings: DataFrame): DataFrame = {
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
+    quantized(embeddings, fanOut = true)
+
+  /** `fanOut = false` skips the scan fan-out: for a STRIDED query batch
+    * (corpus/QueryStride rows) the repartition below the stride filter
+    * buys nothing and costs the broadcast its bound — with the exchange
+    * in the subtree the optimizer prunes/moves the pmod filter off the
+    * broadcast side and the build side degenerates to the full corpus
+    * (BroadcastBoundSpec caught exactly this on ann_range_lsh, r15).
+    */
+  private[graft] def quantized(embeddings: DataFrame, fanOut: Boolean): DataFrame = {
     // 64-dim integer vector math downstream — fan the single-split scan
     // out first (guide §2.5; no-op at real scale — see Tables.fanOutScan)
-    val q = graft.Tables.fanOutScan(embeddings).select(
+    val src = if (fanOut) graft.Tables.fanOutScan(embeddings) else embeddings
+    val q = src.select(
       col("vec_id"),
       // int64 from the start: the parquet int32 would otherwise leak into
       // result schemas, where DuckDB answers BIGINT (type-contract spec)

@@ -1203,14 +1203,22 @@ object Analytics {
   def pageRank(edges: DataFrame, iterations: Int = 3, dampingE4: Long = 8500L): DataFrame = {
     require(iterations >= 1 && dampingE4 >= 0 && dampingE4 <= 10000)
     val E = 1000000000L
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // iteration state checkpoints (the [[bfsHops]]/[[components]]
+    // discipline, missing here through r14): each iteration references
+    // `ranks` twice (contrib + dangling) and the edge/node/out-weight
+    // tables once per round — the un-checkpointed plan doubled per round.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
-    val outW = edges.groupBy(col("src")).agg(sum(col("weight")).as("__outw"))
+    val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("__outw"))
+      .localCheckpoint()
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), graft.Cols.floorDiv(lit(E), col("__n")).as("rank_e9"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outW, "src")
         .select(
@@ -1222,7 +1230,7 @@ object Analytics {
         ranks
           .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("__dm")))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(nRow)
         .crossJoin(dangling)
@@ -1233,7 +1241,13 @@ object Analytics {
               lit(dampingE4) *
                 (coalesce(col("__s"), lit(0L)) + graft.Cols.floorDiv(col("__dm"), col("__n"))),
               10000L)).as("rank_e9"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(ranks)
+      ranks = next
     }
+    graft.LocalCheckpoints.free(e)
+    graft.LocalCheckpoints.free(nodes)
+    graft.LocalCheckpoints.free(outW)
     ranks
   }
 
@@ -1698,17 +1712,24 @@ object Analytics {
   }
 
   def cheapestPath(pairs: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
-    val und = weightedUndirect(pairs)
+    // per-round checkpoints: same doubling (relax + union both reference
+    // the previous round) and same fix as [[bfsHops]]
+    val und = weightedUndirect(pairs).localCheckpoint()
     val sources = hubSources(und, nSources)
     var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("cost_e6"))
+      .localCheckpoint()
     for (_ <- 1 to maxHops) {
       val relax = dist.join(und, col("node") === col("src"))
         .select(col("source"), col("dst").as("node"),
           (col("cost_e6") + col("w")).as("cost_e6"))
-      dist = dist.unionAll(relax)
+      val next = dist.unionAll(relax)
         .groupBy(col("source"), col("node"))
         .agg(min(col("cost_e6")).as("cost_e6"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(dist)
+      dist = next
     }
+    graft.LocalCheckpoints.free(und)
     dist
   }
 
@@ -2528,17 +2549,30 @@ object Analytics {
       .select(col("src").as("source"))
 
   def bfsHops(edges: DataFrame, nSources: Int = 3, maxHops: Int = 3): DataFrame = {
-    val und = undirect(edges)
+    // the [[components]] lineage discipline, which this loop lacked
+    // through r14: round r references round r−1 TWICE (frontier filter +
+    // union), so the un-checkpointed plan doubled per round — at maxHops=3
+    // the final li_closeness plan carried ~300 copies of the lineitem scan
+    // and the co-occurrence pyramid, and Catalyst planning dominated the
+    // measured time (plans/r15/li_closeness_before.txt). One checkpoint
+    // per round keeps the plan linear; the edge table materializes once.
+    val und = undirect(edges).localCheckpoint()
     val sources = hubSources(und, nSources)
     var dist = sources.select(col("source"), col("source").as("node"), lit(0L).as("hops"))
+      .localCheckpoint()
     for (r <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (r - 1).toLong)
         .join(und, col("node") === col("src"))
         .select(col("source"), col("dst").as("node"), lit(r.toLong).as("hops"))
-      dist = dist.unionAll(frontier)
+      val next = dist.unionAll(frontier)
         .groupBy(col("source"), col("node"))
         .agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+      graft.LocalCheckpoints.free(dist)
+      dist = next
     }
+    // only the final (checkpointed) distance table backs the returned plan
+    graft.LocalCheckpoints.free(und)
     dist
   }
 
@@ -2925,6 +2959,9 @@ object Analytics {
     * single-partition window.
     */
   def linkPrediction(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
+    // NOT checkpointed: measured 0.81x (r15 A/B) — exchange reuse already
+    // shares the upstream pyramid across the references, and the barrier
+    // costs more than it saves
     val e = edges.select(col("src"), col("dst"))
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .union(e.select(col("dst").as("node"), col("src").as("nbr")))
@@ -2972,6 +3009,7 @@ object Analytics {
     * screen, TakeOrderedAndProject top-k.
     */
   def adamicAdar(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
+    // not checkpointed — the [[linkPrediction]] measurement (0.87x here)
     val e = edges.select(col("src"), col("dst"))
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .union(e.select(col("dst").as("node"), col("src").as("nbr")))
@@ -3078,9 +3116,15 @@ object Analytics {
   }
 
   def edgeSupport(edges: DataFrame): DataFrame = {
+    // checkpoint the canonical edge set ([[trussPeel]]'s `all` shape):
+    // supportOf references it four times (degrees, orientation, the
+    // closing semi-join) plus the final left join — un-checkpointed,
+    // each reference re-plans (and without exchange reuse re-executes)
+    // the whole upstream co-occurrence pyramid
     val e = edges.select(
       least(col("src"), col("dst")).as("item_a"),
       greatest(col("src"), col("dst")).as("item_b")).distinct()
+      .localCheckpoint()
     e.join(supportOf(e), Seq("item_a", "item_b"), "left")
       .na.fill(0L, Seq("support"))
       .select(
@@ -3209,7 +3253,8 @@ object Analytics {
   }
 
   def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // same edge-input checkpoint as [[edgeSupport]]
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val (deg, tri) = orientedTriangles(e)
     val t = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))

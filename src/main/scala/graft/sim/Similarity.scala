@@ -501,9 +501,14 @@ object Similarity {
       .distinct()
     // broadcast side is the QUERY BATCH, never the corpus: candidate
     // query_ids are strided by construction, so the stride filter here
-    // changes nothing semantically — it bounds the broadcast (r8 fix)
+    // changes nothing semantically — it bounds the broadcast (r8 fix).
+    // Built from the UN-fanned quantized scan: with the fan-out exchange
+    // below it, the optimizer prunes the (semantically redundant) stride
+    // filter off this build side and the broadcast degenerates to the
+    // corpus (BroadcastBoundSpec, r15) — and a corpus/stride-row batch
+    // gains nothing from a repartition anyway.
     val scored = cand
-      .join(broadcast(queryBatch(q).select(
+      .join(broadcast(queryBatch(Dedup.quantized(embeddings, fanOut = false)).select(
         col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))),
         "query_id")
       .join(q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -2048,6 +2053,11 @@ object Similarity {
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
     def dlit(v: Long): Column = lit(v).cast(dec)
+    // NOT checkpointed: a materialize-the-quantized-corpus-once variant
+    // was measured (r15) at parity-to-slower on the fanned-out scan —
+    // the 2·steps+3 re-scans are cheap once parallel, and the checkpoint
+    // adds a barrier plus a resident block the readout pins for the
+    // session (the bpeCompression trade, not worth it here)
     val q = Dedup.quantized(embeddings).select(col("vec_id"), col("qv"))
     // one scan: n, per-dim means (floor), and the per-dim centered-SS
     // seed direction n·ΣQ² − S² (positive, generically non-orthogonal to

@@ -66,7 +66,19 @@ class BroadcastBoundSpec extends SparkSpec {
         val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
         val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
         broadcasts.foreach { b =>
-          val sub = b.child.toString.replaceAll("#\\d+L?", "")
+          // a ReusedExchangeExec is a LEAF whose toString hides the
+          // referenced exchange's subtree — the r15 scan fan-out made
+          // strided batches share the repartition exchange with the
+          // corpus side, so the stride filter lives inside the reuse
+          // target; expand targets so the boundedness proof sees them
+          // (an actually-unbounded broadcast still fails: the expansion
+          // shows the raw scan with no filter)
+          def expand(p: org.apache.spark.sql.execution.SparkPlan): String =
+            p.toString + p.collect {
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+                "\n-- reused exchange target --\n" + expand(r.child)
+            }.mkString
+          val sub = expand(b.child).replaceAll("#\\d+L?", "")
           val strided = sub.contains(s"pmod(vec_id, ${Similarity.QueryStride})")
           // the aggregate must BOUND THE SUBTREE ROOT, not merely appear
           // somewhere in it: a preorder collectFirst would find a bounded
@@ -85,6 +97,9 @@ class BroadcastBoundSpec extends SparkSpec {
           def boundedByAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
             case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => keysBounded(a)
             case _: org.apache.spark.sql.execution.GenerateExec => false
+            // descend into the reuse target — same subtree, same bound
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              boundedByAgg(r.child)
             case u: org.apache.spark.sql.execution.UnaryExecNode => boundedByAgg(u.child)
             case j: org.apache.spark.sql.execution.BinaryExecNode =>
               boundedByAgg(j.left) && boundedByAgg(j.right)
