@@ -301,7 +301,17 @@ object Bench {
       (k, if (!okQ) -1.0 else if (factor < 1.3) sec else sec / factor)
     }
     val correctedTotal = corrected.collect { case (_, v) if v >= 0 => v }.sum
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // Per-CORE-COUNT detail file (VERDICT r15 #2/#3): the driver benches
+    // at two core counts, and a single shared detail file made the runs
+    // clobber each other's per-query breakdown AND cross-contaminate the
+    // regression gate — the probe is scheduling-overhead-bound, so its
+    // base barely moves with the core count (0.0425 at 32 vs 0.0465 at
+    // 8), while parallel-heavy queries legitimately run 1.5–2× slower at
+    // 8 cores. r15's one "regression" flag (txt_span_dup_profile
+    // 0.58 → 0.90) was exactly an 8-core quiet measurement compared
+    // against a 32-core trusted baseline. Keying the gate state by cpus
+    // gives each machine shape its own honest baseline history.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", s"BENCH_DETAIL_c$cpus.json")
     // regression gate (report, not a suite failure): read the PREVIOUS
     // detail file before overwriting it and flag any query whose QUIET
     // current measurement grew >1.5× vs its per-query TRUSTED baseline
@@ -541,6 +551,13 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // legacy mirror for readers that expect the old fixed name (write-only:
+    // the gate reads ONLY the per-cpus file, so a different-core-count run
+    // overwriting this mirror can no longer contaminate baselines)
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_DETAIL"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + num2(v) }
       .mkString("{", ",", "}")

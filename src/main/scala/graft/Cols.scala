@@ -129,8 +129,10 @@ object Cols {
     * projected column first (the [[shinglesOfTokens]] discipline):
     * passing `split(...)` directly re-evaluates the split per lambda
     * index under interpreted eval and reintroduces the O(L²).
-    * Callers also guarantee size(chars) ≥ k (sequence errors on
-    * descending ranges).
+    * Callers also guarantee size(chars) ≥ k: a shorter array does NOT
+    * fail cleanly — `sequence(1, 0)` infers step -1 and yields [1, 0],
+    * so the lambda would read element_at index 0 (an error under ANSI,
+    * nulls otherwise) instead of producing an empty gram list.
     */
   def charGramsOfChars(chars: Column, k: Int): Column =
     transform(

@@ -1527,20 +1527,27 @@ object Dedup {
 
   /** Embeddings with quantized integer vector `qv` and its exact squared
     * norm `norm2`.
+    *
+    * No scan fan-out here: quantization itself is cheap (64 multiplies
+    * per row), so whether the single-split scan is worth a round-robin
+    * exchange depends on the CONSUMER's per-row work — the registry
+    * wraps the embeddings table in [[graft.Tables.fanOutScan]] for the
+    * measured-heavy pair/rerank queries and leaves the ~40 sub-second
+    * readout consumers on the plain scan (VERDICT r15 #1: the blanket
+    * `fanOut = true` default taxed them 1.2–2.0×).
     */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
-    quantized(embeddings, fanOut = true)
+    quantized(embeddings, fanOut = false)
 
-  /** `fanOut = false` skips the scan fan-out: for a STRIDED query batch
-    * (corpus/QueryStride rows) the repartition below the stride filter
-    * buys nothing and costs the broadcast its bound — with the exchange
-    * in the subtree the optimizer prunes/moves the pmod filter off the
+  /** `fanOut = false` (the default) skips the scan fan-out. Beyond the
+    * tail tax above, a STRIDED query batch (corpus/QueryStride rows)
+    * must never fan out: the repartition below the stride filter buys
+    * nothing and costs the broadcast its bound — with the exchange in
+    * the subtree the optimizer prunes/moves the pmod filter off the
     * broadcast side and the build side degenerates to the full corpus
     * (BroadcastBoundSpec caught exactly this on ann_range_lsh, r15).
     */
   private[graft] def quantized(embeddings: DataFrame, fanOut: Boolean): DataFrame = {
-    // 64-dim integer vector math downstream — fan the single-split scan
-    // out first (guide §2.5; no-op at real scale — see Tables.fanOutScan)
     val src = if (fanOut) graft.Tables.fanOutScan(embeddings) else embeddings
     val q = src.select(
       col("vec_id"),
@@ -1600,12 +1607,18 @@ object Dedup {
     "dedup_source_matrix" -> ((s, d) => crossSourceDupMatrix(Tables.documents(s, d))),
     "dedup_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "dedup_impact" -> ((s, d) => dedupImpact(Tables.documents(s, d))),
-    "dedup_embedding" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
+    // all-pairs quantized cosine: the one embeddings consumer whose
+    // per-row work (|corpus|² longDot) dwarfs the fan-out exchange —
+    // opt-in scan fan-out at the registry (guide §2.5; r15 A/B 2.36 s →
+    // 0.32 s with it; the cell-bounded semantic paths measured flat)
+    "dedup_embedding" -> ((s, d) =>
+      embeddingNearDups(graft.Tables.fanOutScan(Tables.embeddings(s, d)))),
     "dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     // SemDeDup threshold sweep: one within-cell pair cosine table scored
     // at every candidate θ — the deletion-budget curve
     "dedup_semantic_sweep" -> ((s, d) => semanticSweep(Tables.embeddings(s, d))),
-    "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupsLsh(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingNearDupsLsh(graft.Tables.fanOutScan(Tables.embeddings(s, d)))),
     "dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       nearDupClusters(docs, simhashNearDups(docs))

