@@ -309,8 +309,11 @@ object SparkEntry {
     // the multiple-testing layer over the arm-test family: exact-count
     // re-randomization p-values (64 hash-deterministic replicates) +
     // integer Benjamini-Hochberg step-up at q=5% across types
+    // fan the single-split scan out first (guide §2.5): the ×64-replicate
+    // hash explode is the map-heavy case — it ran as ONE 4.3 s task on
+    // the single-row-group scan (ProfileScratch r16), vs ~0.4 s spread
     "ev_perm_fdr" -> ((s, dir) =>
-      graft.ops.Stats.permFdr(Tables.events(s, dir))),
+      graft.ops.Stats.permFdr(Tables.fanOutScan(Tables.events(s, dir)))),
     // sequential member of the arm-test family: Wald SPRT daily LLR
     // trace per (type, arm) with accept/continue verdicts — the test
     // designed to be peeked at, unlike the fixed-horizon screens
@@ -356,8 +359,9 @@ object SparkEntry {
     // Poisson-bootstrap CI band per event type: 32 hash-deterministic
     // Poisson(1)-weighted replicates in ONE scan (bounded ×32 explode,
     // map-side combined) — the resampling method that runs at 100 TB
+    // same ×reps hash-explode shape as ev_perm_fdr — fan the scan out
     "ev_bootstrap_ci" -> ((s, dir) =>
-      graft.ops.Stats.bootstrapCi(Tables.events(s, dir))),
+      graft.ops.Stats.bootstrapCi(Tables.fanOutScan(Tables.events(s, dir)))),
     // population-stability-index drift screen: reference-half equal-width
     // cent bins, Laplace-smoothed shares, e4 quantize-then-sum ln terms
     "ev_psi" -> ((s, dir) =>

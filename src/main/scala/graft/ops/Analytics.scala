@@ -521,24 +521,55 @@ object Analytics {
       .filter(col("__gsz") <= maxSize)
       .drop("__gsz")
 
+  /** The size-capped DISTINCT item set per group as ONE group-keyed
+    * aggregate: `(grp, __items sorted distinct array)`, groups over
+    * `maxSize` distinct items dropped whole — semantically identical to
+    * `capGroups(df.select(grp, item).distinct(), grp, maxSize)` but ONE
+    * exchange instead of three plan layers (the r15 shape paid a
+    * (grp,item)-keyed distinct exchange, then a grp-keyed window
+    * sort+count, then fed a grp-keyed self-join; `collect_set` dedups in
+    * the partial aggregate map-side, the size filter replaces the window,
+    * and [[sortedPairs]] replaces the self-join with an in-row explode).
+    * One group is one row, so a pathological 10⁷-item basket concentrates
+    * in one task exactly as it did in the window formulation — the cap
+    * discards it either way before any pair fan-out.
+    */
+  private[ops] def groupedItemSets(
+      df: DataFrame, group: Column, item: Column, maxSize: Int): DataFrame =
+    df.select(group.as("grp"), item.as("item"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_set(col("item"))).as("__items"))
+      .filter(size(col("__items")) <= maxSize)
+
+  /** All `item_a < item_b` pairs of a SORTED distinct array, as structs —
+    * the in-row form of the grp-keyed pair self-join. Callers MUST
+    * pre-filter `size(items) >= 2`: `sequence(1, 0)` infers step -1 (the
+    * [[graft.Cols.charGramsOfChars]] contract note).
+    */
+  private[ops] def sortedPairs(items: Column): Column =
+    flatten(transform(
+      sequence(lit(1), size(items) - 1),
+      i => transform(
+        sequence(i + 1, size(items)),
+        j => struct(
+          element_at(items, i).as("item_a"),
+          element_at(items, j).as("item_b")))))
+
   def coOccurrence(
       df: DataFrame, groupCol: String, itemCol: String, minPairCount: Long = 2L,
       maxGroupSize: Int = 1000): DataFrame = {
-    // the capped distinct table feeds four plan references (both pair-join
-    // sides, the item counts, the group total); exchange reuse shares the
-    // distinct+cap shuffles between them. A checkpoint-once variant was
-    // measured at sf0.1 and is a wash for these consumers while adding a
-    // hard materialization barrier for single-reference ones (kCore,
-    // components) — so the table stays a lazy plan.
-    val gi = capGroups(
-      df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct(),
-      col("grp"), maxGroupSize)
+    // one grp-keyed aggregate feeds everything: pair explode, item
+    // counts, group total (r16: the distinct+window+self-join formulation
+    // cost two extra exchanges and a per-group sort on every one of the
+    // ~18 basket-graph consumers; output identical — oracle-green 3 SFs)
+    val grouped = groupedItemSets(df, col(groupCol), col(itemCol), maxGroupSize)
+    val gi = grouped.select(col("grp"), explode(col("__items")).as("item"))
     val itemCounts = gi.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val total = gi.agg(count_distinct(col("grp")).as("__n_groups"))
+    val total = grouped.agg(count(lit(1)).as("__n_groups"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    gi.select(col("grp"), col("item").as("item_a"))
-      .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
-      .filter(col("item_a") < col("item_b"))
+    grouped.filter(size(col("__items")) >= 2)
+      .select(explode(sortedPairs(col("__items"))).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
@@ -920,16 +951,38 @@ object Analytics {
     */
   def seqPairs(orders: DataFrame, lineitem: DataFrame,
                minPairCount: Long = 3L, maxAssortment: Int = 1000): DataFrame = {
-    val firstBuy = capGroups(
-      orders
-        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-        .agg(min(col("o_orderdate")).as("d")),
-      col("cust"), maxAssortment)
-    val buyers = firstBuy.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    firstBuy.select(col("cust"), col("item").as("item_a"), col("d").as("d_a"))
-      .join(firstBuy.select(col("cust"), col("item").as("item_b"), col("d").as("d_b")), "cust")
-      .filter(col("d_a") < col("d_b"))
+    // one cust-keyed aggregate carries the whole assortment (sorted by
+    // (first-date, item)); the cap is a size filter and the ordered-pair
+    // fan-out runs in-row — the [[groupedItemSets]]/[[sortedPairs]] shape
+    // of [[coOccurrence]], minus the per-cust window and the self-join
+    // exchange (output identical: every (cust, A, B) with d_A < d_B
+    // counts once; same-day ties drop in the in-row filter exactly as
+    // the strict `<` join predicate dropped them)
+    val sets = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .agg(min(col("o_orderdate")).as("d"))
+      .groupBy(col("cust"))
+      .agg(sort_array(collect_list(struct(col("d"), col("item")))).as("__bi"))
+      .filter(size(col("__bi")) <= maxAssortment)
+    val buyers = sets
+      .select(explode(col("__bi")).as("__e"))
+      .groupBy(col("__e.item").as("item")).agg(count(lit(1)).as("n"))
+    val bi = col("__bi")
+    val orderedPairs = flatten(transform(
+      sequence(lit(1), size(bi) - 1),
+      i => filter(
+        transform(
+          sequence(i + 1, size(bi)),
+          j => struct(
+            element_at(bi, i).getField("d").as("d_a"),
+            element_at(bi, i).getField("item").as("item_a"),
+            element_at(bi, j).getField("d").as("d_b"),
+            element_at(bi, j).getField("item").as("item_b"))),
+        p => p.getField("d_a") < p.getField("d_b"))))
+    sets.filter(size(bi) >= 2)
+      .select(explode(orderedPairs).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
@@ -959,12 +1012,14 @@ object Analytics {
   def substitutes(orders: DataFrame, lineitem: DataFrame,
                   minCommon: Long = 3L, maxAssortment: Int = 1000,
                   maxGroupSize: Int = 1000): DataFrame = {
-    val owned = capGroups(
+    // assortments as one cust-keyed set aggregate (the [[groupedItemSets]]
+    // shape — replaces distinct + window cap with a single exchange)
+    val ownedSets = groupedItemSets(
       orders
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-        .distinct(),
-      col("cust"), maxAssortment)
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item")),
+      col("cust"), col("item"), maxAssortment)
+    val owned = ownedSets.select(col("grp").as("cust"), explode(col("__items")).as("item"))
     val buyers = owned.groupBy(col("item")).agg(count(lit(1)).as("n"))
     // an item with fewer than minCommon buyers can never reach
     // n_common ≥ minCommon with ANY partner, so it is pruned BEFORE the
@@ -976,21 +1031,21 @@ object Analytics {
     // bought core. n_a/n_b still report the UNfiltered buyer counts.
     val frequent = owned.join(
       buyers.filter(col("n") >= minCommon).select(col("item")), "item")
-    val commonBuyers = frequent.select(col("cust"), col("item").as("item_a"))
-      .join(frequent.select(col("cust"), col("item").as("item_b")), "cust")
-      .filter(col("item_a") < col("item_b"))
+    val commonBuyers = frequent
+      .groupBy(col("cust"))
+      .agg(sort_array(collect_set(col("item"))).as("__fi"))
+      .filter(size(col("__fi")) >= 2)
+      .select(explode(sortedPairs(col("__fi"))).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
-    val gi = capGroups(
-      lineitem
-        .select(col("l_orderkey").as("grp"), col("l_partkey").as("item"))
-        .distinct(),
-      col("grp"), maxGroupSize)
-    val together = gi.select(col("grp"), col("item").as("item_a"))
-      .join(gi.select(col("grp"), col("item").as("item_b")), "grp")
-      .filter(col("item_a") < col("item_b"))
-      .select(col("item_a"), col("item_b"))
+    val together = groupedItemSets(
+      lineitem.select(col("l_orderkey").as("grp"), col("l_partkey").as("item")),
+      col("grp"), col("item"), maxGroupSize)
+      .filter(size(col("__items")) >= 2)
+      .select(explode(sortedPairs(col("__items"))).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .distinct()
     commonBuyers
       .join(together, Seq("item_a", "item_b"), "left_anti")
@@ -2030,10 +2085,9 @@ object Analytics {
       df: DataFrame, groupCol: String, itemCol: String,
       minPairCount: Long = 2L, maxGroupSize: Int = 1000): DataFrame = {
     val pairs = coOccurrence(df, groupCol, itemCol, minPairCount, maxGroupSize)
-    val gi = capGroups(
-      df.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct(),
-      col("grp"), maxGroupSize)
-    val total = broadcast(gi.agg(count_distinct(col("grp")).as("__ng")))
+    val total = broadcast(
+      groupedItemSets(df, col(groupCol), col(itemCol), maxGroupSize)
+        .agg(count(lit(1)).as("__ng")))
     val directed = pairs
       .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
         col("n_ab"), col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("lift_e4"))
@@ -2981,14 +3035,23 @@ object Analytics {
   def linkPrediction(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
     // NOT checkpointed: measured 0.81x (r15 A/B) — exchange reuse already
     // shares the upstream pyramid across the references, and the barrier
-    // costs more than it saves
+    // costs more than it saves.
+    // Neighborhoods as ONE node-keyed list aggregate (the
+    // [[groupedItemSets]] shape): degrees fall out as `size`, the maxDeg
+    // cap is a size filter, and the wedge fan-out runs in-row — two
+    // fewer exchanges than the window-cap + self-join formulation. The
+    // strict `item_a < item_b` filter is kept on the exploded pairs so a
+    // (hypothetical) duplicate edge reproduces the join's multiplicity.
     val e = edges.select(col("src"), col("dst"))
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .union(e.select(col("dst").as("node"), col("src").as("nbr")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val centers = capGroups(adj, col("node"), maxDeg)
-    val cand = centers.select(col("node"), col("nbr").as("item_a"))
-      .join(centers.select(col("node"), col("nbr").as("item_b")), "node")
+    val nbrSets = adj.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("__nbrs"))
+    val deg = nbrSets.select(col("node"), size(col("__nbrs")).cast("long").as("d"))
+    val cand = nbrSets
+      .filter(size(col("__nbrs")).between(2, maxDeg))
+      .select(explode(sortedPairs(col("__nbrs"))).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("cn"))
@@ -3029,20 +3092,23 @@ object Analytics {
     * screen, TakeOrderedAndProject top-k.
     */
   def adamicAdar(edges: DataFrame, maxDeg: Int = 200, k: Int = 20): DataFrame = {
-    // not checkpointed — the [[linkPrediction]] measurement (0.87x here)
+    // not checkpointed — the [[linkPrediction]] measurement (0.87x here);
+    // same in-row wedge shape as [[linkPrediction]] r16 (degree = list
+    // size, no separate deg aggregate or self-join)
     val e = edges.select(col("src"), col("dst"))
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .union(e.select(col("dst").as("node"), col("src").as("nbr")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val centers = capGroups(adj, col("node"), maxDeg)
-      .join(deg, "node")
-      // degree-1 nodes can't center a wedge; dropping them here keeps
+    val centers = adj.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("__nbrs"))
+      // degree-1 nodes can't center a wedge; the ≥2 bound also keeps
       // the weight's ln(d) ≥ ln 2 > 0 on every surviving row
-      .filter(col("d") >= 2L)
+      .filter(size(col("__nbrs")).between(2, maxDeg))
+      .withColumn("d", size(col("__nbrs")).cast("long"))
       .withColumn("__w",
         Cols.floorDiv(lit(10000000000L), round(log(col("d")) * 1e6).cast("long")))
-    val cand = centers.select(col("node"), col("__w"), col("nbr").as("item_a"))
-      .join(centers.select(col("node"), col("nbr").as("item_b")), "node")
+    val cand = centers
+      .select(col("__w"), explode(sortedPairs(col("__nbrs"))).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"), col("__w"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("cn"), sum(col("__w")).as("aa_e4"))
